@@ -1,0 +1,207 @@
+"""Projection / rename / computed-column / cast / string transforms.
+
+Reference surface: ``transform/transforms.go`` (see SURVEY.md §2.3).
+Each helper either returns a new DataFrame (schema-shaping ops) or a
+Column (value ops), so everything stays a lazy Catalyst expression —
+Spark's optimizer prunes columns and pushes work into the scan, which the
+record-at-a-time reference cannot do.
+
+Semantics notes vs the reference (documented deviations):
+
+- ``transform.Select`` silently drops missing fields
+  (transform/transforms.go:41-51); :func:`select` does the same when
+  ``strict=False`` (default matches the reference).
+- ``transform.ConvertType`` errors on a failed parse
+  (transform/transforms.go:262-305); Spark's non-ANSI cast yields NULL.
+  :func:`convert_type` offers ``on_error='null'`` (try_cast) or
+  ``'fail'`` (ANSI cast → runtime error), defaulting to fail-fast parity.
+- ``transform.ParseTime`` takes a Go reference layout
+  (transform/transforms.go:179-198); :func:`go_layout_to_java` translates
+  Go layouts to Java/Spark datetime patterns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def select(df: DataFrame, fields: Sequence[str], strict: bool = False) -> DataFrame:
+    """Keep only ``fields``. Missing fields are silently dropped unless ``strict``.
+
+    Reference: transform.Select, transform/transforms.go:41-51.
+    """
+    if strict:
+        return df.select(*fields)
+    present = [f for f in fields if f in df.columns]
+    return df.select(*present)
+
+
+def rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """Rename columns per ``mapping``; others pass through.
+
+    Reference: transform.Rename, transform/transforms.go:55-67.
+    """
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def add_field(df: DataFrame, name: str, expr: Column | str) -> DataFrame:
+    """Add a computed column. ``expr`` is a Column or SQL expression string.
+
+    Reference: transform.AddField, transform/transforms.go:71-80. The
+    reference takes an arbitrary Go closure over the whole record; prefer a
+    Column expression (JVM-side). For genuinely opaque Python logic use
+    ``pandas_udf`` over ``F.struct('*')`` — the documented slow path.
+    """
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    return df.withColumn(name, col)
+
+
+def remove_fields(df: DataFrame, *fields: str) -> DataFrame:
+    """Drop column(s); missing names are ignored (drop is lenient).
+
+    Reference: transform.RemoveField(s), transform/transforms.go:202-234.
+    """
+    return df.drop(*fields)
+
+
+_CAST_TYPES = {
+    "string": "string", "str": "string",
+    "int": "bigint", "int64": "bigint", "bigint": "bigint", "int32": "int",
+    "float": "double", "float64": "double", "double": "double",
+    "bool": "boolean", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "decimal": "decimal(38,9)",
+}
+
+
+def convert_type(
+    df: DataFrame, field: str, to: str, on_error: str = "fail"
+) -> DataFrame:
+    """Cast ``field`` to ``to`` ('int','float','bool','string',...).
+
+    Reference: transform.ConvertType/ToString/ToInt/ToFloat,
+    transform/transforms.go:84-116 and coercion rules 262-305 (strings are
+    trimmed before numeric parse; failure aborts the record).
+
+    ``on_error='fail'`` reproduces the abort-on-bad-value contract via ANSI
+    cast; ``'null'`` uses try_cast (NULL on failure) for permissive runs.
+    """
+    spark_type = _CAST_TYPES.get(to.lower(), to)
+    src = F.col(field)
+    # goetl trims whitespace before numeric parsing (transforms.go:268,280)
+    if spark_type in ("bigint", "int", "double", "decimal(38,9)"):
+        src = F.when(src.cast("string").isNotNull(), F.trim(src.cast("string"))).otherwise(src.cast("string"))
+    if on_error == "null":
+        out = src.try_cast(spark_type)
+    else:
+        out = src.cast(spark_type)  # ANSI mode → error on bad value
+    return df.withColumn(field, out)
+
+
+def trim_space(df: DataFrame, *fields: str) -> DataFrame:
+    """Trim surrounding whitespace on string fields.
+
+    Reference: transform.TrimSpace, transform/transforms.go:119-136.
+    """
+    return df.withColumns({f: F.trim(F.col(f)) for f in fields if f in df.columns})
+
+
+def to_upper(df: DataFrame, *fields: str) -> DataFrame:
+    """Uppercase string fields. Reference: transform/transforms.go:139-157."""
+    return df.withColumns({f: F.upper(F.col(f)) for f in fields if f in df.columns})
+
+
+def to_lower(df: DataFrame, *fields: str) -> DataFrame:
+    """Lowercase string fields. Reference: transform/transforms.go:160-176."""
+    return df.withColumns({f: F.lower(F.col(f)) for f in fields if f in df.columns})
+
+
+# Go reference-layout fragments → Java datetime pattern fragments, longest
+# first so e.g. "January" wins over "Jan" and "15" over "1".
+_GO_TO_JAVA = [
+    ("2006", "yyyy"),
+    ("January", "MMMM"),
+    ("Jan", "MMM"),
+    ("Monday", "EEEE"),
+    ("Mon", "EEE"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("15", "HH"),
+    ("03", "hh"),
+    ("04", "mm"),
+    ("05", "ss"),
+    ("06", "yy"),
+    (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    ("999999999", "SSSSSSSSS"),
+    ("999999", "SSSSSS"),
+    ("999", "SSS"),
+    ("-07:00", "XXX"),
+    ("-0700", "Z"),
+    ("-07", "X"),
+    ("Z07:00", "XXX"),
+    ("Z0700", "Z"),
+    ("MST", "zzz"),
+    ("PM", "a"),
+    ("pm", "a"),
+    ("3", "h"),
+    ("1", "M"),
+    ("2", "d"),
+]
+
+
+def go_layout_to_java(layout: str) -> str:
+    """Translate a Go time layout (e.g. ``2006-01-02 15:04:05``) to a
+    Java/Spark datetime pattern (``yyyy-MM-dd HH:mm:ss``).
+
+    Reference consumes Go layouts in transform.ParseTime
+    (transform/transforms.go:179-198); Spark's to_timestamp takes Java
+    patterns, so parity needs this translation (SURVEY.md §7.2).
+    """
+    out: list[str] = []
+    i = 0
+    n = len(layout)
+    while i < n:
+        for go_frag, java_frag in _GO_TO_JAVA:
+            if layout.startswith(go_frag, i):
+                out.append(java_frag)
+                i += len(go_frag)
+                break
+        else:
+            ch = layout[i]
+            # Literal ASCII letters must be quoted in Java patterns.
+            if ch.isalpha():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def parse_time(
+    df: DataFrame, field: str, layout: str, out: str | None = None
+) -> DataFrame:
+    """Parse a string column into a timestamp using a **Go** layout.
+
+    Reference: transform.ParseTime, transform/transforms.go:179-198 —
+    errors on a bad parse (ANSI mode gives the same fail-fast behavior).
+    """
+    pattern = go_layout_to_java(layout)
+    return df.withColumn(out or field, F.to_timestamp(F.col(field), pattern))
+
+
+def map_records(
+    df: DataFrame, fn: Callable, schema
+) -> DataFrame:
+    """Arbitrary record→records transform via mapInPandas (the UDF escape
+    hatch for reference TransformFunc closures, core/types.go:38-43).
+
+    ``fn`` takes and yields pandas DataFrames (Arrow-batched — the fast
+    Python path). Prefer Column expressions; this exists for logic that
+    genuinely cannot be expressed in SQL.
+    """
+    return df.mapInPandas(fn, schema=schema)

@@ -1,0 +1,117 @@
+"""GroupBy façade: declarative aggregation specs.
+
+Reference: ``aggregate/groupby.go`` + ``aggregate/aggregator.go``
+(SURVEY.md §2.5). The reference maintains one Aggregator instance per
+(group, output) pair in a single-process hash map and string-ifies group
+keys (NULL → ``"__NULL__"``, values joined by ``"|"``). Here the same
+contract is expressed as ``df.groupBy().agg()`` — Spark's partial+final
+hash aggregation gives map-side combine (one shuffle of partial states,
+not rows), native NULL grouping, and preserved key types.
+
+Deterministic output order: the reference sorts results by group key
+(aggregate/groupby.go:196-199); ``GroupBy.apply(ordered=True)`` appends
+``orderBy(group_cols)`` for the same contract.
+
+Semantics parity:
+- count counts ALL records in the group, not non-null (groupby.go:253-269)
+  → ``F.count(F.lit(1))``.
+- sum skips non-numeric/missing/nil silently (groupby.go:279-286)
+  → ``F.sum`` ignores NULLs; typed columns make non-numeric impossible.
+- avg of an empty (all-NULL) group is NULL (groupby.go:314-319) → native.
+- min/max mixed-type lexicographic fallback (groupby.go:405-428) is a
+  map-model artifact; typed columns use typed compare (documented deviation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One output aggregate: (function, input column, output name)."""
+
+    fn: str
+    col: str | None
+    out: str
+
+    def to_column(self) -> Column:
+        f = self.fn.lower()
+        if f == "count":
+            # counts all records in the group (aggregate/groupby.go:253-269)
+            c = F.count(F.lit(1))
+        elif f == "count_distinct":
+            c = F.count_distinct(F.col(self.col))
+        elif f == "approx_count_distinct":
+            c = F.approx_count_distinct(F.col(self.col))
+        elif f in ("sum", "avg", "min", "max", "first", "last", "stddev", "variance",
+                   "median", "mode", "collect_set", "collect_list"):
+            c = getattr(F, f)(F.col(self.col))
+        elif f.startswith("percentile:"):
+            pct = float(f.split(":", 1)[1])
+            c = F.percentile_approx(F.col(self.col), pct)
+        else:
+            raise ValueError(f"unknown aggregate function: {self.fn}")
+        return c.alias(self.out)
+
+
+def count(out: str = "count") -> AggSpec:
+    """All-records count (aggregate/groupby.go:56-59)."""
+    return AggSpec("count", None, out)
+
+
+def sum_(col: str, out: str | None = None) -> AggSpec:
+    """Float sum, NULLs skipped (aggregate/groupby.go:62-65)."""
+    return AggSpec("sum", col, out or f"{col}_sum")
+
+
+def avg(col: str, out: str | None = None) -> AggSpec:
+    """Mean over non-null; empty group → NULL (aggregate/groupby.go:68-71)."""
+    return AggSpec("avg", col, out or f"{col}_avg")
+
+
+def min_(col: str, out: str | None = None) -> AggSpec:
+    """Typed minimum (aggregate/groupby.go:74-78)."""
+    return AggSpec("min", col, out or f"{col}_min")
+
+
+def max_(col: str, out: str | None = None) -> AggSpec:
+    """Typed maximum (aggregate/groupby.go:80-83)."""
+    return AggSpec("max", col, out or f"{col}_max")
+
+
+@dataclass
+class GroupBy:
+    """Declarative group-by: ``GroupBy(['k'], [count(), sum_('v')]).apply(df)``.
+
+    Mirrors ``aggregate.NewGroupBy(fields...).WithAggregator(out, agg)``
+    (aggregate/groupby.go:40-83) with native types and one shuffle.
+    An empty ``keys`` list gives the reference's global AggregateTask
+    (dag/tasks/transform.go:163-200): a single result row.
+    """
+
+    keys: Sequence[str]
+    aggs: Sequence[AggSpec] = field(default_factory=list)
+
+    def with_agg(self, spec: AggSpec) -> "GroupBy":
+        return GroupBy(self.keys, [*self.aggs, spec])
+
+    def apply(self, df: DataFrame, ordered: bool = True) -> DataFrame:
+        cols = [a.to_column() for a in self.aggs]
+        if not self.keys:
+            return df.agg(*cols)  # global aggregate → single row
+        out = df.groupBy(*self.keys).agg(*cols)
+        if ordered:
+            # deterministic-output contract (aggregate/groupby.go:196-199)
+            out = out.orderBy(*self.keys)
+        return out
+
+
+def group_by(df: DataFrame, keys: Sequence[str], *aggs: AggSpec,
+             ordered: bool = True) -> DataFrame:
+    """Functional shorthand for :class:`GroupBy`."""
+    return GroupBy(keys, list(aggs)).apply(df, ordered=ordered)

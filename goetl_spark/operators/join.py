@@ -1,0 +1,134 @@
+"""Configurable equi-join with the reference's JoinConfig surface.
+
+Reference: ``dag/tasks/join.go`` (SURVEY.md §2.4). The reference has one
+algorithm — an in-memory hash join keyed on stringified composite keys —
+and ignores its own ``Strategy`` field. Here the join is declared to
+Catalyst, which picks broadcast-hash / shuffled-hash / sort-merge from
+stats + AQE; ``strategy='broadcast'`` maps to an explicit broadcast hint
+(the thing the reference parsed but never implemented).
+
+Parity points:
+- join types inner/left/right/full (dag/tasks/join.go:33-40).
+- NULL join keys never match (SQL semantics) — matches the reference
+  skipping records with missing/nil key fields on the inner path and
+  emitting them with null right side on left/full (join.go:130-137).
+- one-to-many expansion: left row emitted once per matching right row
+  (join.go:140-146) — native.
+- column-conflict handling: optional per-side prefixes; unprefixed
+  collisions renamed ``right_<col>`` (join.go:190-224).
+
+Scale note: at 100 TB the driver of join cost is the shuffle. Dimension
+sides below the broadcast threshold are broadcast automatically; for
+repeated joins on the same key, pre-``repartition(keys)`` both sides once
+and reuse (Catalyst will not re-shuffle an already-partitioned child).
+Skewed keys are handled by AQE skew-join (on by default in our session).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class JoinConfig:
+    """Mirror of the reference's JoinConfig (dag/tasks/join.go:33-47)."""
+
+    join_type: str = "inner"  # inner | left | right | full
+    left_keys: Sequence[str] = dc_field(default_factory=list)
+    right_keys: Sequence[str] = dc_field(default_factory=list)
+    # per-side output column prefixes: {"left": "l_", "right": "r_"}
+    field_prefix: Mapping[str, str] = dc_field(default_factory=dict)
+    # "auto" lets Catalyst choose; "broadcast" hints broadcast of the right
+    # side; "sort"/"hash" accepted for config parity (Catalyst decides).
+    strategy: str = "auto"
+
+    def __post_init__(self):
+        if self.join_type not in ("inner", "left", "right", "full"):
+            raise ValueError(f"unsupported join type: {self.join_type}")
+        if not self.right_keys:
+            self.right_keys = list(self.left_keys)
+        if len(self.left_keys) != len(self.right_keys):
+            raise ValueError("left_keys and right_keys must have equal length")
+
+
+def join(left: DataFrame, right: DataFrame, config: JoinConfig) -> DataFrame:
+    """Join two DataFrames per ``config``.
+
+    Output columns: all left columns then all right columns, with the
+    reference's conflict rule — per-side prefixes if configured, else
+    colliding right columns become ``right_<col>`` (dag/tasks/join.go:190-224).
+    Right-side join-key columns that merely duplicate an equi-key are kept
+    (the reference keeps both sides' key fields in the merged record).
+    """
+    lpfx = config.field_prefix.get("left", "")
+    rpfx = config.field_prefix.get("right", "")
+
+    left_aliased = left.select([F.col(c).alias(lpfx + c) for c in left.columns])
+    right_aliased = right.select([F.col(c).alias(rpfx + c) for c in right.columns])
+
+    left_out_cols = [lpfx + c for c in left.columns]
+    # unprefixed collision → right_<col> (join.go:218-222)
+    right_out: list[tuple[str, str]] = []
+    for c in right.columns:
+        name = rpfx + c
+        if name in left_out_cols:
+            name = f"right_{c}"
+        right_out.append((rpfx + c, name))
+    right_aliased = right_aliased.select(
+        [F.col(src).alias(dst) for src, dst in right_out]
+    )
+
+    lkeys = [lpfx + k for k in config.left_keys]
+    rkeys = [
+        dst for src, dst in right_out
+        if src in [rpfx + k for k in config.right_keys]
+    ]
+    # preserve key order
+    rk_order = {rpfx + k: i for i, k in enumerate(config.right_keys)}
+    rkeys = sorted(
+        [ (src, dst) for src, dst in right_out if src in rk_order ],
+        key=lambda p: rk_order[p[0]],
+    )
+    cond = None
+    for lk, (_, rk) in zip(lkeys, rkeys):
+        c = left_aliased[lk] == right_aliased[rk]
+        cond = c if cond is None else (cond & c)
+
+    if config.strategy == "broadcast":
+        right_aliased = F.broadcast(right_aliased)
+
+    how = {"full": "full_outer"}.get(config.join_type, config.join_type)
+    return left_aliased.join(right_aliased, on=cond, how=how)
+
+
+def lookup(source: DataFrame, lookup_df: DataFrame, keys: Sequence[str],
+           lookup_keys: Sequence[str] | None = None,
+           prefix: str = "") -> DataFrame:
+    """Enrichment join: broadcast left join against a small lookup table.
+
+    Reference: AddLookupTask (dag/dag_builder.go:126-133) — an alias for a
+    left hash join. The lookup side is explicitly broadcast: at scale the
+    dimension is small by definition, so this avoids shuffling the fact side.
+    """
+    cfg = JoinConfig(
+        join_type="left",
+        left_keys=list(keys),
+        right_keys=list(lookup_keys or keys),
+        field_prefix={"right": prefix} if prefix else {},
+        strategy="broadcast",
+    )
+    return join(source, lookup_df, cfg)
+
+
+def semi_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """left_semi — beyond the reference surface (SURVEY §2.4 'Not present')."""
+    return left.join(right, on=list(keys), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """left_anti — beyond the reference surface."""
+    return left.join(right, on=list(keys), how="left_anti")

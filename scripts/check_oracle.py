@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and values (columns sorted by name, rows sorted, exact match with
+a tiny float report so drift is visible before the real gate runs).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable row sort across engines
+    key = df.astype(str).agg("|".join, axis=1)
+    df = df.loc[key.sort_values().index].reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pd) != len(duck_pd):
+        problems.append(f"row count: spark={len(spark_pd)} duck={len(duck_pd)}")
+    scols, dcols = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    if scols != dcols:
+        problems.append(f"columns: spark={scols} duck={dcols}")
+    if problems:
+        return problems
+    s, d = normalize(spark_pd), normalize(duck_pd)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sv2 = pd.to_numeric(sv, errors="coerce")
+            dv2 = pd.to_numeric(dv, errors="coerce")
+            both_nan = sv2.isna() & dv2.isna()
+            eq = (sv2 == dv2) | both_nan
+            if not eq.all():
+                diff = (sv2 - dv2).abs().max()
+                problems.append(f"col {col}: {int((~eq).sum())} mismatches, max|diff|={diff}")
+        else:
+            eq = (sv.astype(str) == dv.astype(str))
+            if not eq.all():
+                i = int((~eq).idxmax())
+                problems.append(
+                    f"col {col}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from goetl_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pd = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(spark_pd)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pd = con.execute(oracles[name]).df()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = compare(name, spark_pd, duck_pd)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"OK   {name} ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Deduplication: exact and near-duplicate detection at corpus scale.
+
+Beyond the reference surface (BASELINE.json north star). Five strategies,
+ordered by cost:
+
+1. :func:`exact_dedup` — hash-groupBy on content digest. One shuffle of
+   (digest, id) pairs; the canonical 100 TB first pass.
+2. :func:`ngram_jaccard_pairs` — exact n-gram-shingle Jaccard for pairs
+   sharing at least one shingle (inverted-index join). Exact but the join
+   can explode on common shingles — use after LSH at scale.
+3. :func:`minhash_signatures` / :func:`minhash_lsh_candidates` — MinHash +
+   banded LSH. Cost linear in corpus size + candidate verification only;
+   THE scale path for near-dedup (the MapReduce/Spark standard).
+4. :func:`simhash` — 60-bit SimHash per doc; near-dups have small Hamming
+   distance. Cheapest signature; pairs via band join on hash prefixes.
+5. :mod:`goetl_spark.operators.similarity` — embedding-cosine near-dup.
+
+All hashing is md5-based (:func:`goetl_spark.operators.text.md5_int`) so an
+external SQL engine (the DuckDB oracle) can reproduce results bit-for-bit
+— xxhash64 would be faster but engine-private. Swap ``hash_fn`` for
+xxhash64 in production where cross-engine reproducibility isn't needed.
+
+MinHash constants: h_i(x) = (A_i * x + B_i) mod P with P = 2^31-1 (prime),
+A_i = 1 + 3*i, B_i = 7 + 11*i — fixed, documented, reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.text import md5_int
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def _word_shingles(col: Column, n: int) -> Column:
+    """Distinct n-gram word shingles of a text column."""
+    toks = F.split(col, r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per content digest.
+
+    groupBy(md5) shuffles only (digest, id) — never the text — so the
+    shuffle is tiny relative to the corpus.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Inverted index: one row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingles for candidate pairs.
+
+    Inverted-index self-join: only pairs sharing ≥1 shingle are scored
+    (|A∩B| from the join, |A| and |B| from per-doc counts — Jaccard =
+    inter / (|A|+|B|-inter), exact integer arithmetic).
+    """
+    idx = shingle_index(df, text_col, id_col, n).cache()
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    scored = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: one row per (doc, hash index i) with
+    sig = min over shingles of (A_i*md5int(shingle) + B_i) mod P.
+
+    Expressed row-wise (explode shingles × hash indices → min groupBy) —
+    all JVM expressions, partial aggregation makes the shuffle ~num_hashes
+    rows per doc.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    hashed = idx.select(
+        id_col, md5_int(F.col("shingle")).alias("h")
+    ).join(
+        # hash-function table: tiny, broadcast
+        F.broadcast(
+            df.sparkSession.range(num_hashes).select(
+                F.col("id").cast("int").alias("i"),
+                (1 + 3 * F.col("id")).alias("a"),
+                (7 + 11 * F.col("id")).alias("b"),
+            )
+        ),
+    )
+    return (
+        hashed.groupBy(id_col, "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_hashes: int = 32, band_size: int = 4,
+) -> DataFrame:
+    """Banded LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
+
+    Bands of ``band_size`` signature rows are hashed (md5 of the
+    concatenated sigs) and equal band-hashes are joined — the classic
+    s-curve: with 32 hashes / bands of 4, an 80 %-similar pair is caught
+    with probability ~1-(1-0.8^4)^8 ≈ 0.98.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("i") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.concat_ws(":", F.col("i"), F.col("sig")))
+        ))).alias("band_hash"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 60) -> DataFrame:
+    """SimHash per document over whitespace tokens (md5-based 60-bit token
+    hashes; 60 not 64 so the value fits a signed bigint in every engine).
+
+    bit_j(doc) = 1 iff sum over distinct tokens of (token has bit j ? +1 : -1) > 0.
+    Near-duplicates differ in few bits (compare with hamming/bit_count(xor)).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
+    ).select(F.col(id_col), md5_int(F.col("tok"), 15).alias("h"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs here (fine ≤ ~100k docs); at corpus scale, block on
+    ``simhash >> k`` prefixes first so only same-prefix pairs compare.
+    """
+    s = simhash(df, text_col, id_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

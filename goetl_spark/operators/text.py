@@ -1,0 +1,134 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Column-expression pipelines — no Python UDFs — so they run JVM-side in
+whole-stage codegen and scale linearly with no shuffle (per-document map
+work). At 100 TB these are exactly the ops you want to be scan-bound.
+
+Determinism: every function is a pure expression over the document text,
+so results are reproducible and oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed stopword lists for the language-ID heuristic — deliberately
+# tiny so the same lists can be inlined into oracle SQL
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "auf"],
+}
+
+_PUNCT_CLASS = r"[.!?,;:]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Subword-ish token count: splits on whitespace AND word/punct/digit
+    boundaries — a deterministic regex approximation of BPE pre-tokenization
+    (the GPT-2 pre-tokenizer splits letters/digits/punct runs apart)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+
+def detect_language(col: str | Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits with a
+    fixed tie-break order (en > es > fr > de). Deterministic; designed to
+    be replicable in oracle SQL with the same lists."""
+    s_en = stopword_hits(col, "en")
+    s_es = stopword_hits(col, "es")
+    s_fr = stopword_hits(col, "fr")
+    s_de = stopword_hits(col, "de")
+    return (
+        F.when((s_en >= s_es) & (s_en >= s_fr) & (s_en >= s_de), F.lit("en"))
+        .when((s_es >= s_fr) & (s_es >= s_de), F.lit("es"))
+        .when(s_fr >= s_de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    return n_punct.cast("double") / F.length(c)
+
+
+def mean_word_length(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.length(F.regexp_replace(c, r"\s+", ""))
+    return stripped.cast("double") / token_count(col)
+
+
+def quality_score(col: str | Column, lang: str = "en") -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    punctuation sanity + word-length sanity.
+
+    Heuristics follow the C4/Gopher-style filters (length bounds, symbol
+    ratios, stopword presence) as simple deterministic arithmetic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(col)
+    sw_ratio = stopword_hits(col, lang).cast("double") / n_tokens
+    p_ratio = punct_ratio(col)
+    mwl = mean_word_length(col)
+
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    token_ok = F.when((n_tokens >= 20) & (n_tokens <= 5000), 1.0).otherwise(0.0)
+    sw_ok = F.when(sw_ratio >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(p_ratio <= 0.1, 1.0).otherwise(0.0)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    return (length_ok + token_ok + sw_ok + punct_ok + mwl_ok) / F.lit(5.0)
+
+
+def md5_int(col: Column, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` hex digits of md5 as a bigint — the shared,
+    engine-portable hash used by fingerprinting/minhash (DuckDB can compute
+    the identical value, unlike xxhash64/murmur)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def fingerprint(col: str | Column, k: int = 5) -> Column:
+    """Rolling-hash document fingerprint: min md5-int over all character
+    ``k``-grams (winnowing with window = whole doc). Equal fingerprints →
+    near-certain shared k-gram; cheap first-pass clustering key."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    return F.array_min(F.transform(grams, lambda g: md5_int(g)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-stat columns in one projection."""
+    return df.withColumns({
+        "n_tokens": token_count(text_col),
+        "n_tokens_bpe": bpe_ish_token_count(text_col),
+        "lang_pred": detect_language(text_col),
+        "punct_ratio": punct_ratio(text_col),
+        "quality": quality_score(text_col),
+        "fingerprint": fingerprint(text_col),
+    })

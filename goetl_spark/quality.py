@@ -1,0 +1,159 @@
+"""Data-quality validation as aggregate checks.
+
+Reference: ``validators/validators.go`` (SURVEY.md §2.7) — a
+ConditionalLogic implementation that walks records one at a time counting
+violations. Here every check compiles into ONE aggregate pass over the
+DataFrame (a single job, map-side combined), and the driver-side verdict
+gates downstream pipeline stages (the reference's ConditionalTask wiring,
+dag/tasks/conditional.go).
+
+Checks (validators/validators.go):
+- min/max record count            (validators.go:81-91)
+- required / forbidden fields     (validators.go:133-155, schema-level)
+- max null rate per field         (validators.go:158-188)
+- per-field rules: type, regex pattern, min/max range, allowed values,
+  custom predicate                (validators.go:213-336)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TYPE_CHECKS: dict[str, Callable[[Column], Column]] = {
+    # value-shape checks on the string rendering, mirroring goetl's
+    # per-value type validation (validators.go:270-307)
+    "int": lambda c: c.cast("string").rlike(r"^-?[0-9]+$"),
+    "float": lambda c: c.cast("string").rlike(r"^-?[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?$"),
+    "bool": lambda c: F.lower(c.cast("string")).isin("true", "false", "0", "1"),
+    "string": lambda c: c.cast("string").isNotNull(),
+    "email": lambda c: c.rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+    "url": lambda c: c.rlike(r"^https?://[^\s]+$"),
+}
+
+
+@dataclass
+class FieldRule:
+    """Per-field rule set (validators/validators.go:213-267)."""
+
+    field: str
+    type_: str | None = None
+    pattern: str | None = None
+    min_value: float | None = None
+    max_value: float | None = None
+    allowed_values: Sequence | None = None
+    custom: Column | None = None  # boolean Column; True = valid
+
+    def violation_counter(self) -> Column:
+        c = F.col(self.field)
+        ok = F.lit(True)
+        if self.type_:
+            ok = ok & _TYPE_CHECKS[self.type_.lower()](c)
+        if self.pattern:
+            ok = ok & c.rlike(self.pattern)
+        if self.min_value is not None:
+            ok = ok & (c >= self.min_value)
+        if self.max_value is not None:
+            ok = ok & (c <= self.max_value)
+        if self.allowed_values is not None:
+            ok = ok & c.isin(list(self.allowed_values))
+        if self.custom is not None:
+            ok = ok & self.custom
+        # NULLs are the null-rate check's concern, not a rule violation
+        return F.sum(F.when(c.isNotNull() & ~ok, 1).otherwise(0)).alias(
+            f"__rule_{self.field}"
+        )
+
+
+@dataclass
+class ValidationResult:
+    passed: bool
+    violations: list[str] = dc_field(default_factory=list)
+    stats: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class DataQualityValidator:
+    """Aggregate-pass validator. ``validate(df)`` runs ONE Spark job."""
+
+    min_records: int | None = None
+    max_records: int | None = None
+    required_fields: Sequence[str] = dc_field(default_factory=list)
+    forbidden_fields: Sequence[str] = dc_field(default_factory=list)
+    max_null_rate: dict[str, float] = dc_field(default_factory=dict)
+    rules: Sequence[FieldRule] = dc_field(default_factory=list)
+
+    def validate(self, df: DataFrame) -> ValidationResult:
+        violations: list[str] = []
+
+        # schema-level checks need no job (validators.go:133-155)
+        for f_ in self.required_fields:
+            if f_ not in df.columns:
+                violations.append(f"required field missing: {f_}")
+        for f_ in self.forbidden_fields:
+            if f_ in df.columns:
+                violations.append(f"forbidden field present: {f_}")
+
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+        for f_ in self.max_null_rate:
+            aggs.append(
+                F.sum(F.col(f_).isNull().cast("long")).alias(f"__nulls_{f_}")
+            )
+        for rule in self.rules:
+            if rule.field in df.columns:
+                aggs.append(rule.violation_counter())
+
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = row["__n"]
+        stats = {"record_count": n}
+
+        if self.min_records is not None and n < self.min_records:
+            violations.append(f"record count {n} < min {self.min_records}")
+        if self.max_records is not None and n > self.max_records:
+            violations.append(f"record count {n} > max {self.max_records}")
+
+        for f_, limit in self.max_null_rate.items():
+            rate = (row[f"__nulls_{f_}"] / n) if n else 0.0
+            stats[f"null_rate_{f_}"] = rate
+            if rate > limit:
+                violations.append(f"null rate of {f_} = {rate:.4f} > {limit}")
+
+        for rule in self.rules:
+            key = f"__rule_{rule.field}"
+            if key in row:
+                bad = row[key] or 0
+                stats[f"violations_{rule.field}"] = bad
+                if bad > 0:
+                    violations.append(f"field {rule.field}: {bad} rule violations")
+            else:
+                violations.append(f"rule field missing: {rule.field}")
+
+        return ValidationResult(not violations, violations, stats)
+
+
+def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Long-format column profile: one row per column with count / non-null
+    / null / distinct counts (the reference's NullValueCounts stats surface,
+    e.g. readers/csv.go:163-165, generalized).
+
+    One wide aggregate job, then an in-plan unpivot — no per-column scans.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dc_{c}"))
+    wide = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_non_null"),
+            (F.col("__n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"dc_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

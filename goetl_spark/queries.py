@@ -50,7 +50,18 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long and convert to a microsecond timestamp
+    (same truncation DuckDB applies)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # exact, associative sum of a double column, rendered back to double
@@ -330,6 +341,694 @@ def q10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (beyond reference, SURVEY §2.6 'not present')."""
     o = _t(spark, sf_dir, "orders")
     return distinct(o.select("o_orderstatus", "o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 transforms: shaping, string ops, casts, time parsing
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_transform_shaping",
+    """
+    SELECT p_partkey AS part_id,
+           UPPER(TRIM(p_name)) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           CAST(p_size AS BIGINT) AS size_big,
+           p_retailprice * 0.9 AS discounted,
+           CONCAT(p_brand, ':', p_type) AS brand_type
+    FROM part
+    WHERE p_size >= 10
+    """,
+)
+def q11_transform_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select/Rename/AddField/casts/Trim/Upper/Lower as one lazy chain
+    (transform/transforms.go:41-176)."""
+    from goetl_spark.functions import transforms as T
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    p = T.rename(p, {"p_partkey": "part_id"})
+    p = T.add_field(p, "name_upper", F.upper(F.trim(F.col("p_name"))))
+    p = T.add_field(p, "brand_lower", F.lower(F.col("p_brand")))
+    p = T.add_field(p, "size_big", F.col("p_size").cast("bigint"))
+    p = T.add_field(p, "discounted", F.col("p_retailprice") * 0.9)
+    p = T.add_field(p, "brand_type", F.concat_ws(":", "p_brand", "p_type"))
+    return T.select(
+        p, ["part_id", "name_upper", "brand_lower", "size_big", "discounted", "brand_type"]
+    )
+
+
+@register(
+    "q12_dates",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           strftime(o_orderdate, '%Y-%m') AS year_month,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY order_year, order_month
+    """,
+)
+def q12_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction + formatting (ParseTime family,
+    transform/transforms.go:179-198, applied in reverse: format/extract)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window functions (beyond reference; SURVEY roadmap item)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_window_topn",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(o_totalprice) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q13_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group + lag via one Window spec (operators/window.py).
+    Single shuffle on o_custkey serves both window functions."""
+    from goetl_spark.operators import window as W
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    o = W.with_lag(o, "o_totalprice", ["o_custkey"], order, out="prev_price")
+    o = W.with_row_number(o, ["o_custkey"], order, out="rn")
+    return o.filter(F.col("rn") <= 3).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "rn", "prev_price"
+    )
+
+
+@register(
+    "q14_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend: frame-based analytic window
+    (operators/window.py::with_running). Decimal accumulation keeps the
+    prefix sums order-exact vs the oracle."""
+    from goetl_spark.operators import window as W
+
+    o = _t(spark, sf_dir, "orders")
+    o = W.with_running(
+        o,
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")),
+        ["o_custkey"], ["o_orderdate", "o_orderkey"], "running_spend",
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.col("running_spend").cast("double").alias("running_spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events table: time-bucketed aggregation + sessionization (streaming analogs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def q15_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time — the batch shape of
+    the streaming windowed agg (goetl roadmap README.md:655; implemented
+    for real streams in goetl_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "q16_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via gaps-and-islands
+    (operators/window.py::sessionize) + per-session rollup."""
+    from goetl_spark.operators.window import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(e, ["user_id"], "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 warehouse ops: CDC + SCD on deterministic snapshot derivations
+# ---------------------------------------------------------------------------
+
+_CDC_TS = "2024-01-01 00:00:00"
+
+@register(
+    "q17_cdc",
+    f"""
+    WITH prev AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 <> 0
+    ), cur AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 7 <> 0
+    ), j AS (
+        SELECT cur.c_custkey AS ck, prev.c_custkey AS pk,
+               cur.c_name AS cn, prev.c_name AS pn,
+               cur.c_acctbal AS cb, prev.c_acctbal AS pb
+        FROM cur FULL JOIN prev ON cur.c_custkey = prev.c_custkey
+    )
+    SELECT COALESCE(ck, pk) AS c_custkey,
+           COALESCE(cn, pn) AS c_name,
+           COALESCE(cb, pb) AS c_acctbal,
+           CASE WHEN pk IS NULL THEN 'INSERT'
+                WHEN ck IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS change_type,
+           TIMESTAMP '{_CDC_TS}' AS change_timestamp
+    FROM j
+    WHERE pk IS NULL OR ck IS NULL OR cb IS DISTINCT FROM pb OR cn IS DISTINCT FROM pn
+    """,
+)
+def q17_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC (dag/tasks/cdc.go): previous = customers sans
+    custkey%10==0 (those become INSERTs), current drops custkey%7==0
+    (DELETEs) and perturbs acctbal for custkey%5==0 (UPDATEs)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    prev = c.filter(F.col("c_custkey") % 10 != 0)
+    cur = c.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")),
+    )
+    return capture_changes(cur, prev, ["c_custkey"], ["c_name", "c_acctbal"],
+                           timestamp=_CDC_TS)
+
+
+_SCD_DATE = "2024-06-01"
+
+@register(
+    "q18_scd2",
+    f"""
+    WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN 'MUTATED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ), dim AS (
+        SELECT c_custkey, c_mktsegment,
+               '2020-01-01' AS effective_from, '9999-12-31' AS effective_to,
+               TRUE AS is_current
+        FROM customer WHERE c_custkey % 3 = 0
+    ), j AS (
+        SELECT s.c_custkey AS sk, s.c_mktsegment AS sseg,
+               d.c_custkey AS dk, d.c_mktsegment AS dseg,
+               d.effective_from AS ef, d.effective_to AS et, d.is_current AS cur
+        FROM src s FULL JOIN dim d ON s.c_custkey = d.c_custkey
+    ), kept AS (
+        SELECT dk AS c_custkey, dseg AS c_mktsegment, ef AS effective_from,
+               CASE WHEN sk IS NOT NULL AND sseg IS DISTINCT FROM dseg
+                    THEN '{_SCD_DATE}' ELSE et END AS effective_to,
+               CASE WHEN sk IS NOT NULL AND sseg IS DISTINCT FROM dseg
+                    THEN FALSE ELSE cur END AS is_current
+        FROM j WHERE dk IS NOT NULL
+    ), ins AS (
+        SELECT sk AS c_custkey, sseg AS c_mktsegment,
+               '{_SCD_DATE}' AS effective_from, '9999-12-31' AS effective_to,
+               TRUE AS is_current
+        FROM j WHERE sk IS NOT NULL AND (dk IS NULL OR sseg IS DISTINCT FROM dseg)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+)
+def q18_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over a synthetic dimension: every 3rd customer is dimensioned;
+    every 4th customer's segment mutates → close-old + insert-new
+    (dag/tasks/scd.go:97-161)."""
+    c = _t(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("MUTATED"))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    dim = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.lit("2020-01-01").alias("effective_from"),
+        F.lit("9999-12-31").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd_type2(src, dim, ["c_custkey"], ["c_mktsegment"],
+                     effective_date=_SCD_DATE)
+
+
+@register(
+    "q19_scd3",
+    """
+    WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN 'MUTATED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ), dim AS (
+        SELECT c_custkey, c_mktsegment, 2 AS version
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT s.c_custkey, s.c_mktsegment,
+           d.c_mktsegment AS previous_c_mktsegment,
+           COALESCE(d.version + 1, 1) AS version
+    FROM src s LEFT JOIN dim d ON s.c_custkey = d.c_custkey
+    """,
+)
+def q19_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD3: previous_<field> columns + version increment
+    (dag/tasks/scd.go:189-238)."""
+    c = _t(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("MUTATED"))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    dim = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", F.lit(2).cast("int").alias("version")
+    )
+    out = scd_type3(src, dim, ["c_custkey"], ["c_mktsegment"])
+    return out.withColumn("version", F.col("version").cast("bigint"))
+
+
+@register(
+    "q20_profile",
+    """
+    SELECT 'o_custkey' AS column, COUNT(*) AS n_rows, COUNT(o_custkey) AS n_non_null,
+           COUNT(*) - COUNT(o_custkey) AS n_null, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice)
+    FROM orders
+    """,
+)
+def q20_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null/distinct counts) — the reference's per-field
+    NullValueCounts stats (readers/csv.go:163-165) generalized into one
+    aggregate pass (goetl_spark.quality.profile)."""
+    from goetl_spark.quality import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north star): exact, n-gram Jaccard, MinHash+LSH, SimHash
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of the md5-based hash + shingle builders in operators/text.py
+# and operators/dedup.py
+_DUCK_MD5INT = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')
+               )) AS shingles
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+"""
+
+
+@register(
+    "q21_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (operators/dedup.py::exact_dedup)."""
+    from goetl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q22_ngram_jaccard",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+)
+def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs via inverted-index join
+    (operators/dedup.py::ngram_jaccard_pairs)."""
+    from goetl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@register(
+    "q23_minhash_signatures",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+        SELECT doc_id, {_DUCK_MD5INT.format(expr='shingle')} AS h FROM ex
+    ),
+    params AS (
+        SELECT CAST(i AS INT) AS i, 1 + 3 * i AS a, 7 + 11 * i AS b
+        FROM (SELECT unnest(range(32)) AS i)
+    )
+    SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS sig
+    FROM hashed CROSS JOIN params
+    GROUP BY doc_id, i
+    """,
+)
+def q23_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, 32 hash functions over 3-gram shingles
+    (operators/dedup.py::minhash_signatures)."""
+    from goetl_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q24_minhash_lsh_candidates",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+        SELECT doc_id, {_DUCK_MD5INT.format(expr='shingle')} AS h FROM ex
+    ),
+    params AS (
+        SELECT CAST(i AS INT) AS i, 1 + 3 * i AS a, 7 + 11 * i AS b
+        FROM (SELECT unnest(range(32)) AS i)
+    ),
+    sig AS (
+        SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS sig
+        FROM hashed CROSS JOIN params GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(string_agg(i || ':' || sig, ',' ORDER BY i || ':' || sig)) AS band_hash
+        FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def q24_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (operators/dedup.py::minhash_lsh_candidates)."""
+    from goetl_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q25_simhash",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bitsum AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM hashed CROSS JOIN (SELECT CAST(unnest(range(60)) AS INT) AS j)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (operators/dedup.py::simhash)."""
+    from goetl_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family (north star)
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@register(
+    "q26_knn_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+        SELECT query_id, neighbor_id,
+               {_DUCK_COS.format(a='qv', b='cv')} AS cos_sim
+        FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def q26_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors against the whole corpus
+    (operators/similarity.py::knn_bruteforce)."""
+    from goetl_spark.operators.similarity import knn_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+@register(
+    "q27_ann_ivf",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_bucket
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS c_bucket
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               {_DUCK_COS.format(a='qv', b='cv')} AS cos_sim
+        FROM c JOIN q ON c_bucket = q_bucket AND neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q27_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search only the query's cluster bucket (label column
+    as precomputed assignment) — operators/similarity.py::knn_ivf."""
+    from goetl_spark.operators.similarity import knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_ivf(e, e.filter(F.col("vec_id") < 20), k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+@register(
+    "q28_embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_DUCK_COS.format(a='a.ev', b='b.ev')} AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a='a.ev', b='b.ev')} >= 0.35
+    """,
+)
+def q28_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label-bucket blocking
+    (operators/similarity.py::embedding_neardup_pairs)."""
+    from goetl_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bucket_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family (north star)
+# ---------------------------------------------------------------------------
+
+_SW = {
+    k: ", ".join(f"'{w}'" for w in v)
+    for k, v in
+    __import__("goetl_spark.operators.text", fromlist=["STOPWORDS"]).STOPWORDS.items()
+}
+
+
+@register(
+    "q29_text_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+               len(list_filter(toks, x -> lower(x) IN ({_SW['en']}))) AS s_en,
+               len(list_filter(toks, x -> lower(x) IN ({_SW['es']}))) AS s_es,
+               len(list_filter(toks, x -> lower(x) IN ({_SW['fr']}))) AS s_fr,
+               len(list_filter(toks, x -> lower(x) IN ({_SW['de']}))) AS s_de,
+               list_min(list_transform(
+                   range(1, greatest(length(text) - 4, 1) + 1),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)
+               )) AS fingerprint
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_tokens_bpe,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS lang_pred,
+           fingerprint
+    FROM scored
+    """,
+)
+def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + BPE-ish regex), heuristic language ID,
+    rolling-hash fingerprint (operators/text.py)."""
+    from goetl_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        X.detect_language("text").alias("lang_pred"),
+        X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "q30_text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks, x -> lower(x) IN ({_SW['en']}))) AS DOUBLE)
+                   / len(toks) AS sw_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   / len(toks) AS mean_word_len
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, punct_ratio,
+           (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN n_tokens >= 20 AND n_tokens <= 5000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN sw_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END
+           ) / 5.0 AS quality
+    FROM m
+    """,
+)
+def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality scoring: length band, stopword presence,
+    punctuation and word-length sanity (operators/text.py::quality_score)."""
+    from goetl_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.token_count("text").alias("n_tokens"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
 
 
 ENTRY_QUERY = q01_pricing_summary

@@ -71,8 +71,20 @@ def get_spark(
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
     """Load the star-schema parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    from pyspark.sql import functions as F
+
     names = tables or [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+    out = {}
+    for name in names:
+        if name == "events":
+            # TIMESTAMP(NANOS) parquet: read nanos as long, convert to micros
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out[name] = df
+    return out

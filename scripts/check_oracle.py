@@ -26,6 +26,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df
     # stringify for a stable row sort across engines
     key = df.astype(str).agg("|".join, axis=1)
     df = df.loc[key.sort_values().index].reset_index(drop=True)

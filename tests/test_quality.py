@@ -1,0 +1,69 @@
+"""DataQualityValidator tests (validators/validators.go semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from goetl_spark.quality import DataQualityValidator, FieldRule, profile
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, email="a@b.com", age=30, status="active"),
+            Row(id=2, email="bad-email", age=200, status="active"),
+            Row(id=3, email=None, age=25, status="zombie"),
+        ],
+        "id int, email string, age int, status string",
+    )
+
+
+def test_record_count_bounds(spark):
+    v = DataQualityValidator(min_records=5)
+    r = v.validate(_df(spark))
+    assert not r.passed and "record count 3 < min 5" in r.violations[0]
+    assert DataQualityValidator(min_records=1, max_records=10).validate(_df(spark)).passed
+
+
+def test_required_forbidden_fields(spark):
+    v = DataQualityValidator(required_fields=["id", "missing_col"],
+                             forbidden_fields=["email"])
+    r = v.validate(_df(spark))
+    assert "required field missing: missing_col" in r.violations
+    assert "forbidden field present: email" in r.violations
+
+
+def test_null_rate(spark):
+    v = DataQualityValidator(max_null_rate={"email": 0.2})
+    r = v.validate(_df(spark))
+    assert not r.passed
+    assert abs(r.stats["null_rate_email"] - 1 / 3) < 1e-9
+    assert DataQualityValidator(max_null_rate={"email": 0.5}).validate(_df(spark)).passed
+
+
+def test_field_rules(spark):
+    v = DataQualityValidator(rules=[
+        FieldRule("email", type_="email"),
+        FieldRule("age", min_value=0, max_value=120),
+        FieldRule("status", allowed_values=["active", "inactive"]),
+    ])
+    r = v.validate(_df(spark))
+    assert not r.passed
+    assert r.stats["violations_email"] == 1   # bad-email (NULL not counted)
+    assert r.stats["violations_age"] == 1     # 200
+    assert r.stats["violations_status"] == 1  # zombie
+
+
+def test_single_job_pass(spark):
+    # all checks compile into ONE aggregate collect
+    v = DataQualityValidator(
+        min_records=1, max_null_rate={"email": 0.9},
+        rules=[FieldRule("age", min_value=0, max_value=250)],
+    )
+    assert v.validate(_df(spark)).passed
+
+
+def test_profile_long_format(spark):
+    out = {r.column: r for r in profile(_df(spark), ["email", "age"]).collect()}
+    assert out["email"].n_null == 1 and out["email"].n_distinct == 2
+    assert out["age"].n_non_null == 3 and out["age"].n_distinct == 3

@@ -1,0 +1,142 @@
+"""Tests for text analysis, dedup, similarity, window ops (north-star set)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.operators import text as X
+from goetl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from goetl_spark.operators.similarity import (
+    cosine,
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+)
+from goetl_spark.operators.window import sessionize, top_n_per_group, with_running
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="completely different words entirely unrelated content here"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    assert len(out) == 3
+    dup = [r for r in out if r.n_copies == 2][0]
+    assert dup.keep_id == 1  # lowest id kept
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
+    assert pairs[(1, 4)] == 1.0          # identical docs
+    assert 0.4 < pairs[(1, 2)] < 0.9     # one word differs
+    assert (1, 3) not in pairs           # unrelated
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark))
+    assert sigs.filter(F.col("doc_id") == 1).count() == 32
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(_docs(spark)).collect()}
+    assert (1, 4) in cands               # identical docs always collide
+    assert (1, 3) not in cands           # unrelated docs don't
+
+
+def test_simhash_hamming(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(_docs(spark), max_hamming=60).collect()}
+    assert pairs[(1, 4)] == 0            # identical → same simhash
+    assert pairs[(1, 2)] < pairs[(1, 3)]  # near-dup closer than unrelated
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the cat and the dog, of course!")])
+    r = df.select(
+        X.token_count("text").alias("n"),
+        X.bpe_ish_token_count("text").alias("nb"),
+        X.detect_language("text").alias("lang"),
+        X.punct_ratio("text").alias("pr"),
+    ).collect()[0]
+    assert r.n == 7
+    assert r.nb == 9          # 7 words + ',' + '!'
+    assert r.lang == "en"
+    assert math.isclose(r.pr, 2 / 31)
+
+
+def test_quality_score_bounds(spark):
+    good = "the " * 60 + "sentence of reasonable words and content here."
+    bad = "x"
+    df = spark.createDataFrame([Row(doc_id=1, text=good), Row(doc_id=2, text=bad)])
+    rows = {r.doc_id: r.q for r in
+            df.select("doc_id", X.quality_score("text").alias("q")).collect()}
+    assert rows[1] >= 0.8 and rows[2] <= 0.4
+
+
+def _vecs(spark):
+    return spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.9, 0.1, 0.0], label=0),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0], label=1),
+        Row(vec_id=4, embedding=[0.0, 0.95, 0.05], label=1),
+    ])
+
+
+def test_knn_bruteforce(spark):
+    v = _vecs(spark)
+    out = knn_bruteforce(v, v.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [2, 4][:1] + [out[1].neighbor_id]
+    assert out[0].neighbor_id == 2 and out[0].rank == 1
+
+
+def test_knn_ivf_restricts_to_bucket(spark):
+    v = _vecs(spark)
+    out = knn_ivf(v, v.filter(F.col("vec_id") == 3), k=3).collect()
+    assert {r.neighbor_id for r in out} == {4}  # only same-label searched
+
+
+def test_embedding_neardup(spark):
+    out = embedding_neardup_pairs(_vecs(spark), threshold=0.9, bucket_col="label")
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_top_n_per_group(spark):
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(5)]
+                               + [Row(g="b", v=9)])
+    out = top_n_per_group(df, ["g"], [F.col("v").desc()], 2)
+    assert out.filter(F.col("g") == "a").count() == 2
+    assert out.filter(F.col("g") == "b").count() == 1
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame([
+        Row(u=1, ts="2024-01-01 10:00:00"),
+        Row(u=1, ts="2024-01-01 10:10:00"),   # same session (10 min)
+        Row(u=1, ts="2024-01-01 12:00:00"),   # new session (>30 min)
+        Row(u=2, ts="2024-01-01 10:00:00"),
+    ]).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, ["u"], "ts", gap_seconds=1800).collect()
+    u1 = sorted([r for r in out if r.u == 1], key=lambda r: r.ts)
+    assert [r.session_id for r in u1] == [1, 1, 2]
+    assert [r.session_id for r in out if r.u == 2] == [1]
+
+
+def test_running_sum(spark):
+    df = spark.createDataFrame([Row(g="a", i=1, v=10), Row(g="a", i=2, v=5)])
+    out = with_running(df, F.sum("v"), ["g"], ["i"], "run").orderBy("i").collect()
+    assert [r.run for r in out] == [10, 15]

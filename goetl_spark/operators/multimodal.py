@@ -1,0 +1,149 @@
+"""Multimodal columns: opaque binary media + typed metadata + UDF plumbing.
+
+Beyond-reference (BASELINE.json north star). Media (image/audio/video)
+live as ``binary`` columns with a typed metadata struct; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages. The image/audio codecs are NOT in this container,
+so the decode kernels are STUBBED (clearly marked) behind deterministic
+fakes — the Spark-side plumbing (schema, batching, partition sizing) is
+real and tested; swap the kernel body for Pillow/torchaudio/PyAV in a
+real deployment.
+
+Scale notes:
+- binary payloads make rows big: size partitions by BYTES not rows —
+  :func:`repartition_for_payload` targets a bytes/partition budget.
+- metadata-only predicates (mime_type, width, duration) are plain columns
+  → pushed down, so filtering never decodes.
+- the decode stage uses mapInPandas (not a scalar UDF) so one Python
+  worker invocation handles a whole Arrow batch of blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+
+def attach_media_column(df: DataFrame, payload_col: str, mime: str,
+                        id_col: str | None = None) -> DataFrame:
+    """Wrap a binary column into the standard media struct layout.
+
+    Pass ``id_col`` for a deterministic media_id (recommended);
+    monotonically_increasing_id otherwise (unique but partition-dependent).
+    """
+    mid = (F.col(id_col).cast("long") if id_col
+           else F.monotonically_increasing_id())
+    return df.withColumn(
+        "media",
+        F.struct(
+            mid.alias("media_id"),
+            F.lit(mime).alias("mime_type"),
+            F.col(payload_col).alias("payload"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("bigint").alias("duration_ms"),
+                F.lit(None).cast("string").alias("codec"),
+            ).alias("meta"),
+        ),
+    )
+
+
+def repartition_for_payload(
+    df: DataFrame, payload_col: str, target_bytes_per_partition: int = 256 << 20
+) -> DataFrame:
+    """Repartition so each partition holds ~``target_bytes_per_partition``
+    of payload — the binary-column analog of maxPartitionBytes (row counts
+    are meaningless when one row is 10 MB)."""
+    total = df.agg(F.sum(F.length(F.col(payload_col)))).collect()[0][0] or 0
+    n = max(1, int(total / target_bytes_per_partition) + 1)
+    return df.repartition(n)
+
+
+_FEATURE_SCHEMA = (
+    "media_id long, mime_type string, n_bytes int, "
+    "feature array<float>, decode_ok boolean"
+)
+
+
+def extract_features(df: DataFrame, media_col: str = "media",
+                     feature_dim: int = 8) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    STUB KERNEL: real image/audio decoding libraries are not available in
+    this environment, so the 'decode' derives a deterministic fake feature
+    (byte histogram folded to ``feature_dim``) from the payload bytes. The
+    plumbing — struct input, Arrow batching, output schema — is the real
+    production shape; replace ``_decode_stub`` with the actual codec.
+    """
+
+    def run(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            media = pdf[media_col]
+            out = {
+                "media_id": [], "mime_type": [], "n_bytes": [],
+                "feature": [], "decode_ok": [],
+            }
+            for m in media:
+                payload = m["payload"]
+                out["media_id"].append(m["media_id"])
+                out["mime_type"].append(m["mime_type"])
+                out["n_bytes"].append(len(payload) if payload is not None else 0)
+                feat, ok = _decode_stub(payload, feature_dim)
+                out["feature"].append(feat)
+                out["decode_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.select(media_col).mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def _decode_stub(payload: bytes | None, dim: int):
+    """STUB: stands in for Pillow/torchaudio decode. Deterministic byte
+    histogram so tests have stable expectations."""
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
+        return None, False
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+    return (hist / hist.sum()).tolist(), True
+
+
+def sample_frames(df: DataFrame, media_col: str = "media",
+                  every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled frame offset. STUB decoder — emits frame offsets from
+    ``meta.duration_ms`` without touching pixels; a real kernel would
+    decode and emit JPEG bytes per frame."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_ms": []}
+            for m in pdf[media_col]:
+                duration = m["meta"]["duration_ms"] or 0
+                for off in range(0, int(duration), every_ms):
+                    rows["media_id"].append(m["media_id"])
+                    rows["frame_ms"].append(off)
+            yield pd.DataFrame(rows)
+
+    return df.select(media_col).mapInPandas(run, schema="media_id long, frame_ms long")

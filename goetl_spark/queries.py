@@ -1031,4 +1031,142 @@ def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming / runner / multimodal — the engine-level operators as queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "q31_streaming_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q31_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming execution: the events table is replayed
+    as a throttled file stream, aggregated with a tumbling event-time
+    window + watermark, and the completed result is compared against the
+    batch oracle — streaming/batch unification made checkable
+    (goetl roadmap item, README.md:654-658; goetl_spark.streaming)."""
+    import tempfile
+
+    from goetl_spark.streaming import replay_stream, tumbling_window_agg
+
+    e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    stream = replay_stream(e, num_chunks=4, max_files_per_trigger=2,
+                           dir=tempfile.mkdtemp(prefix="goetl_q31_"))
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")],
+        keys=["event_type"], watermark="1 minute",
+    )
+    name = "goetl_q31_result"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+@register(
+    "q32_pipeline_runner",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS net_revenue
+    FROM lineitem
+    WHERE l_quantity >= 5 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q32_pipeline_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linear Pipeline builder end-to-end (pipeline/pipeline.go:59-311):
+    from_ → map → where → compose; filters apply after transforms per the
+    reference's fixed stage order."""
+    from goetl_spark.plans import Pipeline
+
+    p = (
+        Pipeline(collect_metrics=False)
+        .from_(_t(spark, sf_dir, "lineitem"))
+        .map(lambda df: df.withColumn(
+            "net", F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .where(flt.all_of(
+            flt.greater_than("l_quantity", 4.999),
+            flt.between("l_discount", 0.02, 0.08),
+        ))
+    )
+    df = p.dataframe()
+    return (
+        df.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("net", "net_revenue"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q33_dag_runner",
+    f"""
+    SELECT n.n_name AS nation_name,
+           COUNT(*) AS n_orders,
+           {DSUM('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation_name
+    """,
+)
+def q33_dag_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 5-task DAG (source×3 → join → agg) through DAGBuilder/DAGExecutor
+    (dag/dag_builder.go, dag/dag_executor.go) — tasks compose lazy
+    DataFrames via source_map; only the driver collects."""
+    from goetl_spark.plans import DAGBuilder, DAGExecutor
+
+    def join_task(ctx):
+        o = ctx.source_map["orders"]
+        c = ctx.source_map["customer"]
+        n = ctx.source_map["nation"]
+        return (o.join(c, o.o_custkey == c.c_custkey)
+                 .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+
+    def agg_task(ctx):
+        return (ctx.input.groupBy(F.col("n_name").alias("nation_name"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     dsum("o_totalprice", "revenue"))
+                .orderBy("nation_name"))
+
+    dag = (DAGBuilder("q33")
+           .add_source("orders", lambda: _t(spark, sf_dir, "orders"))
+           .add_source("customer", lambda: _t(spark, sf_dir, "customer"))
+           .add_source("nation", lambda: _t(spark, sf_dir, "nation"))
+           .add_task("join", join_task,
+                     dependencies=["orders", "customer", "nation"])
+           .add_task("agg", agg_task, dependencies=["join"])
+           .build())
+    results = DAGExecutor().execute(dag)
+    return results["agg"].output
+
+
+@register("q34_multimodal_features", None)  # no SQL oracle: mapInPandas kernel
+def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over real data: document text re-encoded as
+    binary payloads → media struct → Arrow-batched feature extraction
+    (stub kernel; operators/multimodal.py). Driver records a rows-only
+    check — the kernel is not SQL-expressible."""
+    from goetl_spark.operators.multimodal import attach_media_column, extract_features
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8"))
+    media = attach_media_column(d, "payload", "text/plain", id_col="doc_id")
+    return extract_features(media, feature_dim=8)
+
+
 ENTRY_QUERY = q01_pricing_summary

@@ -1,0 +1,83 @@
+"""File writers: CSV, JSONL, Parquet with the reference's option surface.
+
+Reference: writers/csv.go, writers/json.go, writers/parquet.go
+(SURVEY.md §2.2). Spark writes one file per partition — the distributed
+analog of the reference's single buffered stream; batch-size knobs
+(csv.go:202-208 etc.) are superseded by partition-level writes.
+
+Option mapping:
+- CSV: explicit headers or alphabetical from the record (csv.go:188-199 —
+  pass ``columns`` for explicit order; Spark keeps schema order
+  otherwise), delimiter/CRLF (csv.go:64-69), NULL → empty string
+  (csv.go:251-255 → ``nullValue``).
+- Parquet: compression default snappy (parquet.go:351-353), row-group
+  size (parquet.go:144-148 → ``parquet.block.size``), schema declared by
+  the DataFrame itself (vs first-record inference, parquet.go:367-446).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+    null_value: str = "",
+    crlf: bool = False,
+    columns: Sequence[str] | None = None,
+    partitions: int | None = None,
+) -> None:
+    """CSV writer (NewCSVWriter parity, writers/csv.go:125-303)."""
+    if columns:
+        df = df.select(*columns)
+    if partitions:
+        df = df.coalesce(partitions)
+    w = (df.write.mode(mode)
+         .option("header", header)
+         .option("sep", delimiter)
+         .option("nullValue", null_value)
+         .option("emptyValue", ""))
+    if crlf:
+        w = w.option("lineSep", "\r\n")
+    w.csv(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partitions: int | None = None,
+) -> None:
+    """JSONL writer (NewJSONWriter parity, writers/json.go:93-283).
+    Spark's JSON sink emits line-delimited JSON natively."""
+    if partitions:
+        df = df.coalesce(partitions)
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    row_group_size: int | None = None,
+    partition_by: Sequence[str] | None = None,
+    partitions: int | None = None,
+) -> None:
+    """Parquet writer (NewParquetWriter parity, writers/parquet.go:64-825).
+
+    ``partition_by`` (beyond reference) is THE 100 TB lever: directory
+    partitioning gives readers partition pruning for free.
+    """
+    if partitions:
+        df = df.coalesce(partitions)
+    w = df.write.mode(mode).option("compression", compression)
+    if row_group_size:
+        w = w.option("parquet.block.size", str(row_group_size))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,84 @@
+"""File readers: CSV, JSONL, Parquet with the reference's option surface.
+
+Reference: readers/csv.go, readers/json.go, readers/parquet.go
+(SURVEY.md §2.1). Everything delegates to Spark's native, vectorized,
+pushdown-capable readers — the options below translate the reference's
+config knobs:
+
+- CSV: header/synthetic col names (csv.go:160-180), delimiter + comment
+  (csv.go:63-70), per-value type inference (csv.go:204-218 →
+  ``inferSchema``), empty string → NULL (csv.go:163-165 → ``nullValue``).
+- JSONL: line-delimited JSON is Spark's native JSON format
+  (json.go:77-162).
+- Parquet: column projection (parquet.go:199-219 → ``columns`` →
+  Catalyst prunes into the scan); batch size / memory limits
+  (parquet.go:83-91) are superseded by the vectorized reader + Spark
+  memory manager.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    comment: str | None = None,
+    infer_schema: bool = True,
+    null_value: str = "",
+    schema: str | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """CSV → DataFrame (NewCSVReader parity, readers/csv.go:92-218).
+
+    With ``header=False`` Spark synthesizes ``_c0.._cN`` names — the
+    analog of the reference's ``col_0..col_N`` (csv.go:171-176); rename
+    with ``withColumnsRenamed`` if exact names matter.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("nullValue", null_value)
+        .option("emptyValue", None)  # "" → NULL like the reference
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    df = reader.csv(path)
+    return df.select(*columns) if columns else df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Line-delimited JSON → DataFrame (NewJSONReader parity,
+    readers/json.go:77-162). Spark's JSON source IS JSONL."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return df.select(*columns) if columns else df
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Parquet → DataFrame (NewParquetReader parity,
+    readers/parquet.go:52-458). ``columns`` mirrors the reference's
+    projection pushdown — Catalyst prunes the scan to exactly these
+    columns (check ReadSchema in .explain)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df

@@ -1,0 +1,222 @@
+"""HTTP/REST source: driver-side paginated fetch → DataFrame.
+
+Reference: ``readers/http.go`` (SURVEY.md §2.1) — the one source with no
+native Spark equivalent, so its auth/pagination/retry/rate-limit logic is
+reimplemented as a driver-side fetcher whose pages land in a DataFrame.
+
+Ported behaviors (readers/http.go):
+- auth: bearer / basic / api-key / custom headers (http.go:558-587)
+- pagination: offset / page / cursor / link-header / none
+  (http.go:86-98, 724-790)
+- retry with exponential backoff on 429/5xx (http.go:464-501)
+- rate limiting between requests (http.go:368-379)
+- dotted ``data_path`` extraction into the JSON body (http.go:680-702)
+
+Scale note: a single-driver fetch is inherently sequential; for a LIST of
+urls use :func:`fetch_urls_distributed`, which distributes the fetching
+across executors via mapInPandas (each partition fetches its own URLs).
+
+The HTTP transport is injectable (``fetch_fn``) so tests run without a
+network; the default uses urllib from the standard library.
+"""
+
+from __future__ import annotations
+
+import base64
+import enum
+import json
+import time
+from dataclasses import dataclass, field
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PaginationMode(enum.Enum):
+    NONE = "none"
+    OFFSET = "offset"
+    PAGE = "page"
+    CURSOR = "cursor"
+    LINK_HEADER = "link_header"
+
+
+@dataclass
+class HTTPResponse:
+    status: int
+    body: bytes
+    headers: Mapping[str, str] = field(default_factory=dict)
+
+
+def _default_fetch(url: str, headers: Mapping[str, str], timeout: float) -> HTTPResponse:
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=dict(headers))
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return HTTPResponse(resp.status, resp.read(), dict(resp.headers))
+    except urllib.error.HTTPError as e:  # 4xx/5xx carry a status
+        return HTTPResponse(e.code, e.read() or b"", dict(e.headers or {}))
+
+
+def _extract_path(doc, path: str | None):
+    """Dotted DataPath extraction (readers/http.go:680-702)."""
+    if not path:
+        return doc
+    cur = doc
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None
+    return cur
+
+
+@dataclass
+class HTTPReader:
+    """Paginated REST fetcher (NewHTTPReader parity, readers/http.go:256)."""
+
+    url: str
+    # auth (http.go:558-587)
+    bearer_token: str | None = None
+    basic_auth: tuple[str, str] | None = None
+    api_key: tuple[str, str] | None = None  # (header_name, key)
+    headers: dict[str, str] = field(default_factory=dict)
+    # pagination (http.go:86-98)
+    pagination: PaginationMode = PaginationMode.NONE
+    page_size: int = 100
+    max_pages: int = 100
+    offset_param: str = "offset"
+    limit_param: str = "limit"
+    page_param: str = "page"
+    cursor_param: str = "cursor"
+    cursor_path: str = "next_cursor"  # dotted path to next cursor in body
+    # retry/rate limit (http.go:368-379, 464-501)
+    max_retries: int = 3
+    backoff_seconds: float = 0.5
+    retry_statuses: Sequence[int] = (429, 500, 502, 503, 504)
+    rate_limit_per_second: float | None = None
+    timeout_seconds: float = 30.0
+    # body handling
+    data_path: str | None = None  # dotted path to the record list
+    fetch_fn: Callable[[str, Mapping[str, str], float], HTTPResponse] = _default_fetch
+
+    def _auth_headers(self) -> dict[str, str]:
+        h = dict(self.headers)
+        if self.bearer_token:
+            h["Authorization"] = f"Bearer {self.bearer_token}"
+        elif self.basic_auth:
+            cred = base64.b64encode(
+                f"{self.basic_auth[0]}:{self.basic_auth[1]}".encode()).decode()
+            h["Authorization"] = f"Basic {cred}"
+        elif self.api_key:
+            h[self.api_key[0]] = self.api_key[1]
+        return h
+
+    def _get_with_retry(self, url: str) -> HTTPResponse:
+        attempt = 0
+        while True:
+            resp = self.fetch_fn(url, self._auth_headers(), self.timeout_seconds)
+            if resp.status < 400:
+                return resp
+            if resp.status in self.retry_statuses and attempt < self.max_retries:
+                time.sleep(self.backoff_seconds * (2 ** attempt))
+                attempt += 1
+                continue
+            raise IOError(f"HTTP {resp.status} fetching {url}")
+
+    def _page_url(self, page_idx: int, cursor: str | None) -> str:
+        sep = "&" if "?" in self.url else "?"
+        if self.pagination == PaginationMode.OFFSET:
+            return (f"{self.url}{sep}{self.offset_param}={page_idx * self.page_size}"
+                    f"&{self.limit_param}={self.page_size}")
+        if self.pagination == PaginationMode.PAGE:
+            return f"{self.url}{sep}{self.page_param}={page_idx + 1}"
+        if self.pagination == PaginationMode.CURSOR and cursor:
+            return f"{self.url}{sep}{self.cursor_param}={cursor}"
+        return self.url
+
+    def fetch_records(self) -> list[dict]:
+        """Walk all pages, return the accumulated record dicts."""
+        records: list[dict] = []
+        cursor: str | None = None
+        next_url: str | None = None
+        for page_idx in range(self.max_pages):
+            if self.rate_limit_per_second and page_idx:
+                time.sleep(1.0 / self.rate_limit_per_second)
+            url = next_url or self._page_url(page_idx, cursor)
+            resp = self._get_with_retry(url)
+            body = json.loads(resp.body or b"null")
+            data = _extract_path(body, self.data_path)
+            if data is None:
+                break
+            page_records = data if isinstance(data, list) else [data]
+            if not page_records:
+                break
+            records.extend(page_records)
+            if self.pagination == PaginationMode.NONE:
+                break
+            if self.pagination == PaginationMode.CURSOR:
+                cursor = _extract_path(body, self.cursor_path)
+                if not cursor:
+                    break
+            elif self.pagination == PaginationMode.LINK_HEADER:
+                next_url = _parse_link_next(resp.headers.get("Link", ""))
+                if not next_url:
+                    break
+            elif len(page_records) < self.page_size \
+                    and self.pagination == PaginationMode.OFFSET:
+                break
+        return records
+
+    def to_dataframe(self, spark: SparkSession, schema: str | None = None) -> DataFrame:
+        recs = self.fetch_records()
+        if schema:
+            return spark.createDataFrame(recs, schema=schema)
+        if not recs:
+            raise ValueError("no records fetched and no schema given")
+        return spark.createDataFrame(recs)
+
+
+def _parse_link_next(link_header: str) -> str | None:
+    """RFC5988 Link header 'next' relation (readers/http.go:762-790)."""
+    for part in link_header.split(","):
+        seg = part.split(";")
+        if len(seg) >= 2 and 'rel="next"' in seg[1]:
+            return seg[0].strip().strip("<>")
+    return None
+
+
+def fetch_urls_distributed(
+    spark: SparkSession,
+    urls: Sequence[str],
+    schema: str,
+    fetch_fn: Callable[[str], list[dict]] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distribute fetching of many URLs across executors.
+
+    Each partition fetches its own slice — the scale path when the work is
+    thousands of endpoints rather than one paginated one (the reference is
+    single-threaded here; this is strictly beyond-parity).
+    """
+    import pandas as pd
+
+    n = partitions or min(len(urls), 64)
+    url_df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(n)
+
+    def fetch_part(batches):
+        import urllib.request
+
+        def default(u: str) -> list[dict]:
+            with urllib.request.urlopen(u, timeout=30) as r:  # noqa: S310
+                data = json.loads(r.read())
+                return data if isinstance(data, list) else [data]
+
+        fn = fetch_fn or default
+        for pdf in batches:
+            out = []
+            for u in pdf["url"]:
+                out.extend(fn(u))
+            yield pd.DataFrame(out)
+
+    return url_df.mapInPandas(fetch_part, schema=schema)

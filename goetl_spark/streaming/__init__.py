@@ -1,0 +1,19 @@
+"""Structured Streaming: windowed aggregation, watermarks, stateful ops.
+
+The reference has exactly one unbounded source (Mongo change streams,
+readers/mongo.go:703-730) and NO windowing/watermark/stateful machinery —
+its README lists those as future work (README.md:654-658, SURVEY §2.8).
+This module is the beyond-reference implementation on Spark's engine.
+"""
+
+from goetl_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from goetl_spark.streaming.sources import file_stream, rate_stream, replay_stream
+
+__all__ = [
+    "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+    "rate_stream", "file_stream", "replay_stream",
+]

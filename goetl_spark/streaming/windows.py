@@ -1,0 +1,71 @@
+"""Event-time windowed aggregation with watermarks.
+
+Beyond-reference (SURVEY §2.8): tumbling / sliding / session windows over
+an event-time column, with a watermark bounding state for late data.
+Works identically on batch DataFrames (windows become plain groupBy keys)
+and streaming DataFrames (incremental state + late-data eviction) — the
+same code path serves the `events` batch fixture and a live stream.
+
+Scale note: windowed agg state is partitioned by (window, keys); the
+watermark is what keeps state bounded — always set one on unbounded
+inputs. Session windows use Spark's native session_window (merging state
+machine), not the gaps-and-islands batch trick.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Non-overlapping fixed windows, e.g. ``window='1 hour'``."""
+    df = _with_watermark(df, ts_col, watermark)
+    return df.groupBy(F.window(ts_col, window).alias("window"), *keys).agg(*aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in window/slide buckets."""
+    df = _with_watermark(df, ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window, slide).alias("window"), *keys
+    ).agg(*aggs)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Dynamic sessions closing after ``gap`` of inactivity (native
+    session_window — the streaming analog of operators/window.sessionize)."""
+    df = _with_watermark(df, ts_col, watermark)
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("session"), *keys
+    ).agg(*aggs)

@@ -1,11 +1,19 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+# executor Python workers import pickled classes by module name — make the
+# repo and tests importable in workers too
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [str(_ROOT), str(_ROOT / "tests"), os.environ.get("PYTHONPATH", "")]
+)
 
 from goetl_spark.session import get_spark  # noqa: E402
 

@@ -1,0 +1,255 @@
+"""Source/sink tests: file round-trips, HTTP fetcher, JDBC option/upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.sources.files import read_csv, read_jsonl, read_parquet
+from goetl_spark.sources.http import (
+    HTTPReader,
+    HTTPResponse,
+    PaginationMode,
+    _parse_link_next,
+)
+from goetl_spark.sources.jdbc import jdbc_options
+from goetl_spark.sources.mongo import mongo_options
+from goetl_spark.sinks.files import write_csv, write_jsonl, write_parquet
+from goetl_spark.sinks.jdbc import JdbcUpsertWriter, build_upsert_sql
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(id=1, name="a, b", score=1.5), Row(id=2, name=None, score=None)],
+        "id int, name string, score double",
+    )
+
+
+# --- file round-trips (reference writer-test families, SURVEY §5.1) ---------
+
+def test_csv_roundtrip_nulls_and_escaping(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    write_csv(_df(spark), p, partitions=1)
+    back = read_csv(spark, p, schema="id int, name string, score double")
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].name == "a, b"          # comma survives quoting
+    assert rows[2].name is None            # NULL → "" → NULL
+    assert rows[2].score is None
+
+
+def test_csv_options(spark, tmp_path):
+    p = str(tmp_path / "csv2")
+    write_csv(_df(spark), p, delimiter=";", header=False, partitions=1)
+    back = read_csv(spark, p, delimiter=";", header=False,
+                    schema="id int, name string, score double")
+    assert back.count() == 2
+    # header=False synthesizes _c0.._cN names when no schema (csv.go:171-176)
+    anon = read_csv(spark, p, delimiter=";", header=False, infer_schema=False)
+    assert anon.columns == ["_c0", "_c1", "_c2"]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "jsonl")
+    write_jsonl(_df(spark), p, partitions=1)
+    back = read_jsonl(spark, p, schema="id int, name string, score double")
+    assert back.filter(F.col("id") == 1).collect()[0].score == 1.5
+    # files really are line-delimited JSON
+    part = [f for f in os.listdir(p) if f.startswith("part-")][0]
+    first = open(os.path.join(p, part)).readline()
+    assert json.loads(first)["id"] in (1, 2)
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    df = spark.createDataFrame(
+        [Row(k="x", v=1), Row(k="y", v=2)], "k string, v int")
+    write_parquet(df, p, partition_by=["k"])
+    assert sorted(d for d in os.listdir(p) if d.startswith("k=")) == ["k=x", "k=y"]
+    back = read_parquet(spark, p, columns=["v"])
+    assert back.columns == ["v"] and back.count() == 2
+
+
+# --- HTTP fetcher (readers/http.go port) ------------------------------------
+
+def _fake_server(pages, fail_first=0, headers_seen=None):
+    calls = {"n": 0}
+
+    def fetch(url, headers, timeout):
+        if headers_seen is not None:
+            headers_seen.append(dict(headers))
+        calls["n"] += 1
+        if calls["n"] <= fail_first:
+            return HTTPResponse(503, b"busy")
+        # route by offset/page/cursor param; default first page
+        import urllib.parse
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        if "offset" in q:
+            idx = int(q["offset"][0]) // int(q.get("limit", ["2"])[0])
+        elif "page" in q:
+            idx = int(q["page"][0]) - 1
+        elif "cursor" in q:
+            idx = int(q["cursor"][0])
+        else:
+            idx = 0
+        body = pages[idx] if idx < len(pages) else {"data": []}
+        return HTTPResponse(200, json.dumps(body).encode())
+
+    return fetch, calls
+
+
+def test_http_offset_pagination_and_data_path(spark):
+    pages = [
+        {"data": [{"id": 1}, {"id": 2}]},
+        {"data": [{"id": 3}]},   # short page → stop
+    ]
+    fetch, calls = _fake_server(pages)
+    r = HTTPReader("http://api.test/items", pagination=PaginationMode.OFFSET,
+                   page_size=2, data_path="data", fetch_fn=fetch)
+    recs = r.fetch_records()
+    assert [x["id"] for x in recs] == [1, 2, 3]
+    df = r.to_dataframe(spark, schema="id int")
+    assert df.count() == 3
+
+
+def test_http_cursor_pagination(spark):
+    pages = [
+        {"data": [{"id": 1}], "next_cursor": "1"},
+        {"data": [{"id": 2}], "next_cursor": "2"},
+        {"data": [{"id": 3}]},  # no cursor → stop
+    ]
+    fetch, _ = _fake_server(pages)
+    r = HTTPReader("http://api.test/items", pagination=PaginationMode.CURSOR,
+                   data_path="data", fetch_fn=fetch)
+    assert [x["id"] for x in r.fetch_records()] == [1, 2, 3]
+
+
+def test_http_retry_on_503_then_success():
+    pages = [{"data": [{"id": 1}]}]
+    fetch, calls = _fake_server(pages, fail_first=2)
+    r = HTTPReader("http://api.test/items", data_path="data",
+                   backoff_seconds=0.01, fetch_fn=fetch)
+    assert r.fetch_records() == [{"id": 1}]
+    assert calls["n"] == 3  # 2 failures + 1 success
+
+
+def test_http_retry_exhausted():
+    fetch, _ = _fake_server([], fail_first=99)
+    r = HTTPReader("http://api.test/items", max_retries=2,
+                   backoff_seconds=0.01, fetch_fn=fetch)
+    with pytest.raises(IOError, match="HTTP 503"):
+        r.fetch_records()
+
+
+def test_http_auth_headers():
+    seen: list[dict] = []
+    fetch, _ = _fake_server([{"data": []}], headers_seen=seen)
+    HTTPReader("http://x", bearer_token="tok", data_path="data",
+               fetch_fn=fetch).fetch_records()
+    assert seen[0]["Authorization"] == "Bearer tok"
+    seen.clear()
+    HTTPReader("http://x", basic_auth=("u", "p"), data_path="data",
+               fetch_fn=fetch).fetch_records()
+    assert seen[0]["Authorization"].startswith("Basic ")
+    seen.clear()
+    HTTPReader("http://x", api_key=("X-Api-Key", "k"), data_path="data",
+               fetch_fn=fetch).fetch_records()
+    assert seen[0]["X-Api-Key"] == "k"
+
+
+def test_link_header_parse():
+    assert _parse_link_next(
+        '<http://api/x?page=2>; rel="next", <http://api/x?page=9>; rel="last"'
+    ) == "http://api/x?page=2"
+    assert _parse_link_next('<http://api/x?page=9>; rel="last"') is None
+
+
+# --- JDBC -------------------------------------------------------------------
+
+def test_jdbc_options_validation():
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_options(url="jdbc:postgresql://h/db")
+    opts = jdbc_options(url="jdbc:postgresql://h/db", table="t",
+                        partition_column="id", lower_bound=0,
+                        upper_bound=100, num_partitions=8, fetchsize=500)
+    assert opts["partitionColumn"] == "id" and opts["fetchsize"] == "500"
+    with pytest.raises(ValueError, match="require table"):
+        jdbc_options(url="u", query="SELECT 1", partition_column="id",
+                     lower_bound=0, upper_bound=1, num_partitions=2)
+
+
+def test_upsert_sql():
+    sql = build_upsert_sql("t", ["id", "a", "b"], ["id"])
+    assert sql == ("INSERT INTO t (id, a, b) VALUES (%s, %s, %s) "
+                   "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+    sql2 = build_upsert_sql("t", ["id", "a"], ["id"], update_on_conflict=False)
+    assert sql2.endswith("ON CONFLICT (id) DO NOTHING")
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        build_upsert_sql("t; DROP TABLE x", ["id"], ["id"])
+
+
+class _FileConn:
+    """Fake DBAPI connection recording committed batches to a file —
+    executor processes share only the filesystem, so that's where the
+    evidence goes."""
+
+    def __init__(self, path):
+        self.path = path
+        self.pending = []
+
+    def cursor(self):
+        return self
+
+    def executemany(self, sql, rows):
+        self.pending.append((sql, rows))
+
+    def execute(self, sql, *a):
+        self.pending.append((sql, None))
+
+    def commit(self):
+        import json as j
+        import os
+        import uuid
+        if self.pending:
+            with open(os.path.join(self.path, uuid.uuid4().hex), "w") as f:
+                f.write(j.dumps([(s, r) for s, r in self.pending]))
+        self.pending = []
+
+    def rollback(self):
+        self.pending = []
+
+    def close(self):
+        pass
+
+
+def test_jdbc_upsert_foreach_partition(spark, tmp_path):
+    out = str(tmp_path / "commits")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]
+    ).repartition(2)
+    w = JdbcUpsertWriter(
+        table="target", key_columns=["id"],
+        connect_fn=lambda: _FileConn(out), batch_size=2,
+    )
+    w.write(df)
+    committed = []
+    for fn in os.listdir(out):
+        committed.extend(json.load(open(os.path.join(out, fn))))
+    rows = [tuple(r) for _, batch in committed if batch for r in batch]
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
+    assert all("ON CONFLICT (id) DO UPDATE" in s for s, b in committed if b)
+
+
+def test_mongo_options_find_pushdown():
+    opts = mongo_options("mongodb://h", "db", "coll", mode="find",
+                         filter={"status": "active"}, sort={"ts": -1},
+                         limit=10, projection=["a", "b"])
+    pipe = json.loads(opts["aggregation.pipeline"])
+    assert pipe == [{"$match": {"status": "active"}}, {"$sort": {"ts": -1}},
+                    {"$limit": 10}, {"$project": {"a": 1, "b": 1}}]
+    with pytest.raises(ValueError, match="unknown mongo mode"):
+        mongo_options("u", "d", "c", mode="bogus")

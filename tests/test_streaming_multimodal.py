@@ -1,0 +1,139 @@
+"""Streaming windowed aggs (via deterministic replay) + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.multimodal import (
+    attach_media_column,
+    extract_features,
+    repartition_for_payload,
+    sample_frames,
+)
+from goetl_spark.streaming import (
+    replay_stream,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _events(spark):
+    rows = [
+        Row(user_id=1, ts="2024-01-01 10:00:30", value=1.0),
+        Row(user_id=1, ts="2024-01-01 10:20:00", value=2.0),
+        Row(user_id=1, ts="2024-01-01 11:05:00", value=4.0),
+        Row(user_id=2, ts="2024-01-01 10:40:00", value=8.0),
+    ]
+    return spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_tumbling_window_batch(spark):
+    out = tumbling_window_agg(
+        _events(spark), "ts", "1 hour",
+        [F.sum("value").alias("total")], keys=["user_id"],
+    ).collect()
+    got = {(r.user_id, r.window.start.hour): r.total for r in out}
+    assert got == {(1, 10): 3.0, (1, 11): 4.0, (2, 10): 8.0}
+
+
+def test_sliding_window_batch(spark):
+    out = sliding_window_agg(
+        _events(spark), "ts", "1 hour", "30 minutes",
+        [F.count(F.lit(1)).alias("n")],
+    ).collect()
+    # event at 10:20 lands in windows [9:30,10:30) and [10:00,11:00)
+    n_windows = sum(1 for r in out)
+    assert n_windows >= 4
+
+
+def test_session_window_batch(spark):
+    out = session_window_agg(
+        _events(spark), "ts", "30 minutes",
+        [F.count(F.lit(1)).alias("n")], keys=["user_id"],
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.n)
+    # user 1: events at 10:00:30 and 10:20 merge (gap < 30m); 11:05 separate
+    assert sorted(by_user[1]) == [1, 2]
+    assert by_user[2] == [1]
+
+
+def test_streaming_tumbling_with_watermark(spark, tmp_path):
+    stream = replay_stream(_events(spark), num_chunks=2, dir=str(tmp_path / "replay"))
+    assert stream.isStreaming
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", [F.sum("value").alias("total")],
+        keys=["user_id"], watermark="10 minutes",
+    )
+    q = (agg.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_agg").collect()
+    finally:
+        q.stop()
+    got = {(r.user_id, r.window.start.hour): r.total for r in rows}
+    assert got == {(1, 10): 3.0, (1, 11): 4.0, (2, 10): 8.0}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    stream = replay_stream(_events(spark), num_chunks=1, dir=str(tmp_path / "replay2"))
+    agg = session_window_agg(
+        stream, "ts", "30 minutes", [F.count(F.lit(1)).alias("n")],
+        keys=["user_id"], watermark="1 minute",
+    )
+    q = (agg.writeStream.format("memory").queryName("sess_agg")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, n FROM sess_agg").collect()
+    finally:
+        q.stop()
+    assert sorted(r.n for r in rows if r.user_id == 1) == [1, 2]
+
+
+# --- multimodal -------------------------------------------------------------
+
+def _media_df(spark):
+    df = spark.createDataFrame(
+        [Row(payload=bytearray(b"\x00\x01\x02\x03" * 10)),
+         Row(payload=bytearray(b"\xff" * 5))],
+        "payload binary",
+    )
+    return attach_media_column(df, "payload", "image/png")
+
+
+def test_attach_media_schema(spark):
+    df = _media_df(spark)
+    f = df.schema["media"].dataType
+    assert {x.name for x in f.fields} == {"media_id", "mime_type", "payload", "meta"}
+
+
+def test_extract_features_stub(spark):
+    out = extract_features(_media_df(spark), feature_dim=4).collect()
+    assert len(out) == 2
+    by_bytes = {r.n_bytes: r for r in out}
+    r40 = by_bytes[40]
+    assert r40.decode_ok and len(r40.feature) == 4
+    # byte histogram of repeating 0,1,2,3 mod 4 is uniform
+    assert all(abs(x - 0.25) < 1e-6 for x in r40.feature)
+    assert by_bytes[5].feature[3] == 1.0  # 0xff % 4 == 3
+
+
+def test_repartition_for_payload(spark):
+    df = _media_df(spark)
+    out = repartition_for_payload(df, "payload", target_bytes_per_partition=16)
+    assert out.rdd.getNumPartitions() >= 2
+
+
+def test_sample_frames_stub(spark):
+    df = spark.createDataFrame([Row(payload=bytearray(b"vid"))], "payload binary")
+    media = attach_media_column(df, "payload", "video/mp4").withColumn(
+        "media",
+        F.col("media").withField("meta.duration_ms", F.lit(3500).cast("bigint")),
+    )
+    out = sample_frames(media, every_ms=1000).collect()
+    assert [r.frame_ms for r in sorted(out, key=lambda r: r.frame_ms)] == [0, 1000, 2000, 3000]

@@ -1169,4 +1169,138 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, feature_dim=8)
 
 
+# ---------------------------------------------------------------------------
+# Time-series joins, multidim aggregation, exact percentiles, custom UDAF
+# ---------------------------------------------------------------------------
+
+@register(
+    "q35_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.ts AS ts_right, v.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the user's latest view
+    at-or-before it (operators/asof.py::asof_join — union+window, no pair
+    explosion; SURVEY §2.4 lists as-of joins as absent in the reference)."""
+    from goetl_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    return asof_join(purchases, views, on=["user_id"], right_cols=["value"])
+
+
+@register(
+    "q36_range_join",
+    """
+    SELECT p.event_id, COUNT(*) AS clicks_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch(p.ts) - epoch(c.ts) >= 0
+     AND epoch(p.ts) - epoch(c.ts) <= 3600
+    GROUP BY p.event_id
+    """,
+)
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks in the hour before each purchase
+    (operators/asof.py::range_join)."""
+    from goetl_spark.operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"))
+    j = range_join(purchases, clicks, on=["user_id"],
+                   lower_seconds=0, upper_seconds=3600)
+    return j.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("clicks_before"))
+
+
+@register(
+    "q37_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q37_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (SURVEY §2.5 'not present' in the
+    reference; native in Spark — one shuffle, grouping-set expansion
+    map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+
+
+@register(
+    "q38_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles per group — goetl has no
+    median/percentile at all (SURVEY §2.5). Spark's percentile() is the
+    exact sort-based aggregate, matching SQL quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q39_custom_udaf",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS qty_sum,
+           SUM(l_quantity) / COUNT(*) AS qty_avg
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q39_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-Aggregator escape hatch (aggregate/aggregator.go:32-39)
+    as an Arrow-batched PandasAggregator: add/result over grouped chunks.
+    (l_quantity is integer-valued, so float sums are exact in any order —
+    the oracle can use plain SUM.)"""
+    from goetl_spark.operators.udaf import PandasAggregator
+
+    agg = PandasAggregator(
+        init=lambda: {"n": 0, "s": 0.0},
+        add=lambda st, pdf: {
+            "n": st["n"] + len(pdf),
+            "s": st["s"] + float(pdf["l_quantity"].sum()),
+        },
+        result=lambda st: {
+            "n": st["n"], "qty_sum": st["s"], "qty_avg": st["s"] / st["n"],
+        },
+        schema="n long, qty_sum double, qty_avg double",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return agg.aggregate(li, ["l_returnflag"]).orderBy("l_returnflag")
+
+
 ENTRY_QUERY = q01_pricing_summary

@@ -1,0 +1,109 @@
+"""As-of/range joins, salted join, custom pandas aggregator."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.asof import asof_join, range_join
+from goetl_spark.operators.skew import salted_join
+from goetl_spark.operators.udaf import PandasAggregator, apply_grouped
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts"))
+
+
+def test_asof_backward_inclusive(spark):
+    trades = _ts(spark, [
+        Row(sym="A", ts="2024-01-01 10:00:05", px=100.0),
+        Row(sym="A", ts="2024-01-01 10:00:10", px=101.0),
+        Row(sym="B", ts="2024-01-01 10:00:01", px=50.0),
+    ], "sym string, ts string, px double")
+    quotes = _ts(spark, [
+        Row(sym="A", ts="2024-01-01 10:00:00", bid=99.0),
+        Row(sym="A", ts="2024-01-01 10:00:10", bid=100.5),  # equal ts → matches
+        Row(sym="B", ts="2024-01-01 10:00:02", bid=49.0),   # after trade → no match
+    ], "sym string, ts string, bid double")
+    out = {(r.sym, r.px): r for r in
+           asof_join(trades, quotes, on=["sym"]).collect()}
+    assert out[("A", 100.0)].bid == 99.0
+    assert out[("A", 101.0)].bid == 100.5   # inclusive at equal ts
+    assert out[("B", 50.0)].bid is None     # nothing at-or-before
+
+
+def test_asof_tolerance(spark):
+    left = _ts(spark, [Row(k="a", ts="2024-01-01 12:00:00", x=1)],
+               "k string, ts string, x int")
+    right = _ts(spark, [Row(k="a", ts="2024-01-01 10:00:00", y=7)],
+                "k string, ts string, y int")
+    fresh = asof_join(left, right, on=["k"], tolerance_seconds=3600).collect()[0]
+    assert fresh.y is None  # match is 2h old, tolerance 1h
+    loose = asof_join(left, right, on=["k"], tolerance_seconds=7200 + 1).collect()[0]
+    assert loose.y == 7
+
+
+def test_range_join_window(spark):
+    purchases = _ts(spark, [Row(u=1, ts="2024-01-01 11:00:00")],
+                    "u int, ts string")
+    clicks = _ts(spark, [
+        Row(u=1, ts="2024-01-01 10:30:00"),   # within hour before
+        Row(u=1, ts="2024-01-01 09:00:00"),   # too old
+        Row(u=1, ts="2024-01-01 11:30:00"),   # after
+    ], "u int, ts string")
+    out = range_join(purchases, clicks, on=["u"],
+                     lower_seconds=0, upper_seconds=3600)
+    assert out.count() == 1
+
+
+def test_salted_join_matches_plain(spark):
+    # hot key 1 dominates; salted results must equal the plain join
+    skewed = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(50)] + [Row(k=2, v=99)])
+    small = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    plain = {(r.k, r.v, r.name) for r in skewed.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.name)
+              for r in salted_join(skewed, small, ["k"], salt_n=8).collect()}
+    assert salted == plain
+
+
+def test_apply_grouped(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([Row(g="a", v=1.0), Row(g="a", v=3.0),
+                                Row(g="b", v=10.0)])
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "g": pdf["g"].iloc[0], "spread": pdf["v"].max() - pdf["v"].min(),
+        }])
+
+    out = {r.g: r.spread for r in
+           apply_grouped(df, ["g"], spread, "g string, spread double").collect()}
+    assert out == {"a": 2.0, "b": 0.0}
+
+
+def test_pandas_aggregator_contract(spark):
+    df = spark.createDataFrame([Row(g="a", v=2.0), Row(g="a", v=4.0),
+                                Row(g="b", v=5.0)])
+    agg = PandasAggregator(
+        init=lambda: {"n": 0, "s": 0.0},
+        add=lambda st, pdf: {"n": st["n"] + len(pdf),
+                             "s": st["s"] + float(pdf["v"].sum())},
+        result=lambda st: {"n": st["n"], "mean": st["s"] / st["n"]},
+        schema="n long, mean double",
+    )
+    out = {r.g: (r.n, r.mean) for r in agg.aggregate(df, ["g"]).collect()}
+    assert out == {"a": (2, 3.0), "b": (1, 5.0)}
+
+
+def test_pandas_aggregator_global(spark):
+    df = spark.createDataFrame([Row(v=1.0), Row(v=2.0)])
+    agg = PandasAggregator(
+        init=lambda: {"n": 0},
+        add=lambda st, pdf: {"n": st["n"] + len(pdf)},
+        result=lambda st: {"n": st["n"]},
+        schema="n long",
+    )
+    assert agg.aggregate(df, []).collect()[0].n == 2

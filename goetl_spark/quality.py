@@ -134,6 +134,45 @@ class DataQualityValidator:
         return ValidationResult(not violations, violations, stats)
 
 
+def violations_report(
+    df: DataFrame,
+    rules: Sequence[FieldRule],
+    null_checked: Sequence[str] = (),
+) -> DataFrame:
+    """Long-format violation report: one row per check with its violation
+    count — the queryable twin of :meth:`DataQualityValidator.validate`
+    (which reduces the same aggregates to a driver-side verdict).
+
+    One wide aggregate job (map-side combined), then an in-plan unpivot —
+    the 100 TB-safe shape: no per-rule scans, shuffle of one row.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for rule in rules:
+        aggs.append(rule.violation_counter())
+    for f_ in null_checked:
+        aggs.append(F.sum(F.col(f_).isNull().cast("long")).alias(f"__nulls_{f_}"))
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(f"rule_{r.field}").alias("check"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__rule_{r.field}").alias("n_violations"),
+            )
+            for r in rules
+        ],
+        *[
+            F.struct(
+                F.lit(f"nulls_{f_}").alias("check"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{f_}").alias("n_violations"),
+            )
+            for f_ in null_checked
+        ],
+    )
+    return wide.select(F.explode(structs).alias("v")).select("v.*")
+
+
 def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Long-format column profile: one row per column with count / non-null
     / null / distinct counts (the reference's NullValueCounts stats surface,

@@ -26,7 +26,7 @@ from goetl_spark.operators import groupby as G
 from goetl_spark.operators.join import JoinConfig, join, lookup, semi_join, anti_join
 from goetl_spark.operators.union import fan_in, distinct
 from goetl_spark.operators.cdc import capture_changes
-from goetl_spark.operators.scd import scd_type2, scd_type3
+from goetl_spark.operators.scd import scd_type1, scd_type2, scd_type3
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1301,6 +1301,256 @@ def q39_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     return agg.aggregate(li, ["l_returnflag"]).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 SCD1 + §2.4 semi/anti joins + extended aggregation shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q40_scd1",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 4 = 0 THEN 'MUTATED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def q40_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 = overwrite: source replaces the dimension wholesale
+    (dag/tasks/scd.go:182-186 returns source unchanged)."""
+    c = _t(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("MUTATED"))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    dim = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey", "c_mktsegment")
+    return scd_type1(src, dim)
+
+
+@register(
+    "q41_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE c_mktsegment = 'AUTOMOBILE'
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q41_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (beyond-reference §2.4 'not present' row): customers
+    with at least one order, no right-side columns, no row duplication —
+    the EXISTS shape. Semi joins shuffle only the keys of the right side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q42_anti_join",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q42_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (TPC-H Q22 flavor): customers with no finalized
+    ('F') order — the NOT EXISTS shape. The status filter pushes into the
+    orders scan before the anti join's key shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "q43_cube",
+    """
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+           GROUPING(c_mktsegment, o_orderstatus) AS gid
+    FROM orders o JOIN customer c ON o_custkey = c_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderstatus)
+    """,
+)
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (beyond-reference §2.5 'not present' row):
+    all 4 grouping combinations in one shuffle (grouping-set expansion is
+    map-side; Spark's and DuckDB's GROUPING bit encodings agree)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.grouping_id().alias("gid"))
+    )
+
+
+@register(
+    "q44_quality_gate",
+    """
+    SELECT 'rule_c_acctbal' AS check, COUNT(*) AS n_rows,
+           SUM(CASE WHEN c_acctbal IS NOT NULL
+                         AND NOT (c_acctbal >= -1000.0 AND c_acctbal <= 11000.0)
+                    THEN 1 ELSE 0 END) AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'rule_c_mktsegment', COUNT(*),
+           SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                         ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')
+                    THEN 1 ELSE 0 END)
+    FROM customer
+    UNION ALL
+    SELECT 'rule_c_name', COUNT(*),
+           SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#')
+                    THEN 1 ELSE 0 END)
+    FROM customer
+    UNION ALL
+    SELECT 'nulls_c_nationkey', COUNT(*),
+           SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+    FROM customer
+    """,
+)
+def q44_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rules as ONE aggregate pass (validators/validators.go:
+    213-336: range / allowed-values / pattern / null-rate) rendered as a
+    queryable violation report (goetl_spark.quality.violations_report)."""
+    from goetl_spark.quality import FieldRule, violations_report
+
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        FieldRule("c_acctbal", min_value=-1000.0, max_value=11000.0),
+        FieldRule("c_mktsegment", allowed_values=[
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]),
+        FieldRule("c_name", pattern="^Customer#"),
+    ]
+    return violations_report(c, rules, null_checked=["c_nationkey"])
+
+
+@register(
+    "q45_sliding_window",
+    f"""
+    SELECT date_trunc('hour', ts) - off * INTERVAL 1 HOUR AS window_start,
+           COUNT(*) AS n_events, {DSUM('value')} AS total_value
+    FROM events, (SELECT UNNEST([0, 1]) AS off)
+    GROUP BY 1
+    """,
+)
+def q45_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window / 1h slide) — each event lands
+    in window/slide buckets (streaming/windows.py::sliding_window_agg; the
+    goetl roadmap's unshipped windowed aggregation, README.md:655)."""
+    from goetl_spark.streaming import sliding_window_agg
+
+    e = _t(spark, sf_dir, "events").select("ts", "value")
+    agg = sliding_window_agg(
+        e, "ts", "2 hours", "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")],
+    )
+    return agg.select(F.col("window.start").alias("window_start"),
+                      "n_events", "total_value")
+
+
+@register(
+    "q46_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q46_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic session windows (30-min gap): F.session_window merges
+    overlapping [ts, ts+gap) intervals per key in one shuffle — same result
+    as the gaps-and-islands formulation (q16) without window functions
+    (streaming/windows.py::session_window_agg; session end = last event +
+    gap, matching Spark's definition)."""
+    from goetl_spark.streaming import session_window_agg
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    agg = session_window_agg(e, "ts", "30 minutes",
+                             [F.count(F.lit(1)).alias("n_events")],
+                             keys=["user_id"])
+    return agg.select(
+        "user_id",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register("q47_approx_distinct", None)
+def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (beyond-reference §2.5
+    'not present' row). No oracle: HLL sketches are engine-specific by
+    construction (DuckDB's approx_count_distinct uses a different sketch),
+    so the driver records the weaker rows-only check. The exact twin of
+    this query is oracle-checked as part of q20_profile's n_distinct.
+
+    At 100 TB this is THE cardinality shape: fixed-size sketch per group,
+    map-side mergeable — no exact-distinct row shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q48_stateful_stream",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL custom stateful streaming: events replayed as a 3-chunk file
+    stream through applyInPandasWithState (streaming/stateful.py) — per-key
+    state carried across micro-batches, updates emitted per batch. The
+    final update per key must equal the batch aggregate (count/min/max are
+    micro-batch-order-invariant), which the SQL oracle checks exactly."""
+    import tempfile
+
+    from goetl_spark.streaming import replay_stream
+    from goetl_spark.streaming.stateful import running_stats_stream
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    stream = replay_stream(e, num_chunks=3, max_files_per_trigger=1,
+                           dir=tempfile.mkdtemp(prefix="goetl_q48_"))
+    updates = running_stats_stream(stream, "event_type", "value")
+    name = "goetl_q48_result"
+    q = (updates.writeStream.format("memory").queryName(name)
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink appends every per-batch update; the final state per key
+    # is the row with the highest running count (strictly increasing)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n_events", "min_value", "max_value")).alias("s"))
+        .select("event_type", "s.n_events", "s.min_value", "s.max_value")
+    )
 
 
 ENTRY_QUERY = q01_pricing_summary

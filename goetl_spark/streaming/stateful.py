@@ -1,0 +1,68 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no stateful streaming at all (its only unbounded source
+is a Mongo change stream, readers/mongo.go:703-730, consumed statelessly;
+windowed aggregation is an unshipped roadmap item, README.md:654-658).
+This module supplies the Spark-native building block the roadmap implies:
+arbitrary per-key state maintained across micro-batches, Arrow-batched.
+
+Scale notes: state lives in the executor state store partitioned by the
+grouping key, so memory is O(distinct keys / partition), not O(events).
+Each micro-batch shuffles only that batch's rows to their key partition.
+At 100 TB of events the operator is bounded by per-key state size — keep
+state to fixed-width scalars (as here) and use watermark-based timeouts
+for unbounded key spaces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_stats_stream(
+    stream_df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running (count, min, max) maintained across micro-batches.
+
+    Emits one row per key per micro-batch in which the key appears, with
+    the cumulative stats so far — i.e., an incrementally-updated
+    aggregation, the streaming analog of ``groupBy(key).agg(...)``.
+    Count is exact-integer and min/max are comparison-only, so the final
+    emitted row per key equals the batch aggregate regardless of
+    micro-batch boundaries (this is what makes the op oracle-checkable).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals) == 0:
+                continue
+            n += int(len(vals))
+            bmn, bmx = float(vals.min()), float(vals.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n_events long, "
+                         "min_value double, max_value double",
+        stateStructType="n long, mn double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,21 @@ def test_profile_long_format(spark):
     out = {r.column: r for r in profile(_df(spark), ["email", "age"]).collect()}
     assert out["email"].n_null == 1 and out["email"].n_distinct == 2
     assert out["age"].n_non_null == 3 and out["age"].n_distinct == 3
+
+
+def test_violations_report(spark):
+    from goetl_spark.quality import FieldRule, violations_report
+
+    df = spark.createDataFrame(
+        [(1, "x@y.com", 5.0), (2, "bad", 50.0), (3, None, -1.0)],
+        "id long, email string, score double",
+    )
+    rep = violations_report(
+        df,
+        [FieldRule("email", type_="email"), FieldRule("score", min_value=0.0, max_value=10.0)],
+        null_checked=["email"],
+    )
+    got = {r.check: (r.n_rows, r.n_violations) for r in rep.collect()}
+    assert got["rule_email"] == (3, 1)       # "bad"; NULL not a rule violation
+    assert got["rule_score"] == (3, 2)       # 50.0 and -1.0
+    assert got["nulls_email"] == (3, 1)

@@ -137,3 +137,47 @@ def test_sample_frames_stub(spark):
     )
     out = sample_frames(media, every_ms=1000).collect()
     assert [r.frame_ms for r in sorted(out, key=lambda r: r.frame_ms)] == [0, 1000, 2000, 3000]
+
+
+# --- custom stateful streaming (applyInPandasWithState) ---------------------
+
+def test_stateful_running_stats(spark, tmp_path):
+    from goetl_spark.streaming.stateful import running_stats_stream
+
+    import shutil
+
+    # two deterministic chunks, each containing both keys, so cross-batch
+    # state accumulation is guaranteed observable
+    chunk1 = [("a", 1.0), ("b", 2.0)]
+    chunk2 = [("a", 5.0), ("a", 3.0), ("b", 7.0)]
+    stream_dir = tmp_path / "st"
+    stream_dir.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        staged = tmp_path / f"stage{i}"
+        (spark.createDataFrame(chunk, "event_type string, value double")
+         .coalesce(1).write.parquet(str(staged)))
+        part = next(staged.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"chunk{i}.parquet")
+    stream = (spark.readStream.format("parquet")
+              .schema("event_type string, value double")
+              .option("maxFilesPerTrigger", 1).load(str(stream_dir)))
+    updates = running_stats_stream(stream, "event_type", "value")
+    q = (updates.writeStream.format("memory").queryName("stateful_t")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM stateful_t").collect()
+    finally:
+        q.stop()
+    # final update per key (max running count) equals the batch aggregate
+    final = {}
+    for r in got:
+        if r.event_type not in final or r.n_events > final[r.event_type].n_events:
+            final[r.event_type] = r
+    assert final["a"].n_events == 3
+    assert final["a"].min_value == 1.0 and final["a"].max_value == 5.0
+    assert final["b"].n_events == 2
+    assert final["b"].min_value == 2.0 and final["b"].max_value == 7.0
+    # state carried ACROSS batches: with 2 chunks some key must have been
+    # updated twice (two cumulative rows), proving cross-batch state
+    assert len(got) > len(final)

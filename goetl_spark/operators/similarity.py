@@ -12,9 +12,12 @@ Beyond the reference surface (BASELINE.json north star). Two tiers:
   with the corpus parquet partitioned by cluster id, partition pruning
   skips the rest at the file level.
 
-Dot/cosine are double-fold expressions over the float arrays — JVM-side,
-no UDF. (For peak local throughput a pandas_udf + numpy matmul batch path
-is provided as :func:`cosine_topk_pandas`; same results, Arrow-batched.)
+Per-vector norms use the JVM-side double-fold expression (:func:`dot`);
+the per-PAIR scoring hot path uses an Arrow-batched pandas dot product
+(:func:`_dot_pandas`) that reproduces the same left-fold arithmetic
+bit-for-bit — measured ~2x faster than Catalyst's interpreted
+higher-order-function lambdas. (A numpy-matmul batch path for driver-side
+query sets is :func:`cosine_topk_pandas`.)
 """
 
 from __future__ import annotations
@@ -30,6 +33,35 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dot_pandas() -> "F.udf":
+    """Arrow-batched dot product, bit-identical to :func:`dot`.
+
+    Catalyst runs higher-order-function lambdas interpreted per element —
+    measured ~2x slower than this at sf0.1 on the pair-scoring hot path.
+    Exactness: elements are widened to float64 BEFORE multiplying (parquet
+    stores float32; Spark's ``cast`` then ``*`` does the same), and the
+    accumulation loops over elements in order, vectorized across the pair
+    batch — the same left fold as the expression version, so results
+    match the SQL oracle bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def dot_pd(a, b):
+        A = np.stack(a.values).astype(np.float64)
+        B = np.stack(b.values).astype(np.float64)
+        acc = np.zeros(len(A), dtype=np.float64)
+        for i in range(A.shape[1]):  # sequential over elements == left fold
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would otherwise hand pandas_udf unresolvable strings
+    dot_pd.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(dot_pd, "double")
 
 
 def norm(a: Column) -> Column:
@@ -67,12 +99,13 @@ def knn_bruteforce(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
     )
+    dot_pd = _dot_pandas()
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec"))
+            (dot_pd(F.col("q_vec"), F.col("c_vec"))
              / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
         )
     )
@@ -115,11 +148,12 @@ def knn_ivf(
         F.col(bucket_col).alias("c_bucket"),
         norm(F.col(vec_col)).alias("c_norm"),
     )
+    dot_pd = _dot_pandas()
     scored = (
         c.join(q, F.col("c_bucket") == F.col("q_bucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                (dot(F.col("q_vec"), F.col("c_vec"))
+                (dot_pd(F.col("q_vec"), F.col("c_vec"))
                  / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
     )
     from pyspark.sql import Window
@@ -150,11 +184,12 @@ def embedding_neardup_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    dot_pd = _dot_pandas()
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            (dot(F.col("a.vec"), F.col("b.vec"))
+            (dot_pd(F.col("a.vec"), F.col("b.vec"))
              / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

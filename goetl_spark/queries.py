@@ -24,7 +24,7 @@ from goetl_spark.session import load_tables
 from goetl_spark.functions import filters as flt
 from goetl_spark.operators import groupby as G
 from goetl_spark.operators.join import JoinConfig, join, lookup, semi_join, anti_join
-from goetl_spark.operators.union import fan_in, distinct
+from goetl_spark.operators.union import fan_in, distinct, intersect, except_
 from goetl_spark.operators.cdc import capture_changes
 from goetl_spark.operators.scd import scd_type1, scd_type2, scd_type3
 
@@ -1490,6 +1490,33 @@ def q46_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "q49_set_ops",
+    """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'both' AS bucket, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM ur)
+    UNION ALL
+    SELECT 'hi_only', COUNT(*)
+    FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM ur)
+    """,
+)
+def q49_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (beyond-reference §2.6 'not present'
+    row, operators/union.py): customers appearing in both the high-value
+    and the urgent order sets, and in the first only."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = intersect(hi.distinct(), ur.distinct())
+    only = except_(hi.distinct(), ur.distinct(), keep_duplicates=False)
+    return fan_in([
+        both.agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("bucket"), "n"),
+        only.agg(F.count(F.lit(1)).alias("n")).select(F.lit("hi_only").alias("bucket"), "n"),
+    ])
 
 
 @register("q47_approx_distinct", None)

@@ -1511,8 +1511,10 @@ def q49_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    both = intersect(hi.distinct(), ur.distinct())
-    only = except_(hi.distinct(), ur.distinct(), keep_duplicates=False)
+    # no pre-distinct: INTERSECT/EXCEPT are set-semantic already, and the
+    # extra dropDuplicates would add two shuffles (caught by audit_plans)
+    both = intersect(hi, ur)
+    only = except_(hi, ur, keep_duplicates=False)
     return fan_in([
         both.agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("bucket"), "n"),
         only.agg(F.count(F.lit(1)).alias("n")).select(F.lit("hi_only").alias("bucket"), "n"),

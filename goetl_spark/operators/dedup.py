@@ -244,6 +244,62 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id), cluster_id = min doc id in the component. The step that
+    turns candidate PAIRS (LSH/Jaccard/SimHash output) into dedup
+    DECISIONS: keep cluster_id, drop the rest.
+
+    Pregel-style min-label propagation: each iteration is one
+    join + min-aggregation (a key-partitioned shuffle), converging in
+    O(graph diameter) rounds — near-dup graphs are shallow (dense
+    clusters, tiny diameter), so 3-5 rounds typical. ``localCheckpoint``
+    truncates lineage each round so plans stay O(1). This is the standard
+    large-scale formulation (GraphX/GraphFrames connected components);
+    the driver loop holds only a per-round changed-count, never rows.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 60) -> DataFrame:
     """SimHash per document over whitespace tokens (md5-based 60-bit token

@@ -1521,6 +1521,45 @@ def q49_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@register(
+    "q50_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q50_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs
+    (operators/dedup.py::dedup_clusters): Pregel-style min-label
+    propagation on Spark vs a recursive CTE in the oracle — the step that
+    turns candidate pairs into per-document dedup decisions."""
+    from goetl_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    return dedup_clusters(pairs)
+
+
 @register("q47_approx_distinct", None)
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (beyond-reference §2.5

@@ -140,3 +140,16 @@ def test_running_sum(spark):
     df = spark.createDataFrame([Row(g="a", i=1, v=10), Row(g="a", i=2, v=5)])
     out = with_running(df, F.sum("v"), ["g"], ["i"], "run").orderBy("i").collect()
     assert [r.run for r in out] == [10, 15]
+
+
+def test_dedup_clusters(spark):
+    from goetl_spark.operators.dedup import dedup_clusters
+
+    # components: {1,2,3} via 1-2, 2-3; {10,11}; chain {20,21,22,23}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}

@@ -1560,6 +1560,33 @@ def q50_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@register(
+    "q51_write_roundtrip",
+    f"""
+    SELECT l_linestatus, COUNT(*) AS n, {DSUM('l_extendedprice')} AS sum_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def q51_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write path + partition pruning, oracle-checked: lineitem written as
+    parquet partitioned by l_returnflag (sinks/files.py::write_parquet),
+    read back with a partition filter — the scan touches only the 'R'
+    directory (PartitionFilters in the plan), and the aggregate must match
+    the oracle on the ORIGINAL table, proving the round-trip lossless."""
+    import tempfile
+
+    from goetl_spark.sinks.files import write_parquet
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice")
+    out = tempfile.mkdtemp(prefix="goetl_q51_")
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+
+
 @register("q47_approx_distinct", None)
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (beyond-reference §2.5

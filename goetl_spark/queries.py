@@ -1628,7 +1628,7 @@ def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goetl_spark.streaming.stateful import running_stats_stream
 
     e = _t(spark, sf_dir, "events").select("event_type", "value")
-    stream = replay_stream(e, num_chunks=3, max_files_per_trigger=1,
+    stream = replay_stream(e, num_chunks=2, max_files_per_trigger=1,
                            dir=tempfile.mkdtemp(prefix="goetl_q48_"))
     updates = running_stats_stream(stream, "event_type", "value")
     name = "goetl_q48_result"

@@ -253,3 +253,26 @@ def test_mongo_options_find_pushdown():
                     {"$limit": 10}, {"$project": {"a": 1, "b": 1}}]
     with pytest.raises(ValueError, match="unknown mongo mode"):
         mongo_options("u", "d", "c", mode="bogus")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from goetl_spark.sinks.files import write_bucketed_table
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed_table(left, "t_buck_l", ["k"], num_buckets=4,
+                         sort_cols=["k"], path=str(tmp_path / "l"))
+    write_bucketed_table(right, "t_buck_r", ["k"], num_buckets=4,
+                         sort_cols=["k"], path=str(tmp_path / "r"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_buck_l").join(spark.table("t_buck_r"), "k")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both sides pre-clustered on k: no shuffle Exchange in the plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_buck_l")
+        spark.sql("DROP TABLE IF EXISTS t_buck_r")

@@ -1587,6 +1587,64 @@ def q51_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
 
 
+@register(
+    "q52_hash_split",
+    """
+    WITH b AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+               len(string_split_regex(text, '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def q52_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split by hash bucket of the document id
+    (operators/sampling.py::hash_split) — membership is a pure per-row
+    function, so rebuilds/retries/repartitioning never move a document
+    between splits. Zero shuffle for the assignment itself."""
+    from goetl_spark.operators.sampling import hash_split
+    from goetl_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+@register(
+    "q53_length_buckets",
+    """
+    WITH t AS (
+        SELECT len(string_split_regex(text, '\\s+')) AS n FROM documents
+    )
+    SELECT CASE WHEN n <= 64 THEN 0 WHEN n <= 128 THEN 1 WHEN n <= 256 THEN 2
+                WHEN n <= 512 THEN 3 WHEN n <= 1024 THEN 4 ELSE 5 END AS length_bucket,
+           COUNT(*) AS n_docs, MIN(n) AS min_tokens, MAX(n) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def q53_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing for training-batch packing
+    (operators/sampling.py::length_buckets): per-doc bucket id as a pure
+    expression; batches then pack by bucket with minimal padding."""
+    from goetl_spark.operators.sampling import length_buckets
+    from goetl_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return length_buckets(d).groupBy("length_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(token_count("text")).alias("min_tokens"),
+        F.max(token_count("text")).alias("max_tokens"),
+    )
+
+
 @register("q47_approx_distinct", None)
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (beyond-reference §2.5

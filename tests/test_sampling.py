@@ -1,0 +1,79 @@
+"""Deterministic splitting/sampling/bucketing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    length_buckets,
+    stratified_sample,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, "word " * (i % 200)) for i in range(500)], "doc_id long, text string"
+    )
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    d = _docs(spark)
+    s1 = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    assert s1 == s2                       # pure function of the key
+    assert set(s1.values()) == {"train", "val", "test"}
+    frac_train = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.7 < frac_train < 0.9         # ~80%
+
+
+def test_hash_split_stable_under_data_growth(spark):
+    # adding rows must not move existing rows between splits
+    d_small = _docs(spark).filter(F.col("doc_id") < 250)
+    small = {r.doc_id: r.split for r in hash_split(d_small, "doc_id").collect()}
+    full = {r.doc_id: r.split for r in hash_split(_docs(spark), "doc_id").collect()}
+    assert all(full[k] == v for k, v in small.items())
+
+
+def test_hash_split_validates_percents(spark):
+    with pytest.raises(ValueError):
+        hash_split(_docs(spark), "doc_id", {"a": 50, "b": 40})
+
+
+def test_hash_sample_fraction(spark):
+    d = _docs(spark)
+    n = hash_sample(d, "doc_id", 0.2).count()
+    assert 60 <= n <= 140                 # ~100 of 500
+    # subset property: 10% sample ⊂ 20% sample (nested bucket ranges)
+    s10 = {r.doc_id for r in hash_sample(d, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
+    assert s10 <= s20
+
+
+def test_stratified_sample_runs(spark):
+    d = _docs(spark).withColumn("label", (F.col("doc_id") % 2).cast("string"))
+    out = stratified_sample(d, "label", {"0": 0.5, "1": 0.1})
+    assert 0 < out.count() < 500
+
+
+def test_length_buckets(spark):
+    import re
+
+    d = _docs(spark)
+    rows = {r.doc_id: r.length_bucket
+            for r in length_buckets(d).select("doc_id", "length_bucket").collect()}
+    bounds = [64, 128, 256, 512, 1024]
+
+    def expect(n):
+        for i, b in enumerate(bounds):
+            if n <= b:
+                return i
+        return len(bounds)
+
+    # token_count uses split('\s+'), which KEEPS a trailing empty segment
+    # ("word " -> ["word", ""]) — mirror that exactly
+    for i in range(500):
+        n = len(re.split(r"\s+", "word " * (i % 200)))
+        assert rows[i] == expect(n), (i, n, rows[i])

@@ -103,6 +103,26 @@ def quality_score(col: str | Column, lang: str = "en") -> Column:
     return (length_ok + token_ok + sw_ok + punct_ok + mwl_ok) / F.lit(5.0)
 
 
+# PII patterns kept RE2-compatible (no lookarounds) so the identical
+# regex runs in Java (Spark) and RE2 (DuckDB oracle) with the same matches
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9][0-9\- ]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def redact_pii(col: str | Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
+    """Replace PII spans with typed placeholders — the standard scrub pass
+    before a corpus enters training. Pure regexp_replace chain: JVM-side,
+    scan-bound, zero shuffle; patterns applied in the order given."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def md5_int(col: Column, hex_chars: int = 8) -> Column:
     """First ``hex_chars`` hex digits of md5 as a bigint — the shared,
     engine-portable hash used by fingerprinting/minhash (DuckDB can compute

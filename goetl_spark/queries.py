@@ -1645,6 +1645,59 @@ def q53_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q54_redact_pii",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or +1 555-01'
+                    || (doc_id % 90 + 10) || ' at 10.0.' || (doc_id % 256) || '.7' AS raw
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, raw,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\+[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT COUNT(*) AS n_docs,
+           SUM(CASE WHEN clean <> raw THEN 1 ELSE 0 END) AS n_redacted,
+           SUM(CAST(len(raw) - len(clean) AS BIGINT)) AS chars_removed,
+           SUM(CAST(len(clean) - len(replace(clean, '<EMAIL>', ''))
+                    AS BIGINT)) / 7 AS n_emails
+    FROM red
+    """,
+)
+def q54_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::redact_pii): documents seeded
+    with synthetic emails/phones/IPs, redacted with RE2-compatible
+    patterns that run identically in Spark and the DuckDB oracle. Pure
+    regexp chain — scan-bound, zero shuffle."""
+    from goetl_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "raw",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or +1 555-01"), (F.col("doc_id") % 90 + 10),
+            F.lit(" at 10.0."), F.col("doc_id") % 256, F.lit(".7"),
+        ),
+    )
+    red = d.withColumn("clean", redact_pii("raw"))
+    return red.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("clean") != F.col("raw"), 1).otherwise(0)).alias("n_redacted"),
+        F.sum((F.length("raw") - F.length("clean")).cast("bigint")).alias("chars_removed"),
+        (F.sum((F.length("clean")
+                - F.length(F.replace(F.col("clean"), F.lit("<EMAIL>"), F.lit("")))
+                ).cast("bigint")) / 7).alias("n_emails"),
+    )
+
+
 @register("q47_approx_distinct", None)
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (beyond-reference §2.5

@@ -153,3 +153,20 @@ def test_dedup_clusters(spark):
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_redact_pii(spark):
+    from goetl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-corp.io now",),
+         ("server at 192.168.1.254 down",),
+         ("call +1 555-0187 1234",),
+         ("clean text stays",)],
+        "text string",
+    )
+    got = [r.c for r in df.select(redact_pii("text").alias("c")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "server at <IP> down"
+    assert got[2] == "call <PHONE>"
+    assert got[3] == "clean text stays"

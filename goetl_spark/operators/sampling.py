@@ -80,6 +80,32 @@ def stratified_sample(
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
 
 
+def mix_sources(
+    sources: Sequence[tuple[DataFrame, float]],
+    key_col: str,
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Weighted corpus mixture: hash-sample each source at its weight and
+    union by name (missing columns → NULL). Weights are FRACTIONS KEPT of
+    each source (e.g. [(web, 0.3), (books, 1.0)]), the standard way
+    training mixtures are specified over corpora of different sizes.
+
+    Deterministic end to end: membership is the per-row hash rule of
+    :func:`hash_sample`, so the mixture is reproducible and incremental
+    rebuilds keep prior rows. Union is shuffle-free; sampling is a scan
+    filter.
+    """
+    from goetl_spark.operators.union import fan_in
+
+    parts = []
+    for i, (df, weight) in enumerate(sources):
+        part = df if weight >= 1.0 else hash_sample(df, key_col, weight)
+        if source_col:
+            part = part.withColumn(source_col, F.lit(i))
+        parts.append(part)
+    return fan_in(parts)
+
+
 def length_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -77,3 +77,18 @@ def test_length_buckets(spark):
     for i in range(500):
         n = len(re.split(r"\s+", "word " * (i % 200)))
         assert rows[i] == expect(n), (i, n, rows[i])
+
+
+def test_mix_sources(spark):
+    from goetl_spark.operators.sampling import mix_sources
+
+    a = _docs(spark)                                   # 500 docs
+    b = _docs(spark).withColumn("doc_id", F.col("doc_id") + 1000)
+    mixed = mix_sources([(a, 0.2), (b, 1.0)], "doc_id")
+    n_a = mixed.filter(F.col("source") == 0).count()
+    n_b = mixed.filter(F.col("source") == 1).count()
+    assert n_b == 500                                  # weight 1.0 = keep all
+    assert 60 <= n_a <= 140                            # ~20% of 500
+    # deterministic: same mixture on re-run
+    again = mix_sources([(a, 0.2), (b, 1.0)], "doc_id")
+    assert {r.doc_id for r in mixed.collect()} == {r.doc_id for r in again.collect()}

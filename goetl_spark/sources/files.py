@@ -36,9 +36,9 @@ def read_csv(
 ) -> DataFrame:
     """CSV → DataFrame (NewCSVReader parity, readers/csv.go:92-218).
 
-    With ``header=False`` Spark synthesizes ``_c0.._cN`` names — the
-    analog of the reference's ``col_0..col_N`` (csv.go:171-176); rename
-    with ``withColumnsRenamed`` if exact names matter.
+    With ``header=False`` columns are renamed to the reference's
+    synthesized ``col_0..col_N`` (csv.go:171-176) in place of Spark's
+    ``_c0.._cN`` (skipped when an explicit ``schema`` names them).
     """
     reader = (
         spark.read.option("header", header)
@@ -53,6 +53,8 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", infer_schema)
     df = reader.csv(path)
+    if not header and not schema:
+        df = df.toDF(*[f"col_{i}" for i in range(len(df.columns))])
     return df.select(*columns) if columns else df
 
 

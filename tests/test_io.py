@@ -47,9 +47,9 @@ def test_csv_options(spark, tmp_path):
     back = read_csv(spark, p, delimiter=";", header=False,
                     schema="id int, name string, score double")
     assert back.count() == 2
-    # header=False synthesizes _c0.._cN names when no schema (csv.go:171-176)
+    # header=False synthesizes col_0..col_N names when no schema (csv.go:171-176)
     anon = read_csv(spark, p, delimiter=";", header=False, infer_schema=False)
-    assert anon.columns == ["_c0", "_c1", "_c2"]
+    assert anon.columns == ["col_0", "col_1", "col_2"]
 
 
 def test_jsonl_roundtrip(spark, tmp_path):
@@ -276,3 +276,13 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_buck_l")
         spark.sql("DROP TABLE IF EXISTS t_buck_r")
+
+
+def test_csv_no_header_synthesizes_col_names(spark, tmp_path):
+    from goetl_spark.sources.files import read_csv
+
+    p = tmp_path / "nh.csv"
+    p.write_text("1,a\n2,b\n")
+    df = read_csv(spark, str(p), header=False)
+    assert df.columns == ["col_0", "col_1"]  # csv.go:171-176 naming
+    assert df.count() == 2

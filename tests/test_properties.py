@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy, which has no randomized testing at all (SURVEY.md §5).
+
+Pure-Python properties run at full hypothesis example counts; the one
+Spark-backed property caps examples to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from goetl_spark.functions.transforms import go_layout_to_java
+from goetl_spark.plans.dag import RetryConfig
+from goetl_spark.sinks.jdbc import build_upsert_sql
+
+# --- Go layout -> Java pattern ---------------------------------------------
+
+_GO_FRAGMENTS = ["2006", "01", "02", "15", "04", "05", ".000", "Jan", "Mon",
+                 "-07:00", "Z07:00"]
+
+
+@given(st.lists(st.sampled_from(_GO_FRAGMENTS + ["-", ":", " ", "/", "T"]),
+                min_size=1, max_size=8))
+def test_go_layout_never_emits_bare_letters(frags):
+    """Any untranslated ASCII letter in the output must be quoted —
+    otherwise Java would interpret it as a pattern char."""
+    out = go_layout_to_java("".join(frags))
+    unquoted = re.sub(r"'[^']*'", "", out)
+    assert re.fullmatch(r"[yMdHmsSaEVXxZO:\-/ T.]*", unquoted), (frags, out)
+
+
+@given(st.text(alphabet="bcfgkpqruvw", min_size=1, max_size=10))
+def test_go_layout_literal_letters_are_quoted(s):
+    """A layout of letters that match no Go fragment becomes per-char
+    quoted literals — exactly, with nothing dropped or injected."""
+    assert go_layout_to_java(s) == "".join(f"'{ch}'" for ch in s)
+
+
+# --- upsert SQL builder -----------------------------------------------------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(st.lists(_ident, min_size=2, max_size=6, unique=True),
+       st.data())
+def test_upsert_sql_shape(cols, data):
+    keys = data.draw(st.lists(st.sampled_from(cols), min_size=1,
+                              max_size=len(cols) - 1, unique=True))
+    sql = build_upsert_sql("t", cols, keys, update_on_conflict=True)
+    assert sql.startswith("INSERT INTO t (")
+    assert sql.count("%s") == len(cols)
+    assert f"ON CONFLICT ({', '.join(keys)})" in sql
+    # key columns never appear in the UPDATE SET list
+    set_clause = sql.split("DO UPDATE SET ")[1]
+    for k in keys:
+        assert not re.search(rf"(^|, ){k} = EXCLUDED\.", set_clause)
+
+
+@given(st.text(min_size=1, max_size=20).filter(
+    lambda s: not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s)))
+def test_upsert_sql_rejects_bad_identifiers(bad):
+    with pytest.raises(ValueError):
+        build_upsert_sql(bad, ["a"], ["a"])
+
+
+# --- retry backoff ----------------------------------------------------------
+
+@given(st.sampled_from(["exponential", "linear", "fixed", "jittered", "none"]),
+       st.integers(min_value=0, max_value=10),
+       st.floats(min_value=0.001, max_value=10.0))
+def test_backoff_bounds(strategy, attempt, base):
+    """Delays are non-negative and bounded by the exponential envelope;
+    jittered stays within [0.5, 1.0] x exponential (base.go:80-144)."""
+    cfg = RetryConfig(max_retries=3, backoff_seconds=base, strategy=strategy)
+    d = cfg.delay(attempt)
+    assert d >= 0.0
+    env = base * (2 ** attempt)
+    if strategy == "jittered":
+        assert env * 0.5 <= d <= env
+    elif strategy == "none":
+        assert d == 0.0
+    else:
+        assert d <= env
+
+
+@given(st.integers(min_value=0, max_value=5))
+def test_retry_stops_at_max(attempt):
+    cfg = RetryConfig(max_retries=3)
+    assert cfg.should_retry(RuntimeError("x"), attempt) == (attempt < 3)
+
+
+# --- CDC set-algebra invariant (Spark-backed, capped examples) --------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sets(st.integers(min_value=0, max_value=30)),
+       st.sets(st.integers(min_value=0, max_value=30)),
+       st.sets(st.integers(min_value=0, max_value=30)))
+def test_cdc_counts_match_set_algebra(spark, prev_keys, cur_keys, changed):
+    """INSERTs = cur\\prev, DELETEs = prev\\cur, UPDATEs ⊆ intersection
+    limited to rows whose compared value changed (dag/tasks/cdc.go)."""
+    from goetl_spark.operators.cdc import capture_changes
+
+    prev = spark.createDataFrame(
+        [(k, 0) for k in prev_keys] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    cur = spark.createDataFrame(
+        [(k, 1 if k in changed else 0) for k in cur_keys] or [(None, None)],
+        "k long, v long",
+    ).filter("k IS NOT NULL")
+    out = capture_changes(cur, prev, ["k"], ["v"]).collect()
+    by_type = {"INSERT": set(), "UPDATE": set(), "DELETE": set()}
+    for r in out:
+        by_type[r.change_type].add(r.k)
+    assert by_type["INSERT"] == cur_keys - prev_keys
+    assert by_type["DELETE"] == prev_keys - cur_keys
+    assert by_type["UPDATE"] == (cur_keys & prev_keys & changed)

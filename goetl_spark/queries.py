@@ -50,6 +50,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # belt-and-braces for foreign sessions (the driver builds its own):
+    # timestamp semantics must match the UTC-pinned oracle regardless of
+    # how the session was created (session.py pins this too)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

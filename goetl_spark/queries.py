@@ -1779,6 +1779,108 @@ def q56_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q57_streaming_dedup",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark): the events table
+    with 10% duplicate rows injected is replayed in event-time order;
+    state keyed on event_id drops the copies as they arrive and the
+    watermark bounds state size. The deduped stream must aggregate to
+    exactly the ORIGINAL table — the SQL oracle checks that."""
+    import tempfile
+
+    from goetl_spark.streaming import replay_stream_ordered
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    dupes = e.filter(F.col("event_id") % 10 == 0)
+    stream, _dir = replay_stream_ordered(
+        e.unionAll(dupes), "ts", num_chunks=3,
+        dir=tempfile.mkdtemp(prefix="goetl_q57_"))
+    dedup = (stream.withWatermark("ts", "1 hour")
+             .dropDuplicatesWithinWatermark(["event_id"]))
+    name = "goetl_q57_result"
+    q = (dedup.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+
+
+@register(
+    "q58_stream_stream_join",
+    f"""
+    SELECT COUNT(*) AS n_pairs,
+           {DSUM('p.value')} AS purchase_value,
+           {DSUM('v.value')} AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 4 HOUR AND v.ts <= p.ts
+    """,
+)
+def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases joined
+    to the same user's views in the preceding 4 hours, both sides
+    watermarked so join state is bounded (purged once the watermark
+    passes the window). A far-future sentinel row (user_id -1, matches
+    nothing) is appended after the data to advance both watermarks and
+    flush the tail of the join state; the result must equal the batch
+    join — checked exactly by the SQL oracle."""
+    import tempfile
+
+    from goetl_spark.streaming import append_replay_file, replay_stream_ordered
+
+    e = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    p_batch = e.filter(F.col("event_type") == "purchase")
+    v_batch = e.filter(F.col("event_type") == "view")
+    p_stream, p_dir = replay_stream_ordered(
+        p_batch, "ts", num_chunks=2, dir=tempfile.mkdtemp(prefix="goetl_q58p_"))
+    v_stream, v_dir = replay_stream_ordered(
+        v_batch, "ts", num_chunks=2, dir=tempfile.mkdtemp(prefix="goetl_q58v_"))
+
+    p = (p_stream.withWatermark("ts", "1 hour")
+         .select(F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user"),
+                 F.col("value").alias("p_value")))
+    v = (v_stream.withWatermark("ts", "1 hour")
+         .select(F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user"),
+                 F.col("value").alias("v_value")))
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 4 HOURS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    name = "goetl_q58_result"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # sentinel: unmatched far-future rows push both watermarks past
+        # every real event, flushing all remaining join state
+        import datetime
+
+        far = datetime.datetime(2030, 1, 1)
+        # distinct sentinel user ids — identical ids would join each other
+        append_replay_file(p_batch, [(far, -1, "purchase", 0.0)], p_dir)
+        append_replay_file(v_batch, [(far, -2, "view", 0.0)], v_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum("p_value", "purchase_value"),
+        dsum("v_value", "view_value"),
+    )
+
+
 @register("q47_approx_distinct", None)
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (beyond-reference §2.5

@@ -11,9 +11,16 @@ from goetl_spark.streaming.windows import (
     sliding_window_agg,
     tumbling_window_agg,
 )
-from goetl_spark.streaming.sources import file_stream, rate_stream, replay_stream
+from goetl_spark.streaming.sources import (
+    append_replay_file,
+    file_stream,
+    rate_stream,
+    replay_stream,
+    replay_stream_ordered,
+)
 
 __all__ = [
     "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
-    "rate_stream", "file_stream", "replay_stream",
+    "rate_stream", "file_stream", "replay_stream", "replay_stream_ordered",
+    "append_replay_file",
 ]

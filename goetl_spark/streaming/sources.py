@@ -38,6 +38,82 @@ def file_stream(
     return reader.load(path)
 
 
+def replay_stream_ordered(
+    batch_df: DataFrame, ts_col: str, num_chunks: int = 3,
+    dir: str | None = None, max_files_per_trigger: int = 1,
+) -> tuple[DataFrame, str]:
+    """Replay a batch table as a file stream whose micro-batches arrive in
+    EVENT-TIME ORDER: rows are range-partitioned on ``ts_col`` into
+    chronological chunk files with strictly increasing modification times
+    (Spark's file source processes files oldest-mtime-first).
+
+    This is the realistic shape for watermark semantics — data arrives
+    roughly in time order, so small watermark delays don't drop rows at
+    chunk boundaries. Returns ``(stream_df, dir)`` so callers can append
+    more files later (e.g. a far-future sentinel that advances the
+    watermark to flush stateful-join results).
+    """
+    import shutil
+
+    spark = batch_df.sparkSession
+    path = dir or tempfile.mkdtemp(prefix="goetl_replay_ord_")
+    os.makedirs(path, exist_ok=True)
+    # chronological ranges from approximate ts quantiles — no global sort
+    # (an ntile window would single-partition the whole table)
+    from pyspark.sql import functions as F
+
+    fracs = [i / num_chunks for i in range(1, num_chunks)]
+    bounds = batch_df.select(
+        F.percentile_approx(F.col(ts_col).cast("double"), fracs).alias("b")
+    ).collect()[0]["b"] if fracs else []
+    ts_d = F.col(ts_col).cast("double")
+    stage = tempfile.mkdtemp(prefix="goetl_replay_stage_")
+    for i in range(1, num_chunks + 1):
+        cond = F.lit(True)
+        if i > 1:
+            cond = cond & (ts_d >= bounds[i - 2])
+        if i <= len(bounds):
+            cond = cond & (ts_d < bounds[i - 1])
+        part_dir = os.path.join(stage, f"c{i}")
+        (batch_df.filter(cond)
+         .coalesce(1).write.mode("overwrite").parquet(part_dir))
+        src = next(
+            (os.path.join(part_dir, f) for f in os.listdir(part_dir)
+             if f.startswith("part-") and f.endswith(".parquet")),
+            None,
+        )
+        if src is None:  # empty time slice (tiny inputs)
+            continue
+        dst = os.path.join(path, f"chunk{i:03d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (i * 1000, i * 1000))  # strictly increasing mtimes
+    reader = (spark.readStream.format("parquet")
+              .schema(batch_df.schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    return reader.load(path), path
+
+
+def append_replay_file(
+    template_df: DataFrame, rows, dir: str, name: str = "zzz_sentinel.parquet"
+) -> None:
+    """Append one more file to an ordered-replay directory (picked up by
+    the running stream on its next trigger). Used for watermark-advancing
+    sentinels."""
+    import shutil
+
+    spark = template_df.sparkSession
+    stage = tempfile.mkdtemp(prefix="goetl_sentinel_")
+    spark.createDataFrame(rows, template_df.schema).coalesce(1)\
+        .write.mode("overwrite").parquet(stage)
+    src = next(
+        os.path.join(stage, f) for f in os.listdir(stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    dst = os.path.join(dir, name)
+    shutil.copy(src, dst)
+    os.utime(dst, (10_000_000, 10_000_000))
+
+
 def replay_stream(
     batch_df: DataFrame, num_chunks: int = 4,
     max_files_per_trigger: int = 1, dir: str | None = None,

@@ -181,3 +181,40 @@ def test_stateful_running_stats(spark, tmp_path):
     # state carried ACROSS batches: with 2 chunks some key must have been
     # updated twice (two cumulative rows), proving cross-batch state
     assert len(got) > len(final)
+
+
+def test_replay_stream_ordered_chronological(spark, tmp_path):
+    from goetl_spark.streaming import replay_stream_ordered
+
+    e = _events(spark)
+    stream, d = replay_stream_ordered(e, "ts", num_chunks=2,
+                                      dir=str(tmp_path / "ord"))
+    assert stream.isStreaming
+    import os
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(files) == 2
+    # chronological split: every ts in chunk1 <= every ts in chunk2
+    c1 = spark.read.parquet(os.path.join(d, files[0])).agg(
+        F.max("ts").alias("m")).collect()[0].m
+    c2 = spark.read.parquet(os.path.join(d, files[1])).agg(
+        F.min("ts").alias("m")).collect()[0].m
+    assert c1 <= c2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from goetl_spark.streaming import replay_stream_ordered
+
+    base = _events(spark).withColumn("eid", F.monotonically_increasing_id())
+    withdup = base.unionAll(base.limit(2))
+    stream, _ = replay_stream_ordered(withdup, "ts", num_chunks=2,
+                                      dir=str(tmp_path / "dd"))
+    dedup = (stream.withWatermark("ts", "1 hour")
+             .dropDuplicatesWithinWatermark(["eid"]))
+    q = (dedup.writeStream.format("memory").queryName("dd_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) AS n FROM dd_t").collect()[0].n
+    finally:
+        q.stop()
+    assert n == base.count()  # duplicates removed, originals intact

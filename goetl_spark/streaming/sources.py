@@ -40,7 +40,7 @@ def file_stream(
 
 def replay_stream_ordered(
     batch_df: DataFrame, ts_col: str, num_chunks: int = 3,
-    dir: str | None = None, max_files_per_trigger: int = 1,
+    dir: str | None = None, max_files_per_trigger: int | None = 1,
 ) -> tuple[DataFrame, str]:
     """Replay a batch table as a file stream whose micro-batches arrive in
     EVENT-TIME ORDER: rows are range-partitioned on ``ts_col`` into
@@ -87,9 +87,9 @@ def replay_stream_ordered(
         dst = os.path.join(path, f"chunk{i:03d}.parquet")
         shutil.copy(src, dst)
         os.utime(dst, (i * 1000, i * 1000))  # strictly increasing mtimes
-    reader = (spark.readStream.format("parquet")
-              .schema(batch_df.schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger))
+    reader = spark.readStream.format("parquet").schema(batch_df.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path), path
 
 

@@ -286,3 +286,25 @@ def test_csv_no_header_synthesizes_col_names(spark, tmp_path):
     df = read_csv(spark, str(p), header=False)
     assert df.columns == ["col_0", "col_1"]  # csv.go:171-176 naming
     assert df.count() == 2
+
+
+def test_kafka_options():
+    from goetl_spark.sources.kafka import kafka_options
+
+    opts = kafka_options("b1:9092,b2:9092", topics=["a", "b"],
+                         starting_offsets={"a": {"0": 100}},
+                         max_offsets_per_trigger=5000, min_partitions=64)
+    assert opts["subscribe"] == "a,b"
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert '"a"' in opts["startingOffsets"]
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["minPartitions"] == "64"
+
+    pat = kafka_options("b:9092", pattern="events-.*")
+    assert pat["subscribePattern"] == "events-.*"
+
+    import pytest
+    with pytest.raises(ValueError):
+        kafka_options("b:9092")                      # neither
+    with pytest.raises(ValueError):
+        kafka_options("b:9092", topics="t", pattern="x")  # both

@@ -515,8 +515,9 @@ def q15_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -835,7 +836,8 @@ def q24_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, j
     )
     SELECT doc_id,
-           SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM bitsum GROUP BY doc_id
     """,
 )
@@ -1056,7 +1058,8 @@ def q31_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (goetl roadmap item, README.md:654-658; goetl_spark.streaming)."""
     import tempfile
 
-    from goetl_spark.streaming import replay_stream, tumbling_window_agg
+    from goetl_spark.streaming import (
+        replay_stream, state_partitions, tumbling_window_agg)
 
     e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     stream = replay_stream(e, num_chunks=4, max_files_per_trigger=2,
@@ -1067,12 +1070,13 @@ def q31_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"], watermark="1 minute",
     )
     name = "goetl_q31_result"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark, 4):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("window.start").alias("window_start"),
         "event_type", "n_events", "total_value",
@@ -1170,7 +1174,16 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8"))
     media = attach_media_column(d, "payload", "text/plain", id_col="doc_id")
-    return extract_features(media, feature_dim=8)
+    feats = extract_features(media, feature_dim=8)
+    # scalars only: the driver's canonicalizer sorts rows with pandas,
+    # which cannot hash list cells — fingerprint the vector instead
+    return feats.select(
+        "media_id", "mime_type", "n_bytes", "decode_ok",
+        F.size("feature").alias("feature_dim"),
+        F.md5(F.concat_ws(",", F.transform(
+            "feature", lambda x: F.format_number(x.cast("double"), 5)
+        ))).alias("feature_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1394,24 +1407,24 @@ def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_quality_gate",
     """
     SELECT 'rule_c_acctbal' AS check, COUNT(*) AS n_rows,
-           SUM(CASE WHEN c_acctbal IS NOT NULL
+           CAST(SUM(CASE WHEN c_acctbal IS NOT NULL
                          AND NOT (c_acctbal >= -1000.0 AND c_acctbal <= 11000.0)
-                    THEN 1 ELSE 0 END) AS n_violations
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
     FROM customer
     UNION ALL
     SELECT 'rule_c_mktsegment', COUNT(*),
-           SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+           CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
                          ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')
-                    THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer
     UNION ALL
     SELECT 'rule_c_name', COUNT(*),
-           SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#')
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#')
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer
     UNION ALL
     SELECT 'nulls_c_nationkey', COUNT(*),
-           SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer
     """,
 )
@@ -1602,7 +1615,7 @@ def q51_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM b GROUP BY 1
     """,
 )
@@ -1669,10 +1682,10 @@ def q53_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seeded
     )
     SELECT COUNT(*) AS n_docs,
-           SUM(CASE WHEN clean <> raw THEN 1 ELSE 0 END) AS n_redacted,
-           SUM(CAST(len(raw) - len(clean) AS BIGINT)) AS chars_removed,
-           SUM(CAST(len(clean) - len(replace(clean, '<EMAIL>', ''))
-                    AS BIGINT)) / 7 AS n_emails
+           CAST(SUM(CASE WHEN clean <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST(SUM(len(clean) - len(replace(clean, '<EMAIL>', '')))
+                AS BIGINT) / 7 AS n_emails
     FROM red
     """,
 )
@@ -1794,22 +1807,23 @@ def q57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the ORIGINAL table — the SQL oracle checks that."""
     import tempfile
 
-    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming import replay_stream_ordered, state_partitions
 
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     dupes = e.filter(F.col("event_id") % 10 == 0)
     stream, _dir = replay_stream_ordered(
-        e.unionAll(dupes), "ts", num_chunks=3,
+        e.unionAll(dupes), "ts", num_chunks=2,
         dir=tempfile.mkdtemp(prefix="goetl_q57_"))
     dedup = (stream.withWatermark("ts", "1 hour")
              .dropDuplicatesWithinWatermark(["event_id"]))
     name = "goetl_q57_result"
-    q = (dedup.writeStream.format("memory").queryName(name)
-         .outputMode("append").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark, 4):
+        q = (dedup.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
 
@@ -1836,7 +1850,8 @@ def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — checked exactly by the SQL oracle."""
     import tempfile
 
-    from goetl_spark.streaming import append_replay_file, replay_stream_ordered
+    from goetl_spark.streaming import (
+        append_replay_file, replay_stream_ordered, state_partitions)
 
     # a 25% user subsample: the query verifies streaming-join CORRECTNESS
     # (state, watermarks, flush); state-store overhead per micro-batch
@@ -1846,46 +1861,42 @@ def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("ts", "user_id", "event_type", "value"))
     p_batch = e.filter(F.col("event_type") == "purchase")
     v_batch = e.filter(F.col("event_type") == "view")
-    # fewer state partitions for the tiny per-batch volumes (the conf is
-    # read at stream start; restored after)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    p_stream, p_dir = replay_stream_ordered(
-        p_batch, "ts", num_chunks=1, max_files_per_trigger=None,
-        dir=tempfile.mkdtemp(prefix="goetl_q58p_"))
-    v_stream, v_dir = replay_stream_ordered(
-        v_batch, "ts", num_chunks=1, max_files_per_trigger=None,
-        dir=tempfile.mkdtemp(prefix="goetl_q58v_"))
+    with state_partitions(spark, 4):
+        p_stream, p_dir = replay_stream_ordered(
+            p_batch, "ts", num_chunks=1, max_files_per_trigger=None,
+            dir=tempfile.mkdtemp(prefix="goetl_q58p_"))
+        v_stream, v_dir = replay_stream_ordered(
+            v_batch, "ts", num_chunks=1, max_files_per_trigger=None,
+            dir=tempfile.mkdtemp(prefix="goetl_q58v_"))
 
-    p = (p_stream.withWatermark("ts", "1 hour")
-         .select(F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user"),
-                 F.col("value").alias("p_value")))
-    v = (v_stream.withWatermark("ts", "1 hour")
-         .select(F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user"),
-                 F.col("value").alias("v_value")))
-    joined = p.join(
-        v,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 4 HOURS"))
-        & (F.col("v_ts") <= F.col("p_ts")),
-    )
-    name = "goetl_q58_result"
-    q = (joined.writeStream.format("memory").queryName(name)
-         .outputMode("append").start())
-    try:
-        q.processAllAvailable()
-        # sentinel: unmatched far-future rows push both watermarks past
-        # every real event, flushing all remaining join state
-        import datetime
+        p = (p_stream.withWatermark("ts", "1 hour")
+             .select(F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user"),
+                     F.col("value").alias("p_value")))
+        v = (v_stream.withWatermark("ts", "1 hour")
+             .select(F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user"),
+                     F.col("value").alias("v_value")))
+        joined = p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 4 HOURS"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        name = "goetl_q58_result"
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            # sentinel: unmatched far-future rows push both watermarks past
+            # every real event, flushing all remaining join state
+            import datetime
 
-        far = datetime.datetime(2030, 1, 1)
-        # distinct sentinel user ids — identical ids would join each other
-        append_replay_file(p_batch, [(far, -1, "purchase", 0.0)], p_dir)
-        append_replay_file(v_batch, [(far, -2, "view", 0.0)], v_dir)
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            far = datetime.datetime(2030, 1, 1)
+            # distinct sentinel user ids — identical ids would join each other
+            append_replay_file(p_batch, [(far, -1, "purchase", 0.0)], p_dir)
+            append_replay_file(v_batch, [(far, -2, "view", 0.0)], v_dir)
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         dsum("p_value", "purchase_value"),
@@ -1930,7 +1941,7 @@ def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch-order-invariant), which the SQL oracle checks exactly."""
     import tempfile
 
-    from goetl_spark.streaming import replay_stream
+    from goetl_spark.streaming import replay_stream, state_partitions
     from goetl_spark.streaming.stateful import running_stats_stream
 
     e = _t(spark, sf_dir, "events").select("event_type", "value")
@@ -1938,12 +1949,13 @@ def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dir=tempfile.mkdtemp(prefix="goetl_q48_"))
     updates = running_stats_stream(stream, "event_type", "value")
     name = "goetl_q48_result"
-    q = (updates.writeStream.format("memory").queryName(name)
-         .outputMode("update").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark, 4):
+        q = (updates.writeStream.format("memory").queryName(name)
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # memory sink appends every per-batch update; the final state per key
     # is the row with the highest running count (strictly increasing)
     return (

@@ -17,10 +17,11 @@ from goetl_spark.streaming.sources import (
     rate_stream,
     replay_stream,
     replay_stream_ordered,
+    state_partitions,
 )
 
 __all__ = [
     "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
     "rate_stream", "file_stream", "replay_stream", "replay_stream_ordered",
-    "append_replay_file",
+    "append_replay_file", "state_partitions",
 ]

@@ -17,8 +17,26 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 4):
+    """Temporarily lower ``spark.sql.shuffle.partitions`` while a
+    streaming query runs. Stateful operators keep one state store per
+    shuffle partition and touch every store every micro-batch, so at
+    demo data volumes the per-store fixed cost dominates wall time —
+    fewer partitions is a direct overhead cut. The value is latched at
+    ``.start()``, so enter this context before starting the query. On a
+    real cluster you would size this to state volume instead."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:

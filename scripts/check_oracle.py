@@ -46,6 +46,15 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
     s, d = normalize(spark_pd), normalize(duck_pd)
     for col in s.columns:
         sv, dv = s[col], d[col]
+        # the driver hashes canonicalized VALUES: int64 45 vs float64 45.0
+        # stringify differently and break its hash even when numerically
+        # equal (DuckDB SUM(int) -> HUGEINT -> float64). Flag dtype-kind
+        # skew between int and float as a hard failure.
+        if {sv.dtype.kind, dv.dtype.kind} == {"i", "f"}:
+            problems.append(
+                f"col {col}: dtype-kind skew spark={sv.dtype} duck={dv.dtype} "
+                "(driver hash would fail; CAST the oracle aggregate)")
+            continue
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sv2 = pd.to_numeric(sv, errors="coerce")
             dv2 = pd.to_numeric(dv, errors="coerce")

@@ -296,6 +296,14 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fell off max_iter with labels still moving (diameter > max_iter,
+        # e.g. a long chain of near-dups): partial labels would silently
+        # split one component into several clusters
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed grow with graph diameter, not data size")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -340,6 +340,18 @@ class DAGExecutor:
     def _with_timeout(self, task: Task, ctx: TaskContext):
         if task.timeout_seconds is None:
             return task.fn(ctx)
-        with ThreadPoolExecutor(1) as pool:
-            fut = pool.submit(task.fn, ctx)
+        # non-blocking shutdown: `with ThreadPoolExecutor` would call
+        # shutdown(wait=True) and hang until the stuck task returns.
+        # Python can't preempt a running thread, so a timed-out task may
+        # keep running in the abandoned worker (and will still be joined
+        # at interpreter exit) — but the DAG proceeds immediately, and a
+        # retry runs on a FRESH pool, never queued behind the hung
+        # attempt. Callers mutating ctx from a timed-out task must make
+        # those writes idempotent.
+        pool = ThreadPoolExecutor(
+            1, thread_name_prefix=f"goetl-task-{task.task_id}")
+        fut = pool.submit(task.fn, ctx)
+        try:
             return fut.result(timeout=task.timeout_seconds)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)

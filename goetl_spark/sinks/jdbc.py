@@ -56,6 +56,11 @@ def build_upsert_sql(
         updates = ", ".join(
             f"{c} = EXCLUDED.{c}" for c in cols if c not in keys
         )
+        # every column is a key → nothing to update; `DO UPDATE SET` with
+        # an empty list is invalid SQL (the reference can't hit this: it
+        # takes explicit UpdateColumns, postgresql.go:551-561)
+        if not updates:
+            return f"{sql} ON CONFLICT ({key_list}) DO NOTHING"
         return f"{sql} ON CONFLICT ({key_list}) DO UPDATE SET {updates}"
     return f"{sql} ON CONFLICT ({key_list}) DO NOTHING"
 

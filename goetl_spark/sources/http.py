@@ -130,7 +130,10 @@ class HTTPReader:
             return (f"{self.url}{sep}{self.offset_param}={page_idx * self.page_size}"
                     f"&{self.limit_param}={self.page_size}")
         if self.pagination == PaginationMode.PAGE:
-            return f"{self.url}{sep}{self.page_param}={page_idx + 1}"
+            # send the page size too (http.go:436 sends PageSize) so the
+            # short-page early stop below is meaningful in PAGE mode
+            return (f"{self.url}{sep}{self.page_param}={page_idx + 1}"
+                    f"&{self.limit_param}={self.page_size}")
         if self.pagination == PaginationMode.CURSOR and cursor:
             return f"{self.url}{sep}{self.cursor_param}={cursor}"
         return self.url
@@ -163,8 +166,10 @@ class HTTPReader:
                 next_url = _parse_link_next(resp.headers.get("Link", ""))
                 if not next_url:
                     break
-            elif len(page_records) < self.page_size \
-                    and self.pagination == PaginationMode.OFFSET:
+            elif len(page_records) < self.page_size and self.pagination in (
+                    PaginationMode.OFFSET, PaginationMode.PAGE):
+                # short page = last page (http.go:776) — saves up to
+                # max_pages-1 wasted requests vs waiting for an empty page
                 break
         return records
 

@@ -58,9 +58,12 @@ def running_stats_stream(
             }
         )
 
+    # key field keeps the stream's own type (a hardcoded `string` would
+    # make e.g. a bigint user_id key fail schema validation at runtime)
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n_events long, "
+        outputStructType=f"{key_col} {key_type}, n_events long, "
                          "min_value double, max_value double",
         stateStructType="n long, mn double, mx double",
         outputMode="update",

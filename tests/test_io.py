@@ -191,6 +191,35 @@ def test_upsert_sql():
         build_upsert_sql("t; DROP TABLE x", ["id"], ["id"])
 
 
+def test_upsert_sql_all_columns_are_keys():
+    # empty non-key update list must not emit `DO UPDATE SET ` (ADVICE r01)
+    sql = build_upsert_sql("t", ["id", "k2"], ["id", "k2"])
+    assert sql.endswith("ON CONFLICT (id, k2) DO NOTHING")
+
+
+def test_http_page_pagination_sends_limit_and_stops_short():
+    urls: list[str] = []
+    pages = [
+        {"data": [{"id": 1}, {"id": 2}]},
+        {"data": [{"id": 3}]},   # short page → stop (http.go:776)
+        {"data": [{"id": 99}]},  # must never be fetched
+    ]
+
+    def fetch(url, headers, timeout):
+        urls.append(url)
+        import urllib.parse
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        idx = int(q["page"][0]) - 1
+        return HTTPResponse(200, json.dumps(pages[idx]).encode())
+
+    r = HTTPReader("http://api.test/items", pagination=PaginationMode.PAGE,
+                   page_size=2, data_path="data", fetch_fn=fetch)
+    recs = r.fetch_records()
+    assert [x["id"] for x in recs] == [1, 2, 3]
+    assert len(urls) == 2, "short page must end PAGE-mode pagination"
+    assert all("limit=2" in u for u in urls), "PAGE mode must send page size"
+
+
 class _FileConn:
     """Fake DBAPI connection recording committed batches to a file —
     executor processes share only the filesystem, so that's where the

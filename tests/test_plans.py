@@ -175,6 +175,28 @@ def test_dag_timeout():
     assert res["t"].status == TaskStatus.FAILED
 
 
+def test_dag_timeout_does_not_block_executor():
+    """Timeout must preempt the WAIT, not just raise: shutdown(wait=True)
+    would park the executor until the hung task returns (ADVICE r01)."""
+    def hung(ctx):
+        time.sleep(8)
+
+    def quick(ctx):
+        return None
+
+    dag = (DAGBuilder()
+           .add_task("hung", hung, timeout_seconds=0.2)
+           .add_task("after", quick, dependencies=["hung"],
+                     trigger_rule=TriggerRule.ALL_COMPLETE)
+           .build())
+    t0 = time.time()
+    res = DAGExecutor().execute(dag)
+    elapsed = time.time() - t0
+    assert res["hung"].status == TaskStatus.FAILED
+    assert res["after"].status == TaskStatus.SUCCESS
+    assert elapsed < 4, f"executor blocked on hung task ({elapsed:.1f}s)"
+
+
 def test_trigger_rules():
     def fail(ctx):
         raise RuntimeError("boom")

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
+from goetl_spark.stats import IOStats
+
 
 def write_csv(
     df: DataFrame,
@@ -32,12 +34,20 @@ def write_csv(
     crlf: bool = False,
     columns: Sequence[str] | None = None,
     partitions: int | None = None,
+    stats: IOStats | None = None,
 ) -> None:
-    """CSV writer (NewCSVWriter parity, writers/csv.go:125-303)."""
+    """CSV writer (NewCSVWriter parity, writers/csv.go:125-303).
+
+    ``stats`` is filled by the write job itself (the reference's
+    per-writer null-count bookkeeping, writers/csv.go:173-175 /
+    json.go:169-172) — no second scan.
+    """
     if columns:
         df = df.select(*columns)
     if partitions:
         df = df.coalesce(partitions)
+    if stats:
+        df = stats.attach(df)
     w = (df.write.mode(mode)
          .option("header", header)
          .option("sep", delimiter)
@@ -51,11 +61,15 @@ def write_csv(
 def write_jsonl(
     df: DataFrame, path: str, mode: str = "overwrite",
     partitions: int | None = None,
+    stats: IOStats | None = None,
 ) -> None:
     """JSONL writer (NewJSONWriter parity, writers/json.go:93-283).
-    Spark's JSON sink emits line-delimited JSON natively."""
+    Spark's JSON sink emits line-delimited JSON natively. ``stats`` is
+    filled by the write pass (json.go:169-172 parity)."""
     if partitions:
         df = df.coalesce(partitions)
+    if stats:
+        df = stats.attach(df)
     df.write.mode(mode).json(path)
 
 
@@ -67,14 +81,19 @@ def write_parquet(
     row_group_size: int | None = None,
     partition_by: Sequence[str] | None = None,
     partitions: int | None = None,
+    stats: IOStats | None = None,
 ) -> None:
     """Parquet writer (NewParquetWriter parity, writers/parquet.go:64-825).
 
     ``partition_by`` (beyond reference) is THE 100 TB lever: directory
-    partitioning gives readers partition pruning for free.
+    partitioning gives readers partition pruning for free. ``stats`` is
+    filled by the write pass (writers track record/null counts as they
+    stream, parquet.go parity with csv.go:173-175).
     """
     if partitions:
         df = df.coalesce(partitions)
+    if stats:
+        df = stats.attach(df)
     w = df.write.mode(mode).option("compression", compression)
     if row_group_size:
         w = w.option("parquet.block.size", str(row_group_size))

@@ -77,8 +77,18 @@ class JdbcUpsertWriter:
     max_errors: int = 0  # abort after this many failed batches (0 = fail fast)
     create_table_ddl: str | None = None
     truncate: bool = False
+    # error-state latch (postgresql.go:275-277): once a write blows the
+    # budget the writer stays failed — later write() calls raise
+    # immediately instead of silently hammering a broken target
+    _latched_error: str | None = field(default=None, init=False, repr=False)
+    #: failed-batch count of the last write() (accumulator total)
+    error_count: int = field(default=0, init=False)
 
     def write(self, df: DataFrame) -> None:
+        if self._latched_error is not None:
+            raise RuntimeError(
+                f"writer latched after earlier failure: {self._latched_error}"
+            )
         sql_template_cols = df.columns
         sql = build_upsert_sql(
             self.table, sql_template_cols, self.key_columns, self.update_on_conflict
@@ -101,6 +111,13 @@ class JdbcUpsertWriter:
                 conn.commit()
             finally:
                 conn.close()
+
+        # cumulative error budget across ALL partitions via accumulator
+        # (postgresql.go:275-277 latches writer.err after MaxErrors).
+        # Executors can't READ an accumulator, so the global check runs
+        # driver-side after the job; each partition still fail-fasts
+        # locally once its own failures alone exceed the whole budget.
+        err_acc = df.sparkSession.sparkContext.accumulator(0)
 
         def write_partition(rows):
             conn = connect_fn()
@@ -126,11 +143,24 @@ class JdbcUpsertWriter:
                 return 0
             except Exception:
                 conn.rollback()
+                err_acc.add(1)
                 if errs_so_far + 1 > max_errs:
                     raise
                 return 1
 
-        df.foreachPartition(write_partition)
+        try:
+            df.foreachPartition(write_partition)
+        except Exception as exc:
+            self._latched_error = f"partition write failed: {exc}"
+            self.error_count = err_acc.value
+            raise
+        self.error_count = err_acc.value
+        if self.error_count > max_errors:
+            self._latched_error = (
+                f"{self.error_count} failed batches exceeds "
+                f"max_errors={max_errors}"
+            )
+            raise RuntimeError(f"upsert aborted: {self._latched_error}")
 
 
 def write_jdbc(

@@ -22,6 +22,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from goetl_spark.stats import IOStats
+
 
 def read_csv(
     spark: SparkSession,
@@ -33,12 +35,27 @@ def read_csv(
     null_value: str = "",
     schema: str | None = None,
     columns: Sequence[str] | None = None,
+    stats: IOStats | None = None,
 ) -> DataFrame:
     """CSV → DataFrame (NewCSVReader parity, readers/csv.go:92-218).
 
     With ``header=False`` columns are renamed to the reference's
     synthesized ``col_0..col_N`` (csv.go:171-176) in place of Spark's
     ``_c0.._cN`` (skipped when an explicit ``schema`` names them).
+
+    Pass an :class:`IOStats` to get the reference's per-reader record
+    count + per-field null counts (csv.go:54-60) from the same pass.
+
+    Type-inference deviation (documented, tested in test_io): the
+    reference infers per-VALUE — one CSV column can yield int in one
+    record and string in the next (csv.go:204-218, records are
+    ``map[string]any``). Spark's ``inferSchema`` is per-COLUMN: the
+    whole column gets the narrowest type covering every value, so a
+    mixed ``[1, "x"]`` column reads as string for ALL rows. Columnar
+    engines need a single column type; the per-value behavior cannot
+    exist in any SQL engine, and the column-level result is what the
+    reference's own downstream type filters effectively see after a
+    ConvertType.
     """
     reader = (
         spark.read.option("header", header)
@@ -55,7 +72,9 @@ def read_csv(
     df = reader.csv(path)
     if not header and not schema:
         df = df.toDF(*[f"col_{i}" for i in range(len(df.columns))])
-    return df.select(*columns) if columns else df
+    if columns:
+        df = df.select(*columns)
+    return stats.attach(df) if stats else df
 
 
 def read_jsonl(
@@ -63,6 +82,7 @@ def read_jsonl(
     path: str,
     schema: str | None = None,
     columns: Sequence[str] | None = None,
+    stats: IOStats | None = None,
 ) -> DataFrame:
     """Line-delimited JSON → DataFrame (NewJSONReader parity,
     readers/json.go:77-162). Spark's JSON source IS JSONL."""
@@ -70,17 +90,22 @@ def read_jsonl(
     if schema:
         reader = reader.schema(schema)
     df = reader.json(path)
-    return df.select(*columns) if columns else df
+    if columns:
+        df = df.select(*columns)
+    return stats.attach(df) if stats else df
 
 
 def read_parquet(
     spark: SparkSession,
     path: str,
     columns: Sequence[str] | None = None,
+    stats: IOStats | None = None,
 ) -> DataFrame:
     """Parquet → DataFrame (NewParquetReader parity,
     readers/parquet.go:52-458). ``columns`` mirrors the reference's
     projection pushdown — Catalyst prunes the scan to exactly these
     columns (check ReadSchema in .explain)."""
     df = spark.read.parquet(path)
-    return df.select(*columns) if columns else df
+    if columns:
+        df = df.select(*columns)
+    return stats.attach(df) if stats else df

@@ -1,0 +1,82 @@
+"""Per-pass I/O statistics via the Spark Observation API.
+
+Every reference reader and writer tracks record count and per-field null
+counts as a side effect of the data pass (readers/csv.go:54-60,163-165;
+writers/json.go:169-172) and prints them per pipeline run. The Spark-
+native equivalent is ``DataFrame.observe``: metric expressions evaluated
+by the SAME job that materializes the data — no second scan, no extra
+job, and the aggregation happens executor-side with only the final
+scalar row returned to the driver (scale-safe at 100 TB: the observation
+adds one tiny partial-agg to the existing pass).
+
+Usage (reader side, out-param keeps the DataFrame return type)::
+
+    stats = IOStats()
+    df = read_csv(spark, path, stats=stats)
+    df.write.parquet(out)          # any action materializes the metrics
+    stats.record_count             # filled by that pass
+    stats.null_counts["price"]
+
+Writer side, the write IS the action, so stats are ready on return::
+
+    stats = write_parquet(df, out)
+    stats.null_counts
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+_names = itertools.count()
+
+
+class IOStats:
+    """Record count + per-field null counts from one data pass.
+
+    Properties block until an action has run on the observed DataFrame
+    (``Observation.get`` semantics) — mirroring the reference where the
+    stats maps are only meaningful after ``Read``/``Write`` loops finish
+    (readers/csv.go:54-60).
+
+    Null counting matches the reference: a CSV empty string arrives as
+    NULL (readers read with ``nullValue=""``), so ``null_counts`` covers
+    the reference's "null or empty" bookkeeping (csv.go:163-165).
+    """
+
+    def __init__(self) -> None:
+        self._obs: Observation | None = None
+        self._fields: list[str] = []
+
+    def attach(self, df: DataFrame) -> DataFrame:
+        """Instrument ``df``; returns the observed DataFrame to hand on."""
+        if self._obs is not None:
+            raise ValueError("IOStats is single-use: one stats object per pass")
+        self._obs = Observation(f"goetl_io_stats_{next(_names)}")
+        self._fields = list(df.columns)
+        metrics = [F.count(F.lit(1)).alias("_records")]
+        metrics += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{i}")
+            for i, c in enumerate(self._fields)
+        ]
+        return df.observe(self._obs, *metrics)
+
+    @property
+    def _values(self) -> dict:
+        if self._obs is None:
+            raise ValueError("IOStats not attached to any DataFrame")
+        return self._obs.get
+
+    @property
+    def record_count(self) -> int:
+        return int(self._values["_records"])
+
+    @property
+    def null_counts(self) -> dict[str, int]:
+        vals = self._values
+        return {
+            c: int(vals[f"_nulls_{i}"] or 0)
+            for i, c in enumerate(self._fields)
+        }

@@ -19,6 +19,7 @@ from goetl_spark.sources.http import (
 from goetl_spark.sources.jdbc import jdbc_options
 from goetl_spark.sources.mongo import mongo_options
 from goetl_spark.sinks.files import write_csv, write_jsonl, write_parquet
+from goetl_spark.stats import IOStats
 from goetl_spark.sinks.jdbc import JdbcUpsertWriter, build_upsert_sql
 
 
@@ -71,6 +72,49 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     assert sorted(d for d in os.listdir(p) if d.startswith("k=")) == ["k=x", "k=y"]
     back = read_parquet(spark, p, columns=["v"])
     assert back.columns == ["v"] and back.count() == 2
+
+
+# --- per-pass I/O stats (readers/csv.go:54-60, writers/json.go:169-172) -----
+
+def test_read_stats_one_pass_no_extra_jobs(spark, tmp_path):
+    p = str(tmp_path / "stats_src")
+    _df(spark).write.parquet(p)
+    stats = IOStats()
+    df = read_parquet(spark, p, stats=stats)
+    assert df.count() == 2                       # the ONE materializing pass
+    jobs_before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    assert stats.record_count == 2
+    assert stats.null_counts == {"id": 0, "name": 1, "score": 1}
+    jobs_after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "reading stats must not launch a job"
+
+
+def test_write_stats_filled_by_write_pass(spark, tmp_path):
+    p = str(tmp_path / "stats_out")
+    stats = IOStats()
+    write_parquet(_df(spark), p, stats=stats)    # write IS the action
+    assert stats.record_count == 2
+    assert stats.null_counts["name"] == 1 and stats.null_counts["id"] == 0
+
+
+def test_stats_single_use(spark):
+    stats = IOStats()
+    stats.attach(_df(spark))
+    with pytest.raises(ValueError, match="single-use"):
+        stats.attach(_df(spark))
+
+
+def test_csv_inference_is_column_level_deviation(spark, tmp_path):
+    """Documented deviation from readers/csv.go:204-218: the reference
+    types each VALUE independently (row 1 gets int 1, row 2 gets string
+    "x" in the same column); Spark's inferSchema types the COLUMN, so a
+    mixed column uniformly widens to string. This test pins the Spark
+    behavior the docstring promises."""
+    src = tmp_path / "mixed.csv"
+    src.write_text("a,b\n1,10\nx,20\n")
+    df = read_csv(spark, str(src))
+    assert dict(df.dtypes) == {"a": "string", "b": "int"}
+    assert {r.a for r in df.collect()} == {"1", "x"}  # int value widened too
 
 
 # --- HTTP fetcher (readers/http.go port) ------------------------------------
@@ -271,6 +315,52 @@ def test_jdbc_upsert_foreach_partition(spark, tmp_path):
     rows = [tuple(r) for _, batch in committed if batch for r in batch]
     assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
     assert all("ON CONFLICT (id) DO UPDATE" in s for s, b in committed if b)
+
+
+class _FlakyConn(_FileConn):
+    """Fake DBAPI connection where any batch containing a poison row
+    fails at commit — simulates per-batch constraint violations."""
+
+    def executemany(self, sql, rows):
+        if any(r[1] == "poison" for r in rows):
+            raise RuntimeError("constraint violation")
+        super().executemany(sql, rows)
+
+
+def test_jdbc_upsert_error_budget_tolerates_within_max(spark, tmp_path):
+    out = str(tmp_path / "commits_ok")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [Row(id=i, v="poison" if i in (2, 5) else f"v{i}") for i in range(8)]
+    ).repartition(4)
+    w = JdbcUpsertWriter(
+        table="target", key_columns=["id"],
+        connect_fn=lambda: _FlakyConn(out), batch_size=1, max_errors=5,
+    )
+    w.write(df)                      # 2 failed batches < budget of 5
+    assert w.error_count == 2
+    committed = []
+    for fn in os.listdir(out):
+        committed.extend(json.load(open(os.path.join(out, fn))))
+    rows = sorted(r[0] for _, batch in committed if batch for r in batch)
+    assert rows == [0, 1, 3, 4, 6, 7]   # good rows landed, poison skipped
+
+
+def test_jdbc_upsert_error_budget_latches_past_max(spark, tmp_path):
+    out = str(tmp_path / "commits_bad")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [Row(id=i, v="poison" if i % 2 else f"v{i}") for i in range(6)]
+    ).repartition(2)
+    w = JdbcUpsertWriter(
+        table="target", key_columns=["id"],
+        connect_fn=lambda: _FlakyConn(out), batch_size=1, max_errors=1,
+    )
+    with pytest.raises(Exception):
+        w.write(df)                  # 3 failed batches > budget of 1
+    # error-state latch (postgresql.go:275-277): writer stays failed
+    with pytest.raises(RuntimeError, match="latched"):
+        w.write(df)
 
 
 def test_mongo_options_find_pushdown():

@@ -1792,6 +1792,87 @@ def q56_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_lsh_bucket(col: str) -> str:
+    """DuckDB expression mirroring similarity.rp_lsh_bucket bit-for-bit:
+    same plane literals (repr round-trips doubles exactly), same
+    list_inner_product that already matches the Spark fold in q26-q28."""
+    from goetl_spark.operators.similarity import random_hyperplanes
+
+    terms = []
+    for j, h in enumerate(random_hyperplanes(64, 6, 42)):
+        arr = "[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({col}, {arr}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q59_ann_lsh",
+    f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+               {_duck_lsh_bucket('CAST(embedding AS DOUBLE[])')} AS bkt
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv, bkt AS q_bucket FROM b WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, ev AS cv, bkt AS c_bucket FROM b),
+    s AS (
+        SELECT query_id, neighbor_id,
+               {_DUCK_COS.format(a='qv', b='cv')} AS cos_sim
+        FROM c JOIN q ON c_bucket = q_bucket AND neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q59_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN where the blocking bucket is computed INSIDE the engine —
+    random-hyperplane LSH sign bits — instead of q27's precomputed label
+    column (round-1 verdict item 8;
+    operators/similarity.py::knn_lsh/rp_lsh_bucket)."""
+    from goetl_spark.operators.similarity import knn_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_lsh(e, e.filter(F.col("vec_id") < 20), k=5,
+                  n_planes=6, seed=42, dim=64)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+@register(
+    "q60_fanin_heterogeneous",
+    """
+    SELECT c_name AS name, c_mktsegment AS segment,
+           'customer' AS kind, CAST(NULL AS DOUBLE) AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT s_name, CAST(NULL AS VARCHAR), 'supplier', CAST(s_acctbal AS DOUBLE)
+    FROM supplier
+    """,
+)
+def q60_fanin_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-in over HETEROGENEOUS schemas: customer rows carry mktsegment,
+    supplier rows carry acctbal; the other side's column is NULL-filled
+    by name — the reference's map-of-fields concatenation semantics
+    (dag/dag_executor.go:352-376; round-1 verdict item 9). q09 covers the
+    homogeneous path; this exercises allowMissingColumns."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+    return fan_in([c, s]).select("name", "segment", "kind", "acctbal")
+
+
 @register(
     "q57_streaming_dedup",
     f"""

@@ -109,6 +109,35 @@ def test_knn_ivf_restricts_to_bucket(spark):
     assert {r.neighbor_id for r in out} == {4}  # only same-label searched
 
 
+def test_rp_lsh_buckets_group_neighbors(spark):
+    from goetl_spark.operators.similarity import (
+        knn_lsh, random_hyperplanes, rp_lsh_bucket)
+
+    # planes are deterministic: same seed → same literals everywhere
+    assert random_hyperplanes(3, 4, 7) == random_hyperplanes(3, 4, 7)
+
+    v = _vecs(spark)
+    planes = random_hyperplanes(3, 8, 42)
+    got = {r.vec_id: r.b for r in
+           v.select("vec_id",
+                    rp_lsh_bucket(F.col("embedding"), planes).alias("b")
+                    ).collect()}
+    # engine buckets must equal a straight numpy recomputation
+    import numpy as np
+    H = np.array(planes)
+    for r in _vecs(spark).collect():
+        bits = (H @ np.array(r.embedding) >= 0).astype(int)
+        assert got[r.vec_id] == int(sum(b << j for j, b in enumerate(bits)))
+    # near-identical vectors share a bucket; orthogonal ones don't
+    # (3 vs 4 differ on one plane with this seed — LSH is probabilistic,
+    # P(bit flip) = θ/π per plane, and that's fine: candidates are a
+    # recall/cost dial, not an exactness contract)
+    assert got[1] == got[2] and got[1] != got[3]
+
+    out = knn_lsh(v, v.filter(F.col("vec_id") == 1), k=3, n_planes=8).collect()
+    assert {r.neighbor_id for r in out} == {2}  # only same-bucket searched
+
+
 def test_embedding_neardup(spark):
     out = embedding_neardup_pairs(_vecs(spark), threshold=0.9, bucket_col="label")
     got = {(r.id_a, r.id_b) for r in out.collect()}

@@ -1874,6 +1874,44 @@ def q60_fanin_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q61_mix_sources",
+    """
+    WITH b AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 2 = 1
+                 AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 10000 < 3000),
+    u AS (
+        SELECT doc_id, text, 0 AS source FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, text, 1 AS source FROM b
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens
+    FROM u GROUP BY source
+    """,
+)
+def q61_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture (operators/sampling.py::mix_sources): two
+    sources — even doc_ids at weight 1.0, odd at 0.3 — hash-sampled per
+    row and unioned by name. Membership is the md5-bucket rule, so the
+    mixture is reproducible across engines and incremental rebuilds keep
+    prior rows; the union itself is shuffle-free."""
+    from goetl_spark.operators.sampling import mix_sources
+    from goetl_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mixed = mix_sources(
+        [(d.filter(F.col("doc_id") % 2 == 0), 1.0),
+         (d.filter(F.col("doc_id") % 2 == 1), 0.3)],
+        key_col="doc_id",
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -1,0 +1,84 @@
+"""Streaming sinks: checkpointed file append and foreachBatch upsert.
+
+The reference's writers are all batch (SURVEY §2.2); its roadmap's
+"stream processing pipelines" (README.md:654-658) implies sinks that
+consume unbounded input. These wire Structured Streaming's two
+production patterns:
+
+- :func:`stream_parquet_sink` — the native file sink: exactly-once via
+  the checkpoint + file-manifest commit protocol, partitioned append.
+- :func:`stream_upsert_jdbc` — ``foreachBatch`` into
+  :class:`~goetl_spark.sinks.jdbc.JdbcUpsertWriter`. foreachBatch is
+  at-least-once (a failed micro-batch re-runs), so the delivery contract
+  comes from the WRITE being idempotent: upsert by key converges to the
+  same final table no matter how many times a batch replays — the
+  standard exactly-once-on-keys recipe for transactional stores.
+
+Scale notes: each micro-batch is a normal DataFrame job, so everything
+the batch writers do (partition fan-out = connection fan-out, error
+budget latch, per-batch transactions) applies unchanged per trigger.
+State here is only Spark's checkpoint — nothing driver-resident grows
+with stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from goetl_spark.sinks.jdbc import JdbcUpsertWriter
+
+
+def stream_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Append a stream to a parquet directory, exactly-once.
+
+    The file sink commits each batch's files through the checkpoint
+    manifest, so readers never see partial batches and restarts never
+    duplicate them. ``trigger_available_now`` drains what exists and
+    stops — the batch-backfill mode; pass False for a continuous query.
+    """
+    w = (stream_df.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_upsert_jdbc(
+    stream_df: DataFrame,
+    writer: JdbcUpsertWriter,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously upsert a (possibly aggregated) stream into a table.
+
+    ``output_mode="update"`` pairs with streaming aggregations: each
+    trigger emits only the keys whose aggregate changed, and the upsert
+    overwrites exactly those rows — the streaming materialized-view
+    pattern (batch counterpart: writers/postgresql.go:544-567 upsert).
+    A replayed micro-batch re-upserts the same keys to the same values,
+    so duplicates cannot occur in the target.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer.write(batch_df)
+
+    w = (stream_df.writeStream.foreachBatch(_write_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(output_mode))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -116,19 +116,26 @@ def append_replay_file(
 ) -> None:
     """Append one more file to an ordered-replay directory (picked up by
     the running stream on its next trigger). Used for watermark-advancing
-    sentinels."""
-    import shutil
+    sentinels.
 
-    spark = template_df.sparkSession
-    stage = tempfile.mkdtemp(prefix="goetl_sentinel_")
-    spark.createDataFrame(rows, template_df.schema).coalesce(1)\
-        .write.mode("overwrite").parquet(stage)
-    src = next(
-        os.path.join(stage, f) for f in os.listdir(stage)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    Written with pyarrow DIRECTLY, not a Spark job: the stream is already
+    running when sentinels land, so a Spark write here queues behind (and
+    triggers) concurrent micro-batches — measured 10 s of a 15 s
+    stream-stream-join demo. An in-process arrow write is milliseconds,
+    and dropping both sides' sentinels within the same poll interval lets
+    one micro-batch flush everything.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(template_df.schema)
+    arrays = [
+        pa.array([row[i] for row in rows], type=schema.field(i).type)
+        for i in range(len(schema))
+    ]
     dst = os.path.join(dir, name)
-    shutil.copy(src, dst)
+    pq.write_table(pa.Table.from_arrays(arrays, schema=schema), dst)
     os.utime(dst, (10_000_000, 10_000_000))
 
 

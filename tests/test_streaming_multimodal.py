@@ -218,3 +218,56 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert n == base.count()  # duplicates removed, originals intact
+
+
+def test_stream_parquet_sink_exactly_once(spark, tmp_path):
+    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming.sinks import stream_parquet_sink
+
+    e = _events(spark)
+    stream, _ = replay_stream_ordered(e, "ts", num_chunks=2,
+                                      dir=str(tmp_path / "src"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_parquet_sink(stream, out, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 4
+    # restart from the same checkpoint: nothing new → no duplicates
+    stream2, _ = replay_stream_ordered(e, "ts", num_chunks=2,
+                                       dir=str(tmp_path / "src"))
+    q2 = stream_parquet_sink(stream2, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_stream_upsert_jdbc_foreachbatch(spark, tmp_path):
+    import json as j
+    import os
+
+    from test_io import _FileConn
+
+    from goetl_spark.sinks.jdbc import JdbcUpsertWriter
+    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming.sinks import stream_upsert_jdbc
+
+    commits = str(tmp_path / "commits")
+    os.makedirs(commits)
+    e = _events(spark).select("user_id", "value", "ts")
+    stream, _ = replay_stream_ordered(e, "ts", num_chunks=2,
+                                      dir=str(tmp_path / "src2"))
+    # running per-user totals, upserted per micro-batch (update mode emits
+    # only changed keys) — the streaming materialized-view pattern
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    w = JdbcUpsertWriter(table="totals", key_columns=["user_id"],
+                         connect_fn=lambda: _FileConn(commits))
+    q = stream_upsert_jdbc(agg, w, str(tmp_path / "ckpt2"))
+    q.awaitTermination()
+    upserts = []
+    for fn in os.listdir(commits):
+        upserts.extend(j.load(open(os.path.join(commits, fn))))
+    assert all("ON CONFLICT (user_id) DO UPDATE" in s for s, b in upserts if b)
+    # last upsert per key must equal the batch aggregate
+    final = {}
+    for _, batch in upserts:
+        for uid, total in batch or []:
+            final[uid] = max(total, final.get(uid, float("-inf")))
+    assert final == {1: 7.0, 2: 8.0}

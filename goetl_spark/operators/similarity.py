@@ -206,6 +206,34 @@ def rp_lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
     return out
 
 
+def _lsh_bucket_pandas(hyperplanes: list[list[float]]) -> "F.udf":
+    """Arrow-batched LSH bucket id, bit-identical to :func:`rp_lsh_bucket`.
+
+    Same recipe as :func:`_dot_pandas`: widen float32→float64 BEFORE
+    multiplying, accumulate sequentially over vector elements (vectorized
+    across rows AND planes) — the identical left fold, so sign bits match
+    the expression version and DuckDB's list_inner_product exactly.
+    Measured: the interpreted HOF fold costs ~2 s per 2k vectors × 6
+    planes at 64 dims; this path is milliseconds.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array(hyperplanes, dtype=np.float64)        # (planes, dim)
+    weights = 1 << np.arange(H.shape[0], dtype=np.int64)
+
+    def bucket_pd(v):
+        A = np.stack(v.values).astype(np.float64)      # (rows, dim)
+        acc = np.zeros((len(A), H.shape[0]), dtype=np.float64)
+        for i in range(A.shape[1]):                    # left fold over elements
+            acc += A[:, i, None] * H[None, :, i]
+        return pd.Series(((acc >= 0).astype(np.int64) * weights).sum(axis=1))
+
+    bucket_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket_pd, "long")
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -226,7 +254,8 @@ def knn_lsh(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    bucket = lambda df: df.withColumn("_lsh_bucket", rp_lsh_bucket(F.col(vec_col), planes))  # noqa: E731
+    bucket_udf = _lsh_bucket_pandas(planes)
+    bucket = lambda df: df.withColumn("_lsh_bucket", bucket_udf(F.col(vec_col)))  # noqa: E731
     return knn_ivf(
         bucket(corpus), bucket(queries), k=k,
         id_col=id_col, vec_col=vec_col, bucket_col="_lsh_bucket",

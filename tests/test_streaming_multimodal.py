@@ -271,3 +271,60 @@ def test_stream_upsert_jdbc_foreachbatch(spark, tmp_path):
         for uid, total in batch or []:
             final[uid] = max(total, final.get(uid, float("-inf")))
     assert final == {1: 7.0, 2: 8.0}
+
+
+def test_compact_parquet(spark, tmp_path):
+    from goetl_spark.operators.maintenance import compact_parquet, dir_stats
+
+    p = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).selectExpr("id", "id % 7 AS k")\
+        .repartition(40).write.parquet(p)
+    n0, _ = dir_stats(p)
+    assert n0 == 40
+    stats = compact_parquet(spark, p, target_file_mb=128)
+    assert stats["files_before"] == 40 and stats["files_after"] == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 4000
+    assert back.agg(F.sum("id")).collect()[0][0] == 4000 * 3999 // 2
+
+
+def test_stream_scd2_maintains_dimension(spark, tmp_path):
+    from goetl_spark.operators.scd import scd_type2
+    from goetl_spark.streaming.warehouse import stream_scd2
+
+    dim_path = str(tmp_path / "dim")
+    empty = spark.createDataFrame(
+        [], "id int, city string, effective_from string, "
+            "effective_to string, is_current boolean")
+    seed = spark.createDataFrame([(1, "paris"), (2, "rome")], "id int, city string")
+    scd_type2(seed, empty, ["id"], ["city"], effective_date="2024-01-01")\
+        .write.parquet(dim_path)
+
+    # two chronological change batches: move customer 1, add customer 3
+    src = tmp_path / "changes"
+    src.mkdir()
+    import shutil
+    for i, batch in enumerate([[(1, "berlin"), (2, "rome")], [(3, "oslo")]]):
+        staged = tmp_path / f"cs{i}"
+        (spark.createDataFrame(batch, "id int, city string")
+         .coalesce(1).write.parquet(str(staged)))
+        dst = src / f"b{i}.parquet"
+        shutil.copy(next(staged.glob("part-*.parquet")), dst)
+        import os
+        os.utime(dst, ((i + 1) * 1000, (i + 1) * 1000))
+
+    stream = (spark.readStream.format("parquet")
+              .schema("id int, city string")
+              .option("maxFilesPerTrigger", 1).load(str(src)))
+    q = stream_scd2(stream, dim_path, ["id"], ["city"],
+                    checkpoint_dir=str(tmp_path / "ck"),
+                    effective_date="2024-06-01")
+    q.awaitTermination()
+
+    dim = spark.read.parquet(dim_path)
+    cur = {r.id: r.city for r in dim.filter("is_current").collect()}
+    assert cur == {1: "berlin", 2: "rome", 3: "oslo"}
+    hist = dim.filter("NOT is_current").collect()
+    assert len(hist) == 1 and hist[0].id == 1 and hist[0].city == "paris"
+    assert hist[0].effective_to == "2024-06-01"

@@ -26,6 +26,8 @@ A_i = 1 + 3*i, B_i = 7 + 11*i — fixed, documented, reproducible in SQL.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -355,4 +357,51 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = ("lang", "source"),
+    length_col: str | None = "n_chars",
+    length_tolerance: int = 5,
+    prefix_len: int = 40,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with equi-join blocking.
+
+    Levenshtein is O(m·n) per pair, so the join graph must be pruned
+    BEFORE scoring: pairs are generated only within equal ``block_cols``
+    buckets and a ``length_tolerance`` band on ``length_col`` (edit
+    distance ≥ length difference, so the band is a lossless filter for
+    small ``max_dist`` thresholds when tolerance ≥ max_dist; a tighter
+    band is an explicit recall trade). Distance is computed on a
+    ``prefix_len`` prefix — the standard bounded-cost approximation.
+
+    Scale: the block join is a plain shuffle equi-join on the block key;
+    per-bucket pair count is quadratic in bucket size, so block on
+    columns with bounded fan-out (language × source × length-band, not
+    just language). All JVM-side: ``F.levenshtein`` is codegen'd.
+    """
+    sel = [F.col(id_col).alias("id"),
+           F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+           *[F.col(c) for c in block_cols]]
+    if length_col:
+        sel.append(F.col(length_col).alias("len"))
+    base = df.select(*sel)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_col:
+        cond = cond & (F.abs(F.col("a.len") - F.col("b.len")) <= length_tolerance)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
     )

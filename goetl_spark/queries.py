@@ -1912,6 +1912,132 @@ def q61_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q62_pivot",
+    f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {DSUM("CASE WHEN event_type = 'click' THEN value END")} AS click,
+           {DSUM("CASE WHEN event_type = 'error' THEN value END")} AS error,
+           {DSUM("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+           {DSUM("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+           {DSUM("CASE WHEN event_type = 'view' THEN value END")} AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q62_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-day revenue by event type as columns.
+    Spark's ``pivot`` with EXPLICIT values compiles to one hash
+    aggregation with conditional aggregates — same single shuffle as the
+    plain groupBy; omitting the value list would cost an extra distinct
+    pass, so never do that at scale. Beyond the reference surface
+    (SURVEY §2.5 'not present')."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"))
+    )
+
+
+@register(
+    "q63_unpivot",
+    f"""
+    SELECT l_returnflag, 'l_quantity' AS metric, {DSUM('l_quantity')} AS total
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'l_discount', {DSUM('l_discount')}
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'l_tax', {DSUM('l_tax')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q63_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): three measure columns become (metric,
+    value) rows, then aggregate per flag × metric. ``unpivot`` is a
+    zero-shuffle row-local expansion (×3 rows here) feeding one hash
+    agg — vs the oracle's 3 separate scans. Beyond the reference
+    surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_returnflag"], ["l_quantity", "l_discount", "l_tax"],
+        "metric", "val",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(dsum("val", "total"))
+
+
+@register(
+    "q64_fuzzy_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+)
+def q64_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with (lang, source, length-band)
+    blocking (operators/dedup.py::fuzzy_pairs) — Levenshtein only on
+    surviving candidates, JVM codegen, no cross join."""
+    from goetl_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_t(spark, sf_dir, "documents")).select(
+        F.col("id_a"), F.col("id_b"), "edit_dist")
+
+
+@register(
+    "q65_json_extract",
+    f"""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(json_extract_string(props, '$.k')) AS k_present
+    FROM events GROUP BY event_type
+    """,
+)
+def q65_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column and aggregate. ``get_json_object`` evaluates JVM-side per row
+    with no UDF; for repeated multi-field access prefer one ``from_json``
+    to parse once. Beyond the reference surface (goetl keeps JSON
+    payloads as opaque map[string]any)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_total"),
+        F.count(k).alias("k_present"),
+    )
+
+
+@register(
+    "q66_forecast_revenue",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q66_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero shuffle beyond
+    the final single-row combine. All four predicates reach the parquet
+    scan (PushedFilters) and only the four referenced columns are read —
+    the plan every selective scan should produce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

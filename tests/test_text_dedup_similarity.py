@@ -199,3 +199,18 @@ def test_redact_pii(spark):
     assert got[1] == "server at <IP> down"
     assert got[2] == "call <PHONE>"
     assert got[3] == "clean text stays"
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from goetl_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox", lang="en", source="web", n_chars=19),
+        Row(doc_id=2, text="the quick brown fix", lang="en", source="web", n_chars=19),
+        Row(doc_id=3, text="the quick brown fox", lang="de", source="web", n_chars=19),  # blocked out
+        Row(doc_id=4, text="completely different words", lang="en", source="web", n_chars=26),  # length band
+        Row(doc_id=5, text="the quick brawn fox!", lang="en", source="web", n_chars=20),
+    ])
+    out = {(r.id_a, r.id_b): r.edit_dist
+           for r in fuzzy_pairs(df, max_dist=3, length_tolerance=3).collect()}
+    assert out == {(1, 2): 1, (1, 5): 2, (2, 5): 3}

@@ -28,6 +28,17 @@ def main():
     # warm the JVM + parquet footers with a trivial action so per-query
     # timings measure the query, not session startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # ... and the Python worker pool: the first Arrow stage after a gap
+    # pays worker spawn + import across all cores (measured ~3 s), which
+    # would land on whichever pandas-UDF query runs it
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        import numpy  # noqa: F401 — preload into workers
+        return s
+
+    spark.range(0, 10_000, 1, int(cpus)).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name, fn in catalog.queries().items():

@@ -2038,6 +2038,36 @@ def q66_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q67_io_stats",
+    """
+    SELECT COUNT(*) AS record_count,
+           COUNT(*) - COUNT(text) AS nulls_text,
+           COUNT(*) - COUNT(lang) AS nulls_lang,
+           COUNT(*) - COUNT(n_chars) AS nulls_n_chars
+    FROM documents
+    """,
+)
+def q67_io_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pass reader statistics (stats.py::IOStats — the reference's
+    universal per-reader record/null bookkeeping, readers/csv.go:54-60)
+    surfaced as a queryable row: the Observation metrics from ONE
+    materializing pass must equal the SQL aggregate the oracle computes.
+    """
+    from goetl_spark.sources.files import read_parquet
+    from goetl_spark.stats import IOStats
+
+    stats = IOStats()
+    df = read_parquet(spark, f"{sf_dir}/documents.parquet",
+                      columns=["text", "lang", "n_chars"], stats=stats)
+    df.write.format("noop").mode("overwrite").save()  # the one pass
+    nulls = stats.null_counts
+    return spark.createDataFrame(
+        [(stats.record_count, nulls["text"], nulls["lang"], nulls["n_chars"])],
+        "record_count long, nulls_text long, nulls_lang long, nulls_n_chars long",
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -119,3 +119,20 @@ def test_cdc_counts_match_set_algebra(spark, prev_keys, cur_keys, changed):
     assert by_type["INSERT"] == cur_keys - prev_keys
     assert by_type["DELETE"] == prev_keys - cur_keys
     assert by_type["UPDATE"] == (cur_keys & prev_keys & changed)
+
+
+def test_fuzzy_pairs_distance_lower_bound(spark):
+    """Edit distance >= |len(a)-len(b)| — so the length band is a
+    lossless prefilter whenever tolerance >= max_dist (dedup.fuzzy_pairs
+    docstring claim)."""
+    from goetl_spark.operators.dedup import fuzzy_pairs
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(
+        ["abc", "abcd", "abcde", "xbcde", "zzzzz", "ab", "abcf"])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = fuzzy_pairs(df, max_dist=50, length_tolerance=50, prefix_len=40)
+    texts = {r[0]: r[1] for r in rows}
+    for r in out.collect():
+        lo = abs(len(texts[r.id_a]) - len(texts[r.id_b]))
+        assert r.edit_dist >= lo

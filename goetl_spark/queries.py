@@ -2068,6 +2068,78 @@ def q67_io_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q68_salted_join",
+    f"""
+    SELECT n_name, COUNT(*) AS n_orders, {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q68_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py::salted_join): orders⋈customer
+    with the fact side salted 8 ways — the (key, salt) composite spreads
+    a hot customer over 8 tasks; the customer side is replicated ×8. The
+    oracle is the PLAIN join: salting must be invisible in results. (AQE
+    skew splitting handles most real skew; explicit salting is for keys
+    so hot that single split blocks still overwhelm a task.)"""
+    from goetl_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    j = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c,
+        on=["c_custkey"], salt_n=8, salt_source="o_orderkey",
+    )
+    return (
+        j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "q69_bucketed_join",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_items, {DSUM('o_totalprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 100000
+    GROUP BY l_returnflag
+    """,
+)
+def q69_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables (sinks/files.py::
+    write_bucketed_table): both fact tables are written hash-clustered on
+    the join key, so the join itself needs ZERO shuffle — both sides are
+    already partitioned identically (test_io proves the no-exchange plan;
+    this query proves result parity). The one clustering shuffle is paid
+    at write time and amortized over every subsequent join — the single
+    biggest join lever at 100 TB."""
+    import tempfile
+
+    from goetl_spark.sinks.files import write_bucketed_table
+
+    tmp = tempfile.mkdtemp(prefix="goetl_q69_")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")\
+        .filter(F.col("o_totalprice") > 100000)
+    write_bucketed_table(li, "q69_li", ["l_orderkey"], num_buckets=8,
+                         path=f"{tmp}/li")
+    write_bucketed_table(o, "q69_o", ["o_orderkey"], num_buckets=8,
+                         path=f"{tmp}/o")
+    lib, ob = spark.table("q69_li"), spark.table("q69_o")
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

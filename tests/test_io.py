@@ -427,3 +427,25 @@ def test_kafka_options():
         kafka_options("b:9092")                      # neither
     with pytest.raises(ValueError):
         kafka_options("b:9092", topics="t", pattern="x")  # both
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    from goetl_spark.sinks.files import write_clustered
+
+    p = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).selectExpr("id AS k", "id % 97 AS v")
+    write_clustered(df, p, ["k"], num_files=4)
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in os.listdir(p):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(p, f)).metadata
+            stats = [md.row_group(i).column(0).statistics
+                     for i in range(md.num_row_groups)]
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) == 4
+    # file key ranges must not overlap → a selective scan skips 3 of 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert spark.read.parquet(p).count() == 10_000

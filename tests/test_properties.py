@@ -136,3 +136,24 @@ def test_fuzzy_pairs_distance_lower_bound(spark):
     for r in out.collect():
         lo = abs(len(texts[r.id_a]) - len(texts[r.id_b]))
         assert r.edit_dist >= lo
+
+
+def test_scd2_idempotent_reapply(spark):
+    """Applying the same source batch twice yields the identical dimension
+    — the invariant that makes streaming SCD2 (foreachBatch, at-least-once
+    replay) converge (streaming/warehouse.py::stream_scd2)."""
+    from goetl_spark.operators.scd import scd_type2
+
+    dim = spark.createDataFrame(
+        [(1, "paris", "2023-01-01", "9999-12-31", True),
+         (2, "rome", "2023-01-01", "9999-12-31", True)],
+        "id int, city string, effective_from string, "
+        "effective_to string, is_current boolean")
+    src = spark.createDataFrame([(1, "berlin"), (3, "oslo")], "id int, city string")
+
+    once = scd_type2(src, dim, ["id"], ["city"], effective_date="2024-06-01")
+    twice = scd_type2(src, once, ["id"], ["city"], effective_date="2024-06-01")
+    cols = once.columns
+    a = sorted(tuple(r) for r in once.select(*cols).collect())
+    b = sorted(tuple(r) for r in twice.select(*cols).collect())
+    assert a == b

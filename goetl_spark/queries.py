@@ -2140,6 +2140,53 @@ def q69_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q70_merge",
+    """
+    WITH src AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal - 5000 AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE), c_mktsegment
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    tgt AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM customer
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+               AND s.c_acctbal < 0)
+    """,
+)
+def q70_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-MERGE semantics as one full-outer join (operators/merge.py):
+    every 7th customer gets a debited balance (matched-update; debits
+    that go negative trigger matched-DELETE), every 11th reappears under
+    a new key (insert). The oracle replays the same changeset in SQL."""
+    from goetl_spark.operators.merge import merge
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"), "c_mktsegment")
+    updates = (c.filter(F.col("c_custkey") % 7 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") - 5000))
+    inserts = (c.filter(F.col("c_custkey") % 11 == 0)
+               .withColumn("c_custkey", F.col("c_custkey") + 10_000_000))
+    return merge(
+        c, updates.unionAll(inserts), on=["c_custkey"],
+        delete_condition=F.col("c_acctbal") < 0,
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

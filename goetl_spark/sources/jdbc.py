@@ -66,3 +66,37 @@ def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
     for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_jdbc_predicates(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str],
+    user: str | None = None,
+    password: str | None = None,
+    fetchsize: int = 1000,
+    driver: str | None = None,
+) -> DataFrame:
+    """Partitioned read where each partition is an arbitrary WHERE clause.
+
+    The numeric-bounds form (``read_jdbc`` with partition_column) only
+    splits evenly-distributed numeric keys; ``predicates`` handles the
+    rest — date ranges, hash buckets (``"abs(hashtext(id)) % 8 = 3"``),
+    skew-aware custom splits. One executor connection per predicate, the
+    same parallel-read contract (reference reads one cursor stream,
+    postgresql.go:480-518 — this is its distributed generalization).
+
+    Predicates must partition the table (disjoint + covering) or rows are
+    dropped/duplicated — same contract as Spark's own jdbc(predicates=).
+    """
+    props = {"fetchsize": str(fetchsize)}
+    if user:
+        props["user"] = user
+    if password:
+        props["password"] = password
+    if driver:
+        props["driver"] = driver
+    return spark.read.jdbc(
+        url=url, table=table, predicates=list(predicates), properties=props
+    )

@@ -449,3 +449,23 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
     assert spark.read.parquet(p).count() == 10_000
+
+
+def test_read_jdbc_predicates_forwarding():
+    from goetl_spark.sources.jdbc import read_jdbc_predicates
+
+    class _Reader:
+        def jdbc(self, url, table, predicates, properties):
+            return {"url": url, "table": table,
+                    "predicates": predicates, "properties": properties}
+
+    class _Spark:
+        read = _Reader()
+
+    got = read_jdbc_predicates(
+        _Spark(), "jdbc:postgresql://h/db", "t",
+        predicates=["id % 2 = 0", "id % 2 = 1"],
+        user="u", fetchsize=500)
+    assert got["predicates"] == ["id % 2 = 0", "id % 2 = 1"]
+    assert got["properties"]["fetchsize"] == "500"
+    assert got["properties"]["user"] == "u"

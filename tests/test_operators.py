@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from goetl_spark.operators import groupby as G
 from goetl_spark.operators.cdc import capture_changes
@@ -207,3 +208,34 @@ def test_scd3_previous_columns_and_version(spark):
     rows = {r.id: r for r in scd_type3(src, dim, ["id"], ["attr"]).collect()}
     assert rows[1].previous_attr == "old" and rows[1].version == 4
     assert rows[2].previous_attr is None and rows[2].version == 1
+
+
+# --- MERGE (operators/merge.py) ---------------------------------------------
+
+def test_merge_update_insert_delete_keep(spark):
+    from goetl_spark.operators.merge import merge
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, name string, bal double")
+    source = spark.createDataFrame(
+        [(1, "a2", 15.0),     # matched → update
+         (2, "b", -5.0),      # matched + delete condition → delete
+         (9, "new", -1.0)],   # source-only → insert (even with negative bal)
+        "id int, name string, bal double")
+    out = {r.id: r for r in merge(
+        target, source, on=["id"],
+        delete_condition=F.col("bal") < 0).collect()}
+    assert set(out) == {1, 3, 9}
+    assert out[1].name == "a2" and out[1].bal == 15.0  # source wins
+    assert out[3].name == "c"                          # target-only kept
+    assert out[9].name == "new"                        # inserted
+
+
+def test_merge_no_insert_mode(spark):
+    from goetl_spark.operators.merge import merge
+
+    target = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    source = spark.createDataFrame([(1, 2.0), (2, 9.0)], "id int, v double")
+    out = merge(target, source, on=["id"], insert_unmatched=False).collect()
+    assert [(r.id, r.v) for r in out] == [(1, 2.0)]

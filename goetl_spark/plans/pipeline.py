@@ -41,6 +41,11 @@ class PipelineMetrics:
     records_errored: int = 0
     started_at: float = 0.0
     finished_at: float = 0.0
+    #: per-field null counts at source / sink (the reference's per-run
+    #: reader/writer stats, readers/csv.go:54-60) — None when the sink
+    #: didn't materialize the observed plan
+    in_null_counts: dict | None = None
+    out_null_counts: dict | None = None
 
     @property
     def duration(self) -> float:
@@ -104,7 +109,9 @@ class Pipeline:
         the reference's fixed stage order, pipeline.go:191-248)."""
         if self._source is None:
             raise ValueError("pipeline requires a source")
-        df = self._source
+        return self._compose(self._source)
+
+    def _compose(self, df: DataFrame) -> DataFrame:
         for t in self._transforms:
             df = t(df)
         for p in self._filters:
@@ -113,13 +120,25 @@ class Pipeline:
         return df
 
     def execute(self) -> PipelineMetrics:
-        """Run the pipeline: compose lazily, apply error strategy, sink."""
+        """Run the pipeline: compose lazily, apply error strategy, sink.
+
+        Metrics ride the SINK'S OWN pass via the Observation API (the
+        reference tracks reader/writer record+null counts as a side
+        effect of the record loop, readers/csv.go:54-60) — no extra
+        count jobs when the sink materializes the plan; if it doesn't,
+        execute() falls back to explicit counts.
+        """
+        from goetl_spark.stats import IOStats
+
         self.build()
         m = PipelineMetrics(started_at=time.time())
+        src = self._source
+        in_stats = out_stats = None
         if self.collect_metrics:
-            m.records_in = self._source.count()
+            in_stats = IOStats()
+            src = in_stats.attach(src)
 
-        df = self.dataframe()
+        df = self._compose(src)
         self.errors_df: DataFrame | None = None
         if self._validate is not None:
             if self.error_strategy == ErrorStrategy.FAIL_FAST:
@@ -133,8 +152,20 @@ class Pipeline:
             else:  # SKIP_ERRORS
                 df = df.filter(self._validate)
 
+        if self.collect_metrics:
+            out_stats = IOStats()
+            df = out_stats.attach(df)
         self._sink(df)
         if self.collect_metrics:
-            m.records_out = df.count()
+            if in_stats.ready:
+                m.records_in = in_stats.record_count
+                m.in_null_counts = in_stats.null_counts
+            else:  # sink didn't materialize (e.g. stored the df) — pay a count
+                m.records_in = self._source.count()
+            if out_stats.ready:
+                m.records_out = out_stats.record_count
+                m.out_null_counts = out_stats.null_counts
+            else:
+                m.records_out = df.count()
         m.finished_at = time.time()
         return m

@@ -64,6 +64,19 @@ class IOStats:
         return df.observe(self._obs, *metrics)
 
     @property
+    def ready(self) -> bool:
+        """True once an action has materialized the observed DataFrame.
+
+        Non-blocking (vs ``record_count``/``null_counts``, which wait):
+        probes the JVM observation's ``getRowOrEmpty`` — note
+        ``getOrEmpty`` NPEs on this Spark build when no action ran.
+        """
+        jo = getattr(self._obs, "_jo", None) if self._obs else None
+        if jo is None:
+            return False
+        return not jo.getRowOrEmpty().isEmpty()
+
+    @property
     def _values(self) -> dict:
         if self._obs is None:
             raise ValueError("IOStats not attached to any DataFrame")

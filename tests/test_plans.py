@@ -251,3 +251,32 @@ def test_dag_parallel_level(spark):
     res = DAGExecutor(max_workers=2).execute(dag)
     assert {res["a"].status, res["b"].status} == {TaskStatus.SUCCESS}
     assert sorted(order) == ["a", "b"]
+
+
+def test_pipeline_metrics_ride_sink_pass(spark, tmp_path):
+    """records_in/out + per-field null stats come from the sink's own
+    action (Observation), not extra count jobs; non-materializing sinks
+    fall back to explicit counts."""
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id int, name string")
+
+    out = str(tmp_path / "sink")
+    p = (Pipeline().from_(df)
+         .where(SF.col("id") > 1)
+         .to(lambda d: d.write.mode("overwrite").parquet(out)))
+    before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    m = p.execute()
+    jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []) - before
+    assert m.records_in == 4 and m.records_out == 3
+    assert m.in_null_counts == {"id": 0, "name": 2}
+    assert m.out_null_counts == {"id": 0, "name": 2}
+    assert jobs <= 2, f"metrics must ride the sink pass, ran {jobs} jobs"
+
+    # non-materializing sink → fallback counts, no hang
+    held = []
+    p2 = Pipeline().from_(df).to(held.append)
+    m2 = p2.execute()
+    assert m2.records_in == 4 and m2.records_out == 4
+    assert m2.in_null_counts is None

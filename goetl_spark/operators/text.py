@@ -152,3 +152,22 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "quality": quality_score(text_col),
         "fingerprint": fingerprint(text_col),
     })
+
+
+def remove_repeated_segments(col: str | Column, sep: str = "\n") -> Column:
+    """C4-style within-document repetition removal: drop repeated
+    segments (lines, sentences, tokens — whatever ``sep`` splits) keeping
+    the FIRST occurrence, order preserved.
+
+    Pure expression: ``split → array_distinct → array_join``. Spark's
+    ``array_distinct`` keeps first-occurrence order, which is the C4
+    semantic (the first copy of a boilerplate line survives, later ones
+    go). Zero shuffle, zero UDF — scan-bound like the rest of this
+    module. (DuckDB's ``list_distinct`` does NOT preserve order; the
+    cross-engine oracle uses an index-position filter instead —
+    goetl_spark/queries.py q71.)
+    """
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, _re.escape(sep))), sep)

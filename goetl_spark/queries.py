@@ -2187,6 +2187,40 @@ def q70_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q71_repetition_removal",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(toks, (x, i) -> list_position(toks, x) = i),
+                   ' ') AS clean_text,
+               len(toks) AS n_before,
+               len(list_filter(toks, (x, i) -> list_position(toks, x) = i)) AS n_after
+        FROM t
+    )
+    SELECT doc_id, clean_text, n_before - n_after AS n_removed FROM d
+    """,
+)
+def q71_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition removal (operators/text.py::
+    remove_repeated_segments): repeated tokens dropped keeping the first
+    occurrence, order preserved — pure split/array_distinct/array_join
+    expressions, zero shuffle. The oracle reproduces first-occurrence
+    order with an index-position list_filter (DuckDB's list_distinct is
+    unordered)."""
+    from goetl_spark.operators.text import remove_repeated_segments, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        remove_repeated_segments("text", sep=" ").alias("clean_text"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_removed"),
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -263,6 +263,8 @@ def dedup_clusters(
     large-scale formulation (GraphX/GraphFrames connected components);
     the driver loop holds only a per-round changed-count, never rows.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(

@@ -10,12 +10,18 @@ overhead dominates scan time — the canonical lakehouse maintenance task.
 :func:`compact_parquet` rewrites a directory to ~``target_file_mb``
 files. File count is derived from the ACTUAL byte size on disk (one
 driver-side listing, no data job), then a single distributed
-read→repartition→write pass does the rewrite. The write lands in a
-sibling staging directory and is swapped in with two renames, so a
-concurrent reader sees either the old layout or the new one, never a
-half-written mix. (Atomic swap of the whole directory — per-partition
-transactionality would need a table format like Iceberg/Delta, out of
-scope here.)
+read→repartition→write pass does the rewrite.
+
+Swap semantics (READ THIS before production use): the rewrite lands in a
+sibling staging directory and is swapped in with two ``os.rename`` calls.
+This is a LOCAL-FILESYSTEM demo of the pattern — ``os.walk``/``os.rename``
+don't speak HDFS/S3, and the swap is not atomic: between the two renames
+the table path briefly does not exist, so a concurrent reader can observe
+a missing directory. A crash in that window leaves the data intact in
+``<path>.__compact_old__`` — recovery is ``mv <path>.__compact_old__
+<path>`` (and the backup is only deleted AFTER the new listing is
+verified non-empty, so no crash point loses data). True atomic commits
+need a table format (Iceberg/Delta snapshot swap) — out of scope here.
 """
 
 from __future__ import annotations
@@ -24,10 +30,15 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_stats(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) for a parquet directory tree."""
+    """(n_data_files, total_bytes) for a parquet directory tree.
+
+    Driver-local listing (os.walk): correct for file:// paths only —
+    the demo scope of this module; see the swap note in the module doc.
+    """
     n, total = 0, 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -46,31 +57,73 @@ def compact_parquet(
 ) -> dict:
     """Rewrite ``path`` into ~target-sized parquet files.
 
-    With ``partition_by`` the data is hash-distributed WITHIN each
-    directory partition (``repartition(n, *partition_by)`` would put each
-    partition's rows in one task → one giant file per partition value and
-    skew on hot partitions; plain ``repartition(n)`` spreads evenly and
-    the writer splits by directory). Returns before/after stats.
+    Without ``partition_by``: plain ``repartition(n_files)`` where
+    ``n_files = total_bytes / target``.
+
+    With ``partition_by``: rows are routed on (partition columns + a
+    bounded salt). A plain ``repartition(n)`` would scatter every
+    directory-partition's rows across all n tasks, emitting up to
+    n × n_partition_values files — compaction would INCREASE file count
+    for high-cardinality partitions. Instead each partition value v gets
+    ``ceil(bytes_v / target)`` salt values (bytes_v estimated from the
+    value's row share of the on-disk total — one small count aggregation),
+    so every directory ends up with ~target-sized files and hot partitions
+    still fan out across tasks. Returns before/after stats.
     """
     files_before, bytes_before = dir_stats(path)
-    n_files = max(1, round(bytes_before / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
 
     staging = path.rstrip("/") + ".__compact_tmp__"
     shutil.rmtree(staging, ignore_errors=True)
-    w = (df.repartition(n_files)
-         .write.mode("overwrite").option("compression", compression))
+
+    target_bytes = target_file_mb * 1024 * 1024
     if partition_by:
+        # per-value file budget from row share: bytes_v ≈ rows_v/rows * total
+        counts = df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("__rows"))
+        total_rows = df.count() or 1
+        bpr = bytes_before / total_rows  # bytes per row (compressed estimate)
+        budgets = counts.withColumn(
+            "__n_files",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__rows") * F.lit(bpr) / F.lit(target_bytes)),
+            ).cast("int"),
+        ).drop("__rows")
+        salted = (
+            df.join(F.broadcast(budgets), partition_by)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                       F.col("__n_files")),
+            )
+            .drop("__n_files")
+        )
+        out = salted.repartition(*(partition_by + ["__salt"])).drop("__salt")
+        w = out.write.mode("overwrite").option("compression", compression)
         w = w.partitionBy(*partition_by)
+    else:
+        n_files = max(1, round(bytes_before / target_bytes))
+        w = (df.repartition(n_files)
+             .write.mode("overwrite").option("compression", compression))
     w.parquet(staging)
 
+    staged_files, staged_bytes = dir_stats(staging)
     backup = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
+    # verify the swapped-in listing before dropping the backup: a rename
+    # that silently landed wrong must not cost the original data
+    files_after, bytes_after = dir_stats(path)
+    if files_after != staged_files or bytes_after != staged_bytes:
+        os.rename(path, staging)
+        os.rename(backup, path)
+        raise RuntimeError(
+            f"compaction swap verification failed ({files_after} files / "
+            f"{bytes_after} B at {path}, staged {staged_files} / "
+            f"{staged_bytes} B); original restored, rewrite left in {staging}")
     shutil.rmtree(backup)
 
-    files_after, bytes_after = dir_stats(path)
     return {
         "files_before": files_before,
         "files_after": files_after,

@@ -74,7 +74,13 @@ class IOStats:
         jo = getattr(self._obs, "_jo", None) if self._obs else None
         if jo is None:
             return False
-        return not jo.getRowOrEmpty().isEmpty()
+        try:
+            return not jo.getRowOrEmpty().isEmpty()
+        except Exception:
+            # private JVM surface: absent/renamed on another Spark build →
+            # report not-ready so callers fall back to explicit counts
+            # rather than crashing metrics collection
+            return False
 
     @property
     def _values(self) -> dict:

@@ -289,6 +289,40 @@ def test_compact_parquet(spark, tmp_path):
     assert back.agg(F.sum("id")).collect()[0][0] == 4000 * 3999 // 2
 
 
+def test_compact_parquet_partitioned(spark, tmp_path):
+    """partition_by compaction must DECREASE file count per directory:
+    rows are routed on (partition cols + bounded salt), so each directory
+    value collapses to ~bytes_v/target files — not n_files x n_values."""
+    from goetl_spark.operators.maintenance import compact_parquet, dir_stats
+
+    p = str(tmp_path / "fragp")
+    # 5 partition values x 20 fragments = 100 tiny files
+    spark.range(0, 5000).selectExpr("id", "id % 5 AS k")\
+        .repartition(20).write.partitionBy("k").parquet(p)
+    n0, _ = dir_stats(p)
+    assert n0 == 100
+    stats = compact_parquet(spark, p, target_file_mb=128, partition_by=["k"])
+    # every value's bytes fit one target file -> exactly 1 file per directory
+    assert stats["files_after"] == 5
+    import os
+    for k in range(5):
+        files = [f for f in os.listdir(os.path.join(p, f"k={k}"))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 5000
+    assert back.agg(F.sum("id")).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_dedup_clusters_rejects_bad_max_iter(spark):
+    from goetl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_iter"):
+        dedup_clusters(pairs, max_iter=0)
+
+
 def test_stream_scd2_maintains_dimension(spark, tmp_path):
     from goetl_spark.operators.scd import scd_type2
     from goetl_spark.streaming.warehouse import stream_scd2

@@ -164,6 +164,126 @@ def knn_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Fit IVF centroids with distributed KMeans (pyspark.ml.clustering).
+
+    Returns the centroid matrix as a plain driver-side list (nlist × dim
+    floats — tiny), which every downstream step broadcasts. This is the
+    train-once step of the ANN scale path: fit on a sample
+    (``sample_fraction``) when the corpus is huge — KMeans quality needs
+    thousands of points per cell, not the full 100 TB.
+
+    The ml.Vector conversion happens HERE only (fitting); assignment and
+    probing stay on plain array columns + Arrow-batched numpy
+    (:func:`_ivf_assign_pandas`), so the query hot path never touches
+    VectorUDT serialization.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _ivf_assign_pandas(centroids: list[list[float]], nprobe: int) -> "F.udf":
+    """Arrow-batched nearest-centroid assignment.
+
+    Returns the ``nprobe`` nearest centroid ids (ascending L2 distance,
+    ties broken by lower centroid id via stable argsort) as an
+    array<int>. ``nprobe=1`` is corpus-side assignment; queries pass
+    their real ``nprobe``. One numpy matmul per Arrow batch against the
+    broadcast (nlist × dim) centroid matrix — no shuffle, no VectorUDT.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)          # (nlist, dim)
+    c_sq = (C * C).sum(axis=1)                         # |c|^2
+
+    def assign_pd(v):
+        A = np.stack(v.values).astype(np.float64)      # (rows, dim)
+        # argmin over ||a-c||^2 = |a|^2 - 2 a·c + |c|^2; |a|^2 constant per row
+        d2 = -2.0 * (A @ C.T) + c_sq[None, :]
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    assign_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(assign_pd, "array<int>")
+
+
+def knn_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with engine-trained centroids and multi-probe.
+
+    Closes the round-1/round-2 gap on :func:`knn_ivf` (which required a
+    caller-supplied bucket column): centroids come from
+    :func:`train_ivf_centroids`, the corpus is assigned to its nearest
+    cell once, and each query probes its ``nprobe`` nearest cells — the
+    standard recall/cost knob (recall→1 as nprobe→nlist, and at
+    nprobe=nlist results are EXACTLY the brute-force top-k, which is how
+    the oracle query checks this end-to-end).
+
+    Plan shape: zero cross joins — the probe explode multiplies only the
+    (small) query side by nprobe, then one bucket equi-join against the
+    assigned corpus, per-pair scoring via the Arrow dot kernel, window
+    top-k. At 100 TB: write the assigned corpus partitioned by
+    ``_ivf_cell`` and the probe join partition-prunes to nprobe/nlist of
+    the files per query batch.
+    """
+    assign1 = _ivf_assign_pandas(centroids, 1)
+    assignp = _ivf_assign_pandas(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        assign1(F.col(vec_col)).getItem(0).alias("_ivf_cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            F.explode(assignp(F.col(vec_col))).alias("_probe_cell"),
+        )
+    )
+    dot_pd = _dot_pandas()
+    scored = (
+        c.join(q, F.col("_ivf_cell") == F.col("_probe_cell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot_pd(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def random_hyperplanes(
     dim: int, n_planes: int, seed: int = 42
 ) -> list[list[float]]:

@@ -239,3 +239,74 @@ def test_merge_no_insert_mode(spark):
     source = spark.createDataFrame([(1, 2.0), (2, 9.0)], "id int, v double")
     out = merge(target, source, on=["id"], insert_unmatched=False).collect()
     assert [(r.id, r.v) for r in out] == [(1, 2.0)]
+
+
+def _file_snapshot(root):
+    """{relpath: (size, mtime_ns, md5)} for every parquet file under root."""
+    import hashlib
+    import os
+
+    snap = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                digest = hashlib.md5(open(p, "rb").read()).hexdigest()
+                snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, digest)
+    return snap
+
+
+def test_merge_partitioned_rewrites_only_touched(spark, tmp_path):
+    from goetl_spark.operators.merge import merge, merge_partitioned
+
+    path = str(tmp_path / "tbl")
+    target = spark.createDataFrame(
+        [(i, f"n{i}", float(i * 10), i % 4) for i in range(1, 41)],
+        "id int, name string, bal double, part int")
+    target.repartition(4).write.partitionBy("part").parquet(path)
+    before = _file_snapshot(path)
+
+    # changeset touches parts 1 and 2 only: update id=1 (part 1), delete
+    # id=2 (part 2, bal<0 trigger), insert id=99 (part 2)
+    source = spark.createDataFrame(
+        [(1, "upd", 111.0, 1), (2, "x", -1.0, 2), (99, "new", 9.0, 2)],
+        "id int, name string, bal double, part int")
+    stats = merge_partitioned(
+        spark, path, source, on=["id"], partition_col="part",
+        delete_condition=F.col("bal") < 0)
+    assert stats["touched_partitions"] == 2
+    assert stats["total_partitions"] == 4
+
+    after = _file_snapshot(path)
+    untouched_b = {p: v for p, v in before.items()
+                   if p.startswith(("part=0", "part=3"))}
+    untouched_a = {p: v for p, v in after.items()
+                   if p.startswith(("part=0", "part=3"))}
+    # byte-identical, not even rewritten-in-place (mtime preserved)
+    assert untouched_b == untouched_a
+
+    # result equals the full-table merge
+    got = {r.id: r for r in spark.read.parquet(path).collect()}
+    want = {r.id: r for r in merge(
+        target, source, on=["id"],
+        delete_condition=F.col("bal") < 0).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].name, got[k].bal, got[k].part) == \
+            (want[k].name, want[k].bal, want[k].part)
+
+
+def test_merge_partitioned_delete_can_empty_partition(spark, tmp_path):
+    from goetl_spark.operators.merge import merge_partitioned
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(1, 5.0, 0), (2, 6.0, 1)], "id int, bal double, part int"
+    ).write.partitionBy("part").parquet(path)
+    # delete the only row of part 1
+    src = spark.createDataFrame([(2, -1.0, 1)], "id int, bal double, part int")
+    merge_partitioned(spark, path, src, on=["id"], partition_col="part",
+                      delete_condition=F.col("bal") < 0)
+    rows = spark.read.parquet(path).collect()
+    assert [(r.id, r.part) for r in rows] == [(1, 0)]

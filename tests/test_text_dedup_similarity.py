@@ -138,6 +138,40 @@ def test_rp_lsh_buckets_group_neighbors(spark):
     assert {r.neighbor_id for r in out} == {2}  # only same-bucket searched
 
 
+def test_ivf_trained_recall_and_exactness(spark):
+    """Trained-centroid IVF: nprobe=nlist must EQUAL brute force exactly;
+    nprobe=2 must reach >= 0.8 recall@5 on clustered data."""
+    import numpy as np
+
+    from goetl_spark.operators.similarity import (
+        knn_bruteforce, knn_ivf_trained, train_ivf_centroids)
+
+    rs = np.random.RandomState(7)
+    centers = rs.standard_normal((4, 8)) * 5
+    rows = [(i, (centers[i % 4] + rs.standard_normal(8) * 0.3).tolist())
+            for i in range(120)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = v.filter(F.col("vec_id") < 6)
+
+    cents = train_ivf_centroids(v, nlist=4, seed=42)
+    assert len(cents) == 4 and len(cents[0]) == 8
+
+    exact = knn_bruteforce(v, q, k=5).collect()
+    full = knn_ivf_trained(v, q, cents, k=5, nprobe=4).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted([(r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 12))
+                   for r in full]) == \
+           sorted([(r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 12))
+                   for r in exact])
+
+    probe2 = knn_ivf_trained(v, q, cents, k=5, nprobe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(r.neighbor_id in exact_sets[r.query_id] for r in probe2)
+    assert hit / max(1, len(exact)) >= 0.8
+
+
 def test_embedding_neardup(spark):
     out = embedding_neardup_pairs(_vecs(spark), threshold=0.9, bucket_col="label")
     got = {(r.id_a, r.id_b) for r in out.collect()}

@@ -97,13 +97,13 @@ def test_streaming_session_window(spark, tmp_path):
 
 # --- multimodal -------------------------------------------------------------
 
-def _media_df(spark):
+def _media_df(spark, mime="application/octet-stream"):
     df = spark.createDataFrame(
         [Row(payload=bytearray(b"\x00\x01\x02\x03" * 10)),
          Row(payload=bytearray(b"\xff" * 5))],
         "payload binary",
     )
-    return attach_media_column(df, "payload", "image/png")
+    return attach_media_column(df, "payload", mime)
 
 
 def test_attach_media_schema(spark):
@@ -117,10 +117,67 @@ def test_extract_features_stub(spark):
     assert len(out) == 2
     by_bytes = {r.n_bytes: r for r in out}
     r40 = by_bytes[40]
-    assert r40.decode_ok and len(r40.feature) == 4
+    assert r40.decode_ok and len(r40.feature) == 4 and r40.decoder == "stub"
     # byte histogram of repeating 0,1,2,3 mod 4 is uniform
     assert all(abs(x - 0.25) < 1e-6 for x in r40.feature)
     assert by_bytes[5].feature[3] == 1.0  # 0xff % 4 == 3
+
+
+def _ppm_bytes(w=4, h=2):
+    """Binary P6: w*h RGB pixels with value (x+y) % 8, plus a header comment."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x + y) % 8
+            px += bytes([v, v, v])
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def test_extract_features_decodes_netpbm(spark):
+    """image/* with a P6 magic goes through the REAL zero-dependency
+    decoder: width/height from the header, feature from decoded pixels."""
+    df = spark.createDataFrame([Row(payload=bytearray(_ppm_bytes()))],
+                               "payload binary")
+    media = attach_media_column(df, "payload", "image/x-portable-pixmap")
+    r = extract_features(media, feature_dim=8).collect()[0]
+    assert r.decode_ok and r.decoder == "netpbm"
+    assert (r.width, r.height) == (4, 2)
+    # pixels are (x+y)%8 over a 4x2 grid → values 0..4 with counts 1,2,2,2,1
+    # (x3 channels), normalized over 24 samples
+    import numpy as np
+    expect = np.array([3, 6, 6, 6, 3, 0, 0, 0]) / 24.0
+    assert np.allclose(r.feature, expect)
+
+
+def test_extract_features_missing_codec_quarantines(spark):
+    """image/* without a netpbm magic needs Pillow; when absent the row is
+    flagged missing-codec (not crashed). When Pillow IS present the same
+    payload decodes for real — both paths asserted, whichever applies."""
+    # 1x1 black PNG, hand-assembled (valid file)
+    import base64
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGNgAAAAAgAB"
+        b"SK+kcQAAAABJRU5ErkJggg==")
+    df = spark.createDataFrame([Row(payload=bytearray(png))], "payload binary")
+    media = attach_media_column(df, "payload", "image/png")
+    r = extract_features(media, feature_dim=4).collect()[0]
+    try:
+        import PIL  # noqa: F401
+        assert r.decode_ok and r.decoder == "pil" and (r.width, r.height) == (1, 1)
+    except ImportError:
+        assert not r.decode_ok and r.decoder == "missing-codec"
+        assert r.feature is None
+
+
+def test_decode_netpbm_corrupt_and_p5():
+    from goetl_spark.operators.multimodal import _decode_netpbm
+
+    feat, ok, w, h, dec = _decode_netpbm(b"P6\n4 2\n255\nshort", 4)
+    assert not ok and dec == "netpbm-truncated"
+    # P5 grayscale: 2x2, values 0..3
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 1, 2, 3])
+    feat, ok, w, h, dec = _decode_netpbm(p5, 4)
+    assert ok and (w, h) == (2, 2) and feat == [0.25, 0.25, 0.25, 0.25]
 
 
 def test_repartition_for_payload(spark):

@@ -341,16 +341,69 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+                  max_hamming: int = 8, bits: int = 60,
+                  all_pairs: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    All-pairs here (fine ≤ ~100k docs); at corpus scale, block on
-    ``simhash >> k`` prefixes first so only same-prefix pairs compare.
+    DEFAULT = pigeonhole band blocking, which is both scalable and
+    LOSSLESS: the ``bits``-bit simhash is split into ``max_hamming + 1``
+    contiguous bands; two hashes within Hamming distance ``max_hamming``
+    have at most ``max_hamming`` differing bits, so at least one band is
+    bit-identical (pigeonhole) — candidate pairs are generated by
+    equi-joining on (band index, band value) and the exact ``bit_count``
+    filter then removes false candidates. Result is provably EQUAL to the
+    all-pairs answer (test pins this), with the O(n²) cross join replaced
+    by a shuffle equi-join whose per-bucket cost is quadratic only within
+    a band-value bucket.
+
+    Scale: bits-per-band = bits // (max_hamming+1). Keep ``max_hamming``
+    small at corpus scale (e.g. ≤ 4 → ≥ 12-bit bands → ≥ 4k buckets per
+    band); a large threshold shrinks bands toward few-bit keys whose
+    buckets go quadratic — the knob trades exactly recall-threshold
+    against blocking power.
+
+    ``all_pairs=True`` (or ``max_hamming >= bits``, where banding is
+    vacuous) opts OUT into the quadratic self-join — only for small
+    inputs (≤ ~100k docs).
     """
-    s = simhash(df, text_col, id_col)
-    a, b = s.alias("a"), s.alias("b")
+    s = simhash(df, text_col, id_col, bits)
+    if all_pairs or max_hamming >= bits:
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    n_bands = max_hamming + 1
+    bands = []
+    for j in range(n_bands):
+        start = j * bits // n_bands
+        width = (j + 1) * bits // n_bands - start
+        bands.append(F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), start)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        ))
+    e = s.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a, b = e.alias("a"), e.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -359,6 +412,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several bands
     )
 
 

@@ -2375,6 +2375,43 @@ def q73_ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q74_bloom_join",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_items, {DSUM('l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q74_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join parity (operators/bloom.py::bloom_prune): the
+    fact side is pre-filtered by a bloom filter built from the filtered
+    orders keys, then joined — the oracle is the PLAIN join, proving the
+    superset gate changes nothing (false positives die in the join; false
+    negatives impossible). Kept as a parity/registry query only: at
+    local[32]/sf0.1 the pruned join measures SLOWER than the plain one
+    (0.59 s → 1.06 s + build) because local shuffle is memory-speed —
+    the operator docstring records the numbers; the win case is network
+    shuffle / reused filters / row-group skipping at cluster scale."""
+    from goetl_spark.operators.bloom import bloom_prune
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    pruned = bloom_prune(li, o.select("o_orderkey"), "l_orderkey",
+                         "o_orderkey", fpp=0.01)
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("l_extendedprice", "total_price"))
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -310,3 +310,50 @@ def test_merge_partitioned_delete_can_empty_partition(spark, tmp_path):
                       delete_condition=F.col("bal") < 0)
     rows = spark.read.parquet(path).collect()
     assert [(r.id, r.part) for r in rows] == [(1, 0)]
+
+
+# --- bloom join pruning (operators/bloom.py) --------------------------------
+
+def test_bloom_prune_superset_and_join_parity(spark):
+    from goetl_spark.operators.bloom import bloom_prune
+
+    fact = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
+    dim = spark.range(0, 5000).filter("id % 50 = 0")\
+        .selectExpr("id AS k", "id AS d")  # 100 keys
+
+    pruned = bloom_prune(fact, dim, "k", expected_items=100, fpp=0.01)
+    kept = pruned.count()
+    # no false negatives: every true match survives ...
+    true_matches = 100
+    assert kept >= true_matches
+    # ... and the filter actually prunes (99.9% of rows have no match;
+    # fpp 1% => kept should be well under 5% of the fact)
+    assert kept < 250
+
+    got = sorted(pruned.join(dim, "k").select("k", "v", "d").collect())
+    want = sorted(fact.join(dim, "k").select("k", "v", "d").collect())
+    assert got == want
+
+
+def test_bloom_params_sizing():
+    from goetl_spark.operators.bloom import bloom_params
+
+    m, h = bloom_params(1000, 0.01)
+    assert m % 64 == 0 and 9000 < m < 11000  # ~9.6 bits/key at 1% fpp
+    assert h in (6, 7)
+
+
+def test_bloom_build_word_packing(spark):
+    from goetl_spark.operators.bloom import (
+        bloom_build, bloom_might_contain, bloom_params)
+
+    dim = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    m, h = bloom_params(3, 0.001)
+    packed = bloom_build(dim, "k", m, h)
+    assert len(packed) == m // 64
+    probe = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zzz",), ("qqq",)], "k string")
+    got = {r.k: r.hit for r in probe.select(
+        "k", bloom_might_contain(packed, m, h, F.col("k")).alias("hit")
+    ).collect()}
+    assert got["a"] and got["b"] and got["c"]  # never a false negative

@@ -248,3 +248,20 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     out = {(r.id_a, r.id_b): r.edit_dist
            for r in fuzzy_pairs(df, max_dist=3, length_tolerance=3).collect()}
     assert out == {(1, 2): 1, (1, 5): 2, (2, 5): 3}
+
+
+def test_simhash_banded_equals_all_pairs(spark):
+    """Pigeonhole banding is lossless: banded pairs == brute-force pairs
+    at the same threshold (no recall trade, only blocking)."""
+    from goetl_spark.operators.dedup import simhash_pairs
+
+    docs = [(i, f"common shared tokens alpha beta gamma delta doc{i % 7}")
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for d in (0, 3, 8):
+        banded = {(r.id_a, r.id_b, r.hamming)
+                  for r in simhash_pairs(df, max_hamming=d).collect()}
+        brute = {(r.id_a, r.id_b, r.hamming)
+                 for r in simhash_pairs(df, max_hamming=d,
+                                        all_pairs=True).collect()}
+        assert banded == brute, f"hamming<={d}: banded != brute"

@@ -2368,7 +2368,11 @@ def q73_ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_ivf_trained, train_ivf_centroids)
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(e, nlist=8, seed=42)
+    # few iterations + a sample: ANY centroid set yields exact results at
+    # nprobe=nlist (the oracle invariant), so the fit budget only shapes
+    # cell balance, not correctness — keep the bench query lean
+    cents = train_ivf_centroids(e, nlist=8, seed=42, max_iter=5,
+                                sample_fraction=0.5)
     out = knn_ivf_trained(
         e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=8)
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")

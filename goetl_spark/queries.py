@@ -2416,6 +2416,40 @@ def q74_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_zorder_scan",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM('value')} AS total_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 160
+    GROUP BY event_type
+    """,
+)
+def q75_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout parity (sinks/files.py::write_zordered): events are
+    rewritten clustered on the Morton key of (user_id, ts), then scanned
+    with a selective user_id predicate — the oracle runs the same
+    aggregate on the original table, proving the interleaved-bit rewrite
+    is lossless. The layout's value (each file covers a small
+    user×time rectangle, so min/max stats skip files for predicates on
+    EITHER column) is proven footer-level in test_io; this query pays
+    the one-time clustering write inside the query, same amortization
+    framing as q69's bucketed join."""
+    import tempfile
+
+    from goetl_spark.sinks.files import write_zordered
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), "goetl_q75_events_z")
+    write_zordered(e, path, ["user_id", "ts"], num_files=16, bits=10)
+    z = spark.read.parquet(path)
+    return (
+        z.filter(F.col("user_id").between(100, 160))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from goetl_spark.stats import IOStats
 
@@ -153,4 +154,80 @@ def write_clustered(
     cols = [str(c) for c in cluster_cols]
     (df.repartitionByRange(num_files, *cols)
        .sortWithinPartitions(*cols)
+       .write.mode(mode).option("compression", compression).parquet(path))
+
+
+def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 12):
+    """Morton (z-order) key over 2-3 numeric/timestamp columns, as a pure
+    Column expression.
+
+    Each column is linearly scaled to a ``bits``-bit integer with
+    ``width_bucket`` against its actual min/max (ONE tiny agg job — no
+    global sort), then the bits are interleaved: column i contributes its
+    bit b at position ``b*ncols + i``, so the HIGH z bits are the high
+    bits of every column in turn. Range-splitting the z key therefore
+    splits every clustered dimension, not just the leading one — the
+    property ``write_clustered``'s lexicographic sort lacks (its second
+    column's stats are useless for skipping). NULL scales to bucket 0
+    (sorts first, never lost). All codegen; the scale job reads only the
+    clustered columns.
+    """
+    mins = df.agg(*[F.min(F.col(c).cast("double")).alias(f"mn_{i}")
+                    for i, c in enumerate(cols)],
+                  *[F.max(F.col(c).cast("double")).alias(f"mx_{i}")
+                    for i, c in enumerate(cols)]).collect()[0]
+    n = 1 << bits
+    ncols = len(cols)
+    z = None
+    for i, c in enumerate(cols):
+        mn, mx = mins[f"mn_{i}"], mins[f"mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            scaled = F.lit(0).cast("long")
+        else:
+            scaled = (
+                F.least(
+                    F.lit(n - 1),
+                    F.coalesce(
+                        F.width_bucket(F.col(c).cast("double"),
+                                       F.lit(float(mn)), F.lit(float(mx)),
+                                       F.lit(n)) - 1,
+                        F.lit(0),
+                    ),
+                ).cast("long")
+            )
+        for b in range(bits):
+            term = F.shiftleft(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                b * ncols + i,
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 12,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort on the Morton key
+    of ``zorder_cols`` so every file covers a small HYPER-RECTANGLE of the
+    clustered space.
+
+    Parquet min/max stats then skip files/row groups for selective
+    predicates on ANY of the clustered columns — the standard lakehouse
+    layout for "filter by user OR by time" workloads where a single-key
+    range cluster only serves one of them (Delta/Iceberg OPTIMIZE ZORDER
+    is this exact recipe). One range shuffle at write, amortized over
+    every later scan. Tests measure the per-file min/max footprint
+    directly from the footers.
+    """
+    z = zorder_column(df, zorder_cols, bits)
+    (df.withColumn("__z", z)
+       .repartitionByRange(num_files, F.col("__z"))
+       .sortWithinPartitions("__z")
+       .drop("__z")
        .write.mode(mode).option("compression", compression).parquet(path))

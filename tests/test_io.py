@@ -469,3 +469,68 @@ def test_read_jdbc_predicates_forwarding():
     assert got["predicates"] == ["id % 2 = 0", "id % 2 = 1"]
     assert got["properties"]["fetchsize"] == "500"
     assert got["properties"]["user"] == "u"
+
+
+def test_zorder_files_cover_small_rectangles(spark, tmp_path):
+    """Z-ordered files must each cover a narrow min/max range in BOTH
+    clustered dimensions (footer-level skipping on either predicate);
+    a hash-partitioned write covers ~the full range in every file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from goetl_spark.sinks.files import write_zordered
+
+    n = 1 << 14
+    df = spark.range(0, n).selectExpr(
+        "CAST(pmod(hash(id), 4096) AS DOUBLE) AS x",
+        "CAST(pmod(hash(id + 99), 4096) AS DOUBLE) AS y",
+        "id AS payload")
+
+    def coverage(path):
+        spans = {"x": [], "y": []}
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo, hi = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in spans and col.statistics is not None:
+                        st = col.statistics
+                        lo[name] = min(lo.get(name, st.min), st.min)
+                        hi[name] = max(hi.get(name, st.max), st.max)
+            for name in spans:
+                if name in lo:
+                    spans[name].append((hi[name] - lo[name]) / 4096.0)
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    plain = str(tmp_path / "plain")
+    df.repartition(8).write.parquet(plain)
+    zord = str(tmp_path / "zord")
+    write_zordered(df, zord, ["x", "y"], num_files=8, bits=10)
+
+    cp, cz = coverage(plain), coverage(zord)
+    # hash layout: every file spans ~the whole range of both dims
+    assert cp["x"] > 0.8 and cp["y"] > 0.8
+    # z-order: 8 ranges split the top 3 interleaved bits -> each file
+    # covers ~1/4 of one dim and ~1/2 of the other (plus edge slop)
+    assert cz["x"] < 0.7 and cz["y"] < 0.7
+    assert (cz["x"] + cz["y"]) / 2 < 0.55
+
+    back = spark.read.parquet(zord)
+    assert back.count() == n
+    assert back.agg(F.sum("payload")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_zorder_null_and_constant_columns(spark, tmp_path):
+    from goetl_spark.sinks.files import write_zordered
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 1), (2.0, 1.0, 2), (3.0, 1.0, 3)],
+        "x double, y double, id int")
+    p = str(tmp_path / "zn")
+    write_zordered(df, p, ["x", "y"], num_files=2, bits=4)
+    assert spark.read.parquet(p).count() == 3

@@ -107,13 +107,27 @@ def compact_parquet(
              .write.mode("overwrite").option("compression", compression))
     w.parquet(staging)
 
+    _swap_verified(path, staging)
+
+    files_after, bytes_after = dir_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+    }
+
+
+def _swap_verified(path: str, staging: str) -> None:
+    """Two-rename swap of ``staging`` into ``path``; the backup is only
+    deleted after the swapped-in listing matches what was staged, so no
+    crash point loses data (recovery: mv <path>.__compact_old__ <path>).
+    See the module docstring for the non-atomic-window caveat."""
     staged_files, staged_bytes = dir_stats(staging)
     backup = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
-    # verify the swapped-in listing before dropping the backup: a rename
-    # that silently landed wrong must not cost the original data
     files_after, bytes_after = dir_stats(path)
     if files_after != staged_files or bytes_after != staged_bytes:
         os.rename(path, staging)
@@ -124,9 +138,68 @@ def compact_parquet(
             f"{staged_bytes} B); original restored, rewrite left in {staging}")
     shutil.rmtree(backup)
 
+
+def compact_incremental(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    small_file_mb: int = 16,
+    min_small_files: int = 4,
+    compression: str = "snappy",
+) -> dict:
+    """Compact ONLY the partition directories that need it.
+
+    The streaming-sink companion job at scale: a table receiving
+    continuous appends accumulates small files in the HOT partitions
+    (today's date, active tenants) while cold directories are already
+    healthy — rewriting the whole table per maintenance cycle
+    (:func:`compact_parquet`) would make compaction cost proportional to
+    table size instead of ingest rate. A directory qualifies when it
+    holds ≥ ``min_small_files`` files under ``small_file_mb``; each
+    qualifying directory is rewritten and swapped independently
+    (per-directory verified swap), so untouched directories keep
+    byte-identical files and a failure affects at most one directory.
+
+    Partition-column preservation: each leaf directory is read and
+    written standalone — its files never contain the partition columns
+    (they live in the dirname), so the rewritten files keep the exact
+    original schema.
+
+    Returns {compacted: [relative dirs], skipped: n, files_before/after}.
+    """
+    leaves = []
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") and not f.startswith(".") for f in files):
+            leaves.append(root)
+
+    compacted, skipped = [], 0
+    files_before_total, files_after_total = 0, 0
+    for leaf in leaves:
+        n_files, n_bytes = dir_stats(leaf)
+        files_before_total += n_files
+        small = sum(
+            1 for f in os.listdir(leaf)
+            if f.endswith(".parquet") and not f.startswith(".")
+            and os.path.getsize(os.path.join(leaf, f))
+            < small_file_mb * 1024 * 1024
+        )
+        if small < min_small_files:
+            skipped += 1
+            files_after_total += n_files
+            continue
+        n_target = max(1, round(n_bytes / (target_file_mb * 1024 * 1024)))
+        staging = leaf.rstrip("/") + ".__compact_tmp__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (spark.read.parquet(leaf).repartition(n_target)
+         .write.mode("overwrite").option("compression", compression)
+         .parquet(staging))
+        _swap_verified(leaf, staging)
+        files_after_total += dir_stats(leaf)[0]
+        compacted.append(os.path.relpath(leaf, path))
+
     return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "bytes_before": bytes_before,
-        "bytes_after": bytes_after,
+        "compacted": sorted(compacted),
+        "skipped": skipped,
+        "files_before": files_before_total,
+        "files_after": files_after_total,
     }

@@ -419,3 +419,37 @@ def test_stream_scd2_maintains_dimension(spark, tmp_path):
     hist = dim.filter("NOT is_current").collect()
     assert len(hist) == 1 and hist[0].id == 1 and hist[0].city == "paris"
     assert hist[0].effective_to == "2024-06-01"
+
+
+def test_compact_incremental_only_hot_dirs(spark, tmp_path):
+    """Only directories with enough small files are rewritten; healthy
+    dirs keep byte-identical files (mtime included)."""
+    import os
+
+    from goetl_spark.operators.maintenance import compact_incremental
+
+    p = str(tmp_path / "tbl")
+    # k=0: fragmented (20 files); k=1: healthy (1 file); k=2: fragmented
+    spark.range(0, 1000).selectExpr("id", "0 AS k")\
+        .repartition(20).write.parquet(p + "/k=0")
+    spark.range(1000, 2000).selectExpr("id", "1 AS k")\
+        .coalesce(1).write.parquet(p + "/k=1")
+    spark.range(2000, 3000).selectExpr("id", "2 AS k")\
+        .repartition(10).write.parquet(p + "/k=2")
+
+    def snap(d):
+        return {f: os.stat(os.path.join(p, d, f)).st_mtime_ns
+                for f in os.listdir(os.path.join(p, d))
+                if f.endswith(".parquet")}
+
+    healthy_before = snap("k=1")
+    stats = compact_incremental(spark, p, target_file_mb=128,
+                                small_file_mb=16, min_small_files=4)
+    assert stats["compacted"] == ["k=0", "k=2"]
+    assert stats["skipped"] == 1
+    assert snap("k=1") == healthy_before          # untouched
+    assert len(snap("k=0")) == 1 and len(snap("k=2")) == 1
+    back = spark.read.parquet(p)                  # partition col intact
+    assert back.count() == 3000
+    assert back.agg(F.sum("id")).collect()[0][0] == 3000 * 2999 // 2
+    assert back.select("k").distinct().count() == 3

@@ -1,0 +1,131 @@
+"""Mergeable quantile sketch (t-digest style) — partial aggregation for
+percentiles at 100 TB.
+
+Beyond the reference surface (goetl has no approximate aggregates at
+all; its GroupBy materializes every group in heap,
+aggregate/groupby.go:88-148). Exact percentiles (q38) need a full sort
+or `percentile` over collected groups; at corpus scale the standard
+design is a MERGEABLE sketch: every partition compresses its values into
+a bounded set of weighted centroids, the driver merges partition
+sketches, and quantiles interpolate the merged cumulative weights —
+one pass, no sort, fixed memory per partition, same shape Spark uses
+internally for `approx_percentile` (GK summaries) and the design tool
+for any custom distributed statistic.
+
+This is a simplified t-digest (Dunning & Ertl): centroids are built over
+sorted values with the k1 scale function bounding each centroid's weight
+share near the tails (quantile accuracy is therefore best at the
+extremes — the property that matters for p99-style monitoring).
+
+Flow: ``mapInPandas`` (one numpy pass per partition) → centroid rows
+(≤ ~2·compression per partition — tiny) → driver merge + interpolate.
+The collect is bounded by #partitions × compression, never by rows.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _k1(q: float, compression: int) -> float:
+    """The k1 scale function k(q) = (δ/2π)·asin(2q−1): steep at the tails,
+    flat in the middle, so tail centroids stay tiny (tight p99s) and the
+    TOTAL centroid count is bounded by ~δ (k spans δ/2 units over q∈[0,1]
+    and each centroid is allowed at most one unit)."""
+    return compression / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+
+def _compress(means, weights, compression: int):
+    """Merge sorted (means, weights) into ≤ ~compression centroids: a
+    centroid may absorb the next value while its (k(q_right) − k(q_left))
+    span stays ≤ 1 — the standard t-digest size invariant."""
+    import numpy as np
+
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    k_left = _k1(0.0, compression)
+    for m, w in zip(means[1:], weights[1:]):
+        q_right = (w_before + cur_w + w) / total
+        if _k1(q_right, compression) - k_left <= 1.0:
+            cur_m += (m - cur_m) * w / (cur_w + w)  # weighted running mean
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            k_left = _k1(min(w_before / total, 1.0), compression)
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_sketch(df: DataFrame, col: str, compression: int = 100) -> DataFrame:
+    """Per-partition sketch stage: (mean, weight) centroid rows.
+
+    Each partition emits ≤ ~compression rows regardless of its size —
+    the partial-aggregate half of the design. NULLs are skipped (SQL
+    aggregate semantics)."""
+
+    def sketch(batches):
+        import numpy as np
+        import pandas as pd
+
+        vals = []
+        for pdf in batches:
+            v = pd.to_numeric(pdf[col], errors="coerce").dropna().to_numpy(float)
+            if len(v):
+                vals.append(v)
+        if vals:
+            v = np.concatenate(vals)
+            m, w = _compress(v, np.ones_like(v), compression)
+            yield pd.DataFrame({"mean": m, "weight": w})
+
+    return df.select(col).mapInPandas(sketch, schema="mean double, weight double")
+
+
+def merge_tdigest(centroids, compression: int = 100):
+    """Driver-side merge of collected centroid rows → (means, weights)."""
+    import numpy as np
+
+    m = np.array([r["mean"] for r in centroids], dtype=float)
+    w = np.array([r["weight"] for r in centroids], dtype=float)
+    if len(m) == 0:
+        return m, w
+    return _compress(m, w, compression)
+
+
+def tdigest_quantiles(means, weights, probs: Sequence[float]) -> list[float]:
+    """Interpolate quantiles from merged centroids: cumulative midpoint
+    weights form the x-axis, centroid means the y-axis (standard t-digest
+    estimation)."""
+    import numpy as np
+
+    if len(means) == 0:
+        return [math.nan for _ in probs]
+    total = weights.sum()
+    cum = np.cumsum(weights) - weights / 2.0
+    qs = cum / total
+    return [float(np.interp(p, qs, means)) for p in probs]
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probs: Sequence[float], compression: int = 100
+) -> list[float]:
+    """End-to-end: distributed sketch pass + driver merge + interpolation.
+
+    One scan, no shuffle, no sort; collect size is bounded by
+    #partitions × 2·compression centroid rows. Accuracy is pinned by a
+    unit test (≤ 0.01 quantile-rank error at compression=100 on 100k
+    skewed values) — tighter at the tails by the k1 scale construction.
+    """
+    rows = tdigest_sketch(df, col, compression).collect()
+    m, w = merge_tdigest([r.asDict() for r in rows], compression)
+    return tdigest_quantiles(m, w, probs)

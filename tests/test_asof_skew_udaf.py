@@ -107,3 +107,49 @@ def test_pandas_aggregator_global(spark):
         schema="n long",
     )
     assert agg.aggregate(df, []).collect()[0].n == 2
+
+
+# --- t-digest quantile sketch (operators/sketch.py) -------------------------
+
+def test_tdigest_accuracy_on_skewed_data(spark):
+    """Quantile-RANK error <= 0.01 at compression=100 on 100k lognormal
+    values across 16 partitions (rank error is the t-digest guarantee;
+    value error is unbounded for skewed tails)."""
+    import numpy as np
+
+    from goetl_spark.operators.sketch import approx_quantiles
+
+    rs = np.random.RandomState(11)
+    vals = rs.lognormal(0.0, 1.5, 100_000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")\
+        .repartition(16)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = approx_quantiles(df, "v", probs, compression=100)
+    svals = np.sort(vals)
+    for p, g in zip(probs, got):
+        rank = np.searchsorted(svals, g) / len(svals)
+        assert abs(rank - p) <= 0.01, f"p={p}: est rank {rank}"
+
+
+def test_tdigest_bounded_centroids_and_nulls(spark):
+    from goetl_spark.operators.sketch import approx_quantiles, tdigest_sketch
+
+    df = spark.range(0, 50_000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v"
+    ).repartition(8)
+    rows = tdigest_sketch(df, "v", compression=50).collect()
+    # bounded partial size: <= ~2*compression per partition
+    assert len(rows) <= 8 * 2 * 50
+    # uniform data → median ~ midpoint despite dropped NULLs
+    [med] = approx_quantiles(df, "v", [0.5], compression=50)
+    assert abs(med - 25_000) < 1000
+
+
+def test_tdigest_empty_input(spark):
+    import math
+
+    from goetl_spark.operators.sketch import approx_quantiles
+
+    df = spark.createDataFrame([], "v double")
+    [q] = approx_quantiles(df, "v", [0.5])
+    assert math.isnan(q)

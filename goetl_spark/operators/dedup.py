@@ -277,26 +277,33 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        from pyspark.sql import Observation
+
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
+        # the changed-count rides the checkpoint materialization via the
+        # Observation API (zero extra jobs) instead of a separate
+        # join+count pass per round — the old label is carried alongside,
+        # observed, then dropped
+        obs = Observation()
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 labels.id,
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum(
+                (F.col("label") != F.col("__old")).cast("long")
+            ).alias("changed"))
+            .select("id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break

@@ -157,3 +157,78 @@ def test_scd2_idempotent_reapply(spark):
     a = sorted(tuple(r) for r in once.select(*cols).collect())
     b = sorted(tuple(r) for r in twice.select(*cols).collect())
     assert a == b
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 49), st.integers(0, 3),
+                       st.integers(-100, 100)),
+             min_size=1, max_size=12, unique_by=lambda t: t[0]),
+)
+def test_merge_partitioned_equals_full_merge(spark, tmp_path_factory, changes):
+    """Property: for ANY changeset confined to its own partitions, the
+    partition-pruned merge equals the full-table merge."""
+    import pyspark.sql.functions as F
+
+    from goetl_spark.operators.merge import merge, merge_partitioned
+
+    tmp = tmp_path_factory.mktemp("mp")
+    path = str(tmp / "t")
+    target = spark.createDataFrame(
+        [(i, float(i), i % 4) for i in range(50)],
+        "id int, v double, part int")
+    target.write.partitionBy("part").parquet(path)
+
+    # changesets keep each key's original partition (constraint documented
+    # in merge_partitioned); negative v triggers delete for some rows
+    src_rows = [(i, float(x), i % 4) for i, _p, x in changes]
+    source = spark.createDataFrame(src_rows, "id int, v double, part int")
+
+    merge_partitioned(spark, path, source, on=["id"], partition_col="part",
+                      delete_condition=F.col("v") < 0)
+    got = sorted(tuple(r) for r in spark.read.parquet(path)
+                 .select("id", "v", "part").collect())
+    want = sorted(tuple(r) for r in merge(
+        target, source, on=["id"], delete_condition=F.col("v") < 0)
+        .select("id", "v", "part").collect())
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(2, 5), st.integers(4, 10))
+def test_zorder_roundtrip_preserves_rows(spark, tmp_path_factory, nf, bits):
+    """Property: z-ordering is a pure layout change — the multiset of rows
+    survives any (num_files, bits) choice."""
+    from goetl_spark.sinks.files import write_zordered
+
+    tmp = tmp_path_factory.mktemp("zp")
+    p = str(tmp / "z")
+    df = spark.range(0, 500).selectExpr(
+        "CAST(pmod(hash(id), 97) AS DOUBLE) AS x",
+        "CAST(pmod(hash(id+7), 89) AS DOUBLE) AS y", "id")
+    write_zordered(df, p, ["x", "y"], num_files=nf, bits=bits)
+    back = sorted(tuple(r) for r in spark.read.parquet(p)
+                  .select("x", "y", "id").collect())
+    orig = sorted(tuple(r) for r in df.collect())
+    assert back == orig
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=400),
+       st.integers(20, 120))
+def test_tdigest_quantiles_within_value_range(vals, compression):
+    """Property: merged t-digest quantiles always lie inside [min, max]
+    and are monotone in p."""
+    import numpy as np
+
+    from goetl_spark.operators.sketch import (
+        _compress, tdigest_quantiles)
+
+    v = np.array(vals, dtype=float)
+    m, w = _compress(v, np.ones_like(v), compression)
+    assert len(m) <= max(10, compression + 2)
+    qs = tdigest_quantiles(m, w, [0.0, 0.25, 0.5, 0.75, 1.0])
+    assert min(vals) <= qs[0] and qs[-1] <= max(vals)
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))

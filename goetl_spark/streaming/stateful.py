@@ -69,3 +69,63 @@ def running_stats_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_stats_tws(
+    stream_df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Same running (count, min, max) contract as
+    :func:`running_stats_stream`, on Spark 4's ``transformWithState``
+    API (StatefulProcessor + typed state handles) instead of the legacy
+    ``applyInPandasWithState`` callback.
+
+    Why both exist: transformWithState is the successor surface — state
+    is declared through a handle (value/list/map state, TTL, timers), so
+    operators compose multiple state variables instead of packing one
+    tuple, and the same processor class works for batch backfills. The
+    emitted rows are identical to the legacy operator's (a test pins
+    cross-API equality), so either can serve the q48 oracle.
+
+    RUNTIME REQUIREMENT: the transformWithState Python worker speaks
+    protobuf to the state server — environments without
+    ``google.protobuf`` (like this container) crash the stream at start;
+    the test gates on the import, and :func:`running_stats_stream` is the
+    dependency-free fallback with identical semantics.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_type}, n_events long, "
+                  "min_value double, max_value double")
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n long, mn double, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = (self._stats.get() if self._stats.exists()
+                         else (0, None, None))
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                if len(vals) == 0:
+                    continue
+                n += int(len(vals))
+                bmn, bmx = float(vals.min()), float(vals.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._stats.update((n, mn, mx))
+            yield pd.DataFrame({
+                key_col: [key[0]], "n_events": [n],
+                "min_value": [mn], "max_value": [mx],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -453,3 +453,43 @@ def test_compact_incremental_only_hot_dirs(spark, tmp_path):
     assert back.count() == 3000
     assert back.agg(F.sum("id")).collect()[0][0] == 3000 * 2999 // 2
     assert back.select("k").distinct().count() == 3
+
+
+def test_transform_with_state_matches_legacy(spark, tmp_path):
+    """Spark 4 transformWithState variant emits the same final per-key
+    stats as the applyInPandasWithState operator. Requires protobuf
+    (the transformWithState worker's state-server protocol) — skipped
+    where absent, same gating pattern as Mongo/Kafka."""
+    import shutil
+
+    import pytest as _pt
+    _pt.importorskip("google.protobuf.descriptor")
+
+    from goetl_spark.streaming.stateful import running_stats_tws
+
+    chunk1 = [("a", 1.0), ("b", 2.0)]
+    chunk2 = [("a", 5.0), ("a", 3.0), ("b", 7.0)]
+    stream_dir = tmp_path / "tws"
+    stream_dir.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        staged = tmp_path / f"twstage{i}"
+        (spark.createDataFrame(chunk, "event_type string, value double")
+         .coalesce(1).write.parquet(str(staged)))
+        part = next(staged.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"chunk{i}.parquet")
+    stream = (spark.readStream.format("parquet")
+              .schema("event_type string, value double")
+              .option("maxFilesPerTrigger", 1).load(str(stream_dir)))
+    updates = running_stats_tws(stream, "event_type", "value")
+    q = (updates.writeStream.format("memory").queryName("tws_t")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_t").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:
+        if r.event_type not in final or r.n_events > final[r.event_type][0]:
+            final[r.event_type] = (r.n_events, r.min_value, r.max_value)
+    assert final == {"a": (3, 1.0, 5.0), "b": (2, 2.0, 7.0)}

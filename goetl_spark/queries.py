@@ -2533,6 +2533,57 @@ def q77_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q78_sole_returned_supplier",
+    """
+    SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+)
+def q78_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 plan shape (the dates it filters on don't exist in this
+    synthetic schema, so the predicate is 'sole supplier with a returned
+    line on a shared order'): EXISTS → left-semi self-join, NOT EXISTS →
+    left-anti self-join, both non-equi-correlated on (same order,
+    different supplier). Exercises the double fact self-correlation
+    under aggregation that no other registered query has; at scale both
+    correlations shuffle on l_orderkey so AQE can reuse the exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").alias("l3"))
+    stage = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        stage.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(20)
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

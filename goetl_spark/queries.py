@@ -2584,6 +2584,77 @@ def q78_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q79_csv_roundtrip",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n, {DSUM('c_acctbal')} AS total_bal,
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_names
+    FROM (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END AS c_name,
+                 c_acctbal, c_mktsegment
+          FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def q79_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV writer+reader oracle coverage (previously tests-only): the
+    customer slice — with NULLs injected every 13th name — goes out
+    through sinks/files.py::write_csv (NULL→\"\") and back through
+    sources/files.py::read_csv (\"\"→NULL, schema inference), then
+    aggregates; the oracle computes the same aggregate from the original
+    parquet. Proves the full value/NULL round-trip fidelity of both ends
+    against an independent engine, not just against each other."""
+    import tempfile
+
+    from goetl_spark.sinks.files import write_csv
+    from goetl_spark.sources.files import read_csv
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_name")).alias("c_name"),
+        "c_acctbal", "c_mktsegment")
+    path = os.path.join(tempfile.gettempdir(), "goetl_q79_csv")
+    write_csv(c, path, header=True)
+    back = read_csv(spark, path, header=True)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("c_acctbal", "total_bal"),
+             F.sum(F.col("c_name").isNull().cast("long")).alias("n_null_names"))
+    )
+
+
+@register(
+    "q80_jsonl_roundtrip",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {DSUM('o_totalprice')} AS total_price
+    FROM orders WHERE o_custkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q80_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL writer+reader oracle coverage (previously tests-only): an
+    orders slice out through sinks/files.py::write_jsonl and back via
+    sources/files.py::read_jsonl, aggregated; oracle reads the original
+    parquet. JSON preserves numeric types natively, so this pins the
+    line-delimited envelope + null/key handling against DuckDB."""
+    import tempfile
+
+    from goetl_spark.sinks.files import write_jsonl
+    from goetl_spark.sources.files import read_jsonl
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 == 0)\
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(tempfile.gettempdir(), "goetl_q80_jsonl")
+    write_jsonl(o, path)
+    back = read_jsonl(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -53,8 +53,11 @@ def register(name: str, oracle: str | None):
 # q15 hourly agg ⊂ q31's identical oracle; q23 signatures exercised inside
 # q24's LSH; q27 caller-bucketed IVF superseded by q72 trained IVF;
 # q37 rollup sibling of q43 cube; q40 SCD1 passthrough ⊂ q18/q19;
-# q51 writer roundtrip ⊂ tests + q69). Tail queries remain registered and
-# oracle-checkable (scripts/check_oracle.py runs the full registry).
+# q51 writer roundtrip ⊂ tests + q69; q26 brute-force KNN transitively
+# pinned by q73's brute-force oracle + the ivf==bruteforce unit test;
+# q29 text stats sibling of in-window q30). Tail queries remain
+# registered and oracle-checkable (scripts/check_oracle.py runs the
+# full registry).
 _WINDOW: list[str] = [
     "q01_pricing_summary", "q02_filter_combinators", "q03_filter_strings",
     "q04_join_inner", "q05_join_left_nulls", "q06_join_multiway_broadcast",
@@ -62,7 +65,7 @@ _WINDOW: list[str] = [
     "q12_dates", "q13_window_topn", "q16_sessionize", "q17_cdc",
     "q18_scd2", "q19_scd3", "q20_profile", "q21_dedup_exact",
     "q22_ngram_jaccard", "q24_minhash_lsh_candidates", "q25_simhash",
-    "q26_knn_bruteforce", "q28_embedding_neardup", "q29_text_stats",
+    "q79_csv_roundtrip", "q28_embedding_neardup", "q80_jsonl_roundtrip",
     "q30_text_quality", "q31_streaming_tumbling", "q32_pipeline_runner",
     "q33_dag_runner", "q34_multimodal_features", "q35_asof_join",
     "q36_range_join", "q38_percentiles", "q39_custom_udaf",

@@ -423,6 +423,102 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character ``k``-gram with a rolling polynomial
+    hash, slide a ``window`` over the hash sequence, keep each window's
+    minimum — one row per (doc, distinct fingerprint).
+
+    Why it matters at 100 TB: the fingerprint index is ~``2/(window+1)``
+    the size of a full k-gram index while GUARANTEEING that any substring
+    shared between two documents of length ≥ ``window + k - 1`` produces
+    at least one shared fingerprint (every length-w window over the
+    shared region picks the same minimum in both documents). That makes
+    it the standard index for PARTIAL-overlap detection — quoted
+    passages, boilerplate, contained duplicates — which doc-level shingle
+    Jaccard (:func:`ngram_jaccard_pairs`) dilutes away. Detection is then
+    one equi-join (:func:`fingerprint_overlap_pairs`), never a scan pair.
+
+    Implementation: Arrow-batched ``mapInPandas``; the rolling hash is a
+    vectorized numpy polynomial over byte values (uint64 wraparound,
+    masked to 63 bits for a positive bigint column), window minima via a
+    sliding view — O(k·n) vectorized work per doc, zero shuffle (the
+    same map-only scale shape as :func:`shingle_index`). Docs shorter
+    than ``k`` chars emit a single hash of the whole text. Fingerprint
+    VALUES are engine-specific (no cross-engine oracle); correctness is
+    pinned by property tests: the planted-overlap guarantee and the
+    2/(w+1) density bound.
+    """
+    import pandas as pd
+
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+
+    B = 1000003  # odd base, same spirit as CPython's string hash multiplier
+    MASK63 = (1 << 63) - 1
+
+    def gen(batches):
+        import numpy as np
+
+        powers = np.array([pow(B, k - 1 - j, 1 << 64) for j in range(k)],
+                          dtype=np.uint64)
+
+        def doc_prints(text: str) -> np.ndarray:
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * np.uint64(B) + np.uint64(x)
+                return np.array([int(h) & MASK63], dtype=np.int64)
+            n_grams = len(b) - k + 1
+            H = np.zeros(n_grams, dtype=np.uint64)
+            for j in range(k):  # k vectorized shifted adds
+                H += b[j:j + n_grams].astype(np.uint64) * powers[j]
+            if n_grams <= window:
+                mins = np.array([H.min()])
+            else:
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                mins = sliding_window_view(H, window).min(axis=1)
+            return np.unique(mins).astype(np.int64) & np.int64(MASK63)
+
+        for pdf in batches:
+            ids, prints = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                fps = doc_prints(t or "")
+                ids.extend([i] * len(fps))
+                prints.extend(fps.tolist())
+            yield pd.DataFrame({id_col: ids, "fingerprint": prints})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, fingerprint long"
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4, min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the partial-overlap detector. One inverted-index equi-join on the
+    64-bit fingerprint (the q22 join shape on a 2/(window+1)-sized
+    index); ``min_shared`` > 1 suppresses single-hash coincidences."""
+    idx = winnow_fingerprints(df, text_col, id_col, k, window)
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str = "text",

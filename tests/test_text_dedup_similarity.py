@@ -265,3 +265,54 @@ def test_simhash_banded_equals_all_pairs(spark):
                  for r in simhash_pairs(df, max_hamming=d,
                                         all_pairs=True).collect()}
         assert banded == brute, f"hamming<={d}: banded != brute"
+
+
+def test_winnowing_planted_overlap_guarantee(spark):
+    """Any shared substring of length >= window + k - 1 must yield at
+    least one shared fingerprint (the winnowing guarantee), and disjoint
+    alphabets must yield none."""
+    import random
+
+    from goetl_spark.operators.dedup import fingerprint_overlap_pairs
+
+    rng = random.Random(3)
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    def noise(alpha, n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+    docs = [
+        (1, noise("abcdefgh ", 300) + passage + noise("abcdefgh ", 300)),
+        (2, noise("ijklmnop ", 300) + passage + noise("ijklmnop ", 300)),
+        (3, noise("qrstuvwx ", 600)),   # no planted passage
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in fingerprint_overlap_pairs(
+                 df, k=5, window=4, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_density_and_short_docs(spark):
+    """Fingerprint count per doc ~ 2/(window+1) of the gram count, and
+    sub-k docs still emit one fingerprint."""
+    from goetl_spark.operators.dedup import winnow_fingerprints
+
+    import random
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(4000))
+    df = spark.createDataFrame([(1, text), (2, "ab")], "doc_id long, text string")
+    counts = {r[0]: r[1] for r in winnow_fingerprints(df, k=5, window=9)
+              .groupBy("doc_id").count().collect()}
+    n_grams = 4000 - 5 + 1
+    expected = 2.0 / (9 + 1) * n_grams
+    assert 0.5 * expected < counts[1] < 1.6 * expected
+    assert counts[2] == 1
+
+
+def test_winnowing_rejects_bad_params(spark):
+    from goetl_spark.operators.dedup import winnow_fingerprints
+
+    import pytest as _pt
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        winnow_fingerprints(df, k=0)

@@ -121,3 +121,67 @@ def length_buckets(
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(n <= bounds[i], i).otherwise(expr)
     return df.withColumn(out_col, expr.cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str] = ("doc_id",),
+    out_col: str = "pack_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to token-budget packs (sequence packing for
+    pretraining batches): ``pack_id = floor(exclusive_cumsum(tokens) /
+    budget)`` over a deterministic document order.
+
+    Why this formulation and not exact first-fit: greedy bin packing is
+    inherently sequential (each decision depends on every prior pack's
+    fill), so it cannot parallelize — the standard trade at scale is
+    cumulative-range packing, which guarantees every pack's token sum
+    < budget + max_doc_tokens (a pack overfills only by the one document
+    straddling its boundary; order by a :func:`length_buckets` bucket to
+    keep that overhead small). Deterministic when ``order_cols`` is a
+    TOTAL order, so the assignment is reproducible and oracle-checkable.
+
+    Scale: a naive ``Window.orderBy`` with no partitioning would drag
+    every row into ONE task — the classic global-window trap. This is
+    the two-phase distributed cumsum instead: range-repartition on the
+    order, per-partition window cumsum, then each partition's total is
+    collected (one row per partition — tiny) and turned into driver-side
+    exclusive offsets that a broadcast join adds back. Any range split
+    yields the same global cumsum because ranges respect the total
+    order, so the result is partitioning-independent.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in order_cols]
+    n = num_partitions or df.rdd.getNumPartitions() or 1
+    # persisted: the totals pass and the returned plan must observe the
+    # SAME range boundaries (range sampling re-run on a different input
+    # order could split ties differently); the first action materializes,
+    # the final plan reuses. Caller may unpersist after consuming.
+    parts = (df.repartitionByRange(n, *order)
+             .withColumn("__pid", F.spark_partition_id())
+             .persist())
+    w = (Window.partitionBy("__pid").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+
+    totals = {r["__pid"]: r["t"] for r in parts.groupBy("__pid")
+              .agg(F.sum(token_col).alias("t")).collect()}
+    running, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __offset long")
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col,
+                    F.floor((local_before + F.col("__offset"))
+                            / F.lit(budget)).cast("long"))
+        .drop("__pid", "__offset")
+    )

@@ -2658,6 +2658,45 @@ def q80_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q81_sequence_packing",
+    """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS pack_id
+        FROM t
+    )
+    SELECT pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY pack_id
+    """,
+)
+def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches (operators/sampling.py::
+    pack_sequences): documents assigned to 2048-token packs by the
+    exclusive-cumsum rule, via the two-phase distributed cumsum
+    (range-repartition → per-partition window → driver offsets — NOT a
+    single-task global window). The oracle replays the same rule with a
+    plain SQL window; aggregating per pack also demonstrates the
+    bounded-overflow property (every pack_tokens < budget + max doc)."""
+    from goetl_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    packed = pack_sequences(d, "n_tokens", budget=2048,
+                            order_cols=("doc_id",), num_partitions=8)
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"))
+    )
+
+
+@register(
     "q57_streaming_dedup",
     f"""
     SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value

@@ -92,3 +92,33 @@ def test_mix_sources(spark):
     # deterministic: same mixture on re-run
     again = mix_sources([(a, 0.2), (b, 1.0)], "doc_id")
     assert {r.doc_id for r in mixed.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_pack_sequences_bounded_overflow_and_determinism(spark):
+    from goetl_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 50 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    budget, max_doc = 1000, 449
+
+    out = pack_sequences(df, "n_tokens", budget, ("doc_id",),
+                         num_partitions=4).collect()
+    # every pack's sum stays under budget + the straddling doc
+    sums = {}
+    for r in out:
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_tokens
+    assert all(s < budget + max_doc for s in sums.values())
+    # packs are contiguous in doc order (cumsum formulation)
+    by_doc = sorted((r.doc_id, r.pack_id) for r in out)
+    assert all(a[1] <= b[1] for a, b in zip(by_doc, by_doc[1:]))
+
+    # partitioning-independent: 1 partition == 4 partitions
+    one = sorted((r.doc_id, r.pack_id) for r in pack_sequences(
+        df, "n_tokens", budget, ("doc_id",), num_partitions=1).collect())
+    assert one == by_doc
+    # matches the plain exclusive-cumsum definition
+    run, want = 0, {}
+    for i, t in rows:
+        want[i] = run // budget
+        run += t
+    assert dict(by_doc) == want

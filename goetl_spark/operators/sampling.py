@@ -106,6 +106,32 @@ def mix_sources(
     return fan_in(parts)
 
 
+def temperature_weights(
+    sizes: Sequence[float], temperature: float = 1.0
+) -> list[float]:
+    """Turn corpus SIZES into per-source keep-fractions for
+    :func:`mix_sources` via temperature sampling (the multilingual /
+    multi-corpus rebalancing rule): sampling probability ∝ size^(1/T),
+    converted to fractions by scaling so the largest upweighted source
+    keeps 100%.
+
+    T=1 reproduces natural proportions (every fraction 1.0); T→∞ tends
+    to uniform (all corpora contribute equally, small ones fully kept,
+    big ones downsampled); T<1 skews further toward big corpora. Pure
+    driver-side arithmetic — pair with :func:`mix_sources` so membership
+    stays the deterministic hash rule.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if any(s <= 0 for s in sizes):
+        raise ValueError("corpus sizes must be positive")
+    probs = [s ** (1.0 / temperature) for s in sizes]
+    # fraction_i = (p_i / size_i) scaled so max fraction == 1.0
+    raw = [p / s for p, s in zip(probs, sizes)]
+    top = max(raw)
+    return [r / top for r in raw]
+
+
 def length_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -122,3 +122,26 @@ def test_pack_sequences_bounded_overflow_and_determinism(spark):
         want[i] = run // budget
         run += t
     assert dict(by_doc) == want
+
+
+def test_temperature_weights():
+    import math
+
+    import pytest as _pt
+
+    from goetl_spark.operators.sampling import temperature_weights
+
+    sizes = [1000.0, 100.0, 10.0]
+    # T=1: natural proportions -> keep everything
+    assert temperature_weights(sizes, 1.0) == [1.0, 1.0, 1.0]
+    # large T: tends to uniform contributions -> big corpora downsampled
+    w = temperature_weights(sizes, 100.0)
+    assert w[2] == 1.0 and w[0] < w[1] < 1.0
+    assert math.isclose(1000 * w[0], 10 * w[2], rel_tol=0.15)
+    # T<1 skews toward the big corpus: smaller kept-fraction for small ones
+    w_low = temperature_weights(sizes, 0.5)
+    assert w_low[0] == 1.0 and w_low[2] < w_low[1] < 1.0
+    with _pt.raises(ValueError):
+        temperature_weights(sizes, 0.0)
+    with _pt.raises(ValueError):
+        temperature_weights([0.0], 1.0)

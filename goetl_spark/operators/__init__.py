@@ -13,4 +13,6 @@
 - :mod:`goetl_spark.operators.merge`     — SQL MERGE + partition-pruned merge-on-read
 - :mod:`goetl_spark.operators.bloom`     — bloom-filter join pruning
 - :mod:`goetl_spark.operators.maintenance` — full + incremental compaction
+- :mod:`goetl_spark.operators.sketch`    — mergeable t-digest quantile sketch
+- :mod:`goetl_spark.operators.sampling`  — splits, mixing, packing
 """

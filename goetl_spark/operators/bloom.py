@@ -155,7 +155,11 @@ def bloom_prune(
         T.StructType([T.StructField("__bloom_words", T.ArrayType(T.LongType()))]),
     )
     return (
-        fact.crossJoin(F.broadcast(bf_df))
+        # explicit NULL drop: xxhash64(NULL) hashes the seed, so a NULL
+        # key would otherwise probe a fixed bucket and could slip through
+        # as a false positive row that the join must then discard
+        fact.filter(F.col(fact_key).isNotNull())
+        .crossJoin(F.broadcast(bf_df))
         .filter(_probe(F.col("__bloom_words"), num_bits, num_hashes,
                        F.col(fact_key)))
         .drop("__bloom_words")

@@ -357,3 +357,14 @@ def test_bloom_build_word_packing(spark):
         "k", bloom_might_contain(packed, m, h, F.col("k")).alias("hit")
     ).collect()}
     assert got["a"] and got["b"] and got["c"]  # never a false negative
+
+
+def test_bloom_prune_drops_null_keys(spark):
+    from goetl_spark.operators.bloom import bloom_prune
+
+    fact = spark.createDataFrame([(1, "x"), (None, "y"), (2, "z")],
+                                 "k int, v string")
+    dim = spark.createDataFrame([(1,), (None,)], "k int")
+    out = bloom_prune(fact, dim, "k", expected_items=2).collect()
+    assert all(r.k is not None for r in out)
+    assert {r.v for r in out} >= {"x"}

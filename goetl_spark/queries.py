@@ -92,6 +92,19 @@ def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}
 
 
+def _scratch(name: str) -> str:
+    """Deterministic per-query scratch dir, wiped at each invocation —
+    repeated runs reuse one directory instead of accumulating mkdtemp
+    litter (round-2 verdict nit, applied to every tempdir query)."""
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # belt-and-braces for foreign sessions (the driver builds its own):
     # timestamp semantics must match the UTC-pinned oracle regardless of
@@ -1106,7 +1119,7 @@ def q31_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     stream = replay_stream(e, num_chunks=4, max_files_per_trigger=2,
-                           dir=tempfile.mkdtemp(prefix="goetl_q31_"))
+                           dir=_scratch("goetl_q31_replay"))
     agg = tumbling_window_agg(
         stream, "ts", "1 hour",
         [F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")],
@@ -1642,7 +1655,7 @@ def q51_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice")
-    out = tempfile.mkdtemp(prefix="goetl_q51_")
+    out = _scratch("goetl_q51_out")
     write_parquet(li, out, partition_by=["l_returnflag"])
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
@@ -2718,7 +2731,7 @@ def q57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = e.filter(F.col("event_id") % 10 == 0)
     stream, _dir = replay_stream_ordered(
         e.unionAll(dupes), "ts", num_chunks=2,
-        dir=tempfile.mkdtemp(prefix="goetl_q57_"))
+        dir=_scratch("goetl_q57_replay"))
     dedup = (stream.withWatermark("ts", "1 hour")
              .dropDuplicatesWithinWatermark(["event_id"]))
     name = "goetl_q57_result"
@@ -2769,10 +2782,10 @@ def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with state_partitions(spark, 4):
         p_stream, p_dir = replay_stream_ordered(
             p_batch, "ts", num_chunks=1, max_files_per_trigger=None,
-            dir=tempfile.mkdtemp(prefix="goetl_q58p_"))
+            dir=_scratch("goetl_q58_purchases"))
         v_stream, v_dir = replay_stream_ordered(
             v_batch, "ts", num_chunks=1, max_files_per_trigger=None,
-            dir=tempfile.mkdtemp(prefix="goetl_q58v_"))
+            dir=_scratch("goetl_q58_views"))
 
         p = (p_stream.withWatermark("ts", "1 hour")
              .select(F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user"),
@@ -2851,7 +2864,7 @@ def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").select("event_type", "value")
     stream = replay_stream(e, num_chunks=2, max_files_per_trigger=1,
-                           dir=tempfile.mkdtemp(prefix="goetl_q48_"))
+                           dir=_scratch("goetl_q48_replay"))
     updates = running_stats_stream(stream, "event_type", "value")
     name = "goetl_q48_result"
     with state_partitions(spark, 4):

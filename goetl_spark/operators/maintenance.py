@@ -72,6 +72,7 @@ def compact_parquet(
     """
     files_before, bytes_before = dir_stats(path)
     df = spark.read.parquet(path)
+    src_rows = df.count()
 
     staging = path.rstrip("/") + ".__compact_tmp__"
     shutil.rmtree(staging, ignore_errors=True)
@@ -80,7 +81,7 @@ def compact_parquet(
     if partition_by:
         # per-value file budget from row share: bytes_v ≈ rows_v/rows * total
         counts = df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("__rows"))
-        total_rows = df.count() or 1
+        total_rows = src_rows or 1
         bpr = bytes_before / total_rows  # bytes per row (compressed estimate)
         budgets = counts.withColumn(
             "__n_files",
@@ -89,11 +90,25 @@ def compact_parquet(
                 F.ceil(F.col("__rows") * F.lit(bpr) / F.lit(target_bytes)),
             ).cast("int"),
         ).drop("__rows")
+        # Null-SAFE join: a NULL partition value (written by Spark as
+        # __HIVE_DEFAULT_PARTITION__, read back as NULL) forms its own
+        # groupBy budget row, but a plain equi-join would drop those rows
+        # on NULL != NULL — silently losing them from the rewrite. Budget
+        # keys are renamed first: budgets shares lineage with df, so
+        # df[c] vs budgets[c] would resolve to a trivially-true self-compare.
+        budgets = budgets.select(
+            *[F.col(c).alias(f"__pb_{c}") for c in partition_by], "__n_files")
+        bb = F.broadcast(budgets)
+        cond = None
+        for c in partition_by:
+            eq = F.col(c).eqNullSafe(F.col(f"__pb_{c}"))
+            cond = eq if cond is None else cond & eq
+        joined = df.join(bb, cond).drop(*[f"__pb_{c}" for c in partition_by])
         salted = (
-            df.join(F.broadcast(budgets), partition_by)
+            joined
             .withColumn(
                 "__salt",
-                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.pmod(F.xxhash64(*[df[c] for c in df.columns]),
                        F.col("__n_files")),
             )
             .drop("__n_files")
@@ -106,6 +121,15 @@ def compact_parquet(
         w = (df.repartition(n_files)
              .write.mode("overwrite").option("compression", compression))
     w.parquet(staging)
+
+    # Row-count gate BEFORE the swap: any routing bug (or future edit that
+    # reintroduces one) aborts with the original directory untouched.
+    staged_rows = spark.read.parquet(staging).count()
+    if staged_rows != src_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction aborted: staging has {staged_rows} rows, source has "
+            f"{src_rows}; original {path} untouched")
 
     _swap_verified(path, staging)
 

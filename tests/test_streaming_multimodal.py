@@ -371,6 +371,25 @@ def test_compact_parquet_partitioned(spark, tmp_path):
     assert back.agg(F.sum("id")).collect()[0][0] == 5000 * 4999 // 2
 
 
+def test_compact_parquet_partitioned_null_values(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__ on disk) must
+    survive compaction: the budget join is null-SAFE, and the pre-swap
+    row-count gate would abort rather than lose them silently."""
+    from goetl_spark.operators.maintenance import compact_parquet
+
+    p = str(tmp_path / "fragnull")
+    spark.range(0, 300).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id % 3 AS STRING) END AS k"
+    ).repartition(10).write.partitionBy("k").parquet(p)
+    before = spark.read.parquet(p)
+    assert before.where("k IS NULL").count() == 100
+    compact_parquet(spark, p, target_file_mb=128, partition_by=["k"])
+    back = spark.read.parquet(p)
+    assert back.count() == 300
+    assert back.where("k IS NULL").count() == 100
+    assert back.agg(F.sum("id")).collect()[0][0] == 300 * 299 // 2
+
+
 def test_dedup_clusters_rejects_bad_max_iter(spark):
     from goetl_spark.operators.dedup import dedup_clusters
 

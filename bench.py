@@ -1,8 +1,17 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. The driver records this per-round as
-BENCH_r{N}.json and grades against BASELINE.md.
+Prints ONE compact JSON line LAST: {"metric": ..., "value": total_sec,
+"unit": "sec", "sf": ..., "queries": {"qNN": sec}}. The driver records
+this per-round as BENCH_r{N}.json and grades against BASELINE.md.
+
+Artifact-robustness (round-3 verdict ask #4): the driver keeps only a
+bounded TAIL of output, and round 3's full-name per-query map (~3 KB)
+overflowed it, losing q01-q12. The final line therefore uses the short
+unique "qNN" prefix as the key (~1.2 KB for 82 queries) and nothing is
+printed to stdout after it. The full-name map goes to stderr for local
+reading. Per-query failures are caught and reported in an "errors" map
+instead of killing the run (round 4's schema change zeroed the whole
+artifact via one raising query).
 """
 
 from __future__ import annotations
@@ -41,22 +50,38 @@ def main():
     spark.range(0, 10_000, 1, int(cpus)).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
+    full_names: dict[str, str] = {}
+    errors: dict[str, str] = {}
     for name, fn in catalog.queries().items():
+        short = name.split("_", 1)[0]
+        full_names[short] = name
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).count()  # force full execution
+            timings[short] = round(time.perf_counter() - t0, 3)
+            print(f"bench: {name} {timings[short]}s", file=sys.stderr)
+        except Exception as exc:  # isolate: one broken query != no artifact
+            errors[short] = f"{type(exc).__name__}: {exc}"[:160]
+            print(f"bench: {name} FAILED: {errors[short]}", file=sys.stderr)
+        sys.stderr.flush()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "query_wall_time_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
     }
-    print(json.dumps(out))
+    if errors:
+        out["errors"] = errors
+    print("bench full-name key map: "
+          + json.dumps(full_names, separators=(",", ":")), file=sys.stderr)
+    sys.stderr.flush()
     spark.stop()
+    # the one machine-read line, last, compact
+    print(json.dumps(out, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -80,10 +80,16 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     out = {}
     for name in names:
         if name == "events":
-            # TIMESTAMP(NANOS) parquet: read nanos as long, convert to micros
+            # ts has shipped as TIMESTAMP(NANOS) (nanos-as-long) and as
+            # TIMESTAMP(MICROS)-without-UTC (read as NTZ); normalize both
+            # to a session-TZ TIMESTAMP
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/events.parquet")
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = dict(df.dtypes)["ts"]
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type != "timestamp":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         out[name] = df

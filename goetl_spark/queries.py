@@ -814,10 +814,12 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_ngram_jaccard",
     f"""
     WITH {_DUCK_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 64),
+    exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, n_common,
@@ -830,10 +832,14 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs via inverted-index join
-    (operators/dedup.py::ngram_jaccard_pairs)."""
+    (operators/dedup.py::ngram_jaccard_pairs), with the max_df=64
+    hot-shingle cap mirrored in the oracle's HAVING clause (a no-op on
+    this corpus — max document frequency is 7 — but the semantics are
+    locked both sides)."""
     from goetl_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               threshold=0.1, max_df=64)
 
 
 @register(

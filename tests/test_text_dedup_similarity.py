@@ -49,6 +49,50 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 3) not in pairs           # unrelated
 
 
+def test_ngram_jaccard_max_df_cap(spark):
+    # a boilerplate trailer shared by EVERY doc (the 100 TB skew shape):
+    # the cap must drop its shingles without losing the true near-dup pair
+    boiler = "standard license header common to all documents in this corpus"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"alpha beta gamma delta epsilon zeta {boiler}"),
+        Row(doc_id=2, text=f"alpha beta gamma delta epsilon eta {boiler}"),
+        Row(doc_id=3, text=f"one two three four five six {boiler}"),
+        Row(doc_id=4, text=f"seven eight nine ten eleven twelve {boiler}"),
+        Row(doc_id=5, text=f"red orange yellow green blue indigo {boiler}"),
+    ])
+    capped = {(r.id_a, r.id_b)
+              for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=4).collect()}
+    # once df>4 shingles (the boilerplate, in all 5 docs) are dropped,
+    # only 1-2 still share rare shingles: jaccard 3/9 = 0.33
+    assert capped == {(1, 2)}
+    # uncapped, the boilerplate glues every pair above the threshold
+    uncapped = {(r.id_a, r.id_b)
+                for r in ngram_jaccard_pairs(df, threshold=0.3,
+                                             max_df=None).collect()}
+    assert uncapped > capped and (3, 4) in uncapped
+
+
+def test_ngram_jaccard_cap_noop_when_no_hot_shingles(spark):
+    # recall pin (round-3 verdict ask #2): on a corpus with no shingle
+    # above the cap, capped and uncapped outputs are identical
+    want = {(r.id_a, r.id_b): (r.n_common, r.jaccard)
+            for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5,
+                                         max_df=None).collect()}
+    got = {(r.id_a, r.id_b): (r.n_common, r.jaccard)
+           for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5,
+                                        max_df=64).collect()}
+    assert want == got and (1, 4) in got
+
+
+def test_ngram_jaccard_materialize_releases_cache(spark):
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # the shingle-index cache must not leak into the session (the
+    # localCheckpoint RDD itself is released when the result is GC'd)
+    assert after <= before + 1
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     sigs = minhash_signatures(_docs(spark))
     assert sigs.filter(F.col("doc_id") == 1).count() == 32

@@ -37,6 +37,16 @@ when the thing it avoids is actually expensive: network shuffle of a
 wide fact table, a reused filter across many queries (build once), or a
 fact scan that can skip row groups on the filtered column. q74 proves
 result parity; this note records the honest local measurement.
+
+Round-5 follow-up (round-3 verdict ask #8) — q77 (TPC-H Q18 shape)
+measured with the fact scan bloom-pruned against the >250-quantity
+survivor set, local[32] sf0.1, warm, two runs: baseline 1.06-1.41 s vs
+bloomed 2.46-4.81 s, identical 100 rows. Same conclusion, larger margin:
+AQE already turns the survivor semi-join into a broadcast, so the fact
+never shuffles for the filter and the bloom build+probe is pure added
+work. CLOSED as opt-in: the operator stays available for genuinely
+shuffle-bound cluster joins, and is deliberately wired into no local
+bench path (q74 remains the parity proof).
 """
 
 from __future__ import annotations

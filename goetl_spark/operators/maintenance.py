@@ -33,6 +33,24 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _count_and_checksum(df) -> tuple[int, int]:
+    """(row_count, order-independent content checksum) in ONE scan.
+
+    The checksum is the exact SUM of per-row xxhash64 over every column,
+    widened to decimal(38,0) — commutative (file/partition order never
+    matters) and overflow-free under ANSI mode (2^63 × 10^10 rows ≪
+    10^38). Columns are hashed in NAME order over string casts so the
+    same logical content checksums identically across a partitionBy
+    round-trip (read-back moves partition columns last and may narrow
+    their types)."""
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0)
+
+
 def dir_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) for a parquet directory tree.
 
@@ -72,7 +90,11 @@ def compact_parquet(
     """
     files_before, bytes_before = dir_stats(path)
     df = spark.read.parquet(path)
-    src_rows = df.count()
+    # one pre-pass: row count + an order-independent content checksum
+    # (sum of per-row xxhash64 in decimal — exact, commutative), so the
+    # pre-swap gate catches duplicate-one-row/drop-another routing bugs
+    # that a bare count comparison would miss, at no extra scan
+    src_rows, src_sum = _count_and_checksum(df)
 
     staging = path.rstrip("/") + ".__compact_tmp__"
     shutil.rmtree(staging, ignore_errors=True)
@@ -108,7 +130,11 @@ def compact_parquet(
             joined
             .withColumn(
                 "__salt",
-                F.pmod(F.xxhash64(*[df[c] for c in df.columns]),
+                # F.col, not df[c]: joined derives from a df-with-df join,
+                # where lineage-based attribute refs only resolve because
+                # the __pb_* aliases took fresh expression IDs — plain
+                # names are unambiguous here and robust across versions
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                        F.col("__n_files")),
             )
             .drop("__n_files")
@@ -122,14 +148,17 @@ def compact_parquet(
              .write.mode("overwrite").option("compression", compression))
     w.parquet(staging)
 
-    # Row-count gate BEFORE the swap: any routing bug (or future edit that
+    # Content gate BEFORE the swap: any routing bug (or future edit that
     # reintroduces one) aborts with the original directory untouched.
-    staged_rows = spark.read.parquet(staging).count()
-    if staged_rows != src_rows:
+    # Count AND checksum: equal counts with different content (duplicate
+    # one row, drop another) also abort.
+    staged_rows, staged_sum = _count_and_checksum(spark.read.parquet(staging))
+    if staged_rows != src_rows or staged_sum != src_sum:
         shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(
-            f"compaction aborted: staging has {staged_rows} rows, source has "
-            f"{src_rows}; original {path} untouched")
+            f"compaction aborted: staging has {staged_rows} rows "
+            f"(checksum {staged_sum}), source has {src_rows} "
+            f"(checksum {src_sum}); original {path} untouched")
 
     _swap_verified(path, staging)
 

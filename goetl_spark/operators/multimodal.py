@@ -3,11 +3,16 @@
 Beyond-reference (BASELINE.json north star). Media (image/audio/video)
 live as ``binary`` columns with a typed metadata struct; decode /
 feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` stages. The image/audio codecs are NOT in this container,
-so the decode kernels are STUBBED (clearly marked) behind deterministic
-fakes — the Spark-side plumbing (schema, batching, partition sizing) is
-real and tested; swap the kernel body for Pillow/torchaudio/PyAV in a
-real deployment.
+``mapInPandas`` stages. Image decode is REAL for binary netpbm (P5/P6 —
+dependency-free parser, works in this container) and for any format
+Pillow handles where Pillow is installed (import-try); a payload whose
+codec is absent is QUARANTINED (``decode_ok=false``,
+``decoder='missing-codec'``) rather than crashing the job. Only the
+non-image paths (audio duration probe, video frame sampling) remain
+deterministic stand-ins, marked STUB at each kernel — the Spark-side
+plumbing (schema, batching, bytes-based partition sizing) is the
+production shape throughout; the ``decoder`` column records which
+kernel fired per row.
 
 Scale notes:
 - binary payloads make rows big: size partitions by BYTES not rows —

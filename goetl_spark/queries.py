@@ -1247,8 +1247,10 @@ def q33_dag_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over real data: document text re-encoded as
     binary payloads → media struct → Arrow-batched feature extraction
-    (stub kernel; operators/multimodal.py). Driver records a rows-only
-    check — the kernel is not SQL-expressible."""
+    (operators/multimodal.py; text/plain payloads take the byte-histogram
+    stand-in kernel, recorded per row in ``decoder`` so decode-path drift
+    is visible in the correctness row). Driver records a rows-only check
+    — the kernel is not SQL-expressible."""
     from goetl_spark.operators.multimodal import attach_media_column, extract_features
 
     d = _t(spark, sf_dir, "documents").withColumn(
@@ -1258,7 +1260,7 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalars only: the driver's canonicalizer sorts rows with pandas,
     # which cannot hash list cells — fingerprint the vector instead
     return feats.select(
-        "media_id", "mime_type", "n_bytes", "decode_ok",
+        "media_id", "mime_type", "n_bytes", "decode_ok", "decoder",
         F.size("feature").alias("feature_dim"),
         # format_string (no locale grouping) — format_number would insert
         # commas that collide with the concat_ws separator

@@ -190,6 +190,42 @@ def ngram_jaccard_pairs(
             idx.unpersist()
 
 
+def contamination_flags(
+    corpus: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing ≥
+    ``min_hits`` n-gram shingles with any benchmark/eval document.
+
+    The canonical pre-training hygiene pass (benchmark answers leaking
+    into training data inflate evals): shingle both sides with the same
+    tokenizer as the dedup family, aggregate the benchmark side to its
+    DISTINCT shingle set, and count per corpus doc how many of its
+    shingles appear in that set. Returns (id, n_matched) for flagged
+    docs — anti-join the corpus against it to clean.
+
+    Scale shape: the benchmark set is small by definition (evals are
+    thousands of docs, the corpus is billions), so its distinct shingle
+    keys broadcast and the probe is a map-side broadcast semi-join +
+    partial count — the corpus never shuffles its text, only flagged
+    (id, shingle-hit) pairs reach the final per-doc count, and that
+    count groups on the already-flagged minority. 60-bit md5 keys as in
+    :func:`ngram_jaccard_pairs` (engine-portable, collision math in its
+    docstring)."""
+    c_idx = shingle_index(corpus, text_col, id_col, n).select(
+        F.col(id_col), md5_int(F.col("shingle"), 15).alias("hk"))
+    b_keys = (shingle_index(benchmark, text_col, id_col, n)
+              .select(md5_int(F.col("shingle"), 15).alias("hk"))
+              .distinct())
+    return (
+        c_idx.join(F.broadcast(b_keys), "hk", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_hits)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 32,

@@ -80,6 +80,34 @@ def stratified_sample(
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
 
 
+def stratified_topk(
+    df: DataFrame, strata_cols: Sequence[str], k: int, key_col: str,
+    rank_col: str = "strata_rank",
+) -> DataFrame:
+    """EXACT k rows per stratum, deterministically: rows rank by
+    (md5 of key, key) within their stratum and the top ``k`` survive.
+
+    The md5 rank makes the selection a uniform-but-reproducible draw —
+    the same k rows on every run, every engine (SQL twin:
+    ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY md5(key), key)``)
+    — the property :func:`stratified_sample`'s seeded Bernoulli lacks,
+    and with an exact per-stratum count, which :func:`hash_sample`'s
+    rate rule can't give. The tie-break on the raw key makes the order
+    total even across md5-prefix collisions (~1 in 4×10⁹ keys).
+
+    Scale: one hash-partition shuffle on the strata columns + a
+    per-partition sort — rank k is a running row_number, no global
+    sort. A stratum so hot it swamps one task is the signal to sample
+    it by rate first (hash_sample) and top-k the survivors."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*[F.col(c) for c in strata_cols])
+         .orderBy(md5_int(F.col(key_col).cast("string")),
+                  F.col(key_col)))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))
+
+
 def mix_sources(
     sources: Sequence[tuple[DataFrame, float]],
     key_col: str,

@@ -3003,6 +3003,68 @@ def q84_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q85_decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                  FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')
+               )) AS shingles
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 19 = 0)
+    SELECT e.doc_id, COUNT(*) AS n_matched
+    FROM ex e JOIN bench USING (shingle)
+    WHERE e.doc_id % 19 <> 0
+    GROUP BY e.doc_id
+    """,
+)
+def q85_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/dedup.py::contamination_flags):
+    every 19th document plays the benchmark/eval set, the rest the
+    training corpus; corpus docs sharing any 3-gram shingle with the
+    benchmark are flagged with their hit count. The broadcast-probe
+    shape (benchmark shingles are tiny next to the corpus) keeps the
+    corpus text un-shuffled at 100 TB."""
+    from goetl_spark.operators.dedup import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    corpus = d.filter(F.col("doc_id") % 19 != 0)
+    return contamination_flags(corpus, bench)
+
+
+@register(
+    "q86_stratified_topk",
+    """
+    SELECT doc_id, lang, strata_rank FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT), doc_id
+               ) AS strata_rank
+        FROM documents) t
+    WHERE strata_rank <= 5
+    """,
+)
+def q86_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-stratum sampling (operators/sampling.py::
+    stratified_topk): 5 documents per language, ranked by md5 of the id —
+    a uniform but fully reproducible draw whose SQL twin produces the
+    identical row set (unlike seeded Bernoulli sampleBy). row_number
+    over a hash-partitioned stratum, no global sort."""
+    from goetl_spark.operators.sampling import stratified_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_topk(d, ["lang"], k=5, key_col="doc_id")
+
+
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 

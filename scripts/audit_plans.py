@@ -31,6 +31,45 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 EAGER = {"q31_streaming_tumbling", "q48_stateful_stream"}
 
 
+def _lazy_q22(spark, sf_dir):
+    """q22's real plan: the registered query materializes via
+    localCheckpoint (cache scoping), which would truncate the audited
+    plan to a checkpoint scan — audit the materialize=False variant."""
+    from pyspark.sql import functions as F
+
+    from goetl_spark import queries as catalog
+    from goetl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(catalog._t(spark, sf_dir, "documents"),
+                               threshold=0.1, max_df=64, materialize=False)
+
+
+def _lazy_q81(spark, sf_dir):
+    """Same localCheckpoint truncation as q22 — rebuild q81's packing
+    plan lazily (mirrors queries.py::q81_sequence_packing)."""
+    from pyspark.sql import functions as F
+
+    from goetl_spark import queries as catalog
+    from goetl_spark.operators.sampling import pack_sequences
+
+    d = catalog._t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    packed = pack_sequences(d, "n_tokens", budget=2048,
+                            order_cols=("doc_id",), num_partitions=8,
+                            materialize=False)
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"))
+    )
+
+
+# queries whose registered form materializes eagerly (plan truncated to a
+# checkpoint scan): audit the equivalent lazy plan instead
+LAZY_VARIANTS = {"q22_ngram_jaccard": _lazy_q22,
+                 "q81_sequence_packing": _lazy_q81}
+
+
 def audit(plan: str) -> dict:
     return {
         # formatted mode lists each node as "(N) NodeName"; shuffle
@@ -67,7 +106,7 @@ def main() -> None:
         if name in EAGER:
             rows.append((name, None))
             continue
-        df = fn(spark, sf_dir)
+        df = LAZY_VARIANTS.get(name, fn)(spark, sf_dir)
         plan = jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
@@ -99,6 +138,11 @@ def main() -> None:
             "WholeStageCodegen spans / filter pushdown present / widest scan\n"
             "ReadSchema width / Python (Arrow) exchange count. Streaming\n"
             "queries execute inside the query fn and are excluded.\n\n"
+            "q22/q81 are audited via their materialize=False variants\n"
+            "(the registered forms localCheckpoint, truncating the plan);\n"
+            "their lazy plans OVERSTATE runtime work — execution caches\n"
+            "the shingle index / range partitioning that the lazy DAG\n"
+            "shows recomputed per consumer.\n\n"
             + table + "\n"
         )
         print(f"\nwrote {out}")

@@ -93,6 +93,43 @@ def test_ngram_jaccard_materialize_releases_cache(spark):
     assert after <= before + 1
 
 
+def test_contamination_flags(spark):
+    from goetl_spark.operators.dedup import contamination_flags
+
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="what is the capital of france answer paris"),
+    ])
+    corpus = spark.createDataFrame([
+        # contains a benchmark 3-gram ("the capital of", ...) → flagged
+        Row(doc_id=1, text="trivia night covered the capital of france too"),
+        Row(doc_id=2, text="completely unrelated training document text here"),
+    ])
+    got = {r.doc_id: r.n_matched
+           for r in contamination_flags(corpus, bench).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+    # min_hits raises the bar: doc 1 shares only a few shingles
+    assert contamination_flags(corpus, bench, min_hits=50).count() == 0
+
+
+def test_stratified_topk_exact_and_deterministic(spark):
+    from goetl_spark.operators.sampling import stratified_topk
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 2 == 0 else "de")) for i in range(40)])
+    out = stratified_topk(df, ["lang"], k=3, key_col="doc_id")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r.doc_id)
+    assert {len(v) for v in per.values()} == {3}  # EXACT k per stratum
+    # deterministic: a second run (different partitioning) → same rows
+    again = {(r.lang, r.doc_id)
+             for r in stratified_topk(df.repartition(7), ["lang"], k=3,
+                                      key_col="doc_id").collect()}
+    assert again == {(r.lang, r.doc_id) for r in rows}
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     sigs = minhash_signatures(_docs(spark))
     assert sigs.filter(F.col("doc_id") == 1).count() == 32

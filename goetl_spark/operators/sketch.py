@@ -116,6 +116,74 @@ def tdigest_quantiles(means, weights, probs: Sequence[float]) -> list[float]:
     return [float(np.interp(p, qs, means)) for p in probs]
 
 
+def tdigest_quantiles_by_group(
+    df: DataFrame, group_cols: Sequence[str], value_col: str,
+    probs: Sequence[float], compression: int = 100,
+) -> DataFrame:
+    """Per-GROUP approximate quantiles via two-level mergeable sketches —
+    the partial-aggregation shape under groupBy:
+
+    1. ``mapInPandas`` partial stage: each input partition compresses each
+       group's values it holds into ≤ ~2·compression centroid rows
+       (group, mean, weight) — the map-side combine. The shuffle moves
+       centroids, never raw rows: #partitions × #groups-per-partition ×
+       2·compression.
+    2. ``applyInPandas`` merge stage: per group, merge the partial
+       centroid sets (same k1 invariant) and interpolate the requested
+       quantiles → one row per (group, prob).
+
+    This is exactly how a native engine runs approx-percentile-by-key
+    (partial GK/t-digest + merge); at 100 TB the reduction in shuffled
+    bytes vs a raw-row groupBy is ~rows/(2·compression) per group.
+    Accuracy matches the global sketch (rank error ≲ 1/compression,
+    tightest at the tails). Returns (group_cols..., prob, quantile)."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    plist = [float(p) for p in probs]
+    centroid_schema = ", ".join(
+        f"`{c}` {t}" for c, t in df.select(*gcols).dtypes
+    ) + ", mean double, weight double"
+
+    def partial(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for key, g in pdf.groupby(gcols, dropna=False, sort=False):
+                v = pd.to_numeric(g[value_col], errors="coerce") \
+                    .dropna().to_numpy(float)
+                if not len(v):
+                    continue
+                m, w = _compress(v, np.ones_like(v), compression)
+                part = pd.DataFrame({"mean": m, "weight": w})
+                if not isinstance(key, tuple):
+                    key = (key,)
+                for c, k in zip(gcols, key):
+                    part[c] = k
+                out.append(part[gcols + ["mean", "weight"]])
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m, w = _compress(pdf["mean"].to_numpy(float),
+                         pdf["weight"].to_numpy(float), compression)
+        qs = tdigest_quantiles(m, w, plist)
+        out = pd.DataFrame({"prob": plist, "quantile": qs})
+        for c in gcols:
+            out[c] = pdf[c].iloc[0]
+        return out[gcols + ["prob", "quantile"]]
+
+    partials = df.select(*gcols, value_col).mapInPandas(
+        partial, schema=centroid_schema)
+    out_schema = ", ".join(
+        f"`{c}` {t}" for c, t in df.select(*gcols).dtypes
+    ) + ", prob double, quantile double"
+    return partials.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
+
+
 def approx_quantiles(
     df: DataFrame, col: str, probs: Sequence[float], compression: int = 100
 ) -> list[float]:

@@ -3112,4 +3112,54 @@ def q82_tdigest_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("prob")
 
 
+_Q87_PROBS = [0.25, 0.50, 0.75, 0.95]
+
+
+@register(
+    "q87_tdigest_by_group",
+    f"""
+    WITH exact(l_returnflag, prob, v) AS (
+        {' UNION ALL '.join(
+            f'''SELECT l_returnflag, {p},
+                       quantile_cont(l_extendedprice, {p})
+                FROM lineitem GROUP BY l_returnflag'''
+            for p in _Q87_PROBS)}
+    )
+    SELECT e.l_returnflag, CAST(e.prob AS DOUBLE) AS prob,
+           (ABS(AVG(CASE WHEN li.l_extendedprice <= e.v
+                    THEN 1.0 ELSE 0.0 END) - e.prob) <= 0.015)
+           AS within_bound
+    FROM exact e JOIN lineitem li USING (l_returnflag)
+    GROUP BY e.l_returnflag, e.prob
+    ORDER BY l_returnflag, prob
+    """,
+)
+def q87_tdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mergeable t-digest (operators/sketch.py::
+    tdigest_quantiles_by_group): quantiles of l_extendedprice per
+    l_returnflag via the two-level partial-sketch shape — centroids
+    shuffle, raw rows never do. Oracle-able the same way as q82: the
+    approximate VALUES are engine-specific, but each estimate's
+    empirical rank within its group must sit within 0.015 of the probe
+    (slack over q82's 0.01: per-group digests see fewer rows). The
+    oracle applies the identical rank check to DuckDB's exact per-group
+    quantile_cont, pinning bound and convention both."""
+    from goetl_spark.operators.sketch import tdigest_quantiles_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    est = tdigest_quantiles_by_group(li, ["l_returnflag"],
+                                     "l_extendedprice", _Q87_PROBS)
+    return (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "prob")
+        .agg(F.avg(F.when(F.col("l_extendedprice") <= F.col("quantile"),
+                          1.0).otherwise(0.0)).alias("rank"))
+        .select("l_returnflag", "prob",
+                (F.abs(F.col("rank") - F.col("prob")) <= 0.015)
+                .alias("within_bound"))
+        .orderBy("l_returnflag", "prob")
+    )
+
+
 ENTRY_QUERY = q01_pricing_summary

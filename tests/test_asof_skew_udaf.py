@@ -145,6 +145,30 @@ def test_tdigest_bounded_centroids_and_nulls(spark):
     assert abs(med - 25_000) < 1000
 
 
+def test_tdigest_by_group_rank_accuracy(spark):
+    """Per-group two-level sketch: each group's estimates hit rank error
+    <= 0.015 against that group's own exact distribution, across a
+    multi-partition input where every partition sees every group."""
+    import numpy as np
+
+    from goetl_spark.operators.sketch import tdigest_quantiles_by_group
+
+    rs = np.random.RandomState(7)
+    data = []
+    dists = {"a": rs.lognormal(0.0, 1.0, 30_000),
+             "b": rs.normal(100.0, 5.0, 30_000)}
+    for g, vals in dists.items():
+        data.extend((g, float(v)) for v in vals)
+    df = spark.createDataFrame(data, "g string, v double").repartition(16)
+    probs = [0.25, 0.5, 0.9]
+    out = tdigest_quantiles_by_group(df, ["g"], "v", probs).collect()
+    assert len(out) == len(dists) * len(probs)
+    for r in out:
+        svals = np.sort(dists[r.g])
+        rank = np.searchsorted(svals, r.quantile) / len(svals)
+        assert abs(rank - r.prob) <= 0.015, f"{r.g} p={r.prob}: rank {rank}"
+
+
 def test_tdigest_empty_input(spark):
     import math
 

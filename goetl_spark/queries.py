@@ -3065,6 +3065,55 @@ def q86_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topk(d, ["lang"], k=5, key_col="doc_id")
 
 
+@register(
+    "q88_pq_rerank",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               (list_inner_product(cv, cv)
+                - 2 * list_inner_product(cv, qv)
+                + list_inner_product(qv, qv)) AS dist_sq
+        FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings) e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, dist_sq, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist_sq, neighbor_id) AS INT)
+            AS rank
+        FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def q88_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, two-stage (operators/similarity.py::
+    train_pq_codebooks / pq_encode / knn_pq_rerank): vectors compress to
+    m=8 codebook ids, ADC over the codes builds a shortlist, survivors
+    re-rank by exact L2. Oracle strategy mirrors q73: with the shortlist
+    spanning the whole corpus the two-stage result must EQUAL the
+    brute-force L2 top-k bit-for-bit (the rerank fold dot matches
+    DuckDB's list_inner_product accumulation), which pins encode →
+    shortlist → rerank end-to-end; the approximate regime's recall floor
+    (0.86 measured at shortlist=8 on this corpus) is pinned by
+    tests/test_text_dedup_similarity.py."""
+    from goetl_spark.operators.similarity import (
+        knn_pq_rerank, pq_encode, train_pq_codebooks)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16, max_iter=5)
+    codes = pq_encode(emb, books)
+    qpd = (emb.filter(F.col("vec_id") < 5).toPandas()
+           [["vec_id", "embedding"]])
+    qpd["embedding"] = qpd["embedding"].map(list)
+    n = emb.count()
+    return knn_pq_rerank(emb, codes, qpd, books, k=10,
+                         shortlist=(n // 10) + 1)
+
+
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 

@@ -219,7 +219,70 @@ def test_rp_lsh_buckets_group_neighbors(spark):
     assert {r.neighbor_id for r in out} == {2}  # only same-bucket searched
 
 
-def test_ivf_trained_recall_and_exactness(spark):
+def test_pq_adc_exact_when_lossless(spark):
+    """When every sub-vector IS a codeword, ADC distance equals true
+    squared L2, so PQ top-k must equal brute-force L2 top-k exactly."""
+    import itertools
+
+    import numpy as np
+
+    from goetl_spark.operators.similarity import knn_pq_adc, pq_encode
+
+    # 4-dim vectors, m=2 sub-spaces; sub-vectors drawn from 3 codewords
+    words = [[0.0, 0.0], [1.0, 2.0], [4.0, 1.0]]
+    vecs = [list(a) + list(b) for a, b in itertools.product(words, words)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    books = [words, words]  # codebooks = exactly the generating words
+    codes = pq_encode(df, books)
+    import pandas as pd
+    qpd = pd.DataFrame({"vec_id": [0], "embedding": [vecs[0]]})
+    got = {r.neighbor_id: r.approx_dist
+           for r in knn_pq_adc(codes, qpd, books, k=3).collect()}
+    X = np.array(vecs)
+    true = ((X - X[0]) ** 2).sum(axis=1)
+    for nid, d in got.items():
+        assert abs(d - true[nid]) < 1e-9  # ADC == exact squared L2
+    # the k nearest by true distance (excluding self), id tie-break
+    want = sorted((d, i) for i, d in enumerate(true) if i != 0)[:3]
+    assert set(got) == {i for _, i in want}
+
+
+def test_pq_recall_floor_on_embeddings(spark):
+    """PQ shortlist + exact rerank on real (random-gaussian — PQ's worst
+    case) embeddings: measured 0.86 avg recall@10 at m=8, k=32,
+    shortlist=8; pin a 0.7 floor. Pure ADC on the same data sits around
+    0.34-0.46 — the rerank stage is what production uses."""
+    import numpy as np
+
+    from goetl_spark.operators.similarity import (
+        knn_pq_rerank, pq_encode, train_pq_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=32, max_iter=10)
+    assert len(books) == 8 and all(len(b) == 32 for b in books)
+    codes = pq_encode(emb, books)
+    qpd = emb.limit(5).toPandas()[["vec_id", "embedding"]]
+    qpd["embedding"] = qpd["embedding"].map(list)
+    got = knn_pq_rerank(emb, codes, qpd, books, k=10, shortlist=8).collect()
+    all_pd = emb.toPandas()
+    X = np.stack(all_pd["embedding"].map(np.array))
+    ids = all_pd["vec_id"].to_numpy()
+    recalls = []
+    for q in qpd.itertuples():
+        qv = np.array(q.embedding)
+        d = ((X - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        exact = [int(ids[i]) for i in order if ids[i] != q.vec_id][:10]
+        mine = {r.neighbor_id for r in got if r.query_id == q.vec_id}
+        recalls.append(len(mine & set(exact)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    # rerank distances are EXACT squared L2 for the rows it returns
+    r0 = next(r for r in got if r.rank == 1)
+    qv = np.array(dict(zip(qpd.vec_id, qpd.embedding))[r0.query_id])
+    nv = X[list(ids).index(r0.neighbor_id)]
+    assert abs(r0.dist_sq - float(((qv - nv) ** 2).sum())) < 1e-6
     """Trained-centroid IVF: nprobe=nlist must EQUAL brute force exactly;
     nprobe=2 must reach >= 0.8 recall@5 on clustered data."""
     import numpy as np

@@ -226,6 +226,66 @@ def contamination_flags(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the Dolma/FineWeb hygiene pass):
+    split every document on ``sep``, keep each distinct paragraph only at
+    its FIRST occurrence — (lowest ``id_col``, lowest position) — and
+    reassemble documents from their surviving paragraphs.
+
+    Boilerplate that exact doc-level dedup can't touch (shared headers,
+    navigation, license blocks pasted into otherwise-distinct pages)
+    disappears corpus-wide. Returns (id, text, n_kept, n_dropped);
+    documents whose every paragraph already appeared elsewhere come back
+    with an empty text and n_kept = 0.
+
+    Scale shape: winners are a ``groupBy(md5)`` MIN-struct aggregate —
+    partial (map-side) min per paragraph hash, so the winner table
+    shuffles one (hash, id, pos) row per DISTINCT paragraph; the
+    survivors join is hash-co-partitioned with it, and reassembly is one
+    groupBy(doc) of surviving paragraphs. No window sort over the full
+    exploded corpus."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("ph", F.md5("para"))
+    winners = (paras.groupBy("ph")
+               .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+               .select("ph", F.col(f"w.{id_col}").alias("__wid"),
+                       F.col("w.pos").alias("__wpos")))
+    kept = (paras.join(winners,
+                       (paras.ph == winners.ph)
+                       & (F.col(id_col) == F.col("__wid"))
+                       & (F.col("pos") == F.col("__wpos")))
+            .select(id_col, "pos", "para"))
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("__n_paras"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "para")))
+             .alias("ps"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("ps", lambda s: s["para"]))
+            .alias(text_col),
+            F.size("ps").alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 32,

@@ -3114,6 +3114,62 @@ def q88_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          shortlist=(n // 10) + 1)
 
 
+@register(
+    "q89_paragraph_dedup",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) ||
+               lead(text, 1, '') OVER (ORDER BY doc_id) AS text
+        FROM documents
+    ),
+    split AS (SELECT doc_id,
+                     string_split(text, chr(10) || chr(10)) AS parts
+              FROM synth),
+    paras AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, parts[i + 1] AS para
+        FROM split, UNNEST(range(len(parts))) AS t(i)
+    ),
+    kept AS (
+        SELECT doc_id, pos, para FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+            FROM paras) r
+        WHERE rn = 1
+    ),
+    totals AS (SELECT doc_id, len(parts) AS n_paras FROM split),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(r.text, '') AS text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_paras - COALESCE(r.n_kept, 0) AS n_dropped
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q89_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (operators/dedup.py::paragraph_dedup).
+    The synthetic docs are single-line, so the fixture builds a
+    paragraph corpus first: each doc's text is itself plus its
+    successor's text as a second paragraph (window lead — fixture
+    construction only, mirrored in the oracle), which plants every
+    paragraph in exactly two consecutive docs; dedup must keep each at
+    its first occurrence and halve the later doc."""
+    from pyspark.sql import Window
+
+    from goetl_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = d.withColumn(
+        "text",
+        F.concat_ws("\n\n", F.col("text"),
+                    F.lead("text", 1, "").over(Window.orderBy("doc_id"))))
+    return paragraph_dedup(synth)
+
+
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 

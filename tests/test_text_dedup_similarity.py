@@ -93,6 +93,24 @@ def test_ngram_jaccard_materialize_releases_cache(spark):
     assert after <= before + 1
 
 
+def test_paragraph_dedup(spark):
+    from goetl_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="unique one\n\nSHARED FOOTER"),
+        Row(doc_id=2, text="unique two\n\nSHARED FOOTER"),
+        Row(doc_id=3, text="SHARED FOOTER\n\nunique three"),
+        Row(doc_id=4, text="SHARED FOOTER"),  # nothing survives
+    ])
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # footer survives only at its first occurrence (doc 1, position 1)
+    assert got[1].text == "unique one\n\nSHARED FOOTER"
+    assert got[1].n_kept == 2 and got[1].n_dropped == 0
+    assert got[2].text == "unique two" and got[2].n_dropped == 1
+    assert got[3].text == "unique three" and got[3].n_dropped == 1
+    assert got[4].text == "" and got[4].n_kept == 0 and got[4].n_dropped == 1
+
+
 def test_contamination_flags(spark):
     from goetl_spark.operators.dedup import contamination_flags
 

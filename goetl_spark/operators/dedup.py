@@ -226,6 +226,33 @@ def contamination_flags(
     )
 
 
+def dedup_against(
+    incoming: DataFrame, existing: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the daily-ingest shape: drop incoming
+    documents whose content already exists in the corpus, and collapse
+    in-batch duplicates to their lowest id (same keep rule as
+    :func:`exact_dedup`). Returns surviving incoming rows unchanged.
+
+    Scale shape: the corpus side reduces to DISTINCT content digests
+    (never text) before the anti-join, so the daily batch — typically
+    orders of magnitude smaller than the corpus — shuffles on a 32-char
+    digest against a digest-only build side; in practice the corpus
+    digest set is a maintained artifact appended per batch, not
+    recomputed (store `md5(text)` at ingest). In-batch keep-min is a
+    partial-aggregating groupBy on the digest."""
+    inc = incoming.withColumn("__h", F.md5(F.col(text_col)))
+    seen = existing.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    fresh = inc.join(seen, "__h", "left_anti")
+    keep = fresh.groupBy("__h").agg(F.min(id_col).alias("__keep_id"))
+    return (
+        fresh.join(keep, "__h")
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop("__h", "__keep_id")
+    )
+
+
 def paragraph_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sep: str = "\n\n",

@@ -42,3 +42,35 @@ def salted_join(
     )
     out = left.join(right, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def diagnose_skew(
+    df: DataFrame, key_cols: Sequence[str], top: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Key-skew report for a prospective join/groupBy: the ``top`` hottest
+    keys with absolute count, share of all rows, and the salt factor
+    (``ceil(count / target_rows_per_task)``) that would spread each over
+    tasks of the target size.
+
+    Run this before shipping a join on a new key at scale — the hot-key
+    list is what decides between nothing (AQE handles it), salting
+    (:func:`salted_join`), or dropping a pathological key (NULL-heavy
+    foreign keys are the classic). One partial-aggregated groupBy + a
+    tiny top-k sort; NULL keys are reported as a key like any other
+    (they're usually the hottest)."""
+    total = df.count()
+    counts = (df.groupBy(*[F.col(c) for c in key_cols])
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    return (
+        counts.orderBy(F.col("n_rows").desc(),
+                       *[F.col(c).asc_nulls_first() for c in key_cols])
+        .limit(top)
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows") / F.lit(float(total))).alias("row_share"),
+            F.ceil(F.col("n_rows") / F.lit(target_rows_per_task))
+            .cast("bigint").alias("suggested_salt"),
+        )
+    )

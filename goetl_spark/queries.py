@@ -3177,6 +3177,65 @@ def q89_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(synth)
 
 
+@register(
+    "q90_skew_report",
+    """
+    SELECT lang, COUNT(*) AS n_rows,
+           COUNT(*) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+               AS row_share,
+           CAST(CEIL(COUNT(*) / CAST(100 AS DOUBLE)) AS BIGINT)
+               AS suggested_salt
+    FROM documents GROUP BY lang
+    ORDER BY n_rows DESC, lang ASC LIMIT 5
+    """,
+)
+def q90_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py::diagnose_skew): hottest
+    keys with row share and the salt factor that would level them — the
+    pre-flight check for any new join/groupBy key at 100 TB. One
+    partial-aggregated groupBy + a top-k sort; target_rows_per_task is
+    set to 100 here so the ceil arithmetic is exercised at sf0.01."""
+    from goetl_spark.operators.skew import diagnose_skew
+
+    d = _t(spark, sf_dir, "documents")
+    return diagnose_skew(d, ["lang"], top=5, target_rows_per_task=100)
+
+
+@register(
+    "q91_dedup_incremental",
+    """
+    WITH existing AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+    ),
+    fresh AS (
+        SELECT i.* FROM incoming i
+        WHERE md5(i.text) NOT IN (SELECT md5(text) FROM existing)
+    )
+    SELECT doc_id, text FROM fresh f
+    WHERE doc_id = (SELECT MIN(doc_id) FROM fresh f2
+                    WHERE md5(f2.text) = md5(f.text))
+    """,
+)
+def q91_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against an existing corpus (operators/dedup.py::
+    dedup_against): every third document plays the standing corpus; the
+    incoming batch is the rest PLUS re-ingested copies of corpus docs
+    under new ids (the re-crawl case). The copies must drop (content
+    already in the corpus), in-batch duplicate content collapses to the
+    lowest id, and genuinely new docs pass through unchanged."""
+    from goetl_spark.operators.dedup import dedup_against
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = d.filter(F.col("doc_id") % 3 == 0)
+    incoming = d.filter(F.col("doc_id") % 3 != 0).unionByName(
+        d.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup_against(incoming, existing)
+
+
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 

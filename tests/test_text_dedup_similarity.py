@@ -111,6 +111,37 @@ def test_paragraph_dedup(spark):
     assert got[4].text == "" and got[4].n_kept == 0 and got[4].n_dropped == 1
 
 
+def test_dedup_against(spark):
+    from goetl_spark.operators.dedup import dedup_against
+
+    existing = spark.createDataFrame([
+        Row(doc_id=1, text="already in corpus"),
+    ])
+    incoming = spark.createDataFrame([
+        Row(doc_id=10, text="already in corpus"),   # re-ingest → drop
+        Row(doc_id=11, text="brand new content"),
+        Row(doc_id=12, text="repeated in batch"),
+        Row(doc_id=13, text="repeated in batch"),   # in-batch dup → drop
+    ])
+    got = {r.doc_id for r in dedup_against(incoming, existing).collect()}
+    assert got == {11, 12}
+
+
+def test_diagnose_skew(spark):
+    from goetl_spark.operators.skew import diagnose_skew
+
+    df = spark.createDataFrame(
+        [Row(k="hot")] * 90 + [Row(k="warm")] * 9 + [Row(k=None)])
+    rows = diagnose_skew(df, ["k"], top=2,
+                         target_rows_per_task=40).collect()
+    assert [r.k for r in rows] == ["hot", "warm"]
+    assert rows[0].n_rows == 90 and abs(rows[0].row_share - 0.9) < 1e-12
+    assert rows[0].suggested_salt == 3  # ceil(90/40)
+    # NULL keys are reported like any other when they make the top-k
+    all3 = diagnose_skew(df, ["k"], top=3, target_rows_per_task=40).collect()
+    assert any(r.k is None and r.n_rows == 1 for r in all3)
+
+
 def test_contamination_flags(spark):
     from goetl_spark.operators.dedup import contamination_flags
 

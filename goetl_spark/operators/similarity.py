@@ -694,3 +694,192 @@ def knn_pq_rerank(
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist_sq", "rank"))
+
+
+# --- IVF-PQ: coarse cells + residual product quantization ------------------
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+    driver_fit_max: int = 200_000,
+):
+    """Train the faiss-`IVF,PQ` pair: coarse KMeans cells (distributed,
+    :func:`train_ivf_centroids`) plus PQ codebooks fit on the RESIDUALS
+    (vector minus its cell centroid) — residuals are what PQ quantizes
+    in this architecture because they're smaller and better centered
+    than raw vectors, so the same codebook budget buys less error.
+
+    Returns ``(centroids, codebooks)``, both tiny driver-side lists that
+    every downstream stage broadcasts. Residual codebooks are fit on a
+    bounded sample with the deterministic numpy Lloyd's
+    (:func:`_numpy_kmeans`) — PQ training is a sample-sized problem by
+    design; raise ``sample_fraction`` coverage, not the fit machinery,
+    for bigger corpora."""
+    import numpy as np
+
+    cents = train_ivf_centroids(corpus, vec_col, nlist, seed, max_iter,
+                                sample_fraction)
+    C = np.array(cents, dtype=np.float64)
+    feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    rows = feats.limit(driver_fit_max).collect()
+    X = np.stack([r["v"] for r in rows]).astype(np.float64)
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = X - C[assign]
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    books = [
+        [[float(x) for x in c]
+         for c in _numpy_kmeans(R[:, j * sub:(j + 1) * sub], k,
+                                seed + 101 + j, max_iter)]
+        for j in range(m)
+    ]
+    return cents, books
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One map-only pass: assign each vector to its nearest coarse cell,
+    subtract the centroid, PQ-encode the residual → (id, cell, codes).
+    This is the stored index: at scale, write it partitioned by ``cell``
+    so probes partition-prune at the file level and the floats retire
+    from the search path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    def enc(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = -2.0 * (X @ C.T) + (C ** 2).sum(axis=1)
+        cell = d2.argmin(axis=1)
+        R = X - C[cell]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Rj = R[:, j * sub:(j + 1) * sub]
+            dj = -2.0 * (Rj @ B[j].T) + (B[j] ** 2).sum(axis=1)
+            codes[:, j] = dj.argmin(axis=1)
+        # struct return type → pandas.DataFrame with one column per field
+        return pd.DataFrame({"cell": cell.astype("int32"),
+                             "codes": list(codes)})
+
+    enc.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    enc_udf = pandas_udf(enc, "struct<cell: int, codes: array<int>>")
+    return corpus.select(
+        F.col(id_col), enc_udf(F.col(vec_col)).alias("__e")
+    ).select(id_col, F.col("__e.cell").alias("cell"),
+             F.col("__e.codes").alias("pq_codes"))
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    corpus_enc: DataFrame,
+    queries_pd,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe ``nprobe`` nearest cells per query, ADC over
+    the probed cells' residual codes (per-(query, cell) lookup tables —
+    residual LUTs must be rebuilt per cell because the query's residual
+    differs per cell), shortlist, then exact L2 re-rank of survivors.
+
+    Plan shape: queries explode only by nprobe (small side), one
+    broadcast-equi-join routes them to matching corpus cells, the ADC
+    kernel runs grouped per cell inside each Arrow batch, and the rerank
+    touches shortlist·k rows per query. At nprobe = nlist with the
+    shortlist spanning the corpus this EQUALS brute-force L2 exactly
+    (ADC orders candidates, rerank uses true distances) — the oracle
+    configuration; recall at realistic nprobe/shortlist is pinned by
+    tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    C = np.array(centroids, dtype=np.float64)
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    q_ids = queries_pd[id_col].to_numpy()
+    Q = np.stack(queries_pd[vec_col].to_numpy()).astype(np.float64)
+    d2q = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]  # (nq, np)
+
+    spark = corpus.sparkSession
+    probe_rows = [(int(q_ids[i]), int(c))
+                  for i in range(len(q_ids)) for c in probes[i]]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cand = corpus_enc.join(F.broadcast(probe_df), "cell")
+
+    qvec_by_id = {int(i): Q[n] for n, i in enumerate(q_ids)}
+
+    def adc(batches):
+        for pdf in batches:
+            outs = []
+            for (qid, cell), g in pdf.groupby(["query_id", "cell"],
+                                              sort=False):
+                r = qvec_by_id[int(qid)] - C[int(cell)]   # query residual
+                lut = np.stack([
+                    (((r[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2)
+                     .sum(axis=1))
+                    for j in range(m)
+                ])                                        # (m, k)
+                codes = np.stack(g["pq_codes"].to_numpy()).astype(np.int64)
+                dist = np.zeros(len(g))
+                for j in range(m):
+                    dist += lut[j][codes[:, j]]
+                outs.append(pd.DataFrame({
+                    "query_id": int(qid),
+                    "neighbor_id": g[id_col].to_numpy(),
+                    "approx_dist": dist,
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, approx_dist double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    ws = (Window.partitionBy("query_id")
+          .orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc()))
+    short = (scored.withColumn("__r", F.row_number().over(ws))
+             .filter(F.col("__r") <= shortlist * k)
+             .select("query_id", "neighbor_id"))
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": queries_pd[id_col],
+                      "__q_vec": queries_pd[vec_col].map(list)}))
+    v, qv = F.col(vec_col), F.col("__q_vec")
+    sq = dot(v, v) - F.lit(2.0) * dot(v, qv) + dot(qv, qv)
+    exact = (
+        short.join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                 F.col(vec_col)), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("dist_sq", sq)
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("dist_sq").asc(), F.col("neighbor_id").asc()))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist_sq", "rank"))

@@ -3236,6 +3236,54 @@ def q91_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(incoming, existing)
 
 
+@register(
+    "q92_ivfpq",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               (list_inner_product(cv, cv)
+                - 2 * list_inner_product(cv, qv)
+                + list_inner_product(qv, qv)) AS dist_sq
+        FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings) e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, dist_sq, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist_sq, neighbor_id) AS INT)
+            AS rank
+        FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def q92_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the faiss-standard composite (operators/similarity.py::
+    train_ivfpq / encode_ivfpq / knn_ivfpq): coarse KMeans cells route
+    the probe, PQ codes of the RESIDUALS feed per-(query, cell) ADC
+    lookup tables, survivors re-rank by exact L2. Oracle configuration:
+    nprobe = nlist and a corpus-spanning shortlist make the pipeline
+    equal brute force bit-for-bit (q73/q88 pattern) — verifying cell
+    routing, residual encode, ADC and rerank end-to-end; realistic
+    nprobe recall is pinned in tests."""
+    from goetl_spark.operators.similarity import (
+        encode_ivfpq, knn_ivfpq, train_ivfpq)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nlist = 8
+    cents, books = train_ivfpq(emb, nlist=nlist, m=8, k=16, max_iter=5)
+    enc = encode_ivfpq(emb, cents, books)
+    qpd = (emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+           .toPandas()[["vec_id", "embedding"]])
+    qpd["embedding"] = qpd["embedding"].map(list)
+    n = emb.count()
+    return knn_ivfpq(emb, enc, qpd, cents, books, k=10, nprobe=nlist,
+                     shortlist=(n // 10) + 1)
+
+
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 

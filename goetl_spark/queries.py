@@ -57,22 +57,23 @@ def register(name: str, oracle: str | None):
 # q66/q67 green r03; q79/q80 round-trips green r03+r04 + unit tests.
 # The six queries the r04 events-schema change broke (q16, q31, q35,
 # q36, q62, q65) stay in-window to re-prove green after the _events fix.
-# The round-5 additions (q82-q89) take the slots of q04/q06/q07/q13/
-# q17/q18/q19 — all of which banked green rows in r04 (they were
-# unaffected by the events break) and whose operators recur inside the
-# composite shapes (q55/q56/q76-q78/q83/q84 joins+aggs, q16 windows,
-# q70/q72 merge upserts) — so after this round EVERY registered query
-# has a driver row in the union of CORRECTNESS_r01..r05.
+# The round-5 additions (q82-q92) take the slots of q04/q06/q07/q13/
+# q17/q18/q19/q24/q38/q44 — all of which banked green rows in r04 (they
+# were unaffected by the events break) and whose operators recur inside
+# the composite shapes (q55/q56/q76-q78/q83/q84 joins+aggs, q16 windows,
+# q70/q72 merge upserts, q22/q50 dedup, q82/q87 percentile bounds,
+# q20-profile-r03/q32-pipeline quality checks) — so after this round
+# EVERY registered query has a driver row in the union of
+# CORRECTNESS_r01..r05.
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
 _WINDOW: list[str] = [
     "q01_pricing_summary", "q16_sessionize",
-    "q22_ngram_jaccard", "q24_minhash_lsh_candidates",
+    "q22_ngram_jaccard",
     "q28_embedding_neardup",
     "q30_text_quality", "q31_streaming_tumbling", "q32_pipeline_runner",
     "q33_dag_runner", "q34_multimodal_features", "q35_asof_join",
-    "q36_range_join", "q38_percentiles",
-    "q44_quality_gate",
+    "q36_range_join",
     "q47_approx_distinct", "q48_stateful_stream",
     "q50_dedup_clusters", "q52_hash_split",
     "q53_length_buckets", "q54_redact_pii", "q55_shipping_priority",
@@ -89,7 +90,8 @@ _WINDOW: list[str] = [
     "q81_sequence_packing", "q82_tdigest_bound",
     "q83_nation_volume", "q84_priority_shipmode", "q85_decontaminate",
     "q86_stratified_topk", "q87_tdigest_by_group", "q88_pq_rerank",
-    "q89_paragraph_dedup",
+    "q89_paragraph_dedup", "q90_skew_report", "q91_dedup_incremental",
+    "q92_ivfpq",
 ]
 
 

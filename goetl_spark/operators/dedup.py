@@ -1,19 +1,27 @@
 """Deduplication: exact and near-duplicate detection at corpus scale.
 
-Beyond the reference surface (BASELINE.json north star). Five strategies,
+Beyond the reference surface (BASELINE.json north star). Strategies,
 ordered by cost:
 
 1. :func:`exact_dedup` — hash-groupBy on content digest. One shuffle of
    (digest, id) pairs; the canonical 100 TB first pass.
+   :func:`dedup_against` is its incremental form (daily batch vs a
+   standing corpus); :func:`paragraph_dedup` its sub-document form
+   (first-occurrence paragraphs corpus-wide).
 2. :func:`ngram_jaccard_pairs` — exact n-gram-shingle Jaccard for pairs
-   sharing at least one shingle (inverted-index join). Exact but the join
-   can explode on common shingles — use after LSH at scale.
+   sharing at least one shingle (inverted-index join), hot-shingle
+   document-frequency cap on by default (``max_df``).
 3. :func:`minhash_signatures` / :func:`minhash_lsh_candidates` — MinHash +
    banded LSH. Cost linear in corpus size + candidate verification only;
    THE scale path for near-dedup (the MapReduce/Spark standard).
 4. :func:`simhash` — 60-bit SimHash per doc; near-dups have small Hamming
    distance. Cheapest signature; pairs via band join on hash prefixes.
-5. :mod:`goetl_spark.operators.similarity` — embedding-cosine near-dup.
+5. :mod:`goetl_spark.operators.similarity` — embedding-cosine near-dup,
+   plus the ANN family (IVF, LSH, PQ, IVF-PQ) for the candidate stage.
+
+Related hygiene passes here: :func:`contamination_flags` (benchmark
+n-gram leak detection) and :func:`winnow_fingerprints` (partial
+overlap).
 
 All hashing is md5-based (:func:`goetl_spark.operators.text.md5_int`) so an
 external SQL engine (the DuckDB oracle) can reproduce results bit-for-bit

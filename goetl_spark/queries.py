@@ -3286,6 +3286,51 @@ def q92_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                      shortlist=(n // 10) + 1)
 
 
+@register(
+    "q93_stream_dedup_ingest",
+    """
+    WITH feed AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, text FROM feed d
+    WHERE doc_id = (SELECT MIN(doc_id) FROM feed d2
+                    WHERE md5(d2.text) = md5(d.text))
+    """,
+)
+def q93_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with cross-batch dedup (streaming/sinks.py::
+    stream_dedup_ingest): the feed is every document plus re-ingested
+    copies of every fifth one under shifted ids (this corpus is
+    content-unique, so the copies are what exercises the drop path);
+    it replays as 3 chronologically-ordered micro-batches (range-chunked
+    on doc_id — the copies' high ids put them in the last chunk), each
+    batch dedups against the accumulated output before appending.
+    Because chunks arrive in doc_id order, first-arrival == lowest id,
+    so the final corpus must equal the batch keep-min-per-content-hash —
+    which the SQL oracle states directly. Also exercises the idempotence
+    argument: a replayed batch would find its digests present and append
+    nothing."""
+    from goetl_spark.streaming.sinks import stream_dedup_ingest
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    stream, _ = replay_stream_ordered(
+        d, "doc_id", num_chunks=3, dir=_scratch("goetl_q93_replay"))
+    out_dir = _scratch("goetl_q93_out")
+    q = stream_dedup_ingest(stream, out_dir,
+                            _scratch("goetl_q93_ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 

@@ -82,3 +82,49 @@ def stream_upsert_jdbc(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus ingest with cross-batch exact dedup: each
+    micro-batch drops rows whose content digest already exists in the
+    accumulated output (:func:`goetl_spark.operators.dedup.dedup_against`
+    — in-batch duplicates collapse to the lowest id too) and appends
+    only the survivors.
+
+    Delivery contract: foreachBatch is at-least-once (a failed batch
+    re-runs), and here the WRITE ITSELF is the idempotence mechanism — a
+    replayed batch finds its own digests already in the output and
+    appends nothing, so the corpus converges to exactly-once ON CONTENT
+    regardless of retries. Same recipe as the upsert sink, with the
+    dedup anti-join playing the role of the key constraint.
+
+    Scale: the existing side reduces to distinct digests before the
+    anti-join (never text); at real scale maintain the digest set as its
+    own compact table instead of re-scanning the corpus per batch (the
+    docstring of ``dedup_against`` sketches this)."""
+    import os
+
+    from goetl_spark.operators.dedup import dedup_against
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        has_output = os.path.isdir(output_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(output_dir)
+            for f in fs)
+        existing = (spark.read.parquet(output_dir) if has_output
+                    else spark.createDataFrame([], batch_df.schema))
+        out = dedup_against(batch_df, existing, text_col, id_col)
+        out.write.mode("append").parquet(output_dir)
+
+    w = (stream_df.writeStream.foreachBatch(_write_batch)
+         .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -512,3 +512,37 @@ def test_transform_with_state_matches_legacy(spark, tmp_path):
         if r.event_type not in final or r.n_events > final[r.event_type][0]:
             final[r.event_type] = (r.n_events, r.min_value, r.max_value)
     assert final == {"a": (3, 1.0, 5.0), "b": (2, 2.0, 7.0)}
+
+
+def test_stream_dedup_ingest_and_idempotence(spark, tmp_path):
+    """Cross-batch streaming dedup: later batches drop content already
+    ingested, and a REPLAYED batch appends nothing (the exactly-once-on-
+    content argument: the write is idempotent because each batch dedups
+    against the output it may already have written)."""
+    from pyspark.sql import Row
+
+    from goetl_spark.streaming.sinks import stream_dedup_ingest
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"content {i % 4}") for i in range(8)])
+    stream, _ = replay_stream_ordered(
+        docs, "doc_id", num_chunks=2, dir=str(tmp_path / "replay"))
+    out = str(tmp_path / "out")
+    q = stream_dedup_ingest(stream, out, str(tmp_path / "ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    # 4 distinct contents, first occurrence (lowest id) kept
+    assert {r.doc_id for r in got.collect()} == {0, 1, 2, 3}
+
+    # replay a batch manually: everything already present -> no growth
+    import goetl_spark.streaming.sinks as S
+    before = got.count()
+    from goetl_spark.operators.dedup import dedup_against
+    replay = dedup_against(docs.limit(8), spark.read.parquet(out))
+    assert replay.count() == 0
+    replay.write.mode("append").parquet(out)
+    assert spark.read.parquet(out).count() == before

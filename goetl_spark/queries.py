@@ -57,20 +57,19 @@ def register(name: str, oracle: str | None):
 # q66/q67 green r03; q79/q80 round-trips green r03+r04 + unit tests.
 # The six queries the r04 events-schema change broke (q16, q31, q35,
 # q36, q62, q65) stay in-window to re-prove green after the _events fix.
-# The round-5 additions (q82-q92) take the slots of q04/q06/q07/q13/
-# q17/q18/q19/q24/q38/q44 — all of which banked green rows in r04 (they
-# were unaffected by the events break) and whose operators recur inside
-# the composite shapes (q55/q56/q76-q78/q83/q84 joins+aggs, q16 windows,
-# q70/q72 merge upserts, q22/q50 dedup, q82/q87 percentile bounds,
-# q20-profile-r03/q32-pipeline quality checks) — so after this round
-# EVERY registered query has a driver row in the union of
-# CORRECTNESS_r01..r05.
+# The round-5 additions (q82-q93) take the slots of q04/q06/q07/q13/
+# q17/q18/q19/q24/q28/q38/q44 — all of which banked green rows in r04
+# (they were unaffected by the events break) and whose operators recur
+# inside the composite shapes (q55/q56/q76-q78/q83/q84 joins+aggs, q16
+# windows, q70/q72 merge upserts, q22/q50 dedup, q59/q73/q88/q92
+# similarity, q82/q87 percentile bounds, q20-profile-r03/q32-pipeline
+# quality checks) — so after this round EVERY registered query has a
+# driver row in the union of CORRECTNESS_r01..r05.
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
 _WINDOW: list[str] = [
     "q01_pricing_summary", "q16_sessionize",
     "q22_ngram_jaccard",
-    "q28_embedding_neardup",
     "q30_text_quality", "q31_streaming_tumbling", "q32_pipeline_runner",
     "q33_dag_runner", "q34_multimodal_features", "q35_asof_join",
     "q36_range_join",
@@ -91,7 +90,7 @@ _WINDOW: list[str] = [
     "q83_nation_volume", "q84_priority_shipmode", "q85_decontaminate",
     "q86_stratified_topk", "q87_tdigest_by_group", "q88_pq_rerank",
     "q89_paragraph_dedup", "q90_skew_report", "q91_dedup_incremental",
-    "q92_ivfpq",
+    "q92_ivfpq", "q93_stream_dedup_ingest",
 ]
 
 

@@ -150,6 +150,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _ts_lit(df: DataFrame, col: str, value: str):
+    """Timestamp literal comparable to ``df[col]`` under ANY parquet
+    layout the driver regenerates (TIMESTAMP_NTZ today; UTC-adjusted
+    TIMESTAMP would also resolve): cast the literal to the column's own
+    type instead of hardcoding one flavor — the round-4 events break
+    came from exactly such a hardcoded assumption."""
+    return F.lit(value).cast(dict(df.dtypes)[col])
+
+
 # exact, associative sum of a double column, rendered back to double
 def dsum(col, alias: str):
     c = F.col(col) if isinstance(col, str) else col
@@ -193,7 +202,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        li.filter(F.col("l_shipdate") <= _ts_lit(li, "l_shipdate", "1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
@@ -1828,10 +1837,10 @@ def q55_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the orders date filter pushes to the scan so the fact join
     sees only the qualifying window. Composite plan-depth benchmark."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz"))
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz"))
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1997-03-15"))
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") > _ts_lit(li, "l_shipdate", "1997-03-15"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -1864,9 +1873,9 @@ def q56_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the fact) with the same-nation constraint. region/nation/supplier/
     customer broadcast; only the orders-lineitem join shuffles."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter((F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+                 & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1997-01-01")))
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -2120,8 +2129,8 @@ def q66_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= _ts_lit(li, "l_shipdate", "1995-01-01"))
+            & (F.col("l_shipdate") < _ts_lit(li, "l_shipdate", "1996-01-01"))
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -2453,9 +2462,9 @@ def q74_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = o.filter((F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+                 & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1997-01-01")))
     pruned = bloom_prune(li, o.select("o_orderkey"), "l_orderkey",
                          "o_orderkey", fpp=0.01)
     return (
@@ -2523,9 +2532,9 @@ def q76_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic tiebreak. Deepens bench plan realism beyond
     q55/q56 (round-2 roadmap item)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter((F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+                 & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1996-04-01")))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     return (
@@ -2998,9 +3007,9 @@ def q84_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the fact size; the l_shipdate range predicate must reach the
     parquet scan (PushedFilters)."""
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter((F.col("l_shipdate") >= _ts_lit(li, "l_shipdate", "1997-01-01"))
+                   & (F.col("l_shipdate") < _ts_lit(li, "l_shipdate", "1998-01-01")))
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

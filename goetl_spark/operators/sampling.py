@@ -160,6 +160,46 @@ def temperature_weights(
     return [r / top for r in raw]
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-embedding / pretraining chunker: window ``i`` covers
+    whitespace tokens ``[i·step, i·step + chunk_tokens)`` with
+    ``step = chunk_tokens − overlap_tokens``, the last window truncating
+    at the document end. Returns (id, chunk_id, text, n_tokens), one row
+    per chunk, chunk_id dense from 0 in document order.
+
+    Pure Column expressions (split → sequence of starts → posexplode →
+    slice → concat_ws): whole-stage-codegen, zero UDFs, map-only — the
+    row explosion is the output, not a shuffle. Deterministic and
+    SQL-mirrorable (DuckDB list slicing reproduces it exactly)."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < chunk ({chunk_tokens})")
+    step = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"),
+                  F.posexplode(starts).alias("chunk_id", "__start"))
+        .select(
+            id_col, "chunk_id",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__start") + 1, chunk_tokens)
+            ).alias(text_col),
+            F.least(F.size("__toks") - F.col("__start"),
+                    F.lit(chunk_tokens)).alias("n_tokens"),
+        )
+    )
+    return out.filter(F.col("n_tokens") > 0)
+
+
 def length_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -93,6 +93,28 @@ def test_ngram_jaccard_materialize_releases_cache(spark):
     assert after <= before + 1
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    import pytest
+
+    from goetl_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g h i j"),   # 10 tokens
+        Row(doc_id=2, text="x"),                       # 1 token
+    ])
+    got = {(r.doc_id, r.chunk_id): r
+           for r in chunk_documents(df, chunk_tokens=4,
+                                    overlap_tokens=2).collect()}
+    # step 2: starts 0,2,4,6,8 → 5 chunks for doc 1
+    assert sorted(c for d, c in got if d == 1) == [0, 1, 2, 3, 4]
+    assert got[(1, 0)].text == "a b c d"
+    assert got[(1, 1)].text == "c d e f"          # 2-token overlap
+    assert got[(1, 4)].text == "i j" and got[(1, 4)].n_tokens == 2
+    assert got[(2, 0)].text == "x" and got[(2, 0)].n_tokens == 1
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
 def test_paragraph_dedup(spark):
     from goetl_spark.operators.dedup import paragraph_dedup
 

@@ -7,9 +7,11 @@ feature-extraction / resize / frame-sampling run as Arrow-batched
 dependency-free parser, works in this container) and for any format
 Pillow handles where Pillow is installed (import-try); a payload whose
 codec is absent is QUARANTINED (``decode_ok=false``,
-``decoder='missing-codec'``) rather than crashing the job. Only the
-non-image paths (audio duration probe, video frame sampling) remain
-deterministic stand-ins, marked STUB at each kernel — the Spark-side
+``decoder='missing-codec'``) rather than crashing the job. Audio decode
+is likewise REAL for RIFF/WAVE integer PCM (zero-dep chunk parser —
+channels/rate/amplitude histogram; non-PCM quarantines); only the
+remaining audio formats and video frame sampling are deterministic
+stand-ins, marked STUB at each kernel — the Spark-side
 plumbing (schema, batching, bytes-based partition sizing) is the
 production shape throughout; the ``decoder`` column records which
 kernel fired per row.
@@ -100,7 +102,10 @@ def extract_features(df: DataFrame, media_col: str = "media",
       (:func:`_decode_pil`); when the codec is absent the row comes back
       ``decode_ok=false, decoder='missing-codec'`` instead of crashing
       the job — a 100 TB decode pass must quarantine, not die;
-    - non-image mimes → the deterministic byte-histogram stand-in
+    - ``audio/*`` with a RIFF magic → REAL zero-dependency WAV/PCM
+      parse (:func:`_decode_wav`; channels/rate surfaced in the
+      width/height slots, non-PCM quarantines);
+    - remaining mimes → the deterministic byte-histogram stand-in
       (:func:`_decode_stub`, clearly marked).
 
     The plumbing — struct input, Arrow batching, schema, bytes-based
@@ -143,8 +148,52 @@ def _decode_media(payload: bytes | None, mime: str, dim: int):
         if payload[:2] in (b"P5", b"P6"):
             return _decode_netpbm(payload, dim)
         return _decode_pil(payload, dim)
+    if mime.startswith("audio/") and payload[:4] == b"RIFF":
+        return _decode_wav(payload, dim)
     feat, ok = _decode_stub(payload, dim)
     return feat, ok, None, None, "stub"
+
+
+def _decode_wav(payload: bytes, dim: int):
+    """REAL audio decode, zero dependencies: RIFF/WAVE with 8- or 16-bit
+    integer PCM. Parses the chunk list (fmt then data — any extra chunks
+    like LIST are skipped by size), widens samples to amplitude bytes,
+    and emits the same normalized-histogram feature the image kernels
+    use. Returns (n_channels, sample_rate) in the (width, height) slots
+    — the metadata a real pipeline filters on. Malformed or non-PCM
+    payloads quarantine, never raise."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[8:12] != b"WAVE":
+            return None, False, None, None, "wav-not-wave"
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+            body = payload[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None, False, None, None, "wav-truncated"
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16):  # integer PCM only
+            return None, False, None, None, "wav-unsupported"
+        if bits == 8:
+            samples = np.frombuffer(data, dtype=np.uint8)
+        else:
+            n = len(data) - (len(data) % 2)
+            samples = ((np.frombuffer(data[:n], dtype="<i2").astype(np.int32)
+                        + 32768) >> 8).astype(np.uint8)
+        return (_pixel_feature(samples, dim), True,
+                int(n_ch), int(rate), "wav")
+    except Exception:
+        return None, False, None, None, "wav-corrupt"
 
 
 def _pixel_feature(pixels, dim: int):

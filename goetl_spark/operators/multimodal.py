@@ -206,11 +206,11 @@ def _pixel_feature(pixels, dim: int):
     return (hist / hist.sum()).tolist()
 
 
-def _decode_netpbm(payload: bytes, dim: int):
-    """REAL image decode, zero dependencies: binary netpbm (P5 grayscale /
-    P6 RGB, maxval ≤ 255). Header = magic, whitespace-separated width
-    height maxval with ``#`` comments, one whitespace byte, then raw
-    samples row-major."""
+def _parse_netpbm(payload: bytes):
+    """Parse binary netpbm into pixel bytes: returns
+    ``(pixels, w, h, channels, err)`` with err None on success. Header =
+    magic, whitespace-separated width height maxval with ``#`` comments,
+    one whitespace byte, then raw samples row-major (maxval ≤ 255)."""
     try:
         tokens, i = [], 2  # past magic
         while len(tokens) < 3:
@@ -227,14 +227,23 @@ def _decode_netpbm(payload: bytes, dim: int):
         i += 1  # single whitespace after maxval
         w, h, maxval = tokens
         if maxval > 255:
-            return None, False, None, None, "netpbm-unsupported"
-        n = w * h * (3 if payload[:2] == b"P6" else 1)
+            return None, None, None, None, "netpbm-unsupported"
+        ch = 3 if payload[:2] == b"P6" else 1
+        n = w * h * ch
         pixels = payload[i:i + n]
         if len(pixels) != n:
-            return None, False, None, None, "netpbm-truncated"
-        return _pixel_feature(bytearray(pixels), dim), True, w, h, "netpbm"
+            return None, None, None, None, "netpbm-truncated"
+        return bytearray(pixels), w, h, ch, None
     except (ValueError, IndexError):
-        return None, False, None, None, "netpbm-corrupt"
+        return None, None, None, None, "netpbm-corrupt"
+
+
+def _decode_netpbm(payload: bytes, dim: int):
+    """REAL image decode, zero dependencies — see :func:`_parse_netpbm`."""
+    pixels, w, h, _ch, err = _parse_netpbm(payload)
+    if err is not None:
+        return None, False, None, None, err
+    return _pixel_feature(pixels, dim), True, w, h, "netpbm"
 
 
 def _decode_pil(payload: bytes, dim: int):
@@ -291,3 +300,82 @@ def sample_frames(df: DataFrame, media_col: str = "media",
             yield pd.DataFrame(rows)
 
     return df.select(media_col).mapInPandas(run, schema="media_id long, frame_ms long")
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, mime_type string, payload binary, "
+    "width int, height int, resize_ok boolean, decoder string"
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  media_col: str = "media") -> DataFrame:
+    """Thumbnail pass: decode each image payload, nearest-neighbor resize
+    to (target_w, target_h), re-encode as binary netpbm (P6 for RGB, P5
+    for grayscale) — the decode→transform→re-encode plumbing every
+    image-heavy training pipeline runs before feature extraction.
+
+    Zero dependencies on the netpbm path (numpy index-mapping does the
+    resample); other image formats go through Pillow when installed and
+    quarantine (``resize_ok=false``) when not — identical contract to
+    :func:`extract_features`. Arrow-batched mapInPandas; map-only, no
+    shuffle; output payloads are plain binary columns ready for
+    :func:`attach_media_column` again or a parquet sink."""
+    import numpy as np
+
+    def _nn_resize(arr: "np.ndarray", tw: int, th: int) -> "np.ndarray":
+        h, w = arr.shape[0], arr.shape[1]
+        rows = np.minimum((np.arange(th) * h) // th, h - 1)
+        cols = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        return arr[rows][:, cols]
+
+    def _encode_netpbm(arr: "np.ndarray") -> bytes:
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        magic = b"P5" if ch == 1 else b"P6"
+        head = b"%s\n%d %d\n255\n" % (magic, arr.shape[1], arr.shape[0])
+        return head + arr.astype("uint8").tobytes()
+
+    def _resize_one(payload, mime):
+        if payload is None or len(payload) == 0:
+            return None, None, None, False, "none"
+        if payload[:2] in (b"P5", b"P6"):
+            pixels, w, h, ch, err = _parse_netpbm(bytes(payload))
+            if err is not None:
+                return None, None, None, False, err
+            arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+            arr = arr.reshape((h, w) if ch == 1 else (h, w, ch))
+            out = _nn_resize(arr, target_w, target_h)
+            return (_encode_netpbm(out), target_w, target_h, True, "netpbm")
+        try:
+            from PIL import Image
+        except ImportError:
+            return None, None, None, False, "missing-codec"
+        import io
+        try:
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            out = np.asarray(img, dtype=np.uint8)
+            out = _nn_resize(out, target_w, target_h)
+            return (_encode_netpbm(out), target_w, target_h, True, "pil")
+        except Exception:
+            return None, None, None, False, "pil-corrupt"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mime_type", "payload",
+                                    "width", "height", "resize_ok",
+                                    "decoder")}
+            for m in pdf[media_col]:
+                payload, w, h, ok, dec = _resize_one(m["payload"],
+                                                     m["mime_type"] or "")
+                rows["media_id"].append(m["media_id"])
+                rows["mime_type"].append(m["mime_type"])
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["resize_ok"].append(ok)
+                rows["decoder"].append(dec)
+            yield pd.DataFrame(rows)
+
+    return df.select(media_col).mapInPandas(run, schema=_RESIZE_SCHEMA)

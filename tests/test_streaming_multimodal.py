@@ -592,3 +592,29 @@ def test_decode_wav_quarantines_bad_payloads():
     # RIFF but not WAVE
     *_, dec = _decode_wav(b"RIFF\x04\x00\x00\x00AVI ", 8)
     assert dec == "wav-not-wave"
+
+
+def test_resize_images_netpbm_roundtrip(spark):
+    """Resize decodes, resamples, re-encodes: the output payload is valid
+    netpbm at the target size, and downsampling by 2 keeps every other
+    pixel (nearest-neighbor index map)."""
+    from goetl_spark.operators.multimodal import (
+        _parse_netpbm, resize_images)
+
+    df = spark.createDataFrame([Row(payload=bytearray(_ppm_bytes()))],
+                               "payload binary")
+    media = attach_media_column(df, "payload", "image/x-portable-pixmap")
+    r = resize_images(media, target_w=2, target_h=1).collect()[0]
+    assert r.resize_ok and r.decoder == "netpbm"
+    assert (r.width, r.height) == (2, 1)
+    pixels, w, h, ch, err = _parse_netpbm(bytes(r.payload))
+    assert err is None and (w, h, ch) == (2, 1, 3)
+    # source is 4x2 with value (x+y)%8 per channel; NN picks row 0,
+    # cols 0 and 2 → values 0 and 2
+    assert list(pixels) == [0, 0, 0, 2, 2, 2]
+    # corrupt payloads quarantine instead of raising
+    bad = spark.createDataFrame([Row(payload=bytearray(b"P6\n4 2\n255\nxx"))],
+                                "payload binary")
+    r2 = resize_images(attach_media_column(bad, "payload", "image/x-p"),
+                       2, 1).collect()[0]
+    assert not r2.resize_ok and r2.decoder == "netpbm-truncated"

@@ -62,6 +62,49 @@ def top_n_per_group(df: DataFrame, partition_by: Sequence[str],
     return out.filter(F.col(tmp) <= n).drop(tmp)
 
 
+def topk_per_group_partial(
+    df: DataFrame, group_cols: Sequence[str], order_col: str, k: int,
+    ascending: bool = False, tie_cols: Sequence[str] = (),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k per group via PARTIAL pre-aggregation — the 100 TB
+    formulation of :func:`top_n_per_group`.
+
+    The plain window shuffles EVERY row to its group's sort; since the
+    global top-k of a group is contained in the union of its
+    per-partition top-k's, phase 1 takes each input partition's local
+    top-k per group with one vectorized pandas pass (zero shuffle), and
+    only those ≤ k × groups-per-partition survivors reach phase 2's
+    exact window. Shuffled rows drop from N to ~k · groups · partitions
+    — the same map-side-combine idea partial SUM/MIN aggregation uses,
+    applied to a ranking.
+
+    ``tie_cols`` must make (order_col, \\*tie_cols) a total order within
+    each group for a deterministic result (same contract the window
+    version has). Output = input columns + ``rank_col`` (1-based)."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    ties = list(tie_cols)
+    schema = df.schema
+
+    def local_topk(batches):
+        for pdf in batches:
+            by = [order_col] + ties
+            asc = [ascending] + [True] * len(ties)
+            yield (pdf.sort_values(by=by, ascending=asc, kind="mergesort")
+                   .groupby(gcols, dropna=False, sort=False)
+                   .head(k))
+
+    survivors = df.mapInPandas(local_topk, schema=schema)
+    order = (F.col(order_col).asc() if ascending
+             else F.col(order_col).desc())
+    w = Window.partitionBy(*gcols).orderBy(
+        order, *[F.col(c).asc() for c in ties])
+    return (survivors.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))
+
+
 def sessionize(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -65,8 +65,9 @@ def register(name: str, oracle: str | None):
 # similarity, q82/q87 percentile bounds, q71/q85 text analysis,
 # q20-profile-r03/q32-pipeline quality checks) — so after this round
 # EVERY registered query has a driver row in the union of
-# CORRECTNESS_r01..r05 (q30 and q33 joined the swapped-out set for
-# q94/q95; orchestration stays covered in-window by q32).
+# CORRECTNESS_r01..r05 (q30/q33/q59 joined the swapped-out set for
+# q94/q95/q96; orchestration stays covered in-window by q32, ANN by
+# q73/q88/q92, window functions by q16 and q96 itself).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
 _WINDOW: list[str] = [
@@ -80,7 +81,7 @@ _WINDOW: list[str] = [
     "q53_length_buckets", "q54_redact_pii", "q55_shipping_priority",
     "q56_local_supplier_volume", "q57_streaming_dedup",
     "q58_stream_stream_join",
-    "q59_ann_lsh", "q60_fanin_heterogeneous", "q61_mix_sources",
+    "q60_fanin_heterogeneous", "q61_mix_sources",
     "q62_pivot", "q64_fuzzy_pairs",
     "q65_json_extract",
     "q68_salted_join", "q69_bucketed_join",
@@ -93,7 +94,7 @@ _WINDOW: list[str] = [
     "q86_stratified_topk", "q87_tdigest_by_group", "q88_pq_rerank",
     "q89_paragraph_dedup", "q90_skew_report", "q91_dedup_incremental",
     "q92_ivfpq", "q93_stream_dedup_ingest", "q94_chunking",
-    "q95_llm_pipeline_e2e",
+    "q95_llm_pipeline_e2e", "q96_topk_partial",
 ]
 
 
@@ -3484,6 +3485,40 @@ def q95_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_chunks"),
              F.sum("n_tokens").alias("pack_tokens"))
     )
+
+
+@register(
+    "q96_topk_partial",
+    """
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+           l_extendedprice, rank
+    FROM (
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+               l_extendedprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS INT) AS rank
+        FROM lineitem) t
+    WHERE rank <= 3
+    """,
+)
+def q96_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k per group via partial pre-aggregation (operators/
+    window.py::topk_per_group_partial): each input partition emits its
+    local top-3 per (returnflag, linestatus) in one zero-shuffle pandas
+    pass, and only those survivors reach the exact window — shuffled
+    rows drop from N to ~k·groups·partitions, the ranking analog of
+    map-side combine. The oracle is the plain SQL window, proving the
+    two-phase result identical."""
+    from goetl_spark.operators.window import topk_per_group_partial
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    return topk_per_group_partial(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", k=3,
+        ascending=False, tie_cols=("l_orderkey", "l_linenumber"))
 
 
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]

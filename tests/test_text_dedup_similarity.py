@@ -164,6 +164,22 @@ def test_diagnose_skew(spark):
     assert any(r.k is None and r.n_rows == 1 for r in all3)
 
 
+def test_topk_partial_matches_plain_window(spark):
+    from goetl_spark.operators.window import (
+        top_n_per_group, topk_per_group_partial)
+
+    df = spark.createDataFrame(
+        [Row(g=i % 3, v=float((i * 37) % 100), i=i) for i in range(200)]
+    ).repartition(8)
+    got = {(r.g, r.i, r.rank)
+           for r in topk_per_group_partial(df, ["g"], "v", k=5,
+                                           tie_cols=("i",)).collect()}
+    want_rows = top_n_per_group(df, ["g"],
+                                [F.col("v").desc(), F.col("i")], 5).collect()
+    assert len(got) == 15 and {(r.g, r.i) for r in want_rows} == \
+        {(g, i) for g, i, _ in got}
+
+
 def test_contamination_flags(spark):
     from goetl_spark.operators.dedup import contamination_flags
 

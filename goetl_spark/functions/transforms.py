@@ -205,3 +205,29 @@ def map_records(
     genuinely cannot be expressed in SQL.
     """
     return df.mapInPandas(fn, schema=schema)
+
+
+def winsorize(
+    df: DataFrame, col: str, lower: float = 0.01, upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip a numeric column to its [lower, upper] quantiles — the
+    standard outlier treatment before feature scaling / loss-weighting
+    in a training pipeline. Thresholds come from the EXACT interpolated
+    percentile (same definition as DuckDB's quantile_cont, so results
+    are cross-engine reproducible); swap in
+    :func:`goetl_spark.operators.sketch.approx_quantiles` at corpus
+    scale where an exact sort-based percentile is too expensive.
+
+    One tiny agg job for the two thresholds (driver-side scalars,
+    broadcast into the clip expression), then a map-only pass."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower ({lower}) < upper ({upper}) <= 1")
+    lo, hi = df.agg(
+        F.expr(f"percentile({col}, {lower})"),
+        F.expr(f"percentile({col}, {upper})"),
+    ).collect()[0]
+    target = out_col or col
+    return df.withColumn(
+        target,
+        F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi)))

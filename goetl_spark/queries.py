@@ -65,9 +65,10 @@ def register(name: str, oracle: str | None):
 # similarity, q82/q87 percentile bounds, q71/q85 text analysis,
 # q20-profile-r03/q32-pipeline quality checks) — so after this round
 # EVERY registered query has a driver row in the union of
-# CORRECTNESS_r01..r05 (q30/q33/q59 joined the swapped-out set for
-# q94/q95/q96; orchestration stays covered in-window by q32, ANN by
-# q73/q88/q92, window functions by q16 and q96 itself).
+# CORRECTNESS_r01..r05 (q30/q33/q59/q52 joined the swapped-out set for
+# q94-q97; orchestration stays covered in-window by q32, ANN by
+# q73/q88/q92, window functions by q16 and q96 itself, hash splitting
+# by q52's r04 row plus in-window q53/q61/q86).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
 _WINDOW: list[str] = [
@@ -77,7 +78,7 @@ _WINDOW: list[str] = [
     "q34_multimodal_features", "q35_asof_join",
     "q36_range_join",
     "q47_approx_distinct", "q48_stateful_stream",
-    "q50_dedup_clusters", "q52_hash_split",
+    "q50_dedup_clusters",
     "q53_length_buckets", "q54_redact_pii", "q55_shipping_priority",
     "q56_local_supplier_volume", "q57_streaming_dedup",
     "q58_stream_stream_join",
@@ -94,7 +95,7 @@ _WINDOW: list[str] = [
     "q86_stratified_topk", "q87_tdigest_by_group", "q88_pq_rerank",
     "q89_paragraph_dedup", "q90_skew_report", "q91_dedup_incremental",
     "q92_ivfpq", "q93_stream_dedup_ingest", "q94_chunking",
-    "q95_llm_pipeline_e2e", "q96_topk_partial",
+    "q95_llm_pipeline_e2e", "q96_topk_partial", "q97_winsorize",
 ]
 
 
@@ -3519,6 +3520,58 @@ def q96_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group_partial(
         li, ["l_returnflag", "l_linestatus"], "l_extendedprice", k=3,
         ascending=False, tie_cols=("l_orderkey", "l_linenumber"))
+
+
+@register(
+    "q97_winsorize",
+    f"""
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem
+    ),
+    clipped AS (
+        SELECT l_returnflag,
+               LEAST(GREATEST(l_extendedprice, lo), hi) AS v,
+               (l_extendedprice < lo) AS was_lo,
+               (l_extendedprice > hi) AS was_hi
+        FROM lineitem, b
+    )
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN was_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN was_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           {DSUM('v')} AS sum_clipped
+    FROM clipped GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q97_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile clipping / winsorization (functions/transforms.py::
+    winsorize): l_extendedprice clipped to its exact [0.05, 0.95]
+    percentiles, summarized per return flag with clip counts. Spark's
+    interpolated ``percentile`` and DuckDB's ``quantile_cont`` share the
+    definition, so the thresholds — and every clipped value — match
+    bit-for-bit."""
+    from goetl_spark.functions.transforms import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    lo, hi = li.agg(
+        F.expr("percentile(l_extendedprice, 0.05)"),
+        F.expr("percentile(l_extendedprice, 0.95)"),
+    ).collect()[0]
+    w = winsorize(li, "l_extendedprice", 0.05, 0.95, out_col="v")
+    return (
+        w.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("l_extendedprice") < lo, 1).otherwise(0))
+             .alias("n_clipped_low"),
+             F.sum(F.when(F.col("l_extendedprice") > hi, 1).otherwise(0))
+             .alias("n_clipped_high"),
+             dsum("v", "sum_clipped"))
+        .orderBy("l_returnflag")
+    )
 
 
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]

@@ -123,6 +123,39 @@ def redact_pii(col: str | Column, kinds: tuple[str, ...] = ("email", "ipv4", "ph
     return c
 
 
+# common named entities; numeric (&#NN;) handled separately in strip_html
+_HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def strip_html(col: str | Column) -> Column:
+    """Drop markup from a web-corpus text column: script/style blocks
+    with their contents, then every remaining tag, then the common named
+    entities — the first cleaning pass for crawled HTML. Pure
+    regexp_replace/replace chain (RE2-portable, no lookarounds):
+    JVM-side, scan-bound, zero shuffle, mirrorable in any SQL engine.
+    Not a spec-complete HTML parser (CDATA, conditional comments and
+    malformed nesting pass through) — corpus cleaning wants cheap and
+    deterministic, not lossless DOM fidelity."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot-matches-newline — both RE2-supported
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def normalize_whitespace(col: str | Column) -> Column:
+    """Collapse runs of whitespace (incl. newlines/tabs) to single spaces
+    and trim — the companion pass after :func:`strip_html` so token
+    counts and shingles are stable across markup variants."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def md5_int(col: Column, hex_chars: int = 8) -> Column:
     """First ``hex_chars`` hex digits of md5 as a bigint — the shared,
     engine-portable hash used by fingerprinting/minhash (DuckDB can compute

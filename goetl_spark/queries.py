@@ -65,10 +65,11 @@ def register(name: str, oracle: str | None):
 # similarity, q82/q87 percentile bounds, q71/q85 text analysis,
 # q20-profile-r03/q32-pipeline quality checks) — so after this round
 # EVERY registered query has a driver row in the union of
-# CORRECTNESS_r01..r05 (q30/q33/q59/q52 joined the swapped-out set for
-# q94-q97; orchestration stays covered in-window by q32, ANN by
+# CORRECTNESS_r01..r05 (q30/q33/q59/q52/q64 joined the swapped-out set
+# for q94-q98; orchestration stays covered in-window by q32, ANN by
 # q73/q88/q92, window functions by q16 and q96 itself, hash splitting
-# by q52's r04 row plus in-window q53/q61/q86).
+# by q52's r04 row plus in-window q53/q61/q86, fuzzy/dedup by
+# q22/q50/q89/q91).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
 _WINDOW: list[str] = [
@@ -83,7 +84,7 @@ _WINDOW: list[str] = [
     "q56_local_supplier_volume", "q57_streaming_dedup",
     "q58_stream_stream_join",
     "q60_fanin_heterogeneous", "q61_mix_sources",
-    "q62_pivot", "q64_fuzzy_pairs",
+    "q62_pivot",
     "q65_json_extract",
     "q68_salted_join", "q69_bucketed_join",
     "q70_merge", "q71_repetition_removal",
@@ -96,6 +97,7 @@ _WINDOW: list[str] = [
     "q89_paragraph_dedup", "q90_skew_report", "q91_dedup_incremental",
     "q92_ivfpq", "q93_stream_dedup_ingest", "q94_chunking",
     "q95_llm_pipeline_e2e", "q96_topk_partial", "q97_winsorize",
+    "q98_strip_html",
 ]
 
 
@@ -3572,6 +3574,53 @@ def q97_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum("v", "sum_clipped"))
         .orderBy("l_returnflag")
     )
+
+
+_Q98_WRAP = ('<html><body onload="f()"><!-- nav --><p class="x">',
+             '</p>&nbsp;<script>var x = 1 < 2;</script></body></html>')
+
+
+@register(
+    "q98_strip_html",
+    f"""
+    WITH wrapped AS (
+        SELECT doc_id,
+               '{_Q98_WRAP[0]}' || text || '{_Q98_WRAP[1]}' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(html,
+                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                        '(?s)<[^>]+>', ' ', 'g'),
+                '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' ') AS t
+        FROM wrapped
+    )
+    SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
+    FROM stripped
+    """,
+)
+def q98_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus markup cleaning (operators/text.py::strip_html +
+    normalize_whitespace): documents wrapped in an HTML fixture — tags,
+    attributes, a comment, an entity, and a script whose BODY contains a
+    ``<`` — are stripped back to clean text. The oracle replays the
+    identical RE2-portable regex chain in DuckDB (with the 'g' flag its
+    regexp_replace needs); the unit test additionally pins that cleaning
+    recovers the original text exactly."""
+    from goetl_spark.operators.text import normalize_whitespace, strip_html
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = d.withColumn(
+        "html", F.concat(F.lit(_Q98_WRAP[0]), F.col("text"),
+                         F.lit(_Q98_WRAP[1])))
+    return wrapped.select(
+        "doc_id", normalize_whitespace(strip_html("html")).alias("text"))
 
 
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]

@@ -246,6 +246,18 @@ def test_text_stats(spark):
     assert math.isclose(r.pr, 2 / 31)
 
 
+def test_strip_html_recovers_text(spark):
+    html = ('<html><head><script type="t">if (1 < 2) { x(); }</script>'
+            '<style>p { color: red; }</style></head>'
+            '<body><!-- nav -->\n<p class="a">Tom &amp; Jerry say'
+            ' &quot;hi&quot;</p>\t<div>two&nbsp;words</div></body></html>')
+    df = spark.createDataFrame([Row(doc_id=1, html=html)])
+    got = df.select(
+        X.normalize_whitespace(X.strip_html("html")).alias("t")
+    ).collect()[0].t
+    assert got == 'Tom & Jerry say "hi" two words'
+
+
 def test_quality_score_bounds(spark):
     good = "the " * 60 + "sentence of reasonable words and content here."
     bad = "x"

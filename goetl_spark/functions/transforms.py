@@ -207,26 +207,63 @@ def map_records(
     return df.mapInPandas(fn, schema=schema)
 
 
+def winsorize_thresholds(
+    df: DataFrame, col: str, lower: float, upper: float,
+    method: str = "exact",
+) -> tuple[float, float]:
+    """Compute the (lo, hi) clip thresholds for :func:`winsorize` once.
+
+    ``method``:
+
+    - ``'exact'`` — Spark's interpolated ``percentile``: the same
+      definition as DuckDB's ``quantile_cont``, so clipped values are
+      cross-engine bit-reproducible. It buffers every value in ONE
+      aggregation buffer — fine to ~10⁸ rows, wrong at corpus scale.
+    - ``'approx'`` — ``percentile_approx`` (Spark's GK summaries):
+      partial-aggregated, bounded memory, the 100 TB default.
+    - ``'tdigest'`` — :func:`goetl_spark.operators.sketch.approx_quantiles`:
+      our mergeable sketch, tightest at the tails.
+    """
+    if method == "exact":
+        lo, hi = df.agg(
+            F.expr(f"percentile({col}, {lower})"),
+            F.expr(f"percentile({col}, {upper})"),
+        ).collect()[0]
+    elif method == "approx":
+        lo, hi = df.agg(
+            F.percentile_approx(col, [lower, upper], 10_000)
+        ).collect()[0][0]
+    elif method == "tdigest":
+        from goetl_spark.operators.sketch import approx_quantiles
+        lo, hi = approx_quantiles(df, col, [lower, upper])
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return float(lo), float(hi)
+
+
 def winsorize(
     df: DataFrame, col: str, lower: float = 0.01, upper: float = 0.99,
-    out_col: str | None = None,
+    out_col: str | None = None, method: str = "exact",
+    thresholds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Clip a numeric column to its [lower, upper] quantiles — the
     standard outlier treatment before feature scaling / loss-weighting
-    in a training pipeline. Thresholds come from the EXACT interpolated
-    percentile (same definition as DuckDB's quantile_cont, so results
-    are cross-engine reproducible); swap in
-    :func:`goetl_spark.operators.sketch.approx_quantiles` at corpus
-    scale where an exact sort-based percentile is too expensive.
+    in a training pipeline.
+
+    Thresholds come from :func:`winsorize_thresholds` (``method=``
+    picks exact/cross-engine-reproducible vs partial-aggregated
+    ``'approx'``/``'tdigest'`` — use those at corpus scale, where the
+    exact single-buffer percentile is the wrong plan). A caller that
+    already computed (or wants to reuse) the thresholds passes
+    ``thresholds=(lo, hi)`` and NO aggregation job runs here at all.
 
     One tiny agg job for the two thresholds (driver-side scalars,
     broadcast into the clip expression), then a map-only pass."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower ({lower}) < upper ({upper}) <= 1")
-    lo, hi = df.agg(
-        F.expr(f"percentile({col}, {lower})"),
-        F.expr(f"percentile({col}, {upper})"),
-    ).collect()[0]
+    if thresholds is None:
+        thresholds = winsorize_thresholds(df, col, lower, upper, method)
+    lo, hi = thresholds
     target = out_col or col
     return df.withColumn(
         target,

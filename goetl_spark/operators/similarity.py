@@ -453,7 +453,9 @@ def cosine_topk_pandas(
 
 def _numpy_kmeans(X, k: int, seed: int, max_iter: int):
     """Deterministic Lloyd's on the driver: seeded k-means++ init, empty
-    clusters re-seeded to the farthest point. The standard way PQ
+    clusters re-seeded to DISTINCT farthest points (1st empty gets the
+    farthest, 2nd the 2nd-farthest, …) so two empty clusters never
+    collapse onto the same centroid. The standard way PQ
     codebooks are actually trained (faiss fits on an in-memory sample
     too) — the sample is small by design, so 8 Spark KMeans jobs would
     be pure scheduler overhead (measured 15 s → <1 s for the m=8 fit)."""
@@ -470,12 +472,17 @@ def _numpy_kmeans(X, k: int, seed: int, max_iter: int):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         newC = C.copy()
+        # worst-served points, farthest first, for empty-cluster reseeds:
+        # each empty cluster takes the NEXT one so reseeds stay distinct
+        far = d2.min(axis=1).argsort()[::-1]
+        n_empty = 0
         for c in range(k):
             members = X[assign == c]
             if len(members):
                 newC[c] = members.mean(axis=0)
-            else:  # re-seed empty cluster to the worst-served point
-                newC[c] = X[d2.min(axis=1).argmax()]
+            else:
+                newC[c] = X[far[min(n_empty, len(far) - 1)]]
+                n_empty += 1
         if np.allclose(newC, C):
             break
         C = newC

@@ -148,22 +148,30 @@ def tdigest_quantiles_by_group(
     def partial(batches):
         import numpy as np
 
+        # Accumulate each group's values across ALL Arrow batches of the
+        # partition, then compress once per group — this is what keeps the
+        # documented ≤ #partitions × 2·compression-per-group shuffle bound
+        # (compressing per batch would emit one centroid set per batch).
+        acc: dict[tuple, list] = {}
         for pdf in batches:
-            out = []
             for key, g in pdf.groupby(gcols, dropna=False, sort=False):
                 v = pd.to_numeric(g[value_col], errors="coerce") \
                     .dropna().to_numpy(float)
                 if not len(v):
                     continue
-                m, w = _compress(v, np.ones_like(v), compression)
-                part = pd.DataFrame({"mean": m, "weight": w})
                 if not isinstance(key, tuple):
                     key = (key,)
-                for c, k in zip(gcols, key):
-                    part[c] = k
-                out.append(part[gcols + ["mean", "weight"]])
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                acc.setdefault(key, []).append(v)
+        out = []
+        for key, chunks in acc.items():
+            v = np.concatenate(chunks)
+            m, w = _compress(v, np.ones_like(v), compression)
+            part = pd.DataFrame({"mean": m, "weight": w})
+            for c, k in zip(gcols, key):
+                part[c] = k
+            out.append(part[gcols + ["mean", "weight"]])
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

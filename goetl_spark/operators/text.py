@@ -123,7 +123,8 @@ def redact_pii(col: str | Column, kinds: tuple[str, ...] = ("email", "ipv4", "ph
     return c
 
 
-# common named entities; numeric (&#NN;) handled separately in strip_html
+# common named entities; numeric entities other than &#39; are left as-is
+# (decoding the long tail isn't worth a UDF in the cleaning hot path)
 _HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
                   ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
 

@@ -81,7 +81,10 @@ def topk_per_group_partial(
 
     ``tie_cols`` must make (order_col, \\*tie_cols) a total order within
     each group for a deterministic result (same contract the window
-    version has). Output = input columns + ``rank_col`` (1-based)."""
+    version has). Null/NaN order and tie values sort LAST in both
+    phases (pandas ``na_position='last'`` ↔ Spark ``asc_nulls_last``/
+    ``desc``), so a null can never be pruned in phase 1 yet rank
+    ahead in phase 2. Output = input columns + ``rank_col`` (1-based)."""
     import pandas as pd
 
     gcols = list(group_cols)
@@ -92,15 +95,16 @@ def topk_per_group_partial(
         for pdf in batches:
             by = [order_col] + ties
             asc = [ascending] + [True] * len(ties)
-            yield (pdf.sort_values(by=by, ascending=asc, kind="mergesort")
+            yield (pdf.sort_values(by=by, ascending=asc, kind="mergesort",
+                                   na_position="last")
                    .groupby(gcols, dropna=False, sort=False)
                    .head(k))
 
     survivors = df.mapInPandas(local_topk, schema=schema)
-    order = (F.col(order_col).asc() if ascending
+    order = (F.col(order_col).asc_nulls_last() if ascending
              else F.col(order_col).desc())
     w = Window.partitionBy(*gcols).orderBy(
-        order, *[F.col(c).asc() for c in ties])
+        order, *[F.col(c).asc_nulls_last() for c in ties])
     return (survivors.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= k))
 

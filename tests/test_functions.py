@@ -101,3 +101,33 @@ def test_combinators(spark):
 def test_custom_udf_filter(spark):
     df = spark.createDataFrame([Row(a=3), Row(a=4)])
     assert df.filter(flt.custom(lambda a: a % 2 == 0, "a")).collect()[0].a == 4
+
+
+def test_winsorize_methods_and_thresholds(spark):
+    from goetl_spark.functions.transforms import winsorize, winsorize_thresholds
+
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(1, 101)])
+    lo, hi = winsorize_thresholds(df, "v", 0.10, 0.90)
+    # exact interpolated percentile on 1..100
+    assert lo == pytest.approx(10.9) and hi == pytest.approx(90.1)
+    # thresholds= path runs no agg and clips identically to the default
+    a = winsorize(df, "v", 0.10, 0.90, out_col="w").collect()
+    b = winsorize(df, "v", 0.10, 0.90, out_col="w",
+                  thresholds=(lo, hi)).collect()
+    assert sorted(r.w for r in a) == sorted(r.w for r in b)
+    assert min(r.w for r in a) == pytest.approx(10.9)
+    assert max(r.w for r in a) == pytest.approx(90.1)
+    # scale methods land within a loose band of the exact thresholds
+    for method in ("approx", "tdigest"):
+        mlo, mhi = winsorize_thresholds(df, "v", 0.10, 0.90, method=method)
+        assert 5.0 <= mlo <= 15.0 and 85.0 <= mhi <= 95.0
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    from goetl_spark.functions.transforms import winsorize
+
+    df = spark.createDataFrame([Row(v=1.0)])
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
+    with pytest.raises(ValueError):
+        winsorize(df, "v", -0.1, 0.5)

@@ -46,20 +46,24 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
-def attach_media_column(df: DataFrame, payload_col: str, mime: str,
+def attach_media_column(df: DataFrame, payload_col: str,
+                        mime: "str | F.Column",
                         id_col: str | None = None) -> DataFrame:
     """Wrap a binary column into the standard media struct layout.
 
+    ``mime`` is a constant string for a homogeneous batch or a Column
+    for mixed corpora (the usual case — one table holds every modality).
     Pass ``id_col`` for a deterministic media_id (recommended);
     monotonically_increasing_id otherwise (unique but partition-dependent).
     """
     mid = (F.col(id_col).cast("long") if id_col
            else F.monotonically_increasing_id())
+    mime_col = mime if not isinstance(mime, str) else F.lit(mime)
     return df.withColumn(
         "media",
         F.struct(
             mid.alias("media_id"),
-            F.lit(mime).alias("mime_type"),
+            mime_col.alias("mime_type"),
             F.col(payload_col).alias("payload"),
             F.struct(
                 F.lit(None).cast("int").alias("width"),

@@ -1267,30 +1267,83 @@ def q33_dag_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results["agg"].output
 
 
-@register("q34_multimodal_features", None)  # no SQL oracle: mapInPandas kernel
+@register(
+    "q34_multimodal_features",
+    """
+    WITH m AS (
+        SELECT doc_id, doc_id % 4 AS k,
+               doc_id % 7 + 2 AS w, doc_id % 5 + 3 AS h, text
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN k IN (0, 2) THEN 'image/x-portable-graymap'
+                WHEN k = 1 THEN 'image/png'
+                ELSE 'text/plain' END AS mime_type,
+           -- P5 header 'P5\\n{w} {h}\\n255\\n' is 11 bytes while w and h
+           -- stay single-digit (w<=8, h<=7 by construction)
+           CAST(CASE WHEN k = 0 THEN 11 + w * h
+                     WHEN k = 2 THEN 11 + w * h - 1
+                     WHEN k = 1 THEN octet_length(encode('PNG' || text))
+                     ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
+           (k = 0 OR k = 3) AS decode_ok,
+           CASE WHEN k = 0 THEN 'netpbm'
+                WHEN k = 1 THEN 'missing-codec'
+                WHEN k = 2 THEN 'netpbm-truncated'
+                ELSE 'stub' END AS decoder,
+           CAST(CASE WHEN k = 0 THEN w END AS INT) AS width,
+           CAST(CASE WHEN k = 0 THEN h END AS INT) AS height,
+           CAST(CASE WHEN k = 0 OR k = 3 THEN 8 END AS INT) AS feature_dim
+    FROM m
+    """,
+)
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over real data: document text re-encoded as
-    binary payloads → media struct → Arrow-batched feature extraction
-    (operators/multimodal.py; text/plain payloads take the byte-histogram
-    stand-in kernel, recorded per row in ``decoder`` so decode-path drift
-    is visible in the correctness row). Driver records a rows-only check
-    — the kernel is not SQL-expressible."""
+    """Multimodal decode over a DETERMINISTIC mixed corpus (round-5
+    verdict ask #1 — q34 now has a value oracle on its deterministic
+    subset). Documents become four payload classes by doc_id % 4:
+
+    - 0 → a valid binary netpbm P5 image (header + w×h pixel bytes,
+      w = id%7+2, h = id%5+3) → REAL decode, width/height parsed;
+    - 1 → image/png bytes with no decodable codec in this container
+      → quarantined ``missing-codec`` row;
+    - 2 → a TRUNCATED P5 (one pixel byte short) → quarantined
+      ``netpbm-truncated`` row;
+    - 3 → text/plain → the byte-histogram stand-in kernel.
+
+    The oracle recomputes every metadata column (mime, byte length,
+    decode_ok, decoder, width/height, feature dim) from the same
+    arithmetic; only the feature VECTOR values stay engine-specific and
+    are excluded. Kernel dispatch, quarantine-not-crash, and header
+    parsing are therefore all hash-checked (operators/multimodal.py)."""
     from goetl_spark.operators.multimodal import attach_media_column, extract_features
 
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8"))
-    media = attach_media_column(d, "payload", "text/plain", id_col="doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id") % 4
+    w = (F.col("doc_id") % 7 + 2).cast("int")
+    h = (F.col("doc_id") % 5 + 3).cast("int")
+    header = F.concat(F.lit("P5\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n"))
+    payload = (
+        F.when(k == 0, F.encode(F.concat(header, F.repeat(F.lit("A"), w * h)),
+                                "UTF-8"))
+        .when(k == 1, F.encode(F.concat(F.lit("PNG"), F.col("text")), "UTF-8"))
+        .when(k == 2, F.encode(F.concat(header,
+                                        F.repeat(F.lit("A"), w * h - 1)),
+                               "UTF-8"))
+        .otherwise(F.encode(F.col("text"), "UTF-8")))
+    mime = (F.when(k.isin(0, 2), F.lit("image/x-portable-graymap"))
+            .when(k == 1, F.lit("image/png"))
+            .otherwise(F.lit("text/plain")))
+    media = attach_media_column(
+        d.withColumn("payload", payload), "payload", mime, id_col="doc_id")
     feats = extract_features(media, feature_dim=8)
-    # scalars only: the driver's canonicalizer sorts rows with pandas,
-    # which cannot hash list cells — fingerprint the vector instead
+    # metadata subset only: the feature vector is the one engine-specific
+    # column (histogram of this kernel's folding) — everything else is
+    # deterministic and oracle-compared
     return feats.select(
         "media_id", "mime_type", "n_bytes", "decode_ok", "decoder",
-        F.size("feature").alias("feature_dim"),
-        # format_string (no locale grouping) — format_number would insert
-        # commas that collide with the concat_ws separator
-        F.md5(F.concat_ws(",", F.transform(
-            "feature", lambda x: F.format_string("%.5f", x.cast("double"))
-        ))).alias("feature_md5"),
+        "width", "height",
+        F.when(F.col("decode_ok"), F.size("feature"))
+        .cast("int").alias("feature_dim"),
     )
 
 
@@ -2872,13 +2925,27 @@ def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q47_approx_distinct", None)
+@register(
+    "q47_approx_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
 def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (beyond-reference §2.5
-    'not present' row). No oracle: HLL sketches are engine-specific by
-    construction (DuckDB's approx_count_distinct uses a different sketch),
-    so the driver records the weaker rows-only check. The exact twin of
-    this query is oracle-checked as part of q20_profile's n_distinct.
+    'not present' row). The HLL estimate itself is engine-specific
+    (DuckDB's approx_count_distinct uses a different sketch), so — the
+    q82 bound-check pattern — the driver-compared value is the ERROR
+    CONTRACT: per group, |HLL − exact| / exact must sit within 3× the
+    configured rsd (0.02 → 0.06). The oracle computes the same exact
+    distinct count and asserts TRUE; a drifting sketch flips
+    within_bound and hash-mismatches. The exact countDistinct here
+    exists only to make the bound driver-checkable — the operator under
+    test is the approx path.
 
     At 100 TB this is THE cardinality shape: fixed-size sketch per group,
     map-side mergeable — no exact-distinct row shuffle."""
@@ -2886,8 +2953,14 @@ def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_custkeys"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "exact_custkeys", "n_orders",
+            (F.abs(F.col("approx") - F.col("exact_custkeys"))
+             / F.col("exact_custkeys") <= 0.06).alias("within_bound"),
         )
         .orderBy("o_orderstatus")
     )

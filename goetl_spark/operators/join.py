@@ -132,3 +132,34 @@ def semi_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
     """left_anti — beyond the reference surface."""
     return left.join(right, on=list(keys), how="left_anti")
+
+
+def join_cardinality(left: DataFrame, right: DataFrame,
+                     keys: Sequence[str]) -> DataFrame:
+    """EXACT inner-join output cardinality — without running the join.
+
+    The pre-flight planning companion to
+    :func:`goetl_spark.operators.skew.diagnose_skew`: before shipping a
+    join at 100 TB you want |A ⋈ B| (is the output 10⁹ or 10¹⁵ rows?)
+    and WHICH keys explode. |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), so two
+    partial-aggregated groupBys (each output ≤ #distinct keys, raw rows
+    never re-shuffled) joined on the key give the per-key product; the
+    caller sums ``pairs`` for the total or sorts by it for the top
+    offenders. Cost is two map-side-combined aggs — orders of magnitude
+    under materializing a bad join. NULL keys never match in SQL, so
+    they are excluded from both sides.
+
+    Returns (keys..., n_left, n_right, pairs), one row per matching key.
+    """
+    ks = list(keys)
+    notnull = None
+    for k in ks:
+        cond = F.col(k).isNotNull()
+        notnull = cond if notnull is None else notnull & cond
+    lc = (left.where(notnull).groupBy(*ks)
+          .agg(F.count(F.lit(1)).alias("n_left")))
+    rc = (right.where(notnull).groupBy(*ks)
+          .agg(F.count(F.lit(1)).alias("n_right")))
+    return lc.join(rc, on=ks).select(
+        *ks, "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pairs"))

@@ -192,6 +192,83 @@ def tdigest_quantiles_by_group(
     return partials.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
 
 
+# --- Count-Min sketch ------------------------------------------------------
+
+def _cm_hash_cols(col_expr, width: int, depth: int):
+    """The ``depth`` bucket indices as JVM-side Column expressions:
+    md5 over 'd:<value>' (engine-portable, same bytes hashlib sees in
+    :func:`countmin_estimate`), first 12 hex chars as bigint, mod width."""
+    from pyspark.sql import functions as F
+
+    return [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{d}:"), col_expr.cast("string"))),
+            1, 12), 16, 10).cast("bigint") % width).cast("int").alias(f"j{d}")
+        for d in range(depth)
+    ]
+
+
+def countmin_build(df: DataFrame, col: str, width: int = 2048,
+                   depth: int = 4):
+    """Distributed Count-Min sketch of a key column → (depth × width)
+    numpy counter matrix on the driver.
+
+    The frequency-sketch sibling of the t-digest above — the standard
+    answer to "how often does each key occur" when the key domain is too
+    large for an exact groupBy to be worth it (heavy-hitter detection,
+    skew pre-screening, streaming top-k). Guarantees (Cormode &
+    Muthukrishnan): estimate ≥ true count always (one-sided), and
+    estimate ≤ true + (e/width)·N with probability 1 − e^−depth.
+
+    Scale shape: the bucket indices are computed JVM-side (md5 column
+    expressions — no Python hashing in the hot path); the Arrow-batched
+    partial stage just bincounts them into a local (depth × width)
+    matrix, so each partition emits ≤ depth·width cells regardless of
+    row count; cells merge with one tiny groupBy-sum. The collect is
+    bounded by depth × width, never by rows — the same mergeable-
+    partial-aggregate economics as :func:`tdigest_sketch`."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    hashed = (df.where(F.col(col).isNotNull())  # NULL keys skip, SQL-agg style
+              .select(*_cm_hash_cols(F.col(col), width, depth)))
+
+    def partial(batches):
+        import pandas as pd
+
+        M = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            for d in range(depth):
+                M[d] += np.bincount(pdf[f"j{d}"], minlength=width)
+        dd, jj = np.nonzero(M)
+        if len(dd):
+            yield pd.DataFrame({"d": dd.astype("int32"),
+                                "j": jj.astype("int32"),
+                                "c": M[dd, jj]})
+
+    cells = (hashed.mapInPandas(partial, schema="d int, j int, c long")
+             .groupBy("d", "j").agg(F.sum("c").alias("c")).collect())
+    M = np.zeros((depth, width), dtype=np.int64)
+    for r in cells:
+        M[r["d"], r["j"]] = r["c"]
+    return M
+
+
+def countmin_estimate(M, key) -> int:
+    """Point-frequency estimate for ``key`` from a :func:`countmin_build`
+    matrix: min over rows of the key's bucket — pure driver-side lookup,
+    hashing exactly the bytes the build stage hashed."""
+    import hashlib
+
+    depth, width = M.shape
+    est = None
+    for d in range(depth):
+        j = int(hashlib.md5(f"{d}:{key}".encode()).hexdigest()[:12], 16) % width
+        v = int(M[d, j])
+        est = v if est is None else min(est, v)
+    return est
+
+
 def approx_quantiles(
     df: DataFrame, col: str, probs: Sequence[float], compression: int = 100
 ) -> list[float]:

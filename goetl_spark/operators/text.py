@@ -205,3 +205,62 @@ def remove_repeated_segments(col: str | Column, sep: str = "\n") -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(F.array_distinct(F.split(c, _re.escape(sep))), sep)
+
+
+def bm25_scores(
+    df: DataFrame, query_terms: "list[str]", text_col: str = "text",
+    id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 relevance for a bag of query terms — the
+    standard lexical ranking function (Robertson/Sparck Jones; the
+    Lucene/Elasticsearch default), and the workhorse for corpus search,
+    quality-weighted sampling, and seed-document expansion in a
+    training-data pipeline.
+
+    score(D) = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))
+    with idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) (the +1 form —
+    never negative).
+
+    Scale shape: tokenization and per-term tf are pure Column
+    expressions (lowercase split on non-alphanumeric, empties dropped) —
+    JVM-side, codegen, zero UDF; the corpus statistics (N, avgdl, df_t)
+    come from ONE tiny aggregate whose scalars broadcast into a map-only
+    scoring projection. No shuffle of document rows at any point, so the
+    op stays scan-bound at 100 TB. Returns (id_col, dl, tf_<term>...,
+    score) with the score summed in query-term order (deterministic
+    float addition order — mirrors the SQL oracle term-for-term).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+    def _tf(term: str):
+        # closure factory, NOT a two-param lambda: F.filter passes the
+        # element INDEX to a second lambda parameter
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    base = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in query_terms],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in query_terms],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = stats["sum_dl"] / n  # exact ints -> one IEEE division
+    score = None
+    for t in query_terms:
+        import math
+
+        idf = math.log(1.0 + (n - stats[f"df_{t}"] + 0.5)
+                       / (stats[f"df_{t}"] + 0.5))
+        tf = F.col(f"tf_{t}").cast("double")
+        term = F.lit(idf) * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+        score = term if score is None else score + term
+    return base.withColumn("score", score)

@@ -72,32 +72,39 @@ def register(name: str, oracle: str | None):
 # q22/q50/q89/q91).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
+# Round-6 rotation: seats go to (a) the 13 queries whose last driver
+# row was r02 (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51),
+# (b) the five round-6 additions (q99-q103), (c) every query whose CODE
+# or ORACLE changed this round and needs a fresh green row (q34 + q47
+# new oracles, q97 single-scan winsorize, q90 oracle NULLS FIRST,
+# q96 nulls-last alignment, q82/q87 per-partition sketch compress,
+# q88/q92 kmeans reseed), and (d) 22 of the 35 r04-last queries to
+# spread staleness pressure. The 13 r04-last queries left out
+# (q02-q07, q09, q11-q13, q20, q21, q41) MUST be seated in round 7 —
+# tests/test_registry.py::test_union_coverage_and_staleness enforces
+# exactly that once CORRECTNESS_r06.json lands. Round-5 rows (q16,
+# q22, q31/q32, q35/q36, q48, q50, q53-q58, q60-q62, q65, q68-q78,
+# q81, q83-q86, q89, q91, q93-q95, q98) bank their fresh green rows
+# and rotate out.
 _WINDOW: list[str] = [
-    "q01_pricing_summary", "q16_sessionize",
-    "q22_ngram_jaccard",
-    "q31_streaming_tumbling", "q32_pipeline_runner",
-    "q34_multimodal_features", "q35_asof_join",
-    "q36_range_join",
-    "q47_approx_distinct", "q48_stateful_stream",
-    "q50_dedup_clusters",
-    "q53_length_buckets", "q54_redact_pii", "q55_shipping_priority",
-    "q56_local_supplier_volume", "q57_streaming_dedup",
-    "q58_stream_stream_join",
-    "q60_fanin_heterogeneous", "q61_mix_sources",
-    "q62_pivot",
-    "q65_json_extract",
-    "q68_salted_join", "q69_bucketed_join",
-    "q70_merge", "q71_repetition_removal",
-    "q72_merge_pruned", "q73_ann_ivf_centroids",
-    "q74_bloom_join", "q75_zorder_scan", "q76_returned_item_revenue",
-    "q77_large_volume_customers", "q78_sole_returned_supplier",
-    "q81_sequence_packing", "q82_tdigest_bound",
-    "q83_nation_volume", "q84_priority_shipmode", "q85_decontaminate",
-    "q86_stratified_topk", "q87_tdigest_by_group", "q88_pq_rerank",
-    "q89_paragraph_dedup", "q90_skew_report", "q91_dedup_incremental",
-    "q92_ivfpq", "q93_stream_dedup_ingest", "q94_chunking",
-    "q95_llm_pipeline_e2e", "q96_topk_partial", "q97_winsorize",
-    "q98_strip_html",
+    "q01_pricing_summary", "q08_topk", "q10_distinct",
+    "q14_window_running", "q15_events_hourly",
+    "q17_cdc", "q18_scd2", "q19_scd3",
+    "q23_minhash_signatures", "q24_minhash_lsh_candidates",
+    "q25_simhash", "q26_knn_bruteforce", "q27_ann_ivf",
+    "q28_embedding_neardup", "q29_text_stats", "q30_text_quality",
+    "q33_dag_runner", "q34_multimodal_features",
+    "q37_rollup", "q38_percentiles", "q39_custom_udaf",
+    "q40_scd1", "q42_anti_join", "q43_cube", "q44_quality_gate",
+    "q45_sliding_window", "q46_session_window", "q47_approx_distinct",
+    "q49_set_ops", "q51_write_roundtrip", "q52_hash_split",
+    "q59_ann_lsh", "q63_unpivot", "q64_fuzzy_pairs",
+    "q66_forecast_revenue", "q67_io_stats",
+    "q79_csv_roundtrip", "q80_jsonl_roundtrip",
+    "q82_tdigest_bound", "q87_tdigest_by_group", "q88_pq_rerank",
+    "q90_skew_report", "q92_ivfpq", "q96_topk_partial",
+    "q97_winsorize", "q99_winnow_overlap", "q100_pq_recall",
+    "q101_heavy_hitters", "q102_bm25", "q103_join_cardinality",
 ]
 
 
@@ -3791,6 +3798,236 @@ def q87_tdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("within_bound"))
         .orderBy("l_returnflag", "prob")
     )
+
+
+@register(
+    "q99_winnow_overlap",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, TRUE AS detected
+    FROM documents
+    WHERE doc_id % 10 = 0 AND length(text) >= 40
+    """,
+)
+def q99_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / MOSS partial-overlap DETECTION GUARANTEE as a driver
+    row (round-5 verdict ask #3 — winnow_fingerprints previously had
+    only property tests). Fingerprint VALUES are engine-specific, but
+    the Schleimer/Wilkerson/Aiken guarantee is oracle-able: any shared
+    substring of length ≥ window + k − 1 (= 8 here) MUST produce at
+    least one shared fingerprint. Every tenth document gets a planted
+    copy (new id, an 80-char passage lifted verbatim between sentinel
+    padding), and the query reports, per planted pair, whether the
+    fingerprint equi-join (dedup.py::fingerprint_overlap_pairs)
+    detected it. The oracle enumerates the same planted pairs with
+    detected=TRUE — a winnowing bug that breaks the guarantee flips a
+    boolean and hash-mismatches; coincidental cross-document pairs are
+    excluded by construction (inner semantics on the planted key set).
+
+    At 100 TB: the fingerprint index is ~2/(window+1) the k-gram index
+    size, built map-only (Arrow-batched rolling hash); detection is one
+    inverted-index equi-join — the q22 join shape on a smaller index."""
+    from goetl_spark.operators.dedup import fingerprint_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donors = d.filter((F.col("doc_id") % 10 == 0)
+                      & (F.length("text") >= 40))
+    planted = donors.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("ZQXJ "), F.substring("text", 1, 80),
+                 F.lit(" KWYV")).alias("text"))
+    corpus = d.unionByName(planted)
+    pairs = fingerprint_overlap_pairs(corpus, k=5, window=4, min_shared=1)
+    expected = donors.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"))
+    return (
+        expected.join(pairs, ["id_a", "id_b"], "left")
+        .select("id_a", "id_b",
+                F.col("n_shared").isNotNull().alias("detected"))
+    )
+
+
+@register(
+    "q100_pq_recall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           10 AS k, 4 AS nprobe, TRUE AS recall_floor_met
+    FROM embeddings WHERE vec_id % 97 = 0
+    """,
+)
+def q100_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall floor at a REALISTIC (non-exact) configuration —
+    round-5 verdict ask #8. q92 verifies the pipeline at
+    nprobe = nlist ≡ brute force; this row pins the approx regime the
+    operator actually ships with: nprobe 4 of 8 cells with the default
+    shortlist. The query computes recall@10 against its own exact top-k
+    (same pipeline at full probe with a corpus-spanning shortlist — the
+    q92-proven exact configuration) and reports whether mean recall
+    clears 0.6 (measured 0.97 at sf0.001 / 0.80 at sf0.01 with
+    nprobe=4, shortlist=16; the floor leaves margin for testdata
+    re-rolls). The oracle recomputes the deterministic columns
+    and asserts TRUE — a routing/ADC regression that tanks recall flips
+    the boolean and hash-mismatches.
+
+    At 100 TB: queries explode only ×nprobe; per-(query,cell) LUTs keep
+    ADC code-only; the exact re-rank touches shortlist·k rows — the
+    recall/compute dial this row freezes is exactly what production
+    tunes."""
+    from goetl_spark.operators.similarity import (
+        encode_ivfpq, knn_ivfpq, train_ivfpq)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nlist, k = 8, 10
+    cents, books = train_ivfpq(emb, nlist=nlist, m=8, k=16, max_iter=5)
+    enc = encode_ivfpq(emb, cents, books)
+    qpd = (emb.filter(F.col("vec_id") % 97 == 0)
+           .toPandas()[["vec_id", "embedding"]])
+    qpd["embedding"] = qpd["embedding"].map(list)
+    n = emb.count()
+    exact = knn_ivfpq(emb, enc, qpd, cents, books, k=k, nprobe=nlist,
+                      shortlist=(n // k) + 1).select("query_id",
+                                                     "neighbor_id")
+    approx = knn_ivfpq(emb, enc, qpd, cents, books, k=k, nprobe=4,
+                       shortlist=16).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    recall = hits / (len(qpd) * k)
+    return spark.createDataFrame(
+        [(len(qpd), k, 4, bool(recall >= 0.6))],
+        "n_queries long, k int, nprobe int, recall_floor_met boolean")
+
+
+@register(
+    "q101_heavy_hitters",
+    """
+    SELECT CAST(l_suppkey AS BIGINT) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY n_exact DESC, key ASC LIMIT 10
+    """,
+)
+def q101_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/sketch.py::
+    countmin_build/countmin_estimate): the top-10 hottest l_suppkey
+    values with exact counts, plus the CM guarantee as a driver-checked
+    boolean — estimate ≥ exact (one-sided by construction) AND
+    estimate ≤ exact + (e/width)·N (the Cormode-Muthukrishnan bound).
+    The oracle recomputes the exact top-10 and asserts TRUE; a hashing
+    or merge bug that inflates past the bound (or deflates below truth)
+    flips within_bound. Exact counts exist here to make the bound
+    checkable — the operator under test is the sketch.
+
+    At 100 TB: bucket indices are JVM-side md5 expressions; each
+    partition ships ≤ depth×width cells (not rows); the driver matrix
+    is 4×2048 ints regardless of corpus size."""
+    import math
+
+    from goetl_spark.operators.sketch import countmin_build, countmin_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    width, depth = 2048, 4
+    M = countmin_build(li, "l_suppkey", width=width, depth=depth)
+    n_total = int(M[0].sum())  # row 0 counts every non-null key once
+    eps_n = math.e / width * n_total
+    top = (li.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("n_exact"))
+           .orderBy(F.col("n_exact").desc(), F.col("l_suppkey").asc())
+           .limit(10)
+           .collect())
+    rows = []
+    for r in top:
+        est = countmin_estimate(M, int(r["l_suppkey"]))
+        ok = r["n_exact"] <= est <= r["n_exact"] + eps_n
+        rows.append((int(r["l_suppkey"]), int(r["n_exact"]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "key long, n_exact long, within_bound boolean")
+
+
+_Q102_TERMS = ["spark", "join", "vector"]
+
+
+@register(
+    "q102_bm25",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS dl,
+               {', '.join(
+                   "len(list_filter(regexp_split_to_array(lower(text), "
+                   f"'[^a-z0-9]+'), x -> x = '{t}')) AS tf_{t}"
+                   for t in _Q102_TERMS)}
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {', '.join(
+                   f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                   for t in _Q102_TERMS)}
+        FROM d
+    )
+    SELECT doc_id, dl, {', '.join(f'tf_{t}' for t in _Q102_TERMS)},
+           {' + '.join(
+               f"ln(1.0 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+               f" * CAST(tf_{t} AS DOUBLE) * (1.2 + 1.0)"
+               f" / (CAST(tf_{t} AS DOUBLE)"
+               f"    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+               for t in _Q102_TERMS)} AS score
+    FROM d, s
+    """,
+)
+def q102_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (operators/text.py::bm25_scores) for a
+    3-term query over the document corpus — the standard lexical ranker
+    (Lucene's default similarity). Hash-exact across engines: idf is
+    computed driver-side with libm ln on exact integer inputs (the same
+    libm DuckDB calls), and the oracle mirrors the per-row float
+    arithmetic term-for-term in the same order, so every double matches
+    bit-for-bit.
+
+    Scale shape: tokenization + per-term tf are pure codegen Column
+    expressions; corpus stats (N, avgdl, df_t) are ONE tiny aggregate;
+    scoring is a map-only projection — zero shuffle, zero UDF."""
+    from goetl_spark.operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(d, _Q102_TERMS)
+
+
+@register(
+    "q103_join_cardinality",
+    """
+    WITH lc AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_left
+                FROM orders WHERE o_custkey IS NOT NULL
+                GROUP BY o_custkey),
+         rc AS (SELECT c_custkey, COUNT(*) AS n_right
+                FROM customer WHERE c_custkey IS NOT NULL
+                GROUP BY c_custkey)
+    SELECT lc.c_custkey, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(n_left * n_right AS BIGINT) AS pairs
+    FROM lc JOIN rc USING (c_custkey)
+    ORDER BY pairs DESC, c_custkey LIMIT 20
+    """,
+)
+def q103_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join
+    (operators/join.py::join_cardinality) — the pre-flight planning
+    probe next to q90's skew report: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)
+    from two partial-aggregated groupBys whose outputs (≤ #distinct
+    keys) join on the key. Here: orders ⋈ customer on custkey, top-20
+    keys by pair contribution. At 100 TB this costs two map-side-
+    combined aggs — orders of magnitude under materializing a
+    misjudged join."""
+    from goetl_spark.operators.join import join_cardinality
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey",
+                                                      "c_custkey")
+    c = _t(spark, sf_dir, "customer")
+    return (join_cardinality(o, c, ["c_custkey"])
+            .orderBy(F.col("pairs").desc(), F.col("c_custkey"))
+            .limit(20))
 
 
 ENTRY_QUERY = q01_pricing_summary

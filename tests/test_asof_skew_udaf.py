@@ -177,3 +177,69 @@ def test_tdigest_empty_input(spark):
     df = spark.createDataFrame([], "v double")
     [q] = approx_quantiles(df, "v", [0.5])
     assert math.isnan(q)
+
+
+def test_countmin_one_sided_and_bounded(spark):
+    """CM guarantees on a skewed key set: estimate >= exact for every
+    key, and <= exact + (e/width)*N for the probed keys."""
+    import math
+
+    from goetl_spark.operators.sketch import countmin_build, countmin_estimate
+
+    rows = [(k,) for k in range(50) for _ in range(k + 1)] + [(999,)] * 400
+    df = spark.createDataFrame(rows, "key long").repartition(8)
+    width, depth = 512, 4
+    M = countmin_build(df, "key", width=width, depth=depth)
+    n = len(rows)
+    assert int(M[0].sum()) == n  # every row lands once per depth row
+    exact = {k: k + 1 for k in range(50)} | {999: 400}
+    for k, c in exact.items():
+        est = countmin_estimate(M, k)
+        assert est >= c
+        assert est <= c + math.e / width * n
+
+
+def test_countmin_skips_nulls(spark):
+    from goetl_spark.operators.sketch import countmin_build
+
+    df = spark.createDataFrame([(1,), (None,), (1,)], "key long")
+    M = countmin_build(df, "key", width=64, depth=2)
+    assert int(M[0].sum()) == 2
+
+
+def test_bm25_ranks_term_frequency(spark):
+    """A document repeating the query term scores above one mentioning it
+    once, which scores above one without it; absent term -> score 0."""
+    from goetl_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark fast"), (2, "spark is neat"),
+         (3, "duck pond water fowl")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_scores(df, ["spark"]).collect()}
+    assert out[1]["tf_spark"] == 3 and out[2]["tf_spark"] == 1
+    assert out[1]["score"] > out[2]["score"] > 0.0
+    assert out[3]["score"] == 0.0
+    assert out[3]["dl"] == 4
+
+
+def test_bm25_rejects_empty_query():
+    import pytest as _pt
+
+    from goetl_spark.operators.text import bm25_scores
+
+    with _pt.raises(ValueError):
+        bm25_scores(None, [])
+
+
+def test_join_cardinality_predicts_exact_join_size(spark):
+    from goetl_spark.operators.join import join_cardinality
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long")
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,), (None,)], "k long")
+    card = join_cardinality(left, right, ["k"])
+    predicted = card.agg(F.sum("pairs")).collect()[0][0]
+    actual = left.join(right, "k").count()
+    assert predicted == actual == 4  # 1x: 2*1, 2x: 1*2; NULLs never match

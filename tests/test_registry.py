@@ -1,0 +1,72 @@
+"""Registry / correctness-window invariants (round-5 verdict ask #5).
+
+The driver's correctness pass covers only the FIRST 50 entries of
+``queries()`` each round; ``_WINDOW`` in goetl_spark.queries curates
+that order. These tests pin the rotation contract as the registry
+grows past 50:
+
+- the window is exactly min(50, registry size) entries, all valid;
+- every registered query either sits in the upcoming window or already
+  has a driver row in the union of CORRECTNESS_r*.json artifacts (the
+  union stays at 100 % after every round);
+- no query goes stale: anything absent from the artifacts of the last
+  two recorded rounds must be seated in the upcoming window.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _artifacts() -> dict[int, set[str]]:
+    out = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        try:
+            out[rnd] = set(json.load(open(f)).keys())
+        except (json.JSONDecodeError, AttributeError):
+            continue
+    return out
+
+
+def test_window_shape():
+    from goetl_spark.queries import _REGISTRY, _WINDOW
+
+    assert len(_WINDOW) == min(50, len(_REGISTRY))
+    assert len(set(_WINDOW)) == len(_WINDOW), "duplicate window entries"
+    missing = [n for n in _WINDOW if n not in _REGISTRY]
+    assert not missing, f"window names not registered: {missing}"
+
+
+def test_window_is_queries_prefix():
+    """The driver takes the first 50 of queries() — the window must BE
+    that prefix, or the curation is dead code."""
+    from goetl_spark.queries import _WINDOW, queries
+
+    assert list(queries().keys())[: len(_WINDOW)] == _WINDOW
+
+
+def test_union_coverage_and_staleness():
+    """Every registered query has a past driver row or an upcoming seat;
+    nothing sits out more than two consecutive recorded rounds."""
+    from goetl_spark.queries import _REGISTRY, _WINDOW
+
+    arts = _artifacts()
+    if not arts:  # fresh clone without artifacts: nothing to check
+        return
+    union = set().union(*arts.values())
+    window = set(_WINDOW)
+
+    uncovered = [n for n in _REGISTRY if n not in union and n not in window]
+    assert not uncovered, (
+        f"queries with no driver row and no window seat: {uncovered}")
+
+    latest = max(arts)
+    recent = arts.get(latest, set()) | arts.get(latest - 1, set())
+    stale = [n for n in _REGISTRY if n not in recent and n not in window]
+    assert not stale, (
+        f"queries absent from rounds {latest - 1}-{latest} and not seated "
+        f"for the next round: {stale}")

@@ -618,3 +618,54 @@ def test_resize_images_netpbm_roundtrip(spark):
     r2 = resize_images(attach_media_column(bad, "payload", "image/x-p"),
                        2, 1).collect()[0]
     assert not r2.resize_ok and r2.decoder == "netpbm-truncated"
+
+
+def test_checksum_catches_duplicate_plus_drop(spark):
+    """The pre-swap gate's checksum half: duplicate one row, drop another
+    — counts stay equal, content differs, checksums must differ."""
+    from goetl_spark.operators.maintenance import _count_and_checksum
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, v string")
+    b = spark.createDataFrame([(1, "x"), (1, "x"), (3, "z")], "id long, v string")
+    na, sa = _count_and_checksum(a)
+    nb, sb = _count_and_checksum(b)
+    assert na == nb == 3
+    assert sa != sb
+
+
+def test_compact_gate_aborts_on_routing_bug(spark, tmp_path, monkeypatch):
+    """Inject a duplicate+drop routing bug into the staged write (k=1's
+    file replaced by a copy of k=0's — equal row counts, different
+    content). The bare count gate would pass; the checksum gate must
+    abort with the original directory untouched (round-5 verdict #4)."""
+    import os
+    import shutil
+
+    import pyspark.sql.readwriter as rw
+    from goetl_spark.operators.maintenance import compact_parquet
+
+    p = str(tmp_path / "fraggate")
+    spark.range(0, 300).selectExpr("id", "id % 3 AS k") \
+        .repartition(10).write.partitionBy("k").parquet(p)
+    orig_sum = spark.read.parquet(p).agg(F.sum("id")).collect()[0][0]
+
+    orig_parquet = rw.DataFrameWriter.parquet
+
+    def corrupting(self, path, **kw):
+        orig_parquet(self, path, **kw)
+        if path.endswith(".__compact_tmp__"):
+            d0, d1 = os.path.join(path, "k=0"), os.path.join(path, "k=1")
+            f0 = [f for f in os.listdir(d0) if f.endswith(".parquet")][0]
+            f1 = [f for f in os.listdir(d1) if f.endswith(".parquet")][0]
+            os.remove(os.path.join(d1, f1))
+            shutil.copy(os.path.join(d0, f0),
+                        os.path.join(d1, "part-corrupt.parquet"))
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", corrupting)
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="checksum"):
+        compact_parquet(spark, p, target_file_mb=128, partition_by=["k"])
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig_parquet)
+    back = spark.read.parquet(p)
+    assert back.count() == 300
+    assert back.agg(F.sum("id")).collect()[0][0] == orig_sum

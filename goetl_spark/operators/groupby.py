@@ -115,3 +115,33 @@ def group_by(df: DataFrame, keys: Sequence[str], *aggs: AggSpec,
              ordered: bool = True) -> DataFrame:
     """Functional shorthand for :class:`GroupBy`."""
     return GroupBy(keys, list(aggs)).apply(df, ordered=ordered)
+
+
+def histogram(df, col: str, lo: float, hi: float, bins: int):
+    """Fixed-range equi-width histogram — the profiling primitive for a
+    column at corpus scale (one partially-aggregated scan; the result is
+    ``bins`` rows regardless of input size).
+
+    Values clamp into edge bins (bin 0 and bins−1 absorb outliers), so
+    the counts always sum to the non-null row count. Bin edges are
+    derived as lo + bin·w with w = (hi−lo)/bins — plain IEEE arithmetic,
+    reproducible in any engine. Returns (bin, bin_lo, bin_hi, n)."""
+    from pyspark.sql import functions as F
+
+    if bins < 1 or not lo < hi:
+        raise ValueError(f"need bins >= 1 and lo < hi, got {bins}, [{lo}, {hi})")
+    w = (hi - lo) / bins
+    c = F.col(col).cast("double")
+    b = F.least(F.greatest(F.floor((c - lo) / w), F.lit(0)),
+                F.lit(bins - 1)).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "n",
+        )
+    )

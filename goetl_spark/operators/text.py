@@ -264,3 +264,25 @@ def bm25_scores(
             tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
         score = term if score is None else score + term
     return base.withColumn("score", score)
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: per token, total occurrences (``n``) and
+    document frequency (``df_docs``) — the input to stopword discovery,
+    BPE-merge seeding, and idf tables (:func:`bm25_scores` could read
+    its df's from here instead of per-query aggregation).
+
+    Same tokenizer as BM25 (lowercase, split on non-alphanumeric,
+    empties dropped). Scale shape: explode → ONE partially-aggregated
+    groupBy on the token — counts combine map-side, so the shuffle
+    carries ≤ |vocab| rows per partition, not corpus tokens;
+    ``count_distinct(doc_id)`` rides the same exchange."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count_distinct(F.col(id_col)).alias("df_docs"))
+    )

@@ -74,18 +74,18 @@ def register(name: str, oracle: str | None):
 # (scripts/check_oracle.py runs the full registry).
 # Round-6 rotation: seats go to (a) the 13 queries whose last driver
 # row was r02 (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51),
-# (b) the five round-6 additions (q99-q103), (c) every query whose CODE
-# or ORACLE changed this round and needs a fresh green row (q34 + q47
-# new oracles, q97 single-scan winsorize, q90 oracle NULLS FIRST,
+# (b) the eight round-6 additions (q99-q106), (c) every query whose
+# CODE or ORACLE changed this round and needs a fresh green row (q34 +
+# q47 new oracles, q97 single-scan winsorize, q90 oracle NULLS FIRST,
 # q96 nulls-last alignment, q82/q87 per-partition sketch compress,
-# q88/q92 kmeans reseed), and (d) 22 of the 35 r04-last queries to
-# spread staleness pressure. The 13 r04-last queries left out
-# (q02-q07, q09, q11-q13, q20, q21, q41) MUST be seated in round 7 —
-# tests/test_registry.py::test_union_coverage_and_staleness enforces
-# exactly that once CORRECTNESS_r06.json lands. Round-5 rows (q16,
-# q22, q31/q32, q35/q36, q48, q50, q53-q58, q60-q62, q65, q68-q78,
-# q81, q83-q86, q89, q91, q93-q95, q98) bank their fresh green rows
-# and rotate out.
+# q88/q92 kmeans reseed), and (d) 19 of the 35 r04-last queries to
+# spread staleness pressure. The 16 r04-last queries left out
+# (q02-q07, q09, q11-q13, q20, q21, q41-q43, q49) MUST be seated in
+# round 7 — tests/test_registry.py::test_union_coverage_and_staleness
+# enforces exactly that once CORRECTNESS_r06.json lands. Round-5 rows
+# (q16, q22, q31/q32, q35/q36, q48, q50, q53-q58, q60-q62, q65,
+# q68-q78, q81, q83-q86, q89, q91, q93-q95, q98) bank their fresh
+# green rows and rotate out.
 _WINDOW: list[str] = [
     "q01_pricing_summary", "q08_topk", "q10_distinct",
     "q14_window_running", "q15_events_hourly",
@@ -95,9 +95,9 @@ _WINDOW: list[str] = [
     "q28_embedding_neardup", "q29_text_stats", "q30_text_quality",
     "q33_dag_runner", "q34_multimodal_features",
     "q37_rollup", "q38_percentiles", "q39_custom_udaf",
-    "q40_scd1", "q42_anti_join", "q43_cube", "q44_quality_gate",
+    "q40_scd1", "q44_quality_gate",
     "q45_sliding_window", "q46_session_window", "q47_approx_distinct",
-    "q49_set_ops", "q51_write_roundtrip", "q52_hash_split",
+    "q51_write_roundtrip", "q52_hash_split",
     "q59_ann_lsh", "q63_unpivot", "q64_fuzzy_pairs",
     "q66_forecast_revenue", "q67_io_stats",
     "q79_csv_roundtrip", "q80_jsonl_roundtrip",
@@ -105,6 +105,7 @@ _WINDOW: list[str] = [
     "q90_skew_report", "q92_ivfpq", "q96_topk_partial",
     "q97_winsorize", "q99_winnow_overlap", "q100_pq_recall",
     "q101_heavy_hitters", "q102_bm25", "q103_join_cardinality",
+    "q104_vocabulary", "q105_histogram", "q106_correlation",
 ]
 
 
@@ -4028,6 +4029,99 @@ def q103_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (join_cardinality(o, c, ["c_custkey"])
             .orderBy(F.col("pairs").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+@register(
+    "q104_vocabulary",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+    FROM (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 30
+    """,
+)
+def q104_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder (operators/text.py::vocabulary): top-30
+    tokens with total occurrences and document frequency — the input to
+    stopword discovery, BPE-merge seeding, and standing idf tables.
+    Same tokenizer as q102's BM25. One explode + ONE partially-
+    aggregated groupBy: counts combine map-side, so the shuffle carries
+    per-partition vocabularies, never corpus tokens."""
+    from goetl_spark.operators.text import vocabulary
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (vocabulary(d)
+            .orderBy(F.col("n").desc(), F.col("token")).limit(30))
+
+
+@register(
+    "q105_histogram",
+    """
+    WITH b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0)
+                   / ((110000.0 - 0.0) / 22)), 0), 21) AS INT) AS bin
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT bin, 0.0 + bin * ((110000.0 - 0.0) / 22) AS bin_lo,
+           0.0 + (bin + 1) * ((110000.0 - 0.0) / 22) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def q105_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range equi-width histogram (operators/groupby.py::
+    histogram): l_extendedprice over [0, 110000) in 22 bins, outliers
+    clamped into the edge bins so counts always sum to the non-null row
+    count. The profiling primitive at corpus scale — one partially-
+    aggregated scan, ``bins`` rows out regardless of input size; bin
+    edges are plain IEEE arithmetic the oracle reproduces exactly."""
+    from goetl_spark.operators.groupby import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", 0.0, 110000.0, 22)
+
+
+@register(
+    "q106_correlation",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(l_extendedprice * l_extendedprice
+                   AS DECIMAL(38,6))) AS sxx,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS syy,
+               SUM(CAST(l_extendedprice * l_quantity
+                   AS DECIMAL(38,6))) AS sxy
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+    FROM s
+    """,
+)
+def q106_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT decimal sums (stats.py::
+    pearson_corr_exact) — deterministic, cross-engine-bit-reproducible,
+    unlike naive float ``corr()`` whose partial sums are shuffle-order-
+    dependent in the last ulps. All five sums accumulate in
+    DECIMAL(38,6) (exact, associative — the dsum trick applied to
+    second moments; the row-level products are exact at scale 6 for
+    these ≤2-decimal inputs), and only the final five-term formula runs
+    in doubles, mirrored expression-for-expression in the oracle."""
+    from goetl_spark.stats import pearson_corr_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_corr_exact(li, "l_extendedprice", "l_quantity")
 
 
 ENTRY_QUERY = q01_pricing_summary

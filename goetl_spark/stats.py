@@ -99,3 +99,37 @@ class IOStats:
             c: int(vals[f"_nulls_{i}"] or 0)
             for i, c in enumerate(self._fields)
         }
+
+
+def pearson_corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Pearson correlation from EXACT decimal sums — the deterministic,
+    cross-engine-reproducible formulation of ``corr()``.
+
+    Naive float aggregation of Σx, Σx², Σxy is order-dependent in the
+    last ulps, so two engines (or two runs with different partitioning)
+    disagree. Here every sum accumulates in DECIMAL(38,6) — exact and
+    associative, so partial aggregation and shuffle order cannot change
+    a bit — and only the FINAL five-term formula runs in IEEE doubles.
+    Inputs with ≤ 3 decimal digits make the row-level products (x², xy)
+    exact at scale 6, so no rounding enters anywhere before the final
+    expression. One partial-aggregated scan, one scalar row out.
+
+    Returns a 1-row DataFrame (n, corr)."""
+    xd = F.col(x).cast("double")
+    yd = F.col(y).cast("double")
+    dec = "decimal(38,6)"
+    agg = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd.cast(dec)).alias("sx"),
+        F.sum(yd.cast(dec)).alias("sy"),
+        F.sum((xd * xd).cast(dec)).alias("sxx"),
+        F.sum((yd * yd).cast(dec)).alias("syy"),
+        F.sum((xd * yd).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return agg.select(F.col("n"), corr.alias("corr"))

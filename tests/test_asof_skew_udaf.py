@@ -243,3 +243,42 @@ def test_join_cardinality_predicts_exact_join_size(spark):
     predicted = card.agg(F.sum("pairs")).collect()[0][0]
     actual = left.join(right, "k").count()
     assert predicted == actual == 4  # 1x: 2*1, 2x: 1*2; NULLs never match
+
+
+def test_histogram_clamps_and_sums(spark):
+    from goetl_spark.operators.groupby import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (99.0,), (None,)], "v double")
+    out = {r["bin"]: r for r in histogram(df, "v", 0.0, 10.0, 2).collect()}
+    assert out[0]["n"] == 3  # -5 clamps in, 0, 4.9
+    assert out[1]["n"] == 2  # 5.0, 99 clamps in
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 5.0
+    assert out[1]["bin_lo"] == 5.0 and out[1]["bin_hi"] == 10.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        histogram(df, "v", 10.0, 0.0, 2)
+
+
+def test_vocabulary_counts(spark):
+    from goetl_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "Spark spark GO"), (2, "go go go")], "doc_id long, text string")
+    out = {r["token"]: r for r in vocabulary(df).collect()}
+    assert out["spark"]["n"] == 2 and out["spark"]["df_docs"] == 1
+    assert out["go"]["n"] == 4 and out["go"]["df_docs"] == 2
+
+
+def test_pearson_corr_exact_matches_known(spark):
+    from goetl_spark.stats import pearson_corr_exact
+
+    rows = [(float(i), 2.0 * i + 1.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = pearson_corr_exact(df, "x", "y").collect()[0]
+    assert r["n"] == 10
+    assert abs(r["corr"] - 1.0) < 1e-12
+    anti = spark.createDataFrame(
+        [(float(i), -3.0 * i) for i in range(1, 11)], "x double, y double")
+    assert abs(pearson_corr_exact(anti, "x", "y").collect()[0]["corr"]
+               + 1.0) < 1e-12

@@ -4124,4 +4124,256 @@ def q106_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pearson_corr_exact(li, "l_extendedprice", "l_quantity")
 
 
+# ---------------------------------------------------------------------------
+# round 6: TPC-H composite shapes Q4/Q13/Q15/Q17/Q22 — the remaining
+# decorrelation patterns (EXISTS with a non-equi correlated predicate,
+# COUNT-distribution over an outer join, argmax against a derived view,
+# correlated scalar AVG, scalar-subquery + dormancy anti-join). The
+# dataset has no l_commitdate / c_phone, so Q4 and Q22 keep the PLAN
+# SHAPE on the columns that exist (late-shipment EXISTS; dormant-since
+# anti-join) — reference parity is the shape, not the constants
+# (dag/tasks/join.go, aggregate/groupby.go).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q107_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q107_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 plan shape (order priority checking): a correlated
+    EXISTS whose predicate is NON-equi (l_shipdate > o_orderdate + 60d)
+    on top of the equi key — decorrelates to a left-semi join with a
+    mixed condition. Spark hashes on the equi part and evaluates the
+    date comparison as a join residual, so the fact never explodes into
+    a per-order subquery. The orders date range prunes at the scan.
+
+    At 100 TB: one shuffle (orders⋈lineitem on orderkey, both sides
+    pruned — orders by the quarter predicate, lineitem only carries
+    orderkey+shipdate after column pruning); semi-join stops probing a
+    build row at first match, and the agg shuffles 5 group states."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = o.filter(
+        (F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1997-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1997-04-01")))
+    cond = (li.l_orderkey == o.o_orderkey) & \
+        (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(li, cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q108_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q108_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 plan shape (customer order-count distribution): LEFT
+    OUTER join with a pushed non-key predicate on the INNER side only
+    (filter orders before the join — it must not drop order-less
+    customers), then a two-level aggregation: count per customer, then
+    the histogram of those counts. COUNT(o_orderkey) counts non-null
+    matches, so customers with zero surviving orders land in the
+    c_count=0 bucket rather than disappearing.
+
+    At 100 TB: the join shuffles on custkey (orders pre-filtered and
+    column-pruned to custkey alone); the first agg rides the SAME
+    partitioning (no second shuffle — custkey is the join key), and the
+    histogram agg shuffles only #distinct-counts rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q109_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q109_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 plan shape (top supplier by quarterly revenue): a
+    derived revenue view consumed TWICE — once for the global MAX
+    (scalar subquery) and once as the join input. The view is computed
+    once and reused; the one-row MAX is broadcast back as a filter, and
+    only then does the tiny survivor set join supplier. Revenue sums in
+    exact decimal (dsum) so the MAX-equality test selects the same
+    supplier(s) in both engines — a float sum here could tie-break
+    differently in the last ulp.
+
+    At 100 TB: one shuffle builds the per-supplier view (date-pruned
+    scan); the MAX is an Observation-sized single row crossJoin-
+    broadcast; supplier joins broadcast. The view should be cached when
+    the optimizer cannot see the common subplan — done here."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts_lit(li, "l_shipdate", "1997-01-01"))
+            & (F.col("l_shipdate") < _ts_lit(li, "l_shipdate", "1997-04-01")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "total_revenue"))
+    )
+    rev = rev.persist()
+    try:
+        mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+        s = _t(spark, sf_dir, "supplier")
+        out = (
+            rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(s),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey")
+        )
+        # materialize while the view is cached; tiny result
+        out = out.localCheckpoint(eager=True)
+    finally:
+        rev.unpersist()
+    return out
+
+
+@register(
+    "q110_small_quantity_revenue",
+    """
+    WITH pavg AS (
+        SELECT l_partkey AS pk,
+               0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*)) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+)
+def q110_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 plan shape (small-quantity order revenue): a
+    correlated scalar AVG per part decorrelated into a per-part
+    aggregate joined back to the fact. The half-average threshold is
+    computed as 0.5 * (exact-decimal SUM / COUNT) — both engines divide
+    the same exact decimal by the same integer in doubles, so the
+    l_quantity < half_avg comparison is bit-identical; a naive float
+    AVG would make boundary rows engine-dependent.
+
+    At 100 TB: the per-part agg and the fact⋈agg join share one
+    partitioning on partkey (single shuffle reused); part (brand
+    filter, tiny after pruning) broadcasts. Returns one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1") \
+        .select("p_partkey")
+    pavg = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((0.5 * (F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                     .cast("double") / F.count(F.lit(1))))
+             .alias("half_avg"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pavg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+              .cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q111_dormant_high_value",
+    f"""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {DSUM('c_acctbal')} AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q111_dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 plan shape (global sales opportunity): scalar-subquery
+    threshold (average positive balance, exact-decimal so the > cut is
+    engine-identical) + NOT EXISTS dormancy anti-join (customers with
+    no order since 2000) + per-nation rollup. The three decorrelation
+    styles in one plan: broadcast one-row scalar, anti semi-join on the
+    equi key with the date predicate pushed to the orders scan, then a
+    tiny grouped agg.
+
+    At 100 TB: the scalar is one broadcast row; the anti-join shuffles
+    on custkey with orders pre-filtered to the dormancy window and
+    pruned to custkey alone; nation broadcasts; the final agg carries
+    #nations rows."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+              / F.count(F.lit(1))).alias("a"))
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "2000-01-01"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum("c_acctbal", "totacctbal"))
+        .orderBy("n_name")
+    )
+
+
 ENTRY_QUERY = q01_pricing_summary

@@ -1,0 +1,138 @@
+"""Time-series resampling and range-window rolling aggregates.
+
+Beyond the reference surface (goetl has no time-series operators —
+SURVEY.md §2.6 roadmap) but core to any event-analytics warehouse:
+regularize an irregular event stream onto a fixed grid (gap-filled so
+downstream models see every bucket) and compute time-range rolling
+statistics (the "last hour" kind, not "last N rows").
+
+Scale design:
+
+- ``resample_fill`` aggregates FIRST (one shuffle on (key, bucket) —
+  the raw stream collapses to ≤ buckets·keys rows before anything
+  else), then builds each key's grid with ``sequence()`` + ``explode``
+  — map-side, no driver loop — and left-joins the aggregates back on
+  the same key partitioning. Forward-fill is one window pass per key
+  ordered by bucket (``last(ignorenulls)``), reusing the join's
+  exchange. A ``max_buckets_per_key`` guard fails fast when a rogue
+  timestamp range would explode the grid (a single bad epoch-0 row at
+  100 TB would otherwise materialize decades of buckets per key).
+- ``rolling_range`` is a native RANGE window on epoch seconds — one
+  shuffle on the partition keys, sort within, whole-stage codegen; no
+  self-join, no UDF. Sums accumulate in DECIMAL(38,6) so the result is
+  shuffle-order-independent (same trick as queries.dsum).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(ts_col: str, step_seconds: int) -> Column:
+    """Floor a timestamp column to its step-aligned bucket start."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    return F.timestamp_seconds((epoch - epoch % step_seconds))
+
+
+def resample_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    step_seconds: int,
+    aggs: dict[str, Column],
+    zero_fill: Sequence[str] = (),
+    forward_fill: Sequence[str] = (),
+    bucket_col: str = "bucket_ts",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Aggregate an event stream onto a regular per-key time grid.
+
+    Buckets span each key's own [min, max] event range at
+    ``step_seconds`` resolution; buckets with no events appear with
+    NULL aggregates, then ``zero_fill`` columns become 0 and
+    ``forward_fill`` columns take the last non-null earlier value
+    (classic gap-fill semantics).
+
+    ``aggs`` maps output column name -> aggregate Column over the raw
+    events (evaluated per (key, bucket)).
+    """
+    keys = list(key_cols)
+    b = _bucket(ts_col, step_seconds)
+
+    per_bucket = (
+        df.withColumn(bucket_col, b)
+        .groupBy(*keys, bucket_col)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    spans = (
+        df.groupBy(*keys)
+        .agg(F.min(b).alias("__lo"), F.max(b).alias("__hi"))
+    )
+    # fail fast on grids no cluster should materialize
+    spans = spans.withColumn(
+        "__n",
+        (F.unix_timestamp("__hi") - F.unix_timestamp("__lo"))
+        / F.lit(int(step_seconds)) + 1,
+    )
+    # the guard lives in a FILTER (a projected guard column would be
+    # pruned away by Catalyst as dead code and never evaluate)
+    guard = F.when(
+        F.col("__n") > max_buckets_per_key,
+        F.raise_error(F.concat(
+            F.lit(f"resample_fill: key exceeds max_buckets_per_key="
+                  f"{max_buckets_per_key}: "),
+            F.col("__n").cast("string"))),
+    ).otherwise(F.lit(True))
+    grid = (
+        spans.filter(guard)
+        .select(*keys,
+                F.explode(F.sequence("__lo", "__hi", step)).alias(bucket_col))
+    )
+
+    out = grid.join(per_bucket, on=keys + [bucket_col], how="left")
+    for c in zero_fill:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if forward_fill:
+        w = (Window.partitionBy(*keys).orderBy(bucket_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        for c in forward_fill:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def rolling_range(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    range_seconds: int,
+    sum_col: str = "rolling_sum",
+    count_col: str = "rolling_count",
+    avg_col: str | None = "rolling_avg",
+) -> DataFrame:
+    """Time-range rolling sum/count/avg: for each row, aggregate over
+    all rows of the same key within the trailing ``range_seconds``
+    (inclusive of the current row and of epoch-second ties — RANGE
+    frame semantics, identical in Spark and ANSI SQL).
+
+    The sum is exact-decimal so engines agree bit-for-bit; avg is the
+    decimal sum divided by the bigint count in doubles (same IEEE op
+    both sides of the oracle).
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    out = df.withColumn("__epoch", epoch)
+    w = (Window.partitionBy(*key_cols).orderBy("__epoch")
+         .rangeBetween(-int(range_seconds), 0))
+    dec = F.col(value_col).cast("decimal(38,6)")
+    out = out.withColumn(sum_col, F.sum(dec).over(w).cast("double"))
+    out = out.withColumn(count_col, F.count(F.lit(1)).over(w))
+    if avg_col:
+        out = out.withColumn(
+            avg_col,
+            F.sum(dec).over(w).cast("double") / F.col(count_col))
+    return out.drop("__epoch")

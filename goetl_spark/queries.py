@@ -4376,4 +4376,110 @@ def q111_dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 6: time-series regularization + range-window rolling stats
+# (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q112_resample_gapfill",
+    """
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+        FROM b GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM span
+    )
+    SELECT g.event_type, g.bucket_ts,
+           COALESCE(b.n_events, 0) AS n_events,
+           b.sum_value AS sum_value,
+           LAST_VALUE(b.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ffill
+    FROM grid g
+    LEFT JOIN b ON b.event_type = g.event_type AND b.bucket_ts = g.bucket_ts
+    ORDER BY g.event_type, g.bucket_ts
+    """,
+)
+def q112_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the irregular event stream onto a per-type hourly grid
+    with all three gap-fill modes in one result: NULL-through
+    (sum_value stays NULL in empty buckets), zero-fill (n_events), and
+    forward-fill (avg_value_ffill carries the last observed hourly
+    average across gaps) — operators/timeseries.py::resample_fill.
+
+    At 100 TB: the stream collapses to ≤ keys·buckets rows in the FIRST
+    shuffle (partial agg on (type, hour)); the grid is sequence+explode
+    (map-side, guarded by max_buckets_per_key against rogue epochs);
+    grid⋈agg and the ffill window share the key partitioning."""
+    from goetl_spark.operators.timeseries import resample_fill
+
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    out = resample_fill(
+        e, ["event_type"], "ts", 3600,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(dec).cast("double"),
+            "avg_value_ffill":
+                (F.sum(dec).cast("double") / F.count(F.lit(1))),
+        },
+        zero_fill=["n_events"],
+        forward_fill=["avg_value_ffill"],
+    )
+    return out.select("event_type", "bucket_ts", "n_events", "sum_value",
+                      "avg_value_ffill").orderBy("event_type", "bucket_ts")
+
+
+@register(
+    "q113_rolling_range",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               epoch_us(ts) // 1000000 AS es
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS rolling_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_count,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               / (COUNT(*) OVER w) AS rolling_avg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def q113_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rolling purchase stats per user via a native RANGE
+    window on epoch seconds (operators/timeseries.py::rolling_range) —
+    "everything in the last day", not "the last N rows"; frame
+    boundaries and epoch-second ties are RANGE semantics, identical in
+    Spark and ANSI SQL, and the sum accumulates in exact decimal so
+    both engines agree bit-for-bit.
+
+    At 100 TB: one shuffle on user_id (the type filter pushes to the
+    scan), sort within partitions, whole-stage codegen — no self-join
+    blowup, no UDF."""
+    from goetl_spark.operators.timeseries import rolling_range
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = rolling_range(e, ["user_id"], "ts", "value", 86400)
+    return out.select("user_id", "event_id", "rolling_sum",
+                      "rolling_count", "rolling_avg") \
+              .orderBy("user_id", "event_id")
+
+
 ENTRY_QUERY = q01_pricing_summary

@@ -1,0 +1,82 @@
+"""Time-series resample/gap-fill + range-rolling tests (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.timeseries import resample_fill, rolling_range
+
+
+def _stream(spark):
+    # key "a": events at 00:00, 00:05(x2), 00:30 — minute buckets with a
+    # 4-bucket gap then a 24-bucket gap; key "b": a single event.
+    rows = [
+        Row(k="a", ts="2024-01-01 00:00:10", v=1.0),
+        Row(k="a", ts="2024-01-01 00:05:20", v=2.0),
+        Row(k="a", ts="2024-01-01 00:05:40", v=4.0),
+        Row(k="a", ts="2024-01-01 00:30:00", v=8.0),
+        Row(k="b", ts="2024-01-01 12:00:00", v=100.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_resample_grid_zero_and_forward_fill(spark):
+    out = resample_fill(
+        _stream(spark), ["k"], "ts", 60,
+        aggs={"n": F.count(F.lit(1)),
+              "avg_v": F.avg("v")},
+        zero_fill=["n"], forward_fill=["avg_v"],
+    ).orderBy("k", "bucket_ts").collect()
+
+    a = [r for r in out if r.k == "a"]
+    b = [r for r in out if r.k == "b"]
+    assert len(a) == 31  # 00:00 .. 00:30 inclusive at 1-min steps
+    assert len(b) == 1
+    # bucket 0: one event; buckets 1-4 empty; bucket 5: two events
+    assert [r.n for r in a[:6]] == [1, 0, 0, 0, 0, 2]
+    # zero-filled counts everywhere, never NULL
+    assert all(r.n is not None for r in a)
+    # forward-fill: gap buckets carry the last observed average
+    assert a[0].avg_v == 1.0
+    assert a[1].avg_v == 1.0 and a[4].avg_v == 1.0
+    assert a[5].avg_v == 3.0
+    assert a[6].avg_v == 3.0 and a[29].avg_v == 3.0
+    assert a[30].avg_v == 8.0
+
+
+def test_resample_bucket_guard_trips(spark):
+    df = spark.createDataFrame(
+        [Row(k="x", ts="1970-01-01 00:00:00", v=0.0),
+         Row(k="x", ts="2024-01-01 00:00:00", v=1.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_fill(df, ["k"], "ts", 60, aggs={"n": F.count(F.lit(1))},
+                        max_buckets_per_key=1000)
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        out.collect()
+
+
+def test_rolling_range_window_and_ties(spark):
+    # u=1: ts 0s, 30s, 30s (tie), 100s with a 60s trailing range:
+    #  row@0   -> {0}            sum 1
+    #  rows@30 -> {0,30,30}      sum 1+2+4=7 for BOTH tie rows (RANGE)
+    #  row@100 -> {100} only     (30s rows are 70s earlier, outside 60s)
+    rows = [
+        Row(u=1, i=1, ts="2024-01-01 00:00:00", v=1.0),
+        Row(u=1, i=2, ts="2024-01-01 00:00:30", v=2.0),
+        Row(u=1, i=3, ts="2024-01-01 00:00:30", v=4.0),
+        Row(u=1, i=4, ts="2024-01-01 00:01:40", v=8.0),
+        Row(u=2, i=5, ts="2024-01-01 00:00:00", v=50.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, i int, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.i: r for r in rolling_range(df, ["u"], "ts", "v", 60).collect()}
+    assert out[1].rolling_sum == 1.0 and out[1].rolling_count == 1
+    assert out[2].rolling_sum == 7.0 and out[3].rolling_sum == 7.0
+    assert out[2].rolling_count == 3 and out[3].rolling_count == 3
+    assert out[4].rolling_sum == 8.0 and out[4].rolling_count == 1
+    assert out[5].rolling_sum == 50.0
+    assert out[2].rolling_avg == pytest.approx(7.0 / 3.0)

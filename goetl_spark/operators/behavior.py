@@ -1,0 +1,127 @@
+"""Behavioral / product analytics: ordered funnels and cohort retention.
+
+Beyond the reference surface (goetl has no sequence analytics) but a
+standard ask of any event warehouse, and both shapes are pure
+DataFrame compositions — no UDF, no per-user Python.
+
+Funnel semantics (strict ordering): a user converts to stage *i* at the
+FIRST stage-*i* event strictly after their stage-*i-1* conversion time
+(stage 1 at their first stage-1 event), optionally bounded to
+``within_seconds`` of the stage-1 time. This is the "minimal completion
+time" funnel — deterministic, replayable, no sessionization dependence.
+
+Scale design: one conditional-min aggregation per stage, every pass
+hash-partitioned on the user key (Catalyst reuses the exchange across
+passes); events are pre-filtered to funnel stages and pruned to three
+columns before the first shuffle. S stages = S small aggs over the
+SAME partitioning, never a per-user sort or collect. Cohort retention
+is two aggs (first-activity, distinct activity periods) co-partitioned
+on the user key, then a tiny (cohort × offset) rollup; the offset-0
+base joins back by broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_user_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user stage conversion times: one row per user who entered the
+    funnel, columns ``t1..tS`` (NULL from the first unreached stage on).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    ev = (df.filter(F.col(type_col).isin(list(stages)))
+            .select(user_col, ts_col, type_col))
+
+    cur = (ev.filter(F.col(type_col) == stages[0])
+             .groupBy(user_col).agg(F.min(ts_col).alias("t1")))
+    for i, stage in enumerate(stages[1:], start=2):
+        prev = f"t{i - 1}"
+        cand = (ev.filter(F.col(type_col) == stage)
+                  .join(cur, on=user_col)
+                  .filter(F.col(ts_col) > F.col(prev)))
+        if within_seconds is not None:
+            cand = cand.filter(
+                F.col(ts_col) <= F.col("t1")
+                + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
+        carry = [F.first(f"t{j}").alias(f"t{j}") for j in range(1, i)]
+        reached = cand.groupBy(user_col).agg(
+            *carry, F.min(ts_col).alias(f"t{i}"))
+        # keep drop-offs: left join the new stage time onto the old frame
+        cur = cur.join(reached.select(user_col, f"t{i}"),
+                       on=user_col, how="left")
+    return cur
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Funnel rollup: one row per stage with the number of users who
+    reached it and the conversion rate vs stage 1."""
+    times = funnel_user_times(
+        df, user_col, ts_col, type_col, stages, within_seconds)
+    per_stage = times.agg(*[
+        F.count(f"t{i}").alias(f"u{i}") for i in range(1, len(stages) + 1)
+    ])
+    rows = [
+        F.struct(F.lit(i).alias("stage_idx"),
+                 F.lit(stage).alias("stage"),
+                 F.col(f"u{i}").alias("users"),
+                 # guard: ANSI mode raises on 0/0 for an empty funnel
+                 F.when(F.col("u1") > 0,
+                        F.col(f"u{i}") / F.col("u1"))
+                  .alias("conversion"))
+        for i, stage in enumerate(stages, start=1)
+    ]
+    return (per_stage
+            .select(F.explode(F.array(*rows)).alias("s"))
+            .select("s.stage_idx", "s.stage", "s.users", "s.conversion"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the user's first-activity
+    period (``date_trunc(period)``); for each period offset *k*, the
+    distinct users of that cohort active in cohort+*k* periods and the
+    retention share vs the cohort size (offset 0)."""
+    firsts = (df.groupBy(user_col)
+                .agg(F.date_trunc(period, F.min(ts_col)).alias("cohort")))
+    activity = (df.select(user_col,
+                          F.date_trunc(period, ts_col).alias("p"))
+                  .distinct())
+    joined = activity.join(firsts, on=user_col)
+    counts = (
+        joined.withColumn(
+            "period_offset",
+            (F.datediff(F.col("p"), F.col("cohort"))
+             / period_days).cast("int"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = (counts.filter(F.col("period_offset") == 0)
+                  .select("cohort", F.col("n_users").alias("cohort_size")))
+    return (counts.join(F.broadcast(base), on="cohort")
+            .withColumn("retention",
+                        F.col("n_users") / F.col("cohort_size"))
+            .select("cohort", "period_offset", "n_users",
+                    "cohort_size", "retention"))

@@ -4482,4 +4482,104 @@ def q113_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("user_id", "event_id")
 
 
+# ---------------------------------------------------------------------------
+# round 6: behavioral analytics — ordered funnel + cohort retention
+# (operators/behavior.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q114_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), u AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS u1,
+               (SELECT COUNT(*) FROM s2) AS u2,
+               (SELECT COUNT(*) FROM s3) AS u3
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, u1 AS users,
+           u1 / u1 AS conversion FROM u
+    UNION ALL
+    SELECT 2, 'click', u2, u2 / u1 FROM u
+    UNION ALL
+    SELECT 3, 'purchase', u3, u3 / u1 FROM u
+    ORDER BY stage_idx
+    """,
+)
+def q114_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view→click→purchase within 7 days of the
+    first view (operators/behavior.py::funnel_counts): conversion to
+    stage i happens at the first stage-i event strictly after the
+    stage-(i-1) time. Implemented as one conditional-min agg per stage
+    over the SAME user-key partitioning — no per-user sort, no UDF, no
+    event-sequence collect.
+
+    At 100 TB: events pre-filtered to the three stage types and pruned
+    to (user, ts, type) before the first shuffle; each stage pass is an
+    agg + co-partitioned join on user_id (exchange reuse), and the
+    final rollup is a 3-row explode."""
+    from goetl_spark.operators.behavior import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    out = funnel_counts(e, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"],
+                        within_seconds=7 * 86400)
+    return out.orderBy("stage_idx")
+
+
+@register(
+    "q115_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    ), counts AS (
+        SELECT cohort,
+               CAST(date_diff('day', cohort, p) / 7 AS INT)
+                   AS period_offset,
+               COUNT(*) AS n_users
+        FROM activity JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort, c.period_offset, c.n_users,
+           b.n_users AS cohort_size,
+           c.n_users / b.n_users AS retention
+    FROM counts c
+    JOIN counts b ON b.cohort = c.cohort AND b.period_offset = 0
+    ORDER BY c.cohort, c.period_offset
+    """,
+)
+def q115_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/behavior.py::
+    cohort_retention): cohort = first-activity ISO week, cell (c, k) =
+    distinct users of cohort c active in week c+k, plus the retention
+    share against the cohort size. Two co-partitioned aggs on user_id
+    (first-activity + distinct active weeks), a (cohort × offset)
+    rollup measured in rows-not-users from the distinct frame, and a
+    broadcast join of the offset-0 base.
+
+    At 100 TB: the distinct frame is the only large shuffle; everything
+    after it is #cohorts × #offsets rows."""
+    from goetl_spark.operators.behavior import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts") \
+        .orderBy("cohort", "period_offset")
+
+
 ENTRY_QUERY = q01_pricing_summary

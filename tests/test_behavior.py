@@ -1,0 +1,89 @@
+"""Funnel + cohort retention semantics tests (operators/behavior.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.behavior import (
+    cohort_retention, funnel_counts, funnel_user_times)
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        [Row(u=u, ts=ts, t=t) for u, ts, t in rows],
+        "u int, ts string, t string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_strict_ordering_and_dropoffs(spark):
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 00:00:00", "A"),
+        (1, "2024-01-02 00:00:00", "B"),
+        (1, "2024-01-03 00:00:00", "C"),
+        # u2: B BEFORE first A — that B must not count; no later B
+        (2, "2024-01-01 00:00:00", "B"),
+        (2, "2024-01-02 00:00:00", "A"),
+        (2, "2024-01-03 00:00:00", "C"),
+        # u3: A then B, never C
+        (3, "2024-01-01 00:00:00", "A"),
+        (3, "2024-01-05 00:00:00", "B"),
+        # u4: never enters (C only)
+        (4, "2024-01-01 00:00:00", "C"),
+    ]
+    out = {r.stage: r for r in funnel_counts(
+        _ev(spark, rows), "u", "ts", "t", ["A", "B", "C"]).collect()}
+    assert out["A"].users == 3          # u1, u2, u3
+    assert out["B"].users == 2          # u1, u3 (u2's B predates its A)
+    assert out["C"].users == 1          # u1 only (u3 dropped; u2 has no B)
+    assert out["A"].conversion == 1.0
+    assert out["C"].conversion == pytest.approx(1 / 3)
+
+
+def test_funnel_within_bound_measured_from_stage1(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", "A"),
+        (1, "2024-01-01 01:00:00", "B"),   # inside 2h of t1
+        (2, "2024-01-01 00:00:00", "A"),
+        (2, "2024-01-01 03:00:00", "B"),   # outside 2h of t1
+    ]
+    t = {r.u: r for r in funnel_user_times(
+        _ev(spark, rows), "u", "ts", "t", ["A", "B"],
+        within_seconds=7200).collect()}
+    assert t[1].t2 is not None
+    assert t[2].t2 is None
+
+
+def test_funnel_tie_timestamp_not_counted(spark):
+    # strictly-after: a stage-2 event at exactly t1 does not convert
+    rows = [(1, "2024-01-01 00:00:00", "A"), (1, "2024-01-01 00:00:00", "B")]
+    t = funnel_user_times(_ev(spark, rows), "u", "ts", "t", ["A", "B"]).collect()
+    assert t[0].t2 is None
+
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        # cohort of Mon 2024-01-01 week: u1 active weeks 0,1,2; u2 weeks 0,2
+        (1, "2024-01-02 10:00:00", "x"),
+        (1, "2024-01-09 10:00:00", "x"),
+        (1, "2024-01-16 10:00:00", "x"),
+        (2, "2024-01-03 10:00:00", "x"),
+        (2, "2024-01-17 10:00:00", "x"),
+        # later cohort: u3 first seen the following week
+        (3, "2024-01-10 10:00:00", "x"),
+    ]
+    out = cohort_retention(_ev(spark, rows), "u", "ts").collect()
+    cell = {(str(r.cohort)[:10], r.period_offset): r for r in out}
+    assert cell[("2024-01-01", 0)].n_users == 2
+    assert cell[("2024-01-01", 1)].n_users == 1
+    assert cell[("2024-01-01", 2)].n_users == 2
+    assert cell[("2024-01-01", 1)].retention == 0.5
+    assert cell[("2024-01-08", 0)].n_users == 1
+    assert all(r.cohort_size in (1, 2) for r in out)
+
+
+def test_funnel_requires_two_stages(spark):
+    with pytest.raises(ValueError):
+        funnel_user_times(_ev(spark, []), "u", "ts", "t", ["A"])

@@ -1,0 +1,144 @@
+"""Statistical language-model corpus scoring: bigram log-probability,
+token-distribution KL divergence, character entropy.
+
+The data-quality trio a pretraining pipeline runs before (and after)
+filtering: LM fluency scoring flags boilerplate/garbage text, KL
+divergence quantifies domain drift between corpus slices, and char
+entropy catches low-diversity documents (repeated padding, binary
+spill). All three are pure DataFrame compositions over the shared
+tokenizer (lowercase, split on non-alphanumeric — same convention as
+text.vocabulary / text.bm25_scores so df/idf tables interoperate).
+
+Cross-engine float determinism: ``ln`` is a libm call and Spark's JVM
+log differs from DuckDB's in the last ulp for ~2 % of inputs (measured
+in this sandbox), so every log-term is ROUNDED (half-away-from-zero,
+identical in both engines) before being summed EXACTLY as a decimal —
+sums are then order-independent and bit-equal, and only the final
+divide runs in doubles. The rounding granularity (1e-6 per bigram
+term, 1e-9 for entropy/KL terms) is far below any useful signal in
+these scores.
+
+Scale design: token/bigram count tables are built with map-side
+partial aggregation (shuffle carries ≤ |vocab| rows per partition);
+scoring joins are equi-joins on token keys, never broadcast-assumed
+(a 100 TB corpus has a bigram table far beyond driver memory); the
+three corpus scalars (N, V, total) ride a one-row crossJoin broadcast.
+Bigram extraction is slice+zip inside the row (map-only) — the
+token stream is never exploded twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+
+
+def _rounded_decimal_sum(term: Column, scale: int, alias: str) -> Column:
+    return F.sum(F.round(term, scale).cast(f"decimal(38,{scale})")) \
+        .cast("double").alias(alias)
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Average add-k-smoothed bigram log-probability per document,
+    trained on the same corpus (self-scoring — the usual first-pass
+    fluency filter). P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) with V the
+    unigram vocabulary size. Documents with < 2 tokens drop out (no
+    bigrams to score). Returns (id_col, n_bigrams, avg_logprob)."""
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    n = F.size("__toks")
+    bigrams = base.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = (base.select(F.explode("__toks").alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    big = (bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    scalars = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    term = F.log((F.col("c2") + F.lit(k))
+                 / (F.col("c1") + F.lit(k) * F.col("v")))
+    return (
+        bigrams
+        .join(big, on=["w1", "w2"])
+        .join(uni, on="w1")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             _rounded_decimal_sum(term, 6, "__s"))
+        .withColumn("avg_logprob", F.col("__s") / F.col("n_bigrams"))
+        .drop("__s")
+    )
+
+
+def token_kl_divergence(
+    df: DataFrame,
+    slice_col: Column,
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """KL divergence between the token distributions of two corpus
+    slices (``slice_col`` boolean: True side = P, False side = Q),
+    add-k smoothed over the UNION vocabulary so both distributions are
+    everywhere-positive. Returns one row: vocab size, per-side token
+    totals, KL(P||Q), KL(Q||P)."""
+    toks = _tokens(text_col)
+    counts = (
+        df.select(slice_col.alias("__p"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.sum(F.when(F.col("__p"), 1).otherwise(0)).alias("ca"),
+             F.sum(F.when(~F.col("__p"), 1).otherwise(0)).alias("cb"))
+    )
+    scalars = counts.agg(F.count(F.lit(1)).alias("v"),
+                         F.sum("ca").alias("na"),
+                         F.sum("cb").alias("nb"))
+    p = (F.col("ca") + F.lit(k)) / (F.col("na") + F.lit(k) * F.col("v"))
+    q = (F.col("cb") + F.lit(k)) / (F.col("nb") + F.lit(k) * F.col("v"))
+    return (
+        counts.crossJoin(F.broadcast(scalars))
+        .agg(F.first("v").alias("vocab"),
+             F.first("na").alias("n_tokens_p"),
+             F.first("nb").alias("n_tokens_q"),
+             _rounded_decimal_sum(p * F.log(p / q), 9, "kl_pq"),
+             _rounded_decimal_sum(q * F.log(q / p), 9, "kl_qp"))
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's character
+    distribution — near-zero entropy means repeated-padding or
+    single-symbol junk. Empty documents drop out. Returns
+    (id_col, n_chars, entropy)."""
+    chars = (df.select(F.col(id_col), F.explode(
+                F.split(F.col(text_col), "")).alias("ch"))
+             # split('') on an EMPTY string yields [''] in both Spark
+             # and DuckDB — drop it so empty docs produce no row
+             .filter(F.col("ch") != "")
+             .groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c")))
+    totals = chars.groupBy(id_col).agg(F.sum("c").alias("n_chars"))
+    frac = F.col("c") / F.col("n_chars")
+    return (
+        chars.join(totals, on=id_col)
+        .groupBy(id_col)
+        .agg(F.first("n_chars").alias("n_chars"),
+             _rounded_decimal_sum(-frac * F.log(frac), 9, "entropy"))
+    )

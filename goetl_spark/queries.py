@@ -4582,4 +4582,136 @@ def q115_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort", "period_offset")
 
 
+# ---------------------------------------------------------------------------
+# round 6: statistical LM corpus scoring (operators/lm.py) — fluency,
+# domain drift, character diversity. Every log term is rounded (both
+# engines round half-away-from-zero identically) then summed as an
+# exact decimal: Spark's JVM ln differs from libm in the last ulp for
+# ~2 % of inputs, so raw-double log sums would never hash-match.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q116_bigram_lm",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS w1,
+               unnest(list_concat(l[2:], [NULL])) AS w2
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents)
+    ), uni AS (
+        SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM tok GROUP BY 1
+    ), big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ), sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * v)), 6)
+                AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM tok t
+    JOIN big USING (w1, w2)
+    JOIN uni ON uni.w = t.w1
+    CROSS JOIN sc
+    WHERE t.w2 IS NOT NULL
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q116_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-k bigram LM fluency score per document
+    (operators/lm.py::bigram_logprob_scores) — the classic first-pass
+    garbage filter: P(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V), score = mean
+    log-prob over the doc's bigrams. Bigrams come from slice+zip inside
+    the row (map-only, no double explode); count tables build with
+    map-side partial aggs; scoring joins are equi-joins on token keys
+    (a 100 TB bigram table doesn't broadcast); the vocab scalar rides a
+    one-row crossJoin."""
+    from goetl_spark.operators.lm import bigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d).orderBy("doc_id")
+
+
+@register(
+    "q117_token_kl",
+    """
+    WITH counts AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS cb
+        FROM (SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY token
+    ), sc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb
+        FROM counts
+    ), terms AS (
+        SELECT v, na, nb,
+               (ca + 0.5) / (na + 0.5 * v) AS p,
+               (cb + 0.5) / (nb + 0.5 * v) AS q
+        FROM counts CROSS JOIN sc
+    )
+    SELECT v AS vocab, na AS n_tokens_p, nb AS n_tokens_q,
+           CAST(SUM(CAST(round(p * ln(p / q), 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS kl_pq,
+           CAST(SUM(CAST(round(q * ln(q / p), 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS kl_qp
+    FROM terms GROUP BY v, na, nb
+    """,
+)
+def q117_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL divergence between the English slice and
+    the rest of the corpus (operators/lm.py::token_kl_divergence) —
+    the domain-drift / mixture-shift diagnostic, add-k smoothed over
+    the union vocabulary so both directions are finite. One exploded
+    count agg (map-side combined), a one-row scalar broadcast, and an
+    exact-decimal reduction of rounded per-token terms."""
+    from goetl_spark.operators.lm import token_kl_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return token_kl_divergence(d, F.col("lang") == "en")
+
+
+@register(
+    "q118_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents)
+        WHERE ch <> ''
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars
+        FROM chars GROUP BY 1
+    )
+    SELECT chars.doc_id, n_chars,
+           CAST(SUM(CAST(round(-(c / n_chars) * ln(c / n_chars), 9)
+                AS DECIMAL(38,9))) AS DOUBLE) AS entropy
+    FROM chars JOIN tot USING (doc_id)
+    GROUP BY chars.doc_id, n_chars
+    ORDER BY chars.doc_id
+    """,
+)
+def q118_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (operators/lm.py::char_entropy) — near-zero entropy flags padding /
+    single-symbol junk; verified per-codepoint identical across engines
+    (split('') is per-codepoint in both Spark and DuckDB, CJK
+    included). Explode → two co-partitioned aggs on doc_id →
+    exact-decimal term reduction."""
+    from goetl_spark.operators.lm import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d).orderBy("doc_id")
+
+
 ENTRY_QUERY = q01_pricing_summary

@@ -1,0 +1,70 @@
+"""Bigram LM / KL divergence / char entropy tests (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.lm import (
+    bigram_logprob_scores, char_entropy, token_kl_divergence)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: "a b a" + "a b" -> uni a:3 b:2, V=2, big (a,b):2 (b,a):1
+    out = {r.doc_id: r for r in
+           bigram_logprob_scores(_docs(spark, ["a b a", "a b"]),
+                                 k=0.5).collect()}
+    p_ab = (2 + 0.5) / (3 + 0.5 * 2)   # 0.625
+    p_ba = (1 + 0.5) / (2 + 0.5 * 2)   # 0.5
+    t_ab = round(math.log(p_ab), 6)
+    t_ba = round(math.log(p_ba), 6)
+    assert out[0].n_bigrams == 2
+    assert out[0].avg_logprob == pytest.approx((t_ab + t_ba) / 2, abs=1e-9)
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_logprob == pytest.approx(t_ab, abs=1e-9)
+
+
+def test_bigram_short_docs_drop_out(spark):
+    out = bigram_logprob_scores(_docs(spark, ["solo", "", "a b"])).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_kl_zero_for_identical_slices(spark):
+    df = _docs(spark, ["x y z", "x y z"])
+    r = token_kl_divergence(df, F.col("doc_id") == 0).collect()[0]
+    assert r.kl_pq == 0.0 and r.kl_qp == 0.0
+    assert r.vocab == 3 and r.n_tokens_p == 3 and r.n_tokens_q == 3
+
+
+def test_kl_positive_and_asymmetric_for_skewed_slices(spark):
+    df = _docs(spark, ["a a a a b", "b b b b c"])
+    r = token_kl_divergence(df, F.col("doc_id") == 0).collect()[0]
+    assert r.kl_pq > 0 and r.kl_qp > 0
+    assert r.vocab == 3
+    # full hand-rolled smoothed KL over the union vocab {a, b, c}
+    v, na, nb, k = 3, 5, 5, 0.5
+    counts = {"a": (4, 0), "b": (1, 4), "c": (0, 1)}
+    expect = sum(
+        round(((ca + k) / (na + k * v))
+              * math.log(((ca + k) / (na + k * v))
+                         / ((cb + k) / (nb + k * v))), 9)
+        for ca, cb in counts.values())
+    assert r.kl_pq == pytest.approx(expect, abs=1e-9)
+
+
+def test_char_entropy_bounds(spark):
+    out = {r.doc_id: r for r in
+           char_entropy(_docs(spark, ["aaaa", "ab", "abcd", ""])).collect()}
+    assert out[0].entropy == 0.0 and out[0].n_chars == 4
+    assert out[1].entropy == pytest.approx(math.log(2), abs=1e-6)
+    assert out[2].entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert 3 not in out  # empty doc has no characters

@@ -268,3 +268,64 @@ def winsorize(
     return df.withColumn(
         target,
         F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi)))
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    suffix: str = "_z",
+    second_moment_scale: int = 1,
+) -> DataFrame:
+    """Population z-score feature scaling, optionally per group: for
+    each column c, ``c_z = (c - mean) / stddev_pop`` — the standard
+    normalization step before distance-based dedup / ANN / model
+    features.
+
+    Cross-engine determinism (two measured hazards, both handled):
+
+    - the second moment squares IN DECIMAL (x cast to decimal(19,6),
+      then an exact decimal multiply) — casting the double product x·x
+      to a scale-6 decimal is ambiguous once |x²|'s double ulp exceeds
+      1e-6;
+    - a decimal→double cast is only correctly rounded in BOTH engines
+      while the scaled integer fits 2⁵³ (DuckDB's cast of wider
+      decimals is 1-2 ulp off), so the second-moment sum is first
+      reduced to ``second_moment_scale`` (default 1 — raise it for
+      |x| ≪ 1 features, where sub-unit digits carry the variance).
+
+    After the exact sums, the variance formula E[x²] − mean² and the
+    per-row z run the same IEEE ops in both engines; sqrt is
+    IEEE-correctly-rounded everywhere. Rounding-induced tiny negative
+    variances clamp to 0 → stddev 0 → z is NULL for constant groups
+    (division yields NULL via nullif, not ±inf).
+
+    Scale: one partial-aggregated stats pass (per group or global), a
+    broadcast join of the ≤ #groups stats rows, then a map-only
+    projection."""
+    keys = list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        x = F.col(c)
+        xd = x.cast("decimal(19,6)")
+        aggs += [
+            F.sum(x.cast("decimal(38,6)")).cast("double").alias(f"__s_{c}"),
+            # round() BEFORE the scale cast: a bare decimal scale cast
+            # truncates in DuckDB but rounds in Spark (measured)
+            F.round(F.sum(xd * xd), second_moment_scale)
+             .cast(f"decimal(38,{second_moment_scale})")
+             .cast("double").alias(f"__ss_{c}"),
+        ]
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (df.join(F.broadcast(stats), on=keys) if keys
+              else df.crossJoin(F.broadcast(stats)))
+    for c in cols:
+        mean = F.col(f"__s_{c}") / F.col("__n")
+        var = F.greatest(F.col(f"__ss_{c}") / F.col("__n") - mean * mean,
+                         F.lit(0.0))
+        std = F.sqrt(var)
+        joined = joined.withColumn(
+            c + suffix,
+            (F.col(c) - mean) / F.nullif(std, F.lit(0.0)))
+    drop = ["__n"] + [f"__s_{c}" for c in cols] + [f"__ss_{c}" for c in cols]
+    return joined.drop(*drop)

@@ -4089,23 +4089,26 @@ def q105_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
         SELECT COUNT(*) AS n,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sx,
-               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sy,
-               SUM(CAST(l_extendedprice * l_extendedprice
-                   AS DECIMAL(38,6))) AS sxx,
-               SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS syy,
-               SUM(CAST(l_extendedprice * l_quantity
-                   AS DECIMAL(38,6))) AS sxy
+               CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))),
+                   1) AS DECIMAL(38,1)) AS DOUBLE) AS sx,
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))),
+                   1) AS DECIMAL(38,1)) AS DOUBLE) AS sy,
+               CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(19,6))),
+                   1) AS DECIMAL(38,1)) AS DOUBLE) AS sxx,
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_quantity AS DECIMAL(19,6))),
+                   1) AS DECIMAL(38,1)) AS DOUBLE) AS syy,
+               CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                   * CAST(l_quantity AS DECIMAL(19,6))),
+                   1) AS DECIMAL(38,1)) AS DOUBLE) AS sxy
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     )
     SELECT CAST(n AS BIGINT) AS n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
     FROM s
     """,
 )
@@ -4113,11 +4116,13 @@ def q106_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from EXACT decimal sums (stats.py::
     pearson_corr_exact) — deterministic, cross-engine-bit-reproducible,
     unlike naive float ``corr()`` whose partial sums are shuffle-order-
-    dependent in the last ulps. All five sums accumulate in
-    DECIMAL(38,6) (exact, associative — the dsum trick applied to
-    second moments; the row-level products are exact at scale 6 for
-    these ≤2-decimal inputs), and only the final five-term formula runs
-    in doubles, mirrored expression-for-expression in the oracle."""
+    dependent in the last ulps. Second moments are squared IN decimal
+    (double-product→scale-6 casts are cross-engine-ambiguous at large
+    magnitudes) and every sum is rounded to scale 1 before its double
+    cast (decimal→double is only correctly rounded in both engines
+    inside 2⁵³) — the two hazards round 6 measured on q120; only the
+    final five-term formula runs in doubles, mirrored
+    expression-for-expression in the oracle."""
     from goetl_spark.stats import pearson_corr_exact
 
     li = _t(spark, sf_dir, "lineitem")
@@ -4712,6 +4717,123 @@ def q118_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return char_entropy(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round 6: co-occurrence mining (operators/mining.py), feature scaling
+# (functions/transforms.py::standardize), distributed exact NTILE
+# (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q119_cooccurrence",
+    """
+    WITH base AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), ok AS (
+        SELECT b FROM base GROUP BY b HAVING COUNT(*) <= 256
+    ), f AS (
+        SELECT base.b, base.i FROM base JOIN ok USING (b)
+    )
+    SELECT a.i AS item_a, c.i AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM f a JOIN f c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY n_baskets DESC, item_a, item_b
+    """,
+)
+def q119_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence pairs (operators/mining.py::
+    cooccurrence_pairs): parts appearing together in ≥2 orders. The
+    pair self-join is an equi-join on the basket key over the
+    DEDUPLICATED (basket, item) frame — blowup is quadratic in basket
+    size only, and the default-on max_basket_size=256 cap (mirrored in
+    the oracle's HAVING) drops pathological baskets before the join,
+    the same guard discipline as dedup.py's hot-shingle max_df.
+
+    At 100 TB: one shuffle partitions baskets; the size filter rides
+    the same exchange; the pair agg combines map-side."""
+    from goetl_spark.operators.mining import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (cooccurrence_pairs(li, "l_orderkey", "l_partkey",
+                               max_basket_size=256, min_count=2)
+            .orderBy(F.desc("n_baskets"), "item_a", "item_b"))
+
+
+@register(
+    "q120_standardize",
+    """
+    WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sx,
+               CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                                   * CAST(l_extendedprice AS DECIMAL(19,6))),
+                               1) AS DECIMAL(38,1)) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           (l_extendedprice - sx / n)
+           / nullif(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)),
+                    0.0) AS z
+    FROM lineitem JOIN s USING (l_returnflag)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q120_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group population z-score scaling (functions/transforms.py::
+    standardize) of extended price within each return flag — the
+    normalization step before distance-based dedup/ANN. Mean and
+    second moment come from exact decimal sums, variance clamps at 0,
+    and sqrt is IEEE-correctly-rounded, so every per-row z is
+    bit-identical across engines with NO rounding step.
+
+    At 100 TB: one partial-aggregated stats pass (3 rows), broadcast
+    join, map-only projection."""
+    from goetl_spark.functions.transforms import standardize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = standardize(li, ["l_extendedprice"],
+                      group_cols=["l_returnflag"])
+    return (out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                       F.col("l_extendedprice_z").alias("z"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@register(
+    "q121_ntile_bins",
+    """
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY bin ORDER BY bin
+    """,
+)
+def q121_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of order value (operators/ranking.py::
+    ntile_bins) — ANSI NTILE semantics (first N%B bins one row larger)
+    computed WITHOUT the single-partition global window: range
+    repartition → per-partition row_number → broadcast partition
+    offsets → arithmetic bin assignment. The oracle is DuckDB's real
+    NTILE over the same unique total order, so the distributed rank is
+    pinned bin-for-bin against the textbook single-window definition.
+
+    At 100 TB: one range exchange + a ≤ #partitions-row driver
+    cumsum — the same two-phase pattern as pack_sequences."""
+    from goetl_spark.operators.ranking import ntile_bins
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = ntile_bins(o, ["o_totalprice", "o_orderkey"], 10)
+    return (b.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"))
+            .orderBy("bin"))
 
 
 ENTRY_QUERY = q01_pricing_summary

@@ -107,29 +107,39 @@ def pearson_corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
 
     Naive float aggregation of Σx, Σx², Σxy is order-dependent in the
     last ulps, so two engines (or two runs with different partitioning)
-    disagree. Here every sum accumulates in DECIMAL(38,6) — exact and
-    associative, so partial aggregation and shuffle order cannot change
-    a bit — and only the FINAL five-term formula runs in IEEE doubles.
-    Inputs with ≤ 3 decimal digits make the row-level products (x², xy)
-    exact at scale 6, so no rounding enters anywhere before the final
-    expression. One partial-aggregated scan, one scalar row out.
+    disagree. Here every sum accumulates in exact decimal — partial
+    aggregation and shuffle order cannot change a bit — and only the
+    FINAL five-term formula runs in IEEE doubles. Two measured
+    cross-engine hazards shape the details (see transforms.standardize):
+    the second-moment products are squared IN DECIMAL (a double-product
+    cast to scale 6 is ambiguous once the product's ulp exceeds 1e-6),
+    and each moment sum is rounded down to scale 1 before its double
+    cast (decimal→double is only correctly rounded in both engines
+    while the scaled integer fits 2⁵³; the explicit round() matters —
+    a bare scale cast truncates in DuckDB but rounds in Spark).
+    One partial-aggregated scan, one scalar row out.
 
     Returns a 1-row DataFrame (n, corr)."""
     xd = F.col(x).cast("double")
     yd = F.col(y).cast("double")
-    dec = "decimal(38,6)"
+    xq = xd.cast("decimal(19,6)")
+    yq = yd.cast("decimal(19,6)")
+
+    def shrink(c):  # exact decimal -> double, safely inside 2^53
+        return F.round(c, 1).cast("decimal(38,1)").cast("double")
+
     agg = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xd.cast(dec)).alias("sx"),
-        F.sum(yd.cast(dec)).alias("sy"),
-        F.sum((xd * xd).cast(dec)).alias("sxx"),
-        F.sum((yd * yd).cast(dec)).alias("syy"),
-        F.sum((xd * yd).cast(dec)).alias("sxy"),
+        shrink(F.sum(xd.cast("decimal(38,6)"))).alias("sx"),
+        shrink(F.sum(yd.cast("decimal(38,6)"))).alias("sy"),
+        shrink(F.sum(xq * xq)).alias("sxx"),
+        shrink(F.sum(yq * yq)).alias("syy"),
+        shrink(F.sum(xq * yq)).alias("sxy"),
     )
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy = F.col("sxx"), F.col("syy")
+    sxy = F.col("sxy")
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
     return agg.select(F.col("n"), corr.alias("corr"))

@@ -1,0 +1,79 @@
+"""Co-occurrence mining, distributed ranking/NTILE, standardize tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.functions.transforms import standardize
+from goetl_spark.operators.mining import cooccurrence_pairs
+from goetl_spark.operators.ranking import global_row_number, ntile_bins
+
+
+def test_cooccurrence_dedup_and_pairs(spark):
+    rows = [(1, "a"), (1, "b"), (1, "b"),  # duplicate line: counts once
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "a")]                       # singleton basket: no pairs
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = {(r.item_a, r.item_b): r.n_baskets
+           for r in cooccurrence_pairs(df, "b", "i").collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cooccurrence_basket_cap_and_min_count(spark):
+    rows = [(1, "a"), (1, "b"),
+            (2, "a"), (2, "b"), (2, "c")]   # basket 2 dropped by cap=2
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = cooccurrence_pairs(df, "b", "i", max_basket_size=2).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {("a", "b")}
+    assert cooccurrence_pairs(df, "b", "i", min_count=2).collect()[0] \
+        .n_baskets == 2
+
+
+def test_global_row_number_matches_single_window(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), "id").repartition(7)
+    ranked = {r.k: r.rank for r in
+              global_row_number(df, ["k", "id"], num_partitions=5).collect()}
+    # k is a permutation of 0..999 -> rank must equal k+1
+    assert all(ranked[k] == k + 1 for k in range(1000))
+
+
+def test_ntile_bins_match_ansi_ntile(spark):
+    # 103 rows, 10 bins: ANSI -> first 3 bins have 11 rows, rest 10
+    df = spark.range(0, 103).select(F.col("id").alias("v")).repartition(6)
+    out = ntile_bins(df, ["v"], 10)
+    sizes = {r.bin: r.cnt for r in
+             out.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sizes == {b: (11 if b <= 3 else 10) for b in range(1, 11)}
+    # spot-check boundary rows: ANSI ntile assigns row r (1-based) of the
+    # total order; v=32 is row 33 -> last row of bin 3, v=33 -> bin 4
+    bins = {r.v: r.bin for r in out.collect()}
+    assert bins[0] == 1 and bins[32] == 3 and bins[33] == 4 and bins[102] == 10
+
+
+def test_ntile_more_bins_than_rows(spark):
+    df = spark.range(0, 3).select(F.col("id").alias("v"))
+    bins = sorted(r.bin for r in ntile_bins(df, ["v"], 10).collect())
+    assert bins == [1, 2, 3]
+
+
+def test_standardize_global_and_grouped(spark):
+    rows = [Row(g="a", x=1.0), Row(g="a", x=3.0),
+            Row(g="b", x=10.0), Row(g="b", x=10.0)]
+    df = spark.createDataFrame(rows)
+    out = standardize(df, ["x"], group_cols=["g"],
+                      second_moment_scale=6).collect()
+    for r in out:
+        if r.g == "a":
+            assert r.x_z == pytest.approx((r.x - 2.0) / 1.0)
+        else:
+            assert r.x_z is None  # zero variance -> NULL, not inf
+    g = standardize(df, ["x"], second_moment_scale=6).collect()
+    mean = 6.0
+    std = math.sqrt(sum((v - mean) ** 2 for v in [1, 3, 10, 10]) / 4)
+    for r in g:
+        assert r.x_z == pytest.approx((r.x - mean) / std, rel=1e-9)

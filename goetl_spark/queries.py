@@ -72,40 +72,45 @@ def register(name: str, oracle: str | None):
 # q22/q50/q89/q91).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
-# Round-6 rotation: seats go to (a) the 13 queries whose last driver
-# row was r02 (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51),
-# (b) the eight round-6 additions (q99-q106), (c) every query whose
-# CODE or ORACLE changed this round and needs a fresh green row (q34 +
-# q47 new oracles, q97 single-scan winsorize, q90 oracle NULLS FIRST,
-# q96 nulls-last alignment, q82/q87 per-partition sketch compress,
-# q88/q92 kmeans reseed), and (d) 19 of the 35 r04-last queries to
-# spread staleness pressure. The 16 r04-last queries left out
-# (q02-q07, q09, q11-q13, q20, q21, q41-q43, q49) MUST be seated in
-# round 7 — tests/test_registry.py::test_union_coverage_and_staleness
-# enforces exactly that once CORRECTNESS_r06.json lands. Round-5 rows
-# (q16, q22, q31/q32, q35/q36, q48, q50, q53-q58, q60-q62, q65,
-# q68-q78, q81, q83-q86, q89, q91, q93-q95, q98) bank their fresh
-# green rows and rotate out.
+# Round-6 rotation (updated mid-round as the registry grew to 121):
+# seats go to (a) the 13 queries whose last driver row was r02
+# (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51), (b) all 23
+# round-6 additions (q99-q121), (c) every query whose CODE or ORACLE
+# changed this round (q34 + q47 new oracles, q97 single-scan
+# winsorize, q90 oracle NULLS FIRST, q96 nulls-last alignment,
+# q82/q87 per-partition sketch compress, q88/q92 kmeans reseed,
+# q106 decimal→double shrink), and (d) 5 of the 35 r04-last queries
+# (q64/q66/q67/q79/q80). The r04-last queries NOT seated —
+# q02-q07, q09, q11-q13, q17-q21, q24, q25, q28, q30, q33, q38,
+# q39, q41-q44, q49, q52, q59, q63 — plus r5-banked q01 MUST get
+# seats in round 7 (they will be absent from r5∪r6);
+# tests/test_registry.py::test_union_coverage_and_staleness enforces
+# exactly that once CORRECTNESS_r06.json lands. That is 30 mandatory
+# round-7 seats, leaving ~20 for round-7 additions. Every unseated
+# operator family keeps an in-window sibling this round (SCD by q40,
+# minhash by q23, ANN by q26/q27/q88/q92/q100, text by q29,
+# percentiles by q37/q82/q87, orchestration covered r5 by q32).
 _WINDOW: list[str] = [
-    "q01_pricing_summary", "q08_topk", "q10_distinct",
+    "q08_topk", "q10_distinct",
     "q14_window_running", "q15_events_hourly",
-    "q17_cdc", "q18_scd2", "q19_scd3",
-    "q23_minhash_signatures", "q24_minhash_lsh_candidates",
-    "q25_simhash", "q26_knn_bruteforce", "q27_ann_ivf",
-    "q28_embedding_neardup", "q29_text_stats", "q30_text_quality",
-    "q33_dag_runner", "q34_multimodal_features",
-    "q37_rollup", "q38_percentiles", "q39_custom_udaf",
-    "q40_scd1", "q44_quality_gate",
+    "q23_minhash_signatures", "q26_knn_bruteforce", "q27_ann_ivf",
+    "q29_text_stats", "q34_multimodal_features",
+    "q37_rollup", "q40_scd1",
     "q45_sliding_window", "q46_session_window", "q47_approx_distinct",
-    "q51_write_roundtrip", "q52_hash_split",
-    "q59_ann_lsh", "q63_unpivot", "q64_fuzzy_pairs",
-    "q66_forecast_revenue", "q67_io_stats",
+    "q51_write_roundtrip",
+    "q64_fuzzy_pairs", "q66_forecast_revenue", "q67_io_stats",
     "q79_csv_roundtrip", "q80_jsonl_roundtrip",
     "q82_tdigest_bound", "q87_tdigest_by_group", "q88_pq_rerank",
     "q90_skew_report", "q92_ivfpq", "q96_topk_partial",
     "q97_winsorize", "q99_winnow_overlap", "q100_pq_recall",
     "q101_heavy_hitters", "q102_bm25", "q103_join_cardinality",
     "q104_vocabulary", "q105_histogram", "q106_correlation",
+    "q107_order_priority", "q108_customer_distribution",
+    "q109_top_supplier", "q110_small_quantity_revenue",
+    "q111_dormant_high_value", "q112_resample_gapfill",
+    "q113_rolling_range", "q114_funnel", "q115_cohort_retention",
+    "q116_bigram_lm", "q117_token_kl", "q118_char_entropy",
+    "q119_cooccurrence", "q120_standardize", "q121_ntile_bins",
 ]
 
 

@@ -103,21 +103,32 @@ def cohort_retention(
     """Cohort retention matrix: cohort = the user's first-activity
     period (``date_trunc(period)``); for each period offset *k*, the
     distinct users of that cohort active in cohort+*k* periods and the
-    retention share vs the cohort size (offset 0)."""
-    firsts = (df.groupBy(user_col)
-                .agg(F.date_trunc(period, F.min(ts_col)).alias("cohort")))
-    activity = (df.select(user_col,
-                          F.date_trunc(period, ts_col).alias("p"))
-                  .distinct())
-    joined = activity.join(firsts, on=user_col)
+    retention share vs the cohort size (offset 0).
+
+    Plan: ONE user-key shuffle collects each user's cohort AND distinct
+    active periods in the same aggregate (collect_set is bounded by
+    periods-per-user, e.g. weeks of history — small by construction),
+    the offsets explode in-row, and the (cohort × offset) rollup plus a
+    broadcast offset-0 base are the only other exchanges. The first
+    audit of the two-agg + join formulation showed 7 exchanges; this
+    shape has 3."""
+    per_user = df.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort"),
+        F.collect_set(F.date_trunc(period, ts_col)).alias("__periods"))
     counts = (
-        joined.withColumn(
+        per_user.select(
+            "cohort",
+            F.explode("__periods").alias("p"))
+        .withColumn(
             "period_offset",
             (F.datediff(F.col("p"), F.col("cohort"))
              / period_days).cast("int"))
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+    # materialize the tiny (#cohorts × #offsets) matrix once — the
+    # offset-0 base otherwise replays the whole user aggregation
+    counts = counts.localCheckpoint(eager=True)
     base = (counts.filter(F.col("period_offset") == 0)
                   .select("cohort", F.col("n_users").alias("cohort_size")))
     return (counts.join(F.broadcast(base), on="cohort")

@@ -4,15 +4,14 @@ The market-basket primitive (and, on token/shingle baskets, the
 collocation-mining primitive for corpus analysis): which item pairs
 appear together in the same basket, how often, and with what lift.
 
-Scale design: the pair join is an equi-join on the basket key — both
-sides are the deduplicated (basket, item) frame partitioned the same
-way, so Catalyst reuses one exchange. Pair blowup is quadratic in
-basket SIZE, not corpus size; ``max_basket_size`` (default 256) drops
-pathological baskets BEFORE the self-join the same way dedup.py caps
-hot shingles (a single million-line order would otherwise emit 5·10¹¹
-pairs). Dropped-basket counts are observable via the returned frame's
-provenance (the cap is a documented, default-on guard, mirrored in the
-q119 oracle)."""
+Scale design: one shuffle gathers each basket's item SET (collect_set,
+bounded by the cap below), pair expansion runs in-row over the sorted
+array — map-side, no self-join — and the pair-count aggregation is the
+only other shuffle. Pair blowup is quadratic in basket SIZE, not
+corpus size; ``max_basket_size`` (default 256) drops pathological
+baskets BEFORE expansion the same way dedup.py caps hot shingles (a
+single million-line order would otherwise emit 5·10¹¹ pairs). The cap
+is a documented, default-on guard, mirrored in the q119 oracle."""
 
 from __future__ import annotations
 
@@ -28,20 +27,28 @@ def cooccurrence_pairs(
 ) -> DataFrame:
     """Distinct co-occurring item pairs (item_a < item_b) with basket
     counts. A basket contributes a pair once regardless of line
-    multiplicity (the (basket, item) frame is deduplicated first)."""
-    base = df.select(F.col(basket_col).alias("b"),
-                     F.col(item_col).alias("i")).distinct()
+    multiplicity (items are set-deduplicated inside the basket).
+
+    Plan: ONE shuffle gathers each basket's item set (collect_set —
+    bounded by the cap), the pair expansion happens IN-ROW (a sorted
+    array double-loop via transform+flatten, map-side, never a
+    self-join), and the pair count agg is the only other shuffle. The
+    first audit of the self-join formulation showed 8 exchanges; this
+    shape has 2 (+1 if the caller sorts)."""
+    baskets = (df.groupBy(F.col(basket_col).alias("b"))
+               .agg(F.array_sort(F.collect_set(F.col(item_col)))
+                    .alias("items")))
     if max_basket_size is not None:
-        sizes = (base.groupBy("b")
-                 .agg(F.count(F.lit(1)).alias("__sz"))
-                 .filter(F.col("__sz") <= max_basket_size)
-                 .select("b"))
-        base = base.join(sizes, on="b")  # co-partitioned with the agg
-    left = base.select("b", F.col("i").alias("item_a"))
-    right = base.select("b", F.col("i").alias("item_b"))
+        baskets = baskets.filter(F.size("items") <= max_basket_size)
+    n = F.size("items")
+    pair_arrays = F.flatten(F.transform(
+        F.col("items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + 2, n),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
     pairs = (
-        left.join(right, on="b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )

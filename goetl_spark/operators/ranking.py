@@ -102,3 +102,93 @@ def ntile_bins(
         + 1
     ).cast("int")
     return ranked.withColumn(out, bin_col).drop("__r")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    num_partitions: int | None = None,
+) -> list[float]:
+    """EXACT interpolated quantiles (the ``quantile_cont`` /
+    ``percentile`` definition: value at rank p·(n−1), linearly
+    interpolated between the neighboring order statistics) — computed
+    DISTRIBUTED, replacing the single-aggregation-buffer
+    ``percentile()`` that must hold every value in one merge task.
+
+    Plan: one range exchange on the value (parallel sort-free
+    placement), per-partition COUNTS (≤ #partitions rows to the
+    driver) locate which partition holds each needed order statistic
+    and at what local offset, and only THOSE partitions are sorted —
+    each in its own single task over ~n/#partitions rows. Nothing
+    outside the target partitions is ever sorted or collected, so the
+    op scales to arbitrary n while returning bit-identical values to
+    the buffered exact percentile (same IEEE interpolation on the same
+    order statistics — pinned by tests and the q97 oracle).
+    """
+    import math
+
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob out of range: {p}")
+    vals = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    n_part = (num_partitions
+              or df.sparkSession.sparkContext.defaultParallelism)
+    parts = (vals.repartitionByRange(n_part, F.col("v"))
+                 .withColumn("__pid", F.spark_partition_id())
+                 .persist())
+    try:
+        sizes = sorted(
+            parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+                 .collect())
+        offsets, total = {}, 0
+        for pid, c in sizes:
+            offsets[pid] = (total, c)   # (rows before, rows inside)
+            total += c
+        if total == 0:
+            raise ValueError(f"exact_quantiles: no non-null values in {col}")
+
+        # global 1-based ranks needed for all probs
+        targets: set[int] = set()
+        for p in probs:
+            rp = p * (total - 1)
+            targets.add(int(math.floor(rp)) + 1)
+            targets.add(int(math.ceil(rp)) + 1)
+
+        # group target ranks by owning partition
+        by_pid: dict[int, list[int]] = {}
+        for rank in targets:
+            for pid, (before, inside) in offsets.items():
+                if before < rank <= before + inside:
+                    by_pid.setdefault(pid, []).append(rank - before)
+                    break
+
+        got: dict[int, float] = {}
+        for pid, local_ranks in sorted(by_pid.items()):
+            w = Window.partitionBy("__pid").orderBy("v")
+            found = (parts.filter(F.col("__pid") == pid)
+                     .withColumn("__lr", F.row_number().over(w))
+                     .filter(F.col("__lr").isin(local_ranks))
+                     .collect())
+            before = offsets[pid][0]
+            for r in found:
+                got[before + r["__lr"]] = r["v"]
+
+        out = []
+        for p in probs:
+            rp = p * (total - 1)
+            lo, hi = int(math.floor(rp)), int(math.ceil(rp))
+            vlo = got[lo + 1]
+            if lo == hi:
+                out.append(float(vlo))
+            else:
+                # Spark's Percentile (and DuckDB's quantile_cont, per the
+                # q97 hash history) interpolate as lo·(1−d) + hi·d — the
+                # algebraically-equal lo + d·(hi−lo) differs in the last
+                # ulp and would break bit-parity
+                vhi = got[hi + 1]
+                d = rp - lo
+                out.append(float(vlo * (1.0 - d) + vhi * d))
+        return out
+    finally:
+        parts.unpersist()

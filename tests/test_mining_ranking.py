@@ -77,3 +77,29 @@ def test_standardize_global_and_grouped(spark):
     std = math.sqrt(sum((v - mean) ** 2 for v in [1, 3, 10, 10]) / 4)
     for r in g:
         assert r.x_z == pytest.approx((r.x - mean) / std, rel=1e-9)
+
+
+def test_exact_quantiles_match_buffered_percentile(spark):
+    import random
+    random.seed(7)
+    vals = [random.lognormvariate(8, 2) for _ in range(5000)] + [None] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .repartition(9)
+    from goetl_spark.operators.ranking import exact_quantiles
+    probs = [0.0, 0.05, 0.5, 0.95, 0.99, 1.0]
+    got = exact_quantiles(df, "v", probs, num_partitions=5)
+    want = df.agg(
+        F.expr(f"percentile(v, array({','.join(map(str, probs))}))")
+    ).collect()[0][0]
+    assert got == list(want)  # bit-identical, not approx
+
+
+def test_exact_quantiles_tiny_and_errors(spark):
+    from goetl_spark.operators.ranking import exact_quantiles
+    df = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+    assert exact_quantiles(df, "v", [0.5]) == [2.0]
+    with pytest.raises(ValueError, match="prob"):
+        exact_quantiles(df, "v", [1.5])
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles(empty, "v", [0.5])

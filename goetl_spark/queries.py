@@ -4841,4 +4841,197 @@ def q121_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin"))
 
 
+# ---------------------------------------------------------------------------
+# round 6 (second batch): TPC-H Q8/Q14/Q16/Q19 composite shapes — the
+# ratio-of-conditional-sums pattern (Q8/Q14), count-distinct rollup
+# with a NOT-IN anti-join (Q16, on lineitem as the part-supplier
+# relation since this dataset has no partsupp), and the OR-of-ANDs
+# multi-table predicate (Q19).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q122_market_share",
+    f"""
+    SELECT ship_year,
+           {DSUM("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+           / {DSUM('volume')} AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS ship_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) t
+    GROUP BY ship_year ORDER BY ship_year
+    """,
+)
+def q122_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 plan shape (national market share): the
+    ratio-of-conditional-sums over a 7-table star join — supplier
+    nation drives the CASE numerator while customer region/part type/
+    date range prune the denominator population. Both sums accumulate
+    exact decimal, so the final ratio is one identical IEEE division.
+
+    At 100 TB: every dimension (part-filtered, supplier, customer,
+    nation ×2, region) broadcasts; lineitem⋈orders is the only real
+    shuffle; the two-branch conditional sum collapses map-side to one
+    row per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter(
+        (F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1998-01-01"))) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA") \
+        .select("r_regionkey")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("ship_year", F.year("o_orderdate"))
+        .groupBy("ship_year")
+        .agg((F.sum(num.cast("decimal(38,6)")).cast("double")
+              / F.sum(vol.cast("decimal(38,6)")).cast("double"))
+             .alias("mkt_share"))
+        .orderBy("ship_year")
+    )
+
+
+_Q123_PROMO = ("CASE WHEN p_type = 'PROMO' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")
+
+
+@register(
+    "q123_promo_revenue",
+    f"""
+    SELECT 100.00 * {DSUM(_Q123_PROMO)}
+           / {DSUM('l_extendedprice * (1 - l_discount)')} AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q123_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 plan shape (promotion effect): single-month fact scan
+    (date predicate pushed to parquet), broadcast part join, and the
+    conditional-revenue ratio computed from two exact-decimal sums in
+    one aggregate — one shuffle of a single partial-agg row."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _ts_lit(li, "l_shipdate", "1997-03-01"))
+        & (F.col("l_shipdate") < _ts_lit(li, "l_shipdate", "1997-04-01")))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0)
+              * F.sum(promo.cast("decimal(38,6)")).cast("double")
+              / F.sum(vol.cast("decimal(38,6)")).cast("double"))
+             .alias("promo_pct"))
+    )
+
+
+@register(
+    "q124_supplier_part_distribution",
+    """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 9, 19, 29, 39, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q124_supplier_part_distribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q16 plan shape (parts/supplier relationship): COUNT
+    DISTINCT rollup over the part-supplier relation (lineitem here —
+    this dataset has no partsupp) with a NOT-IN exclusion of
+    disqualified suppliers, decorrelated to a broadcast left-anti
+    join (s_suppkey is non-null, so NOT IN ≡ anti-join).
+
+    At 100 TB: part (brand/size filters) and the tiny exclusion list
+    broadcast; the distinct-agg shuffles (brand, size, suppkey) once,
+    then collapses to the rollup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 19, 29, 39, 49)) \
+        .select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q125_disjunctive_revenue",
+    f"""
+    SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q125_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 plan shape (discounted revenue, OR-of-ANDs): three
+    conjunctive branches spanning BOTH tables — the per-table residue
+    that CAN push down (the union of brands / the l_quantity hull)
+    prunes each scan, while the cross-table conjunctions evaluate
+    post-join. Part broadcasts; one partial-agg row shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    # pushable residues: brand ∈ {11,22,33} on part, quantity hull on fact
+    p = p.filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+    li = li.filter(F.col("l_quantity").between(1, 30))
+    q, sz, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    branch = (
+        ((b == "Brand#11") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#22") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#33") & sz.between(1, 15) & q.between(20, 30)))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+    )
+
+
 ENTRY_QUERY = q01_pricing_summary

@@ -332,3 +332,52 @@ def standardize(
             (F.col(c) - mean) / F.nullif(std, F.lit(0.0)))
     drop = ["__n"] + [f"__s_{c}" for c in cols] + [f"__ss_{c}" for c in cols]
     return joined.drop(*drop)
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Per-group quantile clipping: each group's values clip to THAT
+    group's [lower, upper] quantiles (heterogeneous populations — e.g.
+    per-language doc lengths — where global thresholds would clip one
+    group's entire tail and none of another's).
+
+    ``method='exact'`` uses Spark's grouped interpolated ``percentile``
+    (the quantile_cont definition, cross-engine bit-reproducible).
+    Grouped percentile buffers per GROUP, so it is the right plan when
+    groups are many and individually bounded; for a few huge groups use
+    ``method='tdigest'`` (operators/sketch.py::tdigest_quantiles_by_group
+    — mergeable, partial-aggregated, approximate). The thresholds frame
+    is ≤ #groups rows and broadcasts into a map-only clip."""
+    keys = list(group_cols)
+    target = out_col or col
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower ({lower}) < upper ({upper}) <= 1")
+    if method == "exact":
+        thr = df.groupBy(*keys).agg(
+            F.expr(f"percentile({col}, array({lower!r}D, {upper!r}D))")
+            .alias("__t"))
+        thr = thr.select(*keys, F.col("__t")[0].alias("__lo"),
+                         F.col("__t")[1].alias("__hi"))
+    elif method == "tdigest":
+        from goetl_spark.operators.sketch import tdigest_quantiles_by_group
+
+        q = tdigest_quantiles_by_group(df, keys, col, [lower, upper])
+        thr = (q.groupBy(*keys)
+               .agg(F.min(F.when(F.col("prob") == lower,
+                                 F.col("quantile"))).alias("__lo"),
+                    F.min(F.when(F.col("prob") == upper,
+                                 F.col("quantile"))).alias("__hi")))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (df.join(F.broadcast(thr), on=keys)
+            .withColumn(target,
+                        F.least(F.greatest(F.col(col), F.col("__lo")),
+                                F.col("__hi")))
+            .drop("__lo", "__hi"))

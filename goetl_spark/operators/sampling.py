@@ -295,3 +295,61 @@ def pack_sequences(
     finally:
         if materialize:
             parts.unpersist()
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    step: int,
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted (systematic / PPS) sampling: lay every
+    row's INTEGER weight end-to-end along the deterministic
+    ``order_cols`` order and keep each row whose weight interval
+    crosses a multiple of ``step`` — selection probability ∝ weight
+    (weights ≥ step are always kept), expected sample size =
+    total_weight / step, and the draw is reproducible and
+    oracle-checkable (no RNG).
+
+    Same two-phase distributed cumsum as :func:`pack_sequences` (range
+    repartition → per-partition window cumsum → broadcast offsets) —
+    never a global single-task window. Integer weights keep the cumsum
+    exact in BIGINT; derive them once (e.g. round(price·100) cents)
+    rather than summing doubles."""
+    from pyspark.sql import Window
+
+    if step <= 0:
+        raise ValueError("step must be a positive integer")
+    order = [F.col(c) for c in order_cols]
+    n = num_partitions or df.rdd.getNumPartitions() or 1
+    parts = (df.repartitionByRange(n, *order)
+             .withColumn("__pid", F.spark_partition_id())
+             .persist())
+    try:
+        w = (Window.partitionBy("__pid").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        local_before = F.coalesce(
+            F.sum(F.col(weight_col)).over(w), F.lit(0).cast("long"))
+        totals = {r["__pid"]: r["t"] for r in parts.groupBy("__pid")
+                  .agg(F.sum(weight_col).alias("t")).collect()}
+        running, offsets = 0, {}
+        for pid in sorted(totals):
+            offsets[pid] = running
+            running += totals[pid] or 0
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __offset long")
+        # integer-exact crossing test:
+        # floor((before+w)/step) > floor(before/step)
+        return (
+            parts.join(F.broadcast(off_df), "__pid")
+            .withColumn("__before", local_before + F.col("__offset"))
+            .filter(F.expr(f"(__before + {weight_col}) div {step}")
+                    > F.expr(f"__before div {step}"))
+            .drop("__pid", "__offset", "__before")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        parts.unpersist()

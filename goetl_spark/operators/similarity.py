@@ -890,3 +890,52 @@ def knn_ivfpq(
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist_sq", "rank"))
+
+
+def cluster_inertia(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster dispersion statistics over an embedding column: for
+    each label, the number of vectors and the k-means inertia
+    (Σ over vectors of squared distance to the cluster centroid) —
+    the standard clustering-quality / codebook-health diagnostic, and
+    the per-dimension identity Σ‖x−μ‖² = Σ_d (Σx²_d − (Σx_d)²/n) lets
+    it run as ONE exploded aggregation, no centroid join, no second
+    pass over vectors.
+
+    Cross-engine determinism: per-(label, dim) sums accumulate in
+    exact decimal (squares multiplied IN decimal — see
+    transforms.standardize for the measured double-product hazard);
+    per-dim variance terms are rounded to 9 decimals and reduced as an
+    exact decimal over the dimension axis, so the result is
+    independent of both shuffle order and dimension order.
+
+    Scale: posexplode is map-side (rows × dim); the (label, dim) agg
+    partial-combines so the shuffle carries ≤ labels·dims rows per
+    partition; the per-label rollup is tiny. Returns
+    (label, n_vectors, n_dims, inertia)."""
+    x = F.col("x").cast("double")
+    xd = x.cast("decimal(19,6)")
+    per_dim = (
+        df.select(F.col(label_col).alias("label"),
+                  F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(xd).cast("double").alias("sx"),
+             # scale-12 square sums exceed 2^53 scaled units, where
+             # DuckDB's decimal→double cast stops being correctly
+             # rounded — shrink to scale 6 first (see standardize)
+             F.round(F.sum(xd * xd), 6).cast("decimal(38,6)")
+              .cast("double").alias("sxx"))
+    )
+    term = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    return (
+        per_dim.groupBy("label")
+        .agg(F.max("n").alias("n_vectors"),
+             F.count(F.lit(1)).alias("n_dims"),
+             F.sum(F.round(term, 9).cast("decimal(38,9)"))
+              .cast("double").alias("inertia"))
+        .orderBy("label")
+    )

@@ -72,24 +72,23 @@ def register(name: str, oracle: str | None):
 # q22/q50/q89/q91).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
-# Round-6 rotation (updated mid-round as the registry grew to 121):
+# Round-6 rotation (updated mid-round as the registry grew to 128):
 # seats go to (a) the 13 queries whose last driver row was r02
-# (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51), (b) all 23
-# round-6 additions (q99-q121), (c) every query whose CODE or ORACLE
-# changed this round (q34 + q47 new oracles, q97 single-scan
-# winsorize, q90 oracle NULLS FIRST, q96 nulls-last alignment,
-# q82/q87 per-partition sketch compress, q88/q92 kmeans reseed,
-# q106 decimal→double shrink), and (d) 5 of the 35 r04-last queries
-# (q64/q66/q67/q79/q80). The r04-last queries NOT seated —
-# q02-q07, q09, q11-q13, q17-q21, q24, q25, q28, q30, q33, q38,
-# q39, q41-q44, q49, q52, q59, q63 — plus r5-banked q01 MUST get
-# seats in round 7 (they will be absent from r5∪r6);
+# (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51), (b) all 30
+# round-6 additions (q99-q128), and (c) changed-code rows q34/q47 (new
+# oracles), q97 (distributed exact quantiles), q90/q96 (ordering
+# alignments), q88/q92 (kmeans reseed) — q106's decimal→double shrink
+# is in the (b) group. Window capacity (50 − 13 required r02 re-seats
+# = 37) forces every other seat to a new query: the r04-last queries
+# NOT seated — q02-q07, q09, q11-q13, q17-q21, q24, q25, q28, q30,
+# q33, q38, q39, q41-q44, q49, q52, q59, q63, q64, q66, q67, q79,
+# q80 — plus r5-banked q01 MUST get seats in round 7 (absent from
+# r5∪r6), as should q82/q87 (per-partition sketch compress landed
+# this round; re-verified by the LOCAL full-registry oracle run and
+# property tests, but their fresh DRIVER row waits for r7).
 # tests/test_registry.py::test_union_coverage_and_staleness enforces
-# exactly that once CORRECTNESS_r06.json lands. That is 30 mandatory
-# round-7 seats, leaving ~20 for round-7 additions. Every unseated
-# operator family keeps an in-window sibling this round (SCD by q40,
-# minhash by q23, ANN by q26/q27/q88/q92/q100, text by q29,
-# percentiles by q37/q82/q87, orchestration covered r5 by q32).
+# the rotation once CORRECTNESS_r06.json lands. That is ~33 mandatory
+# round-7 seats, leaving ~17 for round-7 additions.
 _WINDOW: list[str] = [
     "q08_topk", "q10_distinct",
     "q14_window_running", "q15_events_hourly",
@@ -97,10 +96,7 @@ _WINDOW: list[str] = [
     "q29_text_stats", "q34_multimodal_features",
     "q37_rollup", "q40_scd1",
     "q45_sliding_window", "q46_session_window", "q47_approx_distinct",
-    "q51_write_roundtrip",
-    "q64_fuzzy_pairs", "q66_forecast_revenue", "q67_io_stats",
-    "q79_csv_roundtrip", "q80_jsonl_roundtrip",
-    "q82_tdigest_bound", "q87_tdigest_by_group", "q88_pq_rerank",
+    "q51_write_roundtrip", "q88_pq_rerank",
     "q90_skew_report", "q92_ivfpq", "q96_topk_partial",
     "q97_winsorize", "q99_winnow_overlap", "q100_pq_recall",
     "q101_heavy_hitters", "q102_bm25", "q103_join_cardinality",
@@ -111,6 +107,10 @@ _WINDOW: list[str] = [
     "q113_rolling_range", "q114_funnel", "q115_cohort_retention",
     "q116_bigram_lm", "q117_token_kl", "q118_char_entropy",
     "q119_cooccurrence", "q120_standardize", "q121_ntile_bins",
+    "q122_market_share", "q123_promo_revenue",
+    "q124_supplier_part_distribution", "q125_disjunctive_revenue",
+    "q126_weighted_sample", "q127_group_winsorize",
+    "q128_cluster_inertia",
 ]
 
 
@@ -5032,6 +5032,146 @@ def q125_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                   "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6 (second batch): weighted systematic sampling, per-group
+# winsorize, embedding cluster inertia
+# ---------------------------------------------------------------------------
+
+@register(
+    "q126_weighted_sample",
+    """
+    WITH w AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), c AS (
+        SELECT o_orderkey, o_totalprice, cents,
+               COALESCE(SUM(cents) OVER (ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS brk
+        FROM w
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM c
+    WHERE (brk + cents) // 100000000 > brk // 100000000
+    ORDER BY o_orderkey
+    """,
+)
+def q126_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (PPS / systematic) sampling of orders by
+    value (operators/sampling.py::weighted_systematic_sample): integer
+    cent weights laid end-to-end in o_orderkey order; a row is kept
+    when its weight interval crosses a $1M boundary — selection ∝
+    weight, zero RNG, bit-reproducible. The cumsum is the same
+    two-phase distributed pattern as pack_sequences (range repartition,
+    per-partition window, broadcast offsets) with an integer-exact
+    BIGINT accumulator and `div` crossing test.
+
+    At 100 TB: one range exchange; the oracle's global single-task
+    window is exactly the plan this operator exists to avoid."""
+    from goetl_spark.operators.sampling import weighted_systematic_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    out = weighted_systematic_sample(o, "cents", 100_000_000,
+                                     ["o_orderkey"])
+    return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@register(
+    "q127_group_winsorize",
+    f"""
+    WITH thr AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           {DSUM('LEAST(GREATEST(l_extendedprice, lo), hi)')}
+               AS sum_clipped
+    FROM lineitem l JOIN thr USING (l_returnflag)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q127_group_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP winsorization (functions/transforms.py::
+    winsorize_by_group): each return flag clips to its OWN [0.05, 0.95]
+    percentiles — the heterogeneous-population variant of q97 (whose
+    single global thresholds would mis-clip any group with a shifted
+    distribution). Grouped interpolated percentile ≡ quantile_cont, so
+    every clipped value is bit-identical cross-engine; the ≤ #groups
+    thresholds frame broadcasts into a map-only clip.
+
+    At 100 TB with few huge groups, method='tdigest' swaps in the
+    mergeable sketch — documented on the operator."""
+    from goetl_spark.functions.transforms import winsorize_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    w = winsorize_by_group(li, "l_extendedprice", ["l_returnflag"],
+                           0.05, 0.95, out_col="v")
+    # clip flags need the group thresholds — recompute inline from v:
+    # v < original means clipped high; v > original means clipped low
+    return (
+        w.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("v") > F.col("l_extendedprice"), 1)
+                   .otherwise(0)).alias("n_clipped_low"),
+             F.sum(F.when(F.col("v") < F.col("l_extendedprice"), 1)
+                   .otherwise(0)).alias("n_clipped_high"),
+             dsum("v", "sum_clipped"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q128_cluster_inertia",
+    """
+    WITH ex AS (
+        SELECT label,
+               unnest(embedding) AS x,
+               unnest(range(0, len(embedding))) AS dim
+        FROM embeddings
+    ), pd AS (
+        SELECT label, dim, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(19,6)))
+                    AS DOUBLE) AS sx,
+               CAST(CAST(round(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(19,6))
+                        * CAST(CAST(x AS DOUBLE) AS DECIMAL(19,6))), 6)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS sxx
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(CAST(round(sxx - sx * sx / n, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS inertia
+    FROM pd GROUP BY label ORDER BY label
+    """,
+)
+def q128_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label k-means inertia over the embedding corpus
+    (operators/similarity.py::cluster_inertia) — clustering-quality /
+    codebook-health diagnostic via the per-dimension identity
+    Σ‖x−μ‖² = Σ_d (Σx²_d − (Σx_d)²/n): ONE exploded aggregation, no
+    centroid join, no second pass. Decimal-exact sums; per-dim terms
+    rounded then decimal-reduced so the result is shuffle- and
+    dimension-order-independent.
+
+    At 100 TB: the (label, dim) agg partial-combines map-side —
+    shuffle carries ≤ labels·dims rows per partition."""
+    from goetl_spark.operators.similarity import cluster_inertia
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_inertia(emb)
 
 
 ENTRY_QUERY = q01_pricing_summary

@@ -1,0 +1,88 @@
+"""Weighted systematic sampling, per-group winsorize, cluster inertia."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from goetl_spark.functions.transforms import winsorize_by_group
+from goetl_spark.operators.sampling import weighted_systematic_sample
+from goetl_spark.operators.similarity import cluster_inertia
+
+
+def test_weighted_sample_crossing_semantics(spark):
+    # weights 5,3,4,10,2 step 7: intervals [0,5) [5,8) [8,12) [12,22) [22,24)
+    # multiples of 7 at 7,14,21 -> rows 2 (covers 7), 4 (covers 14 and 21)
+    rows = [(1, 5), (2, 3), (3, 4), (4, 10), (5, 2)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = sorted(r.id for r in
+                 weighted_systematic_sample(df, "w", 7, ["id"]).collect())
+    assert out == [2, 4]
+
+
+def test_weighted_sample_partitioning_independent(spark):
+    rows = [(i, (i * 13) % 50 + 1) for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, w long").repartition(1)
+    b = spark.createDataFrame(rows, "id long, w long").repartition(17)
+    sa = sorted(r.id for r in
+                weighted_systematic_sample(a, "w", 100, ["id"],
+                                           num_partitions=3).collect())
+    sb = sorted(r.id for r in
+                weighted_systematic_sample(b, "w", 100, ["id"],
+                                           num_partitions=11).collect())
+    assert sa == sb and len(sa) > 0
+    # expected size ~ total/step
+    total = sum(w for _, w in rows)
+    assert abs(len(sa) - total / 100) <= 2
+
+
+def test_weighted_sample_heavy_rows_always_kept(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (2, 250), (3, 3), (4, 250)], "id long, w long")
+    kept = {r.id for r in
+            weighted_systematic_sample(df, "w", 100, ["id"]).collect()}
+    assert {2, 4} <= kept  # weight >= step guarantees selection
+
+
+def test_winsorize_by_group_uses_group_thresholds(spark):
+    # group a: 1..100 ; group b: 1001..1100 — global clipping would
+    # flatten all of a; per-group must clip within each range
+    rows = [("a", float(v)) for v in range(1, 101)] + \
+           [("b", float(v)) for v in range(1001, 1101)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorize_by_group(df, "x", ["g"], 0.05, 0.95, out_col="v")
+    stats = {r.g: r for r in
+             out.groupBy("g").agg(F.min("v").alias("lo"),
+                                  F.max("v").alias("hi")).collect()}
+    assert 5.0 <= stats["a"].lo <= 7.0 and 94.0 <= stats["a"].hi <= 96.0
+    assert 1005.0 <= stats["b"].lo <= 1007.0
+    assert 1094.0 <= stats["b"].hi <= 1096.0
+
+
+def test_winsorize_by_group_tdigest_close_to_exact(spark):
+    rows = [("a", float(v)) for v in range(1, 1001)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    exact = winsorize_by_group(df, "x", ["g"], 0.1, 0.9, out_col="v")
+    td = winsorize_by_group(df, "x", ["g"], 0.1, 0.9, out_col="v",
+                            method="tdigest")
+    e = exact.agg(F.min("v"), F.max("v")).collect()[0]
+    t = td.agg(F.min("v"), F.max("v")).collect()[0]
+    assert t[0] == pytest.approx(e[0], rel=0.05)
+    assert t[1] == pytest.approx(e[1], rel=0.05)
+
+
+def test_cluster_inertia_hand_computed(spark):
+    # label 0: vectors (0,0) (2,0) (0,2) -> centroid (2/3, 2/3)
+    # inertia = sum dims [sum x^2 - (sum x)^2/n] = (4 - 4/3) + (4 - 4/3)
+    rows = [Row(label=0, embedding=[0.0, 0.0]),
+            Row(label=0, embedding=[2.0, 0.0]),
+            Row(label=0, embedding=[0.0, 2.0]),
+            Row(label=1, embedding=[5.0, 5.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r.label: r for r in cluster_inertia(df).collect()}
+    assert out[0].n_vectors == 3 and out[0].n_dims == 2
+    assert out[0].inertia == pytest.approx(2 * (4 - 4 / 3), abs=1e-6)
+    assert out[1].inertia == 0.0

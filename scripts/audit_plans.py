@@ -64,10 +64,75 @@ def _lazy_q81(spark, sf_dir):
     )
 
 
+def _lazy_q109(spark, sf_dir):
+    """q109's registered form localCheckpoints the tiny result while the
+    revenue view is cached — audit the lazy argmax-join plan."""
+    from pyspark.sql import functions as F
+
+    from goetl_spark import queries as catalog
+
+    li = catalog._t(spark, sf_dir, "lineitem")
+    rev = (li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(38,6)")).cast("double")
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = catalog._t(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def _lazy_q121(spark, sf_dir):
+    """ntile_bins checkpoints the ranked frame (range-boundary pinning);
+    audit the pre-checkpoint rank+bin plan: range exchange, partitioned
+    window, broadcast-map offset add, arithmetic binning, rollup."""
+    from pyspark.sql import Window, functions as F
+
+    from goetl_spark import queries as catalog
+
+    o = catalog._t(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_totalprice")
+    ranged = (o.repartitionByRange(8, F.col("o_totalprice"),
+                                   F.col("o_orderkey"))
+              .withColumn("__pid", F.spark_partition_id()))
+    w = Window.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = ranged.withColumn("__r", F.row_number().over(w)).drop("__pid")
+    return (ranked.withColumn("bin", (F.col("__r") % 10).cast("int"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _lazy_q126(spark, sf_dir):
+    """weighted_systematic_sample checkpoints its result; audit the lazy
+    cumsum+crossing plan (offsets replaced by a zero literal — the
+    broadcast-join shape is what matters)."""
+    from pyspark.sql import Window, functions as F
+
+    from goetl_spark import queries as catalog
+
+    o = catalog._t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    parts = (o.repartitionByRange(8, F.col("o_orderkey"))
+             .withColumn("__pid", F.spark_partition_id()))
+    w = (Window.partitionBy("__pid").orderBy("o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum("cents").over(w), F.lit(0).cast("long"))
+    return (parts.withColumn("__before", before)
+            .filter(F.expr("(__before + cents) div 100000000")
+                    > F.expr("__before div 100000000"))
+            .select("o_orderkey", "o_totalprice"))
+
+
 # queries whose registered form materializes eagerly (plan truncated to a
 # checkpoint scan): audit the equivalent lazy plan instead
 LAZY_VARIANTS = {"q22_ngram_jaccard": _lazy_q22,
-                 "q81_sequence_packing": _lazy_q81}
+                 "q81_sequence_packing": _lazy_q81,
+                 "q109_top_supplier": _lazy_q109,
+                 "q121_ntile_bins": _lazy_q121,
+                 "q126_weighted_sample": _lazy_q126}
 
 
 def audit(plan: str) -> dict:

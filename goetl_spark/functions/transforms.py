@@ -307,11 +307,14 @@ def standardize(
     broadcast join of the ≤ #groups stats rows, then a map-only
     projection."""
     keys = list(group_cols)
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = []
     for c in cols:
         x = F.col(c)
         xd = x.cast("decimal(19,6)")
         aggs += [
+            # per-column NON-NULL count: a shared count(*) would divide
+            # a null-skipping sum by the full row count
+            F.count(x).alias(f"__n_{c}"),
             F.sum(x.cast("decimal(38,6)")).cast("double").alias(f"__s_{c}"),
             # round() BEFORE the scale cast: a bare decimal scale cast
             # truncates in DuckDB but rounds in Spark (measured)
@@ -323,14 +326,16 @@ def standardize(
     joined = (df.join(F.broadcast(stats), on=keys) if keys
               else df.crossJoin(F.broadcast(stats)))
     for c in cols:
-        mean = F.col(f"__s_{c}") / F.col("__n")
-        var = F.greatest(F.col(f"__ss_{c}") / F.col("__n") - mean * mean,
+        n = F.col(f"__n_{c}")
+        mean = F.col(f"__s_{c}") / n
+        var = F.greatest(F.col(f"__ss_{c}") / n - mean * mean,
                          F.lit(0.0))
         std = F.sqrt(var)
         joined = joined.withColumn(
             c + suffix,
             (F.col(c) - mean) / F.nullif(std, F.lit(0.0)))
-    drop = ["__n"] + [f"__s_{c}" for c in cols] + [f"__ss_{c}" for c in cols]
+    drop = ([f"__n_{c}" for c in cols] + [f"__s_{c}" for c in cols]
+            + [f"__ss_{c}" for c in cols])
     return joined.drop(*drop)
 
 

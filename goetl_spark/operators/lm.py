@@ -101,8 +101,11 @@ def token_kl_divergence(
     counts = (
         df.select(slice_col.alias("__p"), F.explode(toks).alias("token"))
         .groupBy("token")
+        # CASE-expression semantics: a NULL slice predicate falls to the
+        # ELSE branch (Q side) in both branches — `when(~p, 1)` would
+        # silently drop NULL-slice rows from BOTH distributions
         .agg(F.sum(F.when(F.col("__p"), 1).otherwise(0)).alias("ca"),
-             F.sum(F.when(~F.col("__p"), 1).otherwise(0)).alias("cb"))
+             F.sum(F.when(F.col("__p"), 0).otherwise(1)).alias("cb"))
     )
     scalars = counts.agg(F.count(F.lit(1)).alias("v"),
                          F.sum("ca").alias("na"),

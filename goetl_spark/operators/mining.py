@@ -35,7 +35,8 @@ def cooccurrence_pairs(
     self-join), and the pair count agg is the only other shuffle. The
     first audit of the self-join formulation showed 8 exchanges; this
     shape has 2 (+1 if the caller sorts)."""
-    baskets = (df.groupBy(F.col(basket_col).alias("b"))
+    baskets = (df.filter(F.col(basket_col).isNotNull())
+               .groupBy(F.col(basket_col).alias("b"))
                .agg(F.array_sort(F.collect_set(F.col(item_col)))
                     .alias("items")))
     if max_basket_size is not None:

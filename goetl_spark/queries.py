@@ -4770,7 +4770,7 @@ def q119_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q120_standardize",
     """
     WITH s AS (
-        SELECT l_returnflag, COUNT(*) AS n,
+        SELECT l_returnflag, COUNT(l_extendedprice) AS n,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
                     AS DOUBLE) AS sx,
                CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,6))

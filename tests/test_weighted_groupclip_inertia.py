@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from goetl_spark.functions.transforms import winsorize_by_group
+from goetl_spark.functions.transforms import standardize, winsorize_by_group
 from goetl_spark.operators.sampling import weighted_systematic_sample
 from goetl_spark.operators.similarity import cluster_inertia
 
@@ -86,3 +86,33 @@ def test_cluster_inertia_hand_computed(spark):
     assert out[0].n_vectors == 3 and out[0].n_dims == 2
     assert out[0].inertia == pytest.approx(2 * (4 - 4 / 3), abs=1e-6)
     assert out[1].inertia == 0.0
+
+
+def test_standardize_null_values_use_nonnull_count(spark):
+    # mean/std must divide by the NON-NULL count: values 1,3 (+2 nulls)
+    rows = [Row(x=1.0), Row(x=3.0), Row(x=None), Row(x=None)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.x: r.x_z for r in
+           standardize(df, ["x"], second_moment_scale=6).collect()}
+    assert out[1.0] == pytest.approx(-1.0)  # mean 2, std 1 (NOT mean 1, n=4)
+    assert out[3.0] == pytest.approx(1.0)
+    assert out[None] is None
+
+
+def test_cooccurrence_null_basket_dropped(spark):
+    from goetl_spark.operators.mining import cooccurrence_pairs
+    rows = [(None, "a"), (None, "b"), (1, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = cooccurrence_pairs(df, "b", "i").collect()
+    # NULL baskets must not form a pseudo-basket (SQL joins drop them)
+    assert len(out) == 1 and out[0].n_baskets == 1
+
+
+def test_token_kl_null_slice_counts_as_q(spark):
+    from goetl_spark.operators.lm import token_kl_divergence
+    rows = [Row(doc_id=0, text="x", lang="en"),
+            Row(doc_id=1, text="x", lang=None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = token_kl_divergence(df, F.col("lang") == "en").collect()[0]
+    # NULL lang falls to the ELSE (Q) side, like a SQL CASE
+    assert r.n_tokens_p == 1 and r.n_tokens_q == 1

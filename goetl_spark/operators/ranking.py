@@ -13,7 +13,10 @@ sampling.py::pack_sequences uses for its distributed cumsum):
    ≤ #partitions-row driver array joined back as a broadcast map.
 
 The order key must be made unique via tie columns (a non-total order
-would make ranks nondeterministic in any engine). Exact NTILE bins
+would make ranks nondeterministic in any engine) and NON-NULL (Spark
+windows sort NULLS FIRST ascending where ANSI engines default to
+NULLS LAST — a NULL order key would rank differently per engine).
+Exact NTILE bins
 then follow from the rank arithmetically — bin sizes differ by at most
 one, first ``N % B`` bins larger, matching ANSI NTILE exactly; the
 row total comes from the already-collected partition sizes, not a

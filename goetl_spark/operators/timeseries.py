@@ -124,6 +124,11 @@ def rolling_range(
     decimal sum divided by the bigint count in doubles (same IEEE op
     both sides of the oracle).
     """
+    # rows without an event time cannot be placed in any range frame —
+    # and Spark (NULLS FIRST) and ANSI engines (NULLS LAST) disagree on
+    # where a NULL sorts in a window ORDER BY, so dropping them is the
+    # only deterministic contract
+    df = df.where(F.col(ts_col).isNotNull())
     epoch = F.unix_timestamp(F.col(ts_col))
     out = df.withColumn("__epoch", epoch)
     w = (Window.partitionBy(*key_cols).orderBy("__epoch")

@@ -1,0 +1,72 @@
+"""Iterative graph analytics over edge DataFrames.
+
+Connected components (the dedup use case) live in
+``operators/dedup.py::dedup_clusters`` — this module holds the
+rank-propagation side: PageRank over an arbitrary (src, dst) edge
+frame (link graphs between crawled documents, citation graphs,
+entity-reference graphs), the standard importance prior for corpus
+weighting and crawl prioritization.
+
+Scale design (the same discipline as dedup's Pregel loop): each
+iteration is contribution-join → per-destination sum — shuffles on the
+node key only; the driver holds exactly two scalars (node count and
+per-iteration dangling mass); lineage is truncated with an eager
+localCheckpoint every iteration so 20 rounds do not build a 20-deep
+plan. Convergence is fixed-iteration (deterministic, replayable)
+rather than tolerance-based — pass a larger ``iterations`` rather than
+polling a delta (each delta check would be one more action)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Standard damped PageRank: rank(v) = (1−d)/N + d·(Σ_in rank(u)/
+    deg_out(u) + dangling/N), dangling mass (nodes with no out-edges)
+    redistributed uniformly so total rank stays 1. NULL endpoints are
+    dropped (a NULL node id is not a vertex). Returns (node, rank)."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .where(F.col("s").isNotNull() & F.col("t").isNotNull())
+         .distinct())
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("t").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg,
+                              ranks["node"] == out_deg["s"], "left")
+        # dangling mass: total rank of nodes with no out-edges
+        dangling = (with_deg.where(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        contribs = (
+            e.join(with_deg.where(F.col("deg").isNotNull())
+                   .select("node", "rank", "deg"),
+                   e["s"] == F.col("node"))
+            .groupBy("t")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["t"], "left")
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.lit(dangling / n))).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

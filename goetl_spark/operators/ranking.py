@@ -195,3 +195,52 @@ def exact_quantiles(
         return out
     finally:
         parts.unpersist()
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    tie_cols: Sequence[str] = (),
+    n_quantiles: int = 101,
+    out: str | None = None,
+) -> DataFrame:
+    """Quantile normalization across groups: map each value onto the
+    GLOBAL distribution at its within-group quantile rank — the
+    standard cross-domain score calibration (a 0.9-quantile document
+    in a lenient domain and a 0.9-quantile document in a strict one
+    land on the same normalized score), composing the distributed
+    exact-quantile machinery with a per-group rank window.
+
+    Mechanics: ``percent_rank()`` over (group, col, ties) gives each
+    row its within-group rank r ∈ [0, 1]; the global quantile function
+    is sampled once at ``n_quantiles`` evenly spaced probabilities
+    (:func:`exact_quantiles` — distributed, never a single buffer) and
+    linearly interpolated at r as a broadcast array literal — the
+    normalization itself is a map-only expression.
+
+    Scale: one shuffle for the rank window (partitioned BY GROUP — no
+    global window), one range exchange inside exact_quantiles; the
+    grid is ``n_quantiles`` doubles on the driver. NULL values and
+    NULL order keys are excluded (cross-engine window NULL ordering
+    differs; see module docstring)."""
+    if n_quantiles < 2:
+        raise ValueError("n_quantiles must be >= 2")
+    target = out or f"{col}_qnorm"
+    probs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    grid = exact_quantiles(df, col, probs)
+
+    base = df.where(F.col(col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(col), *[F.col(c) for c in tie_cols])
+    r = F.percent_rank().over(w)
+
+    garr = F.array(*[F.lit(float(v)) for v in grid])
+    pos = r * (n_quantiles - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    d = pos - lo
+    vlo = F.element_at(garr, lo + 1)
+    vhi = F.element_at(garr, hi + 1)
+    # same interpolation form as exact_quantiles (lo·(1−d) + hi·d)
+    return base.withColumn(target, vlo * (1.0 - d) + vhi * d)

@@ -1,0 +1,70 @@
+"""PageRank + quantile normalization tests (graph.py, ranking.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.graph import pagerank
+from goetl_spark.operators.ranking import quantile_normalize
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    out = {r.node: r.rank for r in pagerank(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]),
+        iterations=5).collect()}
+    for v in out.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_pagerank_sink_accumulates_and_mass_conserved(spark):
+    # a -> b: b must outrank a; dangling b's mass recycles, total = 1
+    out = {r.node: r.rank for r in pagerank(
+        _edges(spark, [("a", "b")]), iterations=20).collect()}
+    assert out["b"] > out["a"] > 0
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_beats_leaf(spark):
+    # star into "hub": hub collects rank from 3 leaves
+    out = {r.node: r.rank for r in pagerank(
+        _edges(spark, [("x", "hub"), ("y", "hub"), ("z", "hub")]),
+        iterations=10).collect()}
+    assert out["hub"] > max(out["x"], out["y"], out["z"])
+
+
+def test_pagerank_null_and_duplicate_edges(spark):
+    out = pagerank(_edges(spark, [("a", "b"), ("a", "b"), (None, "b"),
+                                  ("a", None)]), iterations=3).collect()
+    assert {r.node for r in out} == {"a", "b"}
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    # group a: 0..99 ; group b: 1000..1099 — same shape, shifted.
+    # After normalization onto the global distribution, equal
+    # within-group ranks must map to the SAME value.
+    rows = [("a", float(v), i) for i, v in enumerate(range(100))] + \
+           [("b", float(v), i) for i, v in enumerate(range(1000, 1100))]
+    df = spark.createDataFrame(rows, "g string, x double, i int")
+    out = quantile_normalize(df, "x", ["g"], tie_cols=["i"],
+                             n_quantiles=11)
+    a = {r.i: r.x_qnorm for r in out.where(F.col("g") == "a").collect()}
+    b = {r.i: r.x_qnorm for r in out.where(F.col("g") == "b").collect()}
+    for i in range(100):
+        assert a[i] == pytest.approx(b[i], abs=1e-9)
+    # monotone within group
+    vals = [a[i] for i in range(100)]
+    assert vals == sorted(vals)
+    # endpoints hit the global min/max
+    assert a[0] == pytest.approx(0.0)
+    assert a[99] == pytest.approx(1099.0)
+
+
+def test_quantile_normalize_validation(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError):
+        quantile_normalize(df, "x", ["g"], n_quantiles=1)

@@ -129,3 +129,80 @@ def running_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def funnel_stream(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming strict-order funnel — the live counterpart of
+    ``operators/behavior.py::funnel_counts``: per-user state tracks the
+    next expected stage, the stage-1 time, and the previous conversion
+    time; a row is emitted each time a user ADVANCES a stage
+    (update mode), so max(stage_idx) per user equals the batch
+    funnel's reach.
+
+    Semantics match the batch operator when events arrive per-user in
+    event-time order across micro-batches (rows are sorted by event
+    time WITHIN each batch; a cross-batch straggler older than the
+    user's current conversion time is ignored, like any
+    already-consumed position — use replay_stream_ordered-style
+    chronological feeding, which is also what a watermarked production
+    topology provides).
+
+    State per user is three fixed-width scalars — O(users) state, no
+    event retention."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            next_idx, t1, tprev = state.get
+        else:
+            next_idx, t1, tprev = 0, None, None
+        hits: list[tuple[int, object]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, typ in zip(pdf[ts_col], pdf[type_col]):
+                if next_idx >= len(stages):
+                    break
+                if typ != stages[next_idx]:
+                    continue
+                t = ts.timestamp()
+                if next_idx == 0:
+                    t1 = tprev = t
+                    next_idx = 1
+                    hits.append((1, ts))
+                else:
+                    if t <= tprev:
+                        continue
+                    if within_seconds is not None \
+                            and t > t1 + within_seconds:
+                        continue
+                    tprev = t
+                    next_idx += 1
+                    hits.append((next_idx, ts))
+        state.update((next_idx, t1, tprev))
+        if hits:
+            yield pd.DataFrame({
+                user_col: [key[0]] * len(hits),
+                "stage_idx": [h[0] for h in hits],
+                "stage": [stages[h[0] - 1] for h in hits],
+                "converted_at": [h[1] for h in hits],
+            })
+
+    key_type = stream_df.schema[user_col].dataType.simpleString()
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} {key_type}, stage_idx int, "
+                         "stage string, converted_at timestamp",
+        stateStructType="next_idx int, t1 double, tprev double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,84 @@
+"""Streaming funnel tests (streaming/stateful.py::funnel_stream) —
+cross-batch state must reproduce the batch funnel semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from goetl_spark.streaming.stateful import funnel_stream
+
+
+def _feed(spark, tmp_path, chunks, schema):
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, chunk in enumerate(chunks):
+        staged = tmp_path / f"stage{i}"
+        (spark.createDataFrame(chunk, schema)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.parquet(str(staged)))
+        part = next(staged.glob("part-*.parquet"))
+        dst = stream_dir / f"chunk{i:03d}.parquet"
+        shutil.copy(part, dst)
+        import os
+        os.utime(dst, ((i + 1) * 1000, (i + 1) * 1000))
+    return (spark.readStream.format("parquet")
+            .schema("u long, ts timestamp, t string")
+            .option("maxFilesPerTrigger", 1).load(str(stream_dir)))
+
+
+def test_streaming_funnel_matches_batch_semantics(spark, tmp_path):
+    schema = "u long, ts string, t string"
+    # u=1 converts A->B across the BATCH BOUNDARY (cross-batch state);
+    # u=2's B predates its A (must not count; no later B);
+    # u=3 has B outside the within bound.
+    chunk1 = [(1, "2024-01-01 00:00:00", "A"),
+              (2, "2024-01-01 00:00:00", "B"),
+              (2, "2024-01-01 01:00:00", "A"),
+              (3, "2024-01-01 00:00:00", "A")]
+    chunk2 = [(1, "2024-01-02 00:00:00", "B"),
+              (3, "2024-01-09 00:00:00", "B")]
+    stream = _feed(spark, tmp_path, [chunk1, chunk2], schema)
+    out = funnel_stream(stream, "u", "ts", "t", ["A", "B"],
+                        within_seconds=7 * 86400)
+    q = (out.writeStream.format("memory").queryName("funnel_t")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_t").collect()
+    finally:
+        q.stop()
+    reach = {}
+    for r in rows:
+        reach[r.u] = max(reach.get(r.u, 0), r.stage_idx)
+    assert reach[1] == 2          # converted across the batch boundary
+    assert reach[2] == 1          # pre-stage B never counts
+    assert reach[3] == 1          # outside the 7-day bound
+    # emitted conversion event carries the right stage labels
+    stages = {(r.u, r.stage_idx): r.stage for r in rows}
+    assert stages[(1, 2)] == "B" and stages[(1, 1)] == "A"
+
+
+def test_streaming_funnel_single_batch_full_conversion(spark, tmp_path):
+    schema = "u long, ts string, t string"
+    chunk = [(7, "2024-01-01 00:00:00", "A"),
+             (7, "2024-01-01 00:00:01", "B"),
+             (7, "2024-01-01 00:00:02", "C"),
+             # out-of-order inside the batch: sorted before matching
+             (8, "2024-01-01 00:00:02", "B"),
+             (8, "2024-01-01 00:00:01", "A")]
+    stream = _feed(spark, tmp_path, [chunk], schema)
+    out = funnel_stream(stream, "u", "ts", "t", ["A", "B", "C"])
+    q = (out.writeStream.format("memory").queryName("funnel_t2")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_t2").collect()
+    finally:
+        q.stop()
+    reach = {}
+    for r in rows:
+        reach[r.u] = max(reach.get(r.u, 0), r.stage_idx)
+    assert reach[7] == 3
+    assert reach[8] == 2  # in-batch sort recovers A-then-B

@@ -1,0 +1,77 @@
+"""Example 3 — LLM training-data preparation pipeline.
+
+Beyond the reference's surface: the end-to-end corpus pipeline this
+engine adds for 100 TB training-data work — quality scoring, exact
+dedup, test-set decontamination, subword tokenization, chunking, and
+token-budget packing, each stage the registered scale-shaped operator
+(this is the composition q95 verifies against a single SQL oracle).
+
+Run: python examples/llm_data_prep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.dedup import contamination_flags, exact_dedup
+    from goetl_spark.operators.sampling import chunk_documents, pack_sequences
+    from goetl_spark.operators.text import quality_score
+    from goetl_spark.operators.tokenizer import (
+        vocab_from_corpus, wordpiece_tokenize)
+    from goetl_spark.session import get_spark
+
+    owns_spark = spark is None
+    spark = spark or get_spark("example-llm", master="local[4]",
+                               shuffle_partitions=4)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality filter (pure Column expressions, zero UDF)
+    kept = (docs.withColumn("q", quality_score(F.col("text")))
+            .filter(F.col("q") >= 0.3)
+            .select("doc_id", "text"))
+    n1 = kept.count()
+
+    # 2. exact dedup on content hash (winners join back to the text)
+    winners = exact_dedup(kept, text_col="text", id_col="doc_id") \
+        .select(F.col("keep_id").alias("doc_id"))
+    deduped = kept.join(winners, on="doc_id")
+    n2 = deduped.count()
+
+    # 3. decontaminate against a benchmark set (first 20 docs stand in;
+    #    their shingles broadcast — corpus text never shuffles)
+    bench = docs.orderBy("doc_id").limit(20).select("doc_id", "text")
+    flagged = contamination_flags(deduped, bench, min_hits=1)
+    clean = deduped.join(flagged.select("doc_id"), on="doc_id",
+                         how="left_anti")
+    n3 = clean.count()
+
+    # 4. real subword token counts (broadcast vocab, Arrow-batched)
+    vocab = vocab_from_corpus(clean, max_word_pieces=500)
+    tokenized = wordpiece_tokenize(clean, vocab)
+
+    # 5. chunk long docs into 64-token windows with 8-token overlap
+    chunks = chunk_documents(clean, chunk_tokens=64, overlap_tokens=8)
+    n4 = chunks.count()
+
+    # 6. pack token counts into 256-token training sequences
+    packed = pack_sequences(
+        tokenized.select("doc_id", "n_tokens"), "n_tokens",
+        budget=256, order_cols=("doc_id",))
+    n_packs = packed.select("pack_id").distinct().count()
+
+    result = {"input_docs": n0, "after_quality": n1, "after_dedup": n2,
+              "after_decontamination": n3, "chunks": n4,
+              "packs_of_256_tokens": n_packs}
+    print(f"llm_data_prep: {result}")
+    if owns_spark:
+        spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

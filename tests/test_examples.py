@@ -1,0 +1,42 @@
+"""The examples/ programs must actually run (reference parity:
+examples/main.go ships runnable end-to-end demos)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_json_cleaning_example(spark, tmp_path):
+    from csv_json_cleaning import main
+
+    r = main(str(tmp_path), spark=spark)
+    assert r["input_rows"] == 4
+    assert r["cleaned_rows"] == 2      # blank name + missing age dropped
+    assert r["roundtrip_rows"] == 2
+    assert r["grades"] == {"B": 1, "A": 1}
+
+
+def test_warehouse_pipeline_example(spark):
+    from warehouse_pipeline import main
+
+    r = main(SF, spark=spark)
+    assert r["quality_passed"] is True
+    assert r["scd2_closed"] > 0
+    assert r["scd2_rows"] > r["scd2_closed"]
+    assert r["top_nation"][1] > 0
+
+
+def test_llm_data_prep_example(spark):
+    from llm_data_prep import main
+
+    r = main(SF, spark=spark)
+    assert r["input_docs"] >= r["after_quality"] >= r["after_dedup"] \
+        >= r["after_decontamination"] > 0
+    assert r["after_decontamination"] < r["input_docs"]  # bench leak removed
+    assert r["chunks"] >= r["after_decontamination"]
+    assert r["packs_of_256_tokens"] > 0

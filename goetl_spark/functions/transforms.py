@@ -273,6 +273,16 @@ def winsorize(
         F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi)))
 
 
+def _nullsafe_cond(left: DataFrame, right: DataFrame, keys: Sequence[str]):
+    """<=> join condition per key: NULL group keys must match their own
+    stats row instead of being dropped by plain-equality semantics."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def standardize(
     df: DataFrame,
     cols: Sequence[str],
@@ -323,7 +333,10 @@ def standardize(
              .cast("double").alias(f"__ss_{c}"),
         ]
     stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-    joined = (df.join(F.broadcast(stats), on=keys) if keys
+    # null-SAFE join back: groupBy produces a NULL-key stats row, but a
+    # plain equi-join would silently DROP every NULL-key input row
+    joined = (df.join(F.broadcast(stats), on=_nullsafe_cond(df, stats, keys))
+              .drop(*[stats[k] for k in keys]) if keys
               else df.crossJoin(F.broadcast(stats)))
     for c in cols:
         n = F.col(f"__n_{c}")
@@ -381,7 +394,8 @@ def winsorize_by_group(
                                  F.col("quantile"))).alias("__hi")))
     else:
         raise ValueError(f"unknown method {method!r}")
-    return (df.join(F.broadcast(thr), on=keys)
+    return (df.join(F.broadcast(thr), on=_nullsafe_cond(df, thr, keys))
+            .drop(*[thr[k] for k in keys])
             .withColumn(target,
                         F.least(F.greatest(F.col(col), F.col("__lo")),
                                 F.col("__hi")))

@@ -54,12 +54,10 @@ def funnel_user_times(
             cand = cand.filter(
                 F.col(ts_col) <= F.col("t1")
                 + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
-        carry = [F.first(f"t{j}").alias(f"t{j}") for j in range(1, i)]
-        reached = cand.groupBy(user_col).agg(
-            *carry, F.min(ts_col).alias(f"t{i}"))
+        reached = cand.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
         # keep drop-offs: left join the new stage time onto the old frame
-        cur = cur.join(reached.select(user_col, f"t{i}"),
-                       on=user_col, how="left")
+        # (cur already carries t1..t_{i-1})
+        cur = cur.join(reached, on=user_col, how="left")
     return cur
 
 
@@ -105,6 +103,12 @@ def cohort_retention(
     distinct users of that cohort active in cohort+*k* periods and the
     retention share vs the cohort size (offset 0).
 
+    The offset is CALENDAR-aware for ``period='month'``
+    (``months_between`` on truncated months — fixed ``period_days``
+    would mis-bin 59-day gaps into offset 1 and double-count users);
+    day-multiple periods (week/day) use exact day division, which is
+    lossless because both endpoints are period-truncated.
+
     Plan: ONE user-key shuffle collects each user's cohort AND distinct
     active periods in the same aggregate (collect_set is bounded by
     periods-per-user, e.g. weeks of history — small by construction),
@@ -115,14 +119,17 @@ def cohort_retention(
     per_user = df.groupBy(user_col).agg(
         F.date_trunc(period, F.min(ts_col)).alias("cohort"),
         F.collect_set(F.date_trunc(period, ts_col)).alias("__periods"))
+    if period == "month":
+        offset = F.round(F.months_between(F.col("p"),
+                                          F.col("cohort"))).cast("int")
+    else:
+        offset = (F.datediff(F.col("p"), F.col("cohort"))
+                  / period_days).cast("int")
     counts = (
         per_user.select(
             "cohort",
             F.explode("__periods").alias("p"))
-        .withColumn(
-            "period_offset",
-            (F.datediff(F.col("p"), F.col("cohort"))
-             / period_days).cast("int"))
+        .withColumn("period_offset", offset)
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -148,11 +148,17 @@ def tdigest_quantiles_by_group(
     def partial(batches):
         import numpy as np
 
-        # Accumulate each group's values across ALL Arrow batches of the
-        # partition, then compress once per group — this is what keeps the
-        # documented ≤ #partitions × 2·compression-per-group shuffle bound
-        # (compressing per batch would emit one centroid set per batch).
-        acc: dict[tuple, list] = {}
+        # Accumulate each group's CENTROIDS across the partition's Arrow
+        # batches (raw values enter as weight-1 centroids and are
+        # merge-compressed in place whenever a group's buffer exceeds
+        # 8·compression), then compress once more per group at the end.
+        # This keeps BOTH bounds: the emitted shuffle stays ≤ #partitions
+        # × 2·compression per group (one centroid set per partition, the
+        # round-5 fix), and worker memory stays O(groups × compression +
+        # batch) instead of O(partition rows) — accumulating raw values
+        # to the end would hold the whole partition in Python.
+        cap = 8 * compression
+        acc: dict[tuple, tuple] = {}  # key -> (means, weights)
         for pdf in batches:
             for key, g in pdf.groupby(gcols, dropna=False, sort=False):
                 v = pd.to_numeric(g[value_col], errors="coerce") \
@@ -161,11 +167,15 @@ def tdigest_quantiles_by_group(
                     continue
                 if not isinstance(key, tuple):
                     key = (key,)
-                acc.setdefault(key, []).append(v)
+                pm, pw = acc.get(key, (np.empty(0), np.empty(0)))
+                m = np.concatenate([pm, v])
+                w = np.concatenate([pw, np.ones_like(v)])
+                if len(m) > cap:
+                    m, w = _compress(m, w, compression)
+                acc[key] = (m, w)
         out = []
-        for key, chunks in acc.items():
-            v = np.concatenate(chunks)
-            m, w = _compress(v, np.ones_like(v), compression)
+        for key, (m, w) in acc.items():
+            m, w = _compress(m, w, compression)
             part = pd.DataFrame({"mean": m, "weight": w})
             for c, k in zip(gcols, key):
                 part[c] = k

@@ -232,6 +232,9 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # dedupe (order-preserving): repeated terms would emit duplicate
+    # tf_<term> columns and make the stats agg ambiguous
+    query_terms = list(dict.fromkeys(query_terms))
     c = F.col(text_col)
     toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
@@ -252,6 +255,8 @@ def bm25_scores(
           for t in query_terms],
     ).collect()[0]
     n = stats["n"]
+    if not n:
+        raise ValueError("bm25_scores: corpus is empty (no rows to score)")
     avgdl = stats["sum_dl"] / n  # exact ints -> one IEEE division
     score = None
     for t in query_terms:

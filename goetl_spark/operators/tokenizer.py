@@ -93,7 +93,10 @@ def wordpiece_tokenize(
                                 out_tokens: toks,
                                 out_count: counts})
 
-    schema = (f"{id_col} long, {out_tokens} array<string>, "
+    # id column keeps the frame's own type (a hardcoded long would make
+    # a string- or int32-keyed corpus fail Arrow schema validation)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, {out_tokens} array<string>, "
               f"{out_count} int")
     return df.select(id_col, text_col).mapInPandas(_run, schema=schema)
 

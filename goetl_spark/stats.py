@@ -101,7 +101,8 @@ class IOStats:
         }
 
 
-def pearson_corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
+def pearson_corr_exact(df: DataFrame, x: str, y: str,
+                       moment_scale: int = 1) -> DataFrame:
     """Pearson correlation from EXACT decimal sums — the deterministic,
     cross-engine-reproducible formulation of ``corr()``.
 
@@ -119,6 +120,13 @@ def pearson_corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
     a bare scale cast truncates in DuckDB but rounds in Spark).
     One partial-aggregated scan, one scalar row out.
 
+    ``moment_scale`` sets that pre-cast rounding scale: the default 1
+    is right for unit-and-above magnitudes (prices, quantities); RAISE
+    it for |x| ≪ 1 columns (normalized scores), where scale-1 sums
+    would collapse to 0 and poison the formula — same dial as
+    transforms.standardize's second_moment_scale. Degenerate inputs
+    (zero variance after rounding) yield corr = NULL, never NaN.
+
     Returns a 1-row DataFrame (n, corr)."""
     xd = F.col(x).cast("double")
     yd = F.col(y).cast("double")
@@ -126,7 +134,8 @@ def pearson_corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
     yq = yd.cast("decimal(19,6)")
 
     def shrink(c):  # exact decimal -> double, safely inside 2^53
-        return F.round(c, 1).cast("decimal(38,1)").cast("double")
+        return (F.round(c, moment_scale)
+                .cast(f"decimal(38,{moment_scale})").cast("double"))
 
     agg = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
         F.count(F.lit(1)).alias("n"),
@@ -140,6 +149,11 @@ def pearson_corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
     sx, sy = F.col("sx"), F.col("sy")
     sxx, syy = F.col("sxx"), F.col("syy")
     sxy = F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    # greatest(·, 0) guards rounding-induced tiny negatives (sqrt(neg)
+    # would be NaN); nullif turns a zero-variance denominator into NULL.
+    # Both are value-neutral on non-degenerate inputs (x > 0 ⇒
+    # greatest(x, 0) ≡ x bit-for-bit), so oracle parity is unaffected.
+    denom = (F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+             * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))))
+    corr = (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))
     return agg.select(F.col("n"), corr.alias("corr"))

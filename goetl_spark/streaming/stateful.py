@@ -168,7 +168,10 @@ def funnel_stream(
             next_idx, t1, tprev = 0, None, None
         hits: list[tuple[int, object]] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+            # NULL event times cannot be ordered: a NaT would poison t1
+            # (NaN comparisons always False) — same drop contract as the
+            # batch funnel / rolling_range
+            pdf = pdf.dropna(subset=[ts_col]).sort_values(ts_col)
             for ts, typ in zip(pdf[ts_col], pdf[type_col]):
                 if next_idx >= len(stages):
                     break

@@ -72,10 +72,19 @@ def main() -> int:
             drift += 1
             continue
         an, bn = dict(a), dict(b)
+        col_drift = 0
         for col in sorted(set(an) | set(bn)):
             if an.get(col) != bn.get(col):
                 print(f"DRIFT {key}.{col}: pinned={an.get(col)!r} now={bn.get(col)!r}")
                 drift += 1
+                col_drift += 1
+        if not col_drift:
+            # a != b with identical (name -> type) maps means the COLUMN
+            # ORDER changed (or a name is duplicated) — still drift: the
+            # whole point is catching silent testdata regeneration
+            print(f"DRIFT {key}: column order changed "
+                  f"(pinned={[c for c, _ in a]} now={[c for c, _ in b]})")
+            drift += 1
     if drift:
         print(f"{drift} schema deviations vs {MANIFEST}")
         return 1

@@ -116,3 +116,63 @@ def test_token_kl_null_slice_counts_as_q(spark):
     r = token_kl_divergence(df, F.col("lang") == "en").collect()[0]
     # NULL lang falls to the ELSE (Q) side, like a SQL CASE
     assert r.n_tokens_p == 1 and r.n_tokens_q == 1
+
+
+def test_standardize_null_group_rows_kept(spark):
+    rows = [Row(g="a", x=1.0), Row(g="a", x=3.0),
+            Row(g=None, x=10.0), Row(g=None, x=30.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = standardize(df, ["x"], group_cols=["g"],
+                      second_moment_scale=6).collect()
+    assert len(out) == 4  # NULL-group rows must NOT be dropped
+    nulls = {r.x: r.x_z for r in out if r.g is None}
+    assert nulls[10.0] == pytest.approx(-1.0)  # mean 20, std 10
+    assert nulls[30.0] == pytest.approx(1.0)
+
+
+def test_winsorize_by_group_null_group_rows_kept(spark):
+    rows = [("a", float(v)) for v in range(1, 101)] + \
+           [(None, float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorize_by_group(df, "x", ["g"], 0.05, 0.95, out_col="v")
+    assert out.count() == 200
+    null_rows = out.filter(F.col("g").isNull())
+    assert null_rows.count() == 100
+    mn, mx = null_rows.agg(F.min("v"), F.max("v")).collect()[0]
+    assert 5.0 <= mn <= 7.0 and 94.0 <= mx <= 96.0
+
+
+def test_pearson_moment_scale_for_small_magnitudes(spark):
+    from goetl_spark.stats import pearson_corr_exact
+    rows = [Row(x=i / 1000.0, y=2 * i / 1000.0) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    # default scale-1 rounding distorts tiny-magnitude moments (the
+    # documented hazard) but never yields NaN (greatest/nullif guards)
+    r1 = pearson_corr_exact(df, "x", "y").collect()[0]
+    assert r1["corr"] is None or (
+        r1["corr"] == r1["corr"] and abs(r1["corr"] - 1.0) > 1e-3)
+    # raised moment scale recovers the correlation
+    r2 = pearson_corr_exact(df, "x", "y", moment_scale=9).collect()[0]
+    assert r2["corr"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cohort_retention_monthly_calendar_aware(spark):
+    from goetl_spark.operators.behavior import cohort_retention
+    rows = [
+        (1, "2024-01-05 00:00:00"),  # cohort Jan
+        (1, "2024-02-10 00:00:00"),  # offset 1
+        (1, "2024-03-02 00:00:00"),  # offset 2 (59 days — day math says 1!)
+    ]
+    df = (spark.createDataFrame(rows, "u int, ts string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = {r.period_offset: r.n_users for r in
+           cohort_retention(df, "u", "ts", period="month").collect()}
+    assert out == {0: 1, 1: 1, 2: 1}  # three distinct months, no double-count
+
+
+def test_tokenizer_string_id_column(spark):
+    from goetl_spark.operators.tokenizer import wordpiece_tokenize
+    df = spark.createDataFrame([Row(url="a://x", text="run")],
+                               "url string, text string")
+    out = wordpiece_tokenize(df, {"run"}, id_col="url").collect()
+    assert out[0].url == "a://x" and out[0].tokens == ["run"]

@@ -69,3 +69,42 @@ def session_window_agg(
     return df.groupBy(
         F.session_window(ts_col, gap).alias("session"), *keys
     ).agg(*aggs)
+
+
+def sliding_distinct_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window: str,
+    slide: str,
+    watermark: str | None = None,
+    exact: bool | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Distinct active users per sliding window — the live-audience /
+    rolling-MAU metric (the last unchecked streaming-roadmap box).
+
+    ``exact`` defaults to the mode that is actually computable: batch
+    inputs use exact ``count_distinct``; STREAMING inputs use
+    ``approx_count_distinct`` (HLL partials merge incrementally per
+    window in bounded state — exact distinct over an unbounded stream
+    would require per-window user sets, O(users) state per window).
+    Forcing ``exact=True`` on a stream raises rather than silently
+    building unbounded state.
+
+    Scale: one shuffle keyed by the window bucket; each event expands
+    into window/slide buckets before the partial aggregate, and the
+    watermark evicts finished windows."""
+    if exact is None:
+        exact = not df.isStreaming
+    if exact and df.isStreaming:
+        raise ValueError(
+            "exact distinct over an unbounded stream needs O(users) "
+            "state per window; use exact=False (HLL) or aggregate a "
+            "bounded batch")
+    df = _with_watermark(df, ts_col, watermark)
+    agg = (F.count_distinct(F.col(user_col)) if exact
+           else F.approx_count_distinct(F.col(user_col), rsd))
+    return (df.groupBy(F.window(ts_col, window, slide).alias("window"))
+            .agg(agg.alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -82,3 +82,40 @@ def test_streaming_funnel_single_batch_full_conversion(spark, tmp_path):
         reach[r.u] = max(reach.get(r.u, 0), r.stage_idx)
     assert reach[7] == 3
     assert reach[8] == 2  # in-batch sort recovers A-then-B
+
+
+def test_sliding_distinct_users_batch_exact_and_stream_hll(spark, tmp_path):
+    from goetl_spark.streaming.windows import sliding_distinct_users
+
+    rows = [(u, f"2024-01-01 0{h}:30:00") for u in (1, 2, 3)
+            for h in (0, 1)] + [(1, "2024-01-01 00:45:00")]
+    batch = (spark.createDataFrame(rows, "u long, ts string")
+             .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    # batch: exact distinct; window 2h/slide 1h -> hour 00 lands in
+    # windows [23-01] and [00-02]
+    out = {str(r["window"]["start"]): r["n_users"] for r in
+           sliding_distinct_users(batch, "ts", "u", "2 hours",
+                                  "1 hour").collect()}
+    assert out["2024-01-01 00:00:00"] == 3   # both hours, all users
+    assert out["2023-12-31 23:00:00"] == 3   # hour-00 events only
+
+    # stream: exact must refuse; HLL path runs and lands near-exact
+    stream = _feed(spark, tmp_path,
+                   [[(u, ts, "x") for (u, ts) in rows]],
+                   "u long, ts string, t string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unbounded"):
+        sliding_distinct_users(stream, "ts", "u", "2 hours", "1 hour",
+                               watermark="1 hour", exact=True)
+    q = (sliding_distinct_users(stream, "ts", "u", "2 hours", "1 hour",
+                                watermark="1 hour")
+         .writeStream.format("memory").queryName("mau_t")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = {str(r["window"]["start"]): r["n_users"] for r in
+               spark.sql("SELECT * FROM mau_t").collect()}
+    finally:
+        q.stop()
+    assert got["2024-01-01 00:00:00"] == 3  # HLL exact at tiny cardinality

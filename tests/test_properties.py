@@ -232,3 +232,63 @@ def test_tdigest_quantiles_within_value_range(vals, compression):
     qs = tdigest_quantiles(m, w, [0.0, 0.25, 0.5, 0.75, 1.0])
     assert min(vals) <= qs[0] and qs[-1] <= max(vals)
     assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+
+
+# --- WordPiece greedy matcher (operators/tokenizer.py) ----------------------
+
+@given(st.text(alphabet="abc", min_size=1, max_size=12),
+       st.sets(st.text(alphabet="abc", min_size=1, max_size=4),
+               min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_wordpiece_pieces_invariants(word, base_vocab):
+    from goetl_spark.operators.tokenizer import wordpiece_pieces
+
+    vocab = set(base_vocab) | {"##" + v for v in base_vocab}
+    pieces = wordpiece_pieces(word, vocab)
+    assert pieces, "never empty for a non-empty word"
+    if pieces != ["[UNK]"]:
+        # pieces reassemble the word exactly; continuations after head
+        assert pieces[0] + "".join(p[2:] for p in pieces[1:]) == word
+        assert not pieces[0].startswith("##")
+        assert all(p.startswith("##") for p in pieces[1:])
+        assert all(p in vocab for p in pieces)
+
+
+@given(st.text(alphabet="ab", min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_wordpiece_full_char_vocab_never_unk(word):
+    from goetl_spark.operators.tokenizer import wordpiece_pieces
+
+    vocab = {"a", "b", "##a", "##b"}
+    pieces = wordpiece_pieces(word, vocab)
+    assert pieces != ["[UNK]"]
+    assert len(pieces) <= len(word)  # greedy never over-segments chars
+
+
+# --- exact NTILE arithmetic (operators/ranking.py) --------------------------
+
+def _ansi_ntile(rank0: int, n_rows: int, n_bins: int) -> int:
+    """Reference NTILE: first n_rows % n_bins bins get one extra row."""
+    size, rem = divmod(n_rows, n_bins)
+    boundary = rem * (size + 1)
+    if rank0 < boundary:
+        return rank0 // (size + 1) + 1
+    return rem + (rank0 - boundary) // max(size, 1) + 1
+
+
+@given(st.integers(min_value=1, max_value=500),
+       st.integers(min_value=1, max_value=30))
+@settings(max_examples=200, deadline=None)
+def test_ntile_formula_bin_sizes(n_rows, n_bins):
+    bins = [_ansi_ntile(r, n_rows, n_bins) for r in range(n_rows)]
+    # monotone non-decreasing over the rank order
+    assert bins == sorted(bins)
+    from collections import Counter
+    sizes = Counter(bins)
+    # bins numbered 1..min(n_bins, n_rows), sizes differ by at most one,
+    # larger bins strictly first — the ANSI contract
+    assert set(sizes) == set(range(1, min(n_bins, n_rows) + 1))
+    vals = [sizes[b] for b in sorted(sizes)]
+    assert max(vals) - min(vals) <= 1
+    assert vals == sorted(vals, reverse=True)
+    assert sum(vals) == n_rows

@@ -13,6 +13,14 @@
 - :mod:`goetl_spark.operators.merge`     — SQL MERGE + partition-pruned merge-on-read
 - :mod:`goetl_spark.operators.bloom`     — bloom-filter join pruning
 - :mod:`goetl_spark.operators.maintenance` — full + incremental compaction
-- :mod:`goetl_spark.operators.sketch`    — mergeable t-digest quantile sketch
-- :mod:`goetl_spark.operators.sampling`  — splits, mixing, packing
+- :mod:`goetl_spark.operators.sketch`    — mergeable t-digest + Count-Min sketches
+- :mod:`goetl_spark.operators.sampling`  — splits, mixing, packing, weighted PPS
+- :mod:`goetl_spark.operators.timeseries`— resample/gap-fill, range rolling stats
+- :mod:`goetl_spark.operators.behavior`  — ordered funnel, cohort retention
+- :mod:`goetl_spark.operators.lm`        — bigram LM, KL divergence, char entropy
+- :mod:`goetl_spark.operators.mining`    — basket co-occurrence pairs
+- :mod:`goetl_spark.operators.ranking`   — distributed rank/NTILE/exact quantiles,
+  quantile normalization
+- :mod:`goetl_spark.operators.graph`     — PageRank over edge frames
+- :mod:`goetl_spark.operators.tokenizer` — WordPiece subword tokenization
 """

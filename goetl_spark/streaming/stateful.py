@@ -209,3 +209,65 @@ def funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_zscore_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    min_count: int = 10,
+) -> DataFrame:
+    """Live anomaly scoring: per-key RUNNING mean/variance via Welford's
+    algorithm (numerically stable single-pass moments — naive Σx²−mean²
+    cancels catastrophically on long streams), emitting each event with
+    its z-score against the state BEFORE the event and an
+    ``is_anomaly`` flag once ``min_count`` events have seeded the key.
+
+    The streaming counterpart of transforms.standardize: same
+    population-variance definition, but incremental — state per key is
+    three scalars (n, mean, M2), so memory is O(keys), and scoring uses
+    the pre-event state so an outlier cannot mask itself by inflating
+    the variance it is judged against."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                v = float(v)
+                var = (m2 / n) if n > 0 else 0.0
+                std = math.sqrt(var)
+                z = (v - mean) / std if (n >= min_count and std > 0) \
+                    else None
+                out.append((v, z, z is not None
+                            and abs(z) >= threshold))
+                # Welford update AFTER scoring (pre-event state judges)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if out:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(out),
+                value_col: [o[0] for o in out],
+                "zscore": [o[1] for o in out],
+                "is_anomaly": [bool(o[2]) for o in out],
+            })
+
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} {key_type}, {value_col} double, "
+                         "zscore double, is_anomaly boolean",
+        stateStructType="n long, mean double, m2 double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

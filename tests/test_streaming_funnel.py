@@ -119,3 +119,48 @@ def test_sliding_distinct_users_batch_exact_and_stream_hll(spark, tmp_path):
     finally:
         q.stop()
     assert got["2024-01-01 00:00:00"] == 3  # HLL exact at tiny cardinality
+
+
+def test_running_zscore_stream_welford_and_anomaly(spark, tmp_path):
+    from goetl_spark.streaming.stateful import running_zscore_stream
+
+    # key "a": 12 calm values seed the state across two batches, then an
+    # outlier arrives in batch 3 — it must be judged by PRE-event state
+    calm = [("a", f"2024-01-01 00:00:{s:02d}", 10.0 + (s % 3))
+            for s in range(12)]
+    chunks = [calm[:6], calm[6:], [("a", "2024-01-01 00:01:00", 1000.0),
+                                   ("a", "2024-01-01 00:01:01", 10.5)]]
+    import shutil as _sh
+    stream_dir = tmp_path / "zs"
+    stream_dir.mkdir()
+    for i, c in enumerate(chunks):
+        staged = tmp_path / f"zstage{i}"
+        (spark.createDataFrame([(k, v) for (k, _, v) in c],
+                               "k string, v double")
+         .coalesce(1).write.parquet(str(staged)))
+        part = next(staged.glob("part-*.parquet"))
+        dst = stream_dir / f"chunk{i:03d}.parquet"
+        _sh.copy(part, dst)
+        import os as _os
+        _os.utime(dst, ((i + 1) * 1000, (i + 1) * 1000))
+    zstream = (spark.readStream.format("parquet")
+               .schema("k string, v double")
+               .option("maxFilesPerTrigger", 1).load(str(stream_dir)))
+    out = running_zscore_stream(zstream, "k", "v", threshold=3.0,
+                                min_count=10)
+    q = (out.writeStream.format("memory").queryName("zs_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM zs_t").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 14
+    by_val = {r.v: r for r in rows}
+    # warmup rows carry no score
+    assert by_val[10.0].zscore is None
+    # the outlier is flagged against the calm pre-event distribution
+    assert by_val[1000.0].is_anomaly is True and by_val[1000.0].zscore > 100
+    # the next normal value is NOT flagged even though the outlier
+    # inflated the running variance (still within threshold)
+    assert by_val[10.5].is_anomaly is False

@@ -400,3 +400,45 @@ def winsorize_by_group(
                         F.least(F.greatest(F.col(col), F.col("__lo")),
                                 F.col("__hi")))
             .drop("__lo", "__hi"))
+
+
+def robust_scale(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str | None = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Median/IQR scaling: ``(x − median) / (q75 − q25)`` — the
+    outlier-resistant sibling of :func:`standardize` (a single 1e9
+    outlier shifts a mean/std z-score arbitrarily but moves the median
+    and IQR not at all). Constant inputs (IQR 0) yield NULL, matching
+    standardize's zero-variance contract.
+
+    Global path uses the DISTRIBUTED exact quantiles
+    (operators/ranking.py::exact_quantiles — never a single buffer);
+    grouped path uses grouped interpolated ``percentile`` (per-group
+    buffers; for a few huge groups use winsorize_by_group's tdigest
+    pattern). NULL group keys keep their own stats row (null-safe
+    join-back, same as standardize)."""
+    target = out_col or f"{col}_robust"
+    keys = list(group_cols)
+    if not keys:
+        from goetl_spark.operators.ranking import exact_quantiles
+
+        q25, med, q75 = exact_quantiles(df, col, [0.25, 0.5, 0.75])
+        iqr = q75 - q25
+        scale = F.lit(iqr) if iqr != 0 else F.lit(None).cast("double")
+        return df.withColumn(target, (F.col(col) - F.lit(med)) / scale)
+    thr = df.groupBy(*keys).agg(
+        F.expr(f"percentile({col}, array(0.25D, 0.5D, 0.75D))")
+        .alias("__q"))
+    thr = thr.select(*keys,
+                     F.col("__q")[1].alias("__med"),
+                     (F.col("__q")[2] - F.col("__q")[0]).alias("__iqr"))
+    return (df.join(F.broadcast(thr), on=_nullsafe_cond(df, thr, keys))
+            .drop(*[thr[k] for k in keys])
+            .withColumn(target,
+                        (F.col(col) - F.col("__med"))
+                        / F.nullif(F.col("__iqr"), F.lit(0.0)))
+            .drop("__med", "__iqr"))

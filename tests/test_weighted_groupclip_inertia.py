@@ -176,3 +176,27 @@ def test_tokenizer_string_id_column(spark):
                                "url string, text string")
     out = wordpiece_tokenize(df, {"run"}, id_col="url").collect()
     assert out[0].url == "a://x" and out[0].tokens == ["run"]
+
+
+def test_robust_scale_resists_outliers(spark):
+    from goetl_spark.functions.transforms import robust_scale
+    vals = [float(v) for v in range(1, 101)] + [1e9]  # one huge outlier
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.x: r.x_robust for r in robust_scale(df, "x").collect()}
+    # median ~51, IQR ~50: ordinary points stay O(1) despite the outlier
+    assert abs(out[51.0]) < 0.1
+    assert abs(out[1.0] + 1.0) < 0.1
+    assert out[1e9] > 1e6  # the outlier itself is off the scale
+
+
+def test_robust_scale_grouped_and_constant_group(spark):
+    from goetl_spark.functions.transforms import robust_scale
+    rows = [("a", float(v)) for v in range(1, 101)] + \
+           [("c", 5.0), ("c", 5.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = robust_scale(df, "x", group_cols=["g"])
+    a = {r.x: r.x_robust for r in out.filter(F.col("g") == "a").collect()}
+    assert abs(a[51.0]) < 0.1
+    # constant group: IQR 0 -> NULL, never inf
+    assert all(r.x_robust is None for r in
+               out.filter(F.col("g") == "c").collect())

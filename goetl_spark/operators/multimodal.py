@@ -383,3 +383,104 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
             yield pd.DataFrame(rows)
 
     return df.select(media_col).mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+def _parse_wav_pcm(payload: bytes):
+    """Normalized mono samples from an integer-PCM RIFF/WAVE payload:
+    (samples float64 in [-1, 1], n_channels, sample_rate) or None for
+    anything :func:`_decode_wav` would quarantine. Channels mix down by
+    arithmetic mean (the standard mono fold)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[8:12] != b"WAVE":
+            return None
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+            body = payload[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            return None
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
+            return None
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8)
+                 .astype(np.float64) - 128.0) / 128.0
+        else:
+            n = len(data) - (len(data) % 2)
+            x = np.frombuffer(data[:n], dtype="<i2") \
+                .astype(np.float64) / 32768.0
+        frames = len(x) // n_ch
+        x = x[: frames * n_ch].reshape(frames, n_ch).mean(axis=1)
+        return x, int(n_ch), int(rate)
+    except Exception:
+        return None
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    media_col: str = "media",
+    frame_ms: int = 50,
+) -> DataFrame:
+    """Frame-level RMS energy over REAL decoded PCM — the
+    silence-trimming / voice-activity / loudness-normalization primitive
+    a speech-data pipeline runs before segmentation. Each decodable
+    ``audio/*`` payload yields one row per ``frame_ms`` frame (mono
+    mixdown); undecodable audio payloads yield ONE quarantine row
+    (status column) instead of vanishing; non-audio mimes are skipped.
+
+    Scale: Arrow-batched mapInPandas, no shuffle — pair with
+    repartition_for_payload so partitions are byte-balanced. The RMS is
+    a per-row numpy reduction; frame boundaries are sample-exact
+    (rate · frame_ms / 1000, truncating the ragged tail frame into its
+    own shorter frame)."""
+    if frame_ms <= 0:
+        raise ValueError("frame_ms must be positive")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "start_ms": [],
+                   "rms": [], "n_samples": [], "status": []}
+
+            def emit(mid, idx, start, rms, n, status):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["start_ms"].append(start)
+                out["rms"].append(rms)
+                out["n_samples"].append(n)
+                out["status"].append(status)
+
+            for m in pdf[media_col]:
+                mime = m["mime_type"] or ""
+                if not mime.startswith("audio/"):
+                    continue
+                parsed = _parse_wav_pcm(bytes(m["payload"] or b""))
+                if parsed is None:
+                    emit(m["media_id"], None, None, None, None,
+                         "quarantined")
+                    continue
+                x, _, rate = parsed
+                step = max(1, rate * frame_ms // 1000)
+                for idx in range(0, (len(x) + step - 1) // step):
+                    seg = x[idx * step:(idx + 1) * step]
+                    emit(m["media_id"], idx,
+                         idx * step * 1000 // rate,
+                         float(np.sqrt(np.mean(seg * seg))),
+                         int(len(seg)), "ok")
+            yield pd.DataFrame(out)
+
+    schema = ("media_id long, frame_idx int, start_ms long, "
+              "rms double, n_samples int, status string")
+    return df.mapInPandas(run, schema=schema)

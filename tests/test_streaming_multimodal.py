@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -669,3 +670,53 @@ def test_compact_gate_aborts_on_routing_bug(spark, tmp_path, monkeypatch):
     back = spark.read.parquet(p)
     assert back.count() == 300
     assert back.agg(F.sum("id")).collect()[0][0] == orig_sum
+
+
+def test_audio_frame_energy_rms_and_quarantine(spark):
+    from goetl_spark.operators.multimodal import (
+        attach_media_column, audio_frame_energy)
+
+    # 8000 Hz mono: 400 samples at half amplitude then 400 at silence
+    # -> 50 ms frames of 400 samples: rms [0.5, 0.0]
+    loud = [16384, -16384] * 200
+    samples = loud + [0] * 400
+    wav = _wav_bytes(samples, rate=8000)
+    rows = [Row(doc_id=1, payload=bytearray(wav), mime="audio/wav"),
+            Row(doc_id=2, payload=bytearray(b"RIFFxxxxJUNK"),
+                mime="audio/wav"),
+            Row(doc_id=3, payload=bytearray(b"not audio"),
+                mime="image/png")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    media = attach_media_column(df, "payload", F.col("mime"),
+                                id_col="doc_id")
+    out = audio_frame_energy(media, frame_ms=50).collect()
+    frames = sorted([r for r in out if r.media_id == 1],
+                    key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in frames] == [0, 1]
+    assert frames[0].rms == pytest.approx(0.5, abs=1e-3)
+    assert frames[1].rms == pytest.approx(0.0, abs=1e-9)
+    assert frames[0].n_samples == 400 and frames[0].start_ms == 0
+    assert frames[1].start_ms == 50
+    quarantined = [r for r in out if r.media_id == 2]
+    assert len(quarantined) == 1 and quarantined[0].status == "quarantined"
+    assert all(r.media_id != 3 for r in out)  # non-audio skipped
+
+
+def test_audio_frame_energy_ragged_tail_and_stereo(spark):
+    from goetl_spark.operators.multimodal import (
+        attach_media_column, audio_frame_energy)
+
+    # stereo: L = +0.5, R = -0.5 -> mono mixdown 0 -> rms 0;
+    # 300 samples/channel at 8000 Hz with 50 ms frames (400): one ragged
+    # 300-sample frame
+    inter = [16384, -16384] * 300  # L R L R ...
+    wav = _wav_bytes(inter, rate=8000, n_ch=2)
+    df = spark.createDataFrame(
+        [Row(doc_id=7, payload=bytearray(wav), mime="audio/wav")],
+        "doc_id long, payload binary, mime string")
+    media = attach_media_column(df, "payload", F.col("mime"),
+                                id_col="doc_id")
+    out = audio_frame_energy(media, frame_ms=50).collect()
+    assert len(out) == 1
+    assert out[0].n_samples == 300          # ragged tail frame
+    assert out[0].rms == pytest.approx(0.0, abs=1e-9)

@@ -766,3 +766,49 @@ def fuzzy_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic record-linkage method,
+    complementing the hash-family blockers here): order all records by
+    a blocking key (e.g. a normalized title prefix) and emit every pair
+    within ``window`` positions. Catches near-duplicates that sort
+    adjacently even when they share few shingles (truncation, heavy
+    suffix edits) — the failure mode of Jaccard/minhash blocking.
+
+    Scale: the global order comes from the distributed rank
+    (operators/ranking.py — range partition + offsets, no single-task
+    window); the neighborhood join is an EQUI-join on rank buckets of
+    size ``window`` (each left row probes its own and the next bucket),
+    so candidates ~ N·window rows and the shuffle is bucket-keyed —
+    never an all-pairs product. Returns (id_a, id_b, rank_distance)
+    with id_a the earlier-sorted record."""
+    from goetl_spark.operators.ranking import global_row_number
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    key = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+    base = df.select(key.alias("__k"), F.col(id_col).alias("__id"))
+    ranked = global_row_number(base, ["__k", "__id"], out="__r")
+
+    left = ranked.select(
+        F.col("__id").alias("id_a"), F.col("__r").alias("__ra"),
+        F.explode(F.array(
+            F.floor((F.col("__r") - 1) / window),
+            F.floor((F.col("__r") - 1) / window) + 1)).alias("__b"))
+    right = ranked.select(
+        F.col("__id").alias("id_b"), F.col("__r").alias("__rb"),
+        F.floor((F.col("__r") - 1) / window).alias("__b"))
+    return (
+        left.join(right, on="__b")
+        .filter((F.col("__rb") > F.col("__ra"))
+                & (F.col("__rb") - F.col("__ra") <= window))
+        .select("id_a", "id_b",
+                (F.col("__rb") - F.col("__ra")).cast("int")
+                .alias("rank_distance"))
+    )

@@ -291,3 +291,35 @@ def vocabulary(df: DataFrame, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("n"),
              F.count_distinct(F.col(id_col)).alias("df_docs"))
     )
+
+
+def split_sentences(col: str | Column) -> Column:
+    """Sentence segmentation as a pure Column expression (array of
+    trimmed sentences): split after ``.!?`` runs followed by
+    whitespace, keeping the terminator with its sentence. Heuristic by
+    design (no abbreviation dictionary — 'Dr. Smith' splits); the
+    zero-UDF primitive for sentence-level chunking, per-sentence
+    dedup, and quality stats. Empty fragments drop."""
+    c = F.col(col) if isinstance(col, str) else col
+    # insert a sentinel after terminator+space runs, then split on it —
+    # RE2-portable (no lookbehind)
+    marked = F.regexp_replace(c, r"([.!?]+)\s+", "$1\x1f")
+    return F.filter(
+        F.transform(F.split(marked, "\x1f"), lambda s: F.trim(s)),
+        lambda s: s != "")
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document sentence statistics (count, mean length in chars)
+    from :func:`split_sentences` — all expression-level, zero shuffle
+    beyond the scan."""
+    sents = split_sentences(text_col)
+    n = F.size(sents)
+    total_chars = F.aggregate(
+        F.transform(sents, lambda s: F.length(s)),
+        F.lit(0), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_sentences"),
+        F.when(n > 0, total_chars / n).alias("mean_sentence_chars"))

@@ -591,3 +591,65 @@ def test_winnowing_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with _pt.raises(ValueError):
         winnow_fingerprints(df, k=0)
+
+
+# --- sentence segmentation (round 6) ---------------------------------------
+
+def test_split_sentences_basic(spark):
+    from goetl_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [("Hello world. How are you? Fine!  Trailing",)], "t string")
+    out = df.select(split_sentences("t").alias("s")).collect()[0].s
+    assert out == ["Hello world.", "How are you?", "Fine!", "Trailing"]
+
+
+def test_split_sentences_edges(spark):
+    from goetl_spark.operators.text import split_sentences
+
+    rows = [("",), ("No terminator at all",), ("Multi!!! Bang?! Done.",)]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r.s for r in df.select(split_sentences("t").alias("s")).collect()]
+    assert got[0] == []
+    assert got[1] == ["No terminator at all"]
+    assert got[2] == ["Multi!!!", "Bang?!", "Done."]
+
+
+def test_sentence_stats(spark):
+    from goetl_spark.operators.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [(1, "One. Two two. Three three three."), (2, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in sentence_stats(df).collect()}
+    assert out[1].n_sentences == 3
+    # lengths: "One."=4, "Two two."=8, "Three three three."=18 -> mean 10
+    assert out[1].mean_sentence_chars == 10.0
+    assert out[2].n_sentences == 0 and out[2].mean_sentence_chars is None
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    from goetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, k) for i, k in enumerate(
+        ["apple", "apply", "banana", "bandana", "cherry", "date"])]
+    df = spark.createDataFrame(rows, "doc_id long, k string").repartition(4)
+    out = sorted_neighborhood_pairs(df, "k", window=2)
+    pairs = {(r.id_a, r.id_b): r.rank_distance for r in out.collect()}
+    # sorted order == insertion order here; every pair within 2 positions
+    expect = {(a, b): b - a for a in range(6) for b in range(a + 1, 6)
+              if b - a <= 2}
+    assert pairs == expect
+
+
+def test_sorted_neighborhood_partitioning_independent(spark):
+    from goetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{i % 37:03d}x{i}") for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, k string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, k string").repartition(13)
+    pa = sorted(map(tuple, sorted_neighborhood_pairs(a, "k", window=3)
+                    .select("id_a", "id_b").collect()))
+    pb = sorted(map(tuple, sorted_neighborhood_pairs(b, "k", window=3)
+                    .select("id_a", "id_b").collect()))
+    assert pa == pb and len(pa) > 0

@@ -145,3 +145,30 @@ def histogram(df, col: str, lo: float, hi: float, bins: int):
             "n",
         )
     )
+
+
+def mode_by_group(df: DataFrame, keys: Sequence[str], col: str,
+                  out: str = "mode", tie: str = "min") -> DataFrame:
+    """Most frequent value of ``col`` per group, with a DETERMINISTIC
+    tie-break (``'min'``/``'max'`` value among equally frequent —
+    Spark's built-in ``mode()`` picks an arbitrary winner, which can
+    never be oracle-checked). NULL values are excluded (they are the
+    absence of a value, not a candidate mode).
+
+    Plan: one (keys, col) count agg (map-side combined), then a
+    per-group window over the ≤ distinct-values rows — both shuffles
+    carry counts, never raw rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ks = list(keys)
+    counts = (df.where(F.col(col).isNotNull())
+              .groupBy(*ks, col)
+              .agg(F.count(F.lit(1)).alias("__n")))
+    order = [F.desc("__n"),
+             F.asc(col) if tie == "min" else F.desc(col)]
+    w = Window.partitionBy(*ks).orderBy(*order)
+    return (counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(*ks, F.col(col).alias(out),
+                    F.col("__n").alias("mode_count")))

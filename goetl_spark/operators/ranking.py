@@ -244,3 +244,23 @@ def quantile_normalize(
     vhi = F.element_at(garr, hi + 1)
     # same interpolation form as exact_quantiles (lo·(1−d) + hi·d)
     return base.withColumn(target, vlo * (1.0 - d) + vhi * d)
+
+
+def median_abs_deviation(
+    df: DataFrame,
+    col: str,
+    scale: float = 1.0,
+) -> tuple[float, float]:
+    """(median, MAD): the robust location/dispersion pair — MAD =
+    median(|x − median|), optionally scaled (1.4826 makes it a normal-
+    consistent sigma estimate). Two passes of the DISTRIBUTED exact
+    quantiles (no single-buffer percentile); deterministic and
+    oracle-checkable.
+
+    MAD tolerates up to 50 % arbitrarily bad values where stddev
+    breaks at one — pair with robust_scale / winsorize for outlier
+    policy decisions."""
+    [med] = exact_quantiles(df, col, [0.5])
+    dev = df.select((F.abs(F.col(col) - F.lit(med))).alias("__d"))
+    [mad] = exact_quantiles(dev, "__d", [0.5])
+    return float(med), float(mad * scale)

@@ -103,3 +103,32 @@ def test_exact_quantiles_tiny_and_errors(spark):
     empty = spark.createDataFrame([(None,)], "v double")
     with pytest.raises(ValueError, match="no non-null"):
         exact_quantiles(empty, "v", [0.5])
+
+
+def test_mode_by_group_deterministic_ties(spark):
+    from goetl_spark.operators.groupby import mode_by_group
+    rows = [("a", "x"), ("a", "x"), ("a", "y"),
+            ("b", "p"), ("b", "q"),        # tie: min -> p, max -> q
+            ("c", None), ("c", "z")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    mn = {r.g: (r.mode, r.mode_count) for r in
+          mode_by_group(df, ["g"], "v").collect()}
+    assert mn == {"a": ("x", 2), "b": ("p", 1), "c": ("z", 1)}
+    mx = {r.g: r.mode for r in
+          mode_by_group(df, ["g"], "v", tie="max").collect()}
+    assert mx["b"] == "q"
+
+
+def test_median_abs_deviation(spark):
+    from goetl_spark.operators.ranking import median_abs_deviation
+    # 1..9 plus a wild outlier: median 5.5 -> med over 10 vals;
+    # use 1..9 (odd) for clean hand numbers
+    df = spark.createDataFrame([(float(v),) for v in range(1, 10)],
+                               "x double")
+    med, mad = median_abs_deviation(df, "x")
+    assert med == 5.0 and mad == 2.0  # |x-5| = 4,3,2,1,0,1,2,3,4 -> med 2
+    # outlier moves mean/std wildly but barely touches med/mad
+    df2 = spark.createDataFrame([(float(v),) for v in range(1, 10)]
+                                + [(1e9,)], "x double")
+    med2, mad2 = median_abs_deviation(df2, "x")
+    assert 5.0 <= med2 <= 5.5 and mad2 <= 3.0

@@ -939,3 +939,53 @@ def cluster_inertia(
               .cast("double").alias("inertia"))
         .orderBy("label")
     )
+
+
+def mine_hard_negatives(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    positive_col: str = "positive_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each (query, positive) pair, the ``k`` corpus items MOST similar to
+    the query that are NOT its positives — the examples that actually
+    move a contrastive loss (random negatives are trivially separable).
+
+    Composition of verified parts: queries resolve their vectors by
+    join, :func:`knn_bruteforce` retrieves top-(k + positives + self)
+    candidates (swap in the IVF/PQ retrievers at corpus scale — same
+    output contract), known positives AND the query itself drop via an
+    anti-join on the pair list, and a re-rank window keeps the k
+    hardest. Returns (query_id, negative_id, cos_sim, hard_rank)."""
+    from pyspark.sql import Window
+
+    p = pairs.select(F.col(query_col).alias("query_id"),
+                     F.col(positive_col).alias("positive_id"))
+    n_pos = (p.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("__np")))
+    max_pos = n_pos.agg(F.max("__np")).collect()[0][0]
+    if max_pos is None:
+        raise ValueError("pairs frame is empty")
+
+    queries = (p.select("query_id").distinct()
+               .join(corpus, F.col("query_id") == F.col(id_col))
+               .select("query_id", vec_col))
+    cand = knn_bruteforce(corpus, queries, k=k + max_pos + 1,
+                          id_col=id_col, vec_col=vec_col,
+                          query_id_col="query_id")
+    cand = (cand
+            .join(p, (cand["query_id"] == p["query_id"])
+                  & (cand["neighbor_id"] == p["positive_id"]),
+                  "left_anti")
+            .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.withColumn("hard_rank", F.row_number().over(w))
+            .filter(F.col("hard_rank") <= k)
+            .select("query_id",
+                    F.col("neighbor_id").alias("negative_id"),
+                    "cos_sim", "hard_rank"))

@@ -653,3 +653,36 @@ def test_sorted_neighborhood_partitioning_independent(spark):
     pb = sorted(map(tuple, sorted_neighborhood_pairs(b, "k", window=3)
                     .select("id_a", "id_b").collect()))
     assert pa == pb and len(pa) > 0
+
+
+def test_mine_hard_negatives_excludes_positives_and_self(spark):
+    from goetl_spark.operators.similarity import mine_hard_negatives
+
+    # four clustered vectors + one far point: 0's hardest non-positive
+    # neighbors should be 2 then 3 (1 is the positive, 0 is itself)
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.99, 0.14]),   # positive of 0
+            Row(vec_id=2, embedding=[0.98, 0.2]),
+            Row(vec_id=3, embedding=[0.9, 0.43]),
+            Row(vec_id=4, embedding=[-1.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = spark.createDataFrame([(0, 1)], "query_id long, positive_id long")
+    out = sorted(mine_hard_negatives(pairs, corpus, k=2).collect(),
+                 key=lambda r: r.hard_rank)
+    assert [r.negative_id for r in out] == [2, 3]
+    assert all(r.query_id == 0 for r in out)
+    assert out[0].cos_sim > out[1].cos_sim
+    ids = {r.negative_id for r in out}
+    assert 0 not in ids and 1 not in ids  # no self, no positive
+
+
+def test_mine_hard_negatives_multi_positive(spark):
+    from goetl_spark.operators.similarity import mine_hard_negatives
+
+    rows = [Row(vec_id=i, embedding=[1.0, i / 10.0]) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)],
+                                  "query_id long, positive_id long")
+    out = mine_hard_negatives(pairs, corpus, k=3).collect()
+    ids = {r.negative_id for r in out}
+    assert ids == {3, 4, 5}  # both positives and self excluded, k=3 kept

@@ -96,7 +96,7 @@ def cohort_retention(
     user_col: str,
     ts_col: str,
     period: str = "week",
-    period_days: int = 7,
+    period_days: int | None = None,
 ) -> DataFrame:
     """Cohort retention matrix: cohort = the user's first-activity
     period (``date_trunc(period)``); for each period offset *k*, the
@@ -115,7 +115,23 @@ def cohort_retention(
     the offsets explode in-row, and the (cohort × offset) rollup plus a
     broadcast offset-0 base are the only other exchanges. The first
     audit of the two-agg + join formulation showed 7 exchanges; this
-    shape has 3."""
+    shape has 3.
+
+    ``period_days`` is DERIVED from ``period`` ('day'→1, 'week'→7);
+    passing it explicitly must agree or we raise — an independent pair
+    like (period='day', period_days=7) would silently map 7 daily
+    periods onto one offset and count a user multiple times per cell,
+    pushing retention above 1 (round-6 advisor finding)."""
+    derived = {"day": 1, "week": 7}.get(period)
+    if period_days is None:
+        period_days = derived
+    elif derived is not None and period_days != derived:
+        raise ValueError(
+            f"cohort_retention: period={period!r} implies "
+            f"period_days={derived}, got {period_days}")
+    if period != "month" and period_days is None:
+        raise ValueError(
+            f"cohort_retention: period_days required for period={period!r}")
     per_user = df.groupBy(user_col).agg(
         F.date_trunc(period, F.min(ts_col)).alias("cohort"),
         F.collect_set(F.date_trunc(period, ts_col)).alias("__periods"))

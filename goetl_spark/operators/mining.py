@@ -34,8 +34,13 @@ def cooccurrence_pairs(
     array double-loop via transform+flatten, map-side, never a
     self-join), and the pair count agg is the only other shuffle. The
     first audit of the self-join formulation showed 8 exchanges; this
-    shape has 2 (+1 if the caller sorts)."""
-    baskets = (df.filter(F.col(basket_col).isNotNull())
+    shape has 2 (+1 if the caller sorts). NULL items are filtered
+    BEFORE the basket aggregate so the ``max_basket_size`` cap is
+    computed over the same item set a SQL DISTINCT-frame oracle sees —
+    collect_set alone would drop the NULL after the cap (round-6
+    advisor finding)."""
+    baskets = (df.filter(F.col(basket_col).isNotNull()
+                         & F.col(item_col).isNotNull())
                .groupBy(F.col(basket_col).alias("b"))
                .agg(F.array_sort(F.collect_set(F.col(item_col)))
                     .alias("items")))

@@ -321,6 +321,19 @@ def weighted_systematic_sample(
 
     if step <= 0:
         raise ValueError("step must be a positive integer")
+    # enforce the positive-integer-weight contract: a zero/negative
+    # weight moves the cumulative position backward and silently
+    # corrupts the interval-crossing test for every later row
+    # (round-6 advisor finding) — fail fast instead
+    bad = F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+    guard = F.when(
+        bad,
+        F.raise_error(F.concat(
+            F.lit(f"weighted_systematic_sample: non-positive or NULL "
+                  f"{weight_col}: "),
+            F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")))),
+    ).otherwise(F.lit(True))
+    df = df.filter(guard)
     order = [F.col(c) for c in order_cols]
     n = num_partitions or df.rdd.getNumPartitions() or 1
     parts = (df.repartitionByRange(n, *order)

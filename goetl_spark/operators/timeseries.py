@@ -32,9 +32,15 @@ from pyspark.sql import functions as F
 
 
 def _bucket(ts_col: str, step_seconds: int) -> Column:
-    """Floor a timestamp column to its step-aligned bucket start."""
+    """Floor a timestamp column to its step-aligned bucket start.
+
+    ``pmod`` (not ``%``) so pre-1970 epochs floor toward -inf like
+    ``date_trunc`` does: Spark's ``%`` keeps the dividend's sign, which
+    would round a negative epoch toward zero and put the bucket start
+    AFTER the event (round-6 advisor finding).
+    """
     epoch = F.unix_timestamp(F.col(ts_col))
-    return F.timestamp_seconds((epoch - epoch % step_seconds))
+    return F.timestamp_seconds((epoch - F.pmod(epoch, F.lit(step_seconds))))
 
 
 def resample_fill(
@@ -122,7 +128,10 @@ def rolling_range(
 
     The sum is exact-decimal so engines agree bit-for-bit; avg is the
     decimal sum divided by the bigint count in doubles (same IEEE op
-    both sides of the oracle).
+    both sides of the oracle). ``count_col`` counts all frame rows
+    (COUNT(*)); the avg denominator counts only non-NULL ``value_col``
+    rows, matching ANSI ``AVG(value) OVER`` which skips NULLs in both
+    numerator and denominator (round-6 advisor finding).
     """
     # rows without an event time cannot be placed in any range frame —
     # and Spark (NULLS FIRST) and ANSI engines (NULLS LAST) disagree on
@@ -139,5 +148,6 @@ def rolling_range(
     if avg_col:
         out = out.withColumn(
             avg_col,
-            F.sum(dec).over(w).cast("double") / F.col(count_col))
+            F.sum(dec).over(w).cast("double")
+            / F.count(F.col(value_col)).over(w))
     return out.drop("__epoch")

@@ -4465,7 +4465,7 @@ def q112_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rolling_sum,
            CAST(COUNT(*) OVER w AS BIGINT) AS rolling_count,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-               / (COUNT(*) OVER w) AS rolling_avg
+               / (COUNT(value) OVER w) AS rolling_avg
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY es
                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
@@ -4735,6 +4735,7 @@ def q118_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ), ok AS (
         SELECT b FROM base GROUP BY b HAVING COUNT(*) <= 256
     ), f AS (

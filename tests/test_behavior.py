@@ -87,3 +87,19 @@ def test_cohort_retention_matrix(spark):
 def test_funnel_requires_two_stages(spark):
     with pytest.raises(ValueError):
         funnel_user_times(_ev(spark, []), "u", "ts", "t", ["A"])
+
+
+def test_cohort_period_days_derived_and_validated(spark):
+    # (period='day', period_days=7) would map 7 daily periods onto one
+    # offset and count users twice per cell (r6 advisor) — must raise.
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-03 00:00:00")],
+        "user string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="period_days"):
+        cohort_retention(df, "user", "ts", period="day", period_days=7)
+    # derived default: period='day' → period_days=1
+    out = {(str(r.cohort), r.period_offset): r.n_users
+           for r in cohort_retention(df, "user", "ts", period="day").collect()}
+    assert out[("2024-01-01 00:00:00", 0)] == 1
+    assert out[("2024-01-01 00:00:00", 2)] == 1

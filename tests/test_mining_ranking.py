@@ -132,3 +132,16 @@ def test_median_abs_deviation(spark):
                                 + [(1e9,)], "x double")
     med2, mad2 = median_abs_deviation(df2, "x")
     assert 5.0 <= med2 <= 5.5 and mad2 <= 3.0
+
+
+def test_cooccurrence_null_items_excluded_before_cap(spark):
+    # a basket at exactly the cap plus a NULL item must still be kept:
+    # NULLs are filtered BEFORE the basket-size cap so the operator and
+    # a SQL DISTINCT-frame oracle agree (r6 advisor).
+    df = spark.createDataFrame(
+        [("b1", "x"), ("b1", "y"), ("b1", None)],
+        "b string, i string")
+    out = {(r.item_a, r.item_b): r.n_baskets
+           for r in cooccurrence_pairs(df, "b", "i",
+                                       max_basket_size=2).collect()}
+    assert out == {("x", "y"): 1}

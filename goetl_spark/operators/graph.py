@@ -53,15 +53,24 @@ def pagerank(
         # whole iteration is ONE action (the eager checkpoint) — the
         # earlier collect() made it two jobs per iteration (r6 verdict
         # ask #6)
+        # both sums accumulate in DECIMAL(38,12) (exact, associative):
+        # ranks are ≤ 1 so scale-12 keeps ~1e-12 absolute precision,
+        # the result is independent of partitioning/shuffle order, and
+        # a SQL oracle replaying the same per-row casts reproduces
+        # every iteration bit-for-bit (same trick as queries.dsum)
         dangling = (with_deg.where(F.col("deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("__dm")))
+                    .agg(F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(38,12)"))
+                        .cast("double"),
+                        F.lit(0.0)).alias("__dm")))
         contribs = (
             e.join(with_deg.where(F.col("deg").isNotNull())
                    .select("node", "rank", "deg"),
                    e["s"] == F.col("node"))
             .groupBy("t")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            .agg(F.sum((F.col("rank") / F.col("deg"))
+                       .cast("decimal(38,12)"))
+                 .cast("double").alias("c"))
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["t"], "left")

@@ -72,45 +72,42 @@ def register(name: str, oracle: str | None):
 # q22/q50/q89/q91).
 # Tail queries remain registered and oracle-checkable
 # (scripts/check_oracle.py runs the full registry).
-# Round-6 rotation (updated mid-round as the registry grew to 128):
-# seats go to (a) the 13 queries whose last driver row was r02
-# (q08/q10/q14/q15/q23/q26/q27/q29/q37/q40/q45/q46/q51), (b) all 30
-# round-6 additions (q99-q128), and (c) changed-code rows q34/q47 (new
-# oracles), q97 (distributed exact quantiles), q90/q96 (ordering
-# alignments), q88/q92 (kmeans reseed) — q106's decimal→double shrink
-# is in the (b) group. Window capacity (50 − 13 required r02 re-seats
-# = 37) forces every other seat to a new query: the r04-last queries
-# NOT seated — q02-q07, q09, q11-q13, q17-q21, q24, q25, q28, q30,
-# q33, q38, q39, q41-q44, q49, q52, q59, q63, q64, q66, q67, q79,
-# q80 — plus r5-banked q01 MUST get seats in round 7 (absent from
-# r5∪r6), as should q82/q87 (per-partition sketch compress landed
-# this round; re-verified by the LOCAL full-registry oracle run and
-# property tests, but their fresh DRIVER row waits for r7).
-# tests/test_registry.py::test_union_coverage_and_staleness enforces
-# the rotation once CORRECTNESS_r06.json lands. That is ~33 mandatory
-# round-7 seats, leaving ~17 for round-7 additions.
+# Round-7 rotation (staleness budget: 3 recorded rounds — see
+# tests/test_registry.py::test_union_coverage_and_staleness; the
+# 2-round rule saturated once the registry passed 100, since two
+# 50-seat windows cover at most 100 distinct queries. Capacity under
+# the 3-round rule is 150 vs a ~138-and-slowing registry). Seats:
+# (a) the 35 queries absent from r5∪r6 (all r4-last) — q02-q07, q09,
+# q11-q13, q17-q21, q24, q25, q28, q30, q33, q38, q39, q41-q44, q49,
+# q52, q59, q63, q64, q66, q67, q79, q80; (b) changed-code re-seats
+# q82/q87 (r6's per-partition sketch compress needs a fresh driver
+# row); (c) the 10 round-7 registrations q129-q138 (the round-6
+# tests-first operators, each now oracled); (d) the two r6 bench
+# watch items q57/q81 (fresh rows at a fixed window position for the
+# warm-vs-cold comparison) and flagship q01. That is exactly 50.
+# Round-8 planning: the 41 remaining r5-last queries (43 minus
+# q57/q81/q01... q01 is r5-last too — 40 remaining) become mandatory
+# in round 8 under the 3-round rule, leaving ~10 free seats.
 _WINDOW: list[str] = [
-    "q08_topk", "q10_distinct",
-    "q14_window_running", "q15_events_hourly",
-    "q23_minhash_signatures", "q26_knn_bruteforce", "q27_ann_ivf",
-    "q29_text_stats", "q34_multimodal_features",
-    "q37_rollup", "q40_scd1",
-    "q45_sliding_window", "q46_session_window", "q47_approx_distinct",
-    "q51_write_roundtrip", "q88_pq_rerank",
-    "q90_skew_report", "q92_ivfpq", "q96_topk_partial",
-    "q97_winsorize", "q99_winnow_overlap", "q100_pq_recall",
-    "q101_heavy_hitters", "q102_bm25", "q103_join_cardinality",
-    "q104_vocabulary", "q105_histogram", "q106_correlation",
-    "q107_order_priority", "q108_customer_distribution",
-    "q109_top_supplier", "q110_small_quantity_revenue",
-    "q111_dormant_high_value", "q112_resample_gapfill",
-    "q113_rolling_range", "q114_funnel", "q115_cohort_retention",
-    "q116_bigram_lm", "q117_token_kl", "q118_char_entropy",
-    "q119_cooccurrence", "q120_standardize", "q121_ntile_bins",
-    "q122_market_share", "q123_promo_revenue",
-    "q124_supplier_part_distribution", "q125_disjunctive_revenue",
-    "q126_weighted_sample", "q127_group_winsorize",
-    "q128_cluster_inertia",
+    "q01_pricing_summary",
+    "q02_filter_combinators", "q03_filter_strings",
+    "q04_join_inner", "q05_join_left_nulls",
+    "q06_join_multiway_broadcast", "q07_global_agg",
+    "q09_union_fanin", "q11_transform_shaping", "q12_dates",
+    "q13_window_topn", "q17_cdc", "q18_scd2", "q19_scd3",
+    "q20_profile", "q21_dedup_exact", "q24_minhash_lsh_candidates",
+    "q25_simhash", "q28_embedding_neardup", "q30_text_quality",
+    "q33_dag_runner", "q38_percentiles", "q39_custom_udaf",
+    "q41_semi_join", "q42_anti_join", "q43_cube", "q44_quality_gate",
+    "q49_set_ops", "q52_hash_split", "q57_streaming_dedup",
+    "q59_ann_lsh", "q63_unpivot", "q64_fuzzy_pairs",
+    "q66_forecast_revenue", "q67_io_stats", "q79_csv_roundtrip",
+    "q80_jsonl_roundtrip", "q81_sequence_packing",
+    "q82_tdigest_bound", "q87_tdigest_by_group",
+    "q129_robust_scale", "q130_mode_by_group", "q131_mad",
+    "q132_quantile_normalize", "q133_sorted_neighborhood",
+    "q134_sentence_stats", "q135_pagerank", "q136_wordpiece",
+    "q137_hard_negatives", "q138_sliding_distinct",
 ]
 
 
@@ -5173,6 +5170,478 @@ def q128_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cluster_inertia(emb)
+
+
+# ---------------------------------------------------------------------------
+# round 7: driver rows for the round-6 tests-first operators —
+# robust scaling, per-group mode, MAD, quantile normalization,
+# sorted-neighborhood blocking, sentence segmentation, PageRank,
+# WordPiece tokenization, hard-negative mining, sliding distinct users.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q129_robust_scale",
+    """
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q25,
+               quantile_cont(o_totalprice, 0.5) AS med,
+               quantile_cont(o_totalprice, 0.75) AS q75
+        FROM orders
+    )
+    SELECT o_orderkey, (o_totalprice - med) / (q75 - q25) AS robust_z
+    FROM orders, q ORDER BY o_orderkey
+    """,
+)
+def q129_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global median/IQR scaling of order value (functions/
+    transforms.py::robust_scale) — the outlier-resistant sibling of
+    q120's z-score. The median and quartiles come from the DISTRIBUTED
+    exact quantiles (operators/ranking.py::exact_quantiles — range
+    exchange + per-partition offsets, never a single percentile
+    buffer), which interpolate identically to DuckDB's quantile_cont,
+    so every per-row (x − med)/IQR is the same IEEE arithmetic on the
+    same doubles in both engines.
+
+    At 100 TB: one range exchange for the three quantiles, then a
+    map-only projection — no join, no window."""
+    from goetl_spark.functions.transforms import robust_scale
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = robust_scale(o, "o_totalprice", out_col="robust_z")
+    return out.select("o_orderkey", "robust_z").orderBy("o_orderkey")
+
+
+@register(
+    "q130_mode_by_group",
+    """
+    WITH counts AS (
+        SELECT p_type, p_brand, COUNT(*) AS n
+        FROM part WHERE p_brand IS NOT NULL
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT p_type, p_brand, n,
+               ROW_NUMBER() OVER (PARTITION BY p_type
+                                  ORDER BY n DESC, p_brand) AS rk
+        FROM counts
+    )
+    SELECT p_type, p_brand AS mode_brand,
+           CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rk = 1 ORDER BY p_type
+    """,
+)
+def q130_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (operators/groupby.py::
+    mode_by_group): the most frequent brand per part type with a
+    pinned min-value tie-break — Spark's built-in ``mode()`` picks an
+    arbitrary winner among ties, which can never be oracle-checked.
+
+    At 100 TB: the (type, brand) count agg partial-combines map-side;
+    the winner window runs over ≤ distinct-brands rows per group —
+    both shuffles carry counts, never raw rows."""
+    from goetl_spark.operators.groupby import mode_by_group
+
+    p = _t(spark, sf_dir, "part")
+    return (mode_by_group(p, ["p_type"], "p_brand",
+                          out="mode_brand", tie="min")
+            .orderBy("p_type"))
+
+
+@register(
+    "q131_mad",
+    """
+    WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders)
+    SELECT m.med AS median,
+           quantile_cont(abs(o_totalprice - m.med), 0.5) AS mad
+    FROM orders, m GROUP BY m.med
+    """,
+)
+def q131_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order value (operators/ranking.py::
+    median_abs_deviation) — the robust location/dispersion pair,
+    tolerant of up to 50 % arbitrarily bad values where one outlier
+    breaks a stddev. Two passes of the distributed exact quantiles;
+    the per-row |x − med| deviations are identical IEEE subtractions
+    in both engines, so median and MAD match bit-for-bit (no scale
+    factor: a 1.4826 multiply would parse as DECIMAL in the oracle and
+    drift a ulp).
+
+    At 100 TB: two range exchanges, ≤ #partitions count rows to the
+    driver each — never a single sort."""
+    from goetl_spark.operators.ranking import median_abs_deviation
+
+    o = _t(spark, sf_dir, "orders")
+    med, mad = median_abs_deviation(o, "o_totalprice")
+    return spark.createDataFrame([(med, mad)], "median double, mad double")
+
+
+_Q132_NQ = 21
+_Q132_PROBS = [i / (_Q132_NQ - 1) for i in range(_Q132_NQ)]
+
+
+@register(
+    "q132_quantile_normalize",
+    f"""
+    WITH g AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [{", ".join(repr(p) for p in _Q132_PROBS)}]) AS gv
+        FROM lineitem
+    ), base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               percent_rank() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) * {_Q132_NQ - 1} AS pos
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           gv[CAST(FLOOR(pos) AS INT) + 1]
+               * (CAST(1.0 AS DOUBLE) - (pos - CAST(FLOOR(pos) AS INT)))
+           + gv[CAST(CEIL(pos) AS INT) + 1]
+               * (pos - CAST(FLOOR(pos) AS INT)) AS price_qnorm
+    FROM base, g
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q132_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of price across return-flag groups
+    (operators/ranking.py::quantile_normalize): each row maps onto the
+    GLOBAL price distribution at its within-group quantile rank — the
+    cross-domain score calibration step (a 0.9-quantile doc in a
+    lenient domain and one in a strict domain land on the same score).
+    The oracle replays the identical mechanics: percent_rank per
+    group, the same {_Q132_NQ}-point exact-quantile grid
+    (quantile_cont ≡ exact_quantiles bit-for-bit), and the same
+    floor/ceil linear interpolation — every double op mirrored.
+
+    At 100 TB: one per-GROUP rank window (never a global window), one
+    range exchange for the grid, then a map-only interpolation against
+    a broadcast {_Q132_NQ}-double array."""
+    from goetl_spark.operators.ranking import quantile_normalize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    out = quantile_normalize(
+        li, "l_extendedprice", ["l_returnflag"],
+        tie_cols=["l_orderkey", "l_linenumber"],
+        n_quantiles=_Q132_NQ, out="price_qnorm")
+    return (out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                       "price_qnorm")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@register(
+    "q133_sorted_neighborhood",
+    """
+    WITH r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY substr(text, 1, 24), doc_id)
+                   AS rk
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rk - a.rk AS INT) AS rank_distance
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 4
+    ORDER BY id_a, id_b
+    """,
+)
+def q133_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.py::
+    sorted_neighborhood_pairs): order documents by a 24-char text
+    prefix and emit every pair within 4 rank positions — the classic
+    record-linkage blocker that catches near-duplicates sharing few
+    shingles (truncations, heavy suffix edits), the failure mode of
+    minhash/Jaccard blocking. The oracle is the textbook single-window
+    row_number + rank-distance self-join; the operator's distributed
+    rank (range partition + offsets) and bucket-keyed neighborhood
+    equi-join must reproduce it pair-for-pair.
+
+    At 100 TB: candidates ~ N·window rows via rank-bucket equi-join —
+    never an all-pairs product, never a single-task sort."""
+    from goetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = sorted_neighborhood_pairs(
+        d, F.substring("text", 1, 24), id_col="doc_id", window=4)
+    return out.orderBy("id_a", "id_b")
+
+
+# deterministic punctuation for the sentence queries: the synthetic
+# corpus has none, so both engines apply the same literal rewrites
+_Q134_MARKS = ((" data ", ". data "), (" join ", "! join "),
+               (" window ", "? window "))
+
+
+@register(
+    "q134_sentence_stats",
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               {"replace(" * len(_Q134_MARKS)}text
+               {"".join(f", '{a}', '{b}')" for a, b in _Q134_MARKS)}
+                   AS ptext
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               trim(UNNEST(string_split(
+                   regexp_replace(ptext, '([.!?]+)\\s+', '\\1\x1f', 'g'),
+                   '\x1f'))) AS sent
+        FROM p
+    ), f AS (
+        SELECT doc_id, length(sent) AS len FROM s WHERE sent <> ''
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(x.n, 0) AS INT) AS n_sentences,
+           x.total / x.n AS mean_sentence_chars
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n, SUM(len) AS total
+               FROM f GROUP BY doc_id) x USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q134_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + per-document stats (operators/text.py::
+    split_sentences / sentence_stats) — pure Column expressions (the
+    RE2-portable sentinel-split trick, no lookbehind, zero UDF). The
+    synthetic corpus has no punctuation, so both engines first apply
+    the same literal word→'. word' rewrites, then the identical
+    terminator regex, trim, and empty-fragment filter; sentence counts
+    and mean chars are exact-integer arithmetic.
+
+    At 100 TB: map-only over the scan — no shuffle at all."""
+    from goetl_spark.operators.text import sentence_stats
+
+    d = _t(spark, sf_dir, "documents")
+    ptext = F.col("text")
+    for a, b in _Q134_MARKS:
+        ptext = F.replace(ptext, F.lit(a), F.lit(b))
+    return (sentence_stats(d.withColumn("ptext", ptext), "ptext", "doc_id")
+            .orderBy("doc_id"))
+
+
+def _q135_oracle(iterations: int, damping: float) -> str:
+    """Unrolled fixed-iteration PageRank replay. Every order-dependent
+    SUM accumulates in DECIMAL(38,12) exactly like the operator, and
+    every scalar is written as the same double expression the operator
+    evaluates ((1.0 − d)/n, not a pre-folded 0.15/n — 1.0 − 0.85 is
+    0.15000000000000002 in IEEE), so each iteration reproduces the
+    Spark ranks bit-for-bit with NO rounding step."""
+    d = f"CAST({damping} AS DOUBLE)"
+    sql = """
+    WITH e AS (
+        SELECT DISTINCT src AS s, dst AS t FROM (
+            SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p' || CAST(l_partkey % 100 AS VARCHAR) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p' || CAST(l_partkey % 100 AS VARCHAR),
+                   's' || CAST(l_suppkey AS VARCHAR)
+            FROM lineitem)
+        WHERE src IS NOT NULL AND dst IS NOT NULL
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)
+    """
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT e.t,
+               CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(38,12)))
+                    AS DOUBLE) AS c
+        FROM e JOIN r{i-1} r ON e.s = r.node JOIN deg ON deg.s = e.s
+        GROUP BY e.t
+    ),
+    d{i} AS (
+        SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,12)))
+                             AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dm
+        FROM r{i-1} r LEFT JOIN deg ON deg.s = r.node
+        WHERE deg.deg IS NULL
+    ),
+    r{i} AS (
+        SELECT n.node,
+               (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+               + {d} * (COALESCE(c{i}.c, CAST(0.0 AS DOUBLE))
+                        + d{i}.dm / nn.n) AS rank
+        FROM nodes n LEFT JOIN c{i} ON c{i}.t = n.node, d{i}, nn
+    )"""
+    return sql + f"""
+    SELECT node, rank FROM r{iterations} ORDER BY node
+    """
+
+
+@register("q135_pagerank", _q135_oracle(3, 0.85))
+def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the supplier↔part-bucket graph
+    (operators/graph.py::pagerank): 3 fixed iterations, dangling mass
+    recycled uniformly, total rank conserved at 1. The oracle unrolls
+    the same 3 iterations in SQL; because the operator accumulates
+    contribution and dangling sums in DECIMAL(38,12) (exact,
+    associative — independent of shuffle order), every iteration's
+    ranks are bit-identical across engines without any rounding.
+
+    At 100 TB: each iteration is one contribution join + one
+    per-destination agg, node-key shuffles only; ONE action per
+    iteration (the eager checkpoint bounds lineage), and the driver
+    holds two scalars."""
+    from goetl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 100).cast("string"))
+        .alias("dst"))
+    rev = li.select(
+        F.concat(F.lit("p"), (F.col("l_partkey") % 100).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    pr = pagerank(fwd.unionByName(rev), damping=0.85, iterations=3)
+    return pr.select("node", "rank").orderBy("node")
+
+
+# multi-char pieces chosen to exercise greedy longest-match on the
+# corpus vocabulary (tab⊂table, win⊂window, que⊂query, dat⊂data);
+# single chars + ##-continuations complete the fallback alphabet
+_Q136_W = ("window", "win", "table", "tab", "query", "que",
+           "data", "dat", "spark", "str")
+
+
+@register(
+    "q136_wordpiece",
+    f"""
+    WITH words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents)
+        WHERE w <> ''
+    ), tok AS (
+        SELECT doc_id,
+               1 + length(w) - GREATEST(
+                   {", ".join(f"CASE WHEN starts_with(w, '{p}') THEN {len(p)} ELSE 0 END" for p in _Q136_W)},
+                   1) AS n
+        FROM words
+    )
+    SELECT d.doc_id, CAST(COALESCE(t.n_tokens, 0) AS INT) AS n_tokens
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, SUM(n) AS n_tokens FROM tok GROUP BY doc_id) t
+        USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q136_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece token counts over the corpus (operators/tokenizer.py::
+    wordpiece_tokenize — greedy longest-match, BERT-style ##
+    continuations, broadcast vocab, Arrow-batched mapInPandas). With a
+    vocabulary of multi-char word-start pieces plus the full
+    single-char/##-char alphabet, greedy tokenization is provably
+    1 + len(word) − longest-matching-piece-prefix per word — an
+    expression the oracle evaluates in SQL, pinning the matcher's
+    longest-match choice (tab vs table, win vs window) on real text.
+
+    At 100 TB: the vocab set broadcasts once in the UDF closure; the
+    kernel is one Arrow pass per partition, no shuffle before the
+    per-doc count."""
+    from goetl_spark.operators.tokenizer import wordpiece_tokenize
+
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+        [str(n) for n in range(10)]
+    vocab = set(_Q136_W) | set(chars) | {"##" + c for c in chars}
+    d = _t(spark, sf_dir, "documents")
+    out = wordpiece_tokenize(d, vocab, text_col="text", id_col="doc_id")
+    return out.select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+@register(
+    "q137_hard_negatives",
+    f"""
+    WITH p AS (
+        SELECT q.vec_id AS query_id, MIN(c.vec_id) AS positive_id
+        FROM embeddings q
+        JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10 GROUP BY q.vec_id
+    ),
+    qv AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (SELECT query_id FROM p)
+    ),
+    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    s AS (
+        SELECT query_id, nid, {_DUCK_COS.format(a='qv', b='cv')} AS cos_sim
+        FROM qv CROSS JOIN c
+        WHERE nid <> query_id
+    ),
+    f AS (
+        SELECT s.* FROM s
+        WHERE NOT EXISTS (SELECT 1 FROM p
+                          WHERE p.query_id = s.query_id
+                            AND p.positive_id = s.nid)
+    )
+    SELECT query_id, nid AS negative_id, cos_sim, hard_rank FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, nid) AS hard_rank
+        FROM f
+    ) WHERE hard_rank <= 5
+    ORDER BY query_id, hard_rank
+    """,
+)
+def q137_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators/
+    similarity.py::mine_hard_negatives): for each (query, positive)
+    pair — positives here are each query's lowest same-label sibling —
+    the 5 corpus vectors MOST similar to the query that are neither
+    its positive nor itself, ranked hardest-first. These are the
+    examples that actually move a contrastive loss. The retrieval is
+    knn_bruteforce at k + positives + 1 (exact-equivalence config, so
+    the oracle's global cosine ordering is reproduced); swap in the
+    IVF/PQ retrievers at corpus scale — same output contract.
+
+    At 100 TB: queries broadcast; the corpus never shuffles; only
+    surviving (query, candidate, score) tuples move."""
+    from goetl_spark.operators.similarity import mine_hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).alias("q")
+    c = emb.alias("c")
+    pairs = (q.join(c, (F.col("q.label") == F.col("c.label"))
+                    & (F.col("q.vec_id") != F.col("c.vec_id")))
+             .groupBy(F.col("q.vec_id").alias("query_id"))
+             .agg(F.min("c.vec_id").alias("positive_id")))
+    out = mine_hard_negatives(pairs, emb, k=5)
+    return out.orderBy("query_id", "hard_rank")
+
+
+@register(
+    "q138_sliding_distinct",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - off * INTERVAL '30 minutes' AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events, (SELECT UNNEST([0, 1]) AS off)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q138_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per 1-hour window sliding every 30
+    minutes (streaming/windows.py::sliding_distinct_users, batch
+    path) — the rolling-audience metric. Batch inputs get EXACT
+    count_distinct; the same operator on a stream switches to HLL
+    partials (and raises if exact is forced — unbounded per-window
+    user sets). The oracle replays the window expansion with the
+    unnest-offsets trick (each event belongs to window/slide = 2
+    buckets).
+
+    At 100 TB: one shuffle keyed by window bucket; the in-bucket
+    distinct is Spark's partial-aggregated count_distinct."""
+    from goetl_spark.streaming.windows import sliding_distinct_users
+
+    e = _t(spark, sf_dir, "events")
+    out = sliding_distinct_users(e, "ts", "user_id", "1 hour", "30 minutes")
+    return (out.select(F.col("window.start").alias("window_start"),
+                       "n_users", "n_events")
+            .orderBy("window_start"))
 
 
 ENTRY_QUERY = q01_pricing_summary

@@ -10,7 +10,12 @@ grows past 50:
   has a driver row in the union of CORRECTNESS_r*.json artifacts (the
   union stays at 100 % after every round);
 - no query goes stale: anything absent from the artifacts of the last
-  two recorded rounds must be seated in the upcoming window.
+  THREE recorded rounds must be seated in the upcoming window. (The
+  budget was two rounds through round 6; with a 50-seat window, two
+  windows cover at most 100 distinct queries, and the registry passed
+  that — steady-state mandatory seats would have crowded out all new
+  work by round 8. Three rounds give capacity 150; the driver's actual
+  bar — a green row in the artifact union — is unaffected.)
 """
 from __future__ import annotations
 
@@ -51,7 +56,8 @@ def test_window_is_queries_prefix():
 
 def test_union_coverage_and_staleness():
     """Every registered query has a past driver row or an upcoming seat;
-    nothing sits out more than two consecutive recorded rounds."""
+    nothing sits out more than three consecutive recorded rounds (see
+    module docstring for why the budget widened from two)."""
     from goetl_spark.queries import _REGISTRY, _WINDOW
 
     arts = _artifacts()
@@ -65,8 +71,9 @@ def test_union_coverage_and_staleness():
         f"queries with no driver row and no window seat: {uncovered}")
 
     latest = max(arts)
-    recent = arts.get(latest, set()) | arts.get(latest - 1, set())
+    recent = (arts.get(latest, set()) | arts.get(latest - 1, set())
+              | arts.get(latest - 2, set()))
     stale = [n for n in _REGISTRY if n not in recent and n not in window]
     assert not stale, (
-        f"queries absent from rounds {latest - 1}-{latest} and not seated "
+        f"queries absent from rounds {latest - 2}-{latest} and not seated "
         f"for the next round: {stale}")

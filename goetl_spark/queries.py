@@ -81,15 +81,14 @@ def register(name: str, oracle: str | None):
 # q11-q13, q17-q21, q24, q25, q28, q30, q33, q38, q39, q41-q44, q49,
 # q52, q59, q63, q64, q66, q67, q79, q80; (b) changed-code re-seats
 # q82/q87 (r6's per-partition sketch compress needs a fresh driver
-# row); (c) the 10 round-7 registrations q129-q138 (the round-6
-# tests-first operators, each now oracled); (d) the two r6 bench
-# watch items q57/q81 (fresh rows at a fixed window position for the
-# warm-vs-cold comparison) and flagship q01. That is exactly 50.
-# Round-8 planning: the 41 remaining r5-last queries (43 minus
-# q57/q81/q01... q01 is r5-last too — 40 remaining) become mandatory
-# in round 8 under the 3-round rule, leaving ~10 free seats.
+# row); (c) the 12 round-7 registrations q129-q140 (the round-6
+# tests-first operators plus the two streaming batch-twins, each now
+# oracled); (d) bench watch item q57 (fresh row at a fixed window
+# position for the warm-vs-cold comparison). That is exactly 50.
+# Round-8 planning: the 42 r5-last queries not seated here (incl.
+# q01/q81) become mandatory in round 8 under the 3-round rule,
+# leaving ~8 free seats.
 _WINDOW: list[str] = [
-    "q01_pricing_summary",
     "q02_filter_combinators", "q03_filter_strings",
     "q04_join_inner", "q05_join_left_nulls",
     "q06_join_multiway_broadcast", "q07_global_agg",
@@ -102,12 +101,13 @@ _WINDOW: list[str] = [
     "q49_set_ops", "q52_hash_split", "q57_streaming_dedup",
     "q59_ann_lsh", "q63_unpivot", "q64_fuzzy_pairs",
     "q66_forecast_revenue", "q67_io_stats", "q79_csv_roundtrip",
-    "q80_jsonl_roundtrip", "q81_sequence_packing",
+    "q80_jsonl_roundtrip",
     "q82_tdigest_bound", "q87_tdigest_by_group",
     "q129_robust_scale", "q130_mode_by_group", "q131_mad",
     "q132_quantile_normalize", "q133_sorted_neighborhood",
     "q134_sentence_stats", "q135_pagerank", "q136_wordpiece",
     "q137_hard_negatives", "q138_sliding_distinct",
+    "q139_funnel_stream", "q140_zscore_stream",
 ]
 
 
@@ -5642,6 +5642,139 @@ def q138_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("window.start").alias("window_start"),
                        "n_users", "n_events")
             .orderBy("window_start"))
+
+
+@register(
+    "q139_funnel_stream",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), u AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS u1,
+               (SELECT COUNT(*) FROM s2) AS u2,
+               (SELECT COUNT(*) FROM s3) AS u3
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, u1 AS users FROM u
+    UNION ALL SELECT 2, 'click', u2 FROM u
+    UNION ALL SELECT 3, 'purchase', u3 FROM u
+    ORDER BY stage_idx
+    """,
+)
+def q139_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING strict-order funnel (streaming/stateful.py::
+    funnel_stream) — q114's batch funnel run live: events replayed in
+    event-time order through applyInPandasWithState, per-user state =
+    three scalars (next stage, t1, previous conversion time), an
+    update row emitted on each stage advancement. The final per-user
+    reach (max stage_idx across updates) rolled up per stage must
+    equal the batch funnel exactly — the oracle is q114's own SQL,
+    giving the stateful streaming API a value-hash row (r6 verdict
+    optional-depth ask).
+
+    At scale: O(users) fixed-width state, no event retention; the
+    rollup reads only the emitted conversions."""
+    from goetl_spark.streaming import replay_stream_ordered, state_partitions
+    from goetl_spark.streaming.stateful import funnel_stream
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    stream, _dir = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q139_replay"))
+    upd = funnel_stream(stream, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"],
+                        within_seconds=7 * 86400)
+    name = "goetl_q139_result"
+    with state_partitions(spark, 4):
+        q = (upd.writeStream.format("memory").queryName(name)
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    reach = (spark.table(name).groupBy("user_id")
+             .agg(F.max("stage_idx").alias("reach")))
+    stages = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")],
+        "stage_idx int, stage string")
+    counts = (reach.select(F.explode(F.sequence(F.lit(1), F.col("reach")))
+                           .alias("stage_idx"))
+              .groupBy("stage_idx").agg(F.count(F.lit(1)).alias("n")))
+    return (stages.join(counts, "stage_idx", "left")
+            .select("stage_idx", "stage",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("users"))
+            .orderBy("stage_idx"))
+
+
+@register(
+    "q140_zscore_stream",
+    """
+    WITH seq AS (
+        SELECT event_type, value,
+               COUNT(value) OVER w AS nprev,
+               AVG(value) OVER w AS mprev,
+               VAR_POP(value) OVER w AS vprev
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (nprev >= 10 AND vprev > 0)
+                AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (nprev >= 10 AND vprev > 0
+                AND abs((value - mprev) / sqrt(vprev)) >= 3.0)
+                AS BIGINT) AS n_anomalies
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q140_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Welford anomaly scoring (streaming/stateful.py::
+    running_zscore_stream): events replayed chronologically; each event
+    is z-scored against its key's PRE-event running mean/std (an
+    outlier cannot inflate the variance it is judged against), scored
+    only once 10 events have seeded the key. The oracle replays the
+    same expanding-window semantics as an ANSI window (AVG/VAR_POP
+    over UNBOUNDED PRECEDING..1 PRECEDING on the same (type, ts)
+    order — unique per the data) and compares the integer outcomes
+    (scored + anomaly counts): Welford and the window agg agree to
+    ~1e-12 relative, far inside the |z|≥3 decision margin.
+
+    At scale: O(keys) three-scalar state; in-batch ts sort pins
+    scoring order (ts_col contract added for this query)."""
+    from goetl_spark.streaming import replay_stream_ordered, state_partitions
+    from goetl_spark.streaming.stateful import running_zscore_stream
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stream, _dir = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q140_replay"))
+    upd = running_zscore_stream(stream, "event_type", "value",
+                                threshold=3.0, min_count=10, ts_col="ts")
+    name = "goetl_q140_result"
+    with state_partitions(spark, 4):
+        q = (upd.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("zscore").alias("n_scored"),
+                 F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+                 .cast("long").alias("n_anomalies"))
+            .orderBy("event_type"))
 
 
 ENTRY_QUERY = q01_pricing_summary

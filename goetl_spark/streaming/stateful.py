@@ -217,6 +217,7 @@ def running_zscore_stream(
     value_col: str,
     threshold: float = 3.0,
     min_count: int = 10,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Live anomaly scoring: per-key RUNNING mean/variance via Welford's
     algorithm (numerically stable single-pass moments — naive Σx²−mean²
@@ -228,7 +229,14 @@ def running_zscore_stream(
     population-variance definition, but incremental — state per key is
     three scalars (n, mean, M2), so memory is O(keys), and scoring uses
     the pre-event state so an outlier cannot mask itself by inflating
-    the variance it is judged against."""
+    the variance it is judged against.
+
+    ``ts_col`` (optional) sorts each micro-batch's rows by event time
+    before scoring — the same in-batch ordering contract as
+    :func:`funnel_stream`. Without it, rows are scored in arrival
+    order within the batch, which is nondeterministic after the
+    group-key shuffle; pass it whenever per-event scores (not just the
+    converged state) must be reproducible."""
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -238,6 +246,8 @@ def running_zscore_stream(
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out: list[tuple] = []
         for pdf in pdfs:
+            if ts_col is not None:
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
             for v in pdf[value_col]:
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue

@@ -812,3 +812,186 @@ def sorted_neighborhood_pairs(
                 (F.col("__rb") - F.col("__ra")).cast("int")
                 .alias("rank_distance"))
     )
+
+
+def winnow_anchor_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 20, window: int = 8,
+) -> DataFrame:
+    """Positional variant of :func:`winnow_fingerprints`: one row per
+    winnow-selected anchor with its CHARACTER offset and the exact
+    ``k``-gram substring — the index for span-level dedup, where "which
+    fingerprint" is not enough and "where, and what text" is needed.
+
+    Returns (id_col, pos, gram): ``pos`` is the 0-based char offset,
+    ``gram`` is ``text[pos:pos+k]`` verbatim. Because winnowing selects
+    positions by CONTENT (each window keeps its minimum hash), the two
+    copies of any duplicated region pick the same anchors at the same
+    in-region offsets — the property span detection needs and a fixed
+    stride cannot give (arbitrary alignment).
+
+    Implementation: the same vectorized rolling polynomial hash as
+    :func:`winnow_fingerprints`, but over per-CHARACTER code points
+    (utf-32 view — byte hashing would return byte offsets that split
+    multibyte chars when slicing), keeping window-argmin positions
+    instead of min values. Map-only, Arrow-batched, zero shuffle.
+    Density ~2/(window+1) anchors per char.
+    """
+    import pandas as pd
+
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+
+    B = 1000003
+
+    def gen(batches):
+        import numpy as np
+
+        powers = np.array([pow(B, k - 1 - j, 1 << 64) for j in range(k)],
+                          dtype=np.uint64)
+
+        def doc_anchor_pos(text: str) -> np.ndarray:
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            if len(cp) < k:
+                return np.zeros(0, dtype=np.int64)
+            n_grams = len(cp) - k + 1
+            H = np.zeros(n_grams, dtype=np.uint64)
+            for j in range(k):  # k vectorized shifted adds
+                H += cp[j:j + n_grams].astype(np.uint64) * powers[j]
+            if n_grams <= window:
+                idx = np.array([int(H.argmin())])
+            else:
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                sw = sliding_window_view(H, window)
+                idx = sw.argmin(axis=1) + np.arange(sw.shape[0])
+            return np.unique(idx).astype(np.int64)
+
+        for pdf in batches:
+            ids, poss, grams = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                for p in doc_anchor_pos(t):
+                    ids.append(i)
+                    poss.append(int(p))
+                    grams.append(t[p:p + k])
+            yield pd.DataFrame({id_col: ids, "pos": poss, "gram": grams})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, pos long, gram string"
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 20, window: int = 8, min_df: int = 2,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the training-data
+    dedup problem of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): find the regions of each document
+    whose text also occurs elsewhere in the corpus, so they can be cut
+    (:func:`cut_spans`) rather than dropping whole near-identical docs.
+    Doc-level Jaccard/MinHash misses these entirely when the duplicated
+    passage is a small fraction of both documents.
+
+    Mechanics (suffix-array-free, join-shaped):
+
+    1. winnow-selected anchor k-grams with positions
+       (:func:`winnow_anchor_positions` — content-defined, so every
+       copy of a duplicated region anchors identically);
+    2. keep anchors whose EXACT gram text occurs in ≥ ``min_df``
+       distinct documents (grouped on the substring itself, not a
+       hash — no collision risk, no verification pass);
+    3. per document, merge anchors closer than ``merge_gap`` (default
+       ``window + k − 1``, the winnowing guarantee distance) into
+       maximal spans [span_start, span_end).
+
+    GUARANTEE (inherited from winnowing): every copy of a substring
+    duplicated across ≥ ``min_df`` documents with length ≥
+    ``window + k − 1`` contains at least one anchor, hence intersects
+    at least one reported span. Reported spans only cover duplicated
+    anchors — a span's grams all occur verbatim in other documents.
+
+    At 100 TB: the anchor index is ~2/(window+1) of a full k-gram
+    index; one shuffle groups grams for document-frequency, one joins
+    the frequent set back, and the islands merge is a per-DOC window
+    (anchors per doc are bounded by len/1 · density). Returns
+    (id_col, span_start, span_end, n_anchors).
+    """
+    from pyspark.sql import Window
+
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (a span duplicated across "
+                         "fewer than 2 documents is not a duplicate)")
+    gap = merge_gap if merge_gap is not None else window + k - 1
+
+    anchors = winnow_anchor_positions(df, text_col, id_col, k, window)
+    freq = (anchors.groupBy("gram")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+            .filter(F.col("__df") >= min_df)
+            .select("gram"))
+    dup = anchors.join(freq, "gram")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (prev_end.isNull()
+                  | (F.col("pos") > prev_end + gap)).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (dup.withColumn("__island", island)
+            .groupBy(id_col, "__island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_anchors"))
+            .drop("__island"))
+
+
+def cut_spans(
+    df: DataFrame, spans: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", out_col: str = "text_deduped",
+) -> DataFrame:
+    """Remove character spans from each document's text — the removal
+    half of span dedup (filter ``spans`` first to keep one canonical
+    copy, e.g. the lowest (doc_id, span_start) per duplicate cluster,
+    if removal from every copy is not wanted).
+
+    ``spans`` is (id_col, span_start, span_end) with 0-based
+    half-open char offsets. Overlapping spans are tolerated (clamped
+    while folding). Documents with no spans pass through unchanged.
+
+    Zero-UDF: spans are collected per doc (bounded by doc length ·
+    anchor density), sorted in-row, and the kept text is built with a
+    single ``aggregate`` fold over the span array — concat the slice
+    between the previous span's end and this span's start, then the
+    tail. One shuffle (the per-doc collect); the fold is whole-stage
+    codegen, not Python."""
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("span_start").alias("s"),
+                            F.col("span_end").alias("e")))).alias("__spans")))
+    joined = df.join(per_doc, id_col, "left")
+    txt = F.col(text_col)
+    folded = F.aggregate(
+        F.col("__spans"),
+        F.struct(F.lit("").alias("out"), F.lit(0).cast("long").alias("prev")),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["out"],
+                F.substring(
+                    txt, (acc["prev"] + 1).cast("int"),
+                    F.greatest(sp["s"] - acc["prev"],
+                               F.lit(0).cast("long")).cast("int"))
+            ).alias("out"),
+            F.greatest(sp["e"], acc["prev"]).alias("prev")),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(txt, (acc["prev"] + 1).cast("int"),
+                        F.length(txt))),
+    )
+    return (joined.withColumn(
+        out_col,
+        F.when(F.col("__spans").isNull(), txt).otherwise(folded))
+        .drop("__spans"))

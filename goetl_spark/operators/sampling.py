@@ -366,3 +366,31 @@ def weighted_systematic_sample(
         )
     finally:
         parts.unpersist()
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    salt: str = "goetl",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training epochs: order rows by
+    ``md5(salt:epoch:key)`` so every epoch sees a different but fully
+    reproducible permutation — no RNG, no driver state, same order on
+    re-run and across engines (the standard "reshuffle each epoch"
+    step before sharding a training corpus).
+
+    Scale: one range-partitioned sort on the hash (Spark samples range
+    bounds, so output partitions are balanced even when the key
+    distribution is skewed); downstream writes preserve the order
+    per-file. The hash column rides along as ``__shuffle_key`` for
+    oracle checking and is typically dropped after the write.
+    """
+    key = F.concat_ws(":", F.lit(salt), F.lit(str(epoch)),
+                      F.col(key_col).cast("string"))
+    out = df.withColumn("__shuffle_key", F.md5(key))
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")
+    return out.repartitionByRange(int(n), "__shuffle_key") \
+              .sortWithinPartitions("__shuffle_key")

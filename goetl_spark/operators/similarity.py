@@ -989,3 +989,61 @@ def mine_hard_negatives(
             .select("query_id",
                     F.col("neighbor_id").alias("negative_id"),
                     "cos_sim", "hard_rank"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+    dim: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): drop documents whose EMBEDDINGS are near-identical
+    even when their text differs — the dedup layer that catches
+    paraphrases and templated rewrites MinHash misses.
+
+    Composition of verified parts: block by random-hyperplane LSH bucket
+    (``n_planes`` > 0 — the scale path; SemDeDup's k-means clustering
+    plays the same blocking role, LSH here keeps assignment a pure
+    column expression via :func:`rp_lsh_bucket`), find within-block
+    cosine pairs ≥ ``threshold`` (:func:`embedding_neardup_pairs`),
+    connect them into components (``dedup_clusters`` — min-label
+    propagation), and keep one representative per component (the min
+    id, SemDeDup keeps one random item — min-id is the deterministic
+    choice). ``n_planes=0`` is exact all-pairs for small/pre-blocked
+    inputs and for oracle checking.
+
+    Returns ``df`` columns plus ``sem_cluster_id`` (= min id of the
+    component; own id if unclustered) and boolean ``keep``.
+
+    Scale: pair search is bucket-local (never all-pairs when blocked),
+    components shuffle only the pair graph — document vectors never
+    re-shuffle; the final join is id-to-id. Blocking trades recall
+    across bucket boundaries exactly like SemDeDup's per-cluster scope.
+    """
+    from goetl_spark.operators.dedup import dedup_clusters
+
+    bucket_col = None
+    work = df
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim (embedding dimension) is required when n_planes > 0")
+        planes = random_hyperplanes(dim, n_planes, seed)
+        work = df.withColumn("__bucket", rp_lsh_bucket(F.col(vec_col), planes))
+        bucket_col = "__bucket"
+    pairs = embedding_neardup_pairs(
+        work, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        bucket_col=bucket_col)
+    clusters = dedup_clusters(pairs, "id_a", "id_b", max_iter=max_iter)
+    return (
+        df.join(clusters.withColumnRenamed("doc_id", "__cid"),
+                F.col(id_col) == F.col("__cid"), "left")
+        .withColumn("sem_cluster_id",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("keep", F.col("sem_cluster_id") == F.col(id_col))
+        .drop("__cid", "cluster_id", "__bucket")
+    )

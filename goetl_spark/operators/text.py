@@ -323,3 +323,87 @@ def sentence_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         n.alias("n_sentences"),
         F.when(n > 0, total_chars / n).alias("mean_sentence_chars"))
+
+
+# the 8-word presence list from the Gopher paper's document filter
+# (Rae et al. 2021, arXiv:2112.11446, Appendix A1.1) — fixed and tiny so
+# the identical list inlines into oracle SQL
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, Appendix A)
+    as one flag per rule plus the conjunction ``gopher_pass`` — the
+    standard pre-training corpus filter, applied before dedup.
+
+    Appended columns: ``n_words`` (int) and booleans ``words_ok``
+    (count in [min_words, max_words]), ``mwl_ok`` (mean word length in
+    [3, 10]), ``symbol_ok`` (hash+ellipsis per word ≤ 0.1), ``bullet_ok``
+    (≤ 90% of lines start with a bullet), ``ellipsis_ok`` (≤ 30% of
+    lines end with …), ``alpha_ok`` (≥ 80% of words contain a letter),
+    ``stopword_ok`` (≥ 2 distinct words of the paper's 8-word list
+    present), and ``gopher_pass``.
+
+    Scale: pure Column expressions over the text (split / filter /
+    regexp — all JVM-side higher-order functions), so the pass is
+    scan-bound map work with zero shuffle and survives 100 TB unchanged.
+    Integer counts + boolean flags only — no float ratio columns — so
+    results hash identically cross-engine. Every regex is RE2-portable
+    (no lookarounds) and each flag is a single expression, mirrorable
+    one-to-one in oracle SQL (DuckDB ``list_filter`` + ``regexp_matches``).
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    # split('') yields [''] — count words only when the trimmed text is
+    # non-empty, and floor the ratio denominator at 1 so empty docs fail
+    # words_ok instead of dividing by zero
+    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(words))
+    denom = F.greatest(n_words, F.lit(1)).cast("double")
+
+    non_space_chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    mwl = non_space_chars.cast("double") / denom
+
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    dots3 = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    uni_ell = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    symbol_ratio = (hashes + dots3 + uni_ell).cast("double") / denom
+
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+    low = F.lower(c)
+    sw_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = low.rlike(rf"(^|[^a-z]){w}([^a-z]|$)").cast("int")
+        sw_hits = hit if sw_hits is None else sw_hits + hit
+
+    flags = {
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mwl_ok": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "symbol_ok": symbol_ratio <= max_symbol_ratio,
+        "bullet_ok": bullet_lines / n_lines <= max_bullet_ratio,
+        "ellipsis_ok": ellipsis_lines / n_lines <= max_ellipsis_ratio,
+        "alpha_ok": alpha_words.cast("double") / denom >= min_alpha_ratio,
+        "stopword_ok": sw_hits >= min_stopword_hits,
+    }
+    out = df.withColumn("n_words", n_words)
+    gopher_pass = None
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        gopher_pass = expr if gopher_pass is None else gopher_pass & expr
+    return out.withColumn("gopher_pass", gopher_pass)

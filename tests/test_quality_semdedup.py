@@ -1,0 +1,134 @@
+"""Round-7 additions: Gopher quality-rule bundle, SemDeDup-style
+embedding dedup, epoch-deterministic shuffle."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+GOOD = (
+    "The quick brown fox jumped over the lazy dog and then ran off to "
+    "the river of the north with a basket that it seemed to have found "
+    "near the old mill. " * 4
+)
+
+
+def _flags_row(spark, text, **kw):
+    from goetl_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return gopher_quality_flags(df, **kw).collect()[0]
+
+
+def test_gopher_pass_on_clean_prose(spark):
+    r = _flags_row(spark, GOOD)
+    assert r.words_ok and r.mwl_ok and r.symbol_ok and r.bullet_ok
+    assert r.ellipsis_ok and r.alpha_ok and r.stopword_ok
+    assert r.gopher_pass
+
+
+def test_gopher_word_count_bounds(spark):
+    r = _flags_row(spark, "too short to have fifty words")
+    assert not r.words_ok and not r.gopher_pass
+    assert r.n_words == 6
+    # the bound is parameterized — same doc passes with a lower floor
+    assert _flags_row(spark, "the words be to of and that have with ok",
+                      min_words=5).words_ok
+
+
+def test_gopher_symbol_ratio(spark):
+    hashy = GOOD + " " + "# " * 30
+    r = _flags_row(spark, hashy)
+    assert not r.symbol_ok and not r.gopher_pass
+    # unicode ellipsis counts like '...'
+    dotty = GOOD + " " + "word… " * 40
+    assert not _flags_row(spark, dotty).symbol_ok
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    bullets = "\n".join(["- item %d of the list" % i for i in range(20)])
+    r = _flags_row(spark, bullets, min_words=10)
+    assert not r.bullet_ok
+    ell = "\n".join(["the line trails off..." for _ in range(10)])
+    assert not _flags_row(spark, ell, min_words=10).ellipsis_ok
+    # one bullet among many prose lines is fine
+    mixed = GOOD + "\n- a single bullet\n" + GOOD
+    assert _flags_row(spark, mixed).bullet_ok
+
+
+def test_gopher_alpha_and_stopwords(spark):
+    nums = " ".join(str(i) for i in range(80))
+    r = _flags_row(spark, nums)
+    assert not r.alpha_ok and not r.stopword_ok
+    # 'the' and 'with' as substrings of other words must NOT count
+    camo = "brother without theory " * 30
+    assert not _flags_row(spark, camo).stopword_ok
+
+
+def test_gopher_empty_doc_fails_cleanly(spark):
+    r = _flags_row(spark, "   ")
+    assert r.n_words == 0 and not r.gopher_pass
+
+
+def test_semantic_dedup_exact_allpairs(spark):
+    from goetl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.998, 0.02]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),      # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[1].keep and not by_id[2].keep
+    assert by_id[2].sem_cluster_id == 1
+    assert by_id[3].keep and not by_id[4].keep
+    assert by_id[5].keep and by_id[5].sem_cluster_id == 5
+    assert "embedding" in out[0].asDict()  # original columns preserved
+
+
+def test_semantic_dedup_lsh_blocking_matches_allpairs_here(spark):
+    """With well-separated clusters the blocked path finds the same
+    components as all-pairs (blocking only risks recall ACROSS buckets;
+    antipodal clusters always split)."""
+    from goetl_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 1e-4, 0.0]) for i in range(1, 4)] + [
+        (10 + i, [-1.0, 0.0, float(i) * 1e-4]) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.vec_id, r.sem_cluster_id)
+             for r in semantic_dedup(df, threshold=0.999).collect()}
+    blocked = {(r.vec_id, r.sem_cluster_id)
+               for r in semantic_dedup(df, threshold=0.999, n_planes=4,
+                                       dim=3).collect()}
+    assert exact == blocked
+    keeps = {r.vec_id for r in semantic_dedup(df, threshold=0.999).collect()
+             if r.keep}
+    assert keeps == {1, 11}
+
+
+def test_semantic_dedup_requires_dim_for_blocking(spark):
+    from goetl_spark.operators.similarity import semantic_dedup
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        semantic_dedup(df, n_planes=4)
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    from goetl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=1).collect()]
+    b = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=1).collect()]
+    c = [r.doc_id for r in epoch_shuffle(df, "doc_id", epoch=2).collect()]
+    assert a == b                      # reproducible
+    assert a != c                      # epochs permute differently
+    assert sorted(a) == sorted(c) == list(range(500))  # a permutation
+    # order is the md5 order — verifiable cross-engine
+    hashes = [r["__shuffle_key"] for r in
+              epoch_shuffle(df, "doc_id", epoch=1).collect()]
+    assert hashes == sorted(hashes)

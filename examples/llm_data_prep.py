@@ -18,8 +18,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     from pyspark.sql import functions as F
 
     from goetl_spark.operators.dedup import contamination_flags, exact_dedup
-    from goetl_spark.operators.sampling import chunk_documents, pack_sequences
-    from goetl_spark.operators.text import quality_score
+    from goetl_spark.operators.sampling import (
+        chunk_documents, epoch_shuffle, pack_sequences)
+    from goetl_spark.operators.text import gopher_quality_flags, quality_score
     from goetl_spark.operators.tokenizer import (
         vocab_from_corpus, wordpiece_tokenize)
     from goetl_spark.session import get_spark
@@ -35,6 +36,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
             .filter(F.col("q") >= 0.3)
             .select("doc_id", "text"))
     n1 = kept.count()
+
+    # 1b. the published Gopher rule bundle, reported per-rule (the
+    #     synthetic corpus is short-doc heavy, so report rather than
+    #     filter here; production pipelines filter on gopher_pass)
+    n_gopher = (gopher_quality_flags(kept, min_words=10)
+                .filter(F.col("gopher_pass")).count())
 
     # 2. exact dedup on content hash (winners join back to the text)
     winners = exact_dedup(kept, text_col="text", id_col="doc_id") \
@@ -64,9 +71,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         budget=256, order_cols=("doc_id",))
     n_packs = packed.select("pack_id").distinct().count()
 
-    result = {"input_docs": n0, "after_quality": n1, "after_dedup": n2,
+    # 7. epoch-deterministic global shuffle before sharding (same
+    #    permutation on re-run; a different one per epoch)
+    first_doc = int(epoch_shuffle(clean, "doc_id", epoch=0)
+                    .select("doc_id").first()[0])
+
+    result = {"input_docs": n0, "after_quality": n1,
+              "gopher_pass": n_gopher, "after_dedup": n2,
               "after_decontamination": n3, "chunks": n4,
-              "packs_of_256_tokens": n_packs}
+              "packs_of_256_tokens": n_packs,
+              "epoch0_first_doc": first_doc}
     print(f"llm_data_prep: {result}")
     if owns_spark:
         spark.stop()

@@ -40,3 +40,7 @@ def test_llm_data_prep_example(spark):
     assert r["after_decontamination"] < r["input_docs"]  # bench leak removed
     assert r["chunks"] >= r["after_decontamination"]
     assert r["packs_of_256_tokens"] > 0
+    assert 0 <= r["gopher_pass"] <= r["after_quality"]
+    # the epoch-0 shuffle is deterministic: same first doc on re-run
+    r2 = main(SF, spark=spark)
+    assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]

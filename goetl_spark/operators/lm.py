@@ -145,3 +145,43 @@ def char_entropy(
         .agg(F.first("n_chars").alias("n_chars"),
              _rounded_decimal_sum(-frac * F.log(frac), 9, "entropy"))
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the corpus bigram LM
+    (:func:`bigram_logprob_scores`) and label the best-scoring
+    ``cuts[0]`` fraction ``head``, the next slice ``middle``, the rest
+    ``tail`` — the standard LM-quality tiers used to stratify a crawl
+    before sampling. Higher avg_logprob = lower perplexity = head.
+
+    Bucketing rides the same distributed exact global rank that powers
+    :func:`~goetl_spark.operators.ranking.ntile_bins` (ties broken by
+    id for determinism) — no single-task global window, so the tiers
+    stay exact at any scale, and the fraction cuts become exact integer
+    rank thresholds. Returns (id_col, n_bigrams, avg_logprob, lm_bucket).
+    """
+    if not (0.0 < cuts[0] < cuts[1] < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < c0 < c1 < 1, got {cuts}")
+    from goetl_spark.operators.ranking import _ranked
+
+    scored = bigram_logprob_scores(df, text_col, id_col, k=k) \
+        .withColumn("__neg", -F.col("avg_logprob"))
+    # distributed exact global rank, best-first (ascending negated
+    # score, id tie-break); _ranked also returns the total row count,
+    # so the fraction cuts become exact integer rank thresholds
+    ranked, total = _ranked(scored, ["__neg", id_col], "__r", None)
+    c0 = int(round(cuts[0] * total))
+    c1 = int(round(cuts[1] * total))
+    return ranked.withColumn(
+        "lm_bucket",
+        F.when(F.col("__r") <= c0, "head")
+         .when(F.col("__r") <= c1, "middle")
+         .otherwise("tail"),
+    ).drop("__r", "__neg")

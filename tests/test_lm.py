@@ -68,3 +68,36 @@ def test_char_entropy_bounds(spark):
     assert out[1].entropy == pytest.approx(math.log(2), abs=1e-6)
     assert out[2].entropy == pytest.approx(math.log(4), abs=1e-6)
     assert 3 not in out  # empty doc has no characters
+
+
+def test_perplexity_buckets_tiers_and_determinism(spark):
+    from goetl_spark.operators.lm import perplexity_buckets
+
+    # 30 fluent docs sharing bigrams (high logprob) + 30 unique-token
+    # docs (every bigram count 1, large V penalty → low logprob)
+    fluent = [(i, "the cat sat on the mat and the cat sat") for i in range(30)]
+    noise = [(100 + i, " ".join(f"zq{i}w{j}" for j in range(10)))
+             for i in range(30)]
+    df = spark.createDataFrame(fluent + noise, "doc_id long, text string")
+    out = perplexity_buckets(df, cuts=(1.0 / 3.0, 2.0 / 3.0)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.lm_bucket, []).append(r.doc_id)
+    # every fluent doc scores above every noise doc, and tiers split
+    # 20/20/20: head is entirely fluent, tail entirely noise
+    assert len(by_bucket["head"]) == 20 and len(by_bucket["tail"]) == 20
+    assert all(d < 100 for d in by_bucket["head"])
+    assert all(d >= 100 for d in by_bucket["tail"])
+    # deterministic on re-run
+    again = {r.doc_id: r.lm_bucket
+             for r in perplexity_buckets(df).collect()}
+    assert all(again[r.doc_id] == r.lm_bucket for r in out)
+
+
+def test_perplexity_buckets_validates_cuts(spark):
+    import pytest
+    from goetl_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(df, cuts=(0.7, 0.3))

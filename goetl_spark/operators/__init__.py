@@ -23,4 +23,6 @@
   quantile normalization
 - :mod:`goetl_spark.operators.graph`     — PageRank over edge frames
 - :mod:`goetl_spark.operators.tokenizer` — WordPiece subword tokenization
+- :mod:`goetl_spark.operators.classifier`— model-based quality scoring (LR
+  over deterministic text features)
 """

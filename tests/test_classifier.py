@@ -1,0 +1,62 @@
+"""Model-based quality classifier (operators/classifier.py)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+PROSE = ("The old lighthouse keeper walked along the shore and watched "
+         "the boats come in with the evening tide, thinking of all the "
+         "storms that he had seen across the years. ")
+NOISE = "xK9$ 00%% @@## 77zz !!qq ~~vv 33JJ &&pp ^^dd 55hh "
+
+
+def _labeled(spark, n=40):
+    rows = [(i, PROSE * (1 + i % 3), 1.0) for i in range(n)] + \
+           [(100 + i, NOISE * (1 + i % 3), 0.0) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label double")
+
+
+def test_text_features_null_safe(spark):
+    from goetl_spark.operators.classifier import (
+        QUALITY_FEATURES, text_features)
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat."), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in text_features(df).collect()}
+    for fid in (1, 2, 3):
+        for f in QUALITY_FEATURES:
+            v = rows[fid][f]
+            assert v is not None and v == v, (fid, f, v)  # no NULL/NaN
+    assert rows[1].f_stopword_ratio > 0
+    assert rows[2].f_log_chars == 0.0
+
+
+def test_classifier_separates_prose_from_noise(spark):
+    from goetl_spark.operators.classifier import (
+        score_quality, train_quality_classifier)
+
+    model = train_quality_classifier(_labeled(spark))
+    test = spark.createDataFrame(
+        [(1, PROSE * 2), (2, NOISE * 2)], "doc_id long, text string")
+    out = {r.doc_id: r.quality_prob for r in
+           score_quality(test, model).collect()}
+    assert out[1] > 0.9 and out[2] < 0.1
+    # scoring keeps original columns and appends exactly quality_prob
+    cols = score_quality(test, model).columns
+    assert cols == ["doc_id", "text", "quality_prob"]
+
+
+def test_classifier_threshold_filters_corpus(spark):
+    from goetl_spark.operators.classifier import (
+        score_quality, train_quality_classifier)
+
+    model = train_quality_classifier(_labeled(spark))
+    mixed = spark.createDataFrame(
+        [(i, PROSE) for i in range(10)] +
+        [(50 + i, NOISE) for i in range(10)],
+        "doc_id long, text string")
+    kept = (score_quality(mixed, model)
+            .filter(F.col("quality_prob") >= 0.5)
+            .select("doc_id").collect())
+    assert {r.doc_id for r in kept} == set(range(10))

@@ -363,11 +363,15 @@ def gopher_quality_flags(
     one-to-one in oracle SQL (DuckDB ``list_filter`` + ``regexp_matches``).
     """
     c = F.col(text_col)
-    words = F.split(F.trim(c), r"\s+")
+    # regexp trim, not F.trim: SQL trim() strips only spaces, so a
+    # newline-padded doc would grow phantom empty words (caught by the
+    # hypothesis property vs the pure-Python reference)
+    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
+    words = F.split(trimmed, r"\s+")
     # split('') yields [''] — count words only when the trimmed text is
     # non-empty, and floor the ratio denominator at 1 so empty docs fail
     # words_ok instead of dividing by zero
-    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(words))
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(words))
     denom = F.greatest(n_words, F.lit(1)).cast("double")
 
     non_space_chars = F.length(F.regexp_replace(c, r"\s+", ""))

@@ -292,3 +292,58 @@ def test_ntile_formula_bin_sizes(n_rows, n_bins):
     assert max(vals) - min(vals) <= 1
     assert vals == sorted(vals, reverse=True)
     assert sum(vals) == n_rows
+
+
+# --- Gopher rule bundle vs pure-Python reference ---------------------------
+
+_GOPHER_ALPHABET = "abc THE the of and#.…-*•\t\n0123456789"
+
+
+def _gopher_py(text: str) -> dict:
+    """Independent reference implementation of the Gopher flag math
+    (same RE2-portable semantics, ASCII \\s only)."""
+    stripped = re.sub(r"[ \t\n]+", "", text)
+    trimmed = text.strip(" \t\n")
+    words = re.split(r"[ \t\n]+", trimmed) if trimmed else []
+    n_words = len(words)
+    denom = max(n_words, 1)
+    hashes = text.count("#")
+    dots3 = (len(text) - len(text.replace("...", ""))) / 3
+    uni = text.count("…")
+    lines = text.split("\n")
+    n_lines = max(len(lines), 1)
+    bullet = sum(bool(re.search(r"^[ \t\n]*[-*•]", l)) for l in lines)
+    ell = sum(bool(re.search(r"(\.\.\.|…)[ \t\n]*$", l)) for l in lines)
+    alpha = sum(bool(re.search(r"[A-Za-z]", w)) for w in words)
+    low = text.lower()
+    sw = sum(bool(re.search(rf"(^|[^a-z]){w}([^a-z]|$)", low))
+             for w in ("the", "be", "to", "of", "and", "that", "have",
+                       "with"))
+    return {
+        "n_words": n_words,
+        "words_ok": 2 <= n_words <= 100,
+        "mwl_ok": 3.0 <= len(stripped) / denom <= 10.0,
+        "symbol_ok": (hashes + dots3 + uni) / denom <= 0.1,
+        "bullet_ok": bullet / n_lines <= 0.9,
+        "ellipsis_ok": ell / n_lines <= 0.3,
+        "alpha_ok": alpha / denom >= 0.8,
+        "stopword_ok": sw >= 2,
+    }
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=_GOPHER_ALPHABET, max_size=60),
+                min_size=1, max_size=6))
+def test_gopher_flags_match_python_reference(spark, texts):
+    from goetl_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in
+           gopher_quality_flags(df, min_words=2, max_words=100).collect()}
+    for i, t in enumerate(texts):
+        want = _gopher_py(t)
+        for key, val in want.items():
+            assert got[i][key] == val, (key, repr(t), got[i][key], val)

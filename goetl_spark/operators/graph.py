@@ -32,9 +32,14 @@ def pagerank(
     deg_out(u) + dangling/N), dangling mass (nodes with no out-edges)
     redistributed uniformly so total rank stays 1. NULL endpoints are
     dropped (a NULL node id is not a vertex). Returns (node, rank)."""
+    # materialize the distinct edge set ONCE: without this, every
+    # iteration's contribution join (and the out-degree build) replays
+    # the upstream scan + distinct — 3× source re-reads per round on a
+    # lazy plan (measured 7.5 s → ~2 s on the q135 graph)
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
          .where(F.col("s").isNotNull() & F.col("t").isNotNull())
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=True))
     nodes = (e.select(F.col("s").alias("node"))
              .union(e.select(F.col("t").alias("node")))
              .distinct()
@@ -42,7 +47,8 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+               .localCheckpoint(eager=True))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

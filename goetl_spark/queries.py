@@ -5489,15 +5489,17 @@ def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds two scalars."""
     from goetl_spark.operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), (F.col("l_partkey") % 100).cast("string"))
-        .alias("dst"))
-    rev = li.select(
-        F.concat(F.lit("p"), (F.col("l_partkey") % 100).cast("string"))
-        .alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    # distinct the (suppkey, bucket) INT pair before minting string node
+    # ids: the edge set is identical, but the distinct shuffles two ints
+    # instead of 1.2M concatenated strings (~2× cheaper scan phase)
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey"),
+                  (F.col("l_partkey") % 100).alias("pb"))
+          .distinct())
+    s_id = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p_id = F.concat(F.lit("p"), F.col("pb").cast("string"))
+    fwd = li.select(s_id.alias("src"), p_id.alias("dst"))
+    rev = li.select(p_id.alias("src"), s_id.alias("dst"))
     pr = pagerank(fwd.unionByName(rev), damping=0.85, iterations=3)
     return pr.select("node", "rank").orderBy("node")
 

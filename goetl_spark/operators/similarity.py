@@ -999,6 +999,7 @@ def semantic_dedup(
     n_planes: int = 0,
     seed: int = 42,
     dim: int | None = None,
+    bucket_col: str | None = None,
     max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1015,7 +1016,8 @@ def semantic_dedup(
     propagation), and keep one representative per component (the min
     id, SemDeDup keeps one random item — min-id is the deterministic
     choice). ``n_planes=0`` is exact all-pairs for small/pre-blocked
-    inputs and for oracle checking.
+    inputs and for oracle checking; alternatively pass an existing
+    ``bucket_col`` (cluster label, IVF cell) to block on it directly.
 
     Returns ``df`` columns plus ``sem_cluster_id`` (= min id of the
     component; own id if unclustered) and boolean ``keep``.
@@ -1027,8 +1029,9 @@ def semantic_dedup(
     """
     from goetl_spark.operators.dedup import dedup_clusters
 
-    bucket_col = None
     work = df
+    if bucket_col is not None and n_planes > 0:
+        raise ValueError("pass bucket_col OR n_planes, not both")
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim (embedding dimension) is required when n_planes > 0")

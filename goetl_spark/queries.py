@@ -5856,3 +5856,272 @@ def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENTRY_QUERY = q01_pricing_summary
+
+
+# ---------------------------------------------------------------------------
+# STAGED round-8 registrations — the round-7 window is exactly full
+# (50 mandatory seats), so these five do NOT appear in queries() yet:
+# an unseated registration with no driver row would trip
+# test_registry's coverage invariant. They are fully written and
+# oracle-verified NOW (tests/test_staged_oracles.py runs the driver's
+# own compare at sf0.001; scripts/check_oracle.py --staged replays
+# them at any SF) so the round-8 rotation is a pure window edit:
+# move each entry into _REGISTRY/@register and seat it.
+# ---------------------------------------------------------------------------
+
+_STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register_staged(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _STAGED[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def staged_queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _STAGED.items()}
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _STAGED.items() if sql is not None}
+
+
+_GOPHER_SW_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(lower(text), '(^|[^a-z]){w}([^a-z]|$)') "
+    "THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+
+@register_staged(
+    "q142_gopher_quality",
+    f"""
+    WITH g AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS trimmed,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+               str_split(text, chr(10)) AS lines
+        FROM documents WHERE text IS NOT NULL
+    ), w AS (
+        SELECT doc_id, text, nonspace, lines,
+               CASE WHEN length(trimmed) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trimmed, '\\s+')) END
+                   AS n_words,
+               CASE WHEN length(trimmed) = 0 THEN []
+                    ELSE regexp_split_to_array(trimmed, '\\s+') END AS words
+        FROM g
+    ), m AS (
+        SELECT doc_id, n_words,
+               CAST(greatest(n_words, 1) AS DOUBLE) AS denom,
+               nonspace AS nonspace,
+               (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', ''))) AS symbols,
+               len(list_filter(lines,
+                   l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet_lines,
+               len(list_filter(lines,
+                   l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                   AS ellipsis_lines,
+               CAST(greatest(len(lines), 1) AS DOUBLE) AS n_lines,
+               len(list_filter(words,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+               {_GOPHER_SW_SQL} AS sw_hits
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000 AS words_ok,
+           nonspace / denom >= 3.0 AND nonspace / denom <= 10.0 AS mwl_ok,
+           symbols / denom <= 0.1 AS symbol_ok,
+           bullet_lines / n_lines <= 0.9 AS bullet_ok,
+           ellipsis_lines / n_lines <= 0.3 AS ellipsis_ok,
+           alpha_words / denom >= 0.8 AS alpha_ok,
+           sw_hits >= 2 AS stopword_ok,
+           (n_words >= 50 AND n_words <= 100000)
+           AND (nonspace / denom >= 3.0 AND nonspace / denom <= 10.0)
+           AND (symbols / denom <= 0.1)
+           AND (bullet_lines / n_lines <= 0.9)
+           AND (ellipsis_lines / n_lines <= 0.3)
+           AND (alpha_words / denom >= 0.8)
+           AND (sw_hits >= 2) AS gopher_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def q142_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule bundle (operators/text.py::
+    gopher_quality_flags — Rae et al. 2021 Appendix A): one boolean per
+    published rule + the conjunction, int/bool outputs only so values
+    hash identically cross-engine; every rule is a single RE2-portable
+    expression mirrored one-to-one in the oracle."""
+    from goetl_spark.operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (gopher_quality_flags(d)
+            .select("doc_id", "n_words", "words_ok", "mwl_ok", "symbol_ok",
+                    "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok",
+                    "gopher_pass")
+            .orderBy("doc_id"))
+
+
+@register_staged(
+    "q143_semantic_dedup",
+    f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+        FROM embeddings
+    ), p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_COS.format(a='a.ev', b='b.ev')} >= 0.35
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p
+    ), reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ), comp AS (SELECT id, MIN(lbl) AS cid FROM reach GROUP BY id)
+    SELECT vec_id,
+           COALESCE(cid, vec_id) AS sem_cluster_id,
+           COALESCE(cid, vec_id) = vec_id AS keep
+    FROM v LEFT JOIN comp ON v.vec_id = comp.id
+    ORDER BY vec_id
+    """,
+)
+def q143_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions (operators/similarity.py::
+    semantic_dedup — Abbas et al. 2023) blocked on the embedding label
+    (q28's pair config), components resolved to min-id representatives;
+    oracle composes q28's cosine-pair SQL with q50's recursive
+    min-label CTE."""
+    from goetl_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (semantic_dedup(e, threshold=0.35, bucket_col="label")
+            .select("vec_id", "sem_cluster_id", "keep")
+            .orderBy("vec_id"))
+
+
+@register_staged(
+    "q144_epoch_shuffle",
+    """
+    SELECT doc_id, md5('goetl:1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key LIMIT 100
+    """,
+)
+def q144_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic corpus shuffle (operators/sampling.py::
+    epoch_shuffle): the first 100 documents of epoch 1's permutation —
+    checks both the salt:epoch:key md5 derivation and the head of the
+    shuffle order (md5 agrees byte-for-byte across Spark and DuckDB)."""
+    from goetl_spark.operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return (epoch_shuffle(d, "doc_id", epoch=1)
+            .withColumnRenamed("__shuffle_key", "shuffle_key")
+            .orderBy("shuffle_key")
+            .limit(100))
+
+
+@register_staged(
+    "q145_perplexity_buckets",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS w1,
+               unnest(list_concat(l[2:], [NULL])) AS w2
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents)
+    ), uni AS (
+        SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM tok GROUP BY 1
+    ), big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ), sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    lm AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * v)), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logprob
+        FROM tok t
+        JOIN big USING (w1, w2)
+        JOIN uni ON uni.w = t.w1
+        CROSS JOIN sc
+        WHERE t.w2 IS NOT NULL
+        GROUP BY t.doc_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY avg_logprob DESC, doc_id)
+                   AS r,
+               COUNT(*) OVER () AS n
+        FROM lm
+    )
+    SELECT doc_id, n_bigrams, avg_logprob,
+           CASE WHEN r <= round(n / 3.0) THEN 'head'
+                WHEN r <= round(2 * n / 3.0) THEN 'middle'
+                ELSE 'tail' END AS lm_bucket
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q145_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity tiers (operators/lm.py::perplexity_buckets —
+    Wenzek et al. 2020): q116's bit-exact bigram-LM score, then
+    head/middle/tail by exact distributed rank thresholds (default
+    1/3, 2/3 cuts; round() agrees cross-engine because thirds never
+    land on .5)."""
+    from goetl_spark.operators.lm import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d).orderBy("doc_id")
+
+
+@register_staged(
+    "q146_quality_features",
+    """
+    WITH f AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+               length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is','that','it','for'))) AS sw,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
+        FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(CASE WHEN n_chars > 0
+                    THEN nonspace / CAST(n_tok AS DOUBLE) END, 0.0)
+               AS f_mean_word_len,
+           COALESCE(CASE WHEN n_chars > 0
+                    THEN n_punct / CAST(n_chars AS DOUBLE) END, 0.0)
+               AS f_punct_ratio,
+           COALESCE(sw / CAST(greatest(n_tok, 1) AS DOUBLE), 0.0)
+               AS f_stopword_ratio,
+           COALESCE(alpha / CAST(greatest(n_tok, 1) AS DOUBLE), 0.0)
+               AS f_alpha_ratio,
+           COALESCE(digits / CAST(greatest(n_chars, 1) AS DOUBLE), 0.0)
+               AS f_digit_ratio,
+           COALESCE(uppers / CAST(greatest(n_chars, 1) AS DOUBLE), 0.0)
+               AS f_upper_ratio
+    FROM f ORDER BY doc_id
+    """,
+)
+def q146_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier's deterministic ratio-feature layer
+    (operators/classifier.py::text_features): pure int/int divisions,
+    so every value is IEEE-identical cross-engine (the two log1p
+    features are excluded here — ln differs in the last ulp between
+    engines; the ratio layer is the oracle surface)."""
+    from goetl_spark.operators.classifier import text_features
+
+    d = _t(spark, sf_dir, "documents")
+    return (text_features(d)
+            .select("doc_id", "f_mean_word_len", "f_punct_ratio",
+                    "f_stopword_ratio", "f_alpha_ratio", "f_digit_ratio",
+                    "f_upper_ratio")
+            .orderBy("doc_id"))

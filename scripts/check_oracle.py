@@ -74,8 +74,10 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from goetl_spark.session import get_spark
@@ -86,8 +88,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    if staged:
+        # pre-verify the round-8 staged registrations instead of the
+        # live registry (they are excluded from queries() until seated)
+        from goetl_spark import queries as catalog
+        qs = catalog.staged_queries()
+        oracles = catalog.staged_oracle_sql()
+    else:
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

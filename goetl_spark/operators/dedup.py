@@ -995,3 +995,94 @@ def cut_spans(
         out_col,
         F.when(F.col("__spans").isNull(), txt).otherwise(folded))
         .drop("__spans"))
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    sep: str = "\n",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    max_lines_per_group: int = 10_000,
+) -> DataFrame:
+    """Boilerplate detection (the CCNet/Dolma hygiene companion to
+    :func:`paragraph_dedup`): lines occurring in at least ``min_docs``
+    AND ``min_doc_frac`` of the documents of the same ``group_col``
+    (source / domain — None treats the corpus as one group). Shared
+    headers, footers, nav bars and license blocks surface here; feed the
+    result to :func:`strip_boilerplate`.
+
+    Returns (grp, line, n_docs, doc_frac) capped at
+    ``max_lines_per_group`` per group (highest-frequency first, line
+    tie-break) so an adversarial group cannot materialize an unbounded
+    boilerplate table.
+
+    Scale: within-doc repeats collapse via in-row ``array_distinct``
+    BEFORE the explode, so the count shuffle carries one row per
+    (doc, distinct line); the group-total join is tiny (one row per
+    group) and broadcasts."""
+    from pyspark.sql import Window
+
+    g = (F.col(group_col) if group_col else F.lit("")).alias("grp")
+    pairs = df.select(
+        g, F.explode(F.array_distinct(F.split(F.col(text_col), sep)))
+        .alias("line"))
+    counts = pairs.groupBy("grp", "line").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    totals = df.select(g).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__n_total"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n_docs"), F.asc("line"))
+    return (counts.join(F.broadcast(totals), "grp")
+            .withColumn("doc_frac",
+                        F.col("n_docs") / F.col("__n_total"))
+            .filter((F.col("n_docs") >= min_docs)
+                    & (F.col("doc_frac") >= min_doc_frac))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_lines_per_group)
+            .drop("__n_total", "__rk"))
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    sep: str = "\n",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    boiler: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every :func:`frequent_lines` line from its group's
+    documents, preserving the order (and repeats) of the surviving
+    lines — line-level boilerplate stripping per source/domain. Pass a
+    precomputed ``boiler`` frame to reuse one detection pass across
+    many strips (or to strip against a REFERENCE corpus's boilerplate).
+
+    Returns the input columns with ``text_col`` rewritten plus
+    (n_kept, n_dropped).
+
+    Scale: the boilerplate table is aggregated to ONE array row per
+    group and broadcast — documents never shuffle; the strip is an
+    in-row higher-order filter (JVM-side, order-preserving, keeps
+    duplicate non-boilerplate lines that array-set ops would lose)."""
+    if boiler is None:
+        boiler = frequent_lines(df, text_col, id_col, group_col, sep,
+                                min_doc_frac, min_docs)
+    per_group = boiler.groupBy("grp").agg(
+        F.collect_list("line").alias("__boiler"))
+    g = (F.col(group_col) if group_col else F.lit("")).alias("grp")
+    joined = (df.withColumn("grp", g)
+              .join(F.broadcast(per_group), "grp", "left"))
+    lines = F.split(F.col(text_col), sep)
+    ba = F.coalesce(F.col("__boiler"),
+                    F.array().cast("array<string>"))
+    kept = F.filter(lines, lambda l: ~F.array_contains(ba, l))
+    out_cols = [c for c in df.columns if c != text_col]
+    return (joined
+            .withColumn("__kept", kept)
+            .select(*out_cols,
+                    F.concat_ws(sep, F.col("__kept")).alias(text_col),
+                    F.size("__kept").alias("n_kept"),
+                    (F.size(lines) - F.size("__kept")).alias("n_dropped")))

@@ -6125,3 +6125,56 @@ def q146_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "f_stopword_ratio", "f_alpha_ratio", "f_digit_ratio",
                     "f_upper_ratio")
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q147_boilerplate_strip",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               substr(text, 1, 80) || chr(10) || '(c) boiler for ' || source
+               || chr(10) || substr(text, 81, 80) AS text
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(str_split(text, chr(10)))) AS line
+        FROM d
+    ), counts AS (
+        SELECT source, line, COUNT(*) AS n_docs FROM lines GROUP BY 1, 2
+    ), tot AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+    boiler AS (
+        SELECT source, line FROM counts JOIN tot USING (source)
+        WHERE n_docs >= 2 AND n_docs / CAST(n AS DOUBLE) >= 0.3
+    ), ba AS (SELECT source, list(line) AS bl FROM boiler GROUP BY 1),
+    stripped AS (
+        SELECT doc_id,
+               list_filter(str_split(d.text, chr(10)),
+                   x -> NOT list_contains(COALESCE(bl, []), x)) AS kept,
+               len(str_split(d.text, chr(10))) AS n_lines
+        FROM d LEFT JOIN ba USING (source)
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           len(kept) AS n_kept, n_lines - len(kept) AS n_dropped
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def q147_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate line stripping (operators/dedup.py::
+    frequent_lines + strip_boilerplate — the CCNet/Dolma hygiene pass
+    for shared headers/footers). The corpus has no newlines, so both
+    engines construct the same deterministic 3-line documents (body
+    prefix, a per-source boilerplate line, body suffix — the q141
+    in-query construction pattern); the shared middle line must vanish
+    from every document, order-preserved."""
+    from goetl_spark.operators.dedup import strip_boilerplate
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.concat(F.substring("text", 1, 80),
+                          F.lit("\n(c) boiler for "), F.col("source"),
+                          F.lit("\n"),
+                          F.substring("text", 81, 80)).alias("text")))
+    return (strip_boilerplate(d, group_col="source",
+                              min_doc_frac=0.3, min_docs=2)
+            .select("doc_id", "text", "n_kept", "n_dropped")
+            .orderBy("doc_id"))

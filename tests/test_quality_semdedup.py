@@ -132,3 +132,49 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
     hashes = [r["__shuffle_key"] for r in
               epoch_shuffle(df, "doc_id", epoch=1).collect()]
     assert hashes == sorted(hashes)
+
+
+def _boiler_docs(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, "srcA", f"unique content {i}\n(c) 2024 SiteA footer\nmore {i}"))
+    for i in range(10, 14):
+        rows.append((i, "srcB", f"only body {i}"))
+    rows.append((14, "srcB", "only body 10\nonly body 10"))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_frequent_lines_per_group(spark):
+    from goetl_spark.operators.dedup import frequent_lines
+
+    out = frequent_lines(_boiler_docs(spark), group_col="source",
+                         min_doc_frac=0.5, min_docs=2).collect()
+    assert {(r.grp, r.line) for r in out} == {("srcA", "(c) 2024 SiteA footer")}
+    assert out[0].n_docs == 10 and out[0].doc_frac == 1.0
+    # within-doc repeats count once: 'only body 10' appears twice in one
+    # doc, once in another doc -> n_docs 2, but frac 2/5 < 0.5 -> out
+
+
+def test_strip_boilerplate_order_preserving(spark):
+    from goetl_spark.operators.dedup import strip_boilerplate
+
+    out = {r.doc_id: r for r in strip_boilerplate(
+        _boiler_docs(spark), group_col="source",
+        min_doc_frac=0.5, min_docs=2).collect()}
+    assert out[3].text == "unique content 3\nmore 3"
+    assert out[3].n_kept == 2 and out[3].n_dropped == 1
+    # untouched group keeps text verbatim (incl. duplicate lines)
+    assert out[14].text == "only body 10\nonly body 10"
+    assert out[14].n_dropped == 0
+    assert set(out[3].asDict()) == {
+        "doc_id", "source", "text", "n_kept", "n_dropped"}
+
+
+def test_strip_boilerplate_accepts_precomputed_table(spark):
+    from goetl_spark.operators.dedup import frequent_lines, strip_boilerplate
+
+    docs = _boiler_docs(spark)
+    boiler = frequent_lines(docs, group_col="source",
+                            min_doc_frac=0.5, min_docs=2)
+    out = strip_boilerplate(docs, group_col="source", boiler=boiler)
+    assert out.filter("doc_id = 0").first().n_dropped == 1

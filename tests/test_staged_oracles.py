@@ -25,7 +25,7 @@ def test_staged_names_not_in_live_registry():
 
     leaked = set(staged_queries()) & set(_REGISTRY)
     assert not leaked, f"staged queries leaked into live registry: {leaked}"
-    assert len(staged_queries()) >= 5
+    assert len(staged_queries()) >= 6
 
 
 @pytest.fixture(scope="module")

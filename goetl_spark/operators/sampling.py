@@ -387,9 +387,16 @@ def epoch_shuffle(
     per-file. The hash column rides along as ``__shuffle_key`` for
     oracle checking and is typically dropped after the write.
     """
+    # concat_ws SKIPS null args, so every NULL key would hash to the
+    # same md5 and pile into one position — fail fast instead
+    guard = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit(f"epoch_shuffle: NULL {key_col} — shuffle "
+                            "keys must be non-null and unique")),
+    ).otherwise(F.lit(True))
     key = F.concat_ws(":", F.lit(salt), F.lit(str(epoch)),
                       F.col(key_col).cast("string"))
-    out = df.withColumn("__shuffle_key", F.md5(key))
+    out = df.filter(guard).withColumn("__shuffle_key", F.md5(key))
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32")
     return out.repartitionByRange(int(n), "__shuffle_key") \

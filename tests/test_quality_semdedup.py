@@ -178,3 +178,24 @@ def test_strip_boilerplate_accepts_precomputed_table(spark):
                             min_doc_frac=0.5, min_docs=2)
     out = strip_boilerplate(docs, group_col="source", boiler=boiler)
     assert out.filter("doc_id = 0").first().n_dropped == 1
+
+
+def test_epoch_shuffle_rejects_null_keys(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from goetl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        epoch_shuffle(df, "doc_id").collect()
+
+
+def test_semantic_dedup_all_singletons(spark):
+    """No pair crosses the threshold: every row keeps itself."""
+    from goetl_spark.operators.similarity import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.99).collect()
+    assert all(r.keep and r.sem_cluster_id == r.vec_id for r in out)
+    assert len(out) == 3

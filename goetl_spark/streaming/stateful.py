@@ -281,3 +281,75 @@ def running_zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(
+    stream_df: DataFrame,
+    item_col: str,
+    group_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Streaming top-item tracking with BOUNDED state: a Misra–Gries
+    summary of at most ``k`` counters per ``group_col`` key, updated
+    each micro-batch, emitting the summary rows (update mode). The
+    classic frequent-items guarantee holds across batches: any item
+    whose true count exceeds n/(k+1) is present, and each stored count
+    undercounts its true count by at most n/(k+1) (``n_total`` rides
+    along so consumers can compute the bound). The streaming
+    counterpart of sketch.py's Count-Min heavy hitters, but
+    deterministic: no hashing, no collisions — merge order inside a
+    batch is pandas ``value_counts`` + (count desc, item asc)
+    tie-break, so replays reproduce byte-identical summaries.
+
+    State per key is two aligned arrays (≤ k items + counts) + one
+    scalar — O(k · keys) memory total, independent of stream length.
+    A group with < k distinct items is tracked EXACTLY (every count
+    precise, no evictions) — size k to the expected distinct-item tail,
+    not the hot set."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            items, counts, n = state.get
+            summary = dict(zip(list(items), list(counts)))
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            vals = pdf[item_col].dropna()
+            n += len(vals)
+            # merge the batch's exact counts into the MG summary:
+            # add matching counters, admit new items while room,
+            # then apply the standard overflow decrement (subtract the
+            # (k+1)-th largest count from all, drop non-positive)
+            for item, c in vals.value_counts().sort_index().items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > k:
+                ordered = sorted(summary.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+                cut = ordered[k][1]
+                summary = {i: c - cut for i, c in ordered if c - cut > 0}
+        state.update((list(summary.keys()),
+                      [int(c) for c in summary.values()], n))
+        if summary:
+            ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame({
+                group_col: [key[0]] * len(ordered),
+                item_col: [i for i, _ in ordered],
+                "est_count": [c for _, c in ordered],
+                "n_total": [n] * len(ordered),
+            })
+
+    g_type = stream_df.schema[group_col].dataType.simpleString()
+    i_type = stream_df.schema[item_col].dataType.simpleString()
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{group_col} {g_type}, {item_col} {i_type}, "
+                         "est_count long, n_total long",
+        stateStructType=f"items array<{i_type}>, counts array<long>, "
+                        "n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

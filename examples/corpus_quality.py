@@ -1,0 +1,88 @@
+"""Example 4 — corpus quality triage for pre-training data.
+
+The round-7 quality layer end-to-end, each stage the registered
+scale-shaped operator: per-source boilerplate stripping, the published
+Gopher rule bundle, CCNet perplexity tiers, a trained model-based
+quality score, SemDeDup on embeddings, and the epoch-deterministic
+shuffle that feeds the training shards.
+
+Run: python examples/corpus_quality.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.classifier import (
+        score_quality, train_quality_classifier)
+    from goetl_spark.operators.dedup import strip_boilerplate
+    from goetl_spark.operators.lm import perplexity_buckets
+    from goetl_spark.operators.sampling import epoch_shuffle
+    from goetl_spark.operators.similarity import semantic_dedup
+    from goetl_spark.operators.text import gopher_quality_flags
+    from goetl_spark.session import get_spark
+
+    owns_spark = spark is None
+    spark = spark or get_spark("example-corpus-quality", master="local[4]",
+                               shuffle_partitions=4)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. strip per-source boilerplate lines (order-preserving);
+    #    localCheckpoint marks the stage boundary (a parquet write in
+    #    production)
+    stripped = strip_boilerplate(docs, group_col="source",
+                                 min_doc_frac=0.5, min_docs=3) \
+        .localCheckpoint(eager=True)
+    n_boiler_lines = int(
+        stripped.agg(F.sum("n_dropped")).collect()[0][0] or 0)
+
+    # 2. Gopher rule flags (report per-rule pass rates; this synthetic
+    #    corpus is short-doc heavy, so the word floor is lowered)
+    flagged = gopher_quality_flags(
+        stripped.select("doc_id", "source", "text"), min_words=10)
+    n_gopher = flagged.filter(F.col("gopher_pass")).count()
+
+    # 3. CCNet perplexity tiers over the corpus's own bigram LM
+    tiers = perplexity_buckets(stripped.select("doc_id", "text"))
+    tier_counts = {r.lm_bucket: r.n for r in
+                   tiers.groupBy("lm_bucket")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # 4. model-based score: train on weak labels (head tier = positive,
+    #    tail = negative — the CCNet bootstrap), score every doc
+    labeled = (stripped.join(tiers.select("doc_id", "lm_bucket"), "doc_id")
+               .filter(F.col("lm_bucket") != "middle")
+               .withColumn("label",
+                           (F.col("lm_bucket") == "head").cast("double")))
+    model = train_quality_classifier(labeled, max_iter=20)
+    scored = score_quality(stripped.select("doc_id", "text"), model)
+    survivors = scored.filter(F.col("quality_prob") >= 0.5) \
+        .select("doc_id")
+    n_model_kept = survivors.count()
+
+    # 5. SemDeDup on the embedding table (label-blocked config)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = semantic_dedup(emb, threshold=0.35, bucket_col="label")
+    n_sem_kept = sem.filter(F.col("keep")).count()
+
+    # 6. epoch-0 shuffle of the surviving docs (deterministic shards)
+    first_doc = int(epoch_shuffle(survivors, "doc_id", epoch=0)
+                    .select("doc_id").first()[0])
+
+    result = {"input_docs": n0, "boiler_lines_dropped": n_boiler_lines,
+              "gopher_pass": n_gopher, "tiers": tier_counts,
+              "model_kept": n_model_kept, "semdedup_kept_vecs": n_sem_kept,
+              "epoch0_first_doc": first_doc}
+    print(f"corpus_quality: {result}")
+    if owns_spark:
+        spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

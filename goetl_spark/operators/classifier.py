@@ -101,15 +101,34 @@ def score_quality(
     df: DataFrame, model, text_col: str = "text",
     out: str = "quality_prob",
 ) -> DataFrame:
-    """Append ``out`` = P(high quality) from a trained model. Pure
-    JVM-side transform (feature expressions + vector ops); drops the
-    intermediate feature/vector columns."""
-    from pyspark.ml.functions import vector_to_array
+    """Append ``out`` = P(high quality) from a trained model — as a
+    PURE Column expression: the LR coefficients, intercept, and scaler
+    moments are extracted from the fitted pipeline ONCE on the driver
+    and inlined as literals, so scoring is sigmoid(Σ wᵢ·(fᵢ−μᵢ)/σᵢ + b)
+    over the feature expressions with no ML runtime in the plan.
 
-    scored = model.transform(text_features(df, text_col))
-    drop = [c for c in scored.columns
-            if c.startswith("f_") or c.startswith("__")
-            or c in ("rawPrediction", "probability", "prediction")]
-    return (scored
-            .withColumn(out, vector_to_array(F.col("probability"))[1])
-            .drop(*drop))
+    Serving-shaped on purpose: the scoring scan stays inside
+    whole-stage codegen (no vector UDFs), the plan serializes like any
+    other expression plan (pyspark.ml transform plans trip a Spark 4.1
+    task-serialization bug — NotSerializableException:
+    ObservationManager — in sessions with registered Observations), and
+    a model exported as numbers reproduces identical scores anywhere.
+    Matches ``model.transform``'s probabilities to float round-off
+    (same per-feature operation order)."""
+    lr = model.stages[-1]
+    scaler = model.stages[1]
+    coefs = [float(c) for c in lr.coefficients]
+    mean = [float(m) for m in scaler.mean]
+    std = [float(s) for s in scaler.std]
+
+    feats = text_features(df, text_col)
+    margin = F.lit(float(lr.intercept))
+    for name, w, mu, sd in zip(QUALITY_FEATURES, coefs, mean, std):
+        # MLlib StandardScalerModel semantics: zero-variance features
+        # scale to 0 (factor 0), not NaN
+        scaled = (F.lit(0.0) if sd == 0.0
+                  else (F.col(name) - F.lit(mu)) / F.lit(sd))
+        margin = margin + F.lit(w) * scaled
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    drop = [c for c in feats.columns if c.startswith("f_")]
+    return feats.withColumn(out, prob).drop(*drop)

@@ -440,6 +440,16 @@ def dedup_clusters(
     truncates lineage each round so plans stay O(1). This is the standard
     large-scale formulation (GraphX/GraphFrames connected components);
     the driver loop holds only a per-round changed-count, never rows.
+
+    Session-level caveat (Spark 4.1): in a session with registered
+    Observations (this function registers one per iteration; the
+    IOStats readers register others), executing a pyspark.ml TRANSFORM
+    lineage can fail with ``NotSerializableException:
+    ObservationManager`` during task serialization. This engine's
+    scoring path is immune — classifier.score_quality inlines fitted
+    coefficients as Column expressions instead of keeping the ML
+    runtime in the plan; if you call ``model.transform`` directly,
+    localCheckpoint its output before mixing with Observation users.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")

@@ -60,3 +60,35 @@ def test_classifier_threshold_filters_corpus(spark):
             .filter(F.col("quality_prob") >= 0.5)
             .select("doc_id").collect())
     assert {r.doc_id for r in kept} == set(range(10))
+
+
+def test_expression_scorer_matches_ml_transform(spark):
+    """score_quality inlines the fitted coefficients as expressions; it
+    must reproduce pyspark.ml's own transform probabilities."""
+    from pyspark.ml.functions import vector_to_array
+    from goetl_spark.operators.classifier import (
+        score_quality, text_features, train_quality_classifier)
+
+    model = train_quality_classifier(_labeled(spark))
+    test = spark.createDataFrame(
+        [(1, PROSE), (2, NOISE), (3, PROSE + NOISE), (4, "")],
+        "doc_id long, text string")
+    ours = {r.doc_id: r.quality_prob
+            for r in score_quality(test, model).collect()}
+    try:
+        ml = {r.doc_id: r.p for r in
+              model.transform(text_features(test))
+              .select("doc_id", vector_to_array("probability")[1].alias("p"))
+              .collect()}
+    except Exception as e:  # pragma: no cover - session-order dependent
+        if "ObservationManager" in str(e):
+            # Spark 4.1: executing an ml.transform plan fails once any
+            # Observation is registered in the session (the very bug
+            # score_quality's expression scorer avoids); equivalence is
+            # only checkable in an observation-free session
+            import pytest
+            pytest.skip("ml.transform unexecutable after Observations "
+                        "(SPARK ObservationManager serialization bug)")
+        raise
+    for d in ours:
+        assert abs(ours[d] - ml[d]) < 1e-9, (d, ours[d], ml[d])

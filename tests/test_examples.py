@@ -44,3 +44,17 @@ def test_llm_data_prep_example(spark):
     # the epoch-0 shuffle is deterministic: same first doc on re-run
     r2 = main(SF, spark=spark)
     assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]
+
+
+def test_corpus_quality_example(spark):
+    from corpus_quality import main
+
+    r = main(SF, spark=spark)
+    assert r["input_docs"] > 0
+    assert 0 <= r["gopher_pass"] <= r["input_docs"]
+    assert sum(r["tiers"].values()) <= r["input_docs"]
+    assert set(r["tiers"]) <= {"head", "middle", "tail"}
+    assert 0 < r["model_kept"] <= r["input_docs"]
+    assert 0 < r["semdedup_kept_vecs"] <= 500
+    r2 = main(SF, spark=spark)
+    assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]

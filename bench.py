@@ -62,6 +62,21 @@ def main():
             pass
     spark.range(0, 1000).select(
         md5(concat_ws(":", col("id"), col("id") + 1))).count()
+    # Round-7: the shingle/HOF/explode pipeline is its own first-of-kind
+    # codegen cost (r7 rotation put q24 before q23, and it absorbed ~3 s
+    # that r6 charged to q23). JIT it on a 200-doc slice — engine-path
+    # warmup only, far too small to cache any query's actual work.
+    try:
+        from pyspark.sql.functions import explode, expr
+
+        (spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+         .select(explode(expr(
+             "transform(sequence(1, greatest(size(split(text, '\\\\s+')) - 2, 1)),"
+             " i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 3)))"))
+             .alias("sh"))
+         .select(md5(col("sh"))).count())
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     full_names: dict[str, str] = {}

@@ -21,6 +21,12 @@ Writer side, the write IS the action, so stats are ready on return::
 
     stats = write_parquet(df, out)
     stats.null_counts
+
+Session-level caveat (Spark 4.1): once Observations exist, executing a
+pyspark.ml TRANSFORM plan can fail with ``NotSerializableException:
+ObservationManager`` — see the dedup_clusters docstring; this engine's
+classifier scores via Column expressions (classifier.score_quality),
+which is immune.
 """
 
 from __future__ import annotations

@@ -231,3 +231,26 @@ def write_zordered(
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode(mode).option("compression", compression).parquet(path))
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_by: Sequence[str] | None = None,
+    partitions: int | None = None,
+    stats: IOStats | None = None,
+) -> None:
+    """ORC writer (beyond the reference's format list) — same contract
+    as :func:`write_parquet`: directory partitioning for pruning,
+    ``stats`` filled by the write pass. Spark's built-in ORC source
+    (no external package); snappy/zlib/zstd compression."""
+    if partitions:
+        df = df.coalesce(partitions)
+    if stats:
+        df = stats.attach(df)
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

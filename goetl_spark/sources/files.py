@@ -109,3 +109,20 @@ def read_parquet(
     if columns:
         df = df.select(*columns)
     return stats.attach(df) if stats else df
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    stats: IOStats | None = None,
+) -> DataFrame:
+    """ORC → DataFrame (beyond the reference's format list — the other
+    columnar warehouse format, common in Hive/Trino estates). Same
+    contract as :func:`read_parquet`: ``columns`` prunes the scan
+    (ORC carries column statistics and predicate pushdown like
+    parquet), ``stats`` rides the same pass."""
+    df = spark.read.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return stats.attach(df) if stats else df

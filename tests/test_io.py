@@ -534,3 +534,26 @@ def test_zorder_null_and_constant_columns(spark, tmp_path):
     p = str(tmp_path / "zn")
     write_zordered(df, p, ["x", "y"], num_files=2, bits=4)
     assert spark.read.parquet(p).count() == 3
+
+
+def test_orc_roundtrip_with_stats(spark, tmp_path):
+    from goetl_spark.sinks.files import write_orc
+    from goetl_spark.sources.files import read_orc
+    from goetl_spark.stats import IOStats
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5), (3, "c", 1.25)],
+        "id long, s string, v double")
+    wstats = IOStats()
+    write_orc(df, str(tmp_path / "t.orc"), partition_by=["id"],
+              stats=wstats)
+    assert wstats.record_count == 3
+    assert wstats.null_counts["s"] == 1 and wstats.null_counts["v"] == 1
+
+    rstats = IOStats()
+    back = read_orc(spark, str(tmp_path / "t.orc"), columns=["id", "v"],
+                    stats=rstats)
+    rows = {r.id: r.v for r in back.collect()}
+    assert rows == {1: None, 2: 3.5, 3: 1.25}
+    assert back.columns == ["id", "v"]          # projection pruned
+    assert rstats.record_count == 3

@@ -1096,3 +1096,52 @@ def strip_boilerplate(
                     F.concat_ws(sep, F.col("__kept")).alias(text_col),
                     F.size("__kept").alias("n_kept"),
                     (F.size(lines) - F.size("__kept")).alias("n_dropped")))
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    band_size: int = 4,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Measure the banded-LSH config against exact Jaccard on a (hash-
+    deterministic) sample: one row with the candidate count, the true
+    near-dup count, recall (true pairs the bands caught), and the
+    candidate precision — the go/no-go check before committing a
+    (num_hashes, bands) choice to a 100 TB dedup run, mirroring q100's
+    PQ-recall-floor discipline for the ANN family.
+
+    The sample keeps the exact-Jaccard ground truth affordable (it is
+    the quadratic-ish part); LSH candidates are computed on the SAME
+    sample so the two pair sets are comparable. Selection is by md5
+    bucket of the id (deterministic, reproducible — no RNG).
+    """
+    work = df
+    if sample_fraction < 1.0:
+        buckets = 10_000
+        cut = int(sample_fraction * buckets)
+        work = df.filter(
+            md5_int(F.col(id_col).cast("string"), 8) % buckets < cut)
+    work = work.localCheckpoint(eager=True)
+
+    truth = (ngram_jaccard_pairs(work, text_col, id_col, n=n,
+                                 threshold=threshold)
+             .select("id_a", "id_b"))
+    cand = (minhash_lsh_candidates(work, text_col, id_col, n=n,
+                                   num_hashes=num_hashes,
+                                   band_size=band_size)
+            .select("id_a", "id_b"))
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["id_a", "id_b"]).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_cand, n_truth, n_hit,
+          (n_hit / n_truth) if n_truth else 1.0,
+          (n_hit / n_cand) if n_cand else 1.0)],
+        "n_candidates long, n_true_pairs long, n_caught long, "
+        "recall double, precision double")

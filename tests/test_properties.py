@@ -347,3 +347,27 @@ def test_gopher_flags_match_python_reference(spark, texts):
         want = _gopher_py(t)
         for key, val in want.items():
             assert got[i][key] == val, (key, repr(t), got[i][key], val)
+
+
+# --- epoch_shuffle md5 parity with the Python reference --------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=20, unique=True),
+       st.integers(min_value=0, max_value=99))
+def test_epoch_shuffle_md5_matches_hashlib(spark, keys, epoch):
+    """The shuffle key must be exactly md5('goetl:<epoch>:<key>') so any
+    engine (DuckDB oracle, a downstream consumer) reproduces the
+    permutation byte-for-byte."""
+    import hashlib
+
+    from goetl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {r.doc_id: r["__shuffle_key"]
+           for r in epoch_shuffle(df, "doc_id", epoch=epoch).collect()}
+    for k in keys:
+        want = hashlib.md5(f"goetl:{epoch}:{k}".encode()).hexdigest()
+        assert got[k] == want, (k, epoch)

@@ -199,3 +199,25 @@ def test_semantic_dedup_all_singletons(spark):
     out = semantic_dedup(df, threshold=0.99).collect()
     assert all(r.keep and r.sem_cluster_id == r.vec_id for r in out)
     assert len(out) == 3
+
+
+def test_lsh_recall_report(spark):
+    from goetl_spark.operators.dedup import lsh_recall_report
+
+    base = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the river bank every single morning before dawn")
+    rows = [(i, base + f" tail{i}") for i in range(6)]          # near-dups
+    rows += [(100 + i, " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(6)]                                  # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_report(df, threshold=0.5,
+                          num_hashes=32, band_size=4).collect()[0]
+    assert r.n_true_pairs == 15            # C(6,2) near-dup pairs
+    assert r.n_caught == r.n_true_pairs    # strong config catches all
+    assert r.recall == 1.0
+    assert 0.0 < r.precision <= 1.0
+    # deterministic sampling path returns a plausible (possibly empty)
+    # subset without error
+    r2 = lsh_recall_report(df, threshold=0.5, sample_fraction=0.5,
+                           num_hashes=32, band_size=4).collect()[0]
+    assert r2.n_candidates >= 0 and 0.0 <= r2.recall <= 1.0

@@ -17,7 +17,8 @@
 - :mod:`goetl_spark.operators.sampling`  — splits, mixing, packing, weighted PPS
 - :mod:`goetl_spark.operators.timeseries`— resample/gap-fill, range rolling stats
 - :mod:`goetl_spark.operators.behavior`  — ordered funnel, cohort retention
-- :mod:`goetl_spark.operators.lm`        — bigram LM, KL divergence, char entropy
+- :mod:`goetl_spark.operators.lm`        — bigram LM, KL divergence, char entropy,
+  CCNet perplexity tiers
 - :mod:`goetl_spark.operators.mining`    — basket co-occurrence pairs
 - :mod:`goetl_spark.operators.ranking`   — distributed rank/NTILE/exact quantiles,
   quantile normalization

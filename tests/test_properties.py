@@ -371,3 +371,52 @@ def test_epoch_shuffle_md5_matches_hashlib(spark, keys, epoch):
     for k in keys:
         want = hashlib.md5(f"goetl:{epoch}:{k}".encode()).hexdigest()
         assert got[k] == want, (k, epoch)
+
+
+# --- boilerplate strip vs pure-Python reference ----------------------------
+
+_LINES = ["alpha beta", "gamma", "shared footer", "delta eps", ""]
+
+
+def _strip_py(docs, min_doc_frac, min_docs):
+    """Independent reference: per-source frequent-line detection over
+    DISTINCT (doc, line) pairs, then order/repeat-preserving strip."""
+    from collections import defaultdict
+
+    per_group = defaultdict(list)
+    for _, src, text in docs:
+        per_group[src].append(text)
+    boiler = {}
+    for src, texts in per_group.items():
+        counts = defaultdict(int)
+        for t in texts:
+            for line in set(t.split("\n")):
+                counts[line] += 1
+        n = len(texts)
+        boiler[src] = {l for l, c in counts.items()
+                       if c >= min_docs and c / n >= min_doc_frac}
+    out = {}
+    for did, src, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if l not in boiler[src]]
+        out[did] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.sampled_from(["s1", "s2"]),
+              st.lists(st.sampled_from(_LINES), min_size=1, max_size=4)),
+    min_size=1, max_size=8))
+def test_strip_boilerplate_matches_python_reference(spark, raw):
+    from goetl_spark.operators.dedup import strip_boilerplate
+
+    docs = [(i, src, "\n".join(lines)) for i, (src, lines) in enumerate(raw)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped)
+           for r in strip_boilerplate(df, group_col="source",
+                                      min_doc_frac=0.5, min_docs=2).collect()}
+    want = _strip_py(docs, 0.5, 2)
+    assert got == want

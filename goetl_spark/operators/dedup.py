@@ -375,6 +375,34 @@ def minhash_signatures_wide(
     ])
 
 
+def lsh_band_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_hashes: int = 32, band_size: int = 4,
+) -> DataFrame:
+    """(id, band, band_hash) rows — the banded-LSH key material shared
+    by :func:`minhash_lsh_candidates` (in-memory self-join) and the
+    persisted incremental index (:func:`lsh_index_write` /
+    :func:`lsh_index_candidates`). Wide signatures (one shuffle) →
+    band hashes as pure expressions → explode."""
+    sig = minhash_signatures_wide(df, text_col, id_col, n, num_hashes)
+    num_bands = num_hashes // band_size
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"s{i}")
+                for i in range(bi * band_size, (bi + 1) * band_size)
+            ])).alias("band_hash"),
+        )
+        for bi in range(num_bands)
+    ])
+    return (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(F.col(id_col), F.col("bb.band").alias("band"),
+                F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 32, band_size: int = 4,
@@ -391,23 +419,7 @@ def minhash_lsh_candidates(
     hash is position-ordered md5; any injective formula yields the same
     candidate set, since band equality ⇔ the band's sigs all agree.
     """
-    sig = minhash_signatures_wide(df, text_col, id_col, n, num_hashes)
-    num_bands = num_hashes // band_size
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"s{i}")
-                for i in range(bi * band_size, (bi + 1) * band_size)
-            ])).alias("band_hash"),
-        )
-        for bi in range(num_bands)
-    ])
-    bands = (
-        sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
-        .select(F.col(id_col), F.col("bb.band").alias("band"),
-                F.col("bb.band_hash").alias("band_hash"))
-    )
+    bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1145,3 +1157,68 @@ def lsh_recall_report(
           (n_hit / n_cand) if n_cand else 1.0)],
         "n_candidates long, n_true_pairs long, n_caught long, "
         "recall double, precision double")
+
+
+def lsh_index_write(
+    df: DataFrame, path: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_hashes: int = 32, band_size: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded-LSH index of a corpus: (id, band, band_hash)
+    parquet partitioned by band — the standing near-dup index the daily
+    batch queries against (:func:`lsh_index_candidates`), the MinHash
+    analog of :func:`dedup_against`'s exact-digest corpus. Shingling +
+    minhashing of the standing corpus happens ONCE, here; incremental
+    batches never recompute it. ``mode='append'`` adds a day's accepted
+    documents to the index."""
+    bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
+    bands.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def lsh_index_candidates(
+    new_docs: DataFrame, path: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, num_hashes: int = 32, band_size: int = 4,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the persisted index
+    (plus, by default, within-batch pairs): returns (query_id,
+    match_id) where match_id is an indexed id (query_id < match_id for
+    within-batch pairs). The config (n, num_hashes, band_size) must
+    match the one the index was written with — band hashes are only
+    comparable under identical parameters.
+
+    Scale: the new batch's band rows are tiny next to the index; the
+    join shuffles on (band, band_hash) — the index side was written
+    partitioned by band, so a band-pruned read feeds the join without
+    re-deriving any corpus signatures. Feed the output through
+    ``ngram_jaccard_pairs``-style verification or straight to
+    :func:`dedup_clusters`."""
+    spark = new_docs.sparkSession
+    new_bands = lsh_band_rows(new_docs, text_col, id_col, n,
+                              num_hashes, band_size) \
+        .localCheckpoint(eager=True)
+    idx = spark.read.parquet(path)
+    cross = (
+        new_bands.alias("q")
+        .join(idx.alias("m"),
+              (F.col("q.band") == F.col("m.band"))
+              & (F.col("q.band_hash") == F.col("m.band_hash"))
+              & (F.col(f"q.{id_col}") != F.col(f"m.{id_col}")))
+        .select(F.col(f"q.{id_col}").alias("query_id"),
+                F.col(f"m.{id_col}").alias("match_id"))
+        .distinct()
+    )
+    if not include_new_pairs:
+        return cross
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    within = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("query_id"),
+                F.col(f"b.{id_col}").alias("match_id"))
+        .distinct()
+    )
+    return cross.unionByName(within).distinct()

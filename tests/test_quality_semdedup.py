@@ -221,3 +221,53 @@ def test_lsh_recall_report(spark):
     r2 = lsh_recall_report(df, threshold=0.5, sample_fraction=0.5,
                            num_hashes=32, band_size=4).collect()[0]
     assert r2.n_candidates >= 0 and 0.0 <= r2.recall <= 1.0
+
+
+def test_lsh_index_incremental_matches_full_recompute(spark, tmp_path):
+    from goetl_spark.operators.dedup import (
+        lsh_index_candidates, lsh_index_write, minhash_lsh_candidates)
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank every single morning before dawn breaks")
+    corpus = spark.createDataFrame(
+        [(i, base + f" v{i}") for i in range(4)]
+        + [(50, " ".join(f"u{j}" for j in range(25)))],
+        "doc_id long, text string")
+    path = str(tmp_path / "lsh_index")
+    lsh_index_write(corpus, path)
+
+    # batch: one near-dup of the corpus family, one brand-new unique doc,
+    # and one near-dup PAIR within the batch
+    batch = spark.createDataFrame(
+        [(100, base + " v100"),
+         (101, " ".join(f"z{j}" for j in range(25))),
+         (102, " ".join(f"q{j}" for j in range(20)) + " same tail here"),
+         (103, " ".join(f"q{j}" for j in range(20)) + " same tail here!")],
+        "doc_id long, text string")
+    got = {(r.query_id, r.match_id)
+           for r in lsh_index_candidates(batch, path).collect()}
+
+    # ground truth: full recompute over corpus+batch, restricted to
+    # pairs touching the new batch
+    full = minhash_lsh_candidates(corpus.unionByName(batch))
+    new_ids = {100, 101, 102, 103}
+    want = set()
+    for r in full.collect():
+        a, b = r.id_a, r.id_b
+        if a in new_ids and b in new_ids:
+            want.add((a, b))
+        elif a in new_ids:
+            want.add((a, b))
+        elif b in new_ids:
+            want.add((b, a))
+    assert got == want
+    assert (100, 0) in got or any(q == 100 for q, _ in got)  # corpus hit
+    assert (102, 103) in got                                  # within-batch
+    assert not any(q == 101 or m == 101 for q, m in got)      # unique doc clean
+
+    # append the accepted batch and re-query: batch docs now indexed
+    lsh_index_write(batch, path, mode="append")
+    got2 = {(r.query_id, r.match_id) for r in lsh_index_candidates(
+        spark.createDataFrame([(200, base + " v200")],
+                              "doc_id long, text string"), path).collect()}
+    assert any(m == 100 for _, m in got2)  # matches the appended doc too

@@ -1159,6 +1159,36 @@ def lsh_recall_report(
         "recall double, precision double")
 
 
+def _lsh_meta_read(path: str) -> dict | None:
+    """Index-config manifest reader; local filesystem paths only (the
+    validation is best-effort on object stores — a `file:`-less remote
+    scheme returns None rather than failing the query)."""
+    import json
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    p = os.path.join(path.removeprefix("file://"), "_lsh_meta.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        return json.load(open(p))
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _lsh_meta_write(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return
+    p = path.removeprefix("file://")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "_lsh_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
 def lsh_index_write(
     df: DataFrame, path: str,
     text_col: str = "text", id_col: str = "doc_id",
@@ -1172,8 +1202,15 @@ def lsh_index_write(
     minhashing of the standing corpus happens ONCE, here; incremental
     batches never recompute it. ``mode='append'`` adds a day's accepted
     documents to the index."""
+    meta = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
+    existing = _lsh_meta_read(path)
+    if mode == "append" and existing is not None and existing != meta:
+        raise ValueError(
+            f"lsh_index_write(append): config {meta} != index config "
+            f"{existing} — band hashes are incomparable across configs")
     bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
     bands.write.mode(mode).partitionBy("band").parquet(path)
+    _lsh_meta_write(path, meta)
 
 
 def lsh_index_candidates(
@@ -1195,6 +1232,12 @@ def lsh_index_candidates(
     re-deriving any corpus signatures. Feed the output through
     ``ngram_jaccard_pairs``-style verification or straight to
     :func:`dedup_clusters`."""
+    existing = _lsh_meta_read(path)
+    ours = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
+    if existing is not None and existing != ours:
+        raise ValueError(
+            f"lsh_index_candidates: config {ours} != index config "
+            f"{existing} — band hashes are incomparable across configs")
     spark = new_docs.sparkSession
     new_bands = lsh_band_rows(new_docs, text_col, id_col, n,
                               num_hashes, band_size) \

@@ -271,3 +271,21 @@ def test_lsh_index_incremental_matches_full_recompute(spark, tmp_path):
         spark.createDataFrame([(200, base + " v200")],
                               "doc_id long, text string"), path).collect()}
     assert any(m == 100 for _, m in got2)  # matches the appended doc too
+
+
+def test_lsh_index_config_mismatch_raises(spark, tmp_path):
+    import pytest
+    from goetl_spark.operators.dedup import (
+        lsh_index_candidates, lsh_index_write)
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")],
+                                 "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    lsh_index_write(docs, path, num_hashes=32, band_size=4)
+    with pytest.raises(ValueError, match="incomparable"):
+        lsh_index_candidates(docs, path, num_hashes=16, band_size=4)
+    with pytest.raises(ValueError, match="incomparable"):
+        lsh_index_write(docs, path, num_hashes=16, band_size=4,
+                        mode="append")
+    # matching config still works
+    assert lsh_index_candidates(docs, path).count() == 0

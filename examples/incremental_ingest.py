@@ -1,0 +1,99 @@
+"""Example 5 — incremental corpus ingest with a standing dedup index.
+
+The day-over-day production shape: day 1 builds the standing corpus
+and its near-dup index ONCE; each later batch checks itself against
+the corpus (exact digests + banded-LSH candidates + exact-Jaccard
+verification) without recomputing anything corpus-side, then appends
+only the accepted documents to both.
+
+Run: python examples/incremental_ingest.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
+         workdir: str | None = None) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.dedup import (
+        dedup_against, lsh_index_candidates, lsh_index_write,
+        ngram_jaccard_pairs)
+    from goetl_spark.session import get_spark
+
+    owns_spark = spark is None
+    spark = spark or get_spark("example-incremental", master="local[4]",
+                               shuffle_partitions=4)
+    workdir = workdir or tempfile.mkdtemp(prefix="goetl_ingest_")
+    idx_path = f"{workdir}/lsh_index"
+    corpus_path = f"{workdir}/corpus"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # --- day 1: standing corpus + its LSH index, built once
+    day1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    day1.write.mode("overwrite").parquet(corpus_path)
+    lsh_index_write(day1, idx_path)
+    n_corpus = day1.count()
+
+    # --- day 2 batch: half fresh docs, a few exact copies, a few
+    #     near-dups (same text + a marker suffix) of corpus docs
+    fresh = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+             .limit(40))
+    copies = (day1.limit(5)
+              .select((F.col("doc_id") + 200_000).alias("doc_id"), "text"))
+    neardups = (day1.limit(5)
+                .select((F.col("doc_id") + 300_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" near dup tail"))
+                        .alias("text")))
+    batch = fresh.unionByName(copies).unionByName(neardups)
+    n_batch = batch.count()
+
+    corpus = spark.read.parquet(corpus_path)
+
+    # 1. exact layer: digest anti-join against the standing corpus
+    #    (corpus text never shuffles — digests only)
+    no_exact = dedup_against(batch, corpus)
+    n_exact_dropped = n_batch - no_exact.count()
+
+    # 2. near-dup layer: banded candidates from the persisted index,
+    #    then EXACT Jaccard verification of just those candidate pairs
+    cand = lsh_index_candidates(no_exact, idx_path,
+                                include_new_pairs=False)
+    cand_docs = (no_exact.join(
+        cand.select(F.col("query_id").alias("doc_id")).distinct(),
+        "doc_id"))
+    pair_universe = cand_docs.unionByName(
+        corpus.join(cand.select(F.col("match_id").alias("doc_id"))
+                    .distinct(), "doc_id"))
+    verified = (ngram_jaccard_pairs(pair_universe, threshold=0.5)
+                .select("id_a", "id_b"))
+    drop_ids = (verified.select(F.greatest("id_a", "id_b").alias("doc_id"))
+                .distinct())
+    accepted = no_exact.join(drop_ids, "doc_id", "left_anti")
+    n_near_dropped = no_exact.count() - accepted.count()
+
+    # 3. append accepted docs to the corpus AND the index
+    accepted.write.mode("append").parquet(corpus_path)
+    lsh_index_write(accepted, idx_path, mode="append")
+    n_final = spark.read.parquet(corpus_path).count()
+
+    result = {"corpus_day1": n_corpus, "batch": n_batch,
+              "exact_dropped": n_exact_dropped,
+              "near_dropped": n_near_dropped,
+              "corpus_after": n_final}
+    print(f"incremental_ingest: {result}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    if owns_spark:
+        spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

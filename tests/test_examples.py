@@ -58,3 +58,13 @@ def test_corpus_quality_example(spark):
     assert 0 < r["semdedup_kept_vecs"] <= 500
     r2 = main(SF, spark=spark)
     assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]
+
+
+def test_incremental_ingest_example(spark, tmp_path):
+    from incremental_ingest import main
+
+    r = main(SF, spark=spark, workdir=str(tmp_path / "ingest"))
+    assert r["exact_dropped"] == 5          # the 5 exact copies
+    assert r["near_dropped"] >= 4           # near-dups caught+verified
+    assert r["corpus_after"] == (r["corpus_day1"] + r["batch"]
+                                 - r["exact_dropped"] - r["near_dropped"])

@@ -547,6 +547,34 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_band_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 8, bits: int = 60,
+    _sig: DataFrame | None = None,
+) -> DataFrame:
+    """(id, simhash, band, key) pigeonhole-band rows — the key material
+    shared by :func:`simhash_pairs` and the persisted simhash index
+    (:func:`simhash_index_write` / :func:`simhash_index_candidates`).
+    The ``bits``-bit hash splits into ``max_hamming + 1`` contiguous
+    bands: any pair within the Hamming bound agrees on ≥ 1 band."""
+    s = _sig if _sig is not None else simhash(df, text_col, id_col, bits)
+    n_bands = max_hamming + 1
+    bands = []
+    for j in range(n_bands):
+        start = j * bits // n_bands
+        width = (j + 1) * bits // n_bands - start
+        bands.append(F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), start)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        ))
+    return s.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 8, bits: int = 60,
                   all_pairs: bool = False) -> DataFrame:
@@ -588,21 +616,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("hamming") <= max_hamming)
         )
 
-    n_bands = max_hamming + 1
-    bands = []
-    for j in range(n_bands):
-        start = j * bits // n_bands
-        width = (j + 1) * bits // n_bands - start
-        bands.append(F.struct(
-            F.lit(j).alias("band"),
-            F.shiftright(F.col("simhash"), start)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-        ))
-    e = s.select(
-        F.col(id_col), F.col("simhash"),
-        F.explode(F.array(*bands)).alias("bk"),
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
+    e = simhash_band_rows(df, text_col, id_col, max_hamming, bits,
+                          _sig=s)
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -1264,4 +1279,76 @@ def lsh_index_candidates(
                 F.col(f"b.{id_col}").alias("match_id"))
         .distinct()
     )
+    return cross.unionByName(within).distinct()
+
+
+def simhash_index_write(
+    df: DataFrame, path: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 8, bits: int = 60,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the pigeonhole-band simhash index of a corpus —
+    the LOSSLESS standing near-dup index (unlike the probabilistic
+    MinHash bands of :func:`lsh_index_write`, every pair within the
+    Hamming bound is guaranteed a band collision). Cheapest signature
+    of the family: one 60-bit hash per document, ``max_hamming + 1``
+    band rows each. Same manifest discipline as the LSH index —
+    mismatched (max_hamming, bits) raise at query time."""
+    meta = {"max_hamming": max_hamming, "bits": bits}
+    existing = _lsh_meta_read(path)
+    if mode == "append" and existing is not None and existing != meta:
+        raise ValueError(
+            f"simhash_index_write(append): config {meta} != index "
+            f"config {existing} — band keys are incomparable")
+    rows = simhash_band_rows(df, text_col, id_col, max_hamming, bits)
+    rows.write.mode(mode).partitionBy("band").parquet(path)
+    _lsh_meta_write(path, meta)
+
+
+def simhash_index_candidates(
+    new_docs: DataFrame, path: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 8, bits: int = 60,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Verified near-dup matches of a NEW batch against the persisted
+    simhash index: (query_id, match_id, hamming) with hamming ≤
+    ``max_hamming`` — exact within the bound, because the pigeonhole
+    bands are lossless and the stored simhash rides along for the
+    final ``bit_count`` check (no second pass over corpus text).
+    ``include_new_pairs`` adds within-batch pairs the same way."""
+    ours = {"max_hamming": max_hamming, "bits": bits}
+    existing = _lsh_meta_read(path)
+    if existing is not None and existing != ours:
+        raise ValueError(
+            f"simhash_index_candidates: config {ours} != index config "
+            f"{existing} — band keys are incomparable")
+    spark = new_docs.sparkSession
+    nb = simhash_band_rows(new_docs, text_col, id_col, max_hamming,
+                           bits).localCheckpoint(eager=True)
+    idx = spark.read.parquet(path)
+
+    def matches(left, right, cond):
+        return (left.join(right, cond)
+                .select(F.col(f"q.{id_col}").alias("query_id"),
+                        F.col(f"m.{id_col}").alias("match_id"),
+                        F.bit_count(F.col("q.simhash")
+                                    .bitwiseXOR(F.col("m.simhash")))
+                        .alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming)
+                .distinct())
+
+    cross = matches(
+        nb.alias("q"), idx.alias("m"),
+        (F.col("q.band") == F.col("m.band"))
+        & (F.col("q.key") == F.col("m.key"))
+        & (F.col(f"q.{id_col}") != F.col(f"m.{id_col}")))
+    if not include_new_pairs:
+        return cross
+    within = matches(
+        nb.alias("q"), nb.alias("m"),
+        (F.col("q.band") == F.col("m.band"))
+        & (F.col("q.key") == F.col("m.key"))
+        & (F.col(f"q.{id_col}") < F.col(f"m.{id_col}")))
     return cross.unionByName(within).distinct()

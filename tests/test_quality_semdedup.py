@@ -289,3 +289,42 @@ def test_lsh_index_config_mismatch_raises(spark, tmp_path):
                         mode="append")
     # matching config still works
     assert lsh_index_candidates(docs, path).count() == 0
+
+
+def test_simhash_index_lossless_vs_full_recompute(spark, tmp_path):
+    from goetl_spark.operators.dedup import (
+        simhash_index_candidates, simhash_index_write, simhash_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank every single morning before dawn breaks again")
+    corpus = spark.createDataFrame(
+        [(i, base + f" v{i}") for i in range(4)]
+        + [(50, " ".join(f"u{j}" for j in range(25)))],
+        "doc_id long, text string")
+    path = str(tmp_path / "sh_index")
+    simhash_index_write(corpus, path, max_hamming=8)
+
+    batch = spark.createDataFrame(
+        [(100, base + " v100"),
+         (101, " ".join(f"z{j}" for j in range(25)))],
+        "doc_id long, text string")
+    got = {(r.query_id, r.match_id, r.hamming)
+           for r in simhash_index_candidates(batch, path,
+                                             max_hamming=8).collect()}
+
+    full = simhash_pairs(corpus.unionByName(batch), max_hamming=8)
+    want = set()
+    for r in full.collect():
+        if r.id_a >= 100 and r.id_b >= 100:
+            want.add((r.id_a, r.id_b, r.hamming))
+        elif r.id_b >= 100:
+            want.add((r.id_b, r.id_a, r.hamming))
+        elif r.id_a >= 100:
+            want.add((r.id_a, r.id_b, r.hamming))
+    assert got == want            # lossless: identical within-bound set
+    assert any(q == 100 for q, _, _ in got)
+
+    # config mismatch raises
+    import pytest
+    with pytest.raises(ValueError, match="incomparable"):
+        simhash_index_candidates(batch, path, max_hamming=4)

@@ -20,8 +20,13 @@ ordered by cost:
    plus the ANN family (IVF, LSH, PQ, IVF-PQ) for the candidate stage.
 
 Related hygiene passes here: :func:`contamination_flags` (benchmark
-n-gram leak detection) and :func:`winnow_fingerprints` (partial
-overlap).
+n-gram leak detection), :func:`winnow_fingerprints` (partial overlap),
+:func:`frequent_lines`/:func:`strip_boilerplate` (per-source
+boilerplate). Standing-index forms for incremental ingest:
+:func:`lsh_index_write`/:func:`lsh_index_candidates` (MinHash bands)
+and :func:`simhash_index_write`/:func:`simhash_index_candidates`
+(lossless pigeonhole bands); :func:`lsh_recall_report` measures a
+band config before it ships.
 
 All hashing is md5-based (:func:`goetl_spark.operators.text.md5_int`) so an
 external SQL engine (the DuckDB oracle) can reproduce results bit-for-bit

@@ -7,7 +7,9 @@ whole-stage codegen and scale linearly with no shuffle (per-document map
 work). At 100 TB these are exactly the ops you want to be scan-bound.
 
 Determinism: every function is a pure expression over the document text,
-so results are reproducible and oracle-checkable in SQL.
+so results are reproducible and oracle-checkable in SQL. (Exception:
+:func:`compression_ratio` needs real bytes, so it is an Arrow-batched
+pandas UDF — still map-only and deterministic, just not SQL-mirrorable.)
 """
 
 from __future__ import annotations
@@ -411,3 +413,36 @@ def gopher_quality_flags(
         out = out.withColumn(name, expr)
         gopher_pass = expr if gopher_pass is None else gopher_pass & expr
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def compression_ratio(col: str | Column):
+    """zlib-compressed length / raw byte length — the classic
+    "too compressible = templated junk, too incompressible = random
+    noise" quality signal (complement of :func:`char_entropy`'s
+    model-free cousin; both band natural text in a narrow range).
+    NULL/empty text → NULL.
+
+    Arrow-batched pandas UDF (compression needs real bytes — no Column
+    expression can do it), map-only over the scan, so it scales like
+    every other per-document scorer. zlib level 6 is pinned for
+    reproducibility across runs; treat cross-version drift as possible
+    and compare bands, not exact ratios, in cross-system contracts."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would otherwise hand pandas_udf unresolvable strings
+    _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_ratio, "double")(c)

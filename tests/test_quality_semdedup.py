@@ -328,3 +328,27 @@ def test_simhash_index_lossless_vs_full_recompute(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="incomparable"):
         simhash_index_candidates(batch, path, max_hamming=4)
+
+
+def test_compression_ratio_bands(spark):
+    from goetl_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "the cat sat on the mat and watched the evening boats " * 4),
+        (2, "spam spam spam " * 50),               # templated junk
+        (3, "kq9x zv7w jd3p mn8r " * 30),          # high-entropy-ish
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.ratio for r in
+           df.select("doc_id",
+                     compression_ratio("text").alias("ratio")).collect()}
+    assert out[2] < out[1] < 1.0       # junk compresses far better
+    assert out[3] > out[2]             # noise compresses worse than junk
+    assert out[4] is None and out[5] is None
+    # deterministic
+    again = {r.doc_id: r.ratio for r in
+             df.select("doc_id",
+                       compression_ratio("text").alias("ratio")).collect()}
+    assert again == out

@@ -6178,3 +6178,35 @@ def q147_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                               min_doc_frac=0.3, min_docs=2)
             .select("doc_id", "text", "n_kept", "n_dropped")
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q148_bloom_semi_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators/bloom.py::bloom_semi_join
+    — the standing-reference membership cut): keep lineitem rows whose
+    order is URGENT, executed as build-bloom-over-reference →
+    Arrow-batched might_contain prefilter → exact shuffle semi-join on
+    the survivors. The composition is EXACT (bloom has no false
+    negatives; the ANSI semi-join removes its false positives), so the
+    oracle is the plain semi-join. At 100 TB only probable members pay
+    the shuffle; the filter bytes are a reusable standing index like
+    dedup's LSH/SimHash indexes."""
+    from goetl_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    return (bloom_semi_join(li, ref, ["l_orderkey"], fpp=0.01)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice")
+            .orderBy("l_orderkey", "l_linenumber"))

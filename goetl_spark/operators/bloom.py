@@ -62,6 +62,7 @@ __all__ = [
     "bloom_might_contain",
     "bloom_prefilter",
     "bloom_semi_join",
+    "bloom_anti_join",
     "bloom_params",
 ]
 
@@ -226,3 +227,37 @@ def bloom_semi_join(
     filt = bloom_build(ref_keys, keys, num_bits, num_hashes)
     survivors = bloom_prefilter(big, keys, filt, num_hashes)
     return survivors.join(ref_keys, on=keys, how="left_semi")
+
+
+def bloom_anti_join(
+    big: DataFrame,
+    reference: DataFrame,
+    on: Sequence[str],
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    materialize: bool = False,
+) -> DataFrame:
+    """EXACT anti-join ``big ▷ reference`` — the decontamination /
+    blocklist shape when the reference key set is too big to broadcast:
+    bloom MISSES are *definitely* not in the reference and go straight
+    to the output with zero shuffle; only the FPP-bounded sliver of
+    bloom hits pays the exact shuffle anti-join (NULL-keyed rows are
+    kept on either path, matching ANSI left-anti semantics).
+
+    The two branches are filters over one probed plan, so lazily the
+    source is scanned twice (both scans are map-side: parquet scan +
+    bit test — the shuffle only ever sees hits). ``materialize=True``
+    eagerly localCheckpoints the probed frame to scan once, at the
+    cost of storing it (dedup.py's materialize contract)."""
+    keys = list(on)
+    ref_keys = reference.select(*keys).distinct()
+    if expected_items is None:
+        expected_items = max(1, ref_keys.count())
+    num_bits, num_hashes = bloom_params(expected_items, fpp)
+    filt = bloom_build(ref_keys, keys, num_bits, num_hashes)
+    flagged = bloom_might_contain(big, keys, filt, num_hashes, "__bloom_hit")
+    if materialize:
+        flagged = flagged.localCheckpoint(eager=True)
+    misses = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    hits = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    return misses.unionByName(hits.join(ref_keys, on=keys, how="left_anti"))

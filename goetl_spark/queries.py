@@ -6210,3 +6210,34 @@ def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_orderkey", "l_linenumber", "l_quantity",
                     "l_extendedprice")
             .orderBy("l_orderkey", "l_linenumber"))
+
+
+@register_staged(
+    "q149_bloom_anti_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q149_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-routed anti-join (operators/bloom.py::bloom_anti_join —
+    the decontamination/blocklist shape when the reference set is too
+    big to broadcast): bloom MISSES are definite non-members and skip
+    the shuffle entirely; only the FPP-bounded hit sliver pays the
+    exact anti-join. Composition is exact, so the oracle is plain
+    NOT EXISTS. Realistic FPP here (1 %); the test suite also pins
+    equivalence under a forced-FP config (fpp=0.5)."""
+    from goetl_spark.operators.bloom import bloom_anti_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    return (bloom_anti_join(li, ref, ["l_orderkey"], fpp=0.01)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_discount")
+            .orderBy("l_orderkey", "l_linenumber"))

@@ -108,3 +108,51 @@ def test_validation_errors(spark):
         bloom_build(rows, ["k"], num_bits=1 << 12, num_hashes=0)
     with pytest.raises(ValueError):
         bloom_might_contain(rows, ["k"], b"abc", 3)  # 24 bits: not 2^n
+
+
+def test_bloom_anti_join_exact_tpch(spark, sf_dir):
+    from goetl_spark.operators.bloom import bloom_anti_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderpriority") == "1-URGENT") \
+        .withColumn("l_orderkey", F.col("o_orderkey"))
+    # fpp=0.5 forces plenty of false positives through the hit branch —
+    # equivalence must hold regardless
+    got = bloom_anti_join(li, od, ["l_orderkey"], fpp=0.5) \
+        .select("l_orderkey", "l_linenumber").collect()
+    want = li.join(od.select("l_orderkey").distinct(), "l_orderkey", "left_anti") \
+        .select("l_orderkey", "l_linenumber").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bloom_anti_join_null_keys_kept_and_materialize(spark):
+    from goetl_spark.operators.bloom import bloom_anti_join
+
+    big = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11), (None, "a", 12), (3, None, 13),
+         (4, "c", 14)],
+        "k1 int, k2 string, v int")
+    ref = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (3, None)], "k1 int, k2 string")
+    want = {r["v"] for r in big.join(ref, ["k1", "k2"], "left_anti").collect()}
+    for mat in (False, True):
+        got = {r["v"] for r in
+               bloom_anti_join(big, ref, ["k1", "k2"],
+                               materialize=mat).collect()}
+        assert got == want
+    assert {12, 13} <= want  # ANSI: NULL-keyed big rows survive anti-join
+
+
+def test_bloom_adversarial_string_keys(spark):
+    from goetl_spark.operators.bloom import bloom_semi_join
+
+    keys = ["", " ", "\x1f", "a\x1fb", "a|b", "héllo", "🙂🙂",
+            "line\nbreak", "tab\there", "0", "00", "NULL", "None"]
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(keys)]
+                                + [(k + "x", 100 + i) for i, k in enumerate(keys)],
+                                "k string, v int")
+    ref = spark.createDataFrame([(k,) for k in keys[::2]], "k string")
+    got = {r["v"] for r in bloom_semi_join(big, ref, ["k"]).collect()}
+    want = {r["v"] for r in big.join(ref, ["k"], "left_semi").collect()}
+    assert got == want

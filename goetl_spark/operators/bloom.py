@@ -1,207 +1,278 @@
-"""Bloom-filter membership prefilter for standing-reference semi-joins.
+"""Bloom-filter join pruning: drop fact rows that cannot match BEFORE the
+shuffle.
 
-Scale machinery (SURVEY §4.2): at 100 TB the classic "keep only corpus
-rows whose key appears in a reference set" (benchmark decontamination,
-allowlist joins, incremental-ingest membership) has three regimes:
+Beyond the reference surface (goetl's only join materializes both sides
+in heap, dag/tasks/join.go:106-169). At 100 TB the dominant join cost is
+shuffling fact rows whose keys don't exist on the (filtered) dimension
+side at all — a bloom filter built from the dim keys rejects most of them
+at the scan, for the price of one tiny dim-side aggregation. Spark ships
+this idea as runtime filtering (spark.sql.optimizer.runtime.bloomFilter),
+but the planner only injects it under cost heuristics; this operator is
+the explicit, always-on variant (``bloom_filter_agg`` is not exposed as a
+SQL routine on this build, so the filter is built from first principles —
+which also makes it engine-portable and oracle-checkable).
 
-* reference fits a broadcast of EXACT keys → plain broadcast semi-join
-  (operators/join.py::semi_join) — no false positives, no extra pass;
-* reference too big to broadcast exactly but its *bloom filter* fits
-  (100 M keys ≈ 120 MB at 1 % FPP vs multi-GB of raw keys) → THIS
-  module: prefilter the big side with the bloom, then run the exact
-  shuffle semi-join on the few survivors — the shuffle moves only rows
-  that are probably members instead of the whole corpus;
-* both sides huge and mostly-matching → straight shuffle semi-join
-  (bloom can't help when most rows pass).
+Everything stays JVM-side Column expressions (codegen, no UDFs):
 
-Spark's own runtime bloom filters (``spark.sql.optimizer.runtime.
-bloomFilter.enabled``, injected by Catalyst for qualifying shuffle
-joins) cover the single-query case; its ``BloomFilterAggregate`` is not
-SQL-registered in Spark 4.1, and runtime injection cannot reuse a
-filter ACROSS jobs. This module makes the filter a first-class value:
-build once (bytes), persist/broadcast, probe from any later job — the
-standing-index pattern of dedup.lsh_index_* applied to membership.
+- build: each dim key sets ``num_hashes`` bit positions derived from two
+  xxhash64 values via Kirsch-Mitzenmacher double hashing
+  (pos_i = (h1 + i·h2) mod m — two hash evaluations give i independent
+  probes); positions become (word, mask) pairs aggregated with
+  ``bit_or`` per 64-bit word, so the collect is bounded by the FILTER
+  size (m/64 rows max), never by dim cardinality.
+- probe: the packed words ship as one array<bigint> literal (m/64 longs;
+  1M bits = 16k longs ≈ 128 KB plan payload — broadcast-sized) and each
+  fact row tests its ``num_hashes`` positions with ``getbit``.
 
-Design, all deterministic:
+False positives pass the filter and are dropped by the join itself (the
+filter is a superset gate — results are exactly the unfiltered join's);
+false negatives are impossible, same as any bloom filter.
 
-* hashing is JVM-side ``xxhash64`` — two independent 64-bit hashes per
-  key (the second seeded by hashing an extra literal column), combined
-  Kirsch–Mitzenmacher style (``h1 + i*h2 mod m``) into ``k`` probe
-  positions, so the Python side never sees key bytes, only two longs;
-* the build is one ``mapInPandas`` pass emitting ONE ``m/8``-byte
-  partition bloom per input partition, OR-merged on the driver — the
-  collect is bounded by ``num_partitions × num_bits/8`` (the same
-  driver-merge contract as Spark's own BloomFilterAggregate final
-  merge and this repo's sketch.py t-digests), never by row count;
-* probes are an Arrow-batched pandas UDF over a ``SparkContext``
-  broadcast of the filter bytes — vectorized numpy bit tests, no
-  per-row Python.
+MEASURED (local[32], sf0.1, lineitem ⋈ date-filtered orders): the filter
+prunes 600k fact rows → 96k (6.2×), but wall-clock LOSES — 0.59 s plain
+vs 1.06 s bloomed (+ 3.3 s one-time build) — because a local shuffle
+moves bytes at memory speed, so there is nothing expensive to save. The
+operator is therefore NOT wired into the q55/q56 bench paths. It wins
+when the thing it avoids is actually expensive: network shuffle of a
+wide fact table, a reused filter across many queries (build once), or a
+fact scan that can skip row groups on the filtered column. q74 proves
+result parity; this note records the honest local measurement.
 
-Guarantee: a bloom filter has NO false negatives, so
-``bloom_prefilter`` returns a SUPERSET of the exact semi-join and
-``bloom_semi_join`` (prefilter → exact semi-join) returns EXACTLY the
-semi-join rows (tests/test_bloom.py property-checks both).
-
-Reference parity note: goetl has no bloom operator; this is
-beyond-reference scale machinery in the spirit of its enrichment
-lookup (reference join/lookup semantics, see operators/join.py).
+Round-5 follow-up (round-3 verdict ask #8) — q77 (TPC-H Q18 shape)
+measured with the fact scan bloom-pruned against the >250-quantity
+survivor set, local[32] sf0.1, warm, two runs: baseline 1.06-1.41 s vs
+bloomed 2.46-4.81 s, identical 100 rows. Same conclusion, larger margin:
+AQE already turns the survivor semi-join into a broadcast, so the fact
+never shuffles for the filter and the bloom build+probe is pure added
+work. CLOSED as opt-in: the operator stays available for genuinely
+shuffle-bound cluster joins, and is deliberately wired into no local
+bench path (q74 remains the parity proof).
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = [
-    "bloom_build",
-    "bloom_might_contain",
-    "bloom_prefilter",
-    "bloom_semi_join",
-    "bloom_anti_join",
-    "bloom_params",
-]
+# second-hash tweak: any constant distinct from xxhash64's implicit seed
+_H2_SALT = 0x9E3779B9
 
-# concat_ws separator for composite keys — unit separator, vanishingly
-# unlikely inside real key text; identical on build and probe side so
-# any collision is at worst an extra false positive, never a false
-# negative.
-_SEP = "\x1f"
-# literal mixed into the second hash so (h1, h2) are independent.
-_SEED2 = 0x9E3779B9
+
+def _kpositions(
+    cols: list[Column], num_bits: int, num_hashes: int
+) -> list[Column]:
+    """The ``num_hashes`` bit positions for a (possibly composite) key,
+    as bigint Columns in [0, num_bits). Both hashes are folded into
+    [0, m) BEFORE combining so the arithmetic can't overflow bigint
+    (Spark 4 runs ANSI — a raw h1 + i*h2 on values near ±2^63 would
+    raise, not wrap). ``xxhash64`` hashes the column tuple natively, so
+    composite keys need no separator string."""
+    h1 = F.pmod(F.xxhash64(*cols), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(*cols, F.lit(_H2_SALT)), F.lit(num_bits))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """Single-column positions — ``xxhash64(col) == xxhash64(*[col])``,
+    so this is expression-identical to the pre-r7 formulation."""
+    return _kpositions([col], num_bits, num_hashes)
 
 
 def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
-    """Classic sizing: optimal ``(num_bits, num_hashes)`` for
-    ``expected_items`` keys at false-positive rate ``fpp``. ``num_bits``
-    is rounded up to a power of two so the positional mod compiles to a
-    mask and the byte array packs evenly."""
-    if expected_items <= 0:
-        raise ValueError("expected_items must be positive")
-    if not (0.0 < fpp < 1.0):
-        raise ValueError("fpp must be in (0, 1)")
-    m = -expected_items * math.log(fpp) / (math.log(2) ** 2)
-    num_bits = 1 << max(10, math.ceil(math.log2(m)))
-    k = max(1, round(num_bits / expected_items * math.log(2)))
-    return num_bits, min(k, 16)
-
-
-def _hash_cols(key_cols: Sequence[str]) -> tuple[Column, Column]:
-    """Two independent JVM-side 64-bit hashes of the composite key.
-
-    NULL components: ``concat_ws`` skips NULLs, so a NULL-keyed row
-    hashes like its non-NULL remainder — harmless for the superset
-    guarantee (both sides hash identically; ANSI semi-join NULL
-    semantics are enforced by the exact join that follows)."""
-    key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
-    return F.xxhash64(key), F.xxhash64(key, F.lit(_SEED2))
-
-
-def _positions(h1: np.ndarray, h2: np.ndarray, i: int, num_bits: int) -> np.ndarray:
-    # uint64 arithmetic wraps mod 2^64 (deterministic); num_bits is a
-    # power of two so & is the mod.
-    return (h1 + np.uint64(i) * h2) & np.uint64(num_bits - 1)
+    """Textbook sizing: m = -n·ln(p)/ln(2)^2 bits, h = (m/n)·ln(2) hashes,
+    m rounded up to a multiple of 64 (whole words)."""
+    n = max(1, expected_items)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max(64, ((m + 63) // 64) * 64)
+    h = max(1, round((m / n) * math.log(2)))
+    return m, h
 
 
 def bloom_build(
-    keys: DataFrame,
-    key_cols: Sequence[str],
-    num_bits: int = 1 << 23,
-    num_hashes: int = 5,
-) -> bytes:
-    """Build a bloom filter over the distinct composite keys of
-    ``keys`` and return it as ``num_bits/8`` bytes (persist it anywhere
-    — it is the standing index).
+    dim: DataFrame, key: str, num_bits: int, num_hashes: int
+) -> list[int]:
+    """Build the packed filter (list of m/64 signed 64-bit words) from the
+    dim side's keys. One explode + bit_or aggregation; the collect returns
+    at most m/64 rows regardless of dim size."""
+    pos = F.explode(F.array(*_positions(F.col(key), num_bits, num_hashes)))
+    words = (
+        dim.select(pos.alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+            .alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    packed = [0] * (num_bits // 64)
+    for r in words:
+        packed[r.w] = r.mask
+    return packed
 
-    EAGER: runs one Spark job. One scan → one partition bloom per
-    partition (``mapInPandas``) → driver OR-merge bounded by
-    ``partitions × num_bits/8`` bytes, never by rows.
-    """
-    if num_bits < 8 or num_bits & (num_bits - 1):
-        raise ValueError("num_bits must be a power of two >= 8")
-    if num_hashes < 1:
-        raise ValueError("num_hashes must be >= 1")
-    h1, h2 = _hash_cols(key_cols)
-    hashed = keys.select(h1.alias("h1"), h2.alias("h2"))
-    nb, nh = num_bits, num_hashes
 
-    def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        arr = np.zeros(nb // 8, dtype=np.uint8)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-            b = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(nh):
-                pos = _positions(a, b, i, nb)
-                # bitwise_or.at, not arr[idx] |= — fancy-assign drops
-                # duplicate positions within a batch
-                np.bitwise_or.at(
-                    arr, (pos >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8))
-        yield pd.DataFrame({"bloom": [arr.tobytes()]})
-
-    merged = np.zeros(num_bits // 8, dtype=np.uint8)
-    for row in hashed.mapInPandas(build_part, "bloom binary").collect():
-        merged |= np.frombuffer(row["bloom"], dtype=np.uint8)
-    return merged.tobytes()
+def _probe(words: Column, num_bits: int, num_hashes: int, col: Column) -> Column:
+    """Membership test against ``words`` (array<bigint> column) — true iff
+    every probed bit is set. Pure codegen expressions (getbit on bigint)."""
+    test = None
+    for p in _positions(col, num_bits, num_hashes):
+        word = F.element_at(words, F.shiftright(p, 6).cast("int") + 1)
+        bit = F.getbit(word, F.pmod(p, F.lit(64))) == 1
+        test = bit if test is None else (test & bit)
+    return test
 
 
 def bloom_might_contain(
+    packed: list[int], num_bits: int, num_hashes: int, col: Column
+) -> Column:
+    """Membership predicate with the words as an inline array literal.
+
+    ONLY for small filters (≲ a few hundred words): Catalyst does not
+    constant-fold the CreateArray, so the array is rebuilt PER ROW —
+    measured at sf0.1, probe time scaled with array size (3.4k words →
+    2.8 s, 5.7k words → 3.5 s) and not with num_hashes. Big filters must
+    go through :func:`bloom_prune`'s broadcast-row path (1.06 s on the
+    same shape)."""
+    return _probe(F.lit(packed), num_bits, num_hashes, col)
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Filter ``fact`` down to rows whose key MIGHT appear in ``dim``.
+
+    The returned frame joined to ``dim`` yields exactly the same rows as
+    joining the unfiltered fact (bloom admits a superset; the join drops
+    the false positives). ``expected_items`` sizes the filter — defaults
+    to a dim-side count (one extra tiny job; pass it when known).
+    NULL keys are dropped (they never match an equi-join anyway).
+    """
+    dk = dim_key or fact_key
+    n = expected_items if expected_items is not None else dim.count()
+    num_bits, num_hashes = bloom_params(n, fpp)
+    packed = bloom_build(dim, dk, num_bits, num_hashes)
+    # ship the words as a ONE-ROW broadcast joined to every fact row: the
+    # JVM replicates a reference to one array object, so the probe is h
+    # getbit lookups per row. (An inline F.lit(packed) literal is NOT
+    # folded — CreateArray re-materializes the array per row; measured
+    # 2.8-3.5 s vs 1.06 s for this path on the sf0.1 lineitem⋈orders
+    # shape.)
+    from pyspark.sql import types as T
+
+    spark = fact.sparkSession
+    bf_df = spark.createDataFrame(
+        [(packed,)],
+        T.StructType([T.StructField("__bloom_words", T.ArrayType(T.LongType()))]),
+    )
+    return (
+        # explicit NULL drop: xxhash64(NULL) hashes the seed, so a NULL
+        # key would otherwise probe a fixed bucket and could slip through
+        # as a false positive row that the join must then discard
+        fact.filter(F.col(fact_key).isNotNull())
+        .crossJoin(F.broadcast(bf_df))
+        .filter(_probe(F.col("__bloom_words"), num_bits, num_hashes,
+                       F.col(fact_key)))
+        .drop("__bloom_words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: the filter as a STANDING INDEX (persisted packed
+# words + config manifest, like dedup's LSH/SimHash indexes) and exact
+# semi-/anti-join compositions over composite keys. All probes reuse the
+# measured-fastest path above — codegen getbit over a one-row broadcast
+# of the packed words; no Python in any hot path.
+# ---------------------------------------------------------------------------
+
+
+def _key_columns(df: DataFrame, on: Sequence[str]) -> list[Column]:
+    return [df[c] for c in on]
+
+
+def _with_bloom_flag(
     df: DataFrame,
+    packed: list[int],
+    num_hashes: int,
     key_cols: Sequence[str],
-    bloom: bytes,
-    num_hashes: int = 5,
-    out_col: str = "might_contain",
+    out_col: str,
 ) -> DataFrame:
-    """Add boolean ``out_col``: True iff the row's composite key is
-    *probably* in the set the filter was built over (never False for a
-    true member). Filter bytes ride a SparkContext broadcast; the probe
-    is one Arrow-batched numpy bit test over the two JVM-side hashes."""
-    num_bits = len(bloom) * 8
-    if num_bits & (num_bits - 1):
-        raise ValueError("bloom length must be a power of two in bits")
+    """Attach boolean ``out_col`` = bloom membership of the composite
+    key. Same one-row-broadcast shape as :func:`bloom_prune` (kept
+    separate on purpose: bloom_prune is q74's banked single-key plan).
+    NULL-bearing keys get a flag like any other — the exact join after
+    the cut owns ANSI NULL semantics."""
+    from pyspark.sql import types as T
+
+    num_bits = len(packed) * 64
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bloom)
-    nb, nh = num_bits, num_hashes
-
-    from pyspark.sql.functions import pandas_udf
-
-    def probe_pd(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        arr = np.frombuffer(bc.value, dtype=np.uint8)
-        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
-        hit = np.ones(len(a), dtype=bool)
-        for i in range(nh):
-            pos = _positions(a, b, i, nb)
-            bit = arr[(pos >> np.uint64(3)).astype(np.int64)] \
-                & (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8)
-            hit &= bit != 0
-            if not hit.any():
-                break
-        return pd.Series(hit)
-
-    probe = pandas_udf(probe_pd, "boolean")
-    h1, h2 = _hash_cols(key_cols)
-    return df.withColumn(out_col, probe(h1, h2))
+    bf_df = spark.createDataFrame(
+        [(packed,)],
+        T.StructType([T.StructField("__bloom_words", T.ArrayType(T.LongType()))]),
+    )
+    return (
+        df.crossJoin(F.broadcast(bf_df))
+        .withColumn(
+            out_col,
+            _probe_multi(F.col("__bloom_words"), num_bits, num_hashes,
+                         _key_columns(df, key_cols)),
+        )
+        .drop("__bloom_words")
+    )
 
 
-def bloom_prefilter(
-    big: DataFrame,
-    key_cols: Sequence[str],
-    bloom: bytes,
-    num_hashes: int = 5,
-) -> DataFrame:
-    """Keep only rows whose key might be in the filter — a SUPERSET of
-    the exact semi-join (FPP-bounded overshoot, zero misses). This is
-    the 100 TB pre-shuffle cut: survivors are the only rows that pay
-    the exact-join shuffle."""
-    flagged = bloom_might_contain(big, key_cols, bloom, num_hashes, "__bloom_hit")
-    return flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+def _probe_multi(
+    words: Column, num_bits: int, num_hashes: int, cols: list[Column]
+) -> Column:
+    """Composite-key variant of :func:`_probe` — identical getbit test
+    over :func:`_kpositions`."""
+    test = None
+    for p in _kpositions(cols, num_bits, num_hashes):
+        word = F.element_at(words, F.shiftright(p, 6).cast("int") + 1)
+        bit = F.getbit(word, F.pmod(p, F.lit(64))) == 1
+        test = bit if test is None else (test & bit)
+    return test
+
+
+def bloom_build_keys(
+    reference: DataFrame,
+    on: Sequence[str],
+    num_bits: int,
+    num_hashes: int,
+) -> list[int]:
+    """:func:`bloom_build` over a composite key: one explode + map-side
+    combined ``bit_or`` groupBy — the shuffle AND the collect are
+    bounded by the filter size (≤ m/64 words per partition), never by
+    reference cardinality. Rows with every key column NULL still set
+    positions; they can only ADD false positives, which the exact join
+    after the cut removes."""
+    pos = F.explode(F.array(
+        *_kpositions(_key_columns(reference, on), num_bits, num_hashes)))
+    words = (
+        reference.select(pos.alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+            .alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    packed = [0] * (num_bits // 64)
+    for r in words:
+        packed[r.w] = r.mask
+    return packed
 
 
 def bloom_semi_join(
@@ -212,20 +283,26 @@ def bloom_semi_join(
     fpp: float = 0.01,
 ) -> DataFrame:
     """EXACT semi-join ``big ⋉ reference`` executed as bloom prefilter →
-    shuffle semi-join, so only probable members are shuffled.
+    shuffle semi-join, so only probable members pay the shuffle — the
+    standing-reference membership cut (allowlists, incremental-ingest
+    "seen before?", decontamination id sets) when the reference is too
+    big to broadcast raw keys but its filter fits.
 
-    ``expected_items``: reference's distinct-key estimate for filter
-    sizing (default: one extra count job). The composition is exact —
-    false positives are removed by the ANSI semi-join, and the bloom
-    has no false negatives — so its oracle is the plain semi-join.
+    The composition is exact: the bloom admits a superset (no false
+    negatives) and the ANSI semi-join drops its false positives.
+    ``expected_items`` sizes the filter (default: one distinct-count
+    job). See the module docstring's measurements for when the cut wins
+    — shuffle-bound cluster joins, not local memory-speed shuffles.
     """
     keys = list(on)
     ref_keys = reference.select(*keys).distinct()
     if expected_items is None:
         expected_items = max(1, ref_keys.count())
     num_bits, num_hashes = bloom_params(expected_items, fpp)
-    filt = bloom_build(ref_keys, keys, num_bits, num_hashes)
-    survivors = bloom_prefilter(big, keys, filt, num_hashes)
+    packed = bloom_build_keys(ref_keys, keys, num_bits, num_hashes)
+    survivors = (
+        _with_bloom_flag(big, packed, num_hashes, keys, "__bloom_hit")
+        .filter(F.col("__bloom_hit")).drop("__bloom_hit"))
     return survivors.join(ref_keys, on=keys, how="left_semi")
 
 
@@ -238,26 +315,86 @@ def bloom_anti_join(
     materialize: bool = False,
 ) -> DataFrame:
     """EXACT anti-join ``big ▷ reference`` — the decontamination /
-    blocklist shape when the reference key set is too big to broadcast:
-    bloom MISSES are *definitely* not in the reference and go straight
-    to the output with zero shuffle; only the FPP-bounded sliver of
-    bloom hits pays the exact shuffle anti-join (NULL-keyed rows are
-    kept on either path, matching ANSI left-anti semantics).
+    blocklist shape: bloom MISSES are *definitely* not in the reference
+    and go straight to the output with zero shuffle; only the
+    FPP-bounded sliver of hits pays the exact shuffle anti-join.
+    NULL-keyed big rows are kept on either path, matching ANSI
+    left-anti semantics (a NULL key never matches, so the exact stage
+    keeps it; on the miss path it is kept outright).
 
     The two branches are filters over one probed plan, so lazily the
-    source is scanned twice (both scans are map-side: parquet scan +
-    bit test — the shuffle only ever sees hits). ``materialize=True``
-    eagerly localCheckpoints the probed frame to scan once, at the
-    cost of storing it (dedup.py's materialize contract)."""
+    source is scanned twice (both scans are map-side: scan + getbit —
+    the shuffle only ever sees hits). ``materialize=True`` eagerly
+    localCheckpoints the probed frame to scan once, at the cost of
+    storing it (dedup.py's materialize contract)."""
     keys = list(on)
     ref_keys = reference.select(*keys).distinct()
     if expected_items is None:
         expected_items = max(1, ref_keys.count())
     num_bits, num_hashes = bloom_params(expected_items, fpp)
-    filt = bloom_build(ref_keys, keys, num_bits, num_hashes)
-    flagged = bloom_might_contain(big, keys, filt, num_hashes, "__bloom_hit")
+    packed = bloom_build_keys(ref_keys, keys, num_bits, num_hashes)
+    flagged = _with_bloom_flag(big, packed, num_hashes, keys, "__bloom_hit")
     if materialize:
         flagged = flagged.localCheckpoint(eager=True)
     misses = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
     hits = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     return misses.unionByName(hits.join(ref_keys, on=keys, how="left_anti"))
+
+
+def bloom_index_write(
+    packed: list[int],
+    path: str,
+    key_cols: Sequence[str],
+    num_hashes: int,
+) -> None:
+    """Persist packed words + a config manifest so later jobs probe with
+    provably-compatible parameters — the manifest discipline of dedup's
+    LSH/SimHash indexes (a mismatched hashing config would produce
+    arbitrary false NEGATIVES, silently breaking the superset
+    guarantee, so reads validate and raise). One small local file; no
+    Spark job."""
+    import json
+    import os
+    import struct
+
+    base = path.removeprefix("file://")
+    os.makedirs(base, exist_ok=True)
+    meta = {"num_bits": len(packed) * 64, "num_hashes": num_hashes,
+            "key_cols": list(key_cols), "h2_salt": _H2_SALT}
+    with open(os.path.join(base, "bloom.bin"), "wb") as f:
+        f.write(struct.pack(f"<{len(packed)}q", *packed))
+    with open(os.path.join(base, "_bloom_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def bloom_index_read(
+    path: str,
+    key_cols: Sequence[str] | None = None,
+) -> tuple[list[int], list[str], int]:
+    """Load ``(packed_words, key_cols, num_hashes)`` written by
+    :func:`bloom_index_write`. If ``key_cols`` is given it must match
+    the manifest, and the hashing constant must match this build —
+    probing with a different scheme yields false negatives, so raise."""
+    import json
+    import os
+    import struct
+
+    base = path.removeprefix("file://")
+    with open(os.path.join(base, "_bloom_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("h2_salt") != _H2_SALT:
+        raise ValueError(f"bloom index at {path} was built with an "
+                         "incompatible hashing scheme")
+    if key_cols is not None and list(key_cols) != meta["key_cols"]:
+        raise ValueError(
+            f"bloom_index_read: requested key_cols {list(key_cols)} != "
+            f"index key_cols {meta['key_cols']} — probes would be "
+            "meaningless")
+    with open(os.path.join(base, "bloom.bin"), "rb") as f:
+        raw = f.read()
+    if len(raw) * 8 != meta["num_bits"]:
+        raise ValueError(f"bloom index at {path} is corrupt: "
+                         f"{len(raw) * 8} bits on disk, manifest says "
+                         f"{meta['num_bits']}")
+    packed = list(struct.unpack(f"<{len(raw) // 8}q", raw))
+    return packed, meta["key_cols"], meta["num_hashes"]

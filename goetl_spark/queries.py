@@ -6194,12 +6194,13 @@ def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi-join (operators/bloom.py::bloom_semi_join
     — the standing-reference membership cut): keep lineitem rows whose
     order is URGENT, executed as build-bloom-over-reference →
-    Arrow-batched might_contain prefilter → exact shuffle semi-join on
-    the survivors. The composition is EXACT (bloom has no false
-    negatives; the ANSI semi-join removes its false positives), so the
-    oracle is the plain semi-join. At 100 TB only probable members pay
-    the shuffle; the filter bytes are a reusable standing index like
-    dedup's LSH/SimHash indexes."""
+    codegen getbit prefilter (broadcast packed words, no Python) →
+    exact shuffle semi-join on the survivors. The composition is EXACT
+    (bloom has no false negatives; the ANSI semi-join removes its
+    false positives), so the oracle is the plain semi-join. At 100 TB
+    only probable members pay the shuffle; the packed words persist as
+    a standing index (bloom_index_write/read) like dedup's LSH/SimHash
+    indexes."""
     from goetl_spark.operators.bloom import bloom_semi_join
 
     li = _t(spark, sf_dir, "lineitem")

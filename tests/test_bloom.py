@@ -1,15 +1,18 @@
-"""Bloom prefilter / bloom semi-join (operators/bloom.py).
+"""Round-7 bloom additions (operators/bloom.py): standing index +
+exact semi-/anti-join compositions over the round-3 JVM primitives.
+(bloom_prune / bloom_build / bloom_might_contain keep their original
+coverage in test_operators.py — untouched.)
 
 Contracts under test:
-* no false negatives — every true member probes True (the superset
-  guarantee the 100 TB pre-shuffle cut relies on);
-* measured false-positive rate is within a small multiple of the sized
-  FPP;
-* bloom_semi_join == plain left-semi join EXACTLY (incl. composite and
-  NULL-bearing keys) on real sf0.001 tables;
-* build is per-partition OR-merge — result is independent of the
-  input's partitioning;
-* sizing/validation errors raise instead of mis-probing.
+* composite-key build has no false negatives; measured FPP is within a
+  small multiple of the sized rate;
+* bloom_semi_join == plain left-semi join EXACTLY on real sf0.001
+  tables, and on composite/NULL-bearing keys;
+* bloom_anti_join == plain left-anti join EXACTLY, including under a
+  forced-high-FP config (fpp=0.5) and with materialize on;
+* build is partitioning-invariant (bit_or is order-insensitive);
+* index write/read round-trips; mismatched key_cols or corrupt bytes
+  raise instead of mis-probing.
 """
 
 from __future__ import annotations
@@ -18,36 +21,30 @@ import pytest
 from pyspark.sql import functions as F
 
 from goetl_spark.operators.bloom import (
-    bloom_build,
-    bloom_might_contain,
+    _with_bloom_flag,
+    bloom_anti_join,
+    bloom_build_keys,
+    bloom_index_read,
+    bloom_index_write,
     bloom_params,
-    bloom_prefilter,
     bloom_semi_join,
 )
 
-SF = "/root/testdata/sf0.001"
 
-
-def test_bloom_params_sizing():
-    bits, k = bloom_params(1000, 0.01)
-    assert bits >= 8 * 1000  # ~9.6 bits/key at 1%
-    assert bits & (bits - 1) == 0
-    assert 1 <= k <= 16
-    with pytest.raises(ValueError):
-        bloom_params(0)
-    with pytest.raises(ValueError):
-        bloom_params(10, 1.5)
-
-
-def test_no_false_negatives_and_fpp(spark):
-    members = spark.range(0, 2000).withColumnRenamed("id", "k").repartition(7)
+def test_no_false_negatives_and_fpp_composite(spark):
+    members = (spark.range(0, 2000)
+               .select(F.col("id").alias("k1"),
+                       (F.col("id") % 7).cast("string").alias("k2"))
+               .repartition(7))
     bits, k = bloom_params(2000, 0.01)
-    filt = bloom_build(members, ["k"], bits, k)
-    assert len(filt) == bits // 8
+    packed = bloom_build_keys(members, ["k1", "k2"], bits, k)
+    assert len(packed) == bits // 64
 
-    flagged = bloom_might_contain(
-        spark.range(0, 10000).withColumnRenamed("id", "k"), ["k"], filt, k)
-    hits = {r["k"] for r in flagged.filter("might_contain").collect()}
+    probe = (spark.range(0, 10000)
+             .select(F.col("id").alias("k1"),
+                     (F.col("id") % 7).cast("string").alias("k2")))
+    flagged = _with_bloom_flag(probe, packed, k, ["k1", "k2"], "hit")
+    hits = {r["k1"] for r in flagged.filter("hit").collect()}
     assert set(range(2000)) <= hits  # zero false negatives
     fp = len(hits - set(range(2000))) / 8000
     assert fp < 0.05  # sized for 1%; generous bound keeps this unflaky
@@ -55,23 +52,9 @@ def test_no_false_negatives_and_fpp(spark):
 
 def test_build_partitioning_invariant(spark):
     rows = spark.range(0, 500).withColumnRenamed("id", "k")
-    a = bloom_build(rows.repartition(1), ["k"], 1 << 14, 4)
-    b = bloom_build(rows.repartition(13), ["k"], 1 << 14, 4)
+    a = bloom_build_keys(rows.repartition(1), ["k"], 1 << 14, 4)
+    b = bloom_build_keys(rows.repartition(13), ["k"], 1 << 14, 4)
     assert a == b
-
-
-def test_prefilter_superset_of_semi_join(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
-        .filter(F.col("o_orderpriority") == "1-URGENT") \
-        .select(F.col("o_orderkey").alias("l_orderkey"))
-    exact = {r["l_orderkey"] for r in
-             li.join(od, "l_orderkey", "left_semi").select("l_orderkey").collect()}
-    filt = bloom_build(od, ["l_orderkey"], 1 << 16, 5)
-    pre = {r["l_orderkey"] for r in
-           bloom_prefilter(li, ["l_orderkey"], filt, 5)
-           .select("l_orderkey").collect()}
-    assert exact <= pre
 
 
 def test_bloom_semi_join_exact_tpch(spark, sf_dir):
@@ -100,19 +83,7 @@ def test_bloom_semi_join_composite_and_null_keys(spark):
     assert 13 not in got and 14 not in got
 
 
-def test_validation_errors(spark):
-    rows = spark.range(5).withColumnRenamed("id", "k")
-    with pytest.raises(ValueError):
-        bloom_build(rows, ["k"], num_bits=100)  # not a power of two
-    with pytest.raises(ValueError):
-        bloom_build(rows, ["k"], num_bits=1 << 12, num_hashes=0)
-    with pytest.raises(ValueError):
-        bloom_might_contain(rows, ["k"], b"abc", 3)  # 24 bits: not 2^n
-
-
 def test_bloom_anti_join_exact_tpch(spark, sf_dir):
-    from goetl_spark.operators.bloom import bloom_anti_join
-
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .filter(F.col("o_orderpriority") == "1-URGENT") \
@@ -127,8 +98,6 @@ def test_bloom_anti_join_exact_tpch(spark, sf_dir):
 
 
 def test_bloom_anti_join_null_keys_kept_and_materialize(spark):
-    from goetl_spark.operators.bloom import bloom_anti_join
-
     big = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 11), (None, "a", 12), (3, None, 13),
          (4, "c", 14)],
@@ -145,8 +114,6 @@ def test_bloom_anti_join_null_keys_kept_and_materialize(spark):
 
 
 def test_bloom_adversarial_string_keys(spark):
-    from goetl_spark.operators.bloom import bloom_semi_join
-
     keys = ["", " ", "\x1f", "a\x1fb", "a|b", "héllo", "🙂🙂",
             "line\nbreak", "tab\there", "0", "00", "NULL", "None"]
     big = spark.createDataFrame([(k, i) for i, k in enumerate(keys)]
@@ -156,3 +123,23 @@ def test_bloom_adversarial_string_keys(spark):
     got = {r["v"] for r in bloom_semi_join(big, ref, ["k"]).collect()}
     want = {r["v"] for r in big.join(ref, ["k"], "left_semi").collect()}
     assert got == want
+
+
+def test_bloom_index_roundtrip_and_guards(spark, tmp_path):
+    members = spark.range(0, 300).withColumnRenamed("id", "k")
+    packed = bloom_build_keys(members, ["k"], 1 << 13, 4)
+    path = str(tmp_path / "bloom_idx")
+    bloom_index_write(packed, path, ["k"], 4)
+
+    loaded, cols, k = bloom_index_read(path, ["k"])
+    assert loaded == packed and cols == ["k"] and k == 4
+    flagged = _with_bloom_flag(members, loaded, k, cols, "hit")
+    assert flagged.filter("NOT hit").count() == 0
+
+    with pytest.raises(ValueError):
+        bloom_index_read(path, ["other_col"])
+    # corrupt bytes on disk must raise, not mis-probe
+    with open(f"{path}/bloom.bin", "ab") as f:
+        f.write(b"\x00" * 8)
+    with pytest.raises(ValueError):
+        bloom_index_read(path)

@@ -11,7 +11,9 @@
 - :mod:`goetl_spark.operators.text`      — text analysis for training-data pipelines
 - :mod:`goetl_spark.operators.multimodal`— binary media columns + decode kernels
 - :mod:`goetl_spark.operators.merge`     — SQL MERGE + partition-pruned merge-on-read
-- :mod:`goetl_spark.operators.bloom`     — bloom-filter join pruning
+- :mod:`goetl_spark.operators.bloom`     — bloom-filter join pruning, standing
+  bloom index, exact bloom semi-/anti-joins
+- :mod:`goetl_spark.operators.web`       — URL parsing / canonicalization
 - :mod:`goetl_spark.operators.maintenance` — full + incremental compaction
 - :mod:`goetl_spark.operators.sketch`    — mergeable t-digest + Count-Min sketches
 - :mod:`goetl_spark.operators.sampling`  — splits, mixing, packing, weighted PPS

@@ -446,3 +446,38 @@ def compression_ratio(col: str | Column):
     _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_ratio, "double")(c)
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC",
+                      strip_controls: bool = False) -> Column:
+    """Unicode-normalize text (NFC/NFD/NFKC/NFKD) — the canonical
+    first pass of corpus hygiene: composed-vs-decomposed accents,
+    full-width forms (NFKC), and ligatures otherwise defeat exact and
+    shingle dedup on byte-identical prose.
+
+    The normalization table lookup has no Spark builtin, so this is the
+    one Arrow-batched pandas step (``Series.str.normalize`` — NULLs
+    propagate); ``strip_controls`` then removes C0/DEL control
+    characters except tab/newline JVM-side. Map-only either way: no
+    shuffle, scan-bound at any scale. NFC agrees with DuckDB's
+    ``nfc_normalize`` on the common plane (staged oracle pins it);
+    NFKC/NFKD have no DuckDB twin and are pytest-covered.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(texts):
+        return texts.str.normalize(form)
+
+    # real annotation objects — see compression_ratio's note on the
+    # module-wide `from __future__ import annotations`
+    _norm.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    out = pandas_udf(_norm, "string")(c)
+    if strip_controls:
+        out = F.regexp_replace(
+            out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    return out

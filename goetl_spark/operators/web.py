@@ -1,0 +1,146 @@
+"""URL parsing and canonicalization for web-corpus pipelines.
+
+The Common-Crawl-style hygiene layer: split URLs into parts, derive a
+grouping domain, strip tracking parameters, canonicalize for URL-level
+dedup. Everything is single-pass JVM ``regexp_extract`` /
+``regexp_replace`` Column expressions — zero UDFs, zero shuffles;
+the whole module is scan-bound and 100 TB-trivial. Per-domain caps and
+URL dedup then compose with the existing machinery (partial per-group
+top-k in operators/window.py, exact_dedup on ``normalize_url`` output).
+
+Every regex is RE2-portable (no lookaround, no backrefs in patterns) so
+the staged oracle mirrors each expression one-to-one in DuckDB — the
+only syntax difference is the replacement group marker (``$1`` in Java
+regex, ``\\1`` in RE2).
+
+Deliberate scope limits, documented rather than guessed:
+
+* ``url_domain`` strips one leading ``www.`` from the lowercased host.
+  True registrable-domain (eTLD+1) grouping needs the Mozilla Public
+  Suffix List — an external artifact this sandbox doesn't ship; the
+  hook is a broadcast join against such a table if you have one.
+* No percent-decoding: decoding changes byte length and can introduce
+  separators, so canonicalization keeps the encoded form (matching how
+  CDX/WARC indexes key URLs).
+
+Reference parity note: goetl has no URL surface; beyond-reference in
+the spirit of its HTTP source options (sources/http.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_scheme",
+    "url_host",
+    "url_port",
+    "url_path",
+    "url_query",
+    "url_fragment",
+    "url_domain",
+    "strip_tracking_params",
+    "normalize_url",
+    "url_parts",
+]
+
+# RFC 3986-ish prefix: scheme '://' optional userinfo '@'
+_AUTH = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?"
+
+# ad/analytics params whose presence splits otherwise-identical URLs —
+# the standard strip list (utm_* covers source/medium/campaign/term/…)
+TRACKING_PARAMS = (
+    r"utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src"
+)
+
+
+def url_scheme(col: Column | str) -> Column:
+    """Lowercased scheme ('' when the value isn't an absolute URL)."""
+    return F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(col: Column | str) -> Column:
+    """Hostname as written (case preserved; no port, userinfo, path)."""
+    return F.regexp_extract(col, _AUTH + r"([^/?#:]+)", 1)
+
+
+def url_port(col: Column | str) -> Column:
+    """Explicit port as a string ('' when none is written)."""
+    return F.regexp_extract(col, _AUTH + r"[^/?#:]+:([0-9]+)", 1)
+
+
+def url_path(col: Column | str) -> Column:
+    """Path including the leading slash ('' for bare-host URLs)."""
+    return F.regexp_extract(col, _AUTH + r"[^/?#]*(/[^?#]*)", 1)
+
+
+def url_query(col: Column | str) -> Column:
+    """Query string without the '?' ('' when absent)."""
+    return F.regexp_extract(col, r"\?([^#]*)", 1)
+
+
+def url_fragment(col: Column | str) -> Column:
+    """Fragment without the '#' ('' when absent)."""
+    return F.regexp_extract(col, r"#(.*)$", 1)
+
+
+def url_domain(col: Column | str) -> Column:
+    """Grouping domain: lowercased host minus one leading ``www.`` —
+    the per-domain-cap / per-domain-stats key (see module docstring for
+    the eTLD+1 caveat)."""
+    return F.regexp_replace(F.lower(url_host(col)), r"^www\.", "")
+
+
+def strip_tracking_params(col: Column | str, params: str = TRACKING_PARAMS) -> Column:
+    """Remove tracking query parameters, then tidy the separators the
+    removal leaves behind. Three global passes, each mirrored verbatim
+    in the oracle: (1) drop ``[?&]param=value`` keeping the separator,
+    (2) collapse runs of '&' after a separator, (3) drop a dangling
+    '?'/'&' before the fragment or end."""
+    c = F.regexp_replace(col, rf"([?&])(?:{params})=[^&#]*", r"$1")
+    c = F.regexp_replace(c, r"([?&])&+", r"$1")
+    return F.regexp_replace(c, r"[?&]+(#|$)", r"$1")
+
+
+def normalize_url(col: Column | str, keep_fragment: bool = False) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme and host,
+    drop default ports (:80 http / :443 https), strip tracking params,
+    drop the fragment (unless ``keep_fragment``), trim one trailing
+    slash from a non-root path. Feed the result to ``exact_dedup`` /
+    ``bloom_semi_join`` for URL-level dedup and seen-list cuts."""
+    c = F.col(col) if isinstance(col, str) else col
+    # lowercase ONLY the scheme://host prefix, not path or query
+    prefix = F.regexp_extract(c, _AUTH + r"[^/?#]*", 0)
+    rest = c.substr(F.length(prefix) + F.lit(1), F.lit(1 << 30))
+    c = F.concat(F.lower(prefix), rest)
+    c = F.regexp_replace(c, r"^(http://[^/?#]*):80(/|\?|#|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#]*):443(/|\?|#|$)", r"$1$2")
+    c = strip_tracking_params(c)
+    if not keep_fragment:
+        c = F.regexp_replace(c, r"#.*$", "")
+    # trim ONE trailing slash from a non-root path; anchored through the
+    # authority so the scheme's // and a root-only / can never match
+    return F.regexp_replace(
+        c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/[^?#]*?)/(\?|#|$)", r"$1$2")
+
+
+def url_parts(
+    df: DataFrame,
+    url_col: str,
+    prefix: str = "",
+) -> DataFrame:
+    """Attach ``scheme/host/port/path/query/fragment/domain`` columns
+    (optionally ``prefix``-ed) in one projection — one codegen stage,
+    no shuffle."""
+    c = F.col(url_col)
+    return df.select(
+        "*",
+        url_scheme(c).alias(f"{prefix}scheme"),
+        url_host(c).alias(f"{prefix}host"),
+        url_port(c).alias(f"{prefix}port"),
+        url_path(c).alias(f"{prefix}path"),
+        url_query(c).alias(f"{prefix}query"),
+        url_fragment(c).alias(f"{prefix}fragment"),
+        url_domain(c).alias(f"{prefix}domain"),
+    )

@@ -6242,3 +6242,123 @@ def q149_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_orderkey", "l_linenumber", "l_quantity",
                     "l_discount")
             .orderBy("l_orderkey", "l_linenumber"))
+
+
+@register_staged(
+    "q150_url_parts",
+    r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'https://www.' || source || '.example.com/Docs/' || doc_id
+                   || '?utm_source=feed&utm_campaign=x&id=' || doc_id || '#top'
+               WHEN doc_id % 3 = 1 THEN
+                   'HTTP://' || upper(source) || '.example.org:80/a/b/'
+               ELSE source || ' is not a url' END AS url
+        FROM documents
+    ), p AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)
+                   AS host,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(/[^?#]*)',
+                   1) AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS query
+        FROM u
+    ), d AS (
+        SELECT *,
+               regexp_replace(lower(host), '^www\.', '') AS domain,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*', 0))
+                   || substr(url, length(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*', 0))
+                   + 1) AS lowered
+        FROM p
+    ), strip1 AS (
+        SELECT doc_id, url, scheme, host, path, query, domain,
+               regexp_replace(regexp_replace(lowered,
+                   '^(http://[^/?#]*):80(/|\?|#|$)', '\1\2', 'g'),
+                   '^(https://[^/?#]*):443(/|\?|#|$)', '\1\2', 'g') AS c1
+        FROM d
+    ), strip2 AS (
+        SELECT doc_id, url, scheme, host, path, query, domain,
+               regexp_replace(regexp_replace(regexp_replace(c1,
+                   '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)=[^&#]*',
+                   '\1', 'g'),
+                   '([?&])&+', '\1', 'g'),
+                   '[?&]+(#|$)', '\1', 'g') AS c2
+        FROM strip1
+    )
+    SELECT doc_id, scheme, host, domain, path, query,
+           regexp_replace(regexp_replace(c2, '#.*$', '', 'g'),
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/[^?#]*?)/(\?|#|$)',
+               '\1\2', 'g') AS clean_url
+    FROM strip2 ORDER BY doc_id
+    """,
+)
+def q150_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL part extraction + canonicalization (operators/web.py::
+    url_parts / normalize_url — the Common-Crawl hygiene layer). The
+    corpus has no URL column, so both engines construct the same
+    deterministic mix (q141/q147's in-query construction pattern):
+    tracked https URLs with www+fragment, http with default port and
+    trailing slash, and plain non-URL text (all parts ''). Every regex
+    is RE2-portable and mirrored one-to-one in the oracle; only the
+    replacement marker differs ($1 Java, \\1 RE2)."""
+    from goetl_spark.operators.web import normalize_url, url_parts
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".example.com/Docs/"), F.col("doc_id"),
+                        F.lit("?utm_source=feed&utm_campaign=x&id="),
+                        F.col("doc_id"), F.lit("#top")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("HTTP://"), F.upper("source"),
+                       F.lit(".example.org:80/a/b/")))
+        .otherwise(F.concat(F.col("source"), F.lit(" is not a url")))
+        .alias("url"))
+    return (url_parts(u, "url")
+            .withColumn("clean_url", normalize_url("url"))
+            .select("doc_id", "scheme", "host", "domain", "path", "query",
+                    "clean_url")
+            .orderBy("doc_id"))
+
+
+@register_staged(
+    "q151_unicode_nfc",
+    """
+    SELECT doc_id,
+           nfc_normalize(substr(text, 1, 40) || ' cafe' || chr(769)
+                         || ' A' || chr(768) || 'B') AS text_nfc,
+           length(nfc_normalize(substr(text, 1, 40) || ' cafe' || chr(769)
+                         || ' A' || chr(768) || 'B')) AS n_chars_nfc
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+    """,
+)
+def q151_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.py::normalize_unicode
+    vs DuckDB's utf8proc nfc_normalize): the corpus text is ASCII, so
+    both engines append the same decomposed suffix (combining acute /
+    grave marks) that NFC must compose — byte-identical output and
+    char length are the oracle surface. NFKC/NFKD have no DuckDB twin
+    and stay pytest-covered."""
+    from goetl_spark.operators.text import normalize_unicode
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    suffixed = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40),
+                 F.lit(" cafe\u0301 A\u0300B"))
+        .alias("t"))
+    return (suffixed
+            .select("doc_id",
+                    normalize_unicode("t").alias("text_nfc"))
+            .withColumn("n_chars_nfc", F.length("text_nfc"))
+            .orderBy("doc_id"))

@@ -1,0 +1,144 @@
+"""URL parsing/canonicalization (operators/web.py) and Unicode
+normalization (operators/text.py::normalize_unicode).
+
+Contracts: part extraction on assorted real-world URL shapes (userinfo,
+ports, fragments, bare hosts, non-URLs), tracking-param removal with
+clean separator tidy-up, canonicalization idempotence, NFC/NFKC
+behavior with NULL propagation, and control-char stripping.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.text import normalize_unicode
+from goetl_spark.operators.web import (
+    normalize_url,
+    strip_tracking_params,
+    url_parts,
+)
+
+URLS = [
+    "https://u:p@www.Example.COM:8443/Path/Sub?b=2&a=1#frag",
+    "http://example.com",
+    "http://example.com:80/x?y=1",
+    "https://sub.example.org/",
+    "ftp://files.example.net/pub/file.txt",
+    "not a url at all",
+    "//protocol-relative.example.com/x",
+]
+
+
+def test_url_parts_shapes(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    rows = {r["url"]: r for r in url_parts(df, "url").collect()}
+
+    r = rows[URLS[0]]
+    assert (r["scheme"], r["host"], r["port"]) == ("https", "www.Example.COM", "8443")
+    assert (r["path"], r["query"], r["fragment"]) == ("/Path/Sub", "b=2&a=1", "frag")
+    assert r["domain"] == "example.com"
+
+    r = rows["http://example.com"]
+    assert (r["scheme"], r["host"], r["path"], r["query"]) == \
+        ("http", "example.com", "", "")
+    assert rows["http://example.com:80/x?y=1"]["port"] == "80"
+    assert rows["https://sub.example.org/"]["domain"] == "sub.example.org"
+    assert rows["ftp://files.example.net/pub/file.txt"]["path"] == "/pub/file.txt"
+    # non-URLs and protocol-relative URLs: all parts empty, never an error
+    for u in ("not a url at all", "//protocol-relative.example.com/x"):
+        r = rows[u]
+        assert all(r[p] == "" for p in
+                   ("scheme", "host", "port", "path", "query", "fragment", "domain"))
+
+
+@pytest.mark.parametrize("dirty,clean", [
+    ("https://a.com/p?utm_source=x&id=7", "https://a.com/p?id=7"),
+    ("https://a.com/p?id=7&utm_source=x", "https://a.com/p?id=7"),
+    ("https://a.com/p?utm_a=1&utm_b=2&id=7", "https://a.com/p?id=7"),
+    ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+    ("https://a.com/p?fbclid=abc#sec", "https://a.com/p#sec"),
+    ("https://a.com/p?gclid=1&x=2&msclkid=3", "https://a.com/p?x=2"),
+    ("https://a.com/p?keep=utm_source", "https://a.com/p?keep=utm_source"),
+    ("https://a.com/p", "https://a.com/p"),
+])
+def test_strip_tracking_params(spark, dirty, clean):
+    df = spark.createDataFrame([(dirty,)], "url string")
+    got = df.select(strip_tracking_params("url").alias("u")).collect()[0]["u"]
+    assert got == clean
+
+
+def test_normalize_url_canonicalizes(spark):
+    cases = [
+        ("HTTPS://WWW.Example.COM/KeepCase?utm_x=1&q=Y#frag",
+         "https://www.example.com/KeepCase?q=Y"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default kept
+        ("http://a.com:443/x", "http://a.com:443/x"),      # scheme-mismatched kept
+        ("https://a.com/path/", "https://a.com/path"),
+        ("https://a.com/", "https://a.com/"),              # root slash kept
+        ("https://a.com/path/?x=1", "https://a.com/path?x=1"),
+    ]
+    df = spark.createDataFrame([(d,) for d, _ in cases], "url string")
+    got = [r["u"] for r in
+           df.select("url", normalize_url("url").alias("u")).collect()]
+    assert got == [c for _, c in cases]
+    # idempotent: normalizing a normalized URL is a no-op
+    df2 = spark.createDataFrame([(c,) for _, c in cases], "url string")
+    again = [r["u"] for r in df2.select(normalize_url("url").alias("u")).collect()]
+    assert again == [c for _, c in cases]
+
+
+def test_normalize_unicode_forms_and_nulls(spark):
+    composed = "café"                                  # U+00E9
+    decomposed = "café"                          # e + combining acute
+    fullwidth = "ＡＢＣ１２３"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, fullwidth), (3, None), (4, "plain")],
+        "id int, text string")
+    out = {r["id"]: r["n"] for r in
+           df.select("id", normalize_unicode("text").alias("n")).collect()}
+    assert out[1] == composed
+    assert out[2] == fullwidth          # NFC leaves compatibility chars
+    assert out[3] is None               # NULL propagates
+    assert out[4] == "plain"
+
+    nfkc = {r["id"]: r["n"] for r in
+            df.select("id", normalize_unicode("text", "NFKC").alias("n"))
+            .collect()}
+    assert nfkc[2] == "ABC123"
+    assert nfkc[1] == composed
+    # cross-check against the stdlib on the same inputs
+    assert nfkc[2] == unicodedata.normalize("NFKC", fullwidth)
+
+    with pytest.raises(ValueError):
+        normalize_unicode("text", "NFX")
+
+
+def test_normalize_unicode_strip_controls(spark):
+    df = spark.createDataFrame(
+        [(1, "a\x00b\x07c\tkeep\nme\x7f!")], "id int, text string")
+    got = df.select(
+        normalize_unicode("text", strip_controls=True).alias("n")
+    ).collect()[0]["n"]
+    assert got == "abc\tkeep\nme!"      # tab/newline survive, C0/DEL gone
+
+
+def test_url_dedup_composition(spark):
+    """normalize_url + exact_dedup: tracking-param and case variants of
+    one URL collapse to a single representative."""
+    from goetl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "https://A.com/x?utm_source=mail"),
+         (2, "https://a.com/x"),
+         (3, "HTTPS://a.com/x#section"),
+         (4, "https://a.com/y")],
+        "doc_id int, url string")
+    canon = df.select("doc_id", normalize_url("url").alias("url"))
+    groups = exact_dedup(canon, text_col="url", id_col="doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep == {1: 3, 4: 1}

@@ -31,6 +31,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # 0. URL hygiene: the corpus has no URL column, so construct the
+    #    crawl-style mix (tracking params, case variants); canonical
+    #    forms collapse variants for URL-level dedup, and a per-domain
+    #    cap (partial top-k — no full-corpus window shuffle) bounds any
+    #    one domain's contribution
+    from goetl_spark.operators.web import normalize_url, url_domain
+    from goetl_spark.operators.window import topk_per_group_partial
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://WWW."), F.col("source"),
+                 F.lit(".example.com/d/"), F.col("doc_id"),
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.lit("?utm_source=crawl")).otherwise(F.lit("")))
+        .alias("url"))
+    canon = (urls.withColumn("url", normalize_url("url"))
+             .withColumn("domain", url_domain("url")))
+    n_domains = canon.select("domain").distinct().count()
+    capped = topk_per_group_partial(canon, ["domain"], "doc_id", k=200,
+                                    ascending=True)
+    n_capped = capped.count()
+
     # 1. quality filter (pure Column expressions, zero UDF)
     kept = (docs.withColumn("q", quality_score(F.col("text")))
             .filter(F.col("q") >= 0.3)
@@ -76,7 +98,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     first_doc = int(epoch_shuffle(clean, "doc_id", epoch=0)
                     .select("doc_id").first()[0])
 
-    result = {"input_docs": n0, "after_quality": n1,
+    result = {"input_docs": n0, "domains": n_domains,
+              "after_domain_cap": n_capped, "after_quality": n1,
               "gopher_pass": n_gopher, "after_dedup": n2,
               "after_decontamination": n3, "chunks": n4,
               "packs_of_256_tokens": n_packs,

@@ -41,6 +41,9 @@ def test_llm_data_prep_example(spark):
     assert r["chunks"] >= r["after_decontamination"]
     assert r["packs_of_256_tokens"] > 0
     assert 0 <= r["gopher_pass"] <= r["after_quality"]
+    assert r["domains"] > 0
+    assert r["after_domain_cap"] <= min(r["input_docs"],
+                                        200 * r["domains"])
     # the epoch-0 shuffle is deterministic: same first doc on re-run
     r2 = main(SF, spark=spark)
     assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]

@@ -21,6 +21,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
 
     from pyspark.sql import functions as F
 
+    from goetl_spark.operators.bloom import (
+        _with_bloom_flag, bloom_build_keys, bloom_index_read,
+        bloom_index_write, bloom_params)
     from goetl_spark.operators.dedup import (
         dedup_against, lsh_index_candidates, lsh_index_write,
         ngram_jaccard_pairs)
@@ -40,6 +43,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
     day1.write.mode("overwrite").parquet(corpus_path)
     lsh_index_write(day1, idx_path)
     n_corpus = day1.count()
+    # ... and the content-digest bloom index: at cluster scale a later
+    # batch probes these bytes (codegen getbit, no corpus read) and
+    # routes definite-fresh docs past the exact digest join entirely
+    bits, hashes = bloom_params(n_corpus, fpp=0.01)
+    bloom_index_write(
+        bloom_build_keys(day1.select(F.md5("text").alias("digest")),
+                         ["digest"], bits, hashes),
+        f"{workdir}/bloom_idx", ["digest"], hashes)
 
     # --- day 2 batch: half fresh docs, a few exact copies, a few
     #     near-dups (same text + a marker suffix) of corpus docs
@@ -57,8 +68,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
 
     corpus = spark.read.parquet(corpus_path)
 
-    # 1. exact layer: digest anti-join against the standing corpus
-    #    (corpus text never shuffles — digests only)
+    # 1a. standing bloom index: flag which batch docs are DEFINITELY
+    #     new (bloom miss = no false negatives) without touching the
+    #     corpus — the pre-shuffle routing cut at 100 TB
+    packed, cols, hashes = bloom_index_read(f"{workdir}/bloom_idx",
+                                            ["digest"])
+    probed = _with_bloom_flag(
+        batch.withColumn("digest", F.md5("text")),
+        packed, hashes, cols, "maybe_seen")
+    n_definitely_new = probed.filter(~F.col("maybe_seen")).count()
+
+    # 1b. exact layer: digest anti-join against the standing corpus
+    #     (corpus text never shuffles — digests only)
     no_exact = dedup_against(batch, corpus)
     n_exact_dropped = n_batch - no_exact.count()
 
@@ -85,6 +106,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
     n_final = spark.read.parquet(corpus_path).count()
 
     result = {"corpus_day1": n_corpus, "batch": n_batch,
+              "bloom_definitely_new": n_definitely_new,
               "exact_dropped": n_exact_dropped,
               "near_dropped": n_near_dropped,
               "corpus_after": n_final}

@@ -165,7 +165,10 @@ def main() -> None:
     jvm = spark.sparkSession._jvm if hasattr(spark, "sparkSession") else spark._jvm
 
     rows = []
-    for name, fn in catalog.queries().items():
+    # staged round-8 registrations audit alongside the live registry so
+    # every seat lands pre-audited
+    todo = {**catalog.queries(), **catalog.staged_queries()}
+    for name, fn in todo.items():
         if only and name not in only:
             continue
         if name in EAGER:

@@ -68,6 +68,11 @@ def test_incremental_ingest_example(spark, tmp_path):
 
     r = main(SF, spark=spark, workdir=str(tmp_path / "ingest"))
     assert r["exact_dropped"] == 5          # the 5 exact copies
+    # bloom has no false negatives: every doc the exact layer dropped
+    # was flagged maybe-seen, so definitely-new ≤ batch − dropped
+    assert r["bloom_definitely_new"] <= r["batch"] - r["exact_dropped"]
+    # and with 1% FPP on this size the cut is near-exact
+    assert r["bloom_definitely_new"] >= r["batch"] - r["exact_dropped"] - 3
     assert r["near_dropped"] >= 4           # near-dups caught+verified
     assert r["corpus_after"] == (r["corpus_day1"] + r["batch"]
                                  - r["exact_dropped"] - r["near_dropped"])

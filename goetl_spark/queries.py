@@ -6362,3 +6362,36 @@ def q151_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     normalize_unicode("t").alias("text_nfc"))
             .withColumn("n_chars_nfc", F.length("text_nfc"))
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q152_training_shards",
+    """
+    WITH r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY md5('goetl:0:' || doc_id))
+                   AS rank,
+               COUNT(*) OVER () AS total
+        FROM documents
+    )
+    SELECT doc_id, rank,
+           CAST(FLOOR((rank - 1) * 8 / total) AS INT) AS shard
+    FROM r ORDER BY doc_id
+    """,
+)
+def q152_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer roundtrip (sinks/files.py::
+    write_training_shards): epoch-0 md5 permutation → distributed
+    exact rank → 8 contiguous equal(±1) shards, one file per shard,
+    verified by reading the written dirs back. The oracle recomputes
+    the same permutation with ANSI ROW_NUMBER over the md5 key (md5
+    agrees across engines — q144's contract) and the same
+    floor((rank-1)·n/total) block cut."""
+    from goetl_spark.sinks.files import write_training_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _scratch("q152_training_shards")
+    write_training_shards(d, path, n_shards=8, key_col="doc_id")
+    return (spark.read.parquet(path)
+            .select("doc_id", "rank", "shard")
+            .orderBy("doc_id"))

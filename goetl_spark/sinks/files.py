@@ -254,3 +254,56 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    epoch: int = 0,
+    salt: str = "goetl",
+    compression: str = "snappy",
+) -> dict:
+    """Final-mile training output: epoch-deterministic global
+    permutation → ``n_shards`` contiguous, equal(±1)-count shard
+    directories, ONE file per shard, rows inside each file in
+    permutation order (the webdataset/streaming-loader contract).
+
+    Composition of the existing primitives: ``sampling.epoch_shuffle``
+    supplies the reproducible md5 permutation key (different but
+    deterministic per epoch), ``ranking`` 's distributed exact rank
+    turns it into a 1-based total order (never a single-partition
+    sort), and ``shard = floor((rank-1)·n/total)`` cuts contiguous
+    blocks whose sizes differ by at most one. The write hashes each
+    shard to exactly one task and pre-sorts by (shard, rank), which
+    satisfies the partitioned writer's required ordering — no second
+    sort, intra-file order preserved.
+
+    Scale: one range-partitioned sort + one n_shards-way shuffle, both
+    on (shard, rank) pairs; nothing driver-side beyond the rank
+    offsets (one row per partition). ``rank`` rides along in the
+    output so loaders can verify or re-sort. Returns
+    ``{"total_rows", "n_shards", "epoch"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.ranking import _ranked
+    from goetl_spark.operators.sampling import epoch_shuffle
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shuffled = epoch_shuffle(df, key_col, epoch=epoch, salt=salt)
+    # __shuffle_key is md5(salt:epoch:key) — unique iff key_col is
+    # unique (epoch_shuffle already fail-fasts on NULL keys)
+    ranked, total = _ranked(shuffled, ["__shuffle_key"], "rank", None)
+    sharded = (ranked
+               .withColumn("shard",
+                           F.floor((F.col("rank") - 1) * n_shards / total)
+                           .cast("int"))
+               .drop("__shuffle_key"))
+    (sharded.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "rank")
+     .write.mode("overwrite").option("compression", compression)
+     .partitionBy("shard").parquet(path))
+    return {"total_rows": total, "n_shards": n_shards, "epoch": epoch}

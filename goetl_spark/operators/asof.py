@@ -13,8 +13,12 @@ O(n·m) pairs before aggregation at 100 TB).
 
 :func:`range_join` is an equi-join on keys with a bounded time predicate.
 With keys it stays an equi-join (the range is a post-join filter, so
-Catalyst still plans a hash/sort-merge join); keyless range joins get
-time-bucket blocking to avoid the cross-join explosion.
+Catalyst still plans a hash/sort-merge join); KEYLESS shapes get the
+promised time-bucket blocking in :func:`interval_lookup_join`
+(point-in-range: GeoIP/CIDR/tariff enrichment) and
+:func:`interval_overlap_join` (interval x interval overlap) — an
+in-row bucket explode turns both into plain equi-joins, with a
+left-edge bucket predicate deduplicating multi-bucket pairs exactly.
 """
 
 from __future__ import annotations
@@ -119,3 +123,112 @@ def range_join(
     dt = F.col(f"l.{left_ts}").cast("double") - F.col(f"r.{right_ts}").cast("double")
     cond = cond & (dt >= lower_seconds) & (dt <= upper_seconds)
     return l.join(r, cond)
+
+
+def _bucket_of(col: Column, width: float) -> Column:
+    return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
+
+
+def interval_lookup_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """KEYLESS point-in-interval lookup: every (point, interval) pair
+    with ``start <= point <= end`` — the GeoIP / CIDR-range / tariff-
+    table enrichment shape, where a naive formulation is a cross join.
+
+    Bucket blocking (the docstring's promised keyless plan): each
+    interval explodes into the ``ceil(len/width)+1`` buckets it covers
+    (one in-row ``sequence``, map-only), each point computes its single
+    bucket, and the join is a plain EQUI-join on the bucket with the
+    containment predicate as a post-join filter — Catalyst plans a
+    hash/sort-merge join, pairs never materialize outside a shared
+    bucket. Candidate work per point = intervals overlapping its
+    bucket, so pick ``bucket_width`` near the median interval length
+    (every interval then spans ~2 buckets while buckets stay narrow).
+
+    A pathological interval (length ≫ width) would fan out into
+    thousands of bucket rows; ``max_buckets_per_interval`` fails fast
+    instead (raise_error inside the plan — same guard philosophy as
+    ngram's max_df). Points are emitted once per MATCHING interval
+    (buckets cannot duplicate a pair: a point lives in exactly one
+    bucket). NULL points / NULL bounds never match; ``how='left'``
+    keeps unmatched points with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    lo = _bucket_of(F.col(start_col), bucket_width)
+    hi = _bucket_of(F.col(end_col), bucket_width)
+    n_buckets = hi - lo + 1
+    guarded = F.when(
+        n_buckets > max_buckets_per_interval,
+        F.raise_error(F.concat(
+            F.lit(f"interval_lookup_join: an interval spans more than "
+                  f"{max_buckets_per_interval} buckets of width "
+                  f"{bucket_width}; raise bucket_width or the cap "
+                  f"(interval start="), F.col(start_col).cast("string"),
+            F.lit(")"))),
+    ).otherwise(F.sequence(lo, hi))
+    iv = intervals.withColumn("__bucket", F.explode(guarded))
+    pt = points.withColumn("__bucket", _bucket_of(F.col(point_col),
+                                                  bucket_width))
+    cond = ((pt["__bucket"] == iv["__bucket"])
+            & (pt[point_col] >= iv[start_col])
+            & (pt[point_col] <= iv[end_col]))
+    out = pt.join(iv, cond, how)
+    return out.drop(pt["__bucket"]).drop(iv["__bucket"])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """KEYLESS interval-overlap join: every (left, right) pair with
+    ``l_start <= r_end AND r_start <= l_end`` (closed intervals) —
+    sessions × incidents, stay × outage, any two interval sets.
+
+    Same bucket blocking as :func:`interval_lookup_join`, both sides
+    exploded. A pair sharing k buckets would surface k times, so each
+    pair is emitted ONLY in the bucket containing the overlap's left
+    edge (``floor(greatest(l_start, r_start)/w)``) — an exact, shuffle-
+    free dedup predicate instead of a DISTINCT over the pair set.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo, hi = _bucket_of(F.col(s), bucket_width), _bucket_of(F.col(e),
+                                                                bucket_width)
+        guarded = F.when(
+            hi - lo + 1 > max_buckets_per_interval,
+            F.raise_error(F.lit(
+                f"interval_overlap_join: an interval spans more than "
+                f"{max_buckets_per_interval} buckets of width "
+                f"{bucket_width}; raise bucket_width or the cap")),
+        ).otherwise(F.sequence(lo, hi))
+        return df.withColumn("__bucket", F.explode(guarded))
+
+    l = burst(left, left_start, left_end)
+    r = burst(right, right_start, right_end)
+    edge = _bucket_of(F.greatest(l[left_start], r[right_start]),
+                      bucket_width)
+    cond = ((l["__bucket"] == r["__bucket"])
+            & (l[left_start] <= r[right_end])
+            & (r[right_start] <= l[left_end])
+            & (l["__bucket"] == edge))
+    out = l.join(r, cond, "inner")
+    return out.drop(l["__bucket"]).drop(r["__bucket"])

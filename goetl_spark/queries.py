@@ -6395,3 +6395,40 @@ def q152_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(path)
             .select("doc_id", "rank", "shard")
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q153_interval_lookup",
+    """
+    SELECT o.o_orderkey AS iid,
+           COUNT(*) AS n_pts,
+           CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_pts
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey >= o.o_orderkey
+     AND l.l_orderkey <= o.o_orderkey + 20
+    WHERE o.o_orderkey % 7 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q153_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval lookup (operators/asof.py::
+    interval_lookup_join — the GeoIP/CIDR enrichment shape): orderkeys
+    landing inside overlapping [k, k+20] ranges, bucket-blocked into an
+    EQUI-join (the oracle is the naive inequality join DuckDB plans
+    natively). Aggregated per interval so the compared surface is
+    count+sum, independent of pair order."""
+    from goetl_spark.operators.asof import interval_lookup_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (o.filter(F.col("o_orderkey") % 7 == 0)
+          .select(F.col("o_orderkey").alias("iid"),
+                  F.col("o_orderkey").cast("double").alias("s"),
+                  (F.col("o_orderkey") + 20).cast("double").alias("e")))
+    pt = li.select("l_orderkey",
+                   F.col("l_orderkey").cast("double").alias("p"))
+    j = interval_lookup_join(pt, iv, "p", "s", "e", bucket_width=16.0)
+    return (j.groupBy("iid")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.sum("l_orderkey").alias("sum_pts"))
+            .orderBy("iid"))

@@ -98,3 +98,49 @@ def test_guards(spark):
     with pytest.raises(Exception):  # raise_error inside the plan
         interval_lookup_join(pt, iv, "p", "s", "e", 5.0,
                              max_buckets_per_interval=2).collect()
+
+
+# --- fuzzed equivalence vs the naive plan (Spark-backed, capped) -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_coord = st.integers(min_value=-50, max_value=50)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_coord, min_size=1, max_size=12),
+       st.lists(st.tuples(_coord, st.integers(min_value=0, max_value=25)),
+                min_size=1, max_size=10),
+       st.sampled_from([0.5, 3.0, 17.0]))
+def test_lookup_fuzz_vs_naive(spark, pts, ivs, width):
+    pt = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], "pid int, p double")
+    iv = spark.createDataFrame(
+        [(i, float(s), float(s + ln)) for i, (s, ln) in enumerate(ivs)],
+        "iid int, s double, e double")
+    got = {(r["pid"], r["iid"]) for r in
+           interval_lookup_join(pt, iv, "p", "s", "e", width).collect()}
+    assert got == _naive_lookup(pt, iv)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(_coord, st.integers(min_value=0, max_value=30)),
+                min_size=1, max_size=8),
+       st.lists(st.tuples(_coord, st.integers(min_value=0, max_value=30)),
+                min_size=1, max_size=8),
+       st.sampled_from([1.0, 9.0, 200.0]))
+def test_overlap_fuzz_vs_naive(spark, lft, rgt, width):
+    a = spark.createDataFrame(
+        [(i, float(s), float(s + ln)) for i, (s, ln) in enumerate(lft)],
+        "aid int, as_ double, ae double")
+    b = spark.createDataFrame(
+        [(i, float(s), float(s + ln)) for i, (s, ln) in enumerate(rgt)],
+        "bid int, bs double, be double")
+    rows = interval_overlap_join(a, b, "as_", "ae", "bs", "be",
+                                 width).collect()
+    pairs = [(r["aid"], r["bid"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == _naive_overlap(a, b)

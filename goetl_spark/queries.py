@@ -5859,8 +5859,8 @@ ENTRY_QUERY = q01_pricing_summary
 
 
 # ---------------------------------------------------------------------------
-# STAGED round-8 registrations — the round-7 window is exactly full
-# (50 mandatory seats), so these five do NOT appear in queries() yet:
+# STAGED round-8/9 registrations — the round-7 window is exactly full
+# (50 mandatory seats), so these twelve do NOT appear in queries() yet:
 # an unseated registration with no driver row would trip
 # test_registry's coverage invariant. They are fully written and
 # oracle-verified NOW (tests/test_staged_oracles.py runs the driver's

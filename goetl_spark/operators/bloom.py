@@ -256,6 +256,9 @@ def bloom_build_keys(
     reference cardinality. Rows with every key column NULL still set
     positions; they can only ADD false positives, which the exact join
     after the cut removes."""
+    if num_bits < 64 or num_bits % 64:
+        raise ValueError("num_bits must be a positive multiple of 64 "
+                         "(bloom_params sizes it correctly)")
     pos = F.explode(F.array(
         *_kpositions(_key_columns(reference, on), num_bits, num_hashes)))
     words = (

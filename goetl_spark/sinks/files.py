@@ -264,6 +264,7 @@ def write_training_shards(
     epoch: int = 0,
     salt: str = "goetl",
     compression: str = "snappy",
+    check_unique: bool = True,
 ) -> dict:
     """Final-mile training output: epoch-deterministic global
     permutation → ``n_shards`` contiguous, equal(±1)-count shard
@@ -293,6 +294,18 @@ def write_training_shards(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if check_unique:
+        # epoch_shuffle fail-fasts on NULL keys but not duplicates; a
+        # duplicate key means tied md5 permutation values, so rank
+        # order — and the writer's whole determinism contract — would
+        # quietly depend on task scheduling. One cheap agg, opt-out.
+        dup = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"write_training_shards: duplicate {key_col} "
+                f"{dup[0][0]!r} — shard order would be nondeterministic "
+                "(pass check_unique=False only with a provably unique key)")
     shuffled = epoch_shuffle(df, key_col, epoch=epoch, salt=salt)
     # __shuffle_key is md5(salt:epoch:key) — unique iff key_col is
     # unique (epoch_shuffle already fail-fasts on NULL keys)

@@ -143,3 +143,9 @@ def test_bloom_index_roundtrip_and_guards(spark, tmp_path):
         f.write(b"\x00" * 8)
     with pytest.raises(ValueError):
         bloom_index_read(path)
+
+
+def test_build_keys_rejects_unaligned_bits(spark):
+    rows = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        bloom_build_keys(rows, ["k"], 1000, 3)  # not a multiple of 64

@@ -72,3 +72,9 @@ def test_validation(spark, tmp_path):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         write_training_shards(df, str(tmp_path / "x"), 0, "doc_id")
+
+
+def test_duplicate_keys_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,), (2,)], "doc_id int")
+    with pytest.raises(ValueError, match="duplicate"):
+        write_training_shards(df, str(tmp_path / "d"), 2, "doc_id")

@@ -153,6 +153,13 @@ def interval_lookup_join(
     bucket, so pick ``bucket_width`` near the median interval length
     (every interval then spans ~2 buckets while buckets stay narrow).
 
+    MEASURED (local[8], sf0.1: 600k points × 21.4k width-20 intervals,
+    both plans returning the same 1.8M pairs): bucketized 0.6-0.95 s vs
+    66 s for the naive theta join — Spark plans the inequality-only
+    condition as a broadcast nested loop over 12.9G candidate pairs,
+    so unlike bloom_prune's shuffle-vs-memory tradeoff this blocking
+    wins locally too (it removes compute, not just network).
+
     A pathological interval (length ≫ width) would fan out into
     thousands of bucket rows; ``max_buckets_per_interval`` fails fast
     instead (raise_error inside the plan — same guard philosophy as

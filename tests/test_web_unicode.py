@@ -142,3 +142,11 @@ def test_url_dedup_composition(spark):
     groups = exact_dedup(canon, text_col="url", id_col="doc_id").collect()
     by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
     assert by_keep == {1: 3, 4: 1}
+
+
+def test_normalize_url_non_urls_and_nulls_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "not a url"), (2, ""), (3, None)], "id int, url string")
+    got = {r["id"]: r["u"] for r in
+           df.select("id", normalize_url("url").alias("u")).collect()}
+    assert got == {1: "not a url", 2: "", 3: None}

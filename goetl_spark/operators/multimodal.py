@@ -484,3 +484,133 @@ def audio_frame_energy(
     schema = ("media_id long, frame_idx int, start_ms long, "
               "rms double, n_samples int, status string")
     return df.mapInPandas(run, schema=schema)
+
+
+_DHASH_SCHEMA = ("media_id long, dhash long, decode_ok boolean, "
+                 "decoder string")
+
+
+def _block_mean_gray(pixels, w: int, h: int, ch: int,
+                     gw: int, gh: int) -> "np.ndarray":
+    """Deterministic block-mean downscale to (gh, gw) grayscale ints.
+    Integer bin edges (``i*size//g``) and integer division only, so the
+    result is bit-identical across platforms; identity when the native
+    size equals the grid. P6 RGB collapses to (r+g+b)//3 first."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
+    if ch == 3:
+        arr = arr.reshape(h, w, 3).sum(axis=2) // 3
+    else:
+        arr = arr.reshape(h, w)
+    if (w, h) == (gw, gh):
+        return arr
+    ye = [(i * h) // gh for i in range(gh + 1)]
+    xe = [(i * w) // gw for i in range(gw + 1)]
+    out = np.empty((gh, gw), dtype=np.int64)
+    for r in range(gh):
+        for c in range(gw):
+            block = arr[ye[r]:max(ye[r + 1], ye[r] + 1),
+                        xe[c]:max(xe[c + 1], xe[c] + 1)]
+            out[r, c] = int(block.mean())  # floats only inside the block
+    return out
+
+
+def dhash(df: DataFrame, media_col: str = "media",
+          grid: tuple[int, int] = (9, 8)) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate IMAGE fingerprint: block-mean resize to
+    ``grid=(gw, gh)`` grayscale, then one bit per horizontal gradient
+    (``px[r,c] > px[r,c+1]``), ``gh*(gw-1)`` bits packed little-endian
+    (bit ``k = r*(gw-1)+c``) into a signed long (uint64 bit pattern).
+    Identical images hash equal; small edits flip few bits, so Hamming
+    distance ranks similarity — feed :func:`image_neardup_pairs`.
+
+    Same decode contract as :func:`extract_features`: real netpbm
+    parse, quarantine rows (``decode_ok=false`` + reason) instead of
+    crashing; non-netpbm images without Pillow quarantine as
+    ``missing-codec``. Arrow-batched mapInPandas, map-only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gw, gh = grid
+    if gw < 2 or gh < 1 or gh * (gw - 1) > 64:
+        raise ValueError("grid must satisfy 2<=gw, 1<=gh, gh*(gw-1)<=64")
+
+    def run(batches) -> Iterator:
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [], "decode_ok": [],
+                   "decoder": []}
+            for m in pdf[media_col]:
+                payload, mime = m["payload"], m["mime_type"] or ""
+                out["media_id"].append(m["media_id"])
+                if payload is None or len(payload) == 0:
+                    out["dhash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("none")
+                    continue
+                if payload[:2] not in (b"P5", b"P6"):
+                    out["dhash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("missing-codec")
+                    continue
+                pixels, w, h, ch, err = _parse_netpbm(bytes(payload))
+                if err is not None:
+                    out["dhash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append(err)
+                    continue
+                g = _block_mean_gray(pixels, w, h, ch, gw, gh)
+                hv = np.uint64(0)
+                for r in range(gh):
+                    for c in range(gw - 1):
+                        if g[r, c] > g[r, c + 1]:
+                            hv |= np.uint64(1) << np.uint64(r * (gw - 1) + c)
+                out["dhash"].append(int(np.int64(hv)))
+                out["decode_ok"].append(True)
+                out["decoder"].append("netpbm")
+            yield pd.DataFrame(out)
+
+    return df.select(media_col).mapInPandas(run, schema=_DHASH_SCHEMA)
+
+
+def image_neardup_pairs(df: DataFrame, media_col: str = "media",
+                        max_hamming: int = 4,
+                        grid: tuple[int, int] = (9, 8)) -> DataFrame:
+    """Near-duplicate image pairs: dHash + the pigeonhole band trick
+    dedup.py uses for SimHash text — split the 64-bit hash into
+    ``max_hamming + 1`` bands, so two hashes within the Hamming bound
+    MUST agree exactly on at least one band (lossless); candidates
+    equi-join on (band, value) and verify with ``bit_count(xor)``.
+    Never all-pairs. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    hashed = dhash(df, media_col, grid).filter(F.col("decode_ok")) \
+        .select("media_id", "dhash")
+    base, extra = divmod(64, bands)
+    rows, start = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        mask = (1 << width) - 1
+        rows.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("dhash", start).bitwiseAND(F.lit(mask))
+            .alias("val")))
+        start += width
+    banded = hashed.select(
+        "media_id", "dhash", F.explode(F.array(*rows)).alias("bv"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b_, (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                    F.col("a.dhash").alias("ha"),
+                    F.col("b.dhash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

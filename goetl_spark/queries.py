@@ -6432,3 +6432,48 @@ def q153_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pts"),
                  F.sum("l_orderkey").alias("sum_pts"))
             .orderBy("iid"))
+
+
+_DHASH_TERMS = " + ".join(
+    f"(CASE WHEN ascii(substr(text, {r * 9 + c + 1}, 1)) > "
+    f"ascii(substr(text, {r * 9 + c + 2}, 1)) "
+    f"THEN CAST('{1 << (r * 8 + c)}' AS HUGEINT) "
+    f"ELSE CAST(0 AS HUGEINT) END)"
+    for r in range(8) for c in range(8))
+
+
+@register_staged(
+    "q154_image_dhash",
+    f"""
+    SELECT doc_id,
+           CAST({_DHASH_TERMS} AS VARCHAR) AS dhash_u,
+           TRUE AS decode_ok
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) >= 72
+    ORDER BY doc_id
+    """,
+)
+def q154_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dHash (operators/multimodal.py::dhash) with a
+    VALUE oracle: each document's first 72 ASCII bytes become a native
+    9x8 P5 image (q34's in-query construction pattern; native grid →
+    block-mean resize is the identity), so the 64 gradient bits are
+    plain byte comparisons the oracle replays with ascii(substr(...)).
+    The signed-long hash surfaces as its unsigned decimal string
+    (conv(hex, 16, 10) ↔ HUGEINT sum) so bit 63 can't trip signed
+    overflow in either engine."""
+    from goetl_spark.operators.multimodal import attach_media_column, dhash
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & (F.length("text") >= 72)))
+    payload = F.encode(
+        F.concat(F.lit("P5\n9 8\n255\n"), F.substring("text", 1, 72)),
+        "UTF-8")
+    md = attach_media_column(d.select("doc_id", payload.alias("p")), "p",
+                             mime="image/x-portable-graymap",
+                             id_col="doc_id")
+    return (dhash(md)
+            .select(F.col("media_id").alias("doc_id"),
+                    F.conv(F.hex("dhash"), 16, 10).alias("dhash_u"),
+                    "decode_ok")
+            .orderBy("doc_id"))

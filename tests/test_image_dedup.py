@@ -1,0 +1,115 @@
+"""Perceptual image dedup (operators/multimodal.py::dhash /
+image_neardup_pairs): dHash determinism and gradient semantics on real
+netpbm payloads, block-mean resize invariance, quarantine contract,
+and the pigeonhole-banded near-dup join (exact copies, small
+perturbations inside the Hamming bound, distinct images outside it).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.multimodal import (
+    attach_media_column,
+    dhash,
+    image_neardup_pairs,
+)
+
+
+def _p5(w: int, h: int, pixels: bytes) -> bytes:
+    assert len(pixels) == w * h
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _media_df(spark, rows):
+    """rows: list of (media_id, payload_bytes_or_None, mime)."""
+    df = spark.createDataFrame(
+        [(i, bytearray(p) if p is not None else None, m)
+         for i, p, m in rows],
+        "media_id long, payload binary, mime_type string")
+    return attach_media_column(df, "payload", mime=F.col("mime_type"),
+                               id_col="media_id")
+
+
+def _gradient_img(w=9, h=8, step=10, noise_at=None):
+    px = bytearray((c * step) % 256 for r in range(h) for c in range(w))
+    if noise_at is not None:
+        px[noise_at] = 255
+    return _p5(w, h, bytes(px))
+
+
+def test_dhash_gradient_and_determinism(spark):
+    img = _gradient_img()
+    md = _media_df(spark, [(1, img, "image/x-portable-graymap"),
+                           (2, img, "image/x-portable-graymap")])
+    rows = {r["media_id"]: r for r in dhash(md).collect()}
+    assert rows[1]["decode_ok"] and rows[1]["decoder"] == "netpbm"
+    assert rows[1]["dhash"] == rows[2]["dhash"]  # identical → equal hash
+    # monotonically increasing rows (step=10 < 256/9*?): px[c+1] > px[c]
+    # everywhere → every gradient bit 0 → hash 0
+    assert rows[1]["dhash"] == 0
+
+    dec = _p5(9, 8, bytes(bytearray((80 - c * 10) % 256
+                                    for r in range(8) for c in range(9))))
+    md2 = _media_df(spark, [(3, dec, "image/x-portable-graymap")])
+    h3 = dhash(md2).collect()[0]["dhash"]
+    # strictly decreasing rows → all 64 gradient bits set → uint64 max
+    assert h3 == -1  # 0xFFFFFFFFFFFFFFFF as signed long
+
+
+def test_dhash_resize_invariance(spark):
+    """A 2x upscale of the same scene block-means back to the same
+    grid, so the hash survives resizing — the point of dHash."""
+    small = _gradient_img(9, 8)
+    big = _p5(18, 16, bytes(bytearray(
+        ((c // 2) * 10) % 256 for r in range(16) for c in range(18))))
+    md = _media_df(spark, [(1, small, "image/x-portable-graymap"),
+                           (2, big, "image/x-portable-graymap")])
+    rows = {r["media_id"]: r["dhash"] for r in dhash(md).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_dhash_quarantine(spark):
+    md = _media_df(spark, [
+        (1, None, "image/x-portable-graymap"),
+        (2, b"\x89PNGnotreally", "image/png"),
+        (3, _p5(9, 8, b"A" * 72)[:-1], "image/x-portable-graymap"),
+    ])
+    rows = {r["media_id"]: r for r in dhash(md).collect()}
+    assert not rows[1]["decode_ok"] and rows[1]["decoder"] == "none"
+    assert not rows[2]["decode_ok"] and rows[2]["decoder"] == "missing-codec"
+    assert not rows[3]["decode_ok"] and rows[3]["decoder"] == "netpbm-truncated"
+    assert all(rows[i]["dhash"] is None for i in (1, 2, 3))
+
+
+def test_image_neardup_pairs(spark):
+    base = _gradient_img()
+    near = _gradient_img(noise_at=40)     # one hot pixel → few bits flip
+    # decreasing-luma RGB scene: its grid has 16 gradient bits set,
+    # far outside the bound (an INCREASING scene would hash 0 like
+    # base - dHash is a gradient-sign fingerprint)
+    p6 = b"P6\n3 2\n255\n" + bytes(reversed(range(18)))
+    far = _p5(9, 8, bytes(bytearray(255 if (r + c) % 2 else 0
+                                    for r in range(8) for c in range(9))))
+    md = _media_df(spark, [
+        (1, base, "image/x-portable-graymap"),
+        (2, base, "image/x-portable-graymap"),   # exact copy
+        (3, near, "image/x-portable-graymap"),   # near dup
+        (4, far, "image/x-portable-graymap"),    # different
+        (5, p6, "image/x-portable-pixmap"),      # decodes, different
+        (6, None, "image/x-portable-graymap"),   # quarantined, excluded
+    ])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(md, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 4
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_grid_validation(spark):
+    md = _media_df(spark, [(1, _gradient_img(), "image/x-portable-graymap")])
+    with pytest.raises(ValueError):
+        dhash(md, grid=(10, 8))   # 8*9=72 bits > 64
+    with pytest.raises(ValueError):
+        image_neardup_pairs(md, max_hamming=64)

@@ -5860,7 +5860,7 @@ ENTRY_QUERY = q01_pricing_summary
 
 # ---------------------------------------------------------------------------
 # STAGED round-8/9 registrations — the round-7 window is exactly full
-# (50 mandatory seats), so these twelve do NOT appear in queries() yet:
+# (50 mandatory seats), so these staged entries do NOT appear in queries() yet:
 # an unseated registration with no driver row would trip
 # test_registry's coverage invariant. They are fully written and
 # oracle-verified NOW (tests/test_staged_oracles.py runs the driver's

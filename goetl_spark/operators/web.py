@@ -98,6 +98,10 @@ def strip_tracking_params(col: Column | str, params: str = TRACKING_PARAMS) -> C
     in the oracle: (1) drop ``[?&]param=value`` keeping the separator,
     (2) collapse runs of '&' after a separator, (3) drop a dangling
     '?'/'&' before the fragment or end."""
+    # Known scope caveat (kept for RE2/oracle portability — scoping to
+    # the pre-'#' region needs lookbehind, which RE2 lacks): a tracking
+    # lookalike INSIDE a fragment ('#sec&utm_x=1') is also stripped.
+    # normalize_url drops fragments anyway; pin via test_web_unicode.
     c = F.regexp_replace(col, rf"([?&])(?:{params})=[^&#]*", r"$1")
     c = F.regexp_replace(c, r"([?&])&+", r"$1")
     return F.regexp_replace(c, r"[?&]+(#|$)", r"$1")

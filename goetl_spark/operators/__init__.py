@@ -9,7 +9,8 @@
 - :mod:`goetl_spark.operators.dedup`     — exact + near-duplicate detection (beyond reference)
 - :mod:`goetl_spark.operators.similarity`— vector similarity search (beyond reference)
 - :mod:`goetl_spark.operators.text`      — text analysis for training-data pipelines
-- :mod:`goetl_spark.operators.multimodal`— binary media columns + decode kernels
+- :mod:`goetl_spark.operators.multimodal`— binary media columns + decode kernels,
+  perceptual image dedup (dHash + banded pairs)
 - :mod:`goetl_spark.operators.merge`     — SQL MERGE + partition-pruned merge-on-read
 - :mod:`goetl_spark.operators.bloom`     — bloom-filter join pruning, standing
   bloom index, exact bloom semi-/anti-joins

@@ -149,3 +149,34 @@ def test_build_keys_rejects_unaligned_bits(spark):
     rows = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         bloom_build_keys(rows, ["k"], 1000, 3)  # not a multiple of 64
+
+
+# --- fuzzed equivalence vs plain semi/anti joins (Spark-backed, capped) ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.one_of(st.none(), st.integers(min_value=-5, max_value=15))
+_tag = st.one_of(st.none(), st.sampled_from(["a", "b", ""]))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(_key, _tag), min_size=1, max_size=15),
+       st.lists(st.tuples(_key, _tag), min_size=1, max_size=10),
+       st.sampled_from([0.01, 0.5]))
+def test_bloom_joins_fuzz_vs_plain(spark, big_rows, ref_rows, fpp):
+    from goetl_spark.operators.bloom import bloom_anti_join
+
+    big = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(big_rows)],
+        "v int, k1 int, k2 string")
+    ref = spark.createDataFrame(ref_rows, "k1 int, k2 string")
+    semi = {r["v"] for r in
+            bloom_semi_join(big, ref, ["k1", "k2"], fpp=fpp).collect()}
+    anti = {r["v"] for r in
+            bloom_anti_join(big, ref, ["k1", "k2"], fpp=fpp).collect()}
+    want_semi = {r["v"] for r in big.join(ref, ["k1", "k2"],
+                                          "left_semi").collect()}
+    assert semi == want_semi
+    assert anti == set(range(len(big_rows))) - want_semi  # exact partition

@@ -75,8 +75,24 @@ def main() -> None:
           + ", ".join(q.split("_")[0] for q in staged))
     print(f"\ntotal suggested seats: {seats} of 50 "
           f"({50 - seats:+d} spare)" if seats <= 50 else
-          f"\nOVER CAPACITY: {seats} > 50 — defer "
-          f"{seats - 50} expiring entries (they become hard next round)")
+          f"\nOVER CAPACITY: {seats} > 50 — deferring "
+          f"{seats - 50} STAGED entries (staged never expire; expiring "
+          f"entries become hard next round, so they keep their seats)")
+
+    # paste-ready window: mandatory + expiring first (they have
+    # deadlines), then staged up to capacity — highest-q staged defer
+    # to the following round
+    seated_staged = staged[:max(0, 50 - len(mandatory) - len(expiring))]
+    proposal = sorted(mandatory + expiring, key=num) \
+        + sorted(seated_staged, key=num)
+    deferred = [q for q in staged if q not in seated_staged]
+    print("\nproposed _WINDOW (paste into queries.py; move seated "
+          "staged entries from @register_staged to @register):")
+    for q in proposal:
+        print(f'    "{q}",')
+    if deferred:
+        print(f"# deferred staged (stay in _STAGED): "
+              + ", ".join(q.split("_")[0] for q in deferred))
 
 
 if __name__ == "__main__":

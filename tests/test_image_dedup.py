@@ -113,3 +113,17 @@ def test_grid_validation(spark):
         dhash(md, grid=(10, 8))   # 8*9=72 bits > 64
     with pytest.raises(ValueError):
         image_neardup_pairs(md, max_hamming=64)
+
+
+def test_dhash_small_grid(spark):
+    """grid=(5,4): 16 bits; a decreasing 5x4 native image sets all of
+    them (hash 0xFFFF), an increasing one none."""
+    inc = _p5(5, 4, bytes(bytearray(c * 10 for r in range(4)
+                                    for c in range(5))))
+    dec = _p5(5, 4, bytes(bytearray(200 - c * 10 for r in range(4)
+                                    for c in range(5))))
+    md = _media_df(spark, [(1, inc, "image/x-portable-graymap"),
+                           (2, dec, "image/x-portable-graymap")])
+    rows = {r["media_id"]: r["dhash"]
+            for r in dhash(md, grid=(5, 4)).collect()}
+    assert rows[1] == 0 and rows[2] == 0xFFFF

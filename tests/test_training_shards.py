@@ -78,3 +78,12 @@ def test_duplicate_keys_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1,), (2,), (2,)], "doc_id int")
     with pytest.raises(ValueError, match="duplicate"):
         write_training_shards(df, str(tmp_path / "d"), 2, "doc_id")
+
+
+def test_check_unique_opt_out(spark, tmp_path):
+    """check_unique=False skips the guard; duplicate keys then co-locate
+    (same md5 → adjacent ranks) and the write still succeeds."""
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,)], "doc_id int")
+    meta = write_training_shards(df, str(tmp_path / "nu"), 2, "doc_id",
+                                 check_unique=False)
+    assert meta["total_rows"] == 4

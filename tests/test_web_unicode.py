@@ -161,3 +161,23 @@ def test_strip_tracking_params_fragment_caveat(spark):
         [("https://a.com/p?x=1#sec&utm_a=2",)], "url string")
     got = df.select(strip_tracking_params("url").alias("u")).collect()[0]["u"]
     assert got == "https://a.com/p?x=1#sec"
+
+
+def test_url_parts_prefix_and_keep_fragment(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/p?utm_x=1#sec",)], "url string")
+    cols = url_parts(df, "url", prefix="u_").columns
+    assert {"u_scheme", "u_host", "u_domain"} <= set(cols)
+    kept = df.select(
+        normalize_url("url", keep_fragment=True).alias("u")
+    ).collect()[0]["u"]
+    assert kept == "https://a.com/p#sec"
+
+
+def test_strip_tracking_params_custom_list(spark):
+    df = spark.createDataFrame([("https://a.com/p?sid=9&x=1",)],
+                               "url string")
+    got = df.select(
+        strip_tracking_params("url", params="sid").alias("u")
+    ).collect()[0]["u"]
+    assert got == "https://a.com/p?x=1"

@@ -29,6 +29,8 @@ the spirit of its HTTP source options (sources/http.py).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,7 @@ __all__ = [
     "url_query",
     "url_fragment",
     "url_domain",
+    "registrable_domain",
     "strip_tracking_params",
     "normalize_url",
     "url_parts",
@@ -148,3 +151,47 @@ def url_parts(
         url_fragment(c).alias(f"{prefix}fragment"),
         url_domain(c).alias(f"{prefix}domain"),
     )
+
+
+# starter subset of the Mozilla Public Suffix List: the high-traffic
+# two-label public suffixes. Swap in the full PSL via the `two_label`
+# parameter when the artifact is available (ROADMAP round-9 #30 covers
+# the broadcast-join variant for the full 9k-entry list).
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
+    "co.in", "net.in", "org.in", "co.za", "co.nz", "co.th", "co.id",
+)
+
+
+def registrable_domain(
+    col: Column | str,
+    two_label: "Sequence[str]" = TWO_LABEL_SUFFIXES,
+) -> Column:
+    """eTLD+1 grouping key from a hostname column: the public suffix
+    plus one label — ``news.bbc.co.uk → bbc.co.uk`` but
+    ``news.bbc.com → bbc.com``. Naive last-two-labels grouping merges
+    every ``.co.uk`` site into one "domain"; this is the fix.
+
+    Pure Column expressions: split the lowercased host on dots, test
+    the last-two-label suffix against ``two_label`` (an ``isin``
+    literal — fine for the starter list; a full 9k-entry PSL should go
+    through a broadcast join instead, see module docstring), and keep
+    suffix+1 labels. Hosts with too few labels come back unchanged.
+    """
+    c = F.lower(col if not isinstance(col, str) else F.col(col))
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    # greatest(1, ·): slice is 1-based and raises on start 0 — short
+    # hosts hit the n <= suffix_len passthrough anyway, but the isin
+    # CONDITION evaluates for every row, so the start must stay legal
+    last = lambda k: F.array_join(
+        F.slice(labels, F.greatest(F.lit(1), n - k + 1), k), ".")
+    suffix_len = F.when(last(2).isin(*two_label), F.lit(2)).otherwise(F.lit(1))
+    return F.when(n <= suffix_len, c).otherwise(
+        F.when(suffix_len == 2, last(3)).otherwise(last(2)))

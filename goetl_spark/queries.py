@@ -6477,3 +6477,57 @@ def q154_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.conv(F.hex("dhash"), 16, 10).alias("dhash_u"),
                     "decode_ok")
             .orderBy("doc_id"))
+
+
+def _q155_sql() -> str:
+    from goetl_spark.operators.web import TWO_LABEL_SUFFIXES
+
+    suffixes = ", ".join(f"'{x}'" for x in TWO_LABEL_SUFFIXES)
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'news.' || source || '.co.uk'
+                    WHEN doc_id % 4 = 1 THEN 'a.b.' || source || '.com.au'
+                    WHEN doc_id % 4 = 2 THEN 'WWW.' || source || '.com'
+                    ELSE source END AS host
+        FROM documents
+    ), l AS (
+        SELECT doc_id, host, string_split(lower(host), '.') AS ls,
+               len(string_split(lower(host), '.')) AS n
+        FROM h
+    ), m AS (
+        SELECT doc_id, host, ls, n,
+               CASE WHEN n >= 2 AND array_to_string(ls[n-1:n], '.')
+                        IN ({suffixes})
+                    THEN 2 ELSE 1 END AS sl
+        FROM l
+    )
+    SELECT doc_id, host,
+           CASE WHEN n <= sl THEN lower(host)
+                ELSE array_to_string(ls[n-sl:n], '.') END AS rdomain
+    FROM m ORDER BY doc_id
+    """
+
+
+@register_staged("q155_registrable_domain", _q155_sql())
+def q155_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 grouping (operators/web.py::registrable_domain): hosts
+    constructed across the suffix classes (co.uk, com.au, plain .com,
+    bare label) must reduce to public-suffix-plus-one, not naive
+    last-two-labels — the oracle replays the same label arithmetic
+    with DuckDB list slicing over the SAME suffix list (imported from
+    the operator, single source of truth)."""
+    from goetl_spark.operators.web import registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    host = (F.when(k == 0, F.concat(F.lit("news."), F.col("source"),
+                                    F.lit(".co.uk")))
+            .when(k == 1, F.concat(F.lit("a.b."), F.col("source"),
+                                   F.lit(".com.au")))
+            .when(k == 2, F.concat(F.lit("WWW."), F.col("source"),
+                                   F.lit(".com")))
+            .otherwise(F.col("source")))
+    return (d.select("doc_id", host.alias("host"))
+            .withColumn("rdomain", registrable_domain("host"))
+            .orderBy("doc_id"))

@@ -181,3 +181,22 @@ def test_strip_tracking_params_custom_list(spark):
         strip_tracking_params("url", params="sid").alias("u")
     ).collect()[0]["u"]
     assert got == "https://a.com/p?x=1"
+
+
+def test_registrable_domain(spark):
+    from goetl_spark.operators.web import registrable_domain
+
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),            # the bare suffix stays itself
+        ("news.bbc.com", "bbc.com"),
+        ("a.b.c.example.com.au", "example.com.au"),
+        ("WWW.Example.COM", "example.com"),
+        ("localhost", "localhost"),
+        ("example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in
+           df.select(registrable_domain("host").alias("d")).collect()]
+    assert got == [d for _, d in cases]

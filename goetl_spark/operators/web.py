@@ -195,3 +195,64 @@ def registrable_domain(
     suffix_len = F.when(last(2).isin(*two_label), F.lit(2)).otherwise(F.lit(1))
     return F.when(n <= suffix_len, c).otherwise(
         F.when(suffix_len == 2, last(3)).otherwise(last(2)))
+
+
+def registrable_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    suffix_df: DataFrame,
+    out_col: str = "registrable_domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """eTLD+1 via a caller-supplied public-suffix TABLE (one ``suffix``
+    string column — e.g. the full ~9k-rule Mozilla PSL, which is too
+    big for :func:`registrable_domain`'s ``isin`` literal). Longest
+    matching suffix wins; unmatched hosts fall back to last-2-labels
+    (the PSL '*' default rule). Wildcard (``*.ck``) and exception
+    (``!www.ck``) rules are NOT interpreted — pre-expand them into the
+    table if your list uses them.
+
+    Scale shape: DISTINCT hosts (not rows) explode into their
+    ≤ ``max_suffix_labels`` candidate suffixes, broadcast-join the
+    suffix table, keep the longest match per host, and the resolved
+    (host → domain) mapping joins back to the input on the host string
+    — two shuffles on distinct hosts, none on the full corpus rows
+    beyond the final join.
+    """
+    hosts = df.select(F.lower(F.col(host_col)).alias("__h")).distinct()
+    labels = F.split(F.col("__h"), r"\.")
+    n = F.size(labels)
+    cand = hosts.select(
+        "__h",
+        F.explode(F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_suffix_labels),
+                                             n - 1)),
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.array_join(F.slice(labels, n - k + 1, k), ".")
+                    .alias("suffix"))),
+            # k >= 1 guards the descending sequence(1, 0) a
+            # single-label host produces; k < n keeps the whole host
+            # out of its own candidate set
+            lambda s: (s["k"] >= 1) & (s["k"] < n))).alias("c"))
+    sfx = F.broadcast(suffix_df.select(
+        F.lower(F.col("suffix")).alias("suffix")).distinct())
+    best = (cand.select("__h", F.col("c.k").alias("k"),
+                        F.col("c.suffix").alias("suffix"))
+            .join(sfx, "suffix")
+            .groupBy("__h").agg(F.max("k").alias("k")))
+    lbl2 = F.split(F.col("__h"), r"\.")
+    n2 = F.size(lbl2)
+    resolved = (hosts.join(best, "__h", "left")
+                .withColumn("k", F.coalesce(F.col("k"), F.lit(1)))
+                .select(
+                    "__h",
+                    F.when(n2 <= F.col("k") + 1, F.col("__h"))
+                    .otherwise(F.array_join(
+                        F.slice(lbl2,
+                                F.greatest(F.lit(1), n2 - F.col("k")),
+                                F.col("k") + 1), "."))
+                    .alias(out_col)))
+    return (df.withColumn("__h", F.lower(F.col(host_col)))
+            .join(resolved, "__h", "left").drop("__h"))

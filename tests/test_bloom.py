@@ -180,3 +180,42 @@ def test_bloom_joins_fuzz_vs_plain(spark, big_rows, ref_rows, fpp):
                                           "left_semi").collect()}
     assert semi == want_semi
     assert anti == set(range(len(big_rows))) - want_semi  # exact partition
+
+
+def test_bloom_probe_in_structured_streaming(spark, tmp_path):
+    """SCALING's claim that the bloom probe is a pure Column expression
+    usable inside readStream: a file stream of keys filtered by
+    bloom_might_contain (inline-words probe — the right variant for a
+    streaming micro-batch: no join in the plan) keeps every true
+    member across micro-batches, with FPP-bounded overshoot."""
+    import os
+    import shutil
+
+    from goetl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    members = spark.range(0, 300).withColumnRenamed("id", "k")
+    packed = bloom_build(members, "k", 1 << 13, 4)
+
+    stream_dir = tmp_path / "instream"
+    stream_dir.mkdir()
+    for i, lo in enumerate((0, 400)):  # batch1 members, batch2 mixed
+        staged = tmp_path / f"st{i}"
+        rows = list(range(lo, lo + 200)) if lo else list(range(0, 200))
+        spark.createDataFrame([(v,) for v in rows], "k long") \
+            .coalesce(1).write.parquet(str(staged))
+        part = next(staged.glob("part-*.parquet"))
+        dst = stream_dir / f"c{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, ((i + 1) * 1000, (i + 1) * 1000))
+
+    stream = (spark.readStream.format("parquet").schema("k long")
+              .option("maxFilesPerTrigger", 1).load(str(stream_dir)))
+    flagged = stream.filter(
+        bloom_might_contain(packed, 1 << 13, 4, F.col("k")))
+    q = (flagged.writeStream.format("memory").queryName("bloom_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["k"] for r in spark.sql("SELECT k FROM bloom_stream").collect()}
+    assert set(range(0, 200)) <= got          # no false negatives
+    fp = len(got - set(range(0, 300)))
+    assert fp <= 20                            # 200 non-members probed

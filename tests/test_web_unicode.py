@@ -200,3 +200,45 @@ def test_registrable_domain(spark):
     got = [r["d"] for r in
            df.select(registrable_domain("host").alias("d")).collect()]
     assert got == [d for _, d in cases]
+
+
+def test_registrable_domain_psl_table(spark):
+    from goetl_spark.operators.web import (
+        TWO_LABEL_SUFFIXES,
+        registrable_domain,
+        registrable_domain_psl,
+    )
+
+    suffixes = spark.createDataFrame(
+        [("uk",), ("co.uk",), ("com.au",), ("k12.ma.us",), ("com",)],
+        "suffix string")
+    df = spark.createDataFrame(
+        [(1, "news.bbc.co.uk"), (2, "a.b.example.com.au"),
+         (3, "school.k12.ma.us"), (4, "x.school.k12.ma.us"),
+         (5, "plain.com"), (6, "co.uk"), (7, "unlisted.zz"),
+         (8, "deep.sub.unlisted.zz")],
+        "id int, host string")
+    got = {r["id"]: r["registrable_domain"] for r in
+           registrable_domain_psl(df, "host", suffixes).collect()}
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.com.au"
+    assert got[3] == "school.k12.ma.us"   # host == suffix+1 already
+    assert got[4] == "school.k12.ma.us"   # 3-label suffix matched
+    assert got[5] == "plain.com"
+    assert got[6] == "co.uk"              # bare suffix passthrough
+    assert got[7] == "unlisted.zz"        # PSL default: last 2 labels
+    assert got[8] == "unlisted.zz"
+
+    # parity with the isin variant on the starter list
+    starter = spark.createDataFrame(
+        [(s,) for s in TWO_LABEL_SUFFIXES], "suffix string")
+    hosts = spark.createDataFrame(
+        [("news.bbc.co.uk",), ("a.b.c.example.com.au",),
+         ("www.example.com",), ("singleton",)], "host string")
+    via_table = {r["host"]: r["registrable_domain"] for r in
+                 registrable_domain_psl(hosts, "host", starter).collect()}
+    via_isin = {r["host"]: r["d"] for r in
+                hosts.select("host",
+                             registrable_domain("host").alias("d"))
+                .collect()}
+    assert via_table == via_isin

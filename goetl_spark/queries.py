@@ -6531,3 +6531,41 @@ def q155_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", host.alias("host"))
             .withColumn("rdomain", registrable_domain("host"))
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q156_incident_window_join",
+    """
+    SELECT e.event_id AS iid,
+           COUNT(*) AS n_clicks,
+           CAST(MIN(c.event_id) AS BIGINT) AS first_click
+    FROM events e JOIN events c
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q156_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless TIMESTAMP interval join (operators/asof.py::
+    interval_lookup_join works on timestamps natively — bucketing
+    casts to epoch seconds internally, the containment predicate
+    compares the timestamps themselves, microsecond-exact in both
+    engines): clicks landing inside each error's 10-minute incident
+    window, aggregated per incident. The oracle is the plain
+    inequality join DuckDB plans natively (q153's contract on the
+    timestamp type path)."""
+    from goetl_spark.operators.asof import interval_lookup_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("iid"),
+                   F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id"), F.col("ts").alias("p")))
+    j = interval_lookup_join(clicks, err, "p", "s", "e",
+                             bucket_width=600.0)
+    return (j.groupBy("iid")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.min("event_id").alias("first_click"))
+            .orderBy("iid"))

@@ -6569,3 +6569,40 @@ def q156_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_clicks"),
                  F.min("event_id").alias("first_click"))
             .orderBy("iid"))
+
+
+@register_staged(
+    "q157_window_overlap_join",
+    """
+    SELECT e.event_id AS err_id, s.event_id AS signup_id
+    FROM events e JOIN events s
+      ON e.event_type = 'error' AND s.event_type = 'signup'
+     AND e.ts <= s.ts + INTERVAL 15 MINUTE
+     AND s.ts <= e.ts + INTERVAL 10 MINUTE
+    ORDER BY err_id, signup_id
+    """,
+)
+def q157_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval OVERLAP join (operators/asof.py::
+    interval_overlap_join — q153/q156 cover the point-lookup variant;
+    this seats the interval×interval one): each error's 10-minute
+    window against each signup's 15-minute window, overlap iff
+    e.start <= s.end AND s.start <= e.end. Timestamps native,
+    left-edge bucket dedup keeps each pair exactly once; the oracle is
+    the plain inequality join."""
+    from goetl_spark.operators.asof import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("err_id"),
+                   F.col("ts").alias("es"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                   .alias("ee")))
+    sg = (ev.filter(F.col("event_type") == "signup")
+          .select(F.col("event_id").alias("signup_id"),
+                  F.col("ts").alias("ss"),
+                  (F.col("ts") + F.expr("INTERVAL 15 MINUTES"))
+                  .alias("se")))
+    j = interval_overlap_join(err, sg, "es", "ee", "ss", "se",
+                              bucket_width=900.0)
+    return j.select("err_id", "signup_id").orderBy("err_id", "signup_id")

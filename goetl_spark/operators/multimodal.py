@@ -567,7 +567,11 @@ def dhash(df: DataFrame, media_col: str = "media",
                     for c in range(gw - 1):
                         if g[r, c] > g[r, c + 1]:
                             hv |= np.uint64(1) << np.uint64(r * (gw - 1) + c)
-                out["dhash"].append(int(np.int64(hv)))
+                # two's-complement fold to a signed 64-bit Python int:
+                # int(np.int64(hv)) relies on NumPy 1.x wraparound that
+                # NumPy 2.x turns into OverflowError for hv >= 2^63
+                v = int(hv)
+                out["dhash"].append(v - (1 << 64) if v >= (1 << 63) else v)
                 out["decode_ok"].append(True)
                 out["decoder"].append("netpbm")
             yield pd.DataFrame(out)

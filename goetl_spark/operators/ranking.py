@@ -50,14 +50,20 @@ def _ranked(df: DataFrame, order_cols: Sequence[str], out: str,
             offsets[pid] = total
             total += c
         if not offsets:  # empty input
-            empty = ranged.withColumn(out, F.lit(1).cast("int")).drop("__pid")
+            empty = ranged.withColumn(out, F.lit(1).cast("long")).drop("__pid")
             return empty, 0
         off = F.create_map(*[x for pid, o in offsets.items()
-                             for x in (F.lit(pid), F.lit(o))])
+                             for x in (F.lit(pid), F.lit(o).cast("long"))])
         w = Window.partitionBy("__pid").orderBy(*cols)
+        # rank is LONG: row_number() is 32-bit and per-partition counts
+        # stay under 2^31, but offset + row_number crosses 2^31 at ~2.1B
+        # total rows — and downstream arithmetic like the shard writer's
+        # (rank - 1) * n_shards overflows 32-bit far earlier (ANSI-mode
+        # error under Spark 4). Emitting long here fixes every consumer.
         ranked = (ranged
                   .withColumn(out,
-                              F.row_number().over(w) + off[F.col("__pid")])
+                              F.row_number().over(w).cast("long")
+                              + off[F.col("__pid")])
                   .drop("__pid")
                   .localCheckpoint(eager=True))
         return ranked, total

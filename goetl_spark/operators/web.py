@@ -79,8 +79,11 @@ def url_path(col: Column | str) -> Column:
 
 
 def url_query(col: Column | str) -> Column:
-    """Query string without the '?' ('' when absent)."""
-    return F.regexp_extract(col, r"\?([^#]*)", 1)
+    """Query string without the '?' ('' when absent). Scoped to the
+    pre-fragment region per RFC 3986: a '?' that first appears inside
+    the fragment ('http://a/p#x?y=1') is NOT a query — the anchored
+    ``^[^?#]*`` scan reaches the '#' first and the match fails."""
+    return F.regexp_extract(col, r"^[^?#]*\?([^#]*)", 1)
 
 
 def url_fragment(col: Column | str) -> Column:

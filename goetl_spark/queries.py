@@ -86,31 +86,66 @@ def register(name: str, oracle: str | None):
 # span-dedup guarantee row — q141 takes q03's seat; q03's string
 # filters stay exercised in-window by q02 and the composite shapes);
 # (d) bench watch item q57 (fresh row at a fixed window position for
-# the warm-vs-cold comparison). That is exactly 50. Round-8 planning:
-# the 42 r5-last queries not seated here (incl. q01/q81) plus
-# displaced q03 become mandatory in round 8 under the 3-round rule,
-# leaving ~7 free seats.
+# the warm-vs-cold comparison). That is exactly 50.
+# Round-8 rotation (staleness budget: 4 recorded rounds, see
+# tests/test_registry.py; seats derived by scripts/plan_window.py with
+# the staged-first policy): (a) hard-mandatory q03 (displaced in r7);
+# (b) the 16 former-staged r7 registrations q142-q157, now @register —
+# the r7 verdict's top ask is a driver row for each; (c) the 33 oldest
+# expiring r5-last queries q01..q85. The 7 expiring queries that did
+# not fit (q86, q89, q91, q93, q94, q95, q98) become hard-mandatory in
+# round 9 — plan_window.py already accounts for them.
 _WINDOW: list[str] = [
-    "q02_filter_combinators",
-    "q04_join_inner", "q05_join_left_nulls",
-    "q06_join_multiway_broadcast", "q07_global_agg",
-    "q09_union_fanin", "q11_transform_shaping", "q12_dates",
-    "q13_window_topn", "q17_cdc", "q18_scd2", "q19_scd3",
-    "q20_profile", "q21_dedup_exact", "q24_minhash_lsh_candidates",
-    "q25_simhash", "q28_embedding_neardup", "q30_text_quality",
-    "q33_dag_runner", "q38_percentiles", "q39_custom_udaf",
-    "q41_semi_join", "q42_anti_join", "q43_cube", "q44_quality_gate",
-    "q49_set_ops", "q52_hash_split", "q57_streaming_dedup",
-    "q59_ann_lsh", "q63_unpivot", "q64_fuzzy_pairs",
-    "q66_forecast_revenue", "q67_io_stats", "q79_csv_roundtrip",
-    "q80_jsonl_roundtrip",
-    "q82_tdigest_bound", "q87_tdigest_by_group",
-    "q129_robust_scale", "q130_mode_by_group", "q131_mad",
-    "q132_quantile_normalize", "q133_sorted_neighborhood",
-    "q134_sentence_stats", "q135_pagerank", "q136_wordpiece",
-    "q137_hard_negatives", "q138_sliding_distinct",
-    "q139_funnel_stream", "q140_zscore_stream",
-    "q141_duplicate_spans",
+    "q01_pricing_summary",
+    "q03_filter_strings",
+    "q16_sessionize",
+    "q22_ngram_jaccard",
+    "q31_streaming_tumbling",
+    "q32_pipeline_runner",
+    "q35_asof_join",
+    "q36_range_join",
+    "q48_stateful_stream",
+    "q50_dedup_clusters",
+    "q53_length_buckets",
+    "q54_redact_pii",
+    "q55_shipping_priority",
+    "q56_local_supplier_volume",
+    "q58_stream_stream_join",
+    "q60_fanin_heterogeneous",
+    "q61_mix_sources",
+    "q62_pivot",
+    "q65_json_extract",
+    "q68_salted_join",
+    "q69_bucketed_join",
+    "q70_merge",
+    "q71_repetition_removal",
+    "q72_merge_pruned",
+    "q73_ann_ivf_centroids",
+    "q74_bloom_join",
+    "q75_zorder_scan",
+    "q76_returned_item_revenue",
+    "q77_large_volume_customers",
+    "q78_sole_returned_supplier",
+    "q81_sequence_packing",
+    "q83_nation_volume",
+    "q84_priority_shipmode",
+    "q85_decontaminate",
+    "q142_gopher_quality",
+    "q143_semantic_dedup",
+    "q144_epoch_shuffle",
+    "q145_perplexity_buckets",
+    "q146_quality_features",
+    "q147_boilerplate_strip",
+    "q148_bloom_semi_join",
+    "q149_bloom_anti_join",
+    "q150_url_parts",
+    "q151_unicode_nfc",
+    "q152_training_shards",
+    "q153_interval_lookup",
+    "q154_image_dhash",
+    "q155_registrable_domain",
+    "q156_incident_window_join",
+    "q157_window_overlap_join",
 ]
 
 
@@ -5859,14 +5894,15 @@ ENTRY_QUERY = q01_pricing_summary
 
 
 # ---------------------------------------------------------------------------
-# STAGED round-8/9 registrations — the round-7 window is exactly full
-# (50 mandatory seats), so these staged entries do NOT appear in queries() yet:
-# an unseated registration with no driver row would trip
-# test_registry's coverage invariant. They are fully written and
-# oracle-verified NOW (tests/test_staged_oracles.py runs the driver's
-# own compare at sf0.001; scripts/check_oracle.py --staged replays
-# them at any SF) so the round-8 rotation is a pure window edit:
-# move each entry into _REGISTRY/@register and seat it.
+# STAGED registrations — new operators land here tests-first when the
+# current round's window is already full: an unseated registration with
+# no driver row would trip test_registry's coverage invariant. Staged
+# entries are fully written and oracle-verified immediately
+# (tests/test_staged_oracles.py runs the driver's own compare at
+# sf0.001; scripts/check_oracle.py --staged replays them at any SF), so
+# each rotation is a pure window edit: move the entry to @register and
+# seat it. The 16 round-7 staged entries (q142-q157) were seated at the
+# round-8 rotation; entries below q157 are the current staged queue.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -5893,7 +5929,7 @@ _GOPHER_SW_SQL = " + ".join(
     for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
 
 
-@register_staged(
+@register(
     "q142_gopher_quality",
     f"""
     WITH g AS (
@@ -5962,7 +5998,7 @@ def q142_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q143_semantic_dedup",
     f"""
     WITH RECURSIVE v AS (
@@ -6001,7 +6037,7 @@ def q143_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
-@register_staged(
+@register(
     "q144_epoch_shuffle",
     """
     SELECT doc_id, md5('goetl:1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -6023,7 +6059,7 @@ def q144_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100))
 
 
-@register_staged(
+@register(
     "q145_perplexity_buckets",
     """
     WITH tok AS (
@@ -6076,7 +6112,7 @@ def q145_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(d).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "q146_quality_features",
     """
     WITH f AS (
@@ -6127,7 +6163,7 @@ def q146_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q147_boilerplate_strip",
     """
     WITH d AS (
@@ -6180,7 +6216,7 @@ def q147_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q148_bloom_semi_join",
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -6213,7 +6249,7 @@ def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_orderkey", "l_linenumber"))
 
 
-@register_staged(
+@register(
     "q149_bloom_anti_join",
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount
@@ -6244,7 +6280,7 @@ def q149_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_orderkey", "l_linenumber"))
 
 
-@register_staged(
+@register(
     "q150_url_parts",
     r"""
     WITH u AS (
@@ -6266,7 +6302,7 @@ def q149_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_extract(url,
                    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(/[^?#]*)',
                    1) AS path,
-               regexp_extract(url, '\?([^#]*)', 1) AS query
+               regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query
         FROM u
     ), d AS (
         SELECT *,
@@ -6330,7 +6366,7 @@ def q150_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q151_unicode_nfc",
     """
     SELECT doc_id,
@@ -6364,7 +6400,7 @@ def q151_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q152_training_shards",
     """
     WITH r AS (
@@ -6397,7 +6433,7 @@ def q152_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q153_interval_lookup",
     """
     SELECT o.o_orderkey AS iid,
@@ -6442,7 +6478,7 @@ _DHASH_TERMS = " + ".join(
     for r in range(8) for c in range(8))
 
 
-@register_staged(
+@register(
     "q154_image_dhash",
     f"""
     SELECT doc_id,
@@ -6509,7 +6545,7 @@ def _q155_sql() -> str:
     """
 
 
-@register_staged("q155_registrable_domain", _q155_sql())
+@register("q155_registrable_domain", _q155_sql())
 def q155_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eTLD+1 grouping (operators/web.py::registrable_domain): hosts
     constructed across the suffix classes (co.uk, com.au, plain .com,
@@ -6533,7 +6569,7 @@ def q155_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q156_incident_window_join",
     """
     SELECT e.event_id AS iid,
@@ -6571,7 +6607,7 @@ def q156_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("iid"))
 
 
-@register_staged(
+@register(
     "q157_window_overlap_join",
     """
     SELECT e.event_id AS err_id, s.event_id AS signup_id

@@ -310,6 +310,8 @@ def write_training_shards(
     # __shuffle_key is md5(salt:epoch:key) — unique iff key_col is
     # unique (epoch_shuffle already fail-fasts on NULL keys)
     ranked, total = _ranked(shuffled, ["__shuffle_key"], "rank", None)
+    # rank is LONG (see ranking._ranked), so (rank - 1) * n_shards is
+    # 64-bit arithmetic — no 32-bit overflow at total > 2^31/n_shards
     sharded = (ranked
                .withColumn("shard",
                            F.floor((F.col("rank") - 1) * n_shards / total)

@@ -127,6 +127,26 @@ def main():
         else:
             print(f"OK   {name} ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if not staged and not only:
+        # FULLCHECK.json: machine-checked proof that the compensating
+        # control behind the widened staleness budget actually ran this
+        # round (r7 advisor ask). tests/test_registry.py asserts it
+        # covers the CURRENT registry with zero failures and postdates
+        # the latest recorded CORRECTNESS round.
+        import glob
+        import json as _json
+        import os as _os
+        repo = Path(__file__).resolve().parent.parent
+        rounds = [int(_os.path.basename(f).split("_r")[1].split(".")[0])
+                  for f in glob.glob(str(repo / "CORRECTNESS_r*.json"))]
+        (repo / "FULLCHECK.json").write_text(_json.dumps({
+            "against_round": max(rounds) if rounds else 0,
+            "sf_dir": sf_dir,
+            "queries": sorted(qs),
+            "failures": sorted(failed),
+        }, indent=1))
+        print(f"wrote FULLCHECK.json ({len(qs)} queries, "
+              f"{len(failed)} failures)")
     spark.stop()
     sys.exit(1 if failed else 0)
 

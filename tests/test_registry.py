@@ -84,6 +84,40 @@ def test_union_coverage_and_staleness():
         f"for the next round: {stale}")
 
 
+def test_fullcheck_backstop_for_widened_staleness_budget():
+    """The 4-round staleness budget is only sound because the FULL
+    registry re-verifies against DuckDB every round. That control used
+    to live in a docstring; this test makes it machine-checked (r7
+    advisor ask): scripts/check_oracle.py writes FULLCHECK.json on
+    every full-registry run, and this asserts the artifact (a) exists,
+    (b) recorded zero failures, (c) covers every currently registered
+    query, and (d) postdates the latest recorded CORRECTNESS round —
+    i.e. the control ran THIS round, not a stale one. Registering a new
+    query or rotating the window without re-running the full check
+    fails here by design: run `python scripts/check_oracle.py` to
+    refresh."""
+    from goetl_spark.queries import _REGISTRY
+
+    arts = _artifacts()
+    if not arts:
+        return
+    path = os.path.join(REPO, "FULLCHECK.json")
+    assert os.path.exists(path), (
+        "FULLCHECK.json missing — run scripts/check_oracle.py over the "
+        "full registry (the compensating control for the 4-round "
+        "staleness budget)")
+    fc = json.load(open(path))
+    assert fc["failures"] == [], f"full-registry check failed: {fc['failures']}"
+    missing = sorted(set(_REGISTRY) - set(fc["queries"]))
+    assert not missing, (
+        f"FULLCHECK.json predates registration of {missing} — re-run "
+        "scripts/check_oracle.py")
+    assert fc["against_round"] >= max(arts), (
+        f"FULLCHECK.json was produced against round {fc['against_round']} "
+        f"but CORRECTNESS_r{max(arts)} exists — re-run "
+        "scripts/check_oracle.py this round")
+
+
 def test_plan_window_consistent_with_staleness_rule():
     """scripts/plan_window.py must agree with this module's staleness
     math: every query it calls HARD-mandatory for the next round is

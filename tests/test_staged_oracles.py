@@ -1,9 +1,10 @@
-"""Round-8 staged registrations (queries.py::_STAGED) — verified with
-the driver's own compare at sf0.001 BEFORE they take window seats, so
-the round-8 rotation is a pure window edit with no correctness risk.
-Also pins the staging contract: staged names must NOT leak into the
-live registry (an unseated registration with no driver row would trip
-test_registry's coverage invariant)."""
+"""Staged registrations (queries.py::_STAGED) — verified with the
+driver's own compare at sf0.001 BEFORE they take window seats, so each
+rotation is a pure window edit with no correctness risk. Also pins the
+staging contract: staged names must NOT leak into the live registry
+(an unseated registration with no driver row would trip
+test_registry's coverage invariant). The staged queue may legitimately
+be empty right after a rotation seats everything."""
 from __future__ import annotations
 
 import importlib.util
@@ -25,7 +26,6 @@ def test_staged_names_not_in_live_registry():
 
     leaked = set(staged_queries()) & set(_REGISTRY)
     assert not leaked, f"staged queries leaked into live registry: {leaked}"
-    assert len(staged_queries()) >= 6
 
 
 @pytest.fixture(scope="module")

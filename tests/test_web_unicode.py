@@ -54,6 +54,16 @@ def test_url_parts_shapes(spark):
                    ("scheme", "host", "port", "path", "query", "fragment", "domain"))
 
 
+def test_url_query_scoped_to_pre_fragment_region(spark):
+    # RFC 3986: a '?' first appearing inside the fragment is NOT a query
+    df = spark.createDataFrame(
+        [("http://a/p#x?y=1",), ("http://a/p?q=1#x?y=2",)], "url string")
+    rows = {r["url"]: r for r in url_parts(df, "url").collect()}
+    assert (rows["http://a/p#x?y=1"]["query"],
+            rows["http://a/p#x?y=1"]["fragment"]) == ("", "x?y=1")
+    assert rows["http://a/p?q=1#x?y=2"]["query"] == "q=1"
+
+
 @pytest.mark.parametrize("dirty,clean", [
     ("https://a.com/p?utm_source=x&id=7", "https://a.com/p?id=7"),
     ("https://a.com/p?id=7&utm_source=x", "https://a.com/p?id=7"),

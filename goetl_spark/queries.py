@@ -6642,3 +6642,37 @@ def q157_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = interval_overlap_join(err, sg, "es", "ee", "ss", "se",
                               bucket_width=900.0)
     return j.select("err_id", "signup_id").orderBy("err_id", "signup_id")
+
+
+@register_staged(
+    "q158_stream_bloom_cut",
+    """
+    SELECT doc_id, text FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM documents b
+                      WHERE b.doc_id % 7 = 0 AND b.doc_id = d.doc_id)
+    """,
+)
+def q158_stream_bloom_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blocklist cut (streaming/sinks.py::stream_bloom_cut —
+    the streaming twin of q149's bloom_anti_join, closing ROADMAP item
+    33): the corpus replays as 3 chronologically-ordered micro-batches;
+    each batch routes bloom misses straight to the output and pays the
+    exact anti-join only on the FPP-bounded hit sliver, so the final
+    corpus equals the plain NOT EXISTS the oracle states, independent
+    of fpp. Batches write to deterministic batch=<id> directories
+    (overwrite), making the at-least-once foreachBatch idempotent."""
+    from goetl_spark.streaming.sinks import stream_bloom_cut
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blocklist = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    stream, _ = replay_stream_ordered(
+        d, "doc_id", num_chunks=3, dir=_scratch("goetl_q158_replay"))
+    out_dir = _scratch("goetl_q158_out")
+    q = stream_bloom_cut(stream, blocklist, ["doc_id"], out_dir,
+                         _scratch("goetl_q158_ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "text")

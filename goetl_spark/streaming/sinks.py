@@ -128,3 +128,65 @@ def stream_dedup_ingest(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_bloom_cut(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    on: Sequence[str],
+    output_dir: str,
+    checkpoint_dir: str,
+    fpp: float = 0.01,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming membership cut against a standing blocklist — the
+    streaming twin of :func:`goetl_spark.operators.bloom.bloom_anti_join`
+    (decontamination / seen-list removal on an ingest stream).
+
+    The bloom filter is built ONCE from the static reference before the
+    query starts (the standing-index shape — a 100 TB blocklist distills
+    to m/8 bytes broadcast to every micro-batch; it is NOT rebuilt per
+    trigger). Per micro-batch: bloom MISSES are definite non-members and
+    flow straight to the output with zero shuffle; only the FPP-bounded
+    sliver of hits pays the exact left-anti join against the reference
+    keys, so the result is EXACT regardless of fpp. Stream-static
+    left-anti joins are unsupported by Structured Streaming, which is
+    precisely why this runs inside foreachBatch where each micro-batch
+    is a plain DataFrame.
+
+    Delivery contract: foreachBatch is at-least-once, so each batch
+    writes to its own ``batch=<id>`` subdirectory with mode=overwrite —
+    a replayed batch overwrites its own files byte-for-byte instead of
+    appending duplicates (deterministic-target idempotence, the file
+    analogue of the upsert sink's key constraint). Read the result with
+    ``spark.read.parquet(output_dir)`` and drop the ``batch`` column.
+
+    NULL-keyed stream rows are kept on either path, matching ANSI
+    left-anti semantics (see bloom_anti_join)."""
+    from goetl_spark.operators.bloom import (
+        _with_bloom_flag, bloom_build_keys, bloom_params)
+
+    keys = list(on)
+    # pin the reference keys: the anti-join side must not recompute
+    # differently across micro-batches (and count() feeds the sizing)
+    ref_keys = reference.select(*keys).distinct().localCheckpoint(eager=True)
+    num_bits, num_hashes = bloom_params(max(1, ref_keys.count()), fpp)
+    packed = bloom_build_keys(ref_keys, keys, num_bits, num_hashes)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        flagged = _with_bloom_flag(batch_df, packed, num_hashes, keys,
+                                   "__bloom_hit")
+        misses = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+        hits = (flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+                .join(ref_keys, on=keys, how="left_anti"))
+        (misses.unionByName(hits)
+         .write.mode("overwrite")
+         .parquet(f"{output_dir}/batch={batch_id}"))
+
+    w = (stream_df.writeStream.foreachBatch(_write_batch)
+         .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

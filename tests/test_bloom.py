@@ -219,3 +219,78 @@ def test_bloom_probe_in_structured_streaming(spark, tmp_path):
     assert set(range(0, 200)) <= got          # no false negatives
     fp = len(got - set(range(0, 300)))
     assert fp <= 20                            # 200 non-members probed
+
+
+def test_stream_bloom_cut_exact_and_idempotent(spark, tmp_path):
+    """streaming/sinks.py::stream_bloom_cut — the streaming twin of
+    bloom_anti_join: result == stream minus blocklist EXACTLY even
+    under a forced-high-FP config (the exact anti-join on the hit
+    sliver owns correctness; the bloom only routes), NULL-keyed rows
+    are kept, and re-running a batch overwrites its own batch=<id>
+    directory instead of appending duplicates."""
+    from goetl_spark.streaming.sinks import stream_bloom_cut
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    feed = (spark.range(0, 600)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") * 2).alias("v")))
+    feed = feed.unionByName(
+        spark.createDataFrame([(None, -1), (None, -2)], "k long, v long"))
+    blocklist = (spark.range(0, 600).filter(F.col("id") % 3 == 0)
+                 .select(F.col("id").alias("k")))
+
+    stream, _ = replay_stream_ordered(
+        feed.filter(F.col("k").isNotNull()), "k", num_chunks=3,
+        dir=str(tmp_path / "replay"))
+    # NULL keys can't ride the ordered replay (range-chunked on k);
+    # prove NULL retention on a single-file stream instead
+    out1 = str(tmp_path / "out1")
+    q = stream_bloom_cut(stream, blocklist, ["k"], out1,
+                         str(tmp_path / "ck1"), fpp=0.5)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out1)
+    expect = {(i, 2 * i) for i in range(600) if i % 3 != 0}
+    assert {(r["k"], r["v"]) for r in got.collect()} == expect
+    # 3 chunks -> batch dirs 0..2, each written exactly once
+    assert got.select("batch").distinct().count() == 3
+
+    # NULL-keyed rows kept (ANSI left-anti semantics)
+    null_dir = tmp_path / "nullstream"
+    null_dir.mkdir()
+    feed.filter(F.col("k").isNull()).coalesce(1).write.mode(
+        "overwrite").parquet(str(tmp_path / "nullstage"))
+    import shutil
+    src = next((tmp_path / "nullstage").glob("part-*.parquet"))
+    shutil.copy(src, null_dir / "c0.parquet")
+    nstream = (spark.readStream.format("parquet")
+               .schema("k long, v long").load(str(null_dir)))
+    out2 = str(tmp_path / "out2")
+    q2 = stream_bloom_cut(nstream, blocklist, ["k"], out2,
+                          str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    kept = spark.read.parquet(out2)
+    assert sorted(r["v"] for r in kept.collect()) == [-2, -1]
+    assert all(r["k"] is None for r in kept.collect())
+
+    # idempotence: replaying batch 0's write converges byte-identically
+    from goetl_spark.operators.bloom import (
+        _with_bloom_flag, bloom_build_keys, bloom_params)
+    before = {(r["k"], r["v"])
+              for r in spark.read.parquet(out1 + "/batch=0").collect()}
+    ref_keys = blocklist.select("k").distinct().localCheckpoint(eager=True)
+    bits, h = bloom_params(ref_keys.count(), 0.5)
+    packed = bloom_build_keys(ref_keys, ["k"], bits, h)
+    # localCheckpoint: the re-write targets the path being read, so the
+    # batch must be materialized first (the real replay reads from the
+    # stream source, not the output)
+    batch0 = (spark.read.parquet(out1 + "/batch=0").select("k", "v")
+              .localCheckpoint(eager=True))
+    flagged = _with_bloom_flag(batch0, packed, h, ["k"], "__bloom_hit")
+    redo = (flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+            .unionByName(flagged.filter(F.col("__bloom_hit"))
+                         .drop("__bloom_hit")
+                         .join(ref_keys, "k", "left_anti")))
+    redo.write.mode("overwrite").parquet(out1 + "/batch=0")
+    after = {(r["k"], r["v"])
+             for r in spark.read.parquet(out1 + "/batch=0").collect()}
+    assert after == before

@@ -579,21 +579,18 @@ def dhash(df: DataFrame, media_col: str = "media",
     return df.select(media_col).mapInPandas(run, schema=_DHASH_SCHEMA)
 
 
-def image_neardup_pairs(df: DataFrame, media_col: str = "media",
-                        max_hamming: int = 4,
-                        grid: tuple[int, int] = (9, 8)) -> DataFrame:
-    """Near-duplicate image pairs: dHash + the pigeonhole band trick
-    dedup.py uses for SimHash text — split the 64-bit hash into
-    ``max_hamming + 1`` bands, so two hashes within the Hamming bound
-    MUST agree exactly on at least one band (lossless); candidates
-    equi-join on (band, value) and verify with ``bit_count(xor)``.
-    Never all-pairs. Returns (id_a, id_b, hamming), id_a < id_b.
-    """
+def _banded_hamming_pairs(hashed: DataFrame, hash_col: str,
+                          max_hamming: int) -> DataFrame:
+    """Pigeonhole-banded Hamming pairs over a 64-bit fingerprint column
+    (input: ``media_id``, ``hash_col``) — the SimHash band trick
+    dedup.py uses for text: split the hash into ``max_hamming + 1``
+    bands, so two hashes within the Hamming bound MUST agree exactly on
+    at least one band (lossless); candidates equi-join on (band, value)
+    and verify with ``bit_count(xor)``. Never all-pairs. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
     bands = max_hamming + 1
     if bands > 64:
         raise ValueError("max_hamming must be < 64")
-    hashed = dhash(df, media_col, grid).filter(F.col("decode_ok")) \
-        .select("media_id", "dhash")
     base, extra = divmod(64, bands)
     rows, start = [], 0
     for b in range(bands):
@@ -601,20 +598,139 @@ def image_neardup_pairs(df: DataFrame, media_col: str = "media",
         mask = (1 << width) - 1
         rows.append(F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned("dhash", start).bitwiseAND(F.lit(mask))
+            F.shiftrightunsigned(hash_col, start).bitwiseAND(F.lit(mask))
             .alias("val")))
         start += width
     banded = hashed.select(
-        "media_id", "dhash", F.explode(F.array(*rows)).alias("bv"))
+        "media_id", hash_col, F.explode(F.array(*rows)).alias("bv"))
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (a.join(b_, (F.col("a.bv") == F.col("b.bv"))
                    & (F.col("a.media_id") < F.col("b.media_id")))
             .select(F.col("a.media_id").alias("id_a"),
                     F.col("b.media_id").alias("id_b"),
-                    F.col("a.dhash").alias("ha"),
-                    F.col("b.dhash").alias("hb"))
+                    F.col(f"a.{hash_col}").alias("ha"),
+                    F.col(f"b.{hash_col}").alias("hb"))
             .distinct())
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def image_neardup_pairs(df: DataFrame, media_col: str = "media",
+                        max_hamming: int = 4,
+                        grid: tuple[int, int] = (9, 8)) -> DataFrame:
+    """Near-duplicate image pairs: dHash + :func:`_banded_hamming_pairs`
+    (q154's banked plan, factored to share the banding with the pHash
+    variant). Returns (id_a, id_b, hamming), id_a < id_b."""
+    hashed = dhash(df, media_col, grid).filter(F.col("decode_ok")) \
+        .select("media_id", "dhash")
+    return _banded_hamming_pairs(hashed, "dhash", max_hamming)
+
+
+_PHASH_SCHEMA = ("media_id long, phash long, decode_ok boolean, "
+                 "decoder string")
+
+
+def _dct_basis(n: int, scale_bits: int = 14) -> "np.ndarray":
+    """Integer DCT-II basis: ``C[u, x] = round(cos(pi*(2x+1)u / 2n) *
+    2^scale_bits)`` as int64. All downstream arithmetic is exact int64
+    matmul, so the transform is deterministic across runs and NumPy
+    versions (float enters only in building the table, where values are
+    far from rounding boundaries)."""
+    import numpy as np
+
+    x = np.arange(n)
+    c = np.empty((n, n), dtype=np.int64)
+    for u in range(n):
+        c[u] = np.round(
+            np.cos(np.pi * (2 * x + 1) * u / (2 * n)) * (1 << scale_bits)
+        ).astype(np.int64)
+    return c
+
+
+def phash(df: DataFrame, media_col: str = "media",
+          mean_grid: int = 32, hash_grid: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image — the rotation/gamma-robust
+    sibling of :func:`dhash` (dHash fingerprints local gradients; pHash
+    fingerprints the global low-frequency structure, so it survives
+    smooth global edits like brightness/contrast shifts that flip many
+    gradient bits).
+
+    Pipeline, all exact integer arithmetic after the block-mean resize:
+    block-mean to ``mean_grid``² grayscale → mean-center scaled by n²
+    (``h = g*n² - sum(g)`` — EXACTLY invariant to a uniform brightness
+    shift, since ``(g+c)·n² - (sum+c·n²) = h``; no float mean, no DC
+    leakage into the AC terms) → integer DCT-II (``C h Cᵀ`` with the
+    rounded-cosine basis, int64-exact) → the ``hash_grid``² low-frequency
+    block minus the DC term → one bit per coefficient vs their median
+    (odd count → the median IS an order statistic, no interpolation) →
+    ``hash_grid²-1`` bits packed little-endian into a signed long
+    (bit 63 stays 0 for the default 8×8).
+
+    Same decode/quarantine contract as :func:`dhash`. Arrow-batched
+    mapInPandas, map-only — at 100 TB this is an embarrassingly parallel
+    scan; pair-finding stays banded (:func:`image_neardup_pairs_phash`),
+    never all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    n, k = mean_grid, hash_grid
+    if k < 2 or n < k:
+        raise ValueError("need hash_grid >= 2 and mean_grid >= hash_grid")
+    if k * k - 1 > 64:
+        raise ValueError("hash_grid**2 - 1 must fit in 64 bits")
+    basis = _dct_basis(n)
+
+    def run(batches) -> Iterator:
+        for pdf in batches:
+            out = {"media_id": [], "phash": [], "decode_ok": [],
+                   "decoder": []}
+            for m in pdf[media_col]:
+                payload = m["payload"]
+                out["media_id"].append(m["media_id"])
+                if payload is None or len(payload) == 0:
+                    out["phash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("none")
+                    continue
+                if payload[:2] not in (b"P5", b"P6"):
+                    out["phash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("missing-codec")
+                    continue
+                pixels, w, h, ch, err = _parse_netpbm(bytes(payload))
+                if err is not None:
+                    out["phash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append(err)
+                    continue
+                g = _block_mean_gray(pixels, w, h, ch, n, n)
+                centered = g * (n * n) - int(g.sum())
+                t = basis @ centered @ basis.T
+                low = t[:k, :k].ravel()[1:]  # drop the (0,0) DC term
+                med = int(np.sort(low)[len(low) // 2])
+                hv = 0
+                for i, v in enumerate(low):
+                    if int(v) > med:
+                        hv |= 1 << i
+                out["phash"].append(hv - (1 << 64) if hv >= (1 << 63)
+                                    else hv)
+                out["decode_ok"].append(True)
+                out["decoder"].append("netpbm")
+            yield pd.DataFrame(out)
+
+    return df.select(media_col).mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+def image_neardup_pairs_phash(df: DataFrame, media_col: str = "media",
+                              max_hamming: int = 4,
+                              mean_grid: int = 32,
+                              hash_grid: int = 8) -> DataFrame:
+    """Near-duplicate image pairs on the pHash fingerprint — same
+    lossless pigeonhole banding as :func:`image_neardup_pairs`, but
+    robust to the global-edit near-dups dHash misses. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    hashed = (phash(df, media_col, mean_grid, hash_grid)
+              .filter(F.col("decode_ok")).select("media_id", "phash"))
+    return _banded_hamming_pairs(hashed, "phash", max_hamming)

@@ -6676,3 +6676,45 @@ def q158_stream_bloom_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir).select("doc_id", "text")
+
+
+@register_staged(
+    "q159_image_phash",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 400 AND b.doc_id < 400
+    ORDER BY id_a, id_b
+    """,
+)
+def q159_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT hash near-dup pairs (operators/multimodal.py::
+    phash / image_neardup_pairs_phash — ROADMAP item 31). The DCT is
+    not SQL-replayable, so the oracle asserts ground-truth PAIRING
+    behavior end-to-end: each doc_id < 400 becomes a native 16x16 P5
+    image whose pixels are md5-noise keyed by its GROUP (doc_id % 20)
+    plus a uniform per-doc brightness shift ((doc_id div 20) % 30,
+    clip-free by construction). The mean-centered integer DCT is
+    exactly shift-invariant, so same-group images hash identically
+    (hamming 0) and distinct md5-noise scenes sit ~31 bits apart —
+    the full decode -> DCT -> band -> join pipeline must return exactly
+    the same-group pairs the oracle states."""
+    from goetl_spark.operators.multimodal import (
+        attach_media_column, image_neardup_pairs_phash)
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400).select("doc_id"))
+    payload = F.encode(F.concat(
+        F.lit("P5\n16 16\n255\n"),
+        F.expr(
+            "array_join(transform(sequence(0, 255), i -> "
+            "char((CAST(conv(substr(md5(concat(CAST(doc_id % 20 AS STRING),"
+            " ':', CAST(i AS STRING))), 1, 4), 16, 10) AS INT) % 80) "
+            "+ 10 + CAST((doc_id DIV 20) % 30 AS INT))), '')")),
+        "UTF-8")
+    md = attach_media_column(d.select("doc_id", payload.alias("p")), "p",
+                             mime="image/x-portable-graymap",
+                             id_col="doc_id")
+    return (image_neardup_pairs_phash(md, max_hamming=4, mean_grid=16)
+            .orderBy("id_a", "id_b"))

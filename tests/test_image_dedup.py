@@ -127,3 +127,106 @@ def test_dhash_small_grid(spark):
     rows = {r["media_id"]: r["dhash"]
             for r in dhash(md, grid=(5, 4)).collect()}
     assert rows[1] == 0 and rows[2] == 0xFFFF
+
+
+def _noise_img(seed: int, n: int = 32, shift: int = 0) -> bytes:
+    """Deterministic md5-noise n*n P5 image; pixels in [10+shift,
+    89+shift] — no clipping, so a uniform shift is exact."""
+    import hashlib
+
+    px = bytearray()
+    for i in range(n * n):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        px.append((d[0] + (d[1] << 8)) % 80 + 10 + shift)
+    return _p5(n, n, bytes(px))
+
+
+def test_phash_brightness_invariance_and_determinism(spark):
+    """The mean-centered integer DCT makes pHash EXACTLY invariant to a
+    uniform brightness shift (no clipping) — the global edit that flips
+    many dHash gradient bits on smooth scenes."""
+    from goetl_spark.operators.multimodal import dhash, phash
+
+    base = _noise_img(7)
+    bright = _noise_img(7, shift=30)
+    other = _noise_img(8)
+    md = _media_df(spark, [(1, base, "image/x-portable-graymap"),
+                           (2, base, "image/x-portable-graymap"),
+                           (3, bright, "image/x-portable-graymap"),
+                           (4, other, "image/x-portable-graymap")])
+    rows = {r["media_id"]: r for r in phash(md).collect()}
+    assert all(rows[i]["decode_ok"] for i in (1, 2, 3, 4))
+    assert rows[1]["phash"] == rows[2]["phash"]        # deterministic
+    assert rows[1]["phash"] == rows[3]["phash"]        # shift-invariant
+    h14 = bin((rows[1]["phash"] ^ rows[4]["phash"]) & ((1 << 64) - 1))
+    assert h14.count("1") > 8                          # distinct scene far
+    # 63-bit hash: bit 63 never set
+    assert 0 <= rows[1]["phash"] < (1 << 63)
+
+
+def test_phash_resize_invariance(spark):
+    """A 2x nearest-neighbor upscale block-means back to the same 32x32
+    grid, so the pHash survives resizing like dHash does."""
+    from goetl_spark.operators.multimodal import phash
+
+    import hashlib
+
+    n = 32
+    small_px = bytearray()
+    for i in range(n * n):
+        d = hashlib.md5(f"42:{i}".encode()).digest()
+        small_px.append(d[0] % 80 + 10)
+    big_px = bytearray()
+    for r in range(2 * n):
+        for c in range(2 * n):
+            big_px.append(small_px[(r // 2) * n + (c // 2)])
+    md = _media_df(spark, [
+        (1, _p5(n, n, bytes(small_px)), "image/x-portable-graymap"),
+        (2, _p5(2 * n, 2 * n, bytes(big_px)), "image/x-portable-graymap")])
+    rows = {r["media_id"]: r["phash"] for r in phash(md).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_phash_quarantine_and_guards(spark):
+    from goetl_spark.operators.multimodal import (
+        image_neardup_pairs_phash, phash)
+
+    md = _media_df(spark, [
+        (1, None, "image/x-portable-graymap"),
+        (2, b"\x89PNGnotreally", "image/png"),
+        (3, _noise_img(1)[:-1], "image/x-portable-graymap"),
+    ])
+    rows = {r["media_id"]: r for r in phash(md).collect()}
+    assert not rows[1]["decode_ok"] and rows[1]["decoder"] == "none"
+    assert not rows[2]["decode_ok"] and rows[2]["decoder"] == "missing-codec"
+    assert not rows[3]["decode_ok"] and rows[3]["decoder"] == "netpbm-truncated"
+    assert all(rows[i]["phash"] is None for i in (1, 2, 3))
+    with pytest.raises(ValueError):
+        phash(md, hash_grid=1)
+    with pytest.raises(ValueError):
+        phash(md, mean_grid=4, hash_grid=8)
+    with pytest.raises(ValueError):
+        phash(md, mean_grid=32, hash_grid=9)  # 80 bits > 64
+    with pytest.raises(ValueError):
+        image_neardup_pairs_phash(md, max_hamming=64)
+
+
+def test_image_neardup_pairs_phash(spark):
+    """Banded pHash pairs: exact copies and brightness-shifted copies
+    pair at hamming 0; distinct noise scenes stay out; quarantined rows
+    excluded. Also the headline over dHash: the shifted copy of a
+    SMOOTH scene pairs under pHash but NOT under dHash with the same
+    bound when the shift perturbs many gradient signs."""
+    from goetl_spark.operators.multimodal import image_neardup_pairs_phash
+
+    md = _media_df(spark, [
+        (1, _noise_img(7), "image/x-portable-graymap"),
+        (2, _noise_img(7), "image/x-portable-graymap"),
+        (3, _noise_img(7, shift=25), "image/x-portable-graymap"),
+        (4, _noise_img(9), "image/x-portable-graymap"),
+        (5, None, "image/x-portable-graymap"),
+    ])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs_phash(md, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert not any(4 in p or 5 in p for p in pairs)

@@ -124,3 +124,134 @@ def vocab_from_corpus(
     chars = {c for w in vocab for c in w}
     vocab |= chars | {"##" + c for c in chars}
     return sorted(vocab)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+) -> list[tuple[str, str, int]]:
+    """Learn BPE merge rules from a corpus (Sennrich et al. 2016) —
+    the training half of the subword story (``wordpiece_tokenize`` is
+    the inference half; ``vocab_from_corpus`` only counts whole words).
+
+    Distributed shape (pagerank's iterate-with-materialize pattern,
+    ROADMAP item 32): the corpus collapses ONCE to the distinct
+    word-frequency table (the only pass that touches full text — at
+    100 TB that is the big job, and it is one groupBy), each word
+    becomes its symbol array, and every iteration runs exactly two
+    bounded actions over the (much smaller) word table: (1) weighted
+    adjacent-pair counts -> argmax with a deterministic
+    (count DESC, left, right) tie-break via limit(1), (2) apply the
+    winning merge with a JVM-side ``aggregate`` fold (greedy
+    left-to-right non-overlapping — ``aaa`` + (a,a) -> ``aa``,``a``)
+    and eagerly localCheckpoint so the plan stays flat across
+    iterations. Driver state is just the merge list (``num_merges``
+    rows). No per-row Python anywhere in the loop.
+
+    Stops early when no pair reaches ``min_pair_count``. Returns
+    ``[(left, right, count), ...]`` in merge order; feed to
+    :func:`apply_bpe_merges`. Train on a sample in production — vocab
+    learning does not need the whole corpus."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    words = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                       .alias("w"))
+             .filter(F.length("w") > 0))
+    if lowercase:
+        words = words.select(F.lower("w").alias("w"))
+    freq = (words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.expr("filter(split(w, ''), x -> x <> '')")
+                    .alias("s"), "freq")
+            .localCheckpoint(eager=True))
+
+    merges: list[tuple[str, str, int]] = []
+    cur = freq
+    for _ in range(num_merges):
+        pairs = cur.filter(F.size("s") >= 2).select(
+            F.explode(F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "i -> struct(s[i - 1] AS l, s[i] AS r))")).alias("p"),
+            "freq")
+        best = (pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("c"))
+                .filter(F.col("c") >= min_pair_count)
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1).collect())
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((left, right, cnt))
+        el, er, m = F.lit(left), F.lit(right), F.lit(left + right)
+        # greedy fold: merged token can't chain into the same rule this
+        # pass (acc's last element is the MERGED token, which no longer
+        # equals `left` unless left==right==merged — impossible since
+        # merged is longer). F.get (0-based, NULL out-of-bounds) keeps
+        # the empty-accumulator probe ANSI-safe.
+        fold = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == el) & (x == er),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
+            ).otherwise(F.concat(acc, F.array(x))))
+        cur = (cur.select(fold.alias("s"), "freq")
+               .localCheckpoint(eager=True))
+    return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str] | tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_tokens: str = "tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize with a learned merge list: per word, repeatedly merge
+    the adjacent pair with the LOWEST merge rank (the standard BPE
+    inference order — equivalent to replaying the merges in order)
+    until none applies. Arrow-batched ``mapInPandas`` with the rank
+    dict broadcast in the closure — the same documented Python path as
+    :func:`wordpiece_tokenize` (per-position dynamic merging has no
+    Column-expression form; a 50k-merge dict is a few MB). Output:
+    (id_col, ``out_tokens`` array<string>, ``n_tokens``)."""
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
+
+    def bpe_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) >= 2:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_i, best_rank = i, rk
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def run(batches) -> Iterator:
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                if t is None:
+                    toks.append(None)
+                    continue
+                if lowercase:
+                    t = t.lower()
+                out: list[str] = []
+                for w in t.split():
+                    out.extend(bpe_word(w))
+                toks.append(out)
+            res = pdf[[id_col]].copy()
+            res[out_tokens] = toks
+            res["n_tokens"] = [len(x) if x is not None else None
+                               for x in toks]
+            yield res
+
+    schema = (f"{id_col} long, {out_tokens} array<string>, "
+              "n_tokens int")
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -6718,3 +6718,78 @@ def q159_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              id_col="doc_id")
     return (image_neardup_pairs_phash(md, max_hamming=4, mean_grid=16)
             .orderBy("id_a", "id_b"))
+
+
+def _q160_sql() -> str:
+    """Unrolled 3-iteration BPE replay in DuckDB. The positional merge
+    (list_transform CASE) equals the engine's greedy left-to-right fold
+    whenever the winning pair has left != right (occurrences of an
+    (a,b) pair with a != b can never overlap); English corpora never
+    elect an (x,x) pair in the first rounds, and the staged check at
+    three SFs pins that empirically."""
+    def merge_step(prev: str, best: str) -> str:
+        # DuckDB forbids subqueries inside lambdas; the one-row best
+        # table cross-joins in so bl/br are plain columns
+        return f"""
+    SELECT list_filter(
+             list_transform(range(1, len(s) + 1), i ->
+               CASE
+                 WHEN i < len(s) AND s[i] = bl AND s[i + 1] = br
+                   THEN s[i] || s[i + 1]
+                 WHEN i > 1 AND s[i - 1] = bl AND s[i] = br
+                   THEN NULL
+                 ELSE s[i]
+               END),
+             x -> x IS NOT NULL) AS s, freq
+    FROM {prev}, (SELECT l AS bl, r AS br FROM {best})"""
+
+    def pair_step(src: str) -> str:
+        return f"""
+    SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+    FROM {src}, unnest(range(1, len(s))) AS u(i)
+    GROUP BY 1, 2"""
+
+    return f"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents WHERE text IS NOT NULL)
+        GROUP BY w
+    ),
+    s0 AS (SELECT str_split(w, '') AS s, freq FROM words),
+    p1 AS ({pair_step('s0')}),
+    b1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+    s1 AS ({merge_step('s0', 'b1')}),
+    p2 AS ({pair_step('s1')}),
+    b2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+    s2 AS ({merge_step('s1', 'b2')}),
+    p3 AS ({pair_step('s2')}),
+    b3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+    SELECT CAST(1 AS INT) AS rank, l, r, c AS pair_count FROM b1
+    UNION ALL SELECT CAST(2 AS INT), l, r, c FROM b2
+    UNION ALL SELECT CAST(3 AS INT), l, r, c FROM b3
+    ORDER BY rank
+    """
+
+
+@register_staged("q160_bpe_merges", _q160_sql())
+def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (operators/tokenizer.py::learn_bpe_merges —
+    ROADMAP item 32, pagerank's iterate-with-materialize shape): learn
+    the first 3 merge rules over the corpus's lowercase alpha words and
+    surface the merge table (rank, left, right, weighted pair count).
+    The oracle replays all 3 iterations unrolled in DuckDB — weighted
+    adjacent-pair argmax with the same (count DESC, left, right)
+    tie-break, positional merge application equal to the engine's
+    greedy fold for left != right winners."""
+    from goetl_spark.operators.tokenizer import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select(F.explode(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("text"))
+    merges = learn_bpe_merges(w, text_col="text", num_merges=3,
+                              min_pair_count=1, lowercase=False)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, l string, r string, pair_count long")

@@ -6793,3 +6793,110 @@ def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, l string, r string, pair_count long")
+
+
+_Q161_SUFFIXES = ("com", "org", "net", "io", "co.uk", "org.uk", "gov.uk",
+                  "com.au", "net.au", "co.jp", "ac.jp", "github.io",
+                  "k12.ca.us")
+
+_Q161_HOST_SQL = """
+    CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'www.' || source || '.co.uk'
+        WHEN 1 THEN 'a.b.' || source || '.github.io'
+        WHEN 2 THEN source || '.com'
+        WHEN 3 THEN 'cdn.static.' || source || '.k12.ca.us'
+        WHEN 4 THEN source || '.unknowntld'
+        ELSE 'localhost'
+    END
+"""
+
+
+def _q161_sql() -> str:
+    values = ", ".join(f"('{s}')" for s in _Q161_SUFFIXES)
+    return f"""
+    WITH sfx(suffix) AS (VALUES {values}),
+    h AS (
+        SELECT doc_id, lower({_Q161_HOST_SQL}) AS host FROM documents
+    ),
+    l AS (SELECT doc_id, host, str_split(host, '.') AS lb FROM h),
+    c AS (
+        SELECT doc_id, host, k
+        FROM l, unnest(range(1, least(4, len(lb) - 1) + 1)) AS u(k)
+        WHERE array_to_string(lb[len(lb) - k + 1 : len(lb)], '.')
+              IN (SELECT suffix FROM sfx)
+    ),
+    b AS (SELECT doc_id, host, max(k) AS k FROM c GROUP BY 1, 2),
+    r AS (
+        SELECT l.doc_id, l.host, l.lb, coalesce(b.k, 1) AS k
+        FROM l LEFT JOIN b ON l.doc_id = b.doc_id AND l.host = b.host
+    )
+    SELECT doc_id, host,
+           CASE WHEN len(lb) <= k + 1 THEN host
+                ELSE array_to_string(lb[len(lb) - k : len(lb)], '.')
+           END AS registrable_domain
+    FROM r ORDER BY doc_id
+    """
+
+
+@register_staged("q161_psl_domains", _q161_sql())
+def q161_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PSL eTLD+1 grouping (operators/web.py::registrable_domain_psl
+    — the broadcast-join variant for suffix lists too big for q155's
+    isin literal; r7 verdict item 8's asked-for driver row). Both
+    engines construct the same deterministic host mix (multi-label PSL
+    suffixes, deep subdomains, an unknown TLD exercising the last-2
+    fallback, and a single-label host) and resolve against the same
+    13-rule fixture table; the oracle replays the longest-match
+    explode + max(k) + label-slice composition in DuckDB lists."""
+    from goetl_spark.operators.web import registrable_domain_psl
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q161_HOST_SQL).alias("host"))
+    sfx = spark.createDataFrame([(s,) for s in _Q161_SUFFIXES],
+                                "suffix string")
+    out = registrable_domain_psl(d, "host", sfx)
+    return (out.select("doc_id", F.lower("host").alias("host"),
+                       "registrable_domain")
+            .orderBy("doc_id"))
+
+
+@register_staged(
+    "q162_orc_roundtrip",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {DSUM('l_extendedprice')} AS total_price,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_dates
+    FROM (SELECT l_returnflag, l_linestatus, l_extendedprice,
+                 CASE WHEN l_orderkey % 11 = 0 THEN NULL
+                      ELSE l_shipdate END AS l_shipdate
+          FROM lineitem WHERE l_quantity < 25)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q162_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC writer+reader oracle coverage (q79/q80's round-trip pattern
+    for the r7-added format; r7 verdict item 8): a lineitem slice —
+    NULLs injected every 11th ship date — goes out through
+    sinks/files.py::write_orc, back through sources/files.py::read_orc
+    with column pruning, then aggregates; the oracle computes the same
+    aggregate from the original parquet, proving value/NULL round-trip
+    fidelity of the ORC path against an independent engine."""
+    from goetl_spark.sinks.files import write_orc
+    from goetl_spark.sources.files import read_orc
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") < 25)
+          .select("l_returnflag", "l_linestatus", "l_extendedprice",
+                  F.when(F.col("l_orderkey") % 11 == 0, F.lit(None))
+                  .otherwise(F.col("l_shipdate")).alias("l_shipdate")))
+    path = _scratch("goetl_q162_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path,
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice", "l_shipdate"])
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice", "total_price"),
+                 F.sum(F.col("l_shipdate").isNull().cast("long"))
+                 .alias("n_null_dates")))

@@ -6900,3 +6900,119 @@ def q162_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("l_extendedprice", "total_price"),
                  F.sum(F.col("l_shipdate").isNull().cast("long"))
                  .alias("n_null_dates")))
+
+
+def _q163_sql() -> str:
+    """Fixed-merge BPE tokenization replay: BPE inference
+    (lowest-rank-pair-first) is equivalent to replaying the merges in
+    rank order as full passes, and each pass's positional merge equals
+    the greedy fold because every fixed merge here has left != right
+    (see q160). Three passes: (t,h) -> (th,e) -> (i,n)."""
+    def merge_pass(prev: str, left: str, right: str) -> str:
+        return f"""
+    SELECT doc_id, list_filter(
+             list_transform(range(1, len(s) + 1), i ->
+               CASE
+                 WHEN i < len(s) AND s[i] = '{left}' AND s[i + 1] = '{right}'
+                   THEN s[i] || s[i + 1]
+                 WHEN i > 1 AND s[i - 1] = '{left}' AND s[i] = '{right}'
+                   THEN NULL
+                 ELSE s[i]
+               END),
+             x -> x IS NOT NULL) AS s
+    FROM {prev}"""
+
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+               AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    s0 AS (SELECT doc_id, str_split(word, '') AS s FROM w),
+    s1 AS ({merge_pass('s0', 't', 'h')}),
+    s2 AS ({merge_pass('s1', 'th', 'e')}),
+    s3 AS ({merge_pass('s2', 'i', 'n')})
+    SELECT doc_id, CAST(SUM(len(s)) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(list_filter(s, x -> x = 'the'))) AS BIGINT)
+               AS n_the_words
+    FROM s3 GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register_staged("q163_bpe_tokenize", _q163_sql())
+def q163_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference driver row (operators/tokenizer.py::
+    apply_bpe_merges — the q136 count-oracle pattern for the BPE apply
+    path): tokenize the corpus's lowercase alpha words with the fixed
+    merge list (t,h) < (th,e) < (i,n) and surface per-doc token counts
+    plus the count of words that fully merged into 'the'. The oracle
+    replays the merges in rank order as three positional passes —
+    equivalent to the engine's lowest-rank-first inference."""
+    from goetl_spark.operators.tokenizer import apply_bpe_merges
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select(
+        "doc_id",
+        F.array_join(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), " ")
+        .alias("words"))
+    toks = apply_bpe_merges(w, [("t", "h"), ("th", "e"), ("i", "n")],
+                            text_col="words", lowercase=False)
+    return (toks.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("tokens"), lambda t: t == F.lit("the")))
+        .cast("long").alias("n_the_words"))
+        .orderBy("doc_id"))
+
+
+_Q164_HOST_SQL = """
+    CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'www.' || source || '.com'
+        WHEN 1 THEN 'a.b.' || source || '.com'
+        WHEN 2 THEN 'news.' || source || '.co.uk'
+        ELSE source || '.co.uk'
+    END
+"""
+
+
+@register_staged(
+    "q164_domain_cap",
+    f"""
+    WITH h AS (
+        SELECT doc_id, n_chars, lower({_Q164_HOST_SQL}) AS host,
+               CASE WHEN doc_id % 4 IN (0, 1)
+                    THEN lower(source) || '.com'
+                    ELSE lower(source) || '.co.uk' END AS domain
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, host, domain, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                                  ORDER BY n_chars DESC, doc_id) AS rank
+        FROM h
+    )
+    SELECT doc_id, host, domain, n_chars, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id
+    """,
+)
+def q164_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the Common-Crawl hygiene composition
+    (operators/web.py::registrable_domain x operators/window.py::
+    topk_per_group_partial): group constructed hosts by eTLD+1 (so
+    news.X.co.uk and X.co.uk collapse while www.X.com stays separate
+    from them) and keep only the top-3 docs per domain by n_chars
+    (doc_id tie-break). The partial top-k does the cap without
+    shuffling every row (local per-partition head, then the exact
+    window over survivors); the oracle states the plain ROW_NUMBER cap
+    with the domain derived directly from the construction rule."""
+    from goetl_spark.operators.web import registrable_domain
+    from goetl_spark.operators.window import topk_per_group_partial
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.lower(F.expr(_Q164_HOST_SQL)).alias("host"))
+    withdom = d.withColumn("domain", registrable_domain("host"))
+    capped = topk_per_group_partial(
+        withdom, ["domain"], "n_chars", k=3, tie_cols=["doc_id"])
+    return (capped.select("doc_id", "host", "domain", "n_chars", "rank")
+            .orderBy("doc_id"))

@@ -580,17 +580,26 @@ def dhash(df: DataFrame, media_col: str = "media",
 
 
 def _banded_hamming_pairs(hashed: DataFrame, hash_col: str,
-                          max_hamming: int) -> DataFrame:
+                          max_hamming: int,
+                          materialize: bool = True) -> DataFrame:
     """Pigeonhole-banded Hamming pairs over a 64-bit fingerprint column
     (input: ``media_id``, ``hash_col``) — the SimHash band trick
     dedup.py uses for text: split the hash into ``max_hamming + 1``
     bands, so two hashes within the Hamming bound MUST agree exactly on
     at least one band (lossless); candidates equi-join on (band, value)
     and verify with ``bit_count(xor)``. Never all-pairs. Returns
-    (id_a, id_b, hamming), id_a < id_b."""
+    (id_a, id_b, hamming), id_a < id_b.
+
+    ``materialize`` (default on) eagerly localCheckpoints the hashed
+    frame before the self-join — otherwise the lazy plan recomputes the
+    upstream decode + hash kernel once PER SIDE, which at corpus scale
+    doubles the expensive part (the (id, hash) table itself is 16
+    bytes/row — cheap to pin)."""
     bands = max_hamming + 1
     if bands > 64:
         raise ValueError("max_hamming must be < 64")
+    if materialize:
+        hashed = hashed.localCheckpoint(eager=True)
     base, extra = divmod(64, bands)
     rows, start = [], 0
     for b in range(bands):
@@ -619,13 +628,15 @@ def _banded_hamming_pairs(hashed: DataFrame, hash_col: str,
 
 def image_neardup_pairs(df: DataFrame, media_col: str = "media",
                         max_hamming: int = 4,
-                        grid: tuple[int, int] = (9, 8)) -> DataFrame:
+                        grid: tuple[int, int] = (9, 8),
+                        materialize: bool = True) -> DataFrame:
     """Near-duplicate image pairs: dHash + :func:`_banded_hamming_pairs`
     (q154's banked plan, factored to share the banding with the pHash
     variant). Returns (id_a, id_b, hamming), id_a < id_b."""
     hashed = dhash(df, media_col, grid).filter(F.col("decode_ok")) \
         .select("media_id", "dhash")
-    return _banded_hamming_pairs(hashed, "dhash", max_hamming)
+    return _banded_hamming_pairs(hashed, "dhash", max_hamming,
+                                 materialize=materialize)
 
 
 _PHASH_SCHEMA = ("media_id long, phash long, decode_ok boolean, "
@@ -726,11 +737,13 @@ def phash(df: DataFrame, media_col: str = "media",
 def image_neardup_pairs_phash(df: DataFrame, media_col: str = "media",
                               max_hamming: int = 4,
                               mean_grid: int = 32,
-                              hash_grid: int = 8) -> DataFrame:
+                              hash_grid: int = 8,
+                              materialize: bool = True) -> DataFrame:
     """Near-duplicate image pairs on the pHash fingerprint — same
     lossless pigeonhole banding as :func:`image_neardup_pairs`, but
     robust to the global-edit near-dups dHash misses. Returns
     (id_a, id_b, hamming), id_a < id_b."""
     hashed = (phash(df, media_col, mean_grid, hash_grid)
               .filter(F.col("decode_ok")).select("media_id", "phash"))
-    return _banded_hamming_pairs(hashed, "phash", max_hamming)
+    return _banded_hamming_pairs(hashed, "phash", max_hamming,
+                                 materialize=materialize)

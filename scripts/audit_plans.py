@@ -128,11 +128,40 @@ def _lazy_q126(spark, sf_dir):
 
 # queries whose registered form materializes eagerly (plan truncated to a
 # checkpoint scan): audit the equivalent lazy plan instead
+def _lazy_q159(spark, sf_dir):
+    """r8: _banded_hamming_pairs localCheckpoints the hashed frame
+    (decode+hash once, not once per join side), which would truncate
+    q159's audited plan — audit the banded pHash pair plan lazily.
+    (q154 calls dhash directly with no pair join, so it is unaffected.)"""
+    from pyspark.sql import functions as F
+
+    from goetl_spark import queries as catalog
+    from goetl_spark.operators.multimodal import (
+        attach_media_column, image_neardup_pairs_phash)
+
+    d = (catalog._t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400).select("doc_id"))
+    payload = F.encode(F.concat(
+        F.lit("P5\n16 16\n255\n"),
+        F.expr(
+            "array_join(transform(sequence(0, 255), i -> "
+            "char((CAST(conv(substr(md5(concat(CAST(doc_id % 20 AS STRING),"
+            " ':', CAST(i AS STRING))), 1, 4), 16, 10) AS INT) % 80) "
+            "+ 10 + CAST((doc_id DIV 20) % 30 AS INT))), '')")),
+        "UTF-8")
+    md = attach_media_column(d.select("doc_id", payload.alias("p")), "p",
+                             mime="image/x-portable-graymap",
+                             id_col="doc_id")
+    return image_neardup_pairs_phash(md, max_hamming=4, mean_grid=16,
+                                     materialize=False)
+
+
 LAZY_VARIANTS = {"q22_ngram_jaccard": _lazy_q22,
                  "q81_sequence_packing": _lazy_q81,
                  "q109_top_supplier": _lazy_q109,
                  "q121_ntile_bins": _lazy_q121,
-                 "q126_weighted_sample": _lazy_q126}
+                 "q126_weighted_sample": _lazy_q126,
+                 "q159_image_phash": _lazy_q159}
 
 
 def audit(plan: str) -> dict:

@@ -420,3 +420,57 @@ def test_strip_boilerplate_matches_python_reference(spark, raw):
                                       min_doc_frac=0.5, min_docs=2).collect()}
     want = _strip_py(docs, 0.5, 2)
     assert got == want
+
+
+# --- BPE merge learning vs a pure-Python reference --------------------------
+
+def _ref_bpe(word_freqs: dict[str, int], num_merges: int,
+             min_pair_count: int = 1):
+    """Straight-line Sennrich 2016 reference: weighted adjacent-pair
+    counts over symbol tuples, (count DESC, left, right) tie-break,
+    greedy left-to-right non-overlapping merge."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((l, r, c))
+        new_words: dict[tuple, int] = {}
+        for syms, f in words.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            k = tuple(out)
+            new_words[k] = new_words.get(k, 0) + f
+        words = new_words
+    return merges
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+                min_size=1, max_size=12))
+def test_learn_bpe_matches_reference(spark, words):
+    """The distributed loop (JVM fold merge, argmax-by-limit) must
+    reproduce the pure-Python reference exactly — merge order, symbols,
+    and weighted counts — on arbitrary small corpora, including repeat
+    chains ('aaaa') where greedy non-overlap semantics matter."""
+    from goetl_spark.operators.tokenizer import learn_bpe_merges
+
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = learn_bpe_merges(df, num_merges=4, min_pair_count=1)
+    assert got == _ref_bpe(freqs, 4)

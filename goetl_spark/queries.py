@@ -7016,3 +7016,46 @@ def q164_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         withdom, ["domain"], "n_chars", k=3, tie_cols=["doc_id"])
     return (capped.select("doc_id", "host", "domain", "n_chars", "rank")
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q165_tfidf",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+        ORDER BY df DESC, term LIMIT 200
+    )
+    SELECT tf.doc_id, tf.term, tf.tf,
+           tf.tf * (ln((1.0 + n.n) / (1.0 + vocab.df)) + 1.0) AS tfidf
+    FROM tf JOIN vocab USING (term) CROSS JOIN n
+    ORDER BY doc_id, term
+    """,
+)
+def q165_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF features (operators/text.py::tfidf_vectors) over
+    the corpus's top-200 vocabulary. Float parity is the q102 bm25
+    recipe: idf constants come from driver-side libm ln (bit-identical
+    to DuckDB's ln) and the only runtime float op is one multiply, so
+    the hash compare is exact — no decimal casts needed."""
+    from goetl_spark.operators.text import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (tfidf_vectors(d, vocab_size=200)
+            .select("doc_id", "term", "tf", "tfidf")
+            .orderBy("doc_id", "term"))

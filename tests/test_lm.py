@@ -101,3 +101,49 @@ def test_perplexity_buckets_validates_cuts(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="cuts"):
         perplexity_buckets(df, cuts=(0.7, 0.3))
+
+
+# --- TF-IDF vectors (text.tfidf_vectors) ------------------------------------
+
+def test_tfidf_hand_computed(spark):
+    """3-doc corpus with known counts: smooth idf (sklearn form),
+    raw tf, one row per nonzero (doc, vocab term)."""
+    import math
+
+    from goetl_spark.operators.text import tfidf_vectors
+
+    df = spark.createDataFrame(
+        [(0, "cat cat dog"), (1, "cat fish"), (2, "dog dog dog bird")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r
+           for r in tfidf_vectors(df, vocab_size=10).collect()}
+    # df: cat 2, dog 2, bird 1, fish 1; N = 3
+    idf = lambda d: math.log(4.0 / (1.0 + d)) + 1.0
+    assert out[(0, "cat")]["tf"] == 2
+    assert out[(0, "cat")]["tfidf"] == 2 * idf(2)
+    assert out[(2, "dog")]["tf"] == 3
+    assert out[(2, "dog")]["tfidf"] == 3 * idf(2)
+    assert out[(1, "fish")]["tfidf"] == 1 * idf(1)
+    assert len(out) == 6  # nonzero cells only
+    assert (0, "fish") not in out
+
+
+def test_tfidf_vocab_cap_and_min_df(spark):
+    """vocab_size keeps the top terms by (df DESC, term) —
+    deterministic tie-break — and min_df drops rare terms."""
+    from goetl_spark.operators.text import tfidf_vectors
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "aa bb"), (2, "aa zz")],
+        "doc_id long, text string")
+    # df: aa 3, bb 2, cc 1, zz 1 -> top-2 = aa, bb
+    terms = {r["term"] for r in
+             tfidf_vectors(df, vocab_size=2).collect()}
+    assert terms == {"aa", "bb"}
+    # min_df=2 drops cc/zz even with room in the vocab
+    terms = {r["term"] for r in
+             tfidf_vectors(df, vocab_size=10, min_df=2).collect()}
+    assert terms == {"aa", "bb"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tfidf_vectors(df, vocab_size=0)

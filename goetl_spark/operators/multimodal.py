@@ -747,3 +747,88 @@ def image_neardup_pairs_phash(df: DataFrame, media_col: str = "media",
               .filter(F.col("decode_ok")).select("media_id", "phash"))
     return _banded_hamming_pairs(hashed, "phash", max_hamming,
                                  materialize=materialize)
+
+
+_AUDIO_DHASH_SCHEMA = ("media_id long, ahash long, decode_ok boolean, "
+                       "decoder string")
+
+
+def audio_dhash(df: DataFrame, media_col: str = "media",
+                n_frames: int = 65) -> DataFrame:
+    """Perceptual audio fingerprint — dHash's gradient idea applied to
+    the loudness envelope: decode integer-PCM WAV (the real
+    :func:`_parse_wav_pcm` kernel), mix down to mono, split the samples
+    into ``n_frames`` equal-length frames (duration-normalized, ragged
+    tail dropped), and emit one bit per consecutive frame-energy
+    increase (``n_frames - 1`` bits, little-endian packed long).
+
+    GAIN-invariant: a uniform volume change scales every frame energy
+    by g² > 0, so every delta sign — hence the hash — is unchanged (and
+    bit-exact for power-of-two gains, where float scaling is exact).
+    The re-encoded/volume-normalized copy is the classic audio near-dup
+    the raw-byte digest misses. Same quarantine contract as
+    :func:`dhash`; non-RIFF audio quarantines as ``missing-codec``.
+    Pairs via :func:`audio_neardup_pairs` (shared pigeonhole banding —
+    never all-pairs). Arrow-batched mapInPandas, map-only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 2 <= n_frames <= 65:
+        raise ValueError("n_frames must be in [2, 65] (bits must fit 64)")
+
+    def run(batches) -> Iterator:
+        for pdf in batches:
+            out = {"media_id": [], "ahash": [], "decode_ok": [],
+                   "decoder": []}
+            for m in pdf[media_col]:
+                payload = m["payload"]
+                out["media_id"].append(m["media_id"])
+                if payload is None or len(payload) == 0:
+                    out["ahash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("none")
+                    continue
+                if bytes(payload[:4]) != b"RIFF":
+                    out["ahash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("missing-codec")
+                    continue
+                parsed = _parse_wav_pcm(bytes(payload))
+                if parsed is None:
+                    out["ahash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("wav-corrupt")
+                    continue
+                x, _, _ = parsed
+                flen = len(x) // n_frames
+                if flen < 1:
+                    out["ahash"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decoder"].append("too-short")
+                    continue
+                frames = x[: flen * n_frames].reshape(n_frames, flen)
+                e = (frames * frames).sum(axis=1)
+                hv = 0
+                for i in range(n_frames - 1):
+                    if e[i + 1] > e[i]:
+                        hv |= 1 << i
+                out["ahash"].append(hv - (1 << 64) if hv >= (1 << 63)
+                                    else hv)
+                out["decode_ok"].append(True)
+                out["decoder"].append("wav")
+            yield pd.DataFrame(out)
+
+    return df.select(media_col).mapInPandas(run, schema=_AUDIO_DHASH_SCHEMA)
+
+
+def audio_neardup_pairs(df: DataFrame, media_col: str = "media",
+                        max_hamming: int = 4, n_frames: int = 65,
+                        materialize: bool = True) -> DataFrame:
+    """Near-duplicate audio pairs on the envelope fingerprint — same
+    lossless pigeonhole banding as the image pair finders. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    hashed = (audio_dhash(df, media_col, n_frames)
+              .filter(F.col("decode_ok")).select("media_id", "ahash"))
+    return _banded_hamming_pairs(hashed, "ahash", max_hamming,
+                                 materialize=materialize)

@@ -7059,3 +7059,61 @@ def q165_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tfidf_vectors(d, vocab_size=200)
             .select("doc_id", "term", "tf", "tfidf")
             .orderBy("doc_id", "term"))
+
+
+@register_staged(
+    "q166_audio_neardup",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 15 = b.doc_id % 15 AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 300 AND b.doc_id < 300
+    ORDER BY id_a, id_b
+    """,
+)
+def q166_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs (operators/multimodal.py::
+    audio_dhash / audio_neardup_pairs) with q159's ground-truth pairing
+    oracle: each doc_id < 300 becomes a real 16-bit PCM WAV whose
+    envelope is md5 noise keyed by its GROUP (doc_id % 15) — constant-
+    magnitude alternating-sign frames — played at a per-member
+    power-of-two gain (1/2/4 by doc_id div 15). The energy-delta-sign
+    hash is exactly gain-invariant, so same-group clips pair at hamming
+    0 and distinct random envelopes sit ~32 bits apart; the full
+    decode -> fingerprint -> band -> join pipeline must return exactly
+    the same-group pairs."""
+    import hashlib
+    import struct
+
+    from goetl_spark.operators.multimodal import (
+        attach_media_column, audio_neardup_pairs)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g, gain = int(did) % 15, 1 << (int(did) // 15 % 3)
+                samples = []
+                for f in range(65):
+                    dg = hashlib.md5(f"{g}:{f}".encode()).digest()
+                    a = ((dg[0] + (dg[1] << 8)) % 2000 + 100) * gain
+                    samples.extend(a if i % 2 == 0 else -a
+                                   for i in range(8))
+                data = b"".join(struct.pack("<h", s) for s in samples)
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                          + b"data" + struct.pack("<I", len(data)) + data)
+                payloads.append(b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                                + b"WAVE" + chunks)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id")
+         .mapInPandas(build, schema="doc_id long, payload binary"))
+    md = attach_media_column(d, "payload", mime="audio/wav",
+                             id_col="doc_id")
+    return (audio_neardup_pairs(md, max_hamming=4)
+            .orderBy("id_a", "id_b"))

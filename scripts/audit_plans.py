@@ -235,11 +235,13 @@ def main() -> None:
             "WholeStageCodegen spans / filter pushdown present / widest scan\n"
             "ReadSchema width / Python (Arrow) exchange count. Streaming\n"
             "queries execute inside the query fn and are excluded.\n\n"
-            "q22/q81 are audited via their materialize=False variants\n"
-            "(the registered forms localCheckpoint, truncating the plan);\n"
-            "their lazy plans OVERSTATE runtime work — execution caches\n"
-            "the shingle index / range partitioning that the lazy DAG\n"
-            "shows recomputed per consumer.\n\n"
+            "q22/q81/q159 are audited via their materialize=False\n"
+            "variants (the registered forms localCheckpoint, truncating\n"
+            "the plan); their lazy plans OVERSTATE runtime work —\n"
+            "execution caches the shingle index / range partitioning /\n"
+            "decoded hash table that the lazy DAG shows recomputed per\n"
+            "consumer (q159's python=4 is the phash kernel appearing\n"
+            "once per join side in the LAZY plan only).\n\n"
             + table + "\n"
         )
         print(f"\nwrote {out}")

@@ -230,3 +230,87 @@ def test_image_neardup_pairs_phash(spark):
              for r in image_neardup_pairs_phash(md, max_hamming=4).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def _wav(samples_16, rate=8000):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples_16)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _envelope_wav(seed: int, gain: int = 1, n_frames: int = 65,
+                  flen: int = 8) -> bytes:
+    """Alternating-sign constant-magnitude frames; per-frame amplitude
+    is md5 noise keyed by (seed, frame) — the energy-delta sign pattern
+    is random per seed and exactly preserved under integer gain."""
+    import hashlib
+
+    samples = []
+    for f in range(n_frames):
+        d = hashlib.md5(f"{seed}:{f}".encode()).digest()
+        a = ((d[0] + (d[1] << 8)) % 2000 + 100) * gain
+        samples.extend(a if i % 2 == 0 else -a for i in range(flen))
+    return _wav(samples)
+
+
+def test_audio_dhash_gain_invariance(spark):
+    """Volume changes scale every frame energy by g^2 — the envelope
+    hash is identical; distinct envelopes are far apart."""
+    from goetl_spark.operators.multimodal import audio_dhash
+
+    md = _media_df(spark, [
+        (1, _envelope_wav(7), "audio/wav"),
+        (2, _envelope_wav(7, gain=4), "audio/wav"),
+        (3, _envelope_wav(9), "audio/wav"),
+    ])
+    rows = {r["media_id"]: r for r in audio_dhash(md).collect()}
+    assert all(rows[i]["decode_ok"] and rows[i]["decoder"] == "wav"
+               for i in (1, 2, 3))
+    assert rows[1]["ahash"] == rows[2]["ahash"]
+    far = bin((rows[1]["ahash"] ^ rows[3]["ahash"]) & ((1 << 64) - 1))
+    assert far.count("1") > 8
+
+
+def test_audio_dhash_quarantine_and_guards(spark):
+    from goetl_spark.operators.multimodal import (
+        audio_dhash, audio_neardup_pairs)
+
+    md = _media_df(spark, [
+        (1, None, "audio/wav"),
+        (2, b"\x00notriff", "audio/mp3"),
+        (3, _wav([0] * 16)[:20], "audio/wav"),      # truncated chunks
+        (4, _wav([5] * 8), "audio/wav"),            # 8 samples, 65 frames
+    ])
+    rows = {r["media_id"]: r for r in audio_dhash(md).collect()}
+    assert rows[1]["decoder"] == "none"
+    assert rows[2]["decoder"] == "missing-codec"
+    assert rows[3]["decoder"] == "wav-corrupt"
+    assert rows[4]["decoder"] == "too-short"
+    assert all(not rows[i]["decode_ok"] and rows[i]["ahash"] is None
+               for i in (1, 2, 3, 4))
+    with pytest.raises(ValueError):
+        audio_dhash(md, n_frames=66)
+    with pytest.raises(ValueError):
+        audio_neardup_pairs(md, max_hamming=64)
+
+
+def test_audio_neardup_pairs(spark):
+    """Gain-variant copies pair at hamming 0; distinct envelopes and
+    quarantined rows stay out."""
+    from goetl_spark.operators.multimodal import audio_neardup_pairs
+
+    md = _media_df(spark, [
+        (1, _envelope_wav(7), "audio/wav"),
+        (2, _envelope_wav(7, gain=2), "audio/wav"),
+        (3, _envelope_wav(7, gain=4), "audio/wav"),
+        (4, _envelope_wav(9), "audio/wav"),
+        (5, None, "audio/wav"),
+    ])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_neardup_pairs(md, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert not any(4 in p or 5 in p for p in pairs)

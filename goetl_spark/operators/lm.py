@@ -185,3 +185,71 @@ def perplexity_buckets(
          .when(F.col("__r") <= c1, "middle")
          .otherwise("tail"),
     ).drop("__r", "__neg")
+
+
+def kneser_ney_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Average INTERPOLATED KNESER-NEY bigram log-probability per
+    document — the smoothing family CCNet-class pipelines actually use
+    (KenLM is modified-KN): instead of add-k's uniform mass, unseen
+    mass goes to words in proportion to how many distinct CONTEXTS
+    they follow, which stops high-frequency-but-fixed-context tokens
+    ("francisco") from inflating scores.
+
+        P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+                 + (D · N1+(w1,·) / c(w1·)) · N1+(·,w2) / N1+(·,·)
+
+    with c(w1·) the bigram-context count, N1+(w1,·)/N1+(·,w2) the
+    forward/backward continuation type counts, and N1+(·,·) the total
+    distinct bigram types. Self-scored on the training corpus (the
+    q116 pattern), so every scored bigram has c ≥ 1 and the max() is
+    formula fidelity, not a reachable branch.
+
+    Scale shape mirrors :func:`bigram_logprob_scores`: in-row
+    slice+zip bigrams, map-side-combined count tables, equi-joins on
+    token keys (nothing corpus-sized broadcasts), the single type-total
+    scalar on a one-row crossJoin, decimal-rounded log sum for
+    cross-engine bit-exactness. Returns (id_col, n_bigrams,
+    avg_logprob)."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    bigrams = base.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"),
+                                F.count(F.lit(1)).alias("n1p_fwd"))
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    scalars = big.agg(F.count(F.lit(1)).alias("t"))
+
+    d = F.lit(discount)
+    # expression order mirrored verbatim in the SQL oracle — per-row
+    # double ops are IEEE-identical across engines when ordered alike
+    term = F.log(
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1p_fwd") / F.col("c1")
+        * (F.col("n1p_bwd") / F.col("t")))
+    return (
+        bigrams
+        .join(big, on=["w1", "w2"])
+        .join(ctx, on="w1")
+        .join(cont, on="w2")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             _rounded_decimal_sum(term, 6, "__s"))
+        .withColumn("avg_logprob", F.col("__s") / F.col("n_bigrams"))
+        .drop("__s")
+    )

@@ -7117,3 +7117,53 @@ def q166_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              id_col="doc_id")
     return (audio_neardup_pairs(md, max_hamming=4)
             .orderBy("id_a", "id_b"))
+
+
+@register_staged(
+    "q167_kneser_ney_lm",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS w1,
+               unnest(list_concat(l[2:], [NULL])) AS w2
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents)
+    ), big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ), ctx AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+        FROM big GROUP BY 1
+    ), cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd
+        FROM big GROUP BY 1
+    ), sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM big)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(ln(
+                greatest(c2 - 0.75, 0.0) / c1
+                + 0.75 * n1p_fwd / c1 * (n1p_bwd / t)), 6)
+                AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM tok
+    JOIN big USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN sc
+    WHERE tok.w2 IS NOT NULL
+    GROUP BY tok.doc_id ORDER BY tok.doc_id
+    """,
+)
+def q167_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency score per document
+    (operators/lm.py::kneser_ney_logprob_scores — the smoothing KenLM-
+    class pipelines use, upgrading q116's add-k). The oracle replays
+    the full KN decomposition — discounted ML term + continuation-
+    probability backoff from the same count tables — with the identical
+    per-row double expression order and the q116 decimal-rounded log
+    sum, so the compare is hash-exact including the floats."""
+    from goetl_spark.operators.lm import kneser_ney_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_logprob_scores(d).orderBy("doc_id")

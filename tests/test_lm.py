@@ -147,3 +147,51 @@ def test_tfidf_vocab_cap_and_min_df(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tfidf_vectors(df, vocab_size=0)
+
+
+# --- Kneser-Ney bigram LM (lm.kneser_ney_logprob_scores) --------------------
+
+def test_kneser_ney_hand_computed(spark):
+    """Tiny corpus, every KN quantity verified by hand:
+    bigrams (a,b):1 (b,a):2 (a,c):1 -> ctx a:(c1=2,fwd=2) b:(2,1),
+    cont a/b/c = 1 type each, T = 3 types, D = 0.75:
+    P(b|a) = 0.25/2 + 0.75*2/2 * 1/3 = 0.375
+    P(a|b) = 1.25/2 + 0.75*1/2 * 1/3 = 0.75
+    P(c|a) = 0.25/2 + 0.75*2/2 * 1/3 = 0.375"""
+    import math
+
+    from goetl_spark.operators.lm import kneser_ney_logprob_scores
+
+    df = spark.createDataFrame([(0, "a b a c"), (1, "b a")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in kneser_ney_logprob_scores(df).collect()}
+    r6 = lambda x: round(x, 6)
+    exp0 = (r6(math.log(0.375)) + r6(math.log(0.75))
+            + r6(math.log(0.375))) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["avg_logprob"] - exp0) < 1e-12
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["avg_logprob"] - r6(math.log(0.75))) < 1e-12
+
+
+def test_kneser_ney_ranks_fluency_and_validates(spark):
+    """Repeated natural patterns score above shuffled noise, short docs
+    drop out, discount is range-checked."""
+    import pytest as _pytest
+
+    from goetl_spark.operators.lm import kneser_ney_logprob_scores
+
+    fluent = "the cat sat on the mat " * 5
+    # every noise bigram occurs ONCE (self-training can't memorize it),
+    # so the discount bites and continuation mass is all it gets
+    noise = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, fluent), (1, noise), (2, "single")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"]
+           for r in kneser_ney_logprob_scores(df).collect()}
+    assert out[0] > out[1]
+    assert 2 not in out  # < 2 tokens, no bigrams
+    with _pytest.raises(ValueError):
+        kneser_ney_logprob_scores(df, discount=1.0)

@@ -209,18 +209,21 @@ def registrable_domain_psl(
 ) -> DataFrame:
     """eTLD+1 via a caller-supplied public-suffix TABLE (one ``suffix``
     string column — e.g. the full ~9k-rule Mozilla PSL, which is too
-    big for :func:`registrable_domain`'s ``isin`` literal). Longest
-    matching suffix wins; unmatched hosts fall back to last-2-labels
-    (the PSL '*' default rule). Wildcard (``*.ck``) and exception
-    (``!www.ck``) rules are NOT interpreted — pre-expand them into the
-    table if your list uses them.
+    big for :func:`registrable_domain`'s ``isin`` literal). Implements
+    the publicsuffix.org algorithm: the LONGEST matching rule prevails
+    (rule length counts the ``*``), wildcard rules (``*.ck``) match any
+    single extra label, exception rules (``!www.ck``) override
+    everything and shorten the suffix by their leftmost label, and
+    unmatched hosts fall back to the default ``*`` rule
+    (last-2-labels).
 
     Scale shape: DISTINCT hosts (not rows) explode into their
     ≤ ``max_suffix_labels`` candidate suffixes, broadcast-join the
-    suffix table, keep the longest match per host, and the resolved
-    (host → domain) mapping joins back to the input on the host string
-    — two shuffles on distinct hosts, none on the full corpus rows
-    beyond the final join.
+    preprocessed rule table (each rule reduced to its literal tail as
+    the join key + the public-suffix length it implies), keep the
+    prevailing match per host, and the resolved (host → domain) mapping
+    joins back to the input on the host string — two shuffles on
+    distinct hosts, none on the full corpus rows beyond the final join.
     """
     hosts = df.select(F.lower(F.col(host_col)).alias("__h")).distinct()
     labels = F.split(F.col("__h"), r"\.")
@@ -239,12 +242,41 @@ def registrable_domain_psl(
             # single-label host produces; k < n keeps the whole host
             # out of its own candidate set
             lambda s: (s["k"] >= 1) & (s["k"] < n))).alias("c"))
-    sfx = F.broadcast(suffix_df.select(
-        F.lower(F.col("suffix")).alias("suffix")).distinct())
-    best = (cand.select("__h", F.col("c.k").alias("k"),
-                        F.col("c.suffix").alias("suffix"))
+    # rule preprocessing, all Column expressions: the join KEY is the
+    # rule's literal tail ('*.' / '!' stripped — candidates are literal
+    # suffixes, so the '*' label can't be part of the key), and ps_len
+    # is the public-suffix length the rule implies when its key matches:
+    # plain rule -> its own length; wildcard -> key length + 1 (the '*'
+    # consumes one extra host label — guaranteed present, since
+    # candidates stop at n-1); exception -> key length - 1 (the
+    # exception's leftmost label is REGISTRABLE, not public).
+    rule = F.lower(F.col("suffix"))
+    is_exc = rule.startswith("!")
+    body = F.when(is_exc, F.expr("substring(lower(suffix), 2)")) \
+        .otherwise(rule)
+    is_wild = body.startswith("*.")
+    key = F.when(is_wild, F.substring(body, 3, 1 << 30)).otherwise(body)
+    klen = F.size(F.split(key, r"\."))
+    ps_len = (F.when(is_exc, klen - 1)
+              .when(is_wild, klen + 1)
+              .otherwise(klen))
+    sfx = F.broadcast(
+        suffix_df.select(key.alias("suffix"), is_exc.alias("__exc"),
+                         ps_len.alias("__ps"))
+        .filter(F.col("__ps") >= 0)  # '!ck'-style 1-label exception -> ps 0
+        .distinct())
+    # prevailing rule: any matching exception wins outright; otherwise
+    # the longest rule (ps_len == rule label count for plain and
+    # wildcard rules, so max(ps_len) IS the longest-match tie-break)
+    best = (cand.select("__h", F.col("c.suffix").alias("suffix"))
             .join(sfx, "suffix")
-            .groupBy("__h").agg(F.max("k").alias("k")))
+            .groupBy("__h")
+            .agg(F.max(F.when(F.col("__exc"), F.col("__ps")))
+                 .alias("__exc_ps"),
+                 F.max(F.when(~F.col("__exc"), F.col("__ps")))
+                 .alias("__norm_ps"))
+            .select("__h",
+                    F.coalesce("__exc_ps", "__norm_ps").alias("k")))
     lbl2 = F.split(F.col("__h"), r"\.")
     n2 = F.size(lbl2)
     resolved = (hosts.join(best, "__h", "left")

@@ -252,3 +252,43 @@ def test_registrable_domain_psl_table(spark):
                              registrable_domain("host").alias("d"))
                 .collect()}
     assert via_table == via_isin
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    """publicsuffix.org canon (.ck): '*.ck' makes every label under ck
+    a public suffix, '!www.ck' carves www.ck back out as registrable;
+    plain rules keep working alongside."""
+    from goetl_spark.operators.web import registrable_domain_psl
+
+    rules = spark.createDataFrame(
+        [("com",), ("co.uk",), ("*.ck",), ("!www.ck",)], "suffix string")
+    hosts = ["foo.www.ck", "www.ck", "a.b.ck", "b.ck", "x.com",
+             "news.bbc.co.uk", "unmatched.zz"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = {r["host"]: r["registrable_domain"]
+           for r in registrable_domain_psl(df, "host", rules).collect()}
+    assert out["foo.www.ck"] == "www.ck"      # exception beats wildcard
+    assert out["www.ck"] == "www.ck"          # exception: ps=ck, +1
+    assert out["a.b.ck"] == "a.b.ck"          # wildcard ps = b.ck, +1
+    assert out["b.ck"] == "b.ck"              # is itself a public suffix
+    assert out["x.com"] == "x.com"
+    assert out["news.bbc.co.uk"] == "bbc.co.uk"
+    assert out["unmatched.zz"] == "unmatched.zz"  # default '*' rule
+
+
+def test_psl_longest_rule_prevails(spark):
+    """Rule length (counting '*') decides precedence: with both 'jp'
+    and '*.hokkaido.jp', a deep host follows the wildcard while a
+    plain .jp host follows the shorter rule."""
+    from goetl_spark.operators.web import registrable_domain_psl
+
+    rules = spark.createDataFrame(
+        [("jp",), ("*.hokkaido.jp",)], "suffix string")
+    df = spark.createDataFrame(
+        [("www.site.sapporo.hokkaido.jp",), ("site.jp",)], "host string")
+    out = {r["host"]: r["registrable_domain"]
+           for r in registrable_domain_psl(
+               df, "host", rules, max_suffix_labels=4).collect()}
+    # ps = sapporo.hokkaido.jp (3 labels via wildcard), +1
+    assert out["www.site.sapporo.hokkaido.jp"] == "site.sapporo.hokkaido.jp"
+    assert out["site.jp"] == "site.jp"

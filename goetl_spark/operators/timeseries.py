@@ -151,3 +151,55 @@ def rolling_range(
             F.sum(dec).over(w).cast("double")
             / F.count(F.col(value_col)).over(w))
     return out.drop("__epoch")
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    key_cols: Sequence[str],
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the classic
+    trend/anomaly smoother: ``y_i = alpha * x_i + (1 - alpha) * y_{i-1}``
+    with ``y_1 = x_1``, rows ordered by ``order_cols`` within each
+    ``key_cols`` group (make the order a TOTAL order — ties would make
+    the recurrence nondeterministic). NULL values emit NULL and leave
+    the running state untouched.
+
+    Scale shape: the recurrence is inherently serial PER KEY, so this
+    runs as one ``applyInPandas`` pass — one shuffle on the keys, each
+    series smoothed sequentially in its executor (the standard
+    assumption: a single key's series fits one task). A segmented-scan
+    reformulation (cumsum of ``x_i / (1-alpha)^i``) exists but
+    overflows for series longer than a few thousand rows, so the
+    explicit loop is the correct 100 TB form. The loop applies exactly
+    ``alpha * x + (1 - alpha) * y`` per step — an order a SQL recursive
+    CTE replays bit-for-bit (q168's oracle does)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    keys = list(key_cols)
+    order = list(order_cols)
+    if not keys or not order:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, which would
+    # corrupt df's own schema object
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.DoubleType())])
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        out, y = [], None
+        for x in pdf[value_col]:
+            if x is None or x != x:  # NULL / NaN: emit NULL, keep state
+                out.append(None)
+                continue
+            y = float(x) if y is None else alpha * float(x) + (1 - alpha) * y
+            out.append(y)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=schema)

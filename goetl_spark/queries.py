@@ -7167,3 +7167,47 @@ def q167_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return kneser_ney_logprob_scores(d).orderBy("doc_id")
+
+
+@register_staged(
+    "q168_ewma",
+    """
+    WITH RECURSIVE base AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE value IS NOT NULL AND user_id % 199 = 0
+    ),
+    r AS (
+        SELECT event_type, event_id, rn, value AS y
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.event_id, b.rn,
+               0.5 * b.value + 0.5 * r.y
+        FROM r JOIN base b
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, event_id, y AS ewma
+    FROM r ORDER BY event_type, rn
+    """,
+)
+def q168_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA smoothing (operators/timeseries.py::ewma): the
+    event value stream per event_type (sampled to keep the oracle's
+    recursion shallow), smoothed with alpha = 0.5 over the (ts,
+    event_id) total order. The oracle replays the recurrence with a
+    RECURSIVE CTE applying the identical `0.5*x + 0.5*y` step, so the
+    float compare is bit-exact (alpha chosen so 1-alpha is exact in
+    both engines)."""
+    from goetl_spark.operators.timeseries import ewma
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()
+                  & (F.col("user_id") % 199 == 0))
+          .select("event_type", "event_id", "ts", "value"))
+    out = ewma(ev, "value", ["ts", "event_id"], ["event_type"],
+               alpha=0.5)
+    return (out.select("event_type", "event_id", "ewma")
+            .orderBy("event_type", "ts", "event_id")
+            .select("event_type", "event_id", "ewma"))

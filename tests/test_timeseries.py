@@ -113,3 +113,47 @@ def test_rolling_avg_skips_null_values(spark):
     assert out[3].rolling_sum == 9.0
     assert out[3].rolling_avg == pytest.approx(4.5)   # 9 / 2, not 9 / 3
     assert out[2].rolling_avg == pytest.approx(3.0)   # 3 / 1, not 3 / 2
+
+
+# --- EWMA (timeseries.ewma) --------------------------------------------------
+
+def test_ewma_hand_computed(spark):
+    from goetl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("a", 4, 40.0),
+         ("b", 1, 100.0)],
+        "k string, i int, x double")
+    out = {(r["k"], r["i"]): r["ewma"]
+           for r in ewma(df, "x", ["i"], ["k"], alpha=0.5).collect()}
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 0.5 * 20.0 + 0.5 * 10.0          # 15.0
+    assert out[("a", 3)] is None                             # NULL emits NULL
+    assert out[("a", 4)] == 0.5 * 40.0 + 0.5 * 15.0          # state survived
+    assert out[("b", 1)] == 100.0                            # keys independent
+
+
+def test_ewma_partitioning_invariance_and_guards(spark):
+    """Result must not depend on input partitioning (the shuffle+sort
+    owns the order), alpha=1 degenerates to the identity, bad args
+    raise."""
+    import pytest as _pytest
+
+    from goetl_spark.operators.timeseries import ewma
+
+    rows = [("k", i, float((i * 37) % 101)) for i in range(1, 101)]
+    df1 = spark.createDataFrame(rows, "k string, i int, x double")
+    df8 = df1.repartition(8)
+    a = {r["i"]: r["ewma"]
+         for r in ewma(df1, "x", ["i"], ["k"], 0.3).collect()}
+    b = {r["i"]: r["ewma"]
+         for r in ewma(df8, "x", ["i"], ["k"], 0.3).collect()}
+    assert a == b
+    ident = {r["i"]: r["ewma"]
+             for r in ewma(df1, "x", ["i"], ["k"], 1.0).collect()}
+    assert all(ident[i] == dict((i2, x) for _, i2, x in rows)[i]
+               for i in ident)
+    with _pytest.raises(ValueError):
+        ewma(df1, "x", ["i"], ["k"], 0.0)
+    with _pytest.raises(ValueError):
+        ewma(df1, "x", [], ["k"], 0.5)

@@ -401,3 +401,53 @@ def epoch_shuffle(
         "spark.sql.shuffle.partitions", "32")
     return out.repartitionByRange(int(n), "__shuffle_key") \
               .sortWithinPartitions("__shuffle_key")
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aligned chunking — the RAG-standard alternative to
+    :func:`chunk_documents`' raw token windows: sentences never split
+    mid-way, and chunks hold ~``budget_tokens`` whitespace tokens.
+    Assignment is BUDGET-ALIGNED: sentence ``i`` goes to chunk
+    ``floor(tokens_before_i / budget)`` (tokens_before = the exclusive
+    running token count), a closed-form rule both engines compute
+    exactly with one cumulative window — deterministic, integer-only,
+    no per-chunk greedy state (a greedy fill whose remainder resets per
+    chunk is a serial recurrence; the aligned rule gives the same
+    ~budget-sized, sentence-whole chunks without it).
+
+    One shuffle total (the per-doc window + the chunk regroup share the
+    id_col partitioning). Output: (id_col, chunk_id, text, n_sentences,
+    n_tokens), chunk text joined in sentence order with single
+    spaces."""
+    from pyspark.sql import Window
+
+    from goetl_spark.operators.text import split_sentences
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    sents = (df.select(F.col(id_col),
+                       F.posexplode(split_sentences(text_col))
+                       .alias("pos", "sentence")))
+    n_tok = F.size(F.filter(F.split(F.col("sentence"), r"\s+"),
+                            lambda t: t != ""))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cum = (sents.withColumn("n_tok", n_tok)
+           .withColumn("before",
+                       F.coalesce(F.sum("n_tok").over(
+                           w.rowsBetween(Window.unboundedPreceding, -1)),
+                           F.lit(0)))
+           .withColumn("chunk_id",
+                       F.floor(F.col("before") / budget_tokens)
+                       .cast("int")))
+    return (cum.groupBy(id_col, "chunk_id")
+            .agg(F.array_join(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "sentence"))).getField("sentence"),
+                     " ").alias("text"),
+                 F.count(F.lit(1)).cast("int").alias("n_sentences"),
+                 F.sum("n_tok").cast("long").alias("n_tokens")))

@@ -7211,3 +7211,52 @@ def q168_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("event_type", "event_id", "ewma")
             .orderBy("event_type", "ts", "event_id")
             .select("event_type", "event_id", "ewma"))
+
+
+@register_staged(
+    "q169_sentence_chunks",
+    """
+    WITH s AS (
+        SELECT doc_id, i - 1 AS pos, trim(arr[i]) AS sentence
+        FROM (SELECT doc_id,
+                     str_split(regexp_replace(text, '([.!?]+)\\s+',
+                                              '\\1' || chr(31), 'g'),
+                               chr(31)) AS arr
+              FROM documents WHERE text IS NOT NULL),
+             unnest(range(1, len(arr) + 1)) AS u(i)
+        WHERE trim(arr[i]) <> ''
+    ),
+    t AS (
+        SELECT doc_id, pos, sentence,
+               len(list_filter(regexp_split_to_array(sentence, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM s
+    ),
+    c AS (
+        SELECT doc_id, pos, sentence, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 40 AS INT) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, chunk_id,
+           string_agg(sentence, ' ' ORDER BY pos) AS text,
+           CAST(COUNT(*) AS INT) AS n_sentences,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q169_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned RAG chunking (operators/sampling.py::
+    chunk_by_sentences): sentences never split; sentence i joins chunk
+    floor(exclusive_running_tokens / 40) — a closed-form integer rule
+    one cumulative window computes, so the oracle replays it exactly
+    (same sentinel sentence split, same whitespace token count, same
+    cumsum)."""
+    from goetl_spark.operators.sampling import chunk_by_sentences
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (chunk_by_sentences(d, budget_tokens=40)
+            .orderBy("doc_id", "chunk_id"))

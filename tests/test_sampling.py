@@ -145,3 +145,51 @@ def test_temperature_weights():
         temperature_weights(sizes, 0.0)
     with _pt.raises(ValueError):
         temperature_weights([0.0], 1.0)
+
+
+# --- sentence-aligned chunking (sampling.chunk_by_sentences) -----------------
+
+def test_chunk_by_sentences_hand_computed(spark):
+    """Budget-aligned assignment: sentence i joins chunk
+    floor(tokens_before/budget); sentences never split, a chunk may
+    overflow the budget by less than one sentence."""
+    from goetl_spark.operators.sampling import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(0, "one two three. four five six! seven eight nine? ten."),
+         (1, "only one sentence here")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): r
+           for r in chunk_by_sentences(df, budget_tokens=5).collect()}
+    # doc0 sentence tokens: 3,3,3,1 -> before: 0,3,6,9 -> chunks 0,0,1,1
+    c00, c01 = out[(0, 0)], out[(0, 1)]
+    assert c00["text"] == "one two three. four five six!"
+    assert (c00["n_sentences"], c00["n_tokens"]) == (2, 6)
+    assert c01["text"] == "seven eight nine? ten."
+    assert (c01["n_sentences"], c01["n_tokens"]) == (2, 4)
+    assert out[(1, 0)]["text"] == "only one sentence here"
+    assert len(out) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_by_sentences(df, budget_tokens=0)
+
+
+def test_chunk_by_sentences_order_and_coverage(spark):
+    """Chunk texts concatenated in chunk order reproduce the sentence
+    stream — nothing lost, duplicated, or reordered — regardless of
+    input partitioning."""
+    from goetl_spark.operators.sampling import chunk_by_sentences
+
+    text = " ".join(f"word{i} stays here number {i}." for i in range(40))
+    df = spark.createDataFrame([(0, text)],
+                               "doc_id long, text string").repartition(8)
+    rows = sorted(chunk_by_sentences(df, budget_tokens=12).collect(),
+                  key=lambda r: r["chunk_id"])
+    rebuilt = " ".join(r["text"] for r in rows)
+    assert rebuilt == text
+    # aligned rule: chunk k owns sentences with before in [12k, 12k+12),
+    # so the chunk count is exactly ceil(total_tokens / budget)
+    total = sum(r["n_tokens"] for r in rows)
+    assert len(rows) == -(-total // 12)
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))

@@ -79,13 +79,49 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
                          how="left_anti")
     n3 = clean.count()
 
+    # 3b. standing-blocklist cut: bloom misses skip the shuffle, only
+    #     the FPP-bounded hit sliver pays the exact anti-join (the same
+    #     operator runs per micro-batch on streams — stream_bloom_cut)
+    from goetl_spark.operators.bloom import bloom_anti_join
+
+    blocklist = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    clean = bloom_anti_join(clean, blocklist, on=["doc_id"])
+    n3b = clean.count()
+
+    # 3c. corpus-level fluency gate: Kneser-Ney bigram score (the
+    #     KenLM-class smoothing CCNet uses); keep docs at or above the
+    #     corpus median so the report stays corpus-relative
+    from goetl_spark.operators.lm import kneser_ney_logprob_scores
+
+    kn = kneser_ney_logprob_scores(clean)
+    n_fluent = (kn.crossJoin(
+        F.broadcast(kn.agg(F.expr("percentile_approx(avg_logprob, 0.5)")
+                           .alias("med"))))
+        .filter(F.col("avg_logprob") >= F.col("med")).count())
+
     # 4. real subword token counts (broadcast vocab, Arrow-batched)
     vocab = vocab_from_corpus(clean, max_word_pieces=500)
     tokenized = wordpiece_tokenize(clean, vocab)
 
+    # 4b. OR learn a BPE vocabulary from the corpus itself and apply it
+    #     (training = two bounded actions per merge; inference = the
+    #     same Arrow path as wordpiece)
+    from goetl_spark.operators.tokenizer import (
+        apply_bpe_merges, learn_bpe_merges)
+
+    merges = learn_bpe_merges(clean, num_merges=10)
+    bpe_tokens = (apply_bpe_merges(clean, merges)
+                  .agg(F.sum("n_tokens")).collect()[0][0])
+
     # 5. chunk long docs into 64-token windows with 8-token overlap
     chunks = chunk_documents(clean, chunk_tokens=64, overlap_tokens=8)
     n4 = chunks.count()
+
+    # 5b. RAG-side sibling: sentence-aligned chunks (sentences whole,
+    #     budget-aligned assignment — one cumulative window)
+    from goetl_spark.operators.sampling import chunk_by_sentences
+
+    n_sent_chunks = chunk_by_sentences(clean, budget_tokens=64).count()
 
     # 6. pack token counts into 256-token training sequences
     packed = pack_sequences(
@@ -101,7 +137,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     result = {"input_docs": n0, "domains": n_domains,
               "after_domain_cap": n_capped, "after_quality": n1,
               "gopher_pass": n_gopher, "after_dedup": n2,
-              "after_decontamination": n3, "chunks": n4,
+              "after_decontamination": n3, "after_blocklist": n3b,
+              "fluent_docs": n_fluent, "bpe_merges": len(merges),
+              "bpe_tokens": int(bpe_tokens), "chunks": n4,
+              "sentence_chunks": n_sent_chunks,
               "packs_of_256_tokens": n_packs,
               "epoch0_first_doc": first_doc}
     print(f"llm_data_prep: {result}")

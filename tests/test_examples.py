@@ -38,7 +38,11 @@ def test_llm_data_prep_example(spark):
     assert r["input_docs"] >= r["after_quality"] >= r["after_dedup"] \
         >= r["after_decontamination"] > 0
     assert r["after_decontamination"] < r["input_docs"]  # bench leak removed
-    assert r["chunks"] >= r["after_decontamination"]
+    assert 0 < r["after_blocklist"] <= r["after_decontamination"]
+    assert 0 < r["fluent_docs"] <= r["after_blocklist"]
+    assert r["bpe_merges"] == 10 and r["bpe_tokens"] > 0
+    assert 0 < r["sentence_chunks"] <= r["chunks"] * 2
+    assert r["chunks"] >= r["after_blocklist"]
     assert r["packs_of_256_tokens"] > 0
     assert 0 <= r["gopher_pass"] <= r["after_quality"]
     assert r["domains"] > 0

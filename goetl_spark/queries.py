@@ -7260,3 +7260,64 @@ def q169_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return (chunk_by_sentences(d, budget_tokens=40)
             .orderBy("doc_id", "chunk_id"))
+
+
+@register_staged(
+    "q170_heavy_hitters_stream",
+    """
+    WITH b AS (
+        SELECT event_type, user_id % 25 AS bucket FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS est_count
+        FROM b GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        FROM b GROUP BY 1
+    )
+    SELECT c.event_type, c.bucket, c.est_count, t.n_total
+    FROM c JOIN t USING (event_type)
+    ORDER BY event_type, bucket
+    """,
+)
+def q170_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (streaming/stateful.py::
+    heavy_hitters_stream) in its EXACT regime: 25 distinct user buckets
+    per event_type with k=32 counters means the summary never evicts,
+    so the final cross-batch state must equal plain GROUP BY counts —
+    giving the bounded-state streaming sketch a value-hash driver row
+    (r7 verdict 'what's missing' #2). Events replay in 3 event-time
+    chunks; the final summary per key is the emitted batch with that
+    key's maximal n_total (n_total is monotone per key)."""
+    from pyspark.sql import Window
+
+    from goetl_spark.streaming import replay_stream_ordered, state_partitions
+    from goetl_spark.streaming.stateful import heavy_hitters_stream
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+         .select("ts", "event_type",
+                 (F.col("user_id") % 25).alias("bucket")))
+    stream, _dir = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q170_replay"))
+    hh = heavy_hitters_stream(stream.select("event_type", "bucket"),
+                              "bucket", "event_type", k=32)
+    name = "goetl_q170_result"
+    with state_partitions(spark, 4):
+        q = (hh.writeStream.format("memory").queryName(name)
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    w = Window.partitionBy("event_type")
+    return (spark.table(name)
+            .withColumn("__mx", F.max("n_total").over(w))
+            .filter(F.col("n_total") == F.col("__mx"))
+            .select("event_type", "bucket",
+                    F.col("est_count").cast("long").alias("est_count"),
+                    F.col("n_total").cast("long").alias("n_total"))
+            .orderBy("event_type", "bucket"))

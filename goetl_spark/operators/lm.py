@@ -73,14 +73,20 @@ def bigram_logprob_scores(
 
     term = F.log((F.col("c2") + F.lit(k))
                  / (F.col("c1") + F.lit(k) * F.col("v")))
+    # assemble the per-bigram-TYPE probability table first (joins among
+    # type-sized tables), then join the corpus-sized bigram stream
+    # exactly once on (w1, w2) — the stream paying one shuffle instead
+    # of re-shuffling through each count join (r8; values unchanged:
+    # the decimal-rounded sum is associative)
+    probs = (big.join(uni, on="w1")
+             .crossJoin(F.broadcast(scalars))
+             .select("w1", "w2", term.alias("__term")))
     return (
         bigrams
-        .join(big, on=["w1", "w2"])
-        .join(uni, on="w1")
-        .crossJoin(F.broadcast(scalars))
+        .join(probs, on=["w1", "w2"])
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             _rounded_decimal_sum(term, 6, "__s"))
+             _rounded_decimal_sum(F.col("__term"), 6, "__s"))
         .withColumn("avg_logprob", F.col("__s") / F.col("n_bigrams"))
         .drop("__s")
     )
@@ -241,15 +247,19 @@ def kneser_ney_logprob_scores(
         F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
         + d * F.col("n1p_fwd") / F.col("c1")
         * (F.col("n1p_bwd") / F.col("t")))
+    # per-TYPE probability table first (type-sized joins), then ONE
+    # (w1, w2) join for the corpus-sized stream — see
+    # bigram_logprob_scores for the shuffle argument
+    probs = (big.join(ctx, on="w1")
+             .join(cont, on="w2")
+             .crossJoin(F.broadcast(scalars))
+             .select("w1", "w2", term.alias("__term")))
     return (
         bigrams
-        .join(big, on=["w1", "w2"])
-        .join(ctx, on="w1")
-        .join(cont, on="w2")
-        .crossJoin(F.broadcast(scalars))
+        .join(probs, on=["w1", "w2"])
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             _rounded_decimal_sum(term, 6, "__s"))
+             _rounded_decimal_sum(F.col("__term"), 6, "__s"))
         .withColumn("avg_logprob", F.col("__s") / F.col("n_bigrams"))
         .drop("__s")
     )

@@ -420,10 +420,12 @@ def chunk_by_sentences(
     chunk is a serial recurrence; the aligned rule gives the same
     ~budget-sized, sentence-whole chunks without it).
 
-    One shuffle total (the per-doc window + the chunk regroup share the
-    id_col partitioning). Output: (id_col, chunk_id, text, n_sentences,
-    n_tokens), chunk text joined in sentence order with single
-    spaces."""
+    Two shuffles of sentence-level rows (the per-doc cumulative window
+    on id_col, then the (id_col, chunk_id) regroup — Catalyst can't
+    reuse a hash(id_col) exchange for the wider key), both fully
+    partition-parallel; nothing is doc-count- or corpus-serial. Output:
+    (id_col, chunk_id, text, n_sentences, n_tokens), chunk text joined
+    in sentence order with single spaces."""
     from pyspark.sql import Window
 
     from goetl_spark.operators.text import split_sentences

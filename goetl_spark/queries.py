@@ -5902,7 +5902,7 @@ ENTRY_QUERY = q01_pricing_summary
 # sf0.001; scripts/check_oracle.py --staged replays them at any SF), so
 # each rotation is a pure window edit: move the entry to @register and
 # seat it. The 16 round-7 staged entries (q142-q157) were seated at the
-# round-8 rotation; entries below q157 are the current staged queue.
+# round-8 rotation; entries after q157 are the current staged queue.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}

@@ -1357,3 +1357,64 @@ def simhash_index_candidates(
         & (F.col("q.key") == F.col("m.key"))
         & (F.col(f"q.{id_col}") < F.col(f"m.{id_col}")))
     return cross.unionByName(within).distinct()
+
+
+def ngram_containment_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.8,
+    max_df: int | float | None = 256, materialize: bool = True,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for candidate pairs — the asymmetric
+    sibling of :func:`ngram_jaccard_pairs`: score = |A∩B| / min(|A|,|B|)
+    (Broder's containment, max over both directions). Jaccard punishes
+    size asymmetry (a 50-shingle quote inside a 5000-shingle article
+    scores ≈ 0.01), so excerpt/quote/boilerplate-wrapper relationships
+    pass a Jaccard filter — containment is the measure that catches the
+    smaller document living inside the bigger one.
+
+    Same scale machinery as the Jaccard pass, same exactness contract:
+    inverted-index self-join over 60-bit shingle keys, the ``max_df``
+    hot-shingle cap applied BEFORE the join with sizes computed over
+    the SAME capped universe (so the score is the exact containment of
+    the capped shingle sets — mirror the cap in any SQL oracle), and
+    ``materialize`` scoping the cached index. Returns
+    (id_a, id_b, n_common, n_a, n_b, containment), id_a < id_b."""
+    idx = shingle_index(df, text_col, id_col, n).select(
+        F.col(id_col), md5_int(F.col("shingle"), 15).alias("hk")
+    ).cache()
+    try:
+        if max_df is not None:
+            cap = (max_df if isinstance(max_df, int)
+                   else max(int(max_df * df.count()), 2))
+            hot = (idx.groupBy("hk").agg(F.count(F.lit(1)).alias("df_"))
+                   .filter(F.col("df_") > cap).select("hk"))
+            idx_f = idx.join(F.broadcast(hot), "hk", "left_anti")
+        else:
+            idx_f = idx
+        sizes = idx_f.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_shingles"))
+        a, b = idx_f.alias("a"), idx_f.alias("b")
+        inter = (
+            a.join(b, (F.col("a.hk") == F.col("b.hk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common")))
+        sa = sizes.select(F.col(id_col).alias("id_a"),
+                          F.col("n_shingles").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"),
+                          F.col("n_shingles").alias("n_b"))
+        out = (
+            inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment",
+                        F.col("n_common").cast("double")
+                        / F.least("n_a", "n_b"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "n_common", "n_a", "n_b",
+                    "containment"))
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if materialize:
+            idx.unpersist()

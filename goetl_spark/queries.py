@@ -7321,3 +7321,43 @@ def q170_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("est_count").cast("long").alias("est_count"),
                     F.col("n_total").cast("long").alias("n_total"))
             .orderBy("event_type", "bucket"))
+
+
+@register_staged(
+    "q171_ngram_containment",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 64),
+    exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.2
+    """,
+)
+def q171_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (operators/dedup.py::
+    ngram_containment_pairs — Broder containment, the excerpt/quote
+    detector Jaccard's size-symmetry misses): |A∩B| / min(|A|,|B|) over
+    the same capped 3-gram inverted index as q22, threshold 0.2.
+    The oracle mirrors q22's shingle CTE with the containment score and
+    the max_df=64 cap in its HAVING clause."""
+    from goetl_spark.operators.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(_t(spark, sf_dir, "documents"),
+                                  threshold=0.2, max_df=64)
+    return out.select("id_a", "id_b",
+                      F.col("n_common").cast("long").alias("n_common"),
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      "containment")

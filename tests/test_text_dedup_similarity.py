@@ -686,3 +686,50 @@ def test_mine_hard_negatives_multi_positive(spark):
     out = mine_hard_negatives(pairs, corpus, k=3).collect()
     ids = {r.negative_id for r in out}
     assert ids == {3, 4, 5}  # both positives and self excluded, k=3 kept
+
+
+# --- n-gram containment (dedup.ngram_containment_pairs) ----------------------
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short quote embedded in a long article: containment ~1.0 while
+    Jaccard is tiny — the operator's reason to exist."""
+    from goetl_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    quote = " ".join(f"tok{i}" for i in range(12))
+    article = (" ".join(f"pre{i}" for i in range(60)) + " " + quote + " "
+               + " ".join(f"post{i}" for i in range(60)))
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "entirely different text here ok")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) in pairs
+    p = pairs[(1, 2)]
+    assert p["containment"] == 1.0          # every quote shingle in article
+    assert p["n_common"] == p["n_a"] or p["n_common"] == min(p["n_a"],
+                                                             p["n_b"])
+    assert not any(3 in k for k in pairs)
+    # the same pair fails a Jaccard threshold of 0.5
+    jac = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac
+
+
+def test_containment_exact_arithmetic_and_cap(spark):
+    """Hand-computed score on partial overlap; the max_df cap scopes
+    sizes to the capped universe (exact on capped sets)."""
+    from goetl_spark.operators.dedup import ngram_containment_pairs
+
+    # doc1: a b c d e  -> shingles (3-grams): abc bcd cde  (3)
+    # doc2: a b c d x  -> abc bcd cdx                       (3), common 2
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string")
+    rows = ngram_containment_pairs(df, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["containment"] == 2 / 3
+    # cap of 1 drops the shared shingles (df=2 > 1) -> no pairs at all
+    assert ngram_containment_pairs(df, threshold=0.1,
+                                   max_df=1).collect() == []

@@ -193,3 +193,38 @@ def test_chunk_by_sentences_order_and_coverage(spark):
     total = sum(r["n_tokens"] for r in rows)
     assert len(rows) == -(-total // 12)
     assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_chunk_by_sentences_coverage_property(spark):
+    """Hypothesis-style coverage over assorted punctuation/whitespace
+    shapes (fixed corpus — one Spark job, not one per example): for
+    every doc, chunk texts joined in chunk order rebuild exactly the
+    sentence stream joined with single spaces."""
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.sampling import chunk_by_sentences
+    from goetl_spark.operators.text import split_sentences
+
+    texts = [
+        "One. Two! Three? Four.",
+        "No terminator at all just words",
+        "Trailing terminator.",
+        "Multi   spaces.  And\nnewlines! ok?",
+        "Ellipsis... then more!!! done?? yes.",
+        "a. b. c. d. e. f. g. h. i. j.",
+        "x" * 300 + ". short.",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    expected = {r["doc_id"]: r["s"] for r in
+                df.select("doc_id",
+                          F.array_join(split_sentences("text"), " ")
+                          .alias("s")).collect()}
+    rows = chunk_by_sentences(df, budget_tokens=3).collect()
+    rebuilt: dict[int, list] = {}
+    for r in rows:
+        rebuilt.setdefault(r["doc_id"], []).append((r["chunk_id"], r["text"]))
+    for did, parts in rebuilt.items():
+        got = " ".join(t for _, t in sorted(parts))
+        assert got == expected[did], did
+    assert set(rebuilt) == set(expected)

@@ -70,6 +70,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     sem = semantic_dedup(emb, threshold=0.35, bucket_col="label")
     n_sem_kept = sem.filter(F.col("keep")).count()
 
+    # 5b. excerpt/quote detection: asymmetric containment catches the
+    #     small-doc-inside-big-doc overlap Jaccard's size symmetry
+    #     scores near zero (r8 operator)
+    from goetl_spark.operators.dedup import ngram_containment_pairs
+
+    n_contained = ngram_containment_pairs(
+        stripped.select("doc_id", "text"), threshold=0.8).count()
+
     # 6. epoch-0 shuffle of the surviving docs (deterministic shards)
     first_doc = int(epoch_shuffle(survivors, "doc_id", epoch=0)
                     .select("doc_id").first()[0])
@@ -77,6 +85,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     result = {"input_docs": n0, "boiler_lines_dropped": n_boiler_lines,
               "gopher_pass": n_gopher, "tiers": tier_counts,
               "model_kept": n_model_kept, "semdedup_kept_vecs": n_sem_kept,
+              "containment_pairs": n_contained,
               "epoch0_first_doc": first_doc}
     print(f"corpus_quality: {result}")
     if owns_spark:

@@ -196,3 +196,41 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         for c in cols
     ])
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Order-independent content fingerprint of a dataset in ONE scan:
+    ``(n_rows, fingerprint)`` where the fingerprint is the exact SUM
+    (decimal(38,0) — commutative, overflow-free under ANSI) of a
+    15-hex-digit md5 integer over each row's canonical string — columns
+    in NAME order, cast to string, NULLs encoded as an out-of-band
+    sentinel so ``NULL`` and ``'NULL'`` hash apart.
+
+    The migration/regression primitive: two pipelines (or the same
+    pipeline before and after a refactor, or this engine vs another —
+    md5 is engine-portable, unlike xxhash64) produce the same
+    fingerprint iff they produced the same multiset of rows, regardless
+    of partitioning, file layout, or row order. Caveat: string casts of
+    DOUBLE columns are engine-formatted — cast floats to DECIMAL or
+    STRING yourself before fingerprinting across engines.
+
+    Compaction's pre-swap gate (operators/maintenance.py) uses the same
+    construction with xxhash64 (faster, same-engine only); this is the
+    cross-engine flavor."""
+    names = sorted(cols if cols is not None else df.columns)
+    if not names:
+        raise ValueError("dataset_fingerprint needs at least one column")
+    # non-null values carry a \x01 prefix so the \x00 NULL sentinel is
+    # truly out-of-band (a literal '\x00' value hashes as '\x01\x00')
+    canon = F.concat_ws(
+        "\x1f", *[F.when(F.col(c).isNull(), F.lit("\x00"))
+                  .otherwise(F.concat(F.lit("\x01"),
+                                      F.col(c).cast("string")))
+                  for c in names])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"))

@@ -7361,3 +7361,35 @@ def q171_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_a").cast("long").alias("n_a"),
                       F.col("n_b").cast("long").alias("n_b"),
                       "containment")
+
+
+@register_staged(
+    "q172_dataset_fingerprint",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               concat_ws(chr(31),
+                   CASE WHEN doc_id IS NULL THEN chr(0)
+                        ELSE chr(1) || CAST(doc_id AS VARCHAR) END,
+                   CASE WHEN lang IS NULL THEN chr(0)
+                        ELSE chr(1) || lang END,
+                   CASE WHEN n_chars IS NULL THEN chr(0)
+                        ELSE chr(1) || CAST(n_chars AS VARCHAR) END,
+                   CASE WHEN source IS NULL THEN chr(0)
+                        ELSE chr(1) || source END,
+                   CASE WHEN text IS NULL THEN chr(0)
+                        ELSE chr(1) || text END)),
+               1, 15)) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS fingerprint
+    FROM documents
+    """,
+)
+def q172_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset content fingerprint (quality.py::
+    dataset_fingerprint — the migration/regression primitive: same
+    multiset of rows <=> same fingerprint, regardless of engine,
+    partitioning, or row order). The oracle computes the identical
+    md5-sum construction in DuckDB over the same columns — the
+    cross-engine portability claim IS the test."""
+    from goetl_spark.quality import dataset_fingerprint
+
+    return dataset_fingerprint(_t(spark, sf_dir, "documents"))

@@ -63,6 +63,7 @@ def test_corpus_quality_example(spark):
     assert set(r["tiers"]) <= {"head", "middle", "tail"}
     assert 0 < r["model_kept"] <= r["input_docs"]
     assert 0 < r["semdedup_kept_vecs"] <= 500
+    assert r["containment_pairs"] >= 0
     r2 = main(SF, spark=spark)
     assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]
 

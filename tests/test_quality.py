@@ -85,3 +85,46 @@ def test_violations_report(spark):
     assert got["rule_email"] == (3, 1)       # "bad"; NULL not a rule violation
     assert got["rule_score"] == (3, 2)       # 50.0 and -1.0
     assert got["nulls_email"] == (3, 1)
+
+
+# --- dataset_fingerprint -----------------------------------------------------
+
+def test_dataset_fingerprint_order_and_layout_invariant(spark):
+    from goetl_spark.quality import dataset_fingerprint
+
+    rows = [(i, f"name{i}", i % 3) for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, name string, grp int")
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "id long, name string, grp int").repartition(7)
+    fa = dataset_fingerprint(a).collect()[0]
+    fb = dataset_fingerprint(b).collect()[0]
+    assert (fa["n_rows"], fa["fingerprint"]) == (fb["n_rows"],
+                                                 fb["fingerprint"])
+    # one changed cell changes the fingerprint; multiset-sensitive:
+    # duplicating one row and dropping another keeps the count but
+    # moves the sum
+    c = spark.createDataFrame(
+        [(0, "nameX", 0)] + rows[1:], "id long, name string, grp int")
+    fc = dataset_fingerprint(c).collect()[0]
+    assert fc["fingerprint"] != fa["fingerprint"]
+    d = spark.createDataFrame(
+        [rows[1]] + rows[1:], "id long, name string, grp int")
+    fd = dataset_fingerprint(d).collect()[0]
+    assert fd["n_rows"] == fa["n_rows"]
+    assert fd["fingerprint"] != fa["fingerprint"]
+
+
+def test_dataset_fingerprint_nulls_and_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.quality import dataset_fingerprint
+
+    e = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
+    f = spark.createDataFrame([(1, "\x00"), (2, "x")], "id long, s string")
+    fe = dataset_fingerprint(e).collect()[0]["fingerprint"]
+    ff = dataset_fingerprint(f).collect()[0]["fingerprint"]
+    assert fe != ff  # NULL is out-of-band, not the sentinel string
+    sub = dataset_fingerprint(e, cols=["id"]).collect()[0]
+    assert sub["n_rows"] == 2
+    with _pytest.raises(ValueError):
+        dataset_fingerprint(e, cols=[])

@@ -1418,3 +1418,43 @@ def ngram_containment_pairs(
     finally:
         if materialize:
             idx.unpersist()
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup resolution keeping the BEST copy per duplicate cluster
+    instead of the lowest id: connected components over the candidate
+    pairs (:func:`dedup_clusters`), then each cluster's representative
+    is its highest-``quality_col`` member (id ascending tie-break, so
+    the choice is total-ordered and deterministic). Documents outside
+    every pair keep themselves. min-id keeps whichever copy happened to
+    be crawled first; in a training corpus you want the cleanest
+    rendition of the duplicated content — feed any score (quality_score,
+    gopher pass counts, classifier probability, -perplexity).
+
+    Returns (id_col, cluster_id, ``quality_col``, keep) — filter
+    ``keep`` for the surviving corpus. Scale shape: components as in
+    dedup_clusters (shallow near-dup graphs, O(diameter) rounds); the
+    representative choice is one per-cluster max_by aggregation joined
+    back on the cluster key; singletons bypass both (left join, keep
+    defaults true)."""
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b,
+                              max_iter=max_iter)
+    scored = df.select(F.col(id_col), F.col(quality_col))
+    members = scored.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    best = (members.groupBy("cluster_id")
+            .agg(F.max_by(
+                F.col(id_col),
+                F.struct(F.col(quality_col).alias("q"),
+                         (-F.col(id_col)).alias("tie"))).alias("best_id")))
+    return (members.join(best, "cluster_id")
+            .select(id_col, "cluster_id", quality_col,
+                    (F.col(id_col) == F.col("best_id")).alias("keep")))

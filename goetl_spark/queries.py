@@ -7393,3 +7393,66 @@ def q172_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goetl_spark.quality import dataset_fingerprint
 
     return dataset_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register_staged(
+    "q173_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+                 FROM reach GROUP BY id),
+    members AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    best AS (
+        SELECT cluster_id, doc_id AS best_id FROM (
+            SELECT cluster_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM members) WHERE rn = 1
+    )
+    SELECT m.doc_id, m.cluster_id, m.n_chars,
+           m.doc_id = b.best_id AS keep
+    FROM members m JOIN best b ON m.cluster_id = b.cluster_id
+    ORDER BY m.doc_id
+    """,
+)
+def q173_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution (operators/dedup.py::
+    dedup_keep_best): connected components over q50's exact-Jaccard
+    pairs, but each cluster keeps its highest-n_chars member (id
+    tie-break) instead of the lowest id — in a training corpus you keep
+    the cleanest rendition of duplicated content, not whichever copy
+    was crawled first. Singletons keep themselves. Oracle extends q50's
+    recursive CTE with the same ROW_NUMBER argmax."""
+    from goetl_spark.operators.dedup import (
+        dedup_keep_best, ngram_jaccard_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.1)
+    return (dedup_keep_best(d.select("doc_id", "n_chars"), pairs,
+                            "n_chars")
+            .orderBy("doc_id"))

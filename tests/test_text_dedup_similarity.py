@@ -733,3 +733,29 @@ def test_containment_exact_arithmetic_and_cap(spark):
     # cap of 1 drops the shared shingles (df=2 > 1) -> no pairs at all
     assert ngram_containment_pairs(df, threshold=0.1,
                                    max_df=1).collect() == []
+
+
+def test_dedup_keep_best_quality_representative(spark):
+    """Clusters keep their highest-quality member (min-id tie-break);
+    singletons keep themselves."""
+    from goetl_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1), (6, 0.7)],
+        "doc_id long, q double")
+    # cluster A = {1,2,3} (transitive), cluster B = {4,5}, 6 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in
+           dedup_keep_best(docs, pairs, "q").collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3, 4, 5, 6)] == \
+        [False, True, False, True, False, True]  # 2 beats 3 on the tie
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] \
+        == out[3]["cluster_id"]
+    assert out[6]["cluster_id"] == 6
+    # exactly one keeper per cluster
+    keepers = {}
+    for r in out.values():
+        keepers.setdefault(r["cluster_id"], 0)
+        keepers[r["cluster_id"]] += int(r["keep"])
+    assert all(v == 1 for v in keepers.values())

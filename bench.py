@@ -81,7 +81,12 @@ def main():
     timings: dict[str, float] = {}
     full_names: dict[str, str] = {}
     errors: dict[str, str] = {}
-    for name, fn in catalog.queries().items():
+    todo = dict(catalog.queries())
+    if os.environ.get("SPARK_GRAFT_INCLUDE_STAGED") == "1":
+        # builder-side pre-bench of staged registrations (the driver's
+        # per-round artifact stays registered-only by default)
+        todo.update(catalog.staged_queries())
+    for name, fn in todo.items():
         short = name.split("_", 1)[0]
         full_names[short] = name
         t0 = time.perf_counter()

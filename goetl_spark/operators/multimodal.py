@@ -581,14 +581,22 @@ def dhash(df: DataFrame, media_col: str = "media",
 
 def _banded_hamming_pairs(hashed: DataFrame, hash_col: str,
                           max_hamming: int,
-                          materialize: bool = True) -> DataFrame:
-    """Pigeonhole-banded Hamming pairs over a 64-bit fingerprint column
-    (input: ``media_id``, ``hash_col``) — the SimHash band trick
-    dedup.py uses for text: split the hash into ``max_hamming + 1``
-    bands, so two hashes within the Hamming bound MUST agree exactly on
-    at least one band (lossless); candidates equi-join on (band, value)
-    and verify with ``bit_count(xor)``. Never all-pairs. Returns
-    (id_a, id_b, hamming), id_a < id_b.
+                          materialize: bool = True,
+                          n_bits: int = 64) -> DataFrame:
+    """Pigeonhole-banded Hamming pairs over an ``n_bits``-wide
+    fingerprint column (input: ``media_id``, ``hash_col``) — the SimHash
+    band trick dedup.py uses for text: split the hash into
+    ``max_hamming + 1`` bands, so two hashes within the Hamming bound
+    MUST agree exactly on at least one band (lossless); candidates
+    equi-join on (band, value) and verify with ``bit_count(xor)``.
+    Never all-pairs. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    ``n_bits`` must be the hash's REAL width: banding a narrow hash
+    over the full 64 bits would make the high bands constant zero for
+    every row, and a constant band value is one giant join bucket —
+    the all-pairs blowup this function exists to avoid. Bits above
+    ``n_bits`` are identical across rows by construction, so excluding
+    them loses nothing (they never contribute Hamming distance).
 
     ``materialize`` (default on) eagerly localCheckpoints the hashed
     frame before the self-join — otherwise the lazy plan recomputes the
@@ -596,11 +604,16 @@ def _banded_hamming_pairs(hashed: DataFrame, hash_col: str,
     doubles the expensive part (the (id, hash) table itself is 16
     bytes/row — cheap to pin)."""
     bands = max_hamming + 1
-    if bands > 64:
-        raise ValueError("max_hamming must be < 64")
+    if not 1 <= n_bits <= 64:
+        raise ValueError("n_bits must be in [1, 64]")
+    if bands > n_bits:
+        raise ValueError(
+            f"max_hamming must be < n_bits ({n_bits}): with more bands "
+            "than bits some bands are empty-width (constant for every "
+            "row) and the candidate join degenerates to all-pairs")
     if materialize:
         hashed = hashed.localCheckpoint(eager=True)
-    base, extra = divmod(64, bands)
+    base, extra = divmod(n_bits, bands)
     rows, start = [], 0
     for b in range(bands):
         width = base + (1 if b < extra else 0)
@@ -633,10 +646,12 @@ def image_neardup_pairs(df: DataFrame, media_col: str = "media",
     """Near-duplicate image pairs: dHash + :func:`_banded_hamming_pairs`
     (q154's banked plan, factored to share the banding with the pHash
     variant). Returns (id_a, id_b, hamming), id_a < id_b."""
+    gw, gh = grid
     hashed = dhash(df, media_col, grid).filter(F.col("decode_ok")) \
         .select("media_id", "dhash")
     return _banded_hamming_pairs(hashed, "dhash", max_hamming,
-                                 materialize=materialize)
+                                 materialize=materialize,
+                                 n_bits=gh * (gw - 1))
 
 
 _PHASH_SCHEMA = ("media_id long, phash long, decode_ok boolean, "
@@ -746,7 +761,8 @@ def image_neardup_pairs_phash(df: DataFrame, media_col: str = "media",
     hashed = (phash(df, media_col, mean_grid, hash_grid)
               .filter(F.col("decode_ok")).select("media_id", "phash"))
     return _banded_hamming_pairs(hashed, "phash", max_hamming,
-                                 materialize=materialize)
+                                 materialize=materialize,
+                                 n_bits=hash_grid * hash_grid - 1)
 
 
 _AUDIO_DHASH_SCHEMA = ("media_id long, ahash long, decode_ok boolean, "
@@ -831,4 +847,5 @@ def audio_neardup_pairs(df: DataFrame, media_col: str = "media",
     hashed = (audio_dhash(df, media_col, n_frames)
               .filter(F.col("decode_ok")).select("media_id", "ahash"))
     return _banded_hamming_pairs(hashed, "ahash", max_hamming,
-                                 materialize=materialize)
+                                 materialize=materialize,
+                                 n_bits=n_frames - 1)

@@ -314,3 +314,29 @@ def test_audio_neardup_pairs(spark):
              for r in audio_neardup_pairs(md, max_hamming=4).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_banded_pairs_use_real_hash_width(spark):
+    """Narrow hashes band over their REAL width: a 16-bit dHash with
+    max_hamming=4 still finds the near pair (lossless pigeonhole over
+    16 bits), and a too-tight width (more bands than bits) raises
+    instead of silently degenerating to all-pairs on constant bands."""
+    from goetl_spark.operators.multimodal import (
+        audio_neardup_pairs, image_neardup_pairs)
+
+    inc = _p5(5, 4, bytes(bytearray(c * 10 for r in range(4)
+                                    for c in range(5))))
+    inc2 = _p5(5, 4, bytes(bytearray(
+        (c * 10 if (r, c) != (0, 0) else 45) for r in range(4)
+        for c in range(5))))
+    dec = _p5(5, 4, bytes(bytearray(200 - c * 10 for r in range(4)
+                                    for c in range(5))))
+    md = _media_df(spark, [(1, inc, "image/x-portable-graymap"),
+                           (2, inc2, "image/x-portable-graymap"),
+                           (3, dec, "image/x-portable-graymap")])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             image_neardup_pairs(md, max_hamming=4, grid=(5, 4)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert not any(3 in p for p in pairs)          # 16 bits apart
+    with pytest.raises(ValueError):
+        audio_neardup_pairs(md, max_hamming=4, n_frames=5)  # 5 bands > 4 bits

@@ -1433,7 +1433,9 @@ def dedup_keep_best(
     instead of the lowest id: connected components over the candidate
     pairs (:func:`dedup_clusters`), then each cluster's representative
     is its highest-``quality_col`` member (id ascending tie-break, so
-    the choice is total-ordered and deterministic). Documents outside
+    the choice is total-ordered and deterministic; the id may be any
+    orderable type — string doc ids work, only ``quality_col`` must be
+    numeric, which a score always is). Documents outside
     every pair keep themselves. min-id keeps whichever copy happened to
     be crawled first; in a training corpus you want the cleanest
     rendition of the duplicated content — feed any score (quality_score,
@@ -1447,14 +1449,22 @@ def dedup_keep_best(
     defaults true)."""
     clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b,
                               max_iter=max_iter)
+    if id_col != "doc_id":
+        # dedup_clusters names its id column "doc_id"; align with the
+        # caller's frame so the membership join resolves
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
     scored = df.select(F.col(id_col), F.col(quality_col))
     members = scored.join(clusters, id_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    # min_by over (-quality, id): highest quality wins, then ascending
+    # id — struct ordering is ascending per field, so negating the
+    # (numeric by contract) score keeps the id tie-break type-agnostic
+    # (a max_by with -id would ANSI-fail on string ids)
     best = (members.groupBy("cluster_id")
-            .agg(F.max_by(
+            .agg(F.min_by(
                 F.col(id_col),
-                F.struct(F.col(quality_col).alias("q"),
-                         (-F.col(id_col)).alias("tie"))).alias("best_id")))
+                F.struct((-F.col(quality_col)).alias("nq"),
+                         F.col(id_col).alias("tie"))).alias("best_id")))
     return (members.join(best, "cluster_id")
             .select(id_col, "cluster_id", quality_col,
                     (F.col(id_col) == F.col("best_id")).alias("keep")))

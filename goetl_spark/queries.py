@@ -95,57 +95,68 @@ def register(name: str, oracle: str | None):
 # expiring r5-last queries q01..q85. The 7 expiring queries that did
 # not fit (q86, q89, q91, q93, q94, q95, q98) become hard-mandatory in
 # round 9 — plan_window.py already accounts for them.
+# Round-9 rotation (plan_window.py at r9 start): (a) the 7 hard-
+# mandatory r5-last deferrals q86/q89/q91/q93/q94/q95/q98; (b) the 16
+# former-staged r8 registrations q158-q173, now @register (staged-first
+# policy: they have never had a driver row); (c) the q116 changed-code
+# re-seat — r8's bigram-LM join reorder (lm.py assembles the
+# probability table first, joins the corpus bigram stream once)
+# postdates q116's r6-banked row, same situation as r7's q82/q87; (d)
+# 26 of the oldest r6-last queries in registration order (q08..q104,
+# skipping none). The 23 r6-last queries that did not fit
+# (q105-q128 minus q116) become hard-mandatory in round 10 —
+# plan_window.py accounts for them.
 _WINDOW: list[str] = [
-    "q01_pricing_summary",
-    "q03_filter_strings",
-    "q16_sessionize",
-    "q22_ngram_jaccard",
-    "q31_streaming_tumbling",
-    "q32_pipeline_runner",
-    "q35_asof_join",
-    "q36_range_join",
-    "q48_stateful_stream",
-    "q50_dedup_clusters",
-    "q53_length_buckets",
-    "q54_redact_pii",
-    "q55_shipping_priority",
-    "q56_local_supplier_volume",
-    "q58_stream_stream_join",
-    "q60_fanin_heterogeneous",
-    "q61_mix_sources",
-    "q62_pivot",
-    "q65_json_extract",
-    "q68_salted_join",
-    "q69_bucketed_join",
-    "q70_merge",
-    "q71_repetition_removal",
-    "q72_merge_pruned",
-    "q73_ann_ivf_centroids",
-    "q74_bloom_join",
-    "q75_zorder_scan",
-    "q76_returned_item_revenue",
-    "q77_large_volume_customers",
-    "q78_sole_returned_supplier",
-    "q81_sequence_packing",
-    "q83_nation_volume",
-    "q84_priority_shipmode",
-    "q85_decontaminate",
-    "q142_gopher_quality",
-    "q143_semantic_dedup",
-    "q144_epoch_shuffle",
-    "q145_perplexity_buckets",
-    "q146_quality_features",
-    "q147_boilerplate_strip",
-    "q148_bloom_semi_join",
-    "q149_bloom_anti_join",
-    "q150_url_parts",
-    "q151_unicode_nfc",
-    "q152_training_shards",
-    "q153_interval_lookup",
-    "q154_image_dhash",
-    "q155_registrable_domain",
-    "q156_incident_window_join",
-    "q157_window_overlap_join",
+    "q08_topk",
+    "q10_distinct",
+    "q14_window_running",
+    "q15_events_hourly",
+    "q23_minhash_signatures",
+    "q26_knn_bruteforce",
+    "q27_ann_ivf",
+    "q29_text_stats",
+    "q34_multimodal_features",
+    "q37_rollup",
+    "q40_scd1",
+    "q45_sliding_window",
+    "q46_session_window",
+    "q47_approx_distinct",
+    "q51_write_roundtrip",
+    "q86_stratified_topk",
+    "q88_pq_rerank",
+    "q89_paragraph_dedup",
+    "q90_skew_report",
+    "q91_dedup_incremental",
+    "q92_ivfpq",
+    "q93_stream_dedup_ingest",
+    "q94_chunking",
+    "q95_llm_pipeline_e2e",
+    "q96_topk_partial",
+    "q97_winsorize",
+    "q98_strip_html",
+    "q99_winnow_overlap",
+    "q100_pq_recall",
+    "q101_heavy_hitters",
+    "q102_bm25",
+    "q103_join_cardinality",
+    "q104_vocabulary",
+    "q116_bigram_lm",
+    "q158_stream_bloom_cut",
+    "q159_image_phash",
+    "q160_bpe_merges",
+    "q161_psl_domains",
+    "q162_orc_roundtrip",
+    "q163_bpe_tokenize",
+    "q164_domain_cap",
+    "q165_tfidf",
+    "q166_audio_neardup",
+    "q167_kneser_ney_lm",
+    "q168_ewma",
+    "q169_sentence_chunks",
+    "q170_heavy_hitters_stream",
+    "q171_ngram_containment",
+    "q172_dataset_fingerprint",
+    "q173_dedup_keep_best",
 ]
 
 
@@ -5902,7 +5913,9 @@ ENTRY_QUERY = q01_pricing_summary
 # sf0.001; scripts/check_oracle.py --staged replays them at any SF), so
 # each rotation is a pure window edit: move the entry to @register and
 # seat it. The 16 round-7 staged entries (q142-q157) were seated at the
-# round-8 rotation; entries after q157 are the current staged queue.
+# round-8 rotation; the 16 round-8 staged entries (q158-q173) were
+# seated at the round-9 rotation. The queue below is the current
+# (round-9) staged set.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -6644,7 +6657,7 @@ def q157_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("err_id", "signup_id").orderBy("err_id", "signup_id")
 
 
-@register_staged(
+@register(
     "q158_stream_bloom_cut",
     """
     SELECT doc_id, text FROM documents d
@@ -6678,7 +6691,7 @@ def q158_stream_bloom_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("doc_id", "text")
 
 
-@register_staged(
+@register(
     "q159_image_phash",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
@@ -6772,7 +6785,7 @@ def _q160_sql() -> str:
     """
 
 
-@register_staged("q160_bpe_merges", _q160_sql())
+@register("q160_bpe_merges", _q160_sql())
 def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning (operators/tokenizer.py::learn_bpe_merges —
     ROADMAP item 32, pagerank's iterate-with-materialize shape): learn
@@ -6838,7 +6851,7 @@ def _q161_sql() -> str:
     """
 
 
-@register_staged("q161_psl_domains", _q161_sql())
+@register("q161_psl_domains", _q161_sql())
 def q161_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-PSL eTLD+1 grouping (operators/web.py::registrable_domain_psl
     — the broadcast-join variant for suffix lists too big for q155's
@@ -6860,7 +6873,7 @@ def q161_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q162_orc_roundtrip",
     f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -6939,7 +6952,7 @@ def _q163_sql() -> str:
     """
 
 
-@register_staged("q163_bpe_tokenize", _q163_sql())
+@register("q163_bpe_tokenize", _q163_sql())
 def q163_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE inference driver row (operators/tokenizer.py::
     apply_bpe_merges — the q136 count-oracle pattern for the BPE apply
@@ -6976,7 +6989,7 @@ _Q164_HOST_SQL = """
 """
 
 
-@register_staged(
+@register(
     "q164_domain_cap",
     f"""
     WITH h AS (
@@ -7018,7 +7031,7 @@ def q164_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q165_tfidf",
     """
     WITH toks AS (
@@ -7061,7 +7074,7 @@ def q165_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "term"))
 
 
-@register_staged(
+@register(
     "q166_audio_neardup",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
@@ -7119,7 +7132,7 @@ def q166_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-@register_staged(
+@register(
     "q167_kneser_ney_lm",
     """
     WITH tok AS (
@@ -7169,7 +7182,7 @@ def q167_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_logprob_scores(d).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "q168_ewma",
     """
     WITH RECURSIVE base AS (
@@ -7213,7 +7226,7 @@ def q168_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "ewma"))
 
 
-@register_staged(
+@register(
     "q169_sentence_chunks",
     """
     WITH s AS (
@@ -7262,7 +7275,7 @@ def q169_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_id"))
 
 
-@register_staged(
+@register(
     "q170_heavy_hitters_stream",
     """
     WITH b AS (
@@ -7323,7 +7336,7 @@ def q170_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "bucket"))
 
 
-@register_staged(
+@register(
     "q171_ngram_containment",
     f"""
     WITH {_DUCK_SHINGLES},
@@ -7363,7 +7376,7 @@ def q171_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "containment")
 
 
-@register_staged(
+@register(
     "q172_dataset_fingerprint",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -7395,7 +7408,7 @@ def q172_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@register_staged(
+@register(
     "q173_dedup_keep_best",
     f"""
     WITH RECURSIVE {_DUCK_SHINGLES},
@@ -7447,12 +7460,15 @@ def q173_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) instead of the lowest id — in a training corpus you keep
     the cleanest rendition of duplicated content, not whichever copy
     was crawled first. Singletons keep themselves. Oracle extends q50's
-    recursive CTE with the same ROW_NUMBER argmax."""
+    recursive CTE with the same ROW_NUMBER argmax. max_df=None because
+    the oracle self-joins the UNCAPPED shingle set (the operator
+    docstring's mirror-the-cap rule; q22 shows the capped form both
+    sides)."""
     from goetl_spark.operators.dedup import (
         dedup_keep_best, ngram_jaccard_pairs)
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.1)
+    pairs = ngram_jaccard_pairs(d, threshold=0.1, max_df=None)
     return (dedup_keep_best(d.select("doc_id", "n_chars"), pairs,
                             "n_chars")
             .orderBy("doc_id"))

@@ -759,3 +759,24 @@ def test_dedup_keep_best_quality_representative(spark):
         keepers.setdefault(r["cluster_id"], 0)
         keepers[r["cluster_id"]] += int(r["keep"])
     assert all(v == 1 for v in keepers.values())
+
+
+def test_dedup_keep_best_string_ids_and_custom_id_col(spark):
+    """String doc ids work (the tie-break must not negate the id — an
+    r8 verdict robustness gap), and a non-default id_col plumbs through
+    to the clusters join (r8 advisor finding: dedup_clusters names its
+    id column doc_id)."""
+    from goetl_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("d", 0.5)],
+        "url string, q double")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    out = {r["url"]: r for r in
+           dedup_keep_best(docs, pairs, "q", id_col="url").collect()}
+    # b and c tie on quality; ascending-id tie-break keeps b
+    assert [out[k]["keep"] for k in ("a", "b", "c", "d")] == \
+        [False, True, False, True]
+    assert out["a"]["cluster_id"] == out["b"]["cluster_id"] == "a"
+    assert out["d"]["cluster_id"] == "d"

@@ -202,6 +202,24 @@ def learn_bpe_merges(
     return merges
 
 
+def _make_bpe_word(ranks: dict[tuple[str, str], int]):
+    """Per-word lowest-rank-first merge replay shared by
+    :func:`apply_bpe_merges` and :func:`token_count_bpe`."""
+    def bpe_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) >= 2:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_i, best_rank = i, rk
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+    return bpe_word
+
+
 def apply_bpe_merges(
     df: DataFrame,
     merges: Sequence[tuple[str, str] | tuple[str, str, int]],
@@ -219,19 +237,7 @@ def apply_bpe_merges(
     Column-expression form; a 50k-merge dict is a few MB). Output:
     (id_col, ``out_tokens`` array<string>, ``n_tokens``)."""
     ranks = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
-
-    def bpe_word(word: str) -> list[str]:
-        syms = list(word)
-        while len(syms) >= 2:
-            best_i, best_rank = -1, None
-            for i in range(len(syms) - 1):
-                rk = ranks.get((syms[i], syms[i + 1]))
-                if rk is not None and (best_rank is None or rk < best_rank):
-                    best_i, best_rank = i, rk
-            if best_rank is None:
-                break
-            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        return syms
+    bpe_word = _make_bpe_word(ranks)
 
     def run(batches) -> Iterator:
         for pdf in batches:
@@ -252,6 +258,53 @@ def apply_bpe_merges(
                                for x in toks]
             yield res
 
-    schema = (f"{id_col} long, {out_tokens} array<string>, "
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, {out_tokens} array<string>, "
               "n_tokens int")
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def token_count_bpe(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str] | tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "n_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Model-real token counts without materializing the tokens — the
+    budget feed for :func:`~goetl_spark.operators.sampling.pack_sequences`
+    / ``chunk_documents`` (r8 verdict ask #7: whitespace counts
+    under-estimate model tokens on code/URLs/non-Latin text, so packs
+    sized on them overflow the real context window). Same merge replay
+    as :func:`apply_bpe_merges`, but the output row is (id_col,
+    ``out_col`` int) — at 100 TB the difference between shuffling an
+    int per document and an array<string> of every subword is the whole
+    game, and counts join back to the corpus on the id key.
+
+    Composition (tested in tests/test_tokenizer.py)::
+
+        counts = token_count_bpe(docs, merges)
+        packed = pack_sequences(docs.join(counts, "doc_id"),
+                                token_col="n_tokens", budget=4096)
+    """
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
+    bpe_word = _make_bpe_word(ranks)
+
+    def run(batches) -> Iterator:
+        for pdf in batches:
+            counts = []
+            for t in pdf[text_col]:
+                if t is None:
+                    counts.append(None)
+                    continue
+                if lowercase:
+                    t = t.lower()
+                counts.append(sum(len(bpe_word(w)) for w in t.split()))
+            res = pdf[[id_col]].copy()
+            res[out_col] = pd.array(counts, dtype="Int64")
+            yield res
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {out_col} int")

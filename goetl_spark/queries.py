@@ -7472,3 +7472,72 @@ def q173_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup_keep_best(d.select("doc_id", "n_chars"), pairs,
                             "n_chars")
             .orderBy("doc_id"))
+
+
+def _q174_sql() -> str:
+    """q163's three-pass merge replay, reduced to per-doc counts, then
+    the pack_sequences assignment: pack_id = floor(exclusive_cumsum
+    (tokens, ORDER BY doc_id) / budget) — cumulative-range packing is a
+    closed-form window, so the whole composition is SQL-expressible."""
+    def merge_pass(prev: str, left: str, right: str) -> str:
+        return f"""
+    SELECT doc_id, list_filter(
+             list_transform(range(1, len(s) + 1), i ->
+               CASE
+                 WHEN i < len(s) AND s[i] = '{left}' AND s[i + 1] = '{right}'
+                   THEN s[i] || s[i + 1]
+                 WHEN i > 1 AND s[i - 1] = '{left}' AND s[i] = '{right}'
+                   THEN NULL
+                 ELSE s[i]
+               END),
+             x -> x IS NOT NULL) AS s
+    FROM {prev}"""
+
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+               AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    s0 AS (SELECT doc_id, str_split(word, '') AS s FROM w),
+    s1 AS ({merge_pass('s0', 't', 'h')}),
+    s2 AS ({merge_pass('s1', 'th', 'e')}),
+    s3 AS ({merge_pass('s2', 'i', 'n')}),
+    counts AS (
+        SELECT doc_id, CAST(SUM(len(s)) AS BIGINT) AS n_tokens
+        FROM s3 GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) / 5000.0) AS BIGINT) AS pack_id
+    FROM counts ORDER BY doc_id
+    """
+
+
+@register_staged("q174_bpe_packing", _q174_sql())
+def q174_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-real sequence packing (r8 verdict ask #7 closed end to
+    end): tokenizer.token_count_bpe feeds sampling.pack_sequences, so
+    pack budgets count BPE subword tokens instead of whitespace words.
+    Same fixed merge list as q163 ((t,h) < (th,e) < (i,n)); the count
+    path never materializes token arrays — an int per document joins
+    back to the corpus. Oracle replays the merges (q163 pattern) and
+    reproduces the exclusive-cumsum pack assignment as one window."""
+    from goetl_spark.operators.sampling import pack_sequences
+    from goetl_spark.operators.tokenizer import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select(
+        "doc_id",
+        F.array_join(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), " ")
+        .alias("words"))
+    counts = token_count_bpe(w, [("t", "h"), ("th", "e"), ("i", "n")],
+                             text_col="words", lowercase=False)
+    packed = pack_sequences(counts, token_col="n_tokens", budget=5000)
+    return (packed.select("doc_id",
+                          F.col("n_tokens").cast("long").alias("n_tokens"),
+                          "pack_id")
+            .orderBy("doc_id"))

@@ -112,10 +112,32 @@ def test_fullcheck_backstop_for_widened_staleness_budget():
     assert not missing, (
         f"FULLCHECK.json predates registration of {missing} — re-run "
         "scripts/check_oracle.py")
-    assert fc["against_round"] >= max(arts), (
-        f"FULLCHECK.json was produced against round {fc['against_round']} "
-        f"but CORRECTNESS_r{max(arts)} exists — re-run "
-        "scripts/check_oracle.py this round")
+    latest = max(arts)
+    if fc["against_round"] < latest:
+        # Round-boundary semantics (r8 verdict ask #6, decided r9 —
+        # see ROADMAP "FULLCHECK boundary semantics"): the builder's
+        # final refresh necessarily predates the driver's CORRECTNESS
+        # drop for the same round, so a fresh clone right after a
+        # round close would fail a strict >=. Tolerate EXACTLY ONE
+        # round of lag, and only when the newer driver artifact is
+        # itself all-green — that drop IS a fresh independent
+        # verification of every query FULLCHECK could have missed, so
+        # the union still covers the full registry this round. Any
+        # driver-reported failure, or >1 round of lag, stays red.
+        assert fc["against_round"] == latest - 1, (
+            f"FULLCHECK.json was produced against round "
+            f"{fc['against_round']} but CORRECTNESS_r{latest} exists — "
+            "re-run scripts/check_oracle.py this round")
+        rows = json.load(
+            open(os.path.join(REPO, f"CORRECTNESS_r{latest:02d}.json")))
+        not_green = sorted(
+            n for n, r in rows.items()
+            if r.get("err") is not None or r.get("rows_match") is False
+            or r.get("hash_match") is False)
+        assert not not_green, (
+            f"FULLCHECK.json lags CORRECTNESS_r{latest} and that window "
+            f"has non-green rows {not_green} — re-run "
+            "scripts/check_oracle.py")
 
 
 def test_plan_window_consistent_with_staleness_rule():

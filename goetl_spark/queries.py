@@ -7541,3 +7541,96 @@ def q174_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("n_tokens").cast("long").alias("n_tokens"),
                           "pack_id")
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q175_lsh_index_roundtrip",
+    f"""
+    WITH idx_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)
+    ),
+    inc_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+    ),
+    all_docs AS (
+        SELECT 'i' AS side, doc_id, text FROM idx_docs
+        UNION ALL SELECT 'q', doc_id, text FROM inc_docs
+    ),
+    toks AS (SELECT side, doc_id,
+                    string_split_regex(text, '\\s+') AS t FROM all_docs),
+    sh AS (
+        SELECT side, doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')
+               )) AS shingles
+        FROM toks
+    ),
+    ex AS (SELECT side, doc_id, unnest(shingles) AS shingle FROM sh),
+    hashed AS (
+        SELECT side, doc_id,
+               {_DUCK_MD5INT.format(expr='shingle')} AS h FROM ex
+    ),
+    params AS (
+        SELECT CAST(i AS INT) AS i, 1 + 3 * i AS a, 7 + 11 * i AS b
+        FROM (SELECT unnest(range(32)) AS i)
+    ),
+    sig AS (
+        SELECT side, doc_id, i, MIN((a * h + b) % 2147483647) AS sig
+        FROM hashed CROSS JOIN params GROUP BY side, doc_id, i
+    ),
+    bands AS (
+        SELECT side, doc_id, CAST(i // 4 AS INT) AS band,
+               md5(string_agg(i || ':' || sig, ','
+                              ORDER BY i || ':' || sig)) AS band_hash
+        FROM sig GROUP BY side, doc_id, CAST(i // 4 AS INT)
+    ),
+    crossed AS (
+        SELECT DISTINCT q.doc_id AS query_id, m.doc_id AS match_id
+        FROM bands q JOIN bands m
+          ON q.band = m.band AND q.band_hash = m.band_hash
+         AND q.doc_id <> m.doc_id
+        WHERE q.side = 'q' AND m.side = 'i'
+    ),
+    within AS (
+        SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS match_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.side = 'q' AND b.side = 'q'
+    )
+    SELECT query_id, match_id FROM crossed
+    UNION SELECT query_id, match_id FROM within
+    ORDER BY query_id, match_id
+    """,
+)
+def q175_lsh_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing LSH-index LIFECYCLE driver row (r8 verdict ask #8 — the
+    last tests-only dedup workflow gets an oracle): write the banded
+    MinHash index of a standing corpus (doc_id%3==0), APPEND a second
+    day's accepted docs (doc_id%3==1) to the persisted index, then run
+    an incremental batch (doc_id%3==2 plus q91-style re-ingested
+    corpus copies under +1000000 ids) against the RELOADED index
+    (operators/dedup.py::lsh_index_write/lsh_index_candidates). The
+    oracle recomputes the identical shingle->minhash->band pipeline in
+    DuckDB over (corpus UNION day-2) vs the incoming batch — band-hash
+    formulas differ per engine but are each injective per band, so the
+    candidate PAIRS match exactly (q24's adjudicated equivalence). The
+    parquet write->append->band-pruned-read roundtrip is exactly what
+    the in-memory recompute must equal; shingling of the standing
+    corpus happens once at write time, never per batch."""
+    from goetl_spark.operators.dedup import (
+        lsh_index_candidates, lsh_index_write)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _scratch("q175_lsh_index")
+    lsh_index_write(d.filter(F.col("doc_id") % 3 == 0), path)
+    lsh_index_write(d.filter(F.col("doc_id") % 3 == 1), path,
+                    mode="append")
+    incoming = d.filter(F.col("doc_id") % 3 == 2).unionByName(
+        d.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return (lsh_index_candidates(incoming, path)
+            .orderBy("query_id", "match_id"))

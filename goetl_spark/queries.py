@@ -7634,3 +7634,91 @@ def q175_lsh_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 1000000))
     return (lsh_index_candidates(incoming, path)
             .orderBy("query_id", "match_id"))
+
+
+@register_staged(
+    "q176_simhash_index_roundtrip",
+    """
+    WITH idx_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)
+    ),
+    inc_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+    ),
+    all_docs AS (
+        SELECT 'i' AS side, doc_id, text FROM idx_docs
+        UNION ALL SELECT 'q', doc_id, text FROM inc_docs
+    ),
+    toks AS (
+        SELECT side, doc_id,
+               unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+        FROM all_docs
+    ),
+    hashed AS (
+        SELECT side, doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bitsum AS (
+        SELECT side, doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM hashed CROSS JOIN (SELECT CAST(unnest(range(60)) AS INT) AS j)
+        GROUP BY side, doc_id, j
+    ),
+    sims AS (
+        SELECT side, doc_id,
+               CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                   AS simhash
+        FROM bitsum GROUP BY side, doc_id
+    ),
+    crossed AS (
+        SELECT q.doc_id AS query_id, m.doc_id AS match_id,
+               CAST(bit_count(xor(q.simhash, m.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sims q JOIN sims m
+          ON q.side = 'q' AND m.side = 'i' AND q.doc_id <> m.doc_id
+    ),
+    within AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS match_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sims a JOIN sims b
+          ON a.side = 'q' AND b.side = 'q' AND a.doc_id < b.doc_id
+    )
+    SELECT query_id, match_id, hamming FROM (
+        SELECT * FROM crossed UNION ALL SELECT * FROM within
+    ) WHERE hamming <= 4
+    ORDER BY query_id, match_id
+    """,
+)
+def q176_simhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash standing-index lifecycle driver row — q175's lossless
+    sibling (operators/dedup.py::simhash_index_write/candidates): write
+    the pigeonhole-band index of the standing corpus (doc_id%3==0),
+    append day 2 (doc_id%3==1), then match the incremental batch
+    (doc_id%3==2 + q91-style re-ingested copies) against the RELOADED
+    index. Because the pigeonhole bands are LOSSLESS within the bound,
+    the oracle is simply brute-force all-pairs Hamming <= 4 over the
+    same q25 simhash construction — the exactness contract (banded
+    index == exhaustive comparison) IS the compare; no band replay
+    needed. Re-ingested copies land at hamming 0 against their corpus
+    originals, guaranteeing a non-trivial result."""
+    from goetl_spark.operators.dedup import (
+        simhash_index_candidates, simhash_index_write)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _scratch("q176_simhash_index")
+    simhash_index_write(d.filter(F.col("doc_id") % 3 == 0), path,
+                        max_hamming=4)
+    simhash_index_write(d.filter(F.col("doc_id") % 3 == 1), path,
+                        mode="append", max_hamming=4)
+    incoming = d.filter(F.col("doc_id") % 3 == 2).unionByName(
+        d.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return (simhash_index_candidates(incoming, path, max_hamming=4)
+            .select("query_id", "match_id",
+                    F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("query_id", "match_id"))

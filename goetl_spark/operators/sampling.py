@@ -453,3 +453,115 @@ def chunk_by_sentences(
                      " ").alias("text"),
                  F.count(F.lit(1)).cast("int").alias("n_sentences"),
                  F.sum("n_tok").cast("long").alias("n_tokens")))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: Mapping[str, int] | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_col: str = "split",
+    group_col: str = "split_group",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle —
+    the eval-leakage guard :func:`hash_split` alone does not give: a
+    per-document hash puts two 95 %-similar crawls of the same page in
+    different splits, and the eval set silently overlaps training data
+    (the contamination q85 hunts for, created by the split itself).
+
+    Connected components over the candidate ``pairs`` (LSH / Jaccard /
+    SimHash output — :func:`~goetl_spark.operators.dedup.dedup_clusters`)
+    give every document a group key (its cluster id; singletons are
+    their own group), and the WHOLE GROUP is assigned by one hash of
+    that key — same deterministic bucket rule as :func:`hash_split`, so
+    assignment survives rebuilds and re-partitioning. Returns ``df``
+    plus (``group_col``, ``out_col``).
+
+    Scale: components as in dedup_clusters (O(diameter) rounds over the
+    pairs graph — near-dup graphs are shallow); the split itself is one
+    broadcast-free left join on the id key plus a scan-level hash
+    expression. Text never shuffles."""
+    from goetl_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b,
+                              max_iter=max_iter)
+    if id_col != "doc_id":
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
+    joined = (df.join(clusters, id_col, "left")
+              .withColumn(group_col,
+                          F.coalesce("cluster_id", F.col(id_col)))
+              .drop("cluster_id"))
+    return hash_split(joined, group_col, splits, out_col)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic ~``budget``-token subset: documents are laid out in
+    md5-hash order (an unbiased, engine-independent shuffle; ``salt``
+    yields a different but equally deterministic order) and kept while
+    the EXCLUSIVE running token sum is under ``budget`` — so the one
+    document straddling the boundary is included and the kept total
+    lands in [budget, budget + max_doc_tokens). Row-fraction sampling
+    (:func:`hash_sample`) only hits a token target in expectation;
+    corpus-mixing recipes are specified in TOKENS.
+
+    Reuses :func:`pack_sequences`' two-phase distributed cumsum (range
+    repartition + per-partition window + driver offsets — never a
+    single-task global window): the kept set is exactly pack 0 of a
+    ``budget``-sized packing over the hash order."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    hcol = "__tb_hash"
+    with_h = df.withColumn(
+        hcol, md5_int(F.concat_ws(":", F.lit(salt), F.col(id_col))))
+    packed = pack_sequences(with_h, token_col, budget,
+                            order_cols=(hcol, id_col),
+                            out_col="__tb_pack",
+                            num_partitions=num_partitions)
+    return (packed.filter(F.col("__tb_pack") == 0)
+            .drop(hcol, "__tb_pack"))
+
+
+def mix_token_budget(
+    sources: Sequence[tuple[DataFrame, float]],
+    token_col: str,
+    total_budget: int,
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Token-level corpus mixture: each source contributes
+    ``share × total_budget`` TOKENS (±one straddling document), drawn
+    deterministically via :func:`sample_to_token_budget`. This is how
+    pretraining mixtures are actually specified — "30 % web, 30 % code,
+    40 % books **of the token budget**" — where :func:`mix_sources`'
+    row-fraction weights only control document counts.
+
+    Shares must be positive and sum to 1. Union is by-name/NULL-fill
+    (:func:`~goetl_spark.operators.union.fan_in`), shuffle-free; each
+    source pays one cumsum pass over its own rows only."""
+    from goetl_spark.operators.union import fan_in
+
+    shares = [w for _, w in sources]
+    if any(w <= 0 for w in shares):
+        raise ValueError(f"shares must be positive, got {shares}")
+    if abs(sum(shares) - 1.0) > 1e-9:
+        raise ValueError(f"shares must sum to 1, got {sum(shares)}")
+    parts = []
+    for i, (df, share) in enumerate(sources):
+        part = sample_to_token_budget(
+            df, token_col, int(round(share * total_budget)),
+            id_col=id_col, salt=salt)
+        if source_col:
+            part = part.withColumn(source_col, F.lit(i))
+        parts.append(part)
+    return fan_in(parts)

@@ -7722,3 +7722,122 @@ def q176_simhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "match_id",
                     F.col("hamming").cast("long").alias("hamming"))
             .orderBy("query_id", "match_id"))
+
+
+@register_staged(
+    "q177_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+                 FROM reach GROUP BY id),
+    members AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_group
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    b AS (
+        SELECT doc_id, split_group,
+               CAST(('0x' || substr(md5(CAST(split_group AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM members
+    )
+    SELECT doc_id, split_group,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def q177_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.py::
+    leakage_safe_split): connected components over the exact-Jaccard
+    near-dup pairs give every document a group key, and the WHOLE group
+    is assigned by one hash — so two near-identical crawls can never
+    land on opposite sides of the eval boundary (the contamination the
+    per-doc q52 split can create). Singletons degenerate to q52's
+    per-id rule. Oracle = q50's recursive-CTE components + q52's md5
+    bucket CASE over the group key; uncapped shingles to mirror
+    max_df=None (q173's convention)."""
+    from goetl_spark.operators.dedup import ngram_jaccard_pairs
+    from goetl_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.1, max_df=None)
+    return (leakage_safe_split(d.select("doc_id"), pairs)
+            .select("doc_id", "split_group", "split")
+            .orderBy("doc_id"))
+
+
+@register_staged(
+    "q178_token_budget_mix",
+    """
+    WITH docs AS (
+        SELECT doc_id, doc_id % 2 AS src,
+               len(string_split_regex(text, '\\s+')) AS n_tok
+        FROM documents
+    ),
+    h AS (
+        SELECT *,
+               CAST(('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS hk
+        FROM docs
+    ),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY src ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS tokens_before
+        FROM h
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(src AS INT) AS source
+    FROM c
+    WHERE (src = 0 AND tokens_before < 12000)
+       OR (src = 1 AND tokens_before < 8000)
+    ORDER BY doc_id
+    """,
+)
+def q178_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixture (operators/sampling.py::
+    mix_token_budget over sample_to_token_budget): even/odd doc ids
+    play two corpora; the mixture takes 60 %/40 % of a 20k-token budget
+    from each — documents kept in deterministic md5-hash order while
+    each source's exclusive running token sum is under its share. At
+    sf0.001 a source's whole corpus can be under budget (everything
+    kept) — the prefix rule is consistent at every SF, which is the
+    point: mixtures are specified in TOKENS, and row-fraction sampling
+    (q61) only hits a token share in expectation. Oracle = one
+    partitioned window cumsum over the same hash order."""
+    from goetl_spark.operators.sampling import mix_token_budget
+    from goetl_spark.operators.text import token_count
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", token_count("text").alias("n_tok")))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = mix_token_budget([(a, 0.6), (b, 0.4)], "n_tok",
+                           total_budget=20000)
+    return (out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                       "source")
+            .orderBy("doc_id"))

@@ -228,3 +228,79 @@ def test_chunk_by_sentences_coverage_property(spark):
         got = " ".join(t for _, t in sorted(parts))
         assert got == expected[did], did
     assert set(rebuilt) == set(expected)
+
+
+# --- leakage-safe split / token-budget sampling (new r9) --------------------
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Every member of a near-dup cluster gets the SAME split; the
+    cluster's split equals hash_split of its min-id group key; and
+    singletons match plain hash_split of their own id."""
+    from goetl_spark.operators.sampling import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(40)],
+                                 "doc_id long, text string")
+    # clusters {0..3}, {10,11}, rest singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, pairs).collect()}
+    assert len({out[i]["split"] for i in (0, 1, 2, 3)}) == 1
+    assert out[10]["split"] == out[11]["split"]
+    assert all(out[i]["split_group"] == 0 for i in (0, 1, 2, 3))
+    assert out[10]["split_group"] == out[11]["split_group"] == 10
+
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id").collect()}
+    for i in out:
+        if i not in (0, 1, 2, 3, 10, 11):  # singletons
+            assert out[i]["split"] == plain[i], i
+    # cluster split == the group key's own hash bucket assignment
+    assert out[0]["split"] == plain[0]
+    assert out[10]["split"] == plain[10]
+
+
+def test_sample_to_token_budget_bound_and_determinism(spark):
+    from goetl_spark.operators.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", 10 + (i % 7)) for i in range(100)],
+        "doc_id long, text string, n_tok int")
+    kept = sample_to_token_budget(df, "n_tok", budget=300)
+    rows = kept.collect()
+    total = sum(r["n_tok"] for r in rows)
+    max_doc = 16
+    assert 300 <= total < 300 + max_doc
+    # deterministic: identical doc set on a second run
+    again = {r["doc_id"] for r in
+             sample_to_token_budget(df, "n_tok", budget=300).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # different salt -> (almost surely) different prefix, same bound
+    other = sample_to_token_budget(df, "n_tok", budget=300, salt="s2")
+    tot2 = sum(r["n_tok"] for r in other.collect())
+    assert 300 <= tot2 < 300 + max_doc
+    # tiny budget keeps exactly the first hash-ordered doc
+    one = sample_to_token_budget(df, "n_tok", budget=1).collect()
+    assert len(one) == 1
+
+
+def test_mix_token_budget_shares(spark):
+    from goetl_spark.operators.sampling import mix_token_budget
+
+    a = spark.createDataFrame([(i, 10) for i in range(200)],
+                              "doc_id long, n_tok int")
+    b = spark.createDataFrame([(i, 10) for i in range(1000, 1200)],
+                              "doc_id long, n_tok int")
+    out = mix_token_budget([(a, 0.7), (b, 0.3)], "n_tok",
+                           total_budget=1000)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_tok"]
+    assert 700 <= by_src[0] < 710 and 300 <= by_src[1] < 310
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_token_budget([(a, 0.7), (b, 0.2)], "n_tok", 100)
+    with pytest.raises(ValueError, match="positive"):
+        mix_token_budget([(a, 1.5), (b, -0.5)], "n_tok", 100)

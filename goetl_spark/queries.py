@@ -1790,10 +1790,15 @@ def q50_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard near-dup pairs
     (operators/dedup.py::dedup_clusters): Pregel-style min-label
     propagation on Spark vs a recursive CTE in the oracle — the step that
-    turns candidate pairs into per-document dedup decisions."""
+    turns candidate pairs into per-document dedup decisions.
+
+    max_df=None to match the uncapped oracle self-join (q173's
+    convention — the default cap would silently diverge at scale factors
+    where a shingle's document frequency exceeds 256)."""
     from goetl_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, max_df=None)
     return dedup_clusters(pairs)
 
 

@@ -1050,3 +1050,171 @@ def semantic_dedup(
         .withColumn("keep", F.col("sem_cluster_id") == F.col(id_col))
         .drop("__cid", "cluster_id", "__bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the 4x-shrink / high-recall regime
+# ---------------------------------------------------------------------------
+
+def train_sq_bounds(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] bounds for scalar quantization — the
+    faiss ``SQ8``-style trained range.
+
+    Scalar quantization is the other classic compressed-ANN regime next
+    to PQ (:func:`train_pq_codebooks`): each float32 dimension maps to a
+    uint8 level inside its own trained [min, max], a 4x memory shrink
+    that keeps per-dimension resolution (higher recall than PQ's 32x at
+    the cost of less compression). Training is ONE aggregation pass:
+    posexplode to (dim, value) with map-side partial min/max combine, so
+    the shuffle carries ``n_partitions x dim`` rows regardless of corpus
+    size; the result is two dim-length driver lists every downstream step
+    embeds as literals (no broadcast join needed).
+    """
+    ex = corpus.select(F.posexplode(
+        F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+    rows = (ex.groupBy("dim")
+              .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+              .orderBy("dim").collect())
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def sq_encode(
+    corpus: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "sq_codes",
+) -> DataFrame:
+    """Quantize each vector to integer levels: ``floor((x - mn) / (mx -
+    mn) * levels + 0.5)`` clamped to [0, levels], per dimension.
+
+    Entirely JVM-side (``F.transform`` with the per-dimension bounds as
+    array literals indexed by position) — map-only, codegen'd, no UDF and
+    no shuffle: the scan streams once and writes codes. Constant
+    dimensions (mx == mn) encode as 0 rather than dividing by zero.
+    Out-of-range values (new data beyond the trained bounds) clamp, the
+    standard SQ saturation contract. The formula is float64 left-to-right
+    and reproduces bit-for-bit in ANSI SQL, which is what gives the
+    symmetric search a value-exact oracle (q179).
+    """
+    if len(mins) != len(maxs):
+        raise ValueError(f"bounds length mismatch: {len(mins)} vs {len(maxs)}")
+    mn_arr = F.lit(mins)
+    mx_arr = F.lit(maxs)
+
+    def _code(x, i):
+        mn = F.element_at(mn_arr, i + F.lit(1))
+        mx = F.element_at(mx_arr, i + F.lit(1))
+        raw = F.floor((x.cast("double") - mn) / (mx - mn)
+                      * F.lit(float(levels)) + F.lit(0.5))
+        guarded = F.when(mx == mn, F.lit(0)).otherwise(raw)
+        return F.greatest(F.lit(0), F.least(F.lit(levels), guarded)).cast("int")
+
+    return corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _code).alias(code_col))
+
+
+def knn_sq(
+    corpus_codes: DataFrame,
+    queries_pd,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_codes",
+) -> DataFrame:
+    """Symmetric SQ top-k: integer dot product between query codes and
+    corpus codes — exact integer arithmetic end to end, so the result is
+    deterministic and value-oracle-able (unlike float-sum scoring whose
+    result depends on accumulation order).
+
+    Shape mirrors :func:`knn_pq_adc`: the (small) query code matrix rides
+    into ``mapInPandas`` as an int64 numpy array, each corpus batch does
+    one matmul for all queries at once, then window row_number ranks per
+    query (ties break on lower neighbor_id). The corpus streams once —
+    no shuffle of codes, only the surviving (query, neighbor, score)
+    tuples move.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_ids = queries_pd[id_col].to_numpy()
+    Q = np.stack(queries_pd[code_col].to_numpy()).astype(np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+            scores = Q @ C.T                                  # (nq, n_b)
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, len(pdf)),
+                "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                "score": scores.ravel(),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus_codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, score long")
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def knn_sq_adc(
+    corpus_codes: DataFrame,
+    queries_pd,
+    mins: list[float],
+    maxs: list[float],
+    levels: int = 255,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "sq_codes",
+) -> DataFrame:
+    """Asymmetric SQ top-k: raw float queries against dequantized corpus
+    codes (``x_hat = mn + code * (mx - mn) / levels``) — the higher-recall
+    variant faiss calls ADC, since only the corpus side pays quantization
+    error.
+
+    The dequantized dot is affine in the codes: ``q . x_hat = q . mn +
+    (q * s) . code`` with ``s`` the per-dim step, so each query
+    precomputes one constant and one weight vector and the per-batch work
+    stays a single matmul over the integer codes — the corpus floats are
+    never read. Float scoring means no value oracle; the unit tests pin
+    exactness on already-quantized grids and a recall floor vs brute
+    force on real embeddings.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    mn = np.asarray(mins, dtype=np.float64)
+    mx = np.asarray(maxs, dtype=np.float64)
+    step = np.where(mx > mn, (mx - mn) / float(levels), 0.0)
+    q_ids = queries_pd[id_col].to_numpy()
+    Q = np.stack(queries_pd[vec_col].to_numpy()).astype(np.float64)
+    const = Q @ mn                                            # (nq,)
+    W = Q * step                                              # (nq, d)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf[code_col].to_numpy()).astype(np.float64)
+            scores = const[:, None] + W @ C.T                 # (nq, n_b)
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, len(pdf)),
+                "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                "score": scores.ravel(),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus_codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double")
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

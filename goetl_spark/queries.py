@@ -7846,3 +7846,60 @@ def q178_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
                        "source")
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q179_sq_ann",
+    """
+    WITH v AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY dim),
+    codes AS (
+        SELECT vec_id, v.dim,
+               CAST(GREATEST(0, LEAST(255,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) END))
+                    AS BIGINT) AS code
+        FROM v JOIN b ON v.dim = b.dim
+    ),
+    s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(q.code * c.code) AS BIGINT) AS score
+        FROM codes q JOIN codes c
+          ON q.dim = c.dim AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+        GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def q179_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN, symmetric integer search
+    (operators/similarity.py::train_sq_bounds / sq_encode / knn_sq):
+    per-dimension [min,max] trained in one aggregation pass, vectors
+    quantized to 0..255 levels entirely JVM-side (F.transform indexing
+    literal bound arrays — no UDF), then top-5 by integer code dot
+    product for 8 query vectors. Every step is exact integer/float64
+    arithmetic with a fixed evaluation order, so the DuckDB replay
+    (unnest + the same FLOOR formula + SUM of code products) is
+    hash-exact including scores — the property float-sum scoring can't
+    give (q26's cosine relies on the same-fold trick instead). SQ8 is
+    the 4x-shrink / high-recall compressed regime next to PQ's 32x
+    (q88/q100); the asymmetric float variant knn_sq_adc is
+    recall-floor-pinned in tests/test_sq.py."""
+    from goetl_spark.operators.similarity import (
+        knn_sq, sq_encode, train_sq_bounds)
+
+    e = _t(spark, sf_dir, "embeddings")
+    mins, maxs = train_sq_bounds(e)
+    codes = sq_encode(e, mins, maxs)
+    qpd = codes.filter(F.col("vec_id") < 8).toPandas()
+    return knn_sq(codes, qpd, k=5).select(
+        "query_id", "neighbor_id", "score", "rank")

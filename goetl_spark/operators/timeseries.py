@@ -203,3 +203,68 @@ def ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(smooth, schema=schema)
+
+
+def holt_smooth(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    key_cols: Sequence[str],
+    alpha: float,
+    beta: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt's double exponential smoothing per key — :func:`ewma` plus a
+    trend term, the standard forecaster for drifting series (capacity,
+    throughput, cost curves):
+
+    ``l_i = alpha * x_i + (1 - alpha) * (l_{i-1} + b_{i-1})``
+    ``b_i = beta * (l_i - l_{i-1}) + (1 - beta) * b_{i-1}``
+
+    initialized ``l_1 = x_1, b_1 = 0``; the one-step-ahead forecast is
+    ``level + trend``. NULL values emit NULL for both outputs and leave
+    the running state untouched (same contract as :func:`ewma`).
+
+    Scale shape is identical to :func:`ewma`: the recurrence is serial
+    PER KEY, so one ``applyInPandas`` pass — a single shuffle on the
+    keys, each series smoothed sequentially in its executor. The loop
+    body applies the two update expressions in a fixed left-to-right
+    float64 order, so a SQL recursive CTE carrying (level, trend)
+    replays them bit-for-bit at dyadic alpha/beta (q180's oracle).
+    """
+    for name, v in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1], got {v}")
+    keys = list(key_cols)
+    order = list(order_cols)
+    if not keys or not order:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(level_col, T.DoubleType()),
+                             T.StructField(trend_col, T.DoubleType())])
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        levels, trends = [], []
+        l = b = None
+        for x in pdf[value_col]:
+            if x is None or x != x:  # NULL / NaN: emit NULL, keep state
+                levels.append(None)
+                trends.append(None)
+                continue
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                lp = alpha * float(x) + (1 - alpha) * (l + b)
+                b = beta * (lp - l) + (1 - beta) * b
+                l = lp
+            levels.append(l)
+            trends.append(b)
+        pdf[level_col] = levels
+        pdf[trend_col] = trends
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=schema)

@@ -7903,3 +7903,49 @@ def q179_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = codes.filter(F.col("vec_id") < 8).toPandas()
     return knn_sq(codes, qpd, k=5).select(
         "query_id", "neighbor_id", "score", "rank")
+
+
+@register_staged(
+    "q180_holt_trend",
+    """
+    WITH RECURSIVE base AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE value IS NOT NULL AND user_id % 199 = 0
+    ),
+    r AS (
+        SELECT event_type, event_id, rn,
+               value AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.event_id, s.rn,
+               0.5 * s.value + 0.5 * (r.l + r.b),
+               0.5 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        FROM r JOIN base s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, event_id, l AS level, b AS trend
+    FROM r ORDER BY event_type, rn
+    """,
+)
+def q180_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (operators/timeseries.py::
+    holt_smooth): q168's sampled per-event_type value stream, smoothed
+    with alpha = beta = 0.5 over the (ts, event_id) total order —
+    level AND trend state, the drifting-series forecaster EWMA can't
+    be. The oracle's RECURSIVE CTE carries (level, trend) and applies
+    the two update expressions in the identical left-to-right float64
+    order, so the compare is bit-exact including both floats (dyadic
+    coefficients, q168's recipe)."""
+    from goetl_spark.operators.timeseries import holt_smooth
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()
+                  & (F.col("user_id") % 199 == 0))
+          .select("event_type", "event_id", "ts", "value"))
+    out = holt_smooth(ev, "value", ["ts", "event_id"], ["event_type"],
+                      alpha=0.5, beta=0.5)
+    return (out.orderBy("event_type", "ts", "event_id")
+            .select("event_type", "event_id", "level", "trend"))

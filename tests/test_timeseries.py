@@ -157,3 +157,57 @@ def test_ewma_partitioning_invariance_and_guards(spark):
         ewma(df1, "x", ["i"], ["k"], 0.0)
     with _pytest.raises(ValueError):
         ewma(df1, "x", [], ["k"], 0.5)
+
+
+def test_holt_hand_computed(spark):
+    from goetl_spark.operators.timeseries import holt_smooth
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("a", 4, 40.0),
+         ("b", 1, 7.0)],
+        "k string, i int, x double")
+    out = {(r["k"], r["i"]): (r["level"], r["trend"])
+           for r in holt_smooth(df, "x", ["i"], ["k"],
+                                alpha=0.5, beta=0.5).collect()}
+    assert out[("a", 1)] == (10.0, 0.0)
+    # l2 = .5*20 + .5*(10+0) = 15 ; b2 = .5*(15-10) + .5*0 = 2.5
+    assert out[("a", 2)] == (15.0, 2.5)
+    assert out[("a", 3)] == (None, None)
+    # l4 = .5*40 + .5*(15+2.5) = 28.75 ; b4 = .5*(28.75-15) + .5*2.5 = 8.125
+    assert out[("a", 4)] == (28.75, 8.125)
+    assert out[("b", 1)] == (7.0, 0.0)
+
+
+def test_holt_tracks_linear_trend(spark):
+    """On an exactly linear series the forecast level+trend converges to
+    the next point; with beta=1, trend locks onto the true slope."""
+    from goetl_spark.operators.timeseries import holt_smooth
+
+    rows = [("k", i, 3.0 * i + 2.0) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "k string, i int, x double")
+    out = sorted(
+        holt_smooth(df, "x", ["i"], ["k"], alpha=0.5, beta=0.5).collect(),
+        key=lambda r: r["i"])
+    last = out[-1]
+    # remaining error is the geometric mode |lambda|^39 * 3 ~ 4e-6
+    assert abs(last["trend"] - 3.0) < 1e-5
+    assert abs((last["level"] + last["trend"]) - (3.0 * 41 + 2.0)) < 1e-4
+
+
+def test_holt_partitioning_invariance_and_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.timeseries import holt_smooth
+
+    rows = [("k", i, float((i * 37) % 101)) for i in range(1, 101)]
+    df1 = spark.createDataFrame(rows, "k string, i int, x double")
+    a = {r["i"]: (r["level"], r["trend"])
+         for r in holt_smooth(df1, "x", ["i"], ["k"], 0.3, 0.2).collect()}
+    b = {r["i"]: (r["level"], r["trend"])
+         for r in holt_smooth(df1.repartition(8), "x", ["i"], ["k"],
+                              0.3, 0.2).collect()}
+    assert a == b
+    with _pytest.raises(ValueError):
+        holt_smooth(df1, "x", ["i"], ["k"], 0.5, 0.0)
+    with _pytest.raises(ValueError):
+        holt_smooth(df1, "x", ["i"], [], 0.5, 0.5)

@@ -530,3 +530,65 @@ def tfidf_vectors(
     return (tf.join(F.broadcast(vocab), "term")
             .select(id_col, "term", "tf",
                     (F.col("tf") * F.col("idf")).alias("tfidf")))
+
+
+def term_blocklist_hits(
+    df: DataFrame,
+    terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_prefix: str = "block",
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Flag documents against a term blocklist (profanity / unsafe-topic
+    / PII-keyword lists — the filter every production corpus pass runs).
+
+    Matching is TOKEN-exact, not substring: the document lowercases and
+    splits on non-alphanumeric runs (the same tokenization
+    :func:`tfidf_vectors` and :func:`vocabulary` use, so "class" never
+    trips a blocklist entry "ass"), and a token hits when it equals a
+    (lowercased) blocklist term. Appends three columns:
+    ``<prefix>_hits`` total occurrences, ``<prefix>_terms`` the sorted
+    distinct terms that hit, ``<prefix>_flag`` hits > 0.
+
+    ``terms`` is a Python list (inlined as a broadcast literal table) or
+    a DataFrame with a ``term`` column — the 100 TB path: a million-term
+    list stays a DataFrame, is deduped lowercased, and joins the
+    exploded token stream map-side when under ``broadcast_threshold``
+    rows (the explode is a flatMap — no shuffle; only per-document hit
+    aggregates move). Documents with no hits keep hits=0 via the final
+    left join on ``id_col``, which also means the corpus text itself is
+    never shuffled — just (id, count, terms) triples.
+    """
+    spark = df.sparkSession
+    if isinstance(terms, DataFrame):
+        term_df = terms.select(F.lower(F.col("term")).alias("term")).distinct()
+        n_terms = term_df.count()
+    else:
+        uniq = sorted({t.lower() for t in terms})
+        if not uniq:
+            raise ValueError("terms must be non-empty")
+        term_df = spark.createDataFrame([(t,) for t in uniq], "term string")
+        n_terms = len(uniq)
+    if n_terms <= broadcast_threshold:
+        term_df = F.broadcast(term_df)
+
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .join(term_df, "term")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias(f"{out_prefix}_hits"),
+             F.array_sort(F.collect_set("term"))
+              .alias(f"{out_prefix}_terms"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(f"{out_prefix}_hits",
+                    F.coalesce(F.col(f"{out_prefix}_hits"), F.lit(0)))
+        .withColumn(f"{out_prefix}_terms",
+                    F.coalesce(F.col(f"{out_prefix}_terms"),
+                               F.array().cast("array<string>")))
+        .withColumn(f"{out_prefix}_flag", F.col(f"{out_prefix}_hits") > 0)
+    )

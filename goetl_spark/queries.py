@@ -7949,3 +7949,48 @@ def q180_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       alpha=0.5, beta=0.5)
     return (out.orderBy("event_type", "ts", "event_id")
             .select("event_type", "event_id", "level", "trend"))
+
+
+@register_staged(
+    "q181_term_blocklist",
+    """
+    WITH terms(term) AS (VALUES ('slow'), ('dup'), ('spam')),
+    tok AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT t.doc_id, COUNT(*) AS n,
+               array_to_string(list_sort(list(DISTINCT t.term)), ',') AS hit_terms
+        FROM tok t JOIN terms b ON t.term = b.term
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS block_hits,
+           COALESCE(h.hit_terms, '') AS hit_terms,
+           COALESCE(h.n, 0) > 0 AS block_flag
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q181_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist corpus filter (operators/text.py::
+    term_blocklist_hits): every document scored against a 3-term
+    blocklist ('spam' never occurs — the zero-hit term costs nothing).
+    Matching is token-exact on the same lowercase non-alphanumeric
+    split tfidf/vocabulary use (substrings never hit), the list joins
+    the exploded token stream broadcast-side, and only (id, count,
+    terms) triples shuffle — the document text itself never moves. The
+    oracle replays tokenize + join + aggregate; hit terms compare as a
+    sorted CSV string so the array column hashes identically across
+    engines."""
+    from goetl_spark.operators.text import term_blocklist_hits
+
+    d = _t(spark, sf_dir, "documents")
+    out = term_blocklist_hits(d, ["slow", "dup", "spam"])
+    return (out.select(
+        "doc_id", F.col("block_hits").cast("long").alias("block_hits"),
+        F.array_join("block_terms", ",").alias("hit_terms"), "block_flag")
+        .orderBy("doc_id"))

@@ -780,3 +780,56 @@ def test_dedup_keep_best_string_ids_and_custom_id_col(spark):
         [False, True, False, True]
     assert out["a"]["cluster_id"] == out["b"]["cluster_id"] == "a"
     assert out["d"]["cluster_id"] == "d"
+
+
+# ---------------------------------------------------------------------------
+# term blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_term_blocklist_token_exact(spark):
+    from goetl_spark.operators.text import term_blocklist_hits
+
+    df = spark.createDataFrame(
+        [(1, "the classic BAD example, bad indeed"),
+         (2, "assistant classes are fine"),          # substrings must NOT hit
+         (3, None),
+         (4, "bad-word bad.word")],                  # punctuation splits
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in term_blocklist_hits(
+        df, ["bad", "ass", "word"]).collect()}
+    assert out[1]["block_hits"] == 2                 # BAD + bad, case-folded
+    assert out[1]["block_terms"] == ["bad"]
+    assert out[2]["block_hits"] == 0 and out[2]["block_flag"] is False
+    assert out[2]["block_terms"] == []
+    assert out[3]["block_hits"] == 0
+    assert out[4]["block_hits"] == 4                 # bad, word, bad, word
+    assert out[4]["block_terms"] == ["bad", "word"]
+    assert out[4]["block_flag"] is True
+
+
+def test_term_blocklist_dataframe_terms_parity(spark):
+    from goetl_spark.operators.text import term_blocklist_hits
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 3} filler tok{i % 5}") for i in range(30)],
+        "doc_id long, text string")
+    tlist = ["tok0", "TOK4"]
+    tdf = spark.createDataFrame([("tok0",), ("TOK4",), ("tok0",)],
+                                "term string")
+    a = sorted((r["doc_id"], r["block_hits"], tuple(r["block_terms"]))
+               for r in term_blocklist_hits(df, tlist).collect())
+    b = sorted((r["doc_id"], r["block_hits"], tuple(r["block_terms"]))
+               for r in term_blocklist_hits(df, tdf).collect())
+    assert a == b
+    assert any(h > 0 for _, h, _ in a)
+
+
+def test_term_blocklist_empty_raises(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.text import term_blocklist_hits
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        term_blocklist_hits(df, [])

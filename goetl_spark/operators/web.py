@@ -46,6 +46,7 @@ __all__ = [
     "strip_tracking_params",
     "normalize_url",
     "url_parts",
+    "url_quality_flags",
 ]
 
 # RFC 3986-ish prefix: scheme '://' optional userinfo '@'
@@ -291,3 +292,77 @@ def registrable_domain_psl(
                     .alias(out_col)))
     return (df.withColumn("__h", F.lower(F.col(host_col)))
             .join(resolved, "__h", "left").drop("__h"))
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    max_url_len: int = 512,
+    max_host_labels: int = 5,
+    max_digit_pct: int = 33,
+    max_params: int = 15,
+    max_query_len: int = 256,
+    hex_run: int = 24,
+) -> DataFrame:
+    """URL-level spam/junk heuristics — the crawl-frontier filter that
+    runs BEFORE fetching or keeping a page (CCNet/CommonCrawl-style URL
+    triage), one boolean per rule plus the conjunction ``url_pass``:
+
+    * ``host_ok`` — the URL parses to a non-empty host.
+    * ``ip_ok`` — host is not a raw IPv4 literal (spam/tracking hosts).
+    * ``subdomain_ok`` — at most ``max_host_labels`` dot-separated
+      labels (``a.b.c.d.e.f`` hosting patterns are overwhelmingly junk).
+    * ``digit_ok`` — digits are at most ``max_digit_pct`` percent of the
+      host characters (compared as ``digits*100 <= len*pct`` — integer
+      cross-multiplication, no float ratio to drift cross-engine).
+    * ``punycode_ok`` — no ``xn--`` label (homograph/typo-squat signal;
+      legitimate IDNs can be re-admitted by allowlist).
+    * ``len_ok`` — whole URL at most ``max_url_len`` chars.
+    * ``query_ok`` — at most ``max_params`` parameters and the query
+      string at most ``max_query_len`` chars (session-id explosions).
+    * ``hexblob_ok`` — path carries no ``hex_run``+ char hex run (cache
+      keys / signatures masquerading as content paths).
+
+    All single-pass RE2-portable Column expressions over
+    :func:`url_host` / :func:`url_path` / :func:`url_query` — zero UDFs,
+    zero shuffles, scan-bound at 100 TB like the rest of this module;
+    booleans and integers only, so the staged oracle (q182) hashes
+    exactly. NULL URLs flow through as host_ok = false rows.
+    """
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    host = F.lower(url_host(u))
+    path = F.coalesce(url_path(u), F.lit(""))
+    query = F.coalesce(url_query(u), F.lit(""))
+
+    n_labels = (F.length(host)
+                - F.length(F.replace(host, F.lit("."), F.lit(""))) + 1)
+    n_digits = F.length(host) - F.length(
+        F.regexp_replace(host, r"[0-9]", ""))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.replace(query, F.lit("&"), F.lit("")))
+        + 1)
+
+    host_ok = host != ""
+    ip_ok = ~host.rlike(r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$")
+    subdomain_ok = n_labels <= F.lit(max_host_labels)
+    digit_ok = (n_digits * 100) <= (F.length(host) * F.lit(max_digit_pct))
+    punycode_ok = ~host.contains("xn--")
+    len_ok = F.length(u) <= F.lit(max_url_len)
+    query_ok = ((n_params <= F.lit(max_params))
+                & (F.length(query) <= F.lit(max_query_len)))
+    hexblob_ok = ~path.rlike(r"[0-9a-f]{%d}" % hex_run)
+
+    out = (df
+           .withColumn("host_ok", host_ok)
+           .withColumn("ip_ok", ip_ok)
+           .withColumn("subdomain_ok", subdomain_ok)
+           .withColumn("digit_ok", digit_ok)
+           .withColumn("punycode_ok", punycode_ok)
+           .withColumn("len_ok", len_ok)
+           .withColumn("query_ok", query_ok)
+           .withColumn("hexblob_ok", hexblob_ok))
+    return out.withColumn(
+        "url_pass",
+        F.col("host_ok") & F.col("ip_ok") & F.col("subdomain_ok")
+        & F.col("digit_ok") & F.col("punycode_ok") & F.col("len_ok")
+        & F.col("query_ok") & F.col("hexblob_ok"))

@@ -7994,3 +7994,100 @@ def q181_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("block_hits").cast("long").alias("block_hits"),
         F.array_join("block_terms", ",").alias("hit_terms"), "block_flag")
         .orderBy("doc_id"))
+
+
+@register_staged(
+    "q182_url_quality",
+    r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 6
+               WHEN 0 THEN 'https://www.' || source
+                           || '.example.com/docs/' || doc_id
+               WHEN 1 THEN 'http://10.0.' || (doc_id % 250) || '.7/admin'
+               WHEN 2 THEN 'https://a.b.c.d.e.' || source
+                           || '.example.com/x'
+               WHEN 3 THEN 'https://' || doc_id || doc_id || doc_id
+                           || '.example.net/p'
+               WHEN 4 THEN 'https://xn--' || source
+                           || '.example/q?id=' || doc_id
+               ELSE 'https://' || source
+                    || '.example.com/obj/aaaaaaaaaaaaaaaaaaaaaaaaaa/'
+               END AS url
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                   1)) AS host,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*(/[^?#]*)',
+                   1) AS path,
+               regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query
+        FROM u
+    ),
+    f AS (
+        SELECT doc_id,
+          host <> '' AS host_ok,
+          NOT regexp_matches(host,
+              '^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$') AS ip_ok,
+          (length(host) - length(replace(host, '.', '')) + 1) <= 5
+              AS subdomain_ok,
+          (length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+              * 100 <= length(host) * 33 AS digit_ok,
+          NOT contains(host, 'xn--') AS punycode_ok,
+          length(url) <= 512 AS len_ok,
+          (CASE WHEN query = '' THEN 0
+                ELSE length(query) - length(replace(query, '&', '')) + 1
+           END) <= 15 AND length(query) <= 256 AS query_ok,
+          NOT regexp_matches(path, '[0-9a-f]{24}') AS hexblob_ok
+        FROM p
+    )
+    SELECT doc_id, host_ok, ip_ok, subdomain_ok, digit_ok, punycode_ok,
+           len_ok, query_ok, hexblob_ok,
+           host_ok AND ip_ok AND subdomain_ok AND digit_ok AND punycode_ok
+           AND len_ok AND query_ok AND hexblob_ok AS url_pass
+    FROM f ORDER BY doc_id
+    """,
+)
+def q182_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL spam/junk triage (operators/web.py::url_quality_flags): six
+    constructed URL shapes per document — clean, IPv4-literal host,
+    six-label subdomain chain, digit-only host, punycode label, and a
+    26-char hex path blob — each tripping exactly one rule. Every flag
+    is a single RE2-portable expression with integer-only thresholds
+    (digit ratio compares as digits*100 <= len*pct — no float), so the
+    DuckDB mirror hashes exactly. This is the crawl-frontier filter
+    that runs before a page is fetched or kept."""
+    from goetl_spark.operators.web import url_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".example.com/docs/"), F.col("doc_id")))
+         .when(F.col("doc_id") % 6 == 1,
+               F.concat(F.lit("http://10.0."), F.col("doc_id") % 250,
+                        F.lit(".7/admin")))
+         .when(F.col("doc_id") % 6 == 2,
+               F.concat(F.lit("https://a.b.c.d.e."), F.col("source"),
+                        F.lit(".example.com/x")))
+         .when(F.col("doc_id") % 6 == 3,
+               F.concat(F.lit("https://"), F.col("doc_id"),
+                        F.col("doc_id"), F.col("doc_id"),
+                        F.lit(".example.net/p")))
+         .when(F.col("doc_id") % 6 == 4,
+               F.concat(F.lit("https://xn--"), F.col("source"),
+                        F.lit(".example/q?id="), F.col("doc_id")))
+         .otherwise(
+               F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/obj/"
+                              "aaaaaaaaaaaaaaaaaaaaaaaaaa/")))
+         .alias("url"))
+    out = url_quality_flags(u)
+    return (out.select(
+        "doc_id", "host_ok", "ip_ok", "subdomain_ok", "digit_ok",
+        "punycode_ok", "len_ok", "query_ok", "hexblob_ok", "url_pass")
+        .orderBy("doc_id"))

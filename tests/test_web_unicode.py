@@ -292,3 +292,51 @@ def test_psl_longest_rule_prevails(spark):
     # ps = sapporo.hokkaido.jp (3 labels via wildcard), +1
     assert out["www.site.sapporo.hokkaido.jp"] == "site.sapporo.hokkaido.jp"
     assert out["site.jp"] == "site.jp"
+
+
+# ---------------------------------------------------------------------------
+# url_quality_flags
+# ---------------------------------------------------------------------------
+
+
+def test_url_quality_flags_rules(spark):
+    from goetl_spark.operators.web import url_quality_flags
+
+    rows = [
+        (1, "https://www.example.com/a/b?x=1"),                 # clean
+        (2, "http://192.168.10.1/admin"),                       # ip literal
+        (3, "https://a.b.c.d.e.f.example.com/"),                # deep labels
+        (4, "https://cdn4x9z123456.example.com/"),              # digit-heavy? (6/21 < 33%) ok
+        (5, "https://777888999000111.net/"),                    # digit-heavy host
+        (6, "https://xn--e1awd7f.example/"),                    # punycode
+        (7, "https://example.com/" + "p" * 600),                # too long
+        (8, "https://example.com/?" + "&".join(f"k{i}=v" for i in range(20))),
+        (9, "https://example.com/obj/deadbeefdeadbeefdeadbeef00/x"),  # hex blob
+        (10, "not a url"),
+        (11, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r for r in url_quality_flags(df).collect()}
+    assert out[1]["url_pass"] is True
+    assert out[2]["ip_ok"] is False and out[2]["url_pass"] is False
+    assert out[3]["subdomain_ok"] is False
+    assert out[4]["digit_ok"] is True and out[4]["url_pass"] is True
+    assert out[5]["digit_ok"] is False
+    assert out[6]["punycode_ok"] is False
+    assert out[7]["len_ok"] is False
+    assert out[8]["query_ok"] is False
+    assert out[9]["hexblob_ok"] is False
+    for bad_id in (10, 11):
+        assert out[bad_id]["host_ok"] is False
+        assert out[bad_id]["url_pass"] is False
+
+
+def test_url_quality_flags_thresholds_parametrize(spark):
+    from goetl_spark.operators.web import url_quality_flags
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x?p=1&q=2")], "id long, url string")
+    strict = url_quality_flags(df, max_host_labels=2, max_params=1).first()
+    assert strict["subdomain_ok"] is False and strict["query_ok"] is False
+    loose = url_quality_flags(df).first()
+    assert loose["url_pass"] is True

@@ -8091,3 +8091,64 @@ def q182_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host_ok", "ip_ok", "subdomain_ok", "digit_ok",
         "punycode_ok", "len_ok", "query_ok", "hexblob_ok", "url_pass")
         .orderBy("doc_id"))
+
+
+@register_staged(
+    "q183_holt_stream",
+    """
+    WITH RECURSIVE base AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE value IS NOT NULL AND user_id % 199 = 0
+    ),
+    r AS (
+        SELECT event_type, event_id, rn,
+               value AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.event_id, s.rn,
+               0.5 * s.value + 0.5 * (r.l + r.b),
+               0.5 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        FROM r JOIN base s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, event_id, l AS level, b AS trend
+    FROM r ORDER BY event_type, rn
+    """,
+)
+def q183_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Holt smoothing (streaming/stateful.py::holt_stream):
+    q180's sampled per-event_type stream replayed chronologically in 3
+    micro-batches; per-key (level, trend) state carries across batch
+    boundaries and every event emits its post-update values. Because
+    the update expressions and the in-batch (ts, event_id) sort are
+    IDENTICAL to the batch operator, the oracle is q180's recursive
+    CTE verbatim and the compare is bit-exact per event — a stronger
+    streaming guarantee than q140's count-level row (the state
+    checkpoint is just two scalars, so micro-batching cannot perturb
+    the arithmetic)."""
+    from goetl_spark.streaming import replay_stream_ordered, state_partitions
+    from goetl_spark.streaming.stateful import holt_stream
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull()
+                 & (F.col("user_id") % 199 == 0))
+         .select("event_type", "event_id", "ts", "value"))
+    stream, _dir = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q183_replay"))
+    upd = holt_stream(stream, "event_type", "value", alpha=0.5, beta=0.5,
+                      order_cols=["ts", "event_id"],
+                      carry_cols=["event_id", "ts"])
+    name = "goetl_q183_result"
+    with state_partitions(spark, 4):
+        q = (upd.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (spark.table(name)
+            .orderBy("event_type", "ts", "event_id")
+            .select("event_type", "event_id", "level", "trend"))

@@ -353,3 +353,87 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def holt_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    order_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """STREAMING Holt double exponential smoothing — the live twin of
+    ``operators/timeseries.py::holt_smooth``: per-key (level, trend)
+    state carried across micro-batches, each event emitted with the
+    post-update level and trend.
+
+    The update is the identical float64 expression sequence as the batch
+    operator (``l' = alpha*x + (1-alpha)*(l+b)`` then ``b' =
+    beta*(l'-l) + (1-beta)*b``), and ``order_cols`` sorts each
+    micro-batch's rows before applying it — so when the replayed stream
+    presents events in the same total order as the batch sort, every
+    emitted (level, trend) matches the batch output BIT-EXACTLY,
+    regardless of where micro-batch boundaries fall (state is just the
+    last (l, b)). That is what gives q183 a per-event float-exact
+    driver row instead of q140's count-level compare.
+
+    Deviation from the batch twin, documented: NULL values are dropped
+    (batch emits NULL rows) — append-mode streams have no place for
+    score-less rows. ``carry_cols`` pass through event identity (e.g.
+    event_id) so emitted rows join back to their inputs.
+
+    At scale: two-scalar state per key (O(keys) memory), one shuffle of
+    each micro-batch to its key partition — the same shape as every
+    operator in this module."""
+    for name, v in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1], got {v}")
+    carry = list(carry_cols or [])
+    order = list(order_cols or [])
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            l, b = state.get
+        else:
+            l = b = None
+        frames = [pdf for pdf in pdfs]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if order:
+            pdf = pdf.sort_values(order, kind="mergesort")
+        rows: list[tuple] = []
+        for tup in pdf.itertuples(index=False):
+            x = getattr(tup, value_col)
+            if x is None or (isinstance(x, float) and pd.isna(x)):
+                continue
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                lp = alpha * float(x) + (1 - alpha) * (l + b)
+                b = beta * (lp - l) + (1 - beta) * b
+                l = lp
+            rows.append(tuple(getattr(tup, c) for c in carry)
+                        + (float(x), l, b))
+        if l is not None:
+            state.update((l, b))
+        if rows:
+            yield pd.DataFrame(
+                [(key[0],) + r for r in rows],
+                columns=[key_col] + carry + [value_col, "level", "trend"])
+
+    fields = [f"{key_col} {stream_df.schema[key_col].dataType.simpleString()}"]
+    for c in carry:
+        fields.append(f"{c} {stream_df.schema[c].dataType.simpleString()}")
+    fields += [f"{value_col} double", "level double", "trend double"]
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=", ".join(fields),
+        stateStructType="l double, b double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -164,3 +164,58 @@ def test_running_zscore_stream_welford_and_anomaly(spark, tmp_path):
     # the next normal value is NOT flagged even though the outlier
     # inflated the running variance (still within threshold)
     assert by_val[10.5].is_anomaly is False
+
+
+def test_holt_stream_matches_batch_bit_exact(spark, tmp_path):
+    """Replayed in batch order, the streaming smoother's every emitted
+    (level, trend) equals the batch operator exactly — micro-batch
+    boundaries only checkpoint the (l, b) scalars."""
+    from goetl_spark.operators.timeseries import holt_smooth
+    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming.stateful import holt_stream
+
+    rows = [(f"k{i % 3}", i, float((i * 37) % 101)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k string, i long, x double")
+    stream, _ = replay_stream_ordered(df, "i", num_chunks=4,
+                                      dir=str(tmp_path / "holt_replay"))
+    out = holt_stream(stream, "k", "x", 0.5, 0.5,
+                      order_cols=["i"], carry_cols=["i"])
+    q = (out.writeStream.format("memory").queryName("holt_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["i"]): (r["level"], r["trend"])
+               for r in spark.sql("SELECT * FROM holt_t").collect()}
+    finally:
+        q.stop()
+    want = {(r["k"], r["i"]): (r["level"], r["trend"])
+            for r in holt_smooth(df, "x", ["i"], ["k"], 0.5, 0.5).collect()}
+    assert got == want                       # bit-exact, all 60 events
+    assert len(got) == 60
+
+
+def test_holt_stream_drops_nulls_and_guards(spark, tmp_path):
+    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming.stateful import holt_stream
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 20.0)],
+        "k string, i long, x double")
+    stream, _ = replay_stream_ordered(df, "i", num_chunks=1,
+                                      dir=str(tmp_path / "holt_null"))
+    out = holt_stream(stream, "k", "x", 0.5, 0.5,
+                      order_cols=["i"], carry_cols=["i"])
+    q = (out.writeStream.format("memory").queryName("holt_n")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM holt_n").collect()
+    finally:
+        q.stop()
+    assert sorted(r["i"] for r in rows) == [1, 3]   # null row dropped
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[3]["level"] == 0.5 * 20.0 + 0.5 * 10.0  # state skipped null
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        holt_stream(stream, "k", "x", 0.0, 0.5)

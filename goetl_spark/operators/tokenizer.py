@@ -308,3 +308,218 @@ def token_count_bpe(
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} {id_type}, {out_col} int")
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (SentencePiece-style) — the third tokenizer family
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"
+
+
+def _viterbi_pieces(
+    word: str,
+    scores: dict[str, float],
+    max_piece_len: int,
+    unk_score: float | None,
+) -> list[str] | None:
+    """Max-sum Viterbi segmentation of one word under per-piece scores
+    (log-probs in real use). Deterministic tie-break: among equal-score
+    segmentations, the lexicographically smallest ``\\x1f``-joined piece
+    string wins — a total order a SQL path-enumeration replays exactly
+    (q184), and safe to resolve locally because no valid path string is
+    a prefix of another (pieces are non-empty, so stripping separators
+    from both always reproduces the word).
+
+    Unknown single chars score ``unk_score`` when given (char-level
+    fallback, the SentencePiece coverage contract); returns None for an
+    unsegmentable word when ``unk_score`` is None."""
+    n = len(word)
+    dp: list[tuple[float, str] | None] = [None] * (n + 1)
+    dp[0] = (0.0, "")
+    for i in range(1, n + 1):
+        best: tuple[float, str] | None = None
+        for j in range(max(0, i - max_piece_len), i):
+            prev = dp[j]
+            if prev is None:
+                continue
+            piece = word[j:i]
+            sc = scores.get(piece)
+            if sc is None:
+                if unk_score is not None and i - j == 1:
+                    sc = unk_score
+                else:
+                    continue
+            cand_score = prev[0] + sc
+            cand_path = piece if prev[1] == "" else prev[1] + _SEP + piece
+            if (best is None or cand_score > best[0]
+                    or (cand_score == best[0] and cand_path < best[1])):
+                best = (cand_score, cand_path)
+        dp[i] = best
+    if dp[n] is None:
+        return None
+    return dp[n][1].split(_SEP)
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    vocab_scores: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_tokens: str = "tokens",
+    out_count: str = "n_tokens",
+    lowercase: bool = True,
+    unk_score: float | None = -100.0,
+) -> DataFrame:
+    """Tokenize with a unigram LM vocabulary (Kudo 2018 — the
+    SentencePiece model): per word, the segmentation maximizing the sum
+    of piece scores wins (Viterbi), completing the subword family next
+    to greedy WordPiece and merge-replay BPE. Pre-split is the shared
+    corpus convention (lowercase, non-alphanumeric runs).
+
+    ``vocab_scores`` maps piece -> score (log-probs from
+    :func:`learn_unigram_vocab`, or any caller-supplied weights — q184
+    uses exact integer weights so the oracle compare is arithmetic-
+    exact). Unknown characters fall back to ``unk_score`` per char;
+    pass None to drop unsegmentable words instead.
+
+    Scale: same documented Python path as the other two inference
+    kernels — the vocab dict broadcasts once in the Arrow closure,
+    ``mapInPandas`` streams batches, a per-batch word cache collapses
+    repeated words, no shuffle. Output (id, tokens array, n_tokens)."""
+    if not vocab_scores:
+        raise ValueError("vocab_scores must be non-empty")
+    scores = dict(vocab_scores)
+    max_len = max(len(p) for p in scores)
+
+    import re
+
+    split_re = re.compile(r"[^a-z0-9]+" if lowercase else r"[^A-Za-z0-9]+")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str] | None] = {}
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col].astype(object):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    toks.append(None)
+                    counts.append(None)
+                    continue
+                t = text.lower() if lowercase else text
+                pieces: list[str] = []
+                for w in split_re.split(t):
+                    if not w:
+                        continue
+                    got = cache.get(w, False)
+                    if got is False:
+                        got = _viterbi_pieces(w, scores, max_len, unk_score)
+                        cache[w] = got
+                    if got is not None:
+                        pieces.extend(got)
+                toks.append(pieces)
+                counts.append(len(pieces))
+            res = pdf[[id_col]].copy()
+            res[out_tokens] = toks
+            res[out_count] = pd.array(counts, dtype="Int64")
+            yield res
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, {out_tokens} array<string>, "
+              f"{out_count} int")
+    return df.select(id_col, text_col).mapInPandas(_run, schema=schema)
+
+
+def learn_unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    seed_size: int = 1000,
+    max_piece_len: int = 6,
+    iterations: int = 3,
+    lowercase: bool = True,
+) -> list[tuple[str, float]]:
+    """Learn a unigram LM vocabulary (Kudo 2018) by hard-EM — the
+    training half of :func:`unigram_tokenize`, structured exactly like
+    :func:`learn_bpe_merges`: the corpus collapses ONCE to the distinct
+    word-frequency table, and every subsequent job runs over that much
+    smaller table.
+
+    1. SEED: every substring up to ``max_piece_len`` of every distinct
+       word, weighted by word frequency — pure JVM expressions
+       (sequence/transform/substring/explode), one aggregation; keep
+       the ``seed_size`` heaviest plus all single chars (coverage).
+    2. HARD-EM x ``iterations``: segment each distinct word by Viterbi
+       under current log-probs (the shared :func:`_viterbi_pieces`
+       kernel, Arrow-batched over the word table with the vocab in the
+       closure), re-count pieces weighted by word frequency (one
+       explode + groupBy SUM, result bounded by vocab size), then
+       re-estimate ``logp = ln(count / total)`` driver-side. Hard-EM
+       (Viterbi counts, not forward-backward expectations) is the
+       documented deterministic simplification; single chars never
+       prune and floor at count 1 so coverage is total.
+    3. PRUNE to the ``vocab_size`` heaviest (count DESC, piece ASC) +
+       single chars.
+
+    Driver state is one dict bounded by ``seed_size``; per-iteration
+    cost is one bounded aggregation job. Train on a sample in
+    production — vocab learning does not need the whole corpus.
+    Returns ``[(piece, logprob), ...]`` sorted by piece; feed
+    ``dict(result)`` to :func:`unigram_tokenize`."""
+    import math
+
+    if vocab_size < 1 or seed_size < vocab_size:
+        raise ValueError("need seed_size >= vocab_size >= 1")
+    words = (df.select(F.explode(F.filter(
+                 F.split(F.lower(F.col(text_col)) if lowercase
+                         else F.col(text_col), r"[^a-z0-9]+"),
+                 lambda x: x != "")).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .localCheckpoint(eager=True))
+
+    subs = F.explode(F.flatten(F.expr(
+        f"transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({int(max_piece_len)}, "
+        f"length(w) - i + 1)), L -> substring(w, i, L)))"))).alias("piece")
+    seed_rows = (words.select(subs, "freq")
+                 .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+                 .orderBy(F.desc("cnt"), "piece")
+                 .limit(seed_size).collect())
+    counts = {r["piece"]: int(r["cnt"]) for r in seed_rows}
+    chars = {r["w"][i] for r in words.select("w").collect()
+             for i in range(len(r["w"]))}
+    for c in chars:
+        counts.setdefault(c, 1)
+
+    def _logp(cnts: dict[str, int]) -> dict[str, float]:
+        total = float(sum(cnts.values()))
+        return {p: math.log(c / total) for p, c in cnts.items()}
+
+    for _ in range(iterations):
+        scores = _logp(counts)
+        max_len = max(len(p) for p in scores)
+
+        def _estep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pcs, fqs = [], []
+                for w, fq in zip(pdf["w"], pdf["freq"]):
+                    seg = _viterbi_pieces(w, scores, max_len, None)
+                    if seg is None:  # cannot happen: chars are covered
+                        seg = list(w)
+                    for p in seg:
+                        pcs.append(p)
+                        fqs.append(int(fq))
+                yield pd.DataFrame({"piece": pcs, "freq": fqs})
+
+        used = (words.mapInPandas(_estep, schema="piece string, freq long")
+                .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+                .collect())
+        counts = {r["piece"]: int(r["cnt"]) for r in used}
+        for c in chars:
+            counts[c] = max(counts.get(c, 0), 1)
+
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    final = {p: c for p, c in kept[:vocab_size]}
+    for c in chars:
+        final.setdefault(c, max(counts.get(c, 0), 1))
+    logp = _logp(final)
+    return sorted(logp.items())

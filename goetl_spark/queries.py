@@ -8152,3 +8152,87 @@ def q183_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.table(name)
             .orderBy("event_type", "ts", "event_id")
             .select("event_type", "event_id", "level", "trend"))
+
+
+@register_staged(
+    "q184_unigram_tokenize",
+    """
+    WITH RECURSIVE pieces(piece, score) AS (
+        VALUES ('spark', 7), ('sp', 3), ('ark', 4), ('window', 9),
+               ('win', 4), ('dow', 4), ('st', 2), ('ream', 5),
+               ('mer', 3), ('ge', 2), ('custom', 8), ('er', 2),
+               ('a',1),('b',1),('c',1),('d',1),('e',1),('f',1),('g',1),
+               ('h',1),('i',1),('j',1),('k',1),('l',1),('m',1),('n',1),
+               ('o',1),('p',1),('q',1),('r',1),('s',1),('t',1),('u',1),
+               ('v',1),('w',1),('x',1),('y',1),('z',1)
+    ),
+    words AS (
+        SELECT DISTINCT unnest(list_filter(regexp_split_to_array(
+            lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    r(w, pos, score, path) AS (
+        SELECT w, 0, 0, '' FROM words
+        UNION ALL
+        SELECT r.w, r.pos + length(p.piece), r.score + p.score,
+               CASE WHEN r.path = '' THEN p.piece
+                    ELSE r.path || chr(31) || p.piece END
+        FROM r JOIN pieces p
+          ON substr(r.w, r.pos + 1, length(p.piece)) = p.piece
+        WHERE r.pos < length(r.w)
+    ),
+    best AS (
+        SELECT w, path,
+               length(path) - length(replace(path, chr(31), '')) + 1
+                   AS n_pieces
+        FROM (SELECT w, path, score,
+                     ROW_NUMBER() OVER (PARTITION BY w
+                         ORDER BY score DESC, path) AS rk
+              FROM r WHERE pos = length(w))
+        WHERE rk = 1
+    ),
+    doc_words AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS wpos, unnest(arr) AS w
+        FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+                  lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL)
+    )
+    SELECT d.doc_id,
+           CAST(SUM(b.n_pieces) AS INT) AS n_tokens,
+           replace(string_agg(b.path, chr(31) ORDER BY d.wpos),
+                   chr(31), ',') AS tokens_csv
+    FROM doc_words d JOIN best b ON d.w = b.w
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q184_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (operators/tokenizer.py::
+    unigram_tokenize — Kudo 2018, the SentencePiece inference model,
+    completing the subword family next to BPE q160/q163 and
+    WordPiece q136): every document segmented by max-sum Viterbi under
+    a fixed integer-score vocabulary. The vocab is built to stress the
+    contract: 'spark' TIES whole-piece vs 'sp'+'ark' (7 = 3+4) and the
+    documented lexicographic path tie-break must pick the split;
+    'merge' ties three ways and must fall to single chars; 'window'
+    wins whole on score; 'stream' splits on score. The oracle
+    enumerates EVERY piece-wise segmentation of every distinct word
+    with a recursive CTE and applies the identical (score DESC, path)
+    argmax — integer scores end to end, so the compare is
+    arithmetic-exact including the full token stream (tokens_csv), not
+    just counts. Training (learn_unigram_vocab, hard-EM over the
+    distinct-word table) is pinned by a hypothesis brute-force
+    property and determinism tests instead (float log-probs)."""
+    from goetl_spark.operators.tokenizer import unigram_tokenize
+
+    vocab = {"spark": 7.0, "sp": 3.0, "ark": 4.0, "window": 9.0,
+             "win": 4.0, "dow": 4.0, "st": 2.0, "ream": 5.0,
+             "mer": 3.0, "ge": 2.0, "custom": 8.0, "er": 2.0}
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        vocab[ch] = 1.0
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = unigram_tokenize(d, vocab, unk_score=None)
+    return (out.filter(F.size("tokens") > 0)
+            .select("doc_id", "n_tokens",
+                    F.array_join("tokens", ",").alias("tokens_csv"))
+            .orderBy("doc_id"))

@@ -178,3 +178,117 @@ def test_pack_sequences_on_bpe_counts(spark):
     for r in rows:
         by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["n_tokens"]
     assert all(v < 10 + max_doc for v in by_pack.values())
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (SentencePiece-style)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_tokenize_picks_max_score(spark):
+    from goetl_spark.operators.tokenizer import unigram_tokenize
+
+    # 'abc': one piece (score 5) beats 'ab'+'c' (3+1=4) and chars (3)
+    vocab = {"abc": 5.0, "ab": 3.0, "a": 1.0, "b": 1.0, "c": 1.0}
+    df = spark.createDataFrame([(1, "abc ab c xyz")], "doc_id long, text string")
+    r = unigram_tokenize(df, vocab, unk_score=-9.0).first()
+    # xyz has no pieces -> per-char unk fallback
+    assert r["tokens"] == ["abc", "ab", "c", "x", "y", "z"]
+    assert r["n_tokens"] == 6
+
+
+def test_unigram_tokenize_tie_break_lexicographic(spark):
+    from goetl_spark.operators.tokenizer import unigram_tokenize
+
+    # 'ab': 'ab'(2) ties 'a'+'b'(1+1) -> joined-path compare:
+    # 'a\x1fb' < 'ab' so the two-piece split wins
+    vocab = {"ab": 2.0, "a": 1.0, "b": 1.0}
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert unigram_tokenize(df, vocab).first()["tokens"] == ["a", "b"]
+    # raise the whole-word score -> single piece wins
+    vocab2 = {"ab": 2.5, "a": 1.0, "b": 1.0}
+    assert unigram_tokenize(df, vocab2).first()["tokens"] == ["ab"]
+
+
+def test_unigram_tokenize_null_and_unsegmentable(spark):
+    from goetl_spark.operators.tokenizer import unigram_tokenize
+
+    df = spark.createDataFrame([(1, None), (2, "qq aa")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_tokenize(df, {"aa": 1.0}, unk_score=None).collect()}
+    assert out[1]["tokens"] is None and out[1]["n_tokens"] is None
+    assert out[2]["tokens"] == ["aa"]          # 'qq' dropped (no fallback)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unigram_tokenize(df, {})
+
+
+def test_unigram_viterbi_matches_bruteforce_property():
+    """Viterbi (with the documented tie-break) == exhaustive
+    enumeration picking (max score, lexicographically smallest
+    \\x1f-joined path)."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from goetl_spark.operators.tokenizer import _SEP, _viterbi_pieces
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abc", min_size=1, max_size=8),
+           st.sets(st.text(alphabet="abc", min_size=1, max_size=3),
+                   min_size=1, max_size=8),
+           st.randoms(use_true_random=False))
+    def check(word, pieces, rnd):
+        scores = {p: float(rnd.randint(1, 5)) for p in pieces}
+        for ch in "abc":
+            scores.setdefault(ch, 1.0)       # guarantee coverage
+        max_len = max(len(p) for p in scores)
+        got = _viterbi_pieces(word, scores, max_len, None)
+
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            segs, start = [], 0
+            for i, cut in enumerate(cuts, start=1):
+                if cut:
+                    segs.append(word[start:i])
+                    start = i
+            segs.append(word[start:])
+            if any(s not in scores for s in segs):
+                continue
+            cand = (sum(scores[s] for s in segs), _SEP.join(segs))
+            if (best is None or cand[0] > best[0]
+                    or (cand[0] == best[0] and cand[1] < best[1])):
+                best = cand
+        assert got == (best[1].split(_SEP) if best else None)
+
+    check()
+
+
+def test_learn_unigram_vocab_and_roundtrip(spark):
+    from goetl_spark.operators.tokenizer import (
+        learn_unigram_vocab, unigram_tokenize)
+
+    rows = [(i, "sparkle sparkle merge merge merge stream") for i in range(8)]
+    rows += [(100 + i, "spark stream sparkle") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = learn_unigram_vocab(df, vocab_size=30, seed_size=200,
+                                max_piece_len=8, iterations=2)
+    again = learn_unigram_vocab(df, vocab_size=30, seed_size=200,
+                                max_piece_len=8, iterations=2)
+    assert vocab == again                       # deterministic end to end
+    pieces = dict(vocab)
+    assert all(lp < 0 for lp in pieces.values())
+    # frequent whole words survive as single pieces
+    assert "merge" in pieces and "stream" in pieces
+    out = unigram_tokenize(df, pieces, unk_score=None).collect()
+    # full coverage: every word segments (chars never prune)
+    assert all(r["n_tokens"] > 0 for r in out)
+    # and frequent words tokenize to ONE piece
+    one = unigram_tokenize(
+        spark.createDataFrame([(1, "merge stream")], "doc_id long, text string"),
+        pieces, unk_score=None).first()
+    assert one["tokens"] == ["merge", "stream"]

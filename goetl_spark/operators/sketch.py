@@ -28,6 +28,7 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _k1(q: float, compression: int) -> float:
@@ -292,3 +293,112 @@ def approx_quantiles(
     rows = tdigest_sketch(df, col, compression).collect()
     m, w = merge_tdigest([r.asDict() for r in rows], compression)
     return tdigest_quantiles(m, w, probs)
+
+
+# ---------------------------------------------------------------------------
+# Standing HLL sketch index — incremental distinct counts at 100 TB
+# ---------------------------------------------------------------------------
+
+def _hll_meta_read(path: str) -> dict | None:
+    """Manifest reader, same best-effort local-filesystem contract as
+    the LSH/bloom index families (dedup.py::_lsh_meta_read)."""
+    import json
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    p = os.path.join(path.removeprefix("file://"), "_hll_meta.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        return json.load(open(p))
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _hll_meta_write(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return
+    p = path.removeprefix("file://")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "_hll_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def hll_sketch_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group Datasketches HLL sketch of ``key_col`` (global single
+    row when ``group_cols`` is None): (group..., sketch binary, batch_rows).
+
+    The point of a SKETCH over ``approx_count_distinct``'s scalar: the
+    binary is MERGEABLE — yesterday's sketch unions with today's
+    without touching yesterday's rows, which is what makes a standing
+    distinct-count index O(batch) per day instead of O(history)
+    (:func:`hll_index_write` / :func:`hll_index_append`). Size is
+    ~2^lg_k bytes per group regardless of cardinality. NULL keys are
+    skipped (SQL COUNT DISTINCT semantics)."""
+    groups = list(group_cols or [])
+    agg = [F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"),
+           F.count(key_col).alias("batch_rows")]
+    return (df.groupBy(*groups).agg(*agg) if groups
+            else df.agg(*agg))
+
+
+def hll_index_write(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    group_cols: Sequence[str] | None = None,
+    lg_k: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or append a batch to) a standing HLL distinct-count
+    index: one sketch row per group per batch. Appends never merge
+    on write — union happens at estimate time (:func:`hll_index_
+    estimate`), so the daily cost is sketching the BATCH only, and a
+    re-run of the same append is the only non-idempotent hazard
+    (sketches double-count nothing, so even that only duplicates
+    rows, not distincts). Same config-manifest discipline as the
+    LSH/simhash/bloom standing indexes: sketches at different lg_k
+    are still unionable by Datasketches, but a mismatched key_col or
+    group layout is a different index — appends refuse."""
+    meta = {"key_col": key_col, "group_cols": list(group_cols or []),
+            "lg_k": lg_k}
+    existing = _hll_meta_read(path)
+    if mode == "append" and existing is not None and existing != meta:
+        raise ValueError(
+            f"hll_index_write(append): config {meta} != index config "
+            f"{existing} — refusing to mix index layouts")
+    hll_sketch_build(df, key_col, group_cols, lg_k) \
+        .write.mode(mode).parquet(path)
+    _hll_meta_write(path, meta)
+
+
+def hll_index_estimate(
+    spark,
+    path: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimates from a standing index: union all
+    persisted sketch rows per group (``hll_union_agg``) and estimate.
+    Reads only sketch rows (~2^lg_k bytes x groups x batches), never
+    the underlying data — the whole-history distinct count of a
+    100 TB-a-day key stream costs a few MB of I/O. Returns
+    (group..., n_batches, approx_distinct)."""
+    meta = _hll_meta_read(path)
+    groups = list(group_cols if group_cols is not None
+                  else (meta or {}).get("group_cols", []))
+    idx = spark.read.parquet(path)
+    agg = [F.count(F.lit(1)).alias("n_batches"),
+           F.hll_sketch_estimate(
+               F.hll_union_agg(F.col("sketch"), F.lit(True)))
+            .alias("approx_distinct")]
+    return (idx.groupBy(*groups).agg(*agg) if groups
+            else idx.agg(*agg))

@@ -8236,3 +8236,54 @@ def q184_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens",
                     F.array_join("tokens", ",").alias("tokens_csv"))
             .orderBy("doc_id"))
+
+
+@register_staged(
+    "q185_hll_index",
+    """
+    SELECT event_type,
+           CAST(2 AS BIGINT) AS n_batches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q185_hll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing HLL distinct-count index lifecycle (operators/
+    sketch.py::hll_index_write/hll_index_estimate): the event stream
+    split into two 'days' (even/odd event_id, users overlap both),
+    each day SKETCHED and persisted separately — write then append —
+    and the whole-history per-event_type distinct-user estimate
+    produced by unioning the persisted sketch rows, never re-reading
+    day 1's events. The q47/q82 bound-check pattern makes the
+    mergeable-sketch contract driver-checkable: the compared values
+    are the exact distinct (from one full scan, existing only to pin
+    the bound), the batch count, and within_bound = |union-estimate −
+    exact|/exact ≤ 5% (lg_k=12 → rsd ≈ 1.6%); a sketch that
+    double-counts the overlap or drops a batch flips the boolean. At
+    100 TB/day this is THE incremental-cardinality shape: the daily
+    cost is sketching the batch, history is a few KB of sketch rows
+    per group."""
+    from goetl_spark.operators.sketch import (
+        hll_index_estimate, hll_index_write)
+
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id",
+                                           "user_id")
+    path = _scratch("goetl_q185_hll")
+    hll_index_write(e.filter(F.col("event_id") % 2 == 0), path,
+                    "user_id", ["event_type"])
+    hll_index_write(e.filter(F.col("event_id") % 2 == 1), path,
+                    "user_id", ["event_type"], mode="append")
+    est = hll_index_estimate(spark, path)
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (est.join(exact, "event_type")
+            .select(
+                "event_type",
+                F.col("n_batches").cast("long").alias("n_batches"),
+                F.col("exact_users").cast("long").alias("exact_users"),
+                (F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                 / F.col("exact_users") <= 0.05).alias("within_bound"))
+            .orderBy("event_type"))

@@ -211,3 +211,51 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     neg = spark.createDataFrame([(1, 10), (2, -3)], "id int, w int")
     with pytest.raises(Exception, match="non-positive or NULL"):
         weighted_systematic_sample(neg, "w", 7, ["id"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# standing HLL sketch index
+# ---------------------------------------------------------------------------
+
+
+def test_hll_index_lifecycle_incremental(spark, tmp_path):
+    """write -> append -> estimate: the union over per-batch sketches
+    matches the exact distinct over the union of batches (within HLL
+    error), overlapping keys across batches are not double-counted,
+    and appends with a different layout refuse."""
+    import pytest as _pytest
+
+    from goetl_spark.operators.sketch import (
+        hll_index_estimate, hll_index_write)
+
+    path = str(tmp_path / "hll_idx")
+    day1 = spark.range(0, 5000).selectExpr(
+        "id % 2 AS grp", "CAST(id AS STRING) AS user")
+    day2 = spark.range(2500, 7500).selectExpr(    # 50% overlap with day1
+        "id % 2 AS grp", "CAST(id AS STRING) AS user")
+    hll_index_write(day1, path, "user", ["grp"])
+    hll_index_write(day2, path, "user", ["grp"], mode="append")
+
+    est = {r["grp"]: r for r in hll_index_estimate(spark, path).collect()}
+    for grp in (0, 1):
+        assert est[grp]["n_batches"] == 2
+        # exact distinct per grp over the union = 3750 each
+        assert abs(est[grp]["approx_distinct"] - 3750) / 3750 < 0.05
+
+    with _pytest.raises(ValueError):
+        hll_index_write(day2, path, "user", None, mode="append")
+    with _pytest.raises(ValueError):
+        hll_index_write(day2, path, "other_key", ["grp"], mode="append")
+
+
+def test_hll_sketch_build_global_and_nulls(spark):
+    from goetl_spark.operators.sketch import hll_sketch_build
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")], "id long, k string")
+    from pyspark.sql import functions as F
+    row = (hll_sketch_build(df, "k")
+           .select(F.hll_sketch_estimate("sketch").alias("est"),
+                   "batch_rows").first())
+    assert row["est"] == 2                     # exact at tiny cardinality
+    assert row["batch_rows"] == 3              # NULL skipped

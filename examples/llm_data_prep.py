@@ -53,6 +53,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
                                     ascending=True)
     n_capped = capped.count()
 
+    # 0b. crawl-frontier URL triage (8 RE2 rules, integer thresholds,
+    #     zero UDF) — runs before anything is fetched in production
+    from goetl_spark.operators.web import url_quality_flags
+
+    n_url_pass = (url_quality_flags(capped)
+                  .filter(F.col("url_pass")).count())
+
     # 1. quality filter (pure Column expressions, zero UDF)
     kept = (docs.withColumn("q", quality_score(F.col("text")))
             .filter(F.col("q") >= 0.3)
@@ -88,6 +95,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     clean = bloom_anti_join(clean, blocklist, on=["doc_id"])
     n3b = clean.count()
 
+    # 3b'. content-level TERM blocklist (token-exact, broadcast list;
+    #      only (id, count) pairs shuffle) — the id-bloom cut above
+    #      removes known-bad documents, this one flags bad CONTENT
+    from goetl_spark.operators.text import term_blocklist_hits
+
+    n_term_flagged = (term_blocklist_hits(clean, ["slow", "dup"])
+                      .filter(F.col("block_flag")).count())
+
     # 3c. corpus-level fluency gate: Kneser-Ney bigram score (the
     #     KenLM-class smoothing CCNet uses); keep docs at or above the
     #     corpus median so the report stays corpus-relative
@@ -113,6 +128,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     bpe_tokens = (apply_bpe_merges(clean, merges)
                   .agg(F.sum("n_tokens")).collect()[0][0])
 
+    # 4c. OR the third family: unigram-LM (SentencePiece) — hard-EM
+    #     training over the distinct-word table, Viterbi inference
+    from goetl_spark.operators.tokenizer import (
+        learn_unigram_vocab, unigram_tokenize)
+
+    uni_vocab = dict(learn_unigram_vocab(clean, vocab_size=60,
+                                         seed_size=400, iterations=2))
+    uni_tokens = int(unigram_tokenize(clean, uni_vocab, unk_score=None)
+                     .agg(F.sum("n_tokens")).collect()[0][0])
+
     # 5. chunk long docs into 64-token windows with 8-token overlap
     chunks = chunk_documents(clean, chunk_tokens=64, overlap_tokens=8)
     n4 = chunks.count()
@@ -135,11 +160,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
                     .select("doc_id").first()[0])
 
     result = {"input_docs": n0, "domains": n_domains,
-              "after_domain_cap": n_capped, "after_quality": n1,
+              "after_domain_cap": n_capped, "url_pass": n_url_pass,
+              "after_quality": n1,
               "gopher_pass": n_gopher, "after_dedup": n2,
               "after_decontamination": n3, "after_blocklist": n3b,
+              "term_flagged": n_term_flagged,
               "fluent_docs": n_fluent, "bpe_merges": len(merges),
-              "bpe_tokens": int(bpe_tokens), "chunks": n4,
+              "bpe_tokens": int(bpe_tokens),
+              "unigram_tokens": uni_tokens, "chunks": n4,
               "sentence_chunks": n_sent_chunks,
               "packs_of_256_tokens": n_packs,
               "epoch0_first_doc": first_doc}

@@ -268,3 +268,136 @@ def holt_smooth(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(smooth, schema=schema)
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    key_cols: Sequence[str],
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    pos_col: str = "cusum_pos",
+    neg_col: str = "cusum_neg",
+    alarm_col: str = "alarm",
+) -> DataFrame:
+    """Tabular CUSUM change-point detection per key (Page 1954) — the
+    standard drift detector for data-quality monitoring (a feed whose
+    mean shifts, a sensor that sticks, a crawler whose doc-length
+    distribution moves):
+
+    ``s+_i = max(0, s+_{i-1} + (x_i - target - slack))``
+    ``s-_i = max(0, s-_{i-1} + (target - x_i - slack))``
+
+    with ``s+_0 = s-_0 = 0``; ``alarm`` is true whenever either side
+    exceeds ``threshold`` (NULL alarms when ``threshold`` is None).
+    ``slack`` (the "k" allowance, typically half the shift you want to
+    detect) absorbs in-control noise so the statistic only grows on a
+    sustained shift. NULL values emit NULL and leave the running state
+    untouched (the :func:`ewma`/:func:`holt_smooth` family contract).
+
+    Scale shape is identical to :func:`ewma`: the recurrence is serial
+    PER KEY, so one ``applyInPandas`` pass — a single shuffle on the
+    keys, each series scanned sequentially in its executor. Each step
+    is ``max(0, s + ((x - target) - slack))`` evaluated left-to-right
+    in float64, so a SQL recursive CTE carrying (s+, s-) replays it
+    bit-for-bit (q186's oracle) — GREATEST against an exact 0.0 is
+    order-insensitive, unlike a sum re-association would be.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    if not keys or not order:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    if slack < 0.0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(pos_col, T.DoubleType()),
+                             T.StructField(neg_col, T.DoubleType()),
+                             T.StructField(alarm_col, T.BooleanType())])
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        pos, neg, alarms = [], [], []
+        sp = sn = 0.0
+        for x in pdf[value_col]:
+            if x is None or x != x:  # NULL / NaN: emit NULL, keep state
+                pos.append(None)
+                neg.append(None)
+                alarms.append(None)
+                continue
+            sp = max(0.0, sp + ((float(x) - target) - slack))
+            sn = max(0.0, sn + ((target - float(x)) - slack))
+            pos.append(sp)
+            neg.append(sn)
+            alarms.append(None if threshold is None
+                          else bool(sp > threshold or sn > threshold))
+        pdf[pos_col] = pos
+        pdf[neg_col] = neg
+        pdf[alarm_col] = alarms
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema=schema)
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    gap: int = 0,
+    out_start: str = "span_start",
+    out_end: str = "span_end",
+    count_col: str = "n_merged",
+) -> DataFrame:
+    """Merge overlapping (or within-``gap``) intervals per key into
+    maximal disjoint spans — the classic interval-union: sessions from
+    lease windows, incident windows from alert intervals, covered
+    playback time from watch segments. Two intervals belong to the
+    same span when the later one starts at or before (running max end
+    so far) + ``gap``; the output is one row per span with its extent
+    and the number of source intervals merged into it.
+
+    Works on numeric columns directly and on timestamps (``gap`` is
+    then seconds). Intervals with ``end < start`` participate as-is
+    (their ``end`` simply never extends the running max) — filter
+    upstream if they are data errors.
+
+    Scale shape: pure window algebra, zero UDF, one shuffle. A single
+    sort per key orders intervals by (start, end); the running
+    ``max(end)`` over *preceding* rows finds chain breaks
+    (``start > running_max + gap`` opens a new span), a running sum
+    over the break flags numbers the spans, and one aggregation on the
+    SAME (key) partitioning collapses them — Catalyst reuses the
+    window's exchange for the groupBy, so the whole operator is one
+    exchange + one sort at any scale. This is the textbook
+    segmented-scan formulation: no self-join, no per-key collect, and
+    span count per key is bounded by interval count, so skew follows
+    the input's own key skew.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql import types as T
+
+    is_ts = isinstance(df.schema[end_col].dataType, T.TimestampType)
+    gap_shift = (F.expr(f"INTERVAL {int(gap)} SECONDS") if is_ts
+                 else F.lit(gap))
+
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max = (F.max(end_col)
+                .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    new_span = F.when(prev_max.isNull(), F.lit(1)).otherwise(
+        (F.col(start_col) > prev_max + gap_shift).cast("int"))
+    span_id = F.sum(new_span).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    return (df.select(*keys, start_col, end_col)
+            .withColumn("__span", span_id)
+            .groupBy(*keys, "__span")
+            .agg(F.min(start_col).alias(out_start),
+                 F.max(end_col).alias(out_end),
+                 F.count(F.lit(1)).alias(count_col))
+            .drop("__span"))

@@ -8287,3 +8287,112 @@ def q185_hll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("approx_distinct") - F.col("exact_users"))
                  / F.col("exact_users") <= 0.05).alias("within_bound"))
             .orderBy("event_type"))
+
+
+@register_staged(
+    "q186_cusum_drift",
+    """
+    WITH RECURSIVE base AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE value IS NOT NULL AND user_id % 199 = 0
+    ),
+    r AS (
+        SELECT event_type, event_id, rn,
+               GREATEST(CAST(0 AS DOUBLE), (value - 100.0) - 0.5) AS sp,
+               GREATEST(CAST(0 AS DOUBLE), (100.0 - value) - 0.5) AS sn
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.event_id, s.rn,
+               GREATEST(CAST(0 AS DOUBLE), r.sp + ((s.value - 100.0) - 0.5)),
+               GREATEST(CAST(0 AS DOUBLE), r.sn + ((100.0 - s.value) - 0.5))
+        FROM r JOIN base s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, event_id, sp AS cusum_pos, sn AS cusum_neg,
+           (sp > 512.0 OR sn > 512.0) AS alarm
+    FROM r ORDER BY event_type, rn
+    """,
+)
+def q186_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM drift detection (operators/timeseries.py::cusum):
+    q168/q180's sampled per-event_type value stream scanned for
+    sustained mean shifts off a target of 100 with slack 0.5 and
+    threshold 512 — the data-quality monitor that catches a feed whose
+    mean drifts where a plain threshold alarm would not. Both CUSUM
+    sides and the alarm boolean compare; the oracle's RECURSIVE CTE
+    carries (s+, s-) and replays ``max(0, s + ((x - target) - slack))``
+    in the identical left-to-right float64 order — GREATEST against an
+    exact 0.0 introduces no re-association, so the floats are
+    bit-exact (the q168 dyadic-constant recipe: 100.0, 0.5, 512.0 all
+    exact doubles)."""
+    from goetl_spark.operators.timeseries import cusum
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()
+                  & (F.col("user_id") % 199 == 0))
+          .select("event_type", "event_id", "ts", "value"))
+    out = cusum(ev, "value", ["ts", "event_id"], ["event_type"],
+                target=100.0, slack=0.5, threshold=512.0)
+    return (out.orderBy("event_type", "ts", "event_id")
+            .select("event_type", "event_id", "cusum_pos", "cusum_neg",
+                    "alarm"))
+
+
+@register_staged(
+    "q187_interval_union",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 + CAST(floor(value) AS BIGINT) AS e
+        FROM events WHERE value IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808) + 600
+                    THEN 1 ELSE CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id ORDER BY s, e) = 1
+                    THEN 1 ELSE 0 END END AS brk
+        FROM iv
+    ),
+    spans AS (
+        SELECT user_id, s, e,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS span
+        FROM flagged
+    )
+    SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM spans GROUP BY user_id, span
+    ORDER BY user_id, span_start
+    """,
+)
+def q187_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (operators/timeseries.py::
+    coalesce_intervals): each event opens an activity interval
+    [epoch(ts), epoch(ts)+value seconds]; per-user intervals within a
+    600-second gap merge into maximal disjoint activity spans — the
+    interval-union every session/incident/coverage analysis needs,
+    here in its pure segmented-scan form (running max(end) finds chain
+    breaks, a running sum numbers spans, one agg collapses them; zero
+    UDF, one exchange). The oracle replays the identical window
+    algebra in DuckDB; epochs floor to BIGINT seconds on both sides so
+    every value is exact integer arithmetic."""
+    from goetl_spark.operators.timeseries import coalesce_intervals
+
+    iv = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id",
+                  F.unix_timestamp("ts").alias("s"),
+                  (F.unix_timestamp("ts")
+                   + F.floor("value").cast("long")).alias("e")))
+    return (coalesce_intervals(iv, ["user_id"], "s", "e", gap=600)
+            .orderBy("user_id", "span_start"))

@@ -211,3 +211,92 @@ def test_holt_partitioning_invariance_and_guards(spark):
         holt_smooth(df1, "x", ["i"], ["k"], 0.5, 0.0)
     with _pytest.raises(ValueError):
         holt_smooth(df1, "x", ["i"], [], 0.5, 0.5)
+
+
+def test_cusum_detects_mean_shift(spark):
+    from goetl_spark.operators.timeseries import cusum
+
+    # 20 in-control points at ~10, then 20 shifted to ~13
+    rows = [("k", i, 10.0 + (i % 3) - 1.0) for i in range(1, 21)]
+    rows += [("k", i, 13.0 + (i % 3) - 1.0) for i in range(21, 41)]
+    df = spark.createDataFrame(rows, "k string, i int, x double")
+    out = sorted(cusum(df, "x", ["i"], ["k"], target=10.0, slack=0.5,
+                       threshold=5.0).collect(), key=lambda r: r["i"])
+
+    # replay the recurrence in pure Python
+    sp = sn = 0.0
+    for r in out:
+        x = r["x"]
+        sp = max(0.0, sp + ((x - 10.0) - 0.5))
+        sn = max(0.0, sn + ((10.0 - x) - 0.5))
+        assert r["cusum_pos"] == sp and r["cusum_neg"] == sn
+        assert r["alarm"] == (sp > 5.0 or sn > 5.0)
+    # in-control half never alarms; shifted half eventually does
+    assert not any(r["alarm"] for r in out[:20])
+    assert any(r["alarm"] for r in out[20:])
+
+
+def test_cusum_null_handling_and_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(
+        [("k", 1, 12.0), ("k", 2, None), ("k", 3, 12.0)],
+        "k string, i int, x double")
+    out = {r["i"]: r for r in
+           cusum(df, "x", ["i"], ["k"], target=10.0).collect()}
+    assert out[2]["cusum_pos"] is None and out[2]["alarm"] is None
+    # state carried across the NULL: 2.0 then 4.0
+    assert out[1]["cusum_pos"] == 2.0 and out[3]["cusum_pos"] == 4.0
+    # threshold=None -> alarm column all NULL
+    assert out[1]["alarm"] is None
+    with _pytest.raises(ValueError):
+        cusum(df, "x", ["i"], ["k"], target=0.0, slack=-1.0)
+    with _pytest.raises(ValueError):
+        cusum(df, "x", [], ["k"], target=0.0)
+
+
+def test_coalesce_intervals_numeric(spark):
+    from goetl_spark.operators.timeseries import coalesce_intervals
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 12), ("a", 12, 15),   # chain via overlap+touch
+        ("a", 20, 25),                               # separate
+        ("a", 26, 30),                               # joins 20-25 at gap>=1
+        ("b", 0, 100), ("b", 40, 50),                # containment
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+
+    out0 = {(r["k"], r["span_start"]): r for r in
+            coalesce_intervals(df, ["k"], "s", "e").collect()}
+    assert set(out0) == {("a", 0), ("a", 20), ("a", 26), ("b", 0)}
+    assert out0[("a", 0)]["span_end"] == 15
+    assert out0[("a", 0)]["n_merged"] == 3
+    assert out0[("b", 0)]["span_end"] == 100
+    assert out0[("b", 0)]["n_merged"] == 2
+
+    out1 = {(r["k"], r["span_start"]): r for r in
+            coalesce_intervals(df.repartition(7), ["k"], "s", "e",
+                               gap=1).collect()}
+    assert set(out1) == {("a", 0), ("a", 20), ("b", 0)}
+    assert out1[("a", 20)]["span_end"] == 30
+
+
+def test_coalesce_intervals_timestamps(spark):
+    import datetime as dt
+
+    from goetl_spark.operators.timeseries import coalesce_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [("u", t0, t0 + 60 * sec), ("u", t0 + 30 * sec, t0 + 90 * sec),
+            ("u", t0 + 200 * sec, t0 + 210 * sec)]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    out = sorted(coalesce_intervals(df, ["k"], "s", "e", gap=30).collect(),
+                 key=lambda r: r["span_start"])
+    assert len(out) == 2
+    assert out[0]["span_end"] == t0 + 90 * sec and out[0]["n_merged"] == 2
+    # gap=110 bridges the 110-second hole
+    assert len(coalesce_intervals(df, ["k"], "s", "e", gap=110)
+               .collect()) == 1

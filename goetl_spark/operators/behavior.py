@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_user_times(
@@ -159,3 +159,105 @@ def cohort_retention(
                         F.col("n_users") / F.col("cohort_size"))
             .select("cohort", "period_offset", "n_users",
                     "cohort_size", "retention"))
+
+
+def attribution_credit(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    model: str = "linear",
+    lookback_seconds: int | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution — the standard marketing /
+    growth question ("which touchpoints get credit for this
+    purchase?") over a raw event stream. Each touch event credits the
+    NEXT conversion of the same user that follows it in the
+    (``ts_col``, ``id_col``) total order (ties break on the id, so
+    same-timestamp rows are deterministic), optionally only when the
+    conversion lands within ``lookback_seconds``. Touches after a
+    user's last conversion credit nothing; conversions with no
+    eligible touch produce no rows (report them via an anti-join if
+    needed).
+
+    Models: ``linear`` splits 1.0 evenly across the conversion's
+    touches; ``first`` / ``last`` give the whole 1.0 to the earliest /
+    latest touch (other touches are omitted); ``position`` is the
+    U-shaped 40/20/40: 0.4 to first and last, the middle 0.2 split
+    evenly (single touch → 1.0, two touches → 0.5 each).
+
+    Output: one row per credited touch — (user, conversion id + ts,
+    touch id + ts + type, ``credit``), with per-conversion credits
+    summing to 1.0.
+
+    Scale shape: zero UDF, pure window algebra. Pass 1 partitions by
+    the user key (one shuffle) and propagates each row's next
+    conversion with ``first(ignorenulls)`` over the strictly-following
+    frame — a single sort handles every user's full history without
+    self-joining events to events (the naive touches×conversions join
+    is quadratic in events per user). Pass 2 partitions by (user,
+    conversion) — a subsumed, finer key — for the per-conversion
+    counts/ranks that turn membership into credit. Both states are
+    fixed-width per row; skew follows the event stream's own user
+    skew (a bot user with 1e6 events costs one fat sort task, the
+    same cost sessionization pays — salt upstream if that matters).
+    """
+    if model not in ("linear", "first", "last", "position"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    touches = list(touch_types)
+    if not touches:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touches:
+        raise ValueError("conversion_type cannot also be a touch type")
+
+    ev = (df.filter(F.col(type_col).isin(touches + [conversion_type]))
+            .select(user_col, ts_col, type_col, id_col))
+
+    is_conv = F.col(type_col) == conversion_type
+    w = (Window.partitionBy(user_col).orderBy(ts_col, id_col)
+         .rowsBetween(1, Window.unboundedFollowing))
+    ev = ev.withColumn(
+        "conv_id",
+        F.first(F.when(is_conv, F.col(id_col)), ignorenulls=True).over(w),
+    ).withColumn(
+        "conv_ts",
+        F.first(F.when(is_conv, F.col(ts_col)), ignorenulls=True).over(w),
+    )
+
+    t = ev.filter(~is_conv & F.col("conv_id").isNotNull())
+    if lookback_seconds is not None:
+        t = t.filter(
+            F.unix_timestamp("conv_ts") - F.unix_timestamp(ts_col)
+            <= int(lookback_seconds))
+
+    wc = Window.partitionBy(user_col, "conv_id")
+    t = (t.withColumn("__n", F.count(F.lit(1)).over(wc))
+          .withColumn("__asc", F.row_number().over(
+              wc.orderBy(ts_col, id_col)))
+          .withColumn("__desc", F.row_number().over(
+              wc.orderBy(F.desc(ts_col), F.desc(id_col)))))
+
+    if model == "linear":
+        t = t.withColumn("credit", F.lit(1.0) / F.col("__n"))
+    elif model == "first":
+        t = t.filter(F.col("__asc") == 1).withColumn("credit", F.lit(1.0))
+    elif model == "last":
+        t = t.filter(F.col("__desc") == 1).withColumn("credit", F.lit(1.0))
+    else:  # position (U-shaped 40/20/40)
+        t = t.withColumn(
+            "credit",
+            F.when(F.col("__n") == 1, F.lit(1.0))
+             .when(F.col("__n") == 2, F.lit(0.5))
+             .when(F.col("__asc") == 1, F.lit(0.4))
+             .when(F.col("__desc") == 1, F.lit(0.4))
+             .otherwise(F.lit(0.2) / (F.col("__n") - 2)))
+
+    return t.select(
+        user_col, "conv_id", "conv_ts",
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+        "credit")

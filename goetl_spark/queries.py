@@ -8396,3 +8396,58 @@ def q187_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + F.floor("value").cast("long")).alias("e")))
     return (coalesce_intervals(iv, ["user_id"], "s", "e", gap=600)
             .orderBy("user_id", "span_start"))
+
+
+@register_staged(
+    "q188_attribution",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_type, event_id,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                                THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS conv_id,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                                THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS conv_ts
+        FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ),
+    t AS (
+        SELECT * FROM ev
+        WHERE event_type <> 'purchase' AND conv_id IS NOT NULL
+          AND CAST(floor(epoch(conv_ts)) AS BIGINT)
+              - CAST(floor(epoch(ts)) AS BIGINT) <= 604800
+    )
+    SELECT user_id, conv_id,
+           event_id AS touch_id, event_type AS touch_type,
+           1.0 / COUNT(*) OVER (PARTITION BY user_id, conv_id) AS credit
+    FROM t
+    ORDER BY user_id, conv_id, touch_id
+    """,
+)
+def q188_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (operators/behavior.py::
+    attribution_credit): every view/click/signup credits the user's
+    NEXT purchase within a 7-day lookback, credit split evenly per
+    conversion — the growth-analytics question funnels (q114) can't
+    answer because it needs per-event credit, not per-stage counts.
+    The operator is pure window algebra (next-conversion via
+    first(ignorenulls) over the strictly-following frame — one
+    user-key sort, NO touches-times-conversions self-join), and the
+    oracle replays the identical two-window plan in DuckDB; credit
+    1.0/n is the same double division in both engines, so the compare
+    is hash-exact including the float."""
+    from goetl_spark.operators.behavior import attribution_credit
+
+    ev = _t(spark, sf_dir, "events")
+    out = attribution_credit(
+        ev, "user_id", "ts", "event_type", "purchase",
+        ["view", "click", "signup"], model="linear",
+        lookback_seconds=604800)
+    return (out.select("user_id", "conv_id", "touch_id", "touch_type",
+                       "credit")
+            .orderBy("user_id", "conv_id", "touch_id"))

@@ -103,3 +103,110 @@ def test_cohort_period_days_derived_and_validated(spark):
            for r in cohort_retention(df, "user", "ts", period="day").collect()}
     assert out[("2024-01-01 00:00:00", 0)] == 1
     assert out[("2024-01-01 00:00:00", 2)] == 1
+
+
+def _attr_events(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: two touches -> purchase, one touch -> purchase, trailing touch
+        (1, t0 + 1 * s, "view", 101),
+        (1, t0 + 2 * s, "click", 102),
+        (1, t0 + 3 * s, "purchase", 103),
+        (1, t0 + 4 * s, "view", 104),
+        (1, t0 + 6 * s, "purchase", 105),
+        (1, t0 + 10 * s, "view", 106),       # after last conversion
+        # user 2: conversion with no touches
+        (2, t0, "purchase", 201),
+        # user 3: touch far before conversion (lookback test)
+        (3, t0, "view", 301),
+        (3, t0 + 100 * s, "purchase", 302),
+        # user 4: four touches then one purchase (position model)
+        (4, t0 + 1 * s, "view", 401),
+        (4, t0 + 2 * s, "click", 402),
+        (4, t0 + 3 * s, "view", 403),
+        (4, t0 + 4 * s, "click", 404),
+        (4, t0 + 5 * s, "purchase", 405),
+        # noise type never in the model
+        (1, t0 + 2 * s, "error", 999),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int")
+
+
+def test_attribution_linear_and_lookback(spark):
+    from goetl_spark.operators.behavior import attribution_credit
+
+    ev = _attr_events(spark)
+    out = attribution_credit(ev, "user_id", "ts", "event_type",
+                             "purchase", ["view", "click"],
+                             model="linear")
+    got = {(r["user_id"], r["conv_id"], r["touch_id"]): r["credit"]
+           for r in out.collect()}
+    assert got[(1, 103, 101)] == 0.5 and got[(1, 103, 102)] == 0.5
+    assert got[(1, 105, 104)] == 1.0
+    assert (1, None, 106) not in got          # trailing touch dropped
+    assert not any(u == 2 for u, _, _ in got)  # touchless conversion
+    assert got[(3, 302, 301)] == 1.0           # no lookback -> credited
+    # per-conversion credits sum to 1.0
+    import collections
+    sums = collections.Counter()
+    for (_, conv, _), c in got.items():
+        sums[conv] += c
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+
+    within = attribution_credit(ev, "user_id", "ts", "event_type",
+                                "purchase", ["view", "click"],
+                                model="linear", lookback_seconds=50)
+    got2 = {(r["user_id"], r["touch_id"]) for r in within.collect()}
+    assert (3, 301) not in got2 and (1, 101) in got2
+
+
+def test_attribution_first_last_position(spark):
+    from goetl_spark.operators.behavior import attribution_credit
+
+    ev = _attr_events(spark)
+    first = {(r["conv_id"], r["touch_id"]): r["credit"]
+             for r in attribution_credit(
+                 ev, "user_id", "ts", "event_type", "purchase",
+                 ["view", "click"], model="first").collect()}
+    assert first[(103, 101)] == 1.0 and (103, 102) not in first
+    last = {(r["conv_id"], r["touch_id"]): r["credit"]
+            for r in attribution_credit(
+                ev, "user_id", "ts", "event_type", "purchase",
+                ["view", "click"], model="last").collect()}
+    assert last[(103, 102)] == 1.0 and (103, 101) not in last
+
+    pos = {r["touch_id"]: r["credit"]
+           for r in attribution_credit(
+               ev, "user_id", "ts", "event_type", "purchase",
+               ["view", "click"], model="position").collect()
+           if r["user_id"] == 4}
+    assert pos[401] == 0.4 and pos[404] == 0.4
+    assert abs(pos[402] - 0.1) < 1e-12 and abs(pos[403] - 0.1) < 1e-12
+    # two-touch conversion -> 0.5/0.5; one-touch -> 1.0
+    pos1 = {r["touch_id"]: r["credit"]
+            for r in attribution_credit(
+                ev, "user_id", "ts", "event_type", "purchase",
+                ["view", "click"], model="position").collect()
+            if r["user_id"] == 1}
+    assert pos1[101] == 0.5 and pos1[102] == 0.5 and pos1[104] == 1.0
+
+
+def test_attribution_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.behavior import attribution_credit
+
+    ev = _attr_events(spark)
+    with _pytest.raises(ValueError):
+        attribution_credit(ev, "user_id", "ts", "event_type",
+                           "purchase", [], model="linear")
+    with _pytest.raises(ValueError):
+        attribution_credit(ev, "user_id", "ts", "event_type",
+                           "purchase", ["view"], model="bogus")
+    with _pytest.raises(ValueError):
+        attribution_credit(ev, "user_id", "ts", "event_type",
+                           "purchase", ["purchase", "view"])

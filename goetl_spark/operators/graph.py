@@ -90,3 +90,88 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    out_col: str = "triangles",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph — the
+    clustering/community primitive (spam rings in link graphs, tight
+    crawl clusters, co-occurrence cliques). The edge frame is treated
+    as undirected: direction, duplicates, and self-loops are
+    normalized away first. Returns (node, ``out_col``) with one row
+    per vertex that appears in at least one (canonical) edge;
+    vertices in no triangle report 0. The global triangle count is
+    ``sum(out_col) / 3``.
+
+    Scale shape — the standard degree-oriented wedge join (the MR/
+    Cohen formulation), all DataFrame algebra, zero UDF:
+
+    1. canonicalize to least/greatest pairs + distinct (one shuffle);
+    2. degree table from one exploded agg;
+    3. orient each edge from its lower-(degree, id) endpoint to the
+       higher one — every node's OUT-degree is then O(sqrt(m)) on any
+       graph, so the wedge join below is bounded by m^1.5 total
+       (vs deg_max² per node un-oriented: a single celebrity node
+       with 1e7 neighbors would otherwise form 1e14 wedges);
+    4. wedges: self-join oriented edges on the common source with a
+       struct-ordered (deg, id) < (deg, id) predicate so each
+       unordered wedge forms once;
+    5. close: equi-join the wedge's (v, w) against the oriented edge
+       set — the closing edge is stored exactly as v→w because
+       orientation follows the same total order. Each triangle
+       materializes exactly once.
+
+    Every join is an equi-join on a node key (broadcast when small,
+    shuffle otherwise — Catalyst/AQE picks); nothing is collected.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ranked = (e.join(da, "a").join(db, "b")
+              .select("a", "b",
+                      F.struct(F.col("dega").alias("d"),
+                               F.col("a").alias("n")).alias("ra"),
+                      F.struct(F.col("degb").alias("d"),
+                               F.col("b").alias("n")).alias("rb")))
+    # orient low-rank -> high-rank; ranks are unique (id tie-break)
+    o = (ranked.select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a"))
+             .otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b"))
+             .otherwise(F.col("a")).alias("v"),
+            F.when(F.col("ra") < F.col("rb"), F.col("rb"))
+             .otherwise(F.col("ra")).alias("rv"))
+         .localCheckpoint(eager=True))
+
+    o1 = o.select(F.col("u").alias("wu"), F.col("v").alias("wv"),
+                  F.col("rv").alias("rwv"))
+    o2 = o.select(F.col("u").alias("wu"), F.col("v").alias("ww"),
+                  F.col("rv").alias("rww"))
+    wedges = (o1.join(o2, "wu")
+              .where(F.col("rwv") < F.col("rww"))
+              .select("wu", "wv", "ww"))
+    tris = wedges.join(
+        o.select(F.col("u").alias("wv"), F.col("v").alias("ww")),
+        ["wv", "ww"])
+
+    per_vertex = (tris.select(F.col("wu").alias("node"))
+                  .unionAll(tris.select(F.col("wv").alias("node")))
+                  .unionAll(tris.select(F.col("ww").alias("node")))
+                  .groupBy("node").agg(F.count(F.lit(1)).alias(out_col)))
+    return (deg.select("node").join(per_vertex, "node", "left")
+            .select("node",
+                    F.coalesce(F.col(out_col), F.lit(0)).alias(out_col)))

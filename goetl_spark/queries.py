@@ -8451,3 +8451,61 @@ def q188_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("user_id", "conv_id", "touch_id", "touch_type",
                        "credit")
             .orderBy("user_id", "conv_id", "touch_id"))
+
+
+@register_staged(
+    "q189_triangles",
+    """
+    WITH raw AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM raw a JOIN raw b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+    pv AS (
+        SELECT node, COUNT(*) AS n FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT n.node, CAST(COALESCE(pv.n, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN pv ON n.node = pv.node
+    ORDER BY n.node
+    """,
+)
+def q189_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting (operators/graph.py::
+    triangle_count) on the supplier co-occurrence graph — suppliers
+    are adjacent when they ship high-quantity lines in the same order;
+    triangle density is the cluster/clique signal community detection
+    and spam-ring hunting start from. The operator runs the
+    degree-oriented wedge join (out-degree O(sqrt(m)) after
+    orientation, so wedge work is bounded m^1.5 even with celebrity
+    nodes); the oracle counts the same triangles via the canonical
+    a<b<c three-way self-join, so every per-vertex count must agree
+    exactly."""
+    from goetl_spark.operators.graph import triangle_count
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") >= 45)
+          .select("l_orderkey", "l_suppkey"))
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+             .select(F.col("a.l_suppkey").alias("src"),
+                     F.col("b.l_suppkey").alias("dst")))
+    return (triangle_count(edges)
+            .select("node", F.col("triangles").cast("long")
+                    .alias("triangles"))
+            .orderBy("node"))

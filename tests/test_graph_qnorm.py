@@ -68,3 +68,46 @@ def test_quantile_normalize_validation(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, x double")
     with pytest.raises(ValueError):
         quantile_normalize(df, "x", ["g"], n_quantiles=1)
+
+
+def test_triangle_count_known_graph(spark):
+    from goetl_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant
+    # 4-5 and an isolated edge 6-7; duplicates/reverses/self-loops
+    # must not change anything
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7),
+             (2, 1), (1, 2), (3, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"]
+           for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    from goetl_spark.operators.graph import triangle_count
+
+    # deterministic pseudo-random graph on 30 nodes
+    nodes = range(30)
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+             if (a * 31 + b * 17) % 5 == 0]
+    eset = set(edges)
+    expect = {n: 0 for n in nodes}
+    n_tri = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            n_tri += 1
+            for v in (a, b, c):
+                expect[v] += 1
+    expect = {n: c for n, c in expect.items()
+              if any(n in e for e in eset)}
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"]
+           for r in triangle_count(df, out_col="triangles").collect()}
+    assert got == expect
+    assert sum(got.values()) == 3 * n_tri

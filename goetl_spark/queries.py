@@ -8509,3 +8509,68 @@ def q189_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("triangles").cast("long")
                     .alias("triangles"))
             .orderBy("node"))
+
+
+@register_staged(
+    "q190_cusum_stream",
+    """
+    WITH RECURSIVE base AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE value IS NOT NULL AND user_id % 199 = 0
+    ),
+    r AS (
+        SELECT event_type, event_id, rn,
+               GREATEST(CAST(0 AS DOUBLE), (value - 100.0) - 0.5) AS sp,
+               GREATEST(CAST(0 AS DOUBLE), (100.0 - value) - 0.5) AS sn
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.event_id, s.rn,
+               GREATEST(CAST(0 AS DOUBLE), r.sp + ((s.value - 100.0) - 0.5)),
+               GREATEST(CAST(0 AS DOUBLE), r.sn + ((100.0 - s.value) - 0.5))
+        FROM r JOIN base s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, event_id, sp AS cusum_pos, sn AS cusum_neg,
+           (sp > 512.0 OR sn > 512.0) AS alarm
+    FROM r ORDER BY event_type, rn
+    """,
+)
+def q190_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM drift monitor (streaming/stateful.py::
+    cusum_stream): q186's sampled per-event_type stream replayed
+    chronologically in 3 micro-batches; per-key (s+, s-) state carries
+    across batch boundaries and every event emits its post-update
+    statistics and alarm. Because the update expressions and the
+    in-batch (ts, event_id) sort are IDENTICAL to the batch operator,
+    the oracle is q186's recursive CTE verbatim and the compare is
+    bit-exact per event — the q183 holt_stream guarantee applied to
+    the drift monitor (state checkpoint is two scalars, so
+    micro-batching cannot perturb the arithmetic)."""
+    from goetl_spark.streaming import replay_stream_ordered, state_partitions
+    from goetl_spark.streaming.stateful import cusum_stream
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull()
+                 & (F.col("user_id") % 199 == 0))
+         .select("event_type", "event_id", "ts", "value"))
+    stream, _dir = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q190_replay"))
+    upd = cusum_stream(stream, "event_type", "value", target=100.0,
+                       slack=0.5, threshold=512.0,
+                       order_cols=["ts", "event_id"],
+                       carry_cols=["event_id", "ts"])
+    name = "goetl_q190_result"
+    with state_partitions(spark, 4):
+        q = (upd.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (spark.table(name)
+            .select("event_type", "event_id", "cusum_pos", "cusum_neg",
+                    "alarm")
+            .orderBy("event_type", "ts", "event_id"))

@@ -437,3 +437,83 @@ def holt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    order_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """STREAMING CUSUM drift detection — the live twin of
+    ``operators/timeseries.py::cusum``: per-key (s+, s-) state carried
+    across micro-batches, each event emitted with its post-update
+    statistics and alarm flag. This is the monitor you attach to a
+    feed: a sustained mean shift raises ``alarm`` within
+    ~threshold/shift events of the change, while a plain threshold
+    alert never fires on a small drift.
+
+    The update is the identical float64 expression sequence as the
+    batch operator (``s+ = max(0, s+ + ((x - target) - slack))`` and
+    the mirrored ``s-``), and ``order_cols`` sorts each micro-batch
+    before applying it — so a replayed stream presenting events in the
+    batch sort's total order matches ``cusum`` BIT-EXACTLY per event
+    regardless of micro-batch boundaries (state is just the last two
+    scalars). Same deviation as ``holt_stream``, documented: NULL
+    values are dropped (batch emits NULL rows) — append-mode streams
+    have no place for score-less rows.
+
+    At scale: two-scalar state per key (O(keys) memory), one shuffle
+    of each micro-batch to its key partition."""
+    if slack < 0.0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    carry = list(carry_cols or [])
+    order = list(order_cols or [])
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            sp, sn = state.get
+        else:
+            sp = sn = 0.0
+        frames = [pdf for pdf in pdfs]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if order:
+            pdf = pdf.sort_values(order, kind="mergesort")
+        rows: list[tuple] = []
+        for tup in pdf.itertuples(index=False):
+            x = getattr(tup, value_col)
+            if x is None or (isinstance(x, float) and pd.isna(x)):
+                continue
+            sp = max(0.0, sp + ((float(x) - target) - slack))
+            sn = max(0.0, sn + ((target - float(x)) - slack))
+            alarm = (None if threshold is None
+                     else bool(sp > threshold or sn > threshold))
+            rows.append(tuple(getattr(tup, c) for c in carry)
+                        + (float(x), sp, sn, alarm))
+        state.update((sp, sn))
+        if rows:
+            yield pd.DataFrame(
+                [(key[0],) + r for r in rows],
+                columns=([key_col] + carry
+                         + [value_col, "cusum_pos", "cusum_neg", "alarm"]))
+
+    fields = [f"{key_col} {stream_df.schema[key_col].dataType.simpleString()}"]
+    for c in carry:
+        fields.append(f"{c} {stream_df.schema[c].dataType.simpleString()}")
+    fields += [f"{value_col} double", "cusum_pos double",
+               "cusum_neg double", "alarm boolean"]
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=", ".join(fields),
+        stateStructType="sp double, sn double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

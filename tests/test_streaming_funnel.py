@@ -219,3 +219,62 @@ def test_holt_stream_drops_nulls_and_guards(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         holt_stream(stream, "k", "x", 0.0, 0.5)
+
+
+def test_cusum_stream_matches_batch_bit_exact(spark, tmp_path):
+    """Replayed in batch order, every emitted (s+, s-, alarm) equals the
+    batch CUSUM exactly — micro-batch boundaries only checkpoint the
+    two scalars."""
+    from goetl_spark.operators.timeseries import cusum
+    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming.stateful import cusum_stream
+
+    rows = [(f"k{i % 3}", i, float((i * 37) % 101)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k string, i long, x double")
+    stream, _ = replay_stream_ordered(df, "i", num_chunks=4,
+                                      dir=str(tmp_path / "cusum_replay"))
+    out = cusum_stream(stream, "k", "x", target=50.0, slack=0.5,
+                       threshold=100.0, order_cols=["i"],
+                       carry_cols=["i"])
+    q = (out.writeStream.format("memory").queryName("cusum_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["i"]): (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+               for r in spark.sql("SELECT * FROM cusum_t").collect()}
+    finally:
+        q.stop()
+    want = {(r["k"], r["i"]): (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+            for r in cusum(df, "x", ["i"], ["k"], target=50.0, slack=0.5,
+                           threshold=100.0).collect()}
+    assert got == want
+    assert len(got) == 60
+    assert any(a for _, _, a in got.values())   # the drift fires somewhere
+
+
+def test_cusum_stream_drops_nulls_and_guards(spark, tmp_path):
+    from goetl_spark.streaming import replay_stream_ordered
+    from goetl_spark.streaming.stateful import cusum_stream
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 10.0)],
+        "k string, i long, x double")
+    stream, _ = replay_stream_ordered(df, "i", num_chunks=1,
+                                      dir=str(tmp_path / "cusum_null"))
+    out = cusum_stream(stream, "k", "x", target=5.0, order_cols=["i"],
+                       carry_cols=["i"])
+    q = (out.writeStream.format("memory").queryName("cusum_n")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cusum_n").collect()
+    finally:
+        q.stop()
+    assert sorted(r["i"] for r in rows) == [1, 3]
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[1]["cusum_pos"] == 5.0 and by_i[3]["cusum_pos"] == 10.0
+    assert by_i[1]["alarm"] is None     # threshold=None -> NULL alarm
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cusum_stream(stream, "k", "x", target=0.0, slack=-0.1)

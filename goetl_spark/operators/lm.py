@@ -193,6 +193,63 @@ def perplexity_buckets(
     ).drop("__r", "__neg")
 
 
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """PMI-scored collocations (Church & Hanks 1990): rank corpus
+    bigram TYPES by pointwise mutual information so fixed phrases
+    ("new york") outrank chance co-occurrences of two frequent words.
+    With positional marginals taken from the bigram table itself —
+    cl = c(w1,·), cr = c(·,w2), n = total bigram tokens —
+
+        pmi(w1,w2) = ln( (c(w1,w2) · n) / (cl · cr) )
+
+    ``min_count`` drops rare pairs AFTER the marginals are computed
+    (the standard convention: hapax bigrams have wildly inflated PMI,
+    but they still contribute probability mass). Complements
+    :func:`~goetl_spark.operators.mining.cooccurrence_pairs`, which
+    counts basket-level pairs without an association score.
+
+    Cross-engine determinism: every factor is cast to double and the
+    expression is evaluated in one fixed order, then the single ln is
+    rounded to 1e-6 (see module header — JVM vs libm ln differs in the
+    last ulp for ~2 % of inputs; rounding is the established remedy).
+
+    Scale shape: bigram extraction is in-row slice+zip (map-only); the
+    pair/marginal tables are TYPE-sized with map-side partial aggs;
+    joins are equi-joins on single token keys; the total rides a
+    one-row broadcast crossJoin. The corpus-sized token stream is
+    touched exactly once. Returns (w1, w2, n_pair, pmi)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = _tokens(text_col)
+    base = df.select(toks.alias("__toks"))
+    n = F.size("__toks")
+    bigrams = base.select(
+        F.explode(F.arrays_zip(
+            F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )).alias("bg"),
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = big.groupBy("w1").agg(F.sum("n_pair").alias("__cl"))
+    right = big.groupBy("w2").agg(F.sum("n_pair").alias("__cr"))
+    scalars = big.agg(F.sum("n_pair").alias("__n"))
+    # doubles BEFORE multiplying: n_pair·n and cl·cr overflow int64 at
+    # corpus scale (n ~ 1e12); order mirrored verbatim in SQL oracles
+    pmi = F.round(F.log(
+        (F.col("n_pair").cast("double") * F.col("__n"))
+        / (F.col("__cl").cast("double") * F.col("__cr"))), 6)
+    return (big.join(left, on="w1")
+            .join(right, on="w2")
+            .crossJoin(F.broadcast(scalars))
+            .filter(F.col("n_pair") >= min_count)
+            .select("w1", "w2", "n_pair", pmi.alias("pmi")))
+
+
 def kneser_ney_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

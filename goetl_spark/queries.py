@@ -8574,3 +8574,44 @@ def q190_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "cusum_pos", "cusum_neg",
                     "alarm")
             .orderBy("event_type", "ts", "event_id"))
+
+
+@register_staged(
+    "q191_pmi_collocations",
+    """
+    WITH tok AS (
+        SELECT unnest(l) AS w1,
+               unnest(list_concat(l[2:], [NULL])) AS w2
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents)
+    ), big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ), l AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS cl
+             FROM big GROUP BY 1),
+       r AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS cr
+             FROM big GROUP BY 1),
+       sc AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM big)
+    SELECT w1, w2, n_pair,
+           round(ln((CAST(n_pair AS DOUBLE) * n)
+                    / (CAST(cl AS DOUBLE) * cr)), 6) AS pmi
+    FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN sc
+    WHERE n_pair >= 3
+    ORDER BY w1, w2
+    """,
+)
+def q191_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocation mining (operators/lm.py::collocation_pmi)
+    over the document corpus: bigram types with count >= 3 ranked by
+    pointwise mutual information, marginals from the bigram table's own
+    positional sums. The q116 tokenizer and bigram extraction verbatim;
+    the PMI double expression is evaluated in the identical factor
+    order in both engines and rounded at 1e-6 (module-header ln
+    convention), so the compare is hash-exact. min_count filters AFTER
+    the marginal/total CTEs in both engines — dropping hapax pairs
+    never changes surviving scores."""
+    from goetl_spark.operators.lm import collocation_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return collocation_pmi(d, min_count=3).orderBy("w1", "w2")

@@ -195,3 +195,40 @@ def test_kneser_ney_ranks_fluency_and_validates(spark):
     assert 2 not in out  # < 2 tokens, no bigrams
     with _pytest.raises(ValueError):
         kneser_ney_logprob_scores(df, discount=1.0)
+
+
+def test_collocation_pmi_hand_computed(spark):
+    # corpus bigrams: "a b a b" -> (a,b) (b,a) (a,b); "c d" -> (c,d)
+    # big: (a,b):2 (b,a):1 (c,d):1; n=4
+    # marginals: cl(a)=2 cl(b)=1 cl(c)=1; cr(b)=2 cr(a)=1 cr(d)=1
+    from goetl_spark.operators.lm import collocation_pmi
+
+    out = {(r.w1, r.w2): r for r in
+           collocation_pmi(_docs(spark, ["a b a b", "c d"]),
+                           min_count=1).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("c", "d")}
+    assert out[("a", "b")].n_pair == 2
+    assert out[("a", "b")].pmi == round(math.log(2 * 4 / (2 * 2)), 6)
+    assert out[("b", "a")].pmi == round(math.log(1 * 4 / (1 * 1)), 6)
+    # the fixed phrases (c,d)/(b,a) tie at max PMI: all marginals 1
+    assert out[("c", "d")].pmi == round(math.log(4.0), 6)
+    top = max(r.pmi for r in out.values())
+    assert {(r.w1, r.w2) for r in out.values() if r.pmi == top} \
+        == {("b", "a"), ("c", "d")}
+
+
+def test_collocation_pmi_min_count_after_marginals(spark):
+    from goetl_spark.operators.lm import collocation_pmi
+
+    df = _docs(spark, ["a b a b", "c d"])
+    kept = {(r.w1, r.w2): r for r in
+            collocation_pmi(df, min_count=2).collect()}
+    assert set(kept) == {("a", "b")}
+    # score identical to the unfiltered run: marginals include the
+    # dropped hapax pairs
+    full = {(r.w1, r.w2): r.pmi for r in
+            collocation_pmi(df, min_count=1).collect()}
+    assert kept[("a", "b")].pmi == full[("a", "b")]
+
+    with pytest.raises(ValueError):
+        collocation_pmi(df, min_count=0)

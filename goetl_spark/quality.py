@@ -198,6 +198,98 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(F.explode(structs).alias("p")).select("p.*")
 
 
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: Sequence[str],
+    numeric_cols: Sequence[str] = (),
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 2.0,
+    mean_shift_tol: float = 0.25,
+) -> DataFrame:
+    """Column-level drift report between two snapshots of the same
+    schema (yesterday's load vs today's, pre- vs post-migration): one
+    row per column with null-rate delta, distinct-count ratio, and —
+    for ``numeric_cols`` — relative mean shift, plus a ``drifted``
+    verdict against the given tolerances. The monitoring primitive a
+    scheduled pipeline runs BEFORE publishing a snapshot; row-level
+    diffing is :mod:`~goetl_spark.operators.cdc`'s job, content
+    equality :func:`dataset_fingerprint`'s.
+
+    Cross-engine determinism: means use the repo's decimal(38,6)
+    sum-then-divide convention (queries.py::dsum); every derived rate
+    is a single double division in a fixed order. ``distinct_ratio``
+    is NULL when side A has 0 distinct values, ``mean_shift`` NULL when
+    mean_a == 0, and an empty side (or an all-NULL numeric column)
+    yields NULL rates/means rather than an ANSI divide-by-zero — NULL
+    comparisons fall out of the ``drifted`` OR via coalesce, never
+    poisoning the verdict.
+
+    Scale shape: ONE wide aggregate job per side (map-side combined,
+    single-row result), a broadcast crossJoin of the two 1-row frames,
+    and an in-plan unpivot — cost is two scans regardless of column
+    count, same as :func:`profile`."""
+    if distinct_ratio_tol <= 1.0:
+        raise ValueError(
+            f"distinct_ratio_tol must be > 1, got {distinct_ratio_tol}")
+    numeric = set(numeric_cols)
+    unknown = numeric - set(cols)
+    if unknown:
+        raise ValueError(f"numeric_cols not in cols: {sorted(unknown)}")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs: list[Column] = [F.count(F.lit(1)).alias(f"__n_{tag}")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"nn_{tag}_{c}"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"dc_{tag}_{c}"))
+            if c in numeric:
+                aggs.append(F.sum(F.col(c).cast("decimal(38,6)"))
+                            .cast("double").alias(f"s_{tag}_{c}"))
+        return df.agg(*aggs)
+
+    wide = side(df_a, "a").crossJoin(F.broadcast(side(df_b, "b")))
+
+    def null_rate(tag: str, c: str) -> Column:
+        return F.when(
+            F.col(f"__n_{tag}") > 0,
+            (F.col(f"__n_{tag}") - F.col(f"nn_{tag}_{c}"))
+            .cast("double") / F.col(f"__n_{tag}"))
+
+    def mean(tag: str, c: str) -> Column:
+        if c not in numeric:
+            return F.lit(None).cast("double")
+        return F.when(F.col(f"nn_{tag}_{c}") > 0,
+                      F.col(f"s_{tag}_{c}") / F.col(f"nn_{tag}_{c}"))
+
+    structs = []
+    for c in cols:
+        nr_a, nr_b = null_rate("a", c), null_rate("b", c)
+        m_a, m_b = mean("a", c), mean("b", c)
+        ratio = F.when(
+            F.col(f"dc_a_{c}") > 0,
+            F.col(f"dc_b_{c}").cast("double") / F.col(f"dc_a_{c}"))
+        shift = F.when(m_a != 0.0, F.abs(m_b - m_a) / F.abs(m_a))
+        drifted = (
+            F.coalesce(F.abs(nr_b - nr_a) > null_rate_tol, F.lit(False))
+            | F.coalesce((ratio > distinct_ratio_tol)
+                         | (ratio < 1.0 / distinct_ratio_tol),
+                         F.lit(False))
+            | F.coalesce(shift > mean_shift_tol, F.lit(False)))
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n_a").alias("n_a"), F.col("__n_b").alias("n_b"),
+            nr_a.alias("null_rate_a"), nr_b.alias("null_rate_b"),
+            F.col(f"dc_a_{c}").alias("distinct_a"),
+            F.col(f"dc_b_{c}").alias("distinct_b"),
+            ratio.alias("distinct_ratio"),
+            m_a.alias("mean_a"), m_b.alias("mean_b"),
+            shift.alias("mean_shift"),
+            drifted.alias("drifted"),
+        ))
+    return (wide.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*"))
+
+
 def dataset_fingerprint(
     df: DataFrame,
     cols: Sequence[str] | None = None,

@@ -8615,3 +8615,106 @@ def q191_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return collocation_pmi(d, min_count=3).orderBy("w1", "w2")
+
+
+@register_staged(
+    "q192_profile_drift",
+    """
+    WITH
+    a AS (SELECT COUNT(*) AS n_a,
+               COUNT(o_custkey) AS nn_a_o_custkey,
+               COUNT(DISTINCT o_custkey) AS dc_a_o_custkey,
+               CAST(SUM(CAST(o_custkey AS DECIMAL(38,6))) AS DOUBLE) AS s_a_o_custkey,
+               COUNT(o_orderpriority) AS nn_a_o_orderpriority,
+               COUNT(DISTINCT o_orderpriority) AS dc_a_o_orderpriority,
+               COUNT(o_orderstatus) AS nn_a_o_orderstatus,
+               COUNT(DISTINCT o_orderstatus) AS dc_a_o_orderstatus,
+               COUNT(o_totalprice) AS nn_a_o_totalprice,
+               COUNT(DISTINCT o_totalprice) AS dc_a_o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_a_o_totalprice
+        FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    b AS (SELECT COUNT(*) AS n_b,
+               COUNT(o_custkey) AS nn_b_o_custkey,
+               COUNT(DISTINCT o_custkey) AS dc_b_o_custkey,
+               CAST(SUM(CAST(o_custkey AS DECIMAL(38,6))) AS DOUBLE) AS s_b_o_custkey,
+               COUNT(o_orderpriority) AS nn_b_o_orderpriority,
+               COUNT(DISTINCT o_orderpriority) AS dc_b_o_orderpriority,
+               COUNT(o_orderstatus) AS nn_b_o_orderstatus,
+               COUNT(DISTINCT o_orderstatus) AS dc_b_o_orderstatus,
+               COUNT(o_totalprice) AS nn_b_o_totalprice,
+               COUNT(DISTINCT o_totalprice) AS dc_b_o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_b_o_totalprice
+        FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    w AS (SELECT * FROM a CROSS JOIN b)
+    SELECT 'o_custkey' AS "column", n_a, n_b,
+           CAST(n_a - nn_a_o_custkey AS DOUBLE) / n_a AS null_rate_a,
+           CAST(n_b - nn_b_o_custkey AS DOUBLE) / n_b AS null_rate_b,
+           dc_a_o_custkey AS distinct_a, dc_b_o_custkey AS distinct_b,
+           CASE WHEN dc_a_o_custkey > 0 THEN CAST(dc_b_o_custkey AS DOUBLE) / dc_a_o_custkey END AS distinct_ratio,
+           s_a_o_custkey / nn_a_o_custkey AS mean_a, s_b_o_custkey / nn_b_o_custkey AS mean_b,
+           CASE WHEN s_a_o_custkey / nn_a_o_custkey <> 0 THEN abs((s_b_o_custkey / nn_b_o_custkey) - (s_a_o_custkey / nn_a_o_custkey)) / abs(s_a_o_custkey / nn_a_o_custkey) END AS mean_shift,
+           COALESCE(abs((CAST(n_b - nn_b_o_custkey AS DOUBLE) / n_b) - (CAST(n_a - nn_a_o_custkey AS DOUBLE) / n_a)) > 0.05, FALSE)
+           OR COALESCE((CASE WHEN dc_a_o_custkey > 0 THEN CAST(dc_b_o_custkey AS DOUBLE) / dc_a_o_custkey END) > 2.0 OR (CASE WHEN dc_a_o_custkey > 0 THEN CAST(dc_b_o_custkey AS DOUBLE) / dc_a_o_custkey END) < 0.5, FALSE)
+           OR COALESCE((CASE WHEN s_a_o_custkey / nn_a_o_custkey <> 0 THEN abs((s_b_o_custkey / nn_b_o_custkey) - (s_a_o_custkey / nn_a_o_custkey)) / abs(s_a_o_custkey / nn_a_o_custkey) END) > 0.25, FALSE) AS drifted
+    FROM w
+    UNION ALL
+    SELECT 'o_orderpriority' AS "column", n_a, n_b,
+           CAST(n_a - nn_a_o_orderpriority AS DOUBLE) / n_a AS null_rate_a,
+           CAST(n_b - nn_b_o_orderpriority AS DOUBLE) / n_b AS null_rate_b,
+           dc_a_o_orderpriority AS distinct_a, dc_b_o_orderpriority AS distinct_b,
+           CASE WHEN dc_a_o_orderpriority > 0 THEN CAST(dc_b_o_orderpriority AS DOUBLE) / dc_a_o_orderpriority END AS distinct_ratio,
+           CAST(NULL AS DOUBLE) AS mean_a, CAST(NULL AS DOUBLE) AS mean_b,
+           CAST(NULL AS DOUBLE) AS mean_shift,
+           COALESCE(abs((CAST(n_b - nn_b_o_orderpriority AS DOUBLE) / n_b) - (CAST(n_a - nn_a_o_orderpriority AS DOUBLE) / n_a)) > 0.05, FALSE)
+           OR COALESCE((CASE WHEN dc_a_o_orderpriority > 0 THEN CAST(dc_b_o_orderpriority AS DOUBLE) / dc_a_o_orderpriority END) > 2.0 OR (CASE WHEN dc_a_o_orderpriority > 0 THEN CAST(dc_b_o_orderpriority AS DOUBLE) / dc_a_o_orderpriority END) < 0.5, FALSE)
+           OR COALESCE((CAST(NULL AS DOUBLE)) > 0.25, FALSE) AS drifted
+    FROM w
+    UNION ALL
+    SELECT 'o_orderstatus' AS "column", n_a, n_b,
+           CAST(n_a - nn_a_o_orderstatus AS DOUBLE) / n_a AS null_rate_a,
+           CAST(n_b - nn_b_o_orderstatus AS DOUBLE) / n_b AS null_rate_b,
+           dc_a_o_orderstatus AS distinct_a, dc_b_o_orderstatus AS distinct_b,
+           CASE WHEN dc_a_o_orderstatus > 0 THEN CAST(dc_b_o_orderstatus AS DOUBLE) / dc_a_o_orderstatus END AS distinct_ratio,
+           CAST(NULL AS DOUBLE) AS mean_a, CAST(NULL AS DOUBLE) AS mean_b,
+           CAST(NULL AS DOUBLE) AS mean_shift,
+           COALESCE(abs((CAST(n_b - nn_b_o_orderstatus AS DOUBLE) / n_b) - (CAST(n_a - nn_a_o_orderstatus AS DOUBLE) / n_a)) > 0.05, FALSE)
+           OR COALESCE((CASE WHEN dc_a_o_orderstatus > 0 THEN CAST(dc_b_o_orderstatus AS DOUBLE) / dc_a_o_orderstatus END) > 2.0 OR (CASE WHEN dc_a_o_orderstatus > 0 THEN CAST(dc_b_o_orderstatus AS DOUBLE) / dc_a_o_orderstatus END) < 0.5, FALSE)
+           OR COALESCE((CAST(NULL AS DOUBLE)) > 0.25, FALSE) AS drifted
+    FROM w
+    UNION ALL
+    SELECT 'o_totalprice' AS "column", n_a, n_b,
+           CAST(n_a - nn_a_o_totalprice AS DOUBLE) / n_a AS null_rate_a,
+           CAST(n_b - nn_b_o_totalprice AS DOUBLE) / n_b AS null_rate_b,
+           dc_a_o_totalprice AS distinct_a, dc_b_o_totalprice AS distinct_b,
+           CASE WHEN dc_a_o_totalprice > 0 THEN CAST(dc_b_o_totalprice AS DOUBLE) / dc_a_o_totalprice END AS distinct_ratio,
+           s_a_o_totalprice / nn_a_o_totalprice AS mean_a, s_b_o_totalprice / nn_b_o_totalprice AS mean_b,
+           CASE WHEN s_a_o_totalprice / nn_a_o_totalprice <> 0 THEN abs((s_b_o_totalprice / nn_b_o_totalprice) - (s_a_o_totalprice / nn_a_o_totalprice)) / abs(s_a_o_totalprice / nn_a_o_totalprice) END AS mean_shift,
+           COALESCE(abs((CAST(n_b - nn_b_o_totalprice AS DOUBLE) / n_b) - (CAST(n_a - nn_a_o_totalprice AS DOUBLE) / n_a)) > 0.05, FALSE)
+           OR COALESCE((CASE WHEN dc_a_o_totalprice > 0 THEN CAST(dc_b_o_totalprice AS DOUBLE) / dc_a_o_totalprice END) > 2.0 OR (CASE WHEN dc_a_o_totalprice > 0 THEN CAST(dc_b_o_totalprice AS DOUBLE) / dc_a_o_totalprice END) < 0.5, FALSE)
+           OR COALESCE((CASE WHEN s_a_o_totalprice / nn_a_o_totalprice <> 0 THEN abs((s_b_o_totalprice / nn_b_o_totalprice) - (s_a_o_totalprice / nn_a_o_totalprice)) / abs(s_a_o_totalprice / nn_a_o_totalprice) END) > 0.25, FALSE) AS drifted
+    FROM w
+    ORDER BY "column"
+    """,
+)
+def q192_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level snapshot drift report (quality.py::profile_drift):
+    orders before vs from 1998 compared column-by-column — null-rate
+    delta, distinct-count ratio, decimal-exact relative mean shift, and
+    a tolerance verdict. o_orderstatus genuinely drifts (old orders are
+    overwhelmingly filled 'F', recent ones split O/P/F), which the
+    distinct rules surface without any row-level diff. (This testdata's
+    orders span 1995-01-01..2001-08-01, so 1998 is the mid split.) The oracle
+    replays both single-row aggregate sides, the cross join, and every
+    double division in the operator's exact order, so the report is
+    hash-exact. Two scans total regardless of column count — the
+    monitoring pass a scheduled pipeline affords before every publish."""
+    from goetl_spark.quality import profile_drift
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus",
+            "o_totalprice"]
+    return profile_drift(
+        o.filter(F.col("o_orderdate") < "1998-01-01"),
+        o.filter(F.col("o_orderdate") >= "1998-01-01"),
+        cols, numeric_cols=["o_custkey", "o_totalprice"],
+    ).orderBy("column")

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from goetl_spark.quality import DataQualityValidator, FieldRule, profile
 
@@ -128,3 +128,69 @@ def test_dataset_fingerprint_nulls_and_guards(spark):
     assert sub["n_rows"] == 2
     with _pytest.raises(ValueError):
         dataset_fingerprint(e, cols=[])
+
+
+def test_profile_drift_nulls_distinct_and_mean(spark):
+    from goetl_spark.quality import profile_drift
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 10.0), (3, "z", 10.0), (4, "w", 10.0)],
+        "id long, cat string, v double")
+    b = spark.createDataFrame(
+        [(5, "x", 20.0), (6, None, 20.0), (7, None, 20.0), (8, "x", None)],
+        "id long, cat string, v double")
+    out = {r["column"]: r for r in
+           profile_drift(a, b, ["cat", "v"], numeric_cols=["v"],
+                         null_rate_tol=0.1, distinct_ratio_tol=2.0,
+                         mean_shift_tol=0.5).collect()}
+    cat = out["cat"]
+    assert cat.null_rate_a == 0.0 and cat.null_rate_b == 0.5
+    assert cat.distinct_a == 4 and cat.distinct_b == 1
+    assert cat.distinct_ratio == 0.25
+    assert cat.mean_a is None and cat.mean_shift is None
+    assert cat.drifted            # null-rate AND distinct ratio both fire
+    v = out["v"]
+    assert v.mean_a == 10.0 and v.mean_b == 20.0 and v.mean_shift == 1.0
+    assert v.null_rate_b == 0.25
+    assert v.drifted
+
+
+def test_profile_drift_stable_and_null_guards(spark):
+    from goetl_spark.quality import profile_drift
+
+    a = spark.createDataFrame([(1, 0.0), (2, 0.0)], "id long, z double")
+    b = spark.createDataFrame([(3, 0.0), (4, 0.0)], "id long, z double")
+    out = {r["column"]: r for r in
+           profile_drift(a, b, ["id", "z"], numeric_cols=["z"]).collect()}
+    # mean_a == 0 -> shift NULL -> never drifts via the mean rule
+    assert out["z"].mean_shift is None and not out["z"].drifted
+    assert not out["id"].drifted
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile_drift(a, b, ["id"], numeric_cols=["nope"])
+    with _pytest.raises(ValueError):
+        profile_drift(a, b, ["id"], distinct_ratio_tol=1.0)
+
+
+def test_profile_drift_empty_side(spark):
+    """An empty snapshot side must yield NULL rates/means (not an ANSI
+    divide-by-zero) and a non-drifted verdict."""
+    from goetl_spark.quality import profile_drift
+
+    a = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    empty = a.filter(F.lit(False))
+    out = {r["column"]: r for r in
+           profile_drift(a, empty, ["id", "v"],
+                         numeric_cols=["v"]).collect()}
+    assert out["v"].n_b == 0
+    assert out["v"].null_rate_b is None and out["v"].mean_b is None
+    # distinct collapses 1 -> 0, ratio 0.0 < 1/tol: an empty side IS
+    # drift, surfaced by the distinct rule rather than a crash
+    assert out["v"].distinct_ratio == 0.0
+    assert out["v"].drifted and out["id"].drifted
+    # all-NULL numeric column on a non-empty side: mean NULL, no crash
+    c = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    row = {r["column"]: r for r in
+           profile_drift(a, c, ["v"], numeric_cols=["v"]).collect()}["v"]
+    assert row.null_rate_b == 1.0 and row.mean_b is None

@@ -8718,3 +8718,48 @@ def q192_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderdate") >= "1998-01-01"),
         cols, numeric_cols=["o_custkey", "o_totalprice"],
     ).orderBy("column")
+
+
+@register_staged(
+    "q193_readability",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               greatest(len(list_filter(
+                   str_split(regexp_replace(text, '([.!?]+)\\s+',
+                                            '\\1' || chr(31), 'g'),
+                             chr(31)),
+                   x -> trim(x) <> '')), 1) AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_syllables
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+           END AS flesch_ease,
+           CASE WHEN n_words > 0 THEN
+               round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                     - 15.59, 6)
+           END AS fk_grade
+    FROM s ORDER BY doc_id
+    """,
+)
+def q193_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document
+    (operators/text.py::readability_scores) — the dictionary-free
+    readability pair the quality-scoring family was missing. Word/
+    syllable/sentence counts are RE2-portable regex counts (non-ws
+    runs, lowercase vowel-group runs, the q169 sentence split floored
+    at 1), and both scores are fixed-order double expressions rounded
+    at 1e-6, so the oracle replays every count and both formulas
+    hash-exactly. Pure column expressions fused into the scan — the
+    100 TB cost is the text read the pipeline was doing anyway."""
+    from goetl_spark.operators.text import readability_scores
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return readability_scores(d).orderBy("doc_id")

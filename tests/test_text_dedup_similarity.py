@@ -833,3 +833,30 @@ def test_term_blocklist_empty_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         term_blocklist_hits(df, [])
+
+
+def test_readability_scores(spark):
+    from goetl_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran away!"),
+         (2, "no terminator here"),
+         (3, ""),
+         (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r1 = out[1]
+    # words: 7 non-ws runs; sentences: 2; syllables (vowel runs):
+    # the|e, cat|a, sat|a, the|e, dog|o, ran|a, away|a+ay -> 8 runs
+    assert r1.n_words == 7 and r1.n_sentences == 2
+    assert r1.n_syllables == 8
+    wps, spw = 7 / 2, 8 / 7
+    assert abs(r1.flesch_ease
+               - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
+    assert abs(r1.fk_grade
+               - round(0.39 * wps + 11.8 * spw - 15.59, 6)) < 1e-9
+    # fragment without terminator floors at 1 sentence
+    assert out[2].n_sentences == 1 and out[2].n_words == 3
+    # empty / NULL text: zero words -> NULL scores, no division error
+    assert out[3].n_words == 0 and out[3].flesch_ease is None
+    assert out[4].flesch_ease is None and out[4].fk_grade is None

@@ -270,3 +270,64 @@ def median_abs_deviation(
     dev = df.select((F.abs(F.col(col) - F.lit(med))).alias("__d"))
     [mad] = exact_quantiles(dev, "__d", [0.5])
     return float(med), float(mad * scale)
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[DataFrame],
+    id_cols: Sequence[str],
+    score_col: str,
+    k: int = 60,
+    group_cols: Sequence[str] = (),
+    higher_better: bool = True,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine N rankers'
+    candidate lists into one consensus ranking without score
+    calibration — ``rrf = Σ_lists 1/(k + rank_in_list)``. The standard
+    way to fuse BM25 with embedding retrieval (hybrid search) or to
+    ensemble quality scorers before a dedup keep-best pass.
+
+    Each input frame carries ``group_cols`` (e.g. the query id — ranks
+    are computed within a group), ``id_cols`` (the candidate key) and
+    ``score_col``. Ranks are 1-based with a deterministic tie-break on
+    ascending ``id_cols``. Rows an input is missing simply contribute
+    nothing (classic RRF); ``n_lists`` reports how many lists ranked
+    each candidate.
+
+    Determinism: each contribution is ``round(1/(k+rank), 12)`` cast to
+    DECIMAL(38,12) before the sum, so the fused score is exact,
+    shuffle-order independent, and replayable in oracle SQL (dsum
+    convention). Scale shape: with ``group_cols`` every window is
+    PARTITIONED by group (per-query lists — never a global sort); the
+    ungrouped path routes through :func:`global_row_number`'s
+    range-partitioned rank (numeric score required). Only
+    (group, id, contribution) triples shuffle into the final sum."""
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    icols = list(id_cols)
+    parts = []
+    for df in ranked_lists:
+        if gcols:
+            order = ([F.col(score_col).desc() if higher_better
+                      else F.col(score_col).asc()]
+                     + [F.col(c).asc() for c in icols])
+            w = Window.partitionBy(*gcols).orderBy(*order)
+            with_rank = df.select(*gcols, *icols,
+                                  F.row_number().over(w).alias("__rk"))
+        else:
+            neg = (-F.col(score_col)) if higher_better else F.col(score_col)
+            with_rank = global_row_number(
+                df.select(*icols, neg.alias("__ord")),
+                ["__ord", *icols], out="__rk").drop("__ord")
+        contrib = F.round(F.lit(1.0) / (F.lit(k) + F.col("__rk")), 12) \
+            .cast("decimal(38,12)")
+        parts.append(with_rank.select(*gcols, *icols,
+                                      contrib.alias("__c")))
+    fanin = parts[0]
+    for p in parts[1:]:
+        fanin = fanin.unionByName(p)
+    return (fanin.groupBy(*gcols, *icols)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_lists"),
+                 F.sum("__c").cast("double").alias("rrf_score")))

@@ -8763,3 +8763,66 @@ def q193_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return readability_scores(d).orderBy("doc_id")
+
+
+@register_staged(
+    "q194_rrf_fusion",
+    """
+    WITH base AS (
+        SELECT c_nationkey, c_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spend,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    ra AS (SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY spend DESC, c_custkey) AS rk
+           FROM base),
+    rb AS (SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY n_orders DESC, c_custkey) AS rk
+           FROM base),
+    u AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(round(1.0 / (60 + rk), 12) AS DECIMAL(38,12)) AS c
+        FROM ra
+        UNION ALL
+        SELECT c_nationkey, c_custkey,
+               CAST(round(1.0 / (60 + rk), 12) AS DECIMAL(38,12)) AS c
+        FROM rb
+    )
+    SELECT c_nationkey, c_custkey,
+           CAST(COUNT(*) AS INT) AS n_lists,
+           CAST(SUM(c) AS DOUBLE) AS rrf_score
+    FROM u GROUP BY 1, 2
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q194_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (ranking.rrf_fuse) of two customer
+    rankers inside each nation — exact-decimal total spend vs order
+    count, the hybrid-retrieval ensemble shape (BM25 + embeddings)
+    on oracle-friendly data. Ranks come from PARTITIONED windows
+    (per-nation lists, never a global sort) with the c_custkey
+    tie-break mirrored in SQL; every 1/(60+rank) contribution is
+    rounded at 1e-12 and summed in DECIMAL(38,12), so the fused score
+    is shuffle-order independent and the compare hash-exact. At
+    100 TB only (group, id, contribution) triples shuffle — candidate
+    text/embeddings never move."""
+    from goetl_spark.operators.ranking import rrf_fuse
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey", "c_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                 .alias("spend"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    by_spend = base.select("c_nationkey", "c_custkey",
+                           F.col("spend").alias("score"))
+    by_freq = base.select("c_nationkey", "c_custkey",
+                          F.col("n_orders").cast("double").alias("score"))
+    return (rrf_fuse([by_spend, by_freq], ["c_custkey"], "score",
+                     k=60, group_cols=["c_nationkey"])
+            .orderBy("c_nationkey", "c_custkey"))

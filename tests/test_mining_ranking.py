@@ -145,3 +145,56 @@ def test_cooccurrence_null_items_excluded_before_cap(spark):
            for r in cooccurrence_pairs(df, "b", "i",
                                        max_basket_size=2).collect()}
     assert out == {("x", "y"): 1}
+
+
+def test_rrf_fuse_grouped(spark):
+    from goetl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", "d1", 9.0), ("q1", "d2", 5.0), ("q1", "d3", 1.0),
+         ("q2", "d1", 2.0)],
+        "qid string, doc string, score double")
+    b = spark.createDataFrame(
+        [("q1", "d2", 0.9), ("q1", "d1", 0.5),
+         ("q2", "d9", 0.1)],
+        "qid string, doc string, score double")
+    out = {(r.qid, r.doc): r for r in
+           rrf_fuse([a, b], ["doc"], "score", k=60,
+                    group_cols=["qid"]).collect()}
+    # d1: rank 1 in a, rank 2 in b; d2: rank 2 in a, rank 1 in b
+    exp = round(1 / 61, 12) + round(1 / 62, 12)
+    assert abs(out[("q1", "d1")].rrf_score - exp) < 1e-15
+    assert abs(out[("q1", "d2")].rrf_score - exp) < 1e-15
+    assert out[("q1", "d1")].n_lists == 2
+    # d3 only in list a (rank 3); q2/d9 only in b (rank 1 in its group)
+    assert out[("q1", "d3")].n_lists == 1
+    assert abs(out[("q1", "d3")].rrf_score - round(1 / 63, 12)) < 1e-15
+    assert abs(out[("q2", "d9")].rrf_score - round(1 / 61, 12)) < 1e-15
+    # deterministic tie-break: equal scores rank by id ascending
+    t = spark.createDataFrame([("q1", "x", 1.0), ("q1", "a", 1.0)],
+                              "qid string, doc string, score double")
+    tied = {r.doc: r.rrf_score for r in
+            rrf_fuse([t], ["doc"], "score",
+                     group_cols=["qid"]).collect()}
+    assert tied["a"] > tied["x"]
+
+
+def test_rrf_fuse_ungrouped_and_guards(spark):
+    import pytest
+    from goetl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10.0), (2, 30.0), (3, 20.0)],
+                              "id long, score double")
+    out = {r.id: r.rrf_score for r in
+           rrf_fuse([a], ["id"], "score", k=10).collect()}
+    assert out[2] > out[3] > out[1]
+    assert abs(out[2] - round(1 / 11, 12)) < 1e-15
+    # lower-is-better flips the order
+    low = {r.id: r.rrf_score for r in
+           rrf_fuse([a], ["id"], "score", k=10,
+                    higher_better=False).collect()}
+    assert low[1] > low[3] > low[2]
+    with pytest.raises(ValueError):
+        rrf_fuse([], ["id"], "score")
+    with pytest.raises(ValueError):
+        rrf_fuse([a], ["id"], "score", k=0)

@@ -315,14 +315,83 @@ def dataset_fingerprint(
     names = sorted(cols if cols is not None else df.columns)
     if not names:
         raise ValueError("dataset_fingerprint needs at least one column")
-    # non-null values carry a \x01 prefix so the \x00 NULL sentinel is
-    # truly out-of-band (a literal '\x00' value hashes as '\x01\x00')
+    h = _row_digest(names)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"))
+
+
+def _row_digest(names: Sequence[str]) -> Column:
+    """The shared canonical row digest (15-hex-digit md5 integer over
+    name-ordered columns; \\x01-prefixed values, \\x00 NULL sentinel
+    kept out-of-band)."""
     canon = F.concat_ws(
         "\x1f", *[F.when(F.col(c).isNull(), F.lit("\x00"))
                   .otherwise(F.concat(F.lit("\x01"),
                                       F.col(c).cast("string")))
                   for c in names])
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
-    return df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"))
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+
+
+def partition_fingerprints(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-partition content fingerprints — :func:`dataset_fingerprint`
+    sharded by ``partition_cols`` (one output row per partition key
+    with ``n_rows`` + the same commutative md5-sum digest). This is the
+    merkle layer that makes 100 TB verification INCREMENTAL: publish
+    the per-partition table with each snapshot, and a re-check (or a
+    cross-engine migration audit) only re-reads partitions whose
+    fingerprint moved — :func:`fingerprint_diff` names them. One scan,
+    map-side combined; the global fingerprint is the exact decimal sum
+    of the shard column, so the two levels can be cross-checked without
+    another pass.
+
+    ``partition_cols`` participate in grouping only — the digest covers
+    ``cols`` (default: all OTHER columns, name-ordered), so moving a
+    row between partitions shows up as two changed partitions with the
+    global sum unchanged."""
+    pcols = list(partition_cols)
+    if not pcols:
+        raise ValueError("partition_fingerprints needs partition_cols")
+    names = sorted(cols if cols is not None
+                   else [c for c in df.columns if c not in pcols])
+    if not names:
+        raise ValueError("no content columns left to fingerprint")
+    h = _row_digest(names)
+    return (df.groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(h.cast("decimal(38,0)")).cast("string")
+                 .alias("fingerprint")))
+
+
+def fingerprint_diff(
+    fp_a: DataFrame,
+    fp_b: DataFrame,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Compare two :func:`partition_fingerprints` tables (previous
+    snapshot vs current): full-outer join on the partition key with a
+    status per partition — ``added`` (B only), ``removed`` (A only),
+    ``changed`` (both, digest or row count differs), ``unchanged``.
+    The work-list driver for incremental re-verification: at 100 TB the
+    diff touches two fingerprint TABLES (a few KB per thousand
+    partitions), never the data."""
+    pcols = list(partition_cols)
+    a = fp_a.select(*pcols, F.col("n_rows").alias("n_rows_a"),
+                    F.col("fingerprint").alias("fingerprint_a"))
+    b = fp_b.select(*pcols, F.col("n_rows").alias("n_rows_b"),
+                    F.col("fingerprint").alias("fingerprint_b"))
+    joined = a.join(b, pcols, "full_outer")
+    status = (
+        F.when(F.col("fingerprint_a").isNull(), F.lit("added"))
+        .when(F.col("fingerprint_b").isNull(), F.lit("removed"))
+        .when((F.col("fingerprint_a") == F.col("fingerprint_b"))
+              & (F.col("n_rows_a") == F.col("n_rows_b")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return joined.select(*pcols, "n_rows_a", "n_rows_b",
+                         "fingerprint_a", "fingerprint_b",
+                         status.alias("status"))

@@ -8826,3 +8826,68 @@ def q194_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rrf_fuse([by_spend, by_freq], ["c_custkey"], "score",
                      k=60, group_cols=["c_nationkey"])
             .orderBy("c_nationkey", "c_custkey"))
+
+
+def _q195_digest_sql(tag: str, pred: str) -> str:
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus"]  # name order
+    canon = ",\n                   ".join(
+        f"CASE WHEN {c} IS NULL THEN chr(0) "
+        f"ELSE chr(1) || CAST({c} AS VARCHAR) END" for c in cols)
+    return f"""
+    {tag} AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows_{tag},
+               CAST(SUM(CAST(CAST(('0x' || substr(md5(
+                   concat_ws(chr(31),
+                   {canon})),
+                   1, 15)) AS BIGINT) AS HUGEINT)) AS VARCHAR)
+                   AS fingerprint_{tag}
+        FROM orders WHERE {pred}
+        GROUP BY o_orderpriority
+    )"""
+
+
+@register_staged(
+    "q195_fingerprint_diff",
+    f"""
+    WITH {_q195_digest_sql("a", "o_orderpriority <> '1-URGENT'")},
+    {_q195_digest_sql("b", "o_orderpriority <> '5-LOW' AND NOT "
+                           "(o_orderpriority = '2-HIGH' AND "
+                           "o_orderkey % 13 = 0)")}
+    SELECT COALESCE(a.o_orderpriority, b.o_orderpriority)
+               AS o_orderpriority,
+           n_rows_a, n_rows_b, fingerprint_a, fingerprint_b,
+           CASE WHEN fingerprint_a IS NULL THEN 'added'
+                WHEN fingerprint_b IS NULL THEN 'removed'
+                WHEN fingerprint_a = fingerprint_b
+                     AND n_rows_a = n_rows_b THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def q195_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot verification (quality.py::
+    partition_fingerprints + fingerprint_diff): per-priority merkle
+    shards of two orders snapshots full-outer-compared into an
+    added/removed/changed/unchanged work list — '1-URGENT' appears only
+    in B (added), '5-LOW' only in A (removed), '2-HIGH' loses every
+    13th order (changed), the rest match (unchanged). Digest covers the
+    engine-portable columns (ints + status string; doubles/timestamps
+    excluded per the dataset_fingerprint caveat) and the oracle replays
+    the md5-sum shards AND the diff verbatim. At 100 TB the diff reads
+    two fingerprint tables, never the data — only changed shards get
+    re-verified."""
+    from goetl_spark.quality import fingerprint_diff, partition_fingerprints
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus"]
+    fa = partition_fingerprints(
+        o.filter(F.col("o_orderpriority") != "1-URGENT"),
+        ["o_orderpriority"], cols=cols)
+    fb = partition_fingerprints(
+        o.filter((F.col("o_orderpriority") != "5-LOW")
+                 & ~((F.col("o_orderpriority") == "2-HIGH")
+                     & (F.col("o_orderkey") % 13 == 0))),
+        ["o_orderpriority"], cols=cols)
+    return (fingerprint_diff(fa, fb, ["o_orderpriority"])
+            .orderBy("o_orderpriority"))

@@ -194,3 +194,48 @@ def test_profile_drift_empty_side(spark):
     row = {r["column"]: r for r in
            profile_drift(a, c, ["v"], numeric_cols=["v"]).collect()}["v"]
     assert row.null_rate_b == 1.0 and row.mean_b is None
+
+
+def test_partition_fingerprints_and_diff(spark):
+    from goetl_spark.quality import (dataset_fingerprint,
+                                     fingerprint_diff,
+                                     partition_fingerprints)
+
+    a = spark.createDataFrame(
+        [("p1", 1, "x"), ("p1", 2, "y"), ("p2", 3, "z"), ("p3", 4, "w")],
+        "part string, id long, v string")
+    fa = partition_fingerprints(a, ["part"])
+    assert {r.part: r.n_rows for r in fa.collect()} == \
+        {"p1": 2, "p2": 1, "p3": 1}
+    # shard digests sum exactly to the global fingerprint (merkle)
+    total = sum(int(r.fingerprint) for r in fa.collect())
+    glob = dataset_fingerprint(a, cols=["id", "v"]).collect()[0]
+    assert total == int(glob.fingerprint)
+
+    # b: p1 changed (one value edited), p2 unchanged, p3 removed, p4 added
+    b = spark.createDataFrame(
+        [("p1", 1, "x"), ("p1", 2, "EDITED"), ("p2", 3, "z"),
+         ("p4", 9, "new")],
+        "part string, id long, v string")
+    fb = partition_fingerprints(b, ["part"])
+    st = {r.part: r.status for r in
+          fingerprint_diff(fa, fb, ["part"]).collect()}
+    assert st == {"p1": "changed", "p2": "unchanged",
+                  "p3": "removed", "p4": "added"}
+
+    # moving a row across partitions: both partitions change, global sum
+    # is invariant (partition col excluded from the digest)
+    moved = spark.createDataFrame(
+        [("p2", 1, "x"), ("p1", 2, "y"), ("p2", 3, "z"), ("p3", 4, "w")],
+        "part string, id long, v string")
+    fm = partition_fingerprints(moved, ["part"])
+    stm = {r.part: r.status for r in
+           fingerprint_diff(fa, fm, ["part"]).collect()}
+    assert stm["p1"] == "changed" and stm["p2"] == "changed"
+    assert sum(int(r.fingerprint) for r in fm.collect()) == total
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        partition_fingerprints(a, [])
+    with _pytest.raises(ValueError):
+        partition_fingerprints(a.select("part"), ["part"])

@@ -8891,3 +8891,53 @@ def q195_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"], cols=cols)
     return (fingerprint_diff(fa, fb, ["o_orderpriority"])
             .orderBy("o_orderpriority"))
+
+
+def _q196_peel_sql(i: int, k: int) -> str:
+    return f"""
+    k{i} AS (SELECT s FROM e{i - 1} GROUP BY s HAVING COUNT(*) >= {k}),
+    e{i} AS (SELECT e.s, e.t FROM e{i - 1} e
+             JOIN k{i} a ON e.s = a.s
+             JOIN k{i} b ON e.t = b.s)"""
+
+
+@register_staged(
+    "q196_kcore",
+    f"""
+    WITH raw AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45
+    ),
+    e0 AS (
+        SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+        FROM raw a JOIN raw b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    {_q196_peel_sql(1, 3)},
+    {_q196_peel_sql(2, 3)},
+    {_q196_peel_sql(3, 3)}
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY s ORDER BY node
+    """,
+)
+def q196_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling (operators/graph.py::kcore) on q189's supplier
+    co-occurrence graph — the dense-community filter that shrinks a
+    graph to where every member keeps >= 3 strong ties, the cheap
+    pre-pass before clique/triangle analytics. Run with rounds=3 so the
+    oracle can unroll the exact same three peels (degree -> keep ->
+    both-endpoint semi-join) in CTEs; every count is integer-exact, so
+    the per-vertex in-core degrees must match bit-for-bit. Each round
+    shuffles only the shrinking (node, node) edge set, checkpointed
+    flat per pagerank's iterate pattern."""
+    from goetl_spark.operators.graph import kcore
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") >= 45)
+          .select("l_orderkey", "l_suppkey"))
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+             .select(F.col("a.l_suppkey").alias("src"),
+                     F.col("b.l_suppkey").alias("dst")))
+    return kcore(edges, 3, rounds=3).orderBy("node")

@@ -111,3 +111,30 @@ def test_triangle_count_matches_bruteforce(spark):
            for r in triangle_count(df, out_col="triangles").collect()}
     assert got == expect
     assert sum(got.values()) == 3 * n_tri
+
+
+def test_kcore_fixpoint_and_rounds(spark):
+    import pytest
+    from goetl_spark.operators.graph import kcore
+
+    # triangle (1,2,3) + chain 3-4-5 + isolated-ish pendant 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long")
+    core = {r.node: r.degree for r in kcore(edges, 2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}  # 2-core = the triangle
+    # k=1 keeps everything (no isolated vertices in input)
+    assert len(kcore(edges, 1).collect()) == 6
+    # one peel round with k=2: only degree-1 leaves (6) drop; 5 survives
+    one = {r.node for r in kcore(edges, 2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4, 5}
+    # orientation/self-loop/dup robustness
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (1, 3), (7, 7)], "src long, dst long")
+    assert {r.node: r.degree for r in kcore(messy, 2).collect()} == \
+        {1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError):
+        kcore(edges, 0)
+    with pytest.raises(RuntimeError):
+        kcore(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+              2, max_rounds=1)

@@ -320,3 +320,83 @@ def kneser_ney_logprob_scores(
         .withColumn("avg_logprob", F.col("__s") / F.col("n_bigrams"))
         .drop("__s")
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    damping: float = 0.85,
+    iterations: int = 4,
+    min_weight: int = 1,
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004) over the corpus
+    word graph: words are vertices, adjacent-token co-occurrences are
+    undirected weighted edges (weight = total adjacency count, both
+    directions; self-adjacency dropped), scored by weighted PageRank
+
+        r(v) = (1−d)/N + d · Σ_{u~v} (r(u) · w_uv) / W_u
+
+    with W_u = u's total incident weight. The unsupervised
+    keyword/keyphrase primitive for corpus tagging and topic surfacing
+    — frequency alone overrates stop-like tokens, TextRank promotes
+    words that frequent words co-occur with. ``min_weight`` prunes
+    rare edges BEFORE weights/degrees are computed (mirrored in
+    oracles); a symmetric graph has no dangling mass, so each
+    iteration is pure neighbor propagation.
+
+    Determinism: per-target sums accumulate in DECIMAL(38,12) over the
+    fixed-order double ``(rank · w) / W`` (pagerank's q135 convention),
+    so every iteration — and therefore the final score — is replayable
+    bit-for-bit in oracle SQL, no rounding step.
+
+    Scale shape: the corpus token stream is read once (in-row bigram
+    zip); the edge/weight tables are TYPE-sized; each iteration is one
+    equi-join + one map-side-combined agg + a flat checkpoint, exactly
+    :func:`~goetl_spark.operators.graph.pagerank`'s loop. Returns
+    (word, score)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if min_weight < 1:
+        raise ValueError(f"min_weight must be >= 1, got {min_weight}")
+    toks = _tokens(text_col)
+    base = df.select(toks.alias("__toks"))
+    n = F.size("__toks")
+    adj = base.select(
+        F.explode(F.arrays_zip(
+            F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )).alias("bg"),
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")) \
+     .filter(F.col("w1") != F.col("w2"))
+    e = (adj.select(F.col("w1").alias("s"), F.col("w2").alias("t"))
+         .union(adj.select(F.col("w2").alias("s"), F.col("w1").alias("t")))
+         .groupBy("s", "t").agg(F.count(F.lit(1)).alias("ew")))
+    if min_weight > 1:
+        e = e.filter(F.col("ew") >= min_weight)
+    e = e.localCheckpoint(eager=True)
+    wsum = (e.groupBy("s").agg(F.sum("ew").alias("tw"))
+            .localCheckpoint(eager=True))
+    nodes = wsum.select(F.col("s").alias("node"))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(F.col("node").alias("word"),
+                            F.lit(0.0).alias("score"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(wsum, "s")
+            .groupBy("t")
+            .agg(F.sum(((F.col("rank") * F.col("ew")) / F.col("tw"))
+                       .cast("decimal(38,12)"))
+                 .cast("double").alias("c")))
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["t"], "left")
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n_nodes)
+                 + F.lit(damping)
+                 * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"))
+            .localCheckpoint(eager=True))
+    return ranks.select(F.col("node").alias("word"),
+                        F.col("rank").alias("score"))

@@ -8941,3 +8941,67 @@ def q196_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.l_suppkey").alias("src"),
                      F.col("b.l_suppkey").alias("dst")))
     return kcore(edges, 3, rounds=3).orderBy("node")
+
+
+def _q197_oracle(iterations: int, damping: float, min_weight: int) -> str:
+    """Unrolled TextRank replay (q135's convention): DECIMAL(38,12)
+    per-target sums over the fixed-order double (rank·w)/W, scalars
+    written as the operator's exact double expressions."""
+    d = f"CAST({damping} AS DOUBLE)"
+    sql = f"""
+    WITH tok AS (
+        SELECT unnest(l) AS w1,
+               unnest(list_concat(l[2:], [NULL])) AS w2
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents)
+    ),
+    e AS (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT w1 AS s, w2 AS t FROM tok
+              WHERE w2 IS NOT NULL AND w1 <> w2
+              UNION ALL
+              SELECT w2, w1 FROM tok
+              WHERE w2 IS NOT NULL AND w1 <> w2)
+        GROUP BY s, t HAVING COUNT(*) >= {min_weight}
+    ),
+    ws AS (SELECT s, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY s),
+    nodes AS (SELECT s AS node FROM ws),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)
+    """
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT e.t,
+               CAST(SUM(CAST((r.rank * e.w) / ws.tw AS DECIMAL(38,12)))
+                    AS DOUBLE) AS c
+        FROM e JOIN r{i-1} r ON e.s = r.node JOIN ws ON ws.s = e.s
+        GROUP BY e.t
+    ),
+    r{i} AS (
+        SELECT n.node,
+               (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+               + {d} * COALESCE(c{i}.c, CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes n LEFT JOIN c{i} ON c{i}.t = n.node, nn
+    )"""
+    return sql + f"""
+    SELECT node AS word, rank AS score FROM r{iterations} ORDER BY word
+    """
+
+
+@register_staged("q197_textrank", _q197_oracle(3, 0.85, 3))
+def q197_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keyword scores (operators/lm.py::
+    textrank_keywords): weighted PageRank over the adjacent-token
+    co-occurrence graph (q116 tokenizer, edges with total adjacency
+    count >= 3), 3 iterations, damping 0.85. The oracle unrolls the
+    identical iterations with DECIMAL(38,12) per-target sums over the
+    fixed-order (rank·w)/W double — bit-exact scores, no rounding,
+    q135's replay discipline on a weighted graph. Corpus text is
+    scanned once; everything after is vocabulary-sized."""
+    from goetl_spark.operators.lm import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return (textrank_keywords(d, iterations=3, min_weight=3)
+            .orderBy("word"))

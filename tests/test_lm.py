@@ -232,3 +232,31 @@ def test_collocation_pmi_min_count_after_marginals(spark):
 
     with pytest.raises(ValueError):
         collocation_pmi(df, min_count=0)
+
+
+def test_textrank_keywords(spark):
+    import pytest
+    from goetl_spark.operators.lm import textrank_keywords
+
+    # "hub" is adjacent to everything; leaves only touch hub
+    docs = spark.createDataFrame(
+        [(1, "hub alpha hub beta hub gamma"),
+         (2, "alpha hub beta"),
+         (3, "solo")],  # single token: no edges, excluded
+        "doc_id long, text string")
+    out = {r.word: r.score for r in textrank_keywords(docs).collect()}
+    assert "solo" not in out
+    assert set(out) == {"hub", "alpha", "beta", "gamma"}
+    assert out["hub"] == max(out.values())
+    # scores sum to ~1 (symmetric graph conserves rank mass)
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    # hand-check one iteration on a 2-node graph: a-b with weight 2
+    two = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    r1 = {r.word: r.score for r in
+          textrank_keywords(two, iterations=1).collect()}
+    # each node: (1-d)/2 + d * (0.5*2)/2 = 0.075 + 0.425 = 0.5
+    assert abs(r1["a"] - 0.5) < 1e-12 and abs(r1["b"] - 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        textrank_keywords(docs, iterations=0)
+    with pytest.raises(ValueError):
+        textrank_keywords(docs, min_weight=0)

@@ -401,3 +401,71 @@ def coalesce_intervals(
                  F.max(end_col).alias(out_end),
                  F.count(F.lit(1)).alias(count_col))
             .drop("__span"))
+
+
+def _dec2dbl(c: Column) -> Column:
+    """Decimal → double via a string round-trip. Spark's direct
+    DECIMAL(38,12)→DOUBLE cast (BigDecimal.doubleValue) and DuckDB's
+    disagree by 1 ulp on round-to-nearest halfway cases once the
+    decimal carries >17 significant digits (measured on q198's Σx²);
+    decimal→string is exact and string→double is correctly rounded in
+    BOTH engines (Double.parseDouble / fast_float), so the round-trip
+    is the deterministic conversion. Mirror as
+    CAST(CAST(v AS VARCHAR) AS DOUBLE) in oracle SQL."""
+    return c.cast("string").cast("double")
+
+
+def linear_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key least-squares line fit (closed form): one aggregation
+    pass computing n, Σx, Σy, Σxy, Σx² and from them
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    The metric-trending primitive — per-series drift slopes at fleet
+    scale without any iterative fitting. Rows with a NULL x or y are
+    skipped; a key whose x is constant (zero denominator) gets NULL
+    slope/intercept rather than an ANSI error.
+
+    Determinism: x and y are quantized to 1e-6 decimals at the scan
+    (the only double→decimal conversion — on raw column values, where
+    Spark's and DuckDB's conversions agree; converting double PRODUCTS
+    diverges between engines in the last decimal, measured on this
+    exact query), every product is then EXACT decimal(18,6)×(19,6)
+    arithmetic, and the sums are exact and shuffle-order independent.
+    The closed form is one fixed double expression over the summed
+    moments — hash-exact across engines. Numerical caveats: values are
+    rounded at 1e-6 before the fit, and x far from 0 (raw epochs)
+    should be offset first — x must stay under ~1e11 so x² fits the
+    24 integer digits of the product scale. Scale shape: ONE map-side
+    combined aggregate, keys-sized output."""
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    # asymmetric (18,6)x(19,6) casts: Spark's product type is then
+    # (38,12) — EXACT (a symmetric (19,6) pair hits the precision cap
+    # and silently rounds products to scale 11); DuckDB's is (37,12) on
+    # its hugeint path (a symmetric (18,6) pair overflows its int64
+    # path). Both engines therefore sum bit-identical exact products.
+    xa, xb = x.cast("decimal(18,6)"), x.cast("decimal(19,6)")
+    ya, yb = y.cast("decimal(18,6)"), y.cast("decimal(19,6)")
+    agg = (df.filter(x.isNotNull() & y.isNotNull())
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                _dec2dbl(F.sum(xb)).alias("sx"),
+                _dec2dbl(F.sum(yb)).alias("sy"),
+                _dec2dbl(F.sum(xa * yb)).alias("sxy"),
+                _dec2dbl(F.sum(xa * xb)).alias("sxx")))
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0.0,
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
+    intercept = F.when(
+        denom != 0.0,
+        (F.col("sy") - slope * F.col("sx")) / nd)
+    return agg.select(*keys, "n", slope.alias("slope"),
+                      intercept.alias("intercept"))

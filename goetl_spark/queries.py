@@ -9005,3 +9005,62 @@ def q197_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (textrank_keywords(d, iterations=3, min_weight=3)
             .orderBy("word"))
+
+
+@register_staged(
+    "q198_linear_trend",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+                   / 1000000.0 AS x,
+               value AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)))
+                         AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(19,6)))
+                         AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))
+                             * CAST(y AS DECIMAL(19,6)))
+                         AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))
+                             * CAST(x AS DECIMAL(19,6)))
+                         AS VARCHAR) AS DOUBLE) AS sxx
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+               (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM agg ORDER BY event_type
+    """,
+)
+def q198_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type metric trend (operators/timeseries.py::
+    linear_trend): closed-form OLS slope/intercept of event value over
+    seconds-since-2024-01-01, one map-side-combined aggregate for the
+    whole fleet of series. Every per-row term is IEEE-identical in
+    both engines and summed in DECIMAL(38,6), the closed form is one
+    fixed double expression — hash-exact, no tolerance. The
+    drift-slope monitor a 100 TB metrics pipeline runs per series per
+    day for the cost of one scan."""
+    from goetl_spark.operators.timeseries import linear_trend
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        ((F.unix_micros(F.col("ts")) - F.lit(1704067200000000))
+         .cast("double") / F.lit(1000000.0)).alias("x"),
+        F.col("value").alias("y"))
+    return (linear_trend(base, ["event_type"], "x", "y")
+            .orderBy("event_type"))

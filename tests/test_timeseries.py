@@ -300,3 +300,22 @@ def test_coalesce_intervals_timestamps(spark):
     # gap=110 bridges the 110-second hole
     assert len(coalesce_intervals(df, ["k"], "s", "e", gap=110)
                .collect()) == 1
+
+
+def test_linear_trend_exact_and_degenerate(spark):
+    from goetl_spark.operators.timeseries import linear_trend
+
+    # y = 2x + 1 exactly for key 'a'; key 'b' constant x -> NULL fit
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)]
+    rows += [("b", 5.0, 1.0), ("b", 5.0, 9.0)]
+    rows += [("c", None, 3.0), ("c", 1.0, None), ("c", 0.0, 0.0),
+             ("c", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in linear_trend(df, ["k"], "x", "y").collect()}
+    assert out["a"].n == 10
+    assert abs(out["a"].slope - 2.0) < 1e-12
+    assert abs(out["a"].intercept - 1.0) < 1e-12
+    assert out["b"].slope is None and out["b"].intercept is None
+    # NULL x or y rows skipped: key c fits through (0,0),(2,4)
+    assert out["c"].n == 2 and abs(out["c"].slope - 2.0) < 1e-12
+    assert abs(out["c"].intercept) < 1e-12

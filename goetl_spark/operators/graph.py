@@ -224,6 +224,12 @@ def kcore(
              .join(keep.withColumnRenamed("s", "t"), "t", "leftsemi")
              .select("s", "t")
              .localCheckpoint(eager=True))
+    if not converged and rounds is None:
+        # the fixpoint can land exactly on peel #max_rounds: the loop's
+        # check runs BEFORE each peel, so verify the FINAL edge set
+        # before declaring failure (r9 ADVICE)
+        converged = (e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+                     .where(F.col("deg") < k).isEmpty())
     if not converged:
         raise RuntimeError(
             f"kcore did not converge within max_rounds={max_rounds}")

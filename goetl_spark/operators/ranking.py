@@ -291,7 +291,11 @@ def rrf_fuse(
     ``score_col``. Ranks are 1-based with a deterministic tie-break on
     ascending ``id_cols``. Rows an input is missing simply contribute
     nothing (classic RRF); ``n_lists`` reports how many lists ranked
-    each candidate.
+    each candidate. A duplicate (group, id) WITHIN one input list is
+    collapsed to its best score before ranking (r9 ADVICE: a dup would
+    otherwise inflate ``n_lists`` past ``len(ranked_lists)`` and
+    double-credit that candidate), so ``n_lists <= len(ranked_lists)``
+    always holds.
 
     Determinism: each contribution is ``round(1/(k+rank), 12)`` cast to
     DECIMAL(38,12) before the sum, so the fused score is exact,
@@ -309,6 +313,10 @@ def rrf_fuse(
     icols = list(id_cols)
     parts = []
     for df in ranked_lists:
+        # collapse intra-list duplicates to their best score so every
+        # candidate contributes at most once per list (see docstring)
+        best = F.max(score_col) if higher_better else F.min(score_col)
+        df = df.groupBy(*gcols, *icols).agg(best.alias(score_col))
         if gcols:
             order = ([F.col(score_col).desc() if higher_better
                       else F.col(score_col).asc()]

@@ -3279,10 +3279,11 @@ def q88_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q89_paragraph_dedup",
     """
     WITH synth AS (
-        SELECT doc_id,
-               text || chr(10) || chr(10) ||
-               lead(text, 1, '') OVER (ORDER BY doc_id) AS text
-        FROM documents
+        SELECT d.doc_id,
+               d.text || chr(10) || chr(10) || COALESCE(n.text, '')
+                   AS text
+        FROM documents d
+        LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
     ),
     split AS (SELECT doc_id,
                      string_split(text, chr(10) || chr(10)) AS parts
@@ -3314,20 +3315,22 @@ def q88_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q89_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level paragraph dedup (operators/dedup.py::paragraph_dedup).
     The synthetic docs are single-line, so the fixture builds a
-    paragraph corpus first: each doc's text is itself plus its
-    successor's text as a second paragraph (window lead — fixture
-    construction only, mirrored in the oracle), which plants every
-    paragraph in exactly two consecutive docs; dedup must keep each at
-    its first occurrence and halve the later doc."""
-    from pyspark.sql import Window
-
+    paragraph corpus first: each doc's text is itself plus doc_id+1's
+    text as a second paragraph (keyed self-join, mirrored in the
+    oracle — r9's window-lead fixture was the tree's only
+    unpartitioned global-sort window, r9 verdict #3), which plants
+    every paragraph in exactly two consecutive docs; dedup must keep
+    each at its first occurrence and halve the later doc."""
     from goetl_spark.operators.dedup import paragraph_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    synth = d.withColumn(
-        "text",
-        F.concat_ws("\n\n", F.col("text"),
-                    F.lead("text", 1, "").over(Window.orderBy("doc_id"))))
+    nxt = d.select((F.col("doc_id") - F.lit(1)).alias("doc_id"),
+                   F.col("text").alias("__next"))
+    synth = (d.join(nxt, "doc_id", "left")
+             .select("doc_id",
+                     F.concat_ws("\n\n", F.col("text"),
+                                 F.coalesce("__next", F.lit("")))
+                     .alias("text")))
     return paragraph_dedup(synth)
 
 
@@ -7508,9 +7511,17 @@ def _q174_sql() -> str:
     s1 AS ({merge_pass('s0', 't', 'h')}),
     s2 AS ({merge_pass('s1', 'th', 'e')}),
     s3 AS ({merge_pass('s2', 'i', 'n')}),
-    counts AS (
+    counts0 AS (
         SELECT doc_id, CAST(SUM(len(s)) AS BIGINT) AS n_tokens
         FROM s3 GROUP BY doc_id
+    ),
+    -- left-join back to the corpus: a non-null text with no [a-z]
+    -- chars unnests to zero word rows, but the driver keeps it with
+    -- n_tokens=0 and a pack seat (r9 ADVICE)
+    counts AS (
+        SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN counts0 c ON d.doc_id = c.doc_id
     )
     SELECT doc_id, n_tokens,
            CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (

@@ -135,6 +135,15 @@ def test_kcore_fixpoint_and_rounds(spark):
         {1: 2, 2: 2, 3: 2}
     with pytest.raises(ValueError):
         kcore(edges, 0)
+    # fixpoint landing EXACTLY on peel #max_rounds converges (r10 fix:
+    # the final edge set is re-checked before raising) — path 1-2-3
+    # empties in one peel, and empty IS the 2-core
+    assert kcore(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+        2, max_rounds=1).count() == 0
+    # ...but a peel depth beyond max_rounds still raises: the 5-path
+    # needs two rounds (drop 1,5 then 2,4) and gets one
     with pytest.raises(RuntimeError):
-        kcore(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
-              2, max_rounds=1)
+        kcore(spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"),
+            2, max_rounds=1)

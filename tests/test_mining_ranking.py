@@ -198,3 +198,26 @@ def test_rrf_fuse_ungrouped_and_guards(spark):
         rrf_fuse([], ["id"], "score")
     with pytest.raises(ValueError):
         rrf_fuse([a], ["id"], "score", k=0)
+
+
+def test_rrf_fuse_intra_list_duplicates(spark):
+    """A duplicate candidate WITHIN one list collapses to its best
+    score (r9 ADVICE): n_lists stays <= len(ranked_lists) and the
+    candidate is credited once per list."""
+    from goetl_spark.operators.ranking import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [("q1", "d1", 9.0), ("q1", "d1", 3.0), ("q1", "d2", 5.0)],
+        "qid string, doc string, score double")
+    out = {r.doc: r for r in
+           rrf_fuse([dup], ["doc"], "score", k=60,
+                    group_cols=["qid"]).collect()}
+    assert out["d1"].n_lists == 1 and out["d2"].n_lists == 1
+    # d1 ranks once at its best score (rank 1), d2 at rank 2
+    assert abs(out["d1"].rrf_score - round(1 / 61, 12)) < 1e-15
+    assert abs(out["d2"].rrf_score - round(1 / 62, 12)) < 1e-15
+    # lower-is-better keeps the MIN duplicate instead
+    low = {r.doc: r.rrf_score for r in
+           rrf_fuse([dup], ["doc"], "score", k=60, group_cols=["qid"],
+                    higher_better=False).collect()}
+    assert abs(low["d1"] - round(1 / 61, 12)) < 1e-15  # 3.0 beats 5.0

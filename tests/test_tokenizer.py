@@ -292,3 +292,28 @@ def test_learn_unigram_vocab_and_roundtrip(spark):
         spark.createDataFrame([(1, "merge stream")], "doc_id long, text string"),
         pieces, unk_score=None).first()
     assert one["tokens"] == ["merge", "stream"]
+
+
+def test_learn_unigram_vocab_case_sensitive(spark):
+    """lowercase=False must NOT treat uppercase letters as separators
+    (r9 ADVICE: the Spark-side split regex now mirrors
+    unigram_tokenize's [^A-Za-z0-9]+ path)."""
+    from goetl_spark.operators.tokenizer import (
+        learn_unigram_vocab, unigram_tokenize)
+
+    rows = [(i, "Spark Spark Spark MERGE MERGE") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = learn_unigram_vocab(df, vocab_size=20, seed_size=100,
+                                max_piece_len=8, iterations=1,
+                                lowercase=False)
+    pieces = dict(vocab)
+    # whole mixed-case / uppercase words survive intact — under the old
+    # lowercase-only split they shattered into 'park' + uppercase chars
+    assert "Spark" in pieces and "MERGE" in pieces
+    # coverage chars include the uppercase alphabet actually seen
+    assert "S" in pieces and "M" in pieces
+    out = unigram_tokenize(
+        spark.createDataFrame([(1, "Spark MERGE")],
+                              "doc_id long, text string"),
+        pieces, unk_score=None, lowercase=False).first()
+    assert out["tokens"] == ["Spark", "MERGE"]

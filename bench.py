@@ -83,6 +83,56 @@ def main():
          .select(md5(col("sh"))).count())
     except Exception:
         pass
+    # Round-11 (r9 verdict ask #7, four rounds of phantom front-of-window
+    # "regressions" — BENCHNOTES Finding 1): warm the remaining
+    # first-of-kind engine paths so whichever query sits at the front of
+    # a freshly rotated window doesn't absorb them. Each warm is a toy
+    # workload (<=1k rows) — it JITs the code path, it cannot cache any
+    # query's actual work.
+    import shutil
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "bench_warm")
+    shutil.rmtree(scratch, ignore_errors=True)
+    try:  # (a) scratch parquet write+read: committer, output codegen
+        spark.range(0, 1000, 1, 4).write.mode("overwrite").parquet(
+            f"{scratch}/wp")
+        spark.read.parquet(f"{scratch}/wp").count()
+    except Exception:
+        pass
+    try:  # (b) localCheckpoint: block-manager persist path
+        spark.range(0, 1000, 1, 4).localCheckpoint().count()
+    except Exception:
+        pass
+    try:  # (c) streaming micro-batch: one availableNow file-source batch
+        #     into a memory sink (streaming planner + state-store JIT)
+        spark.range(0, 100, 1, 2).selectExpr(
+            "id", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts"
+        ).write.mode("overwrite").parquet(f"{scratch}/st")
+        sq = (spark.readStream
+              .schema("id long, ts timestamp")
+              .parquet(f"{scratch}/st")
+              .groupBy().count()
+              .writeStream.format("memory").queryName("bench_warm_stream")
+              .outputMode("complete")
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(60)
+        sq.stop()
+    except Exception:
+        pass
+    try:  # (d) ANN kernel shape: Arrow-batched grouped-map with numpy
+        import pandas as _pd
+
+        def _warm_gm(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+            import numpy as _np
+            m = _np.ones((len(pdf), 8), dtype=_np.float32)
+            return _pd.DataFrame({"s": (m @ m.T).sum(axis=1)})
+
+        (spark.range(0, 256, 1, 4).selectExpr("id", "id % 4 AS g")
+         .groupBy("g").applyInPandas(_warm_gm, "s double").count())
+    except Exception:
+        pass
+    shutil.rmtree(scratch, ignore_errors=True)
 
     timings: dict[str, float] = {}
     full_names: dict[str, str] = {}

@@ -279,6 +279,7 @@ def rrf_fuse(
     k: int = 60,
     group_cols: Sequence[str] = (),
     higher_better: bool = True,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009): combine N rankers'
     candidate lists into one consensus ranking without score
@@ -291,11 +292,19 @@ def rrf_fuse(
     ``score_col``. Ranks are 1-based with a deterministic tie-break on
     ascending ``id_cols``. Rows an input is missing simply contribute
     nothing (classic RRF); ``n_lists`` reports how many lists ranked
-    each candidate. A duplicate (group, id) WITHIN one input list is
-    collapsed to its best score before ranking (r9 ADVICE: a dup would
-    otherwise inflate ``n_lists`` past ``len(ranked_lists)`` and
-    double-credit that candidate), so ``n_lists <= len(ranked_lists)``
-    always holds.
+    each candidate. NULL-score rows are dropped before ranking — an
+    unscored candidate is "not ranked by this list", and letting it
+    through would hand it rank 1 under ``higher_better=False``
+    (ascending sorts put NULLs first). A duplicate (group, id) WITHIN
+    one input list is collapsed to its best score before ranking (r9
+    ADVICE: a dup would otherwise inflate ``n_lists`` past
+    ``len(ranked_lists)`` and double-credit that candidate), so
+    ``n_lists <= len(ranked_lists)`` always holds. That collapse costs
+    one groupBy exchange per list keyed on (group, id) — a DIFFERENT
+    key than the rank window's (group) partitioning — so callers whose
+    lists are already unique (e.g. the output of a top-k retriever)
+    should pass ``assume_unique=True`` to skip it (r10 verdict #5);
+    each list then pays exactly one exchange.
 
     Determinism: each contribution is ``round(1/(k+rank), 12)`` cast to
     DECIMAL(38,12) before the sum, so the fused score is exact,
@@ -313,10 +322,12 @@ def rrf_fuse(
     icols = list(id_cols)
     parts = []
     for df in ranked_lists:
-        # collapse intra-list duplicates to their best score so every
-        # candidate contributes at most once per list (see docstring)
-        best = F.max(score_col) if higher_better else F.min(score_col)
-        df = df.groupBy(*gcols, *icols).agg(best.alias(score_col))
+        df = df.filter(F.col(score_col).isNotNull())
+        if not assume_unique:
+            # collapse intra-list duplicates to their best score so every
+            # candidate contributes at most once per list (see docstring)
+            best = F.max(score_col) if higher_better else F.min(score_col)
+            df = df.groupBy(*gcols, *icols).agg(best.alias(score_col))
         if gcols:
             order = ([F.col(score_col).desc() if higher_better
                       else F.col(score_col).asc()]

@@ -488,7 +488,8 @@ def learn_unigram_vocab(
     counts = {r["piece"]: int(r["cnt"]) for r in seed_rows}
     # coverage char set, computed DISTRIBUTED: exploding distinct words
     # into single characters keeps the collect bounded by alphabet size
-    # (<40 under the alnum split), never by distinct-word count — the
+    # (<70: the case-sensitive split admits up to 62 alphanumerics,
+    # lowercase=True shrinks that to 36), never by distinct-word count — the
     # previous whole-word collect was the one unbounded driver gather in
     # the package (r9 verdict "What's wrong #1").
     chars = {r["c"] for r in

@@ -34,12 +34,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # registry: name -> (query_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+# Retired rows (round-11, OPERATORS.md "Registry retirement candidates",
+# growth policy decided r8): operators whose semantics are strictly
+# contained in a registered composite sibling give up their @register
+# seat so the registry stays under the staleness-budget capacity.
+# Retirement removes ONLY the seat — the query function, its oracle,
+# its pytest coverage, and the OPERATORS.md §2 parity row all stay, and
+# `scripts/check_oracle.py --retired` still replays them against DuckDB
+# on demand.
+_RETIRED: dict[str, tuple[QueryFn, str | None]] = {}
+
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, oracle)
         return fn
     return deco
+
+
+def register_retired(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _RETIRED[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def retired_queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _RETIRED.items()}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _RETIRED.items() if sql is not None}
 
 
 # The driver's correctness pass covers the FIRST 50 registered queries
@@ -106,57 +131,74 @@ def register(name: str, oracle: str | None):
 # skipping none). The 23 r6-last queries that did not fit
 # (q105-q128 minus q116) become hard-mandatory in round 10 —
 # plan_window.py accounts for them.
+# Round-11 rotation (the r10 window never rotated — the driver recorded
+# r9's window twice — so r11 executes the combined plan from the r10
+# verdict ask #1): (a) the registry RETIRES the 12 rows annotated in
+# OPERATORS.md "Registry retirement candidates" (q02/q03/q04/q07/q09/
+# q13/q21/q38/q41/q42/q43/q63 move to @register_retired — operators,
+# oracles, pytest coverage, and §2 parity rows all stay; only the
+# driver seat is surrendered); (b) the staleness budget widens 4→5
+# recorded rounds (capacity 250 — the compensating control is the
+# full-registry DuckDB re-check both builder and judge ran green at
+# r10, FULLCHECK.json against_round=10; history in
+# tests/test_registry.py); (c) seats: the 23 r6-last hard-mandatory
+# rows (q105-q128 minus q116), the 25 round-9/-10 staged registrations
+# q174-q198 now @register (staged-first policy — never had a driver
+# row), and 2 changed-code re-seats: q50 (max_df change, commit
+# 9f9f453, judge-run evidence only) and q24 (the r10 bench watch item —
+# a fresh driver row at a fixed window position for the warm-vs-cold
+# comparison, same device as r7's q57 seat). 23+25+2 = 50 exactly.
 _WINDOW: list[str] = [
-    "q08_topk",
-    "q10_distinct",
-    "q14_window_running",
-    "q15_events_hourly",
-    "q23_minhash_signatures",
-    "q26_knn_bruteforce",
-    "q27_ann_ivf",
-    "q29_text_stats",
-    "q34_multimodal_features",
-    "q37_rollup",
-    "q40_scd1",
-    "q45_sliding_window",
-    "q46_session_window",
-    "q47_approx_distinct",
-    "q51_write_roundtrip",
-    "q86_stratified_topk",
-    "q88_pq_rerank",
-    "q89_paragraph_dedup",
-    "q90_skew_report",
-    "q91_dedup_incremental",
-    "q92_ivfpq",
-    "q93_stream_dedup_ingest",
-    "q94_chunking",
-    "q95_llm_pipeline_e2e",
-    "q96_topk_partial",
-    "q97_winsorize",
-    "q98_strip_html",
-    "q99_winnow_overlap",
-    "q100_pq_recall",
-    "q101_heavy_hitters",
-    "q102_bm25",
-    "q103_join_cardinality",
-    "q104_vocabulary",
-    "q116_bigram_lm",
-    "q158_stream_bloom_cut",
-    "q159_image_phash",
-    "q160_bpe_merges",
-    "q161_psl_domains",
-    "q162_orc_roundtrip",
-    "q163_bpe_tokenize",
-    "q164_domain_cap",
-    "q165_tfidf",
-    "q166_audio_neardup",
-    "q167_kneser_ney_lm",
-    "q168_ewma",
-    "q169_sentence_chunks",
-    "q170_heavy_hitters_stream",
-    "q171_ngram_containment",
-    "q172_dataset_fingerprint",
-    "q173_dedup_keep_best",
+    "q24_minhash_lsh_candidates",
+    "q50_dedup_clusters",
+    "q105_histogram",
+    "q106_correlation",
+    "q107_order_priority",
+    "q108_customer_distribution",
+    "q109_top_supplier",
+    "q110_small_quantity_revenue",
+    "q111_dormant_high_value",
+    "q112_resample_gapfill",
+    "q113_rolling_range",
+    "q114_funnel",
+    "q115_cohort_retention",
+    "q117_token_kl",
+    "q118_char_entropy",
+    "q119_cooccurrence",
+    "q120_standardize",
+    "q121_ntile_bins",
+    "q122_market_share",
+    "q123_promo_revenue",
+    "q124_supplier_part_distribution",
+    "q125_disjunctive_revenue",
+    "q126_weighted_sample",
+    "q127_group_winsorize",
+    "q128_cluster_inertia",
+    "q174_bpe_packing",
+    "q175_lsh_index_roundtrip",
+    "q176_simhash_index_roundtrip",
+    "q177_leakage_safe_split",
+    "q178_token_budget_mix",
+    "q179_sq_ann",
+    "q180_holt_trend",
+    "q181_term_blocklist",
+    "q182_url_quality",
+    "q183_holt_stream",
+    "q184_unigram_tokenize",
+    "q185_hll_index",
+    "q186_cusum_drift",
+    "q187_interval_union",
+    "q188_attribution",
+    "q189_triangles",
+    "q190_cusum_stream",
+    "q191_pmi_collocations",
+    "q192_profile_drift",
+    "q193_readability",
+    "q194_rrf_fusion",
+    "q195_fingerprint_diff",
+    "q196_kcore",
+    "q197_textrank",
+    "q198_linear_trend",
 ]
 
 
@@ -289,7 +331,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.3 filters: combinators, between, in, regex, not_null
 # ---------------------------------------------------------------------------
 
-@register(
+@register_retired(
     "q02_filter_combinators",
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
@@ -315,7 +357,7 @@ def q02_filter_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q03_filter_strings",
     """
     SELECT c_custkey, c_name, c_mktsegment
@@ -341,7 +383,7 @@ def q03_filter_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.4 joins
 # ---------------------------------------------------------------------------
 
-@register(
+@register_retired(
     "q04_join_inner",
     f"""
     SELECT c.c_custkey, c.c_name,
@@ -424,7 +466,7 @@ def q06_join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.5 global aggregate, §2.6 top-k / distinct / union
 # ---------------------------------------------------------------------------
 
-@register(
+@register_retired(
     "q07_global_agg",
     f"""
     SELECT COUNT(*) AS n_rows,
@@ -469,7 +511,7 @@ def q08_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q09_union_fanin",
     """
     SELECT name, acctbal, kind FROM (
@@ -570,7 +612,7 @@ def q12_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.6 window functions (beyond reference; SURVEY roadmap item)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_retired(
     "q13_window_topn",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_price
@@ -879,7 +921,7 @@ _DUCK_SHINGLES = """
 """
 
 
-@register(
+@register_retired(
     "q21_dedup_exact",
     """
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1480,7 +1522,7 @@ def q37_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
 
 
-@register(
+@register_retired(
     "q38_percentiles",
     """
     SELECT l_returnflag,
@@ -1565,7 +1607,7 @@ def q40_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd_type1(src, dim)
 
 
-@register(
+@register_retired(
     "q41_semi_join",
     """
     SELECT c_custkey, c_mktsegment FROM customer c
@@ -1582,7 +1624,7 @@ def q41_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_mktsegment")
 
 
-@register(
+@register_retired(
     "q42_anti_join",
     """
     SELECT c_custkey, c_acctbal FROM customer c
@@ -1601,7 +1643,7 @@ def q42_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_acctbal")
 
 
-@register(
+@register_retired(
     "q43_cube",
     """
     SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
@@ -2163,7 +2205,7 @@ def q62_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q63_unpivot",
     f"""
     SELECT l_returnflag, 'l_quantity' AS metric, {DSUM('l_quantity')} AS total
@@ -3320,7 +3362,14 @@ def q89_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — r9's window-lead fixture was the tree's only
     unpartitioned global-sort window, r9 verdict #3), which plants
     every paragraph in exactly two consecutive docs; dedup must keep
-    each at its first occurrence and halve the later doc."""
+    each at its first occurrence and halve the later doc. The
+    doc_id+1 successor key assumes the synthetic doc_ids are
+    CONTIGUOUS (they are: TESTDATA generates a dense 0..N-1 range);
+    with id gaps some paragraphs would be planted only once —
+    harmless for correctness (oracle mirrors the same join) but it
+    would weaken the exactly-two-copies property this fixture is
+    meant to exercise. Derive the successor from a dense rank if the
+    fixture ever moves to gappy ids (r10 ADVICE #1)."""
     from goetl_spark.operators.dedup import paragraph_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5922,8 +5971,10 @@ ENTRY_QUERY = q01_pricing_summary
 # each rotation is a pure window edit: move the entry to @register and
 # seat it. The 16 round-7 staged entries (q142-q157) were seated at the
 # round-8 rotation; the 16 round-8 staged entries (q158-q173) were
-# seated at the round-9 rotation. The queue below is the current
-# (round-9) staged set.
+# seated at the round-9 rotation; the 25 round-9/-10 staged entries
+# (q174-q198) were seated at the round-11 rotation (the r10 rotation
+# never ran). The queue is currently EMPTY — new operators this round
+# land here again, tests-first.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -7532,7 +7583,7 @@ def _q174_sql() -> str:
     """
 
 
-@register_staged("q174_bpe_packing", _q174_sql())
+@register("q174_bpe_packing", _q174_sql())
 def q174_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-real sequence packing (r8 verdict ask #7 closed end to
     end): tokenizer.token_count_bpe feeds sampling.pack_sequences, so
@@ -7559,7 +7610,7 @@ def q174_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q175_lsh_index_roundtrip",
     f"""
     WITH idx_docs AS (
@@ -7652,7 +7703,7 @@ def q175_lsh_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "match_id"))
 
 
-@register_staged(
+@register(
     "q176_simhash_index_roundtrip",
     """
     WITH idx_docs AS (
@@ -7740,7 +7791,7 @@ def q176_simhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "match_id"))
 
 
-@register_staged(
+@register(
     "q177_leakage_safe_split",
     f"""
     WITH RECURSIVE {_DUCK_SHINGLES},
@@ -7804,7 +7855,7 @@ def q177_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q178_token_budget_mix",
     """
     WITH docs AS (
@@ -7859,7 +7910,7 @@ def q178_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q179_sq_ann",
     """
     WITH v AS (
@@ -7916,7 +7967,7 @@ def q179_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "score", "rank")
 
 
-@register_staged(
+@register(
     "q180_holt_trend",
     """
     WITH RECURSIVE base AS (
@@ -7962,7 +8013,7 @@ def q180_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "level", "trend"))
 
 
-@register_staged(
+@register(
     "q181_term_blocklist",
     """
     WITH terms(term) AS (VALUES ('slow'), ('dup'), ('spam')),
@@ -8007,7 +8058,7 @@ def q181_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q182_url_quality",
     r"""
     WITH u AS (
@@ -8104,7 +8155,7 @@ def q182_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q183_holt_stream",
     """
     WITH RECURSIVE base AS (
@@ -8165,7 +8216,7 @@ def q183_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "level", "trend"))
 
 
-@register_staged(
+@register(
     "q184_unigram_tokenize",
     """
     WITH RECURSIVE pieces(piece, score) AS (
@@ -8249,7 +8300,7 @@ def q184_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q185_hll_index",
     """
     SELECT event_type,
@@ -8300,7 +8351,7 @@ def q185_hll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q186_cusum_drift",
     """
     WITH RECURSIVE base AS (
@@ -8352,7 +8403,7 @@ def q186_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "alarm"))
 
 
-@register_staged(
+@register(
     "q187_interval_union",
     """
     WITH iv AS (
@@ -8409,7 +8460,7 @@ def q187_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "span_start"))
 
 
-@register_staged(
+@register(
     "q188_attribution",
     """
     WITH ev AS (
@@ -8464,7 +8515,7 @@ def q188_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "conv_id", "touch_id"))
 
 
-@register_staged(
+@register(
     "q189_triangles",
     """
     WITH raw AS (
@@ -8522,7 +8573,7 @@ def q189_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("node"))
 
 
-@register_staged(
+@register(
     "q190_cusum_stream",
     """
     WITH RECURSIVE base AS (
@@ -8587,7 +8638,7 @@ def q190_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "ts", "event_id"))
 
 
-@register_staged(
+@register(
     "q191_pmi_collocations",
     """
     WITH tok AS (
@@ -8628,7 +8679,7 @@ def q191_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocation_pmi(d, min_count=3).orderBy("w1", "w2")
 
 
-@register_staged(
+@register(
     "q192_profile_drift",
     """
     WITH
@@ -8731,7 +8782,7 @@ def q192_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
-@register_staged(
+@register(
     "q193_readability",
     """
     WITH s AS (
@@ -8776,7 +8827,7 @@ def q193_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(d).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "q194_rrf_fusion",
     """
     WITH base AS (
@@ -8818,9 +8869,13 @@ def q194_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-nation lists, never a global sort) with the c_custkey
     tie-break mirrored in SQL; every 1/(60+rank) contribution is
     rounded at 1e-12 and summed in DECIMAL(38,12), so the fused score
-    is shuffle-order independent and the compare hash-exact. At
-    100 TB only (group, id, contribution) triples shuffle — candidate
-    text/embeddings never move."""
+    is shuffle-order independent and the compare hash-exact. Both
+    lists project the same groupBy output, so (nation, custkey) is
+    unique by construction — ``assume_unique=True`` skips the
+    per-list dedup groupBy (r10 verdict #5): each list pays exactly
+    one exchange (its rank window). At 100 TB only (group, id,
+    contribution) triples shuffle — candidate text/embeddings never
+    move."""
     from goetl_spark.operators.ranking import rrf_fuse
 
     o = _t(spark, sf_dir, "orders")
@@ -8835,7 +8890,7 @@ def q194_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_freq = base.select("c_nationkey", "c_custkey",
                           F.col("n_orders").cast("double").alias("score"))
     return (rrf_fuse([by_spend, by_freq], ["c_custkey"], "score",
-                     k=60, group_cols=["c_nationkey"])
+                     k=60, group_cols=["c_nationkey"], assume_unique=True)
             .orderBy("c_nationkey", "c_custkey"))
 
 
@@ -8857,7 +8912,7 @@ def _q195_digest_sql(tag: str, pred: str) -> str:
     )"""
 
 
-@register_staged(
+@register(
     "q195_fingerprint_diff",
     f"""
     WITH {_q195_digest_sql("a", "o_orderpriority <> '1-URGENT'")},
@@ -8912,7 +8967,7 @@ def _q196_peel_sql(i: int, k: int) -> str:
              JOIN k{i} b ON e.t = b.s)"""
 
 
-@register_staged(
+@register(
     "q196_kcore",
     f"""
     WITH raw AS (
@@ -9001,7 +9056,7 @@ def _q197_oracle(iterations: int, damping: float, min_weight: int) -> str:
     """
 
 
-@register_staged("q197_textrank", _q197_oracle(3, 0.85, 3))
+@register("q197_textrank", _q197_oracle(3, 0.85, 3))
 def q197_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TextRank keyword scores (operators/lm.py::
     textrank_keywords): weighted PageRank over the adjacent-token
@@ -9018,7 +9073,7 @@ def q197_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("word"))
 
 
-@register_staged(
+@register(
     "q198_linear_trend",
     """
     WITH base AS (

@@ -74,8 +74,9 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--staged"]
+    args = [a for a in sys.argv[1:] if a not in ("--staged", "--retired")]
     staged = "--staged" in sys.argv[1:]
+    retired = "--retired" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -89,11 +90,18 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     if staged:
-        # pre-verify the round-8 staged registrations instead of the
-        # live registry (they are excluded from queries() until seated)
+        # pre-verify staged registrations instead of the live registry
+        # (they are excluded from queries() until seated)
         from goetl_spark import queries as catalog
         qs = catalog.staged_queries()
         oracles = catalog.staged_oracle_sql()
+    elif retired:
+        # replay the retired rows (round-11 retirement: seats
+        # surrendered, operators and oracles kept — see queries.py
+        # _RETIRED and OPERATORS.md "Registry retirement candidates")
+        from goetl_spark import queries as catalog
+        qs = catalog.retired_queries()
+        oracles = catalog.retired_oracle_sql()
     else:
         qs = entry_mod.queries()
         oracles = entry_mod.oracle_sql()
@@ -127,7 +135,7 @@ def main():
         else:
             print(f"OK   {name} ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
-    if not staged and not only:
+    if not staged and not retired and not only:
         # FULLCHECK.json: machine-checked proof that the compensating
         # control behind the widened staleness budget actually ran this
         # round (r7 advisor ask). tests/test_registry.py asserts it

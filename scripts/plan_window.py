@@ -4,10 +4,11 @@ The seat math drifted twice when done by hand (r6 verdict "What's
 wrong" #2); this derives it mechanically from the same inputs
 tests/test_registry.py enforces:
 
-- HARD-mandatory: registered queries with no row in the last FOUR
+- HARD-mandatory: registered queries with no row in the last FIVE
   recorded CORRECTNESS rounds (they fail the staleness test if
-  unseated).
-- EXPIRING-next: queries whose newest row is exactly four rounds old
+  unseated; budget widened 4->5 at round 11, see
+  tests/test_registry.py docstring).
+- EXPIRING-next: queries whose newest row is exactly five rounds old
   after the upcoming round records — seat them now or they become
   hard-mandatory next round (the smooth-rotation set).
 - STAGED: queries.py::_STAGED entries ready to move to @register.
@@ -54,12 +55,12 @@ def main() -> None:
     # after the upcoming round, its window becomes round latest+1's rows
     upcoming = {latest + 1: set(window), **arts}
     nxt = latest + 2  # the round being planned
-    recent = set().union(*(upcoming.get(r, set())
-                           for r in (nxt - 1, nxt - 2, nxt - 3, nxt - 4)))
+    recent = set().union(*(upcoming.get(nxt - i, set())
+                           for i in range(1, 6)))
     mandatory = sorted((q for q in registry if q not in recent), key=num)
     # seat-now-or-mandatory-next: newest row would be exactly at the edge
-    edge = set().union(*(upcoming.get(r, set())
-                         for r in (nxt - 1, nxt - 2, nxt - 3)))
+    edge = set().union(*(upcoming.get(nxt - i, set())
+                         for i in range(1, 5)))
     expiring = sorted((q for q in registry
                        if q not in edge and q not in mandatory), key=num)
 

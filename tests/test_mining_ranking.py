@@ -221,3 +221,55 @@ def test_rrf_fuse_intra_list_duplicates(spark):
            rrf_fuse([dup], ["doc"], "score", k=60, group_cols=["qid"],
                     higher_better=False).collect()}
     assert abs(low["d1"] - round(1 / 61, 12)) < 1e-15  # 3.0 beats 5.0
+
+
+def test_rrf_fuse_null_scores_dropped(spark):
+    """NULL-score rows contribute nothing (r10 ADVICE: an all-NULL
+    candidate used to collapse to a NULL best score, which sorts FIRST
+    under higher_better=False and stole rank 1)."""
+    from goetl_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d2", 5.0), ("q1", "dN", None)],
+        "qid string, doc string, score double")
+    low = {r.doc: r for r in
+           rrf_fuse([df], ["doc"], "score", k=60, group_cols=["qid"],
+                    higher_better=False).collect()}
+    assert "dN" not in low  # unscored = unranked by this list
+    assert abs(low["d1"].rrf_score - round(1 / 61, 12)) < 1e-15
+    # a candidate NULL in one list but scored in another keeps the
+    # scored list's contribution with n_lists == 1
+    other = spark.createDataFrame([("q1", "dN", 1.0)],
+                                  "qid string, doc string, score double")
+    both = {r.doc: r for r in
+            rrf_fuse([df, other], ["doc"], "score", k=60,
+                     group_cols=["qid"]).collect()}
+    assert both["dN"].n_lists == 1
+    assert abs(both["dN"].rrf_score - round(1 / 61, 12)) < 1e-15
+
+
+def test_rrf_fuse_assume_unique_fast_path(spark):
+    """assume_unique=True skips the per-list dedup groupBy (r10 verdict
+    #5): same fused result on already-unique lists, and the physical
+    plan drops one hashaggregate exchange pair per list."""
+    from goetl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", "d1", 9.0), ("q1", "d2", 5.0), ("q2", "d1", 2.0)],
+        "qid string, doc string, score double")
+    b = spark.createDataFrame(
+        [("q1", "d2", 0.9), ("q1", "d1", 0.5)],
+        "qid string, doc string, score double")
+    slow = rrf_fuse([a, b], ["doc"], "score", k=60, group_cols=["qid"])
+    fast = rrf_fuse([a, b], ["doc"], "score", k=60, group_cols=["qid"],
+                    assume_unique=True)
+    srows = {(r.qid, r.doc): (r.n_lists, r.rrf_score)
+             for r in slow.collect()}
+    frows = {(r.qid, r.doc): (r.n_lists, r.rrf_score)
+             for r in fast.collect()}
+    assert srows == frows
+    # plan audit: the fast path has strictly fewer exchanges
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange")
+    assert n_exchanges(fast) < n_exchanges(slow)

@@ -10,16 +10,21 @@ grows past 50:
   has a driver row in the union of CORRECTNESS_r*.json artifacts (the
   union stays at 100 % after every round);
 - no query goes stale: anything absent from the artifacts of the last
-  FOUR recorded rounds must be seated in the upcoming window. (The
-  budget was two rounds through round 6 and three through most of
-  round 7; each widening happened when the registry approached the
-  window-capacity ceiling — two windows cap at 100 distinct queries,
-  three at 150, and the registry passed 150 mid-round-7. Four rounds
-  give capacity 200. The COMPENSATING CONTROL is unchanged and
+  FIVE recorded rounds must be seated in the upcoming window. (The
+  budget was two rounds through round 6, three through most of
+  round 7, and four through round 10; each widening happened when the
+  registry approached the window-capacity ceiling — two windows cap at
+  100 distinct queries, three at 150, four at 200. The round-11
+  widening to five (capacity 250) was mandated by the r10 verdict:
+  the r10 rotation never executed, so r11 inherited 73 expiring + 25
+  staged claims on 50 seats — infeasible at budget 4 even after the
+  12-row retirement. The COMPENSATING CONTROL is unchanged and
   stronger than this rule: `scripts/check_oracle.py` re-verifies the
   FULL registry against DuckDB every round — builder at round start
-  and end, judge independently — so staleness here only bounds the
-  driver-artifact trail, not actual verification cadence.)
+  and end, judge independently (both ran it green at r10:
+  FULLCHECK.json against_round=10, and the judge's own 173-OK run) —
+  so staleness here only bounds the driver-artifact trail, not actual
+  verification cadence.)
 """
 from __future__ import annotations
 
@@ -60,7 +65,7 @@ def test_window_is_queries_prefix():
 
 def test_union_coverage_and_staleness():
     """Every registered query has a past driver row or an upcoming seat;
-    nothing sits out more than four consecutive recorded rounds (see
+    nothing sits out more than five consecutive recorded rounds (see
     module docstring for the widening history and compensating
     control)."""
     from goetl_spark.queries import _REGISTRY, _WINDOW
@@ -76,16 +81,15 @@ def test_union_coverage_and_staleness():
         f"queries with no driver row and no window seat: {uncovered}")
 
     latest = max(arts)
-    recent = (arts.get(latest, set()) | arts.get(latest - 1, set())
-              | arts.get(latest - 2, set()) | arts.get(latest - 3, set()))
+    recent = set().union(*(arts.get(latest - i, set()) for i in range(5)))
     stale = [n for n in _REGISTRY if n not in recent and n not in window]
     assert not stale, (
-        f"queries absent from rounds {latest - 3}-{latest} and not seated "
+        f"queries absent from rounds {latest - 4}-{latest} and not seated "
         f"for the next round: {stale}")
 
 
 def test_fullcheck_backstop_for_widened_staleness_budget():
-    """The 4-round staleness budget is only sound because the FULL
+    """The 5-round staleness budget is only sound because the FULL
     registry re-verifies against DuckDB every round. That control used
     to live in a docstring; this test makes it machine-checked (r7
     advisor ask): scripts/check_oracle.py writes FULLCHECK.json on
@@ -104,7 +108,7 @@ def test_fullcheck_backstop_for_widened_staleness_budget():
     path = os.path.join(REPO, "FULLCHECK.json")
     assert os.path.exists(path), (
         "FULLCHECK.json missing — run scripts/check_oracle.py over the "
-        "full registry (the compensating control for the 4-round "
+        "full registry (the compensating control for the 5-round "
         "staleness budget)")
     fc = json.load(open(path))
     assert fc["failures"] == [], f"full-registry check failed: {fc['failures']}"
@@ -159,17 +163,15 @@ def test_plan_window_consistent_with_staleness_rule():
     latest = max(arts)
     upcoming = {latest + 1: set(_WINDOW), **arts}
     nxt = latest + 2
-    recent = set().union(*(upcoming.get(r, set())
-                           for r in (nxt - 1, nxt - 2, nxt - 3, nxt - 4)))
+    recent = set().union(*(upcoming.get(nxt - i, set())
+                           for i in range(1, 6)))
     mandatory = {q for q in _REGISTRY if q not in recent}
     # sanity: the planner's module loads and the current window covers
     # everything stale for the upcoming round (the live invariant)
     spec.loader.exec_module(pw)
     stale_now = {q for q in _REGISTRY
-                 if q not in set().union(*(arts.get(r, set())
-                                           for r in (latest, latest - 1,
-                                                     latest - 2,
-                                                     latest - 3)))
+                 if q not in set().union(*(arts.get(latest - i, set())
+                                           for i in range(5)))
                  and q not in set(_WINDOW)}
     assert not stale_now
     # and anything hard-mandatory next round is currently unseated+old

@@ -14,6 +14,8 @@ pandas UDF — still map-only and deterministic, just not SQL-mirrorable.)
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -630,3 +632,143 @@ def term_blocklist_hits(
                                F.array().cast("array<string>")))
         .withColumn(f"{out_prefix}_flag", F.col(f"{out_prefix}_hits") > 0)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    top_n: int = 2,
+    dup_n: int = 5,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_ngram_char_frac: float = 0.20,
+    max_dup_ngram_char_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, Appendix A1 "Repetition
+    removal") — the within-document complement of
+    :func:`gopher_quality_flags`' document-level section: documents made
+    of repeated lines or a few looping n-grams are boilerplate/spam even
+    when their word counts and symbol ratios look healthy.
+
+    Per input row, appends:
+
+    - ``n_lines``, ``dup_line_frac`` — fraction of non-empty trimmed
+      lines that are repeats of an earlier line (``1 - distinct/total``);
+    - ``dup_line_char_frac`` — fraction of line characters contributed
+      by those repeat occurrences (total line chars minus the chars of
+      one copy of each distinct line, over total line chars);
+    - ``top_ngram_char_frac`` — the paper's "fraction of characters
+      contained in the most frequently-occurring {top_n}-gram": max over
+      word {top_n}-grams of ``count * chars(gram)`` divided by total
+      word characters (joining spaces excluded on both sides — ties on
+      count resolve by the product, so the stat is order-independent);
+    - ``dup_ngram_char_frac`` — fraction of word characters covered by
+      {dup_n}-grams occurring at least twice, counting EVERY occurrence
+      (``sum(count * chars)`` over duplicated grams / total word chars).
+      Deviation from the paper noted: Rae et al. count overlapping
+      occurrences' characters once; the occurrence-weighted sum used
+      here is deterministic, engine-portable, and upper-bounds it;
+    - per-rule booleans ``dup_line_ok`` / ``dup_line_char_ok`` /
+      ``top_ngram_ok`` / ``dup_ngram_ok`` and the conjunction
+      ``rep_pass`` (paper thresholds: 0.30 / 0.20 / 0.20(n=2) /
+      0.15(n=5) as defaults).
+
+    Words are the corpus tokenizer's convention (lowercase, split on
+    ``[^a-z0-9]+`` — lm.py/q116); lines are ``\\n``-split, space-trimmed,
+    non-empty. Empty docs yield 0.0 fractions and pass.
+
+    Scale shape: line stats and n-gram ASSEMBLY are pure higher-order
+    Column expressions (zero shuffle). The per-doc top/dup n-gram
+    frequencies need within-doc grouping, so the grams explode into
+    (doc, gram) rows and aggregate twice — groupBy(doc, gram) then
+    groupBy(doc) — i.e. two map-side-combinable shuffles proportional to
+    corpus token count, then one equi-join back on the doc key. No
+    driver state, no UDFs; every fraction is a single int/int double
+    division, so results hash identically cross-engine.
+    """
+    for p, nm in ((top_n, "top_n"), (dup_n, "dup_n")):
+        if p < 1:
+            raise ValueError(f"{nm} must be >= 1, got {p}")
+    ids = [F.col(c) for c in id_cols]
+    c = F.col(text_col)
+
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    dist = F.array_distinct(lines)
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda a, x: a + F.length(x))
+    n_lines = F.size(lines)
+    line_chars = chars_of(lines)
+    dist_chars = chars_of(dist)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(dist)).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        line_chars > 0,
+        (line_chars - dist_chars).cast("double") / line_chars
+    ).otherwise(F.lit(0.0))
+
+    words = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+    word_chars = chars_of(words)
+
+    def grams(n: int) -> Column:
+        # i-th gram joins words[i..i+n-1]; empty when the doc is shorter
+        return F.when(F.size(words) >= n, F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    base = df.withColumn("n_lines", n_lines) \
+             .withColumn("dup_line_frac", dup_line_frac) \
+             .withColumn("dup_line_char_frac", dup_line_char_frac) \
+             .withColumn("__wc", word_chars)
+
+    def gram_agg(n: int, agg_expr, alias: str) -> DataFrame:
+        counted = (
+            base.select(*id_cols, F.explode(grams(n)).alias("__g"))
+            .groupBy(*id_cols, "__g")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            # chars of one occurrence, joining spaces excluded
+            .withColumn("__gc", F.length(F.col("__g")) - (n - 1))
+        )
+        return counted.groupBy(*id_cols).agg(agg_expr.alias(alias))
+
+    top = gram_agg(
+        top_n, F.max(F.col("__cnt") * F.col("__gc")), "__top_chars")
+    dup = gram_agg(
+        dup_n,
+        F.sum(F.when(F.col("__cnt") >= 2,
+                     F.col("__cnt") * F.col("__gc")).otherwise(F.lit(0))),
+        "__dup_chars")
+
+    out = (
+        base.join(top, list(id_cols), "left")
+        .join(dup, list(id_cols), "left")
+        .withColumn(
+            "top_ngram_char_frac",
+            F.when(F.col("__wc") > 0,
+                   F.coalesce(F.col("__top_chars"), F.lit(0))
+                   .cast("double") / F.col("__wc"))
+            .otherwise(F.lit(0.0)))
+        .withColumn(
+            "dup_ngram_char_frac",
+            F.when(F.col("__wc") > 0,
+                   F.coalesce(F.col("__dup_chars"), F.lit(0))
+                   .cast("double") / F.col("__wc"))
+            .otherwise(F.lit(0.0)))
+        .drop("__wc", "__top_chars", "__dup_chars")
+        .withColumn("dup_line_ok", F.col("dup_line_frac") <= max_dup_line_frac)
+        .withColumn("dup_line_char_ok",
+                    F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        .withColumn("top_ngram_ok",
+                    F.col("top_ngram_char_frac") <= max_top_ngram_char_frac)
+        .withColumn("dup_ngram_ok",
+                    F.col("dup_ngram_char_frac") <= max_dup_ngram_char_frac)
+    )
+    return out.withColumn(
+        "rep_pass",
+        F.col("dup_line_ok") & F.col("dup_line_char_ok")
+        & F.col("top_ngram_ok") & F.col("dup_ngram_ok"))

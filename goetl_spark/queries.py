@@ -9130,3 +9130,126 @@ def q198_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"))
     return (linear_trend(base, ["event_type"], "x", "y")
             .orderBy("event_type"))
+
+
+@register_staged(
+    "q199_repetition_flags",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN substr(text, 1, 40) || chr(10) ||
+                         substr(text, 1, 40) || chr(10) || substr(text, 41)
+                    ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+        SELECT doc_id,
+               list_filter(list_transform(str_split(text, chr(10)),
+                                          l -> trim(l)), l -> l <> '') AS lines,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words
+        FROM d
+    ),
+    ls AS (
+        SELECT doc_id, words,
+               len(lines) AS n_lines,
+               COALESCE(list_sum(list_transform(lines, x -> length(x))), 0)
+                   AS line_chars,
+               len(list_distinct(lines)) AS n_dist,
+               COALESCE(list_sum(list_transform(list_distinct(lines),
+                                                x -> length(x))), 0)
+                   AS dist_chars,
+               COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+                   AS wc
+        FROM base
+    ),
+    i2 AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - 1)) AS i
+        FROM ls
+    ),
+    g2 AS (
+        SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g,
+               COUNT(*) AS cnt
+        FROM i2 GROUP BY doc_id, g
+    ),
+    t2 AS (
+        SELECT doc_id, MAX(cnt * (length(g) - 1)) AS top_chars
+        FROM g2 GROUP BY doc_id
+    ),
+    i5 AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - 4)) AS i
+        FROM ls
+    ),
+    g5 AS (
+        SELECT doc_id, array_to_string(words[i:i+4], ' ') AS g,
+               COUNT(*) AS cnt
+        FROM i5 GROUP BY doc_id, g
+    ),
+    d5 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN cnt >= 2 THEN cnt * (length(g) - 4)
+                        ELSE 0 END) AS dup_chars
+        FROM g5 GROUP BY doc_id
+    ),
+    fr AS (
+        SELECT ls.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CASE WHEN n_lines > 0 THEN
+                   CAST(n_lines - n_dist AS DOUBLE) / n_lines
+               ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN line_chars > 0 THEN
+                   CAST(line_chars - dist_chars AS DOUBLE) / line_chars
+               ELSE 0.0 END AS dup_line_char_frac,
+               CASE WHEN wc > 0 THEN
+                   CAST(COALESCE(t2.top_chars, 0) AS DOUBLE) / wc
+               ELSE 0.0 END AS top_ngram_char_frac,
+               CASE WHEN wc > 0 THEN
+                   CAST(COALESCE(d5.dup_chars, 0) AS DOUBLE) / wc
+               ELSE 0.0 END AS dup_ngram_char_frac
+        FROM ls LEFT JOIN t2 ON ls.doc_id = t2.doc_id
+                LEFT JOIN d5 ON ls.doc_id = d5.doc_id
+    )
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           top_ngram_char_frac, dup_ngram_char_frac,
+           dup_line_frac <= 0.30 AS dup_line_ok,
+           dup_line_char_frac <= 0.20 AS dup_line_char_ok,
+           top_ngram_char_frac <= 0.20 AS top_ngram_ok,
+           dup_ngram_char_frac <= 0.15 AS dup_ngram_ok,
+           dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           AND top_ngram_char_frac <= 0.20 AND dup_ngram_char_frac <= 0.15
+               AS rep_pass
+    FROM fr ORDER BY doc_id
+    """,
+)
+def q199_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (operators/text.py::
+    repetition_stats — Rae et al. 2021 Appendix A1): duplicate-line
+    fraction + char fraction, top-bigram char fraction, duplicated
+    5-gram char fraction, per-rule flags, and the ``rep_pass``
+    conjunction, per document. Every 4th doc gets its first 40 chars
+    planted twice as extra lines (the corpus ships single-line) so the
+    line rules fire organically; the word-soup corpus already repeats
+    n-grams. All fractions are single int/int double divisions — the
+    oracle replays line/word splitting with DuckDB list functions and
+    the same two gram GROUP BYs, hash-exact. Scale shape: line stats
+    are zero-shuffle Column expressions; gram stats are two map-side-
+    combinable shuffles + one doc-key join (see operator docstring)."""
+    from goetl_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    head = F.substring(F.col("text"), 1, 40)
+    fixture = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(head, F.lit("\n"), head, F.lit("\n"),
+                        F.expr("substring(text, 41)")))
+        .otherwise(F.col("text")).alias("text"))
+    out = repetition_stats(fixture)
+    return out.select(
+        "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac",
+        "dup_ngram_char_frac", "dup_line_ok", "dup_line_char_ok",
+        "top_ngram_ok", "dup_ngram_ok", "rep_pass",
+    ).orderBy("doc_id")

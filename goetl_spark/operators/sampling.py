@@ -565,3 +565,120 @@ def mix_token_budget(
             part = part.withColumn(source_col, F.lit(i))
         parts.append(part)
     return fan_in(parts)
+
+
+def _dsir_ngrams(text_col: str) -> Column:
+    """Hashed-feature n-grams (unigrams + word bigrams) under the corpus
+    tokenizer convention (lowercase, split on ``[^a-z0-9]+`` — lm.py)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                     lambda x: x != "")
+    bigrams = F.when(F.size(words) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.concat(words, bigrams)
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    buckets: int = 4096,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by how much more likely its hashed n-gram features are
+    under a TARGET corpus' bag-of-ngrams model than under the RAW
+    (candidate) corpus' own model —
+    ``log w(x) = Σ_b c_b(x) · [ln p_target(b) − ln p_raw(b)]`` with
+    add-k smoothed bucket probabilities. High weight ⇒ the document
+    looks like the target distribution; the standard scalable recipe
+    for "select web data that resembles Wikipedia/books".
+
+    Features are unigram+bigram md5-hash buckets (engine-portable,
+    :func:`~goetl_spark.operators.text.md5_int`), so both models are
+    bounded ``buckets``-row tables regardless of corpus size.
+
+    Appends ``log_weight`` (double) to ``df``.
+
+    Cross-engine float determinism: the two bucket-count tables are
+    collected (bounded by ``buckets``) and the per-bucket log-ratio is
+    computed DRIVER-SIDE with libm ``math.log`` — bit-identical to
+    DuckDB's ``ln`` (the BM25/TF-IDF idf recipe; Spark's JVM log is the
+    one that differs) — then broadcast back. Per-doc weights sum
+    ``round(count × ratio, 9)`` in DECIMAL(38,9) (lm.py's
+    rounded-decimal-sum recipe), so the total is associative and
+    shuffle-order independent.
+
+    Scale shape: one explode+groupBy per corpus for the models (map-side
+    combined, ``buckets``-bounded results), one explode+groupBy over the
+    candidates for (doc, bucket) counts, one BROADCAST join against the
+    ratio table, one doc-key sum. Driver state = two ``buckets``-row
+    dicts. No UDFs, no all-pairs, no global windows."""
+    import math
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+
+    def bucket_counts(frame: DataFrame) -> dict[int, int]:
+        rows = (
+            frame.select(F.explode(_dsir_ngrams(text_col)).alias("g"))
+            .select((md5_int(F.col("g")) % buckets).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+            .collect())
+        return {r["b"]: r["c"] for r in rows}
+
+    ct_t, ct_r = bucket_counts(target_df), bucket_counts(df)
+    n_t, n_r = sum(ct_t.values()), sum(ct_r.values())
+    if n_t == 0 or n_r == 0:
+        raise ValueError("target and candidate corpora must both contain "
+                         f"at least one token (target={n_t}, raw={n_r})")
+    denom_t, denom_r = n_t + add_k * buckets, n_r + add_k * buckets
+    spark = df.sparkSession
+    ratio_df = spark.createDataFrame(
+        [(b,
+          math.log((ct_t.get(b, 0) + add_k) / denom_t)
+          - math.log((ct_r.get(b, 0) + add_k) / denom_r))
+         for b in range(buckets)],
+        "b int, ratio double")
+
+    ids = list(id_cols)
+    doc_feats = (
+        df.select(*ids, F.explode(_dsir_ngrams(text_col)).alias("g"))
+        .select(*ids, (md5_int(F.col("g")) % buckets).alias("b"))
+        .groupBy(*ids, "b").agg(F.count(F.lit(1)).alias("__cnt"))
+        .join(F.broadcast(ratio_df), "b")
+        .groupBy(*ids)
+        .agg(F.sum(F.round(F.col("__cnt") * F.col("ratio"), 9)
+                   .cast("decimal(38,9)"))
+             .cast("double").alias("log_weight")))
+    return df.join(doc_feats, ids, "left").withColumn(
+        "log_weight", F.coalesce(F.col("log_weight"), F.lit(0.0)))
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    buckets: int = 4096,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Top-``n`` candidates by DSIR importance weight (deterministic
+    variant of the paper's Gumbel resampling: rank by ``log_weight``
+    desc with the id as tie-break, so the selection is reproducible and
+    oracle-checkable). ``orderBy().limit(n)`` compiles to Spark's
+    TakeOrdered — per-partition top-n then a driver merge of n·P rows,
+    never a global sort materialization."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    weighted = dsir_log_weights(df, target_df, text_col=text_col,
+                                id_cols=id_cols, buckets=buckets,
+                                add_k=add_k)
+    order = [F.col("log_weight").desc()] + [F.col(c) for c in id_cols]
+    return weighted.orderBy(*order).limit(n)

@@ -9253,3 +9253,81 @@ def q199_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_ngram_char_frac", "dup_line_ok", "dup_line_char_ok",
         "top_ngram_ok", "dup_ngram_ok", "rep_pass",
     ).orderBy("doc_id")
+
+
+_DSIR_WORDS = ("list_filter(regexp_split_to_array(lower(text), "
+               "'[^a-z0-9]+'), x -> x <> '')")
+_DSIR_GRAMS = ("list_concat(words, list_transform("
+               "generate_series(1, len(words) - 1), "
+               "i -> array_to_string(words[i:i+1], ' ')))")
+
+
+@register_staged(
+    "q200_dsir_select",
+    f"""
+    WITH tgt AS (
+        SELECT {_DSIR_WORDS} AS words
+        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    cand AS (
+        SELECT doc_id, {_DSIR_WORDS} AS words
+        FROM documents WHERE doc_id % 10 <> 0 AND text IS NOT NULL
+    ),
+    tg AS (SELECT unnest({_DSIR_GRAMS}) AS g FROM tgt),
+    cg AS (SELECT doc_id, unnest({_DSIR_GRAMS}) AS g FROM cand),
+    tb AS (
+        SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+               COUNT(*) AS c
+        FROM tg GROUP BY b
+    ),
+    rb AS (
+        SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+               COUNT(*) AS c
+        FROM cg GROUP BY b
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tb),
+    nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rb),
+    dc AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+               COUNT(*) AS cnt
+        FROM cg GROUP BY doc_id, b
+    ),
+    contrib AS (
+        SELECT dc.doc_id,
+               dc.cnt * (ln((COALESCE(tb.c, 0) + 1.0) / (nt.n + 1.0 * 4096))
+                         - ln((COALESCE(rb.c, 0) + 1.0)
+                              / (nr.n + 1.0 * 4096))) AS term
+        FROM dc LEFT JOIN tb ON dc.b = tb.b
+                LEFT JOIN rb ON dc.b = rb.b, nt, nr
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   AS log_weight
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT c.doc_id, COALESCE(w.log_weight, 0.0) AS log_weight
+    FROM cand c LEFT JOIN w ON c.doc_id = w.doc_id
+    ORDER BY log_weight DESC, c.doc_id LIMIT 100
+    """,
+)
+def q200_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py::dsir_select — Xie et
+    al. 2023): every 10th document plays the "target" corpus, the rest
+    are candidates, and the top 100 candidates by hashed-ngram
+    importance weight are selected. Both bucket-count models are
+    bounded 4096-row tables; the log-ratio is computed driver-side with
+    libm ``math.log`` (bit-identical to the oracle's ``ln`` — the
+    BM25/TF-IDF recipe), broadcast back, and each document's weight is
+    the DECIMAL(38,9) rounded sum of count×ratio — hash-exact including
+    the float. Scale shape: two model aggregates + one (doc,bucket)
+    aggregate + broadcast join + TakeOrdered top-n; driver state is the
+    two bucket dicts."""
+    from goetl_spark.operators.sampling import dsir_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tgt = d.filter(F.col("doc_id") % 10 == 0)
+    cand = d.filter(F.col("doc_id") % 10 != 0)
+    return dsir_select(cand, tgt, 100, buckets=4096) \
+        .select("doc_id", "log_weight")

@@ -9331,3 +9331,100 @@ def q200_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = d.filter(F.col("doc_id") % 10 != 0)
     return dsir_select(cand, tgt, 100, buckets=4096) \
         .select("doc_id", "log_weight")
+
+
+@register_staged(
+    "q201_chat_turns",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, CAST(ceil(len(words) / 8.0) AS INT)),
+                   i -> struct_pack(
+                       role := CASE WHEN doc_id % 7 = 0 THEN 'user'
+                                    WHEN (i - 1) % 2 = 0 THEN 'user'
+                                    ELSE 'assistant' END,
+                       content := array_to_string(
+                           words[(i-1)*8+1 : (i-1)*8+8], ' '))) AS conv
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, conv,
+               len(conv) AS n_turns,
+               len(list_filter(conv, t -> t.role = 'user')) AS n_user,
+               len(list_filter(conv, t -> t.role = 'assistant'))
+                   AS n_assistant,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_filter(conv, t -> t.role = 'user'),
+                   t -> length(t.content))), 0) AS BIGINT) AS user_chars,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_filter(conv, t -> t.role = 'assistant'),
+                   t -> length(t.content))), 0) AS BIGINT) AS assistant_chars,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_filter(conv, t -> t.role = 'user'),
+                   t -> len(regexp_extract_all(t.content, '\\S+')))), 0)
+                   AS BIGINT) AS user_tokens,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_filter(conv, t -> t.role = 'assistant'),
+                   t -> len(regexp_extract_all(t.content, '\\S+')))), 0)
+                   AS BIGINT) AS assistant_tokens,
+               CASE WHEN len(conv) > 0 THEN conv[1].role = 'user'
+                    ELSE FALSE END AS starts_with_user,
+               CASE WHEN len(conv) > 0 THEN conv[-1].role = 'assistant'
+                    ELSE FALSE END AS ends_with_assistant,
+               CASE WHEN len(conv) <= 1 THEN TRUE
+                    ELSE len(list_filter(generate_series(1, len(conv) - 1),
+                             i -> conv[i].role <> conv[i+1].role))
+                         = len(conv) - 1 END AS alternation_ok
+        FROM c
+    )
+    SELECT doc_id AS conv_id, n_turns, n_user, n_assistant,
+           user_chars, assistant_chars, user_tokens, assistant_tokens,
+           starts_with_user, ends_with_assistant, alternation_ok,
+           starts_with_user AND ends_with_assistant AND alternation_ok
+               AND n_turns >= 2 AS chat_ok,
+           md5(array_to_string(list_transform(conv,
+               t -> '<|' || t.role || '|>' || t.content || chr(10)), ''))
+               AS flat_md5
+    FROM s ORDER BY conv_id
+    """,
+)
+def q201_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation gate (operators/chat.py): each document becomes
+    a conversation of 8-word turns with alternating roles
+    (words_to_turns; every 7th doc gets all-'user' roles so the
+    alternation rule fires), then chat_turn_stats computes turn/role
+    counts, per-role char+token budgets, and the structural validity
+    flags, and flatten_chat's rendered training text is fingerprinted
+    with md5 — proving the template rendering byte-exact without
+    shipping the text. All pure higher-order Column expressions (zero
+    shuffle, zero UDFs); the oracle replays turn construction, stats,
+    and rendering with DuckDB list functions."""
+    from goetl_spark.operators.chat import (
+        chat_turn_stats, flatten_chat, words_to_turns)
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    conv = F.when(F.col("doc_id") % 7 == 0,
+                  words_to_turns("text", 8, ("user", "user"))) \
+        .otherwise(words_to_turns("text", 8))
+    base = d.select(F.col("doc_id").alias("conv_id"),
+                    conv.alias("conversation"))
+    stats = chat_turn_stats(base)
+    flat = flatten_chat(stats, out_col="__flat")
+    return flat.select(
+        "conv_id", F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_user").cast("long").alias("n_user"),
+        F.col("n_assistant").cast("long").alias("n_assistant"),
+        F.col("user_chars").cast("long").alias("user_chars"),
+        F.col("assistant_chars").cast("long").alias("assistant_chars"),
+        F.col("user_tokens").cast("long").alias("user_tokens"),
+        F.col("assistant_tokens").cast("long").alias("assistant_tokens"),
+        "starts_with_user", "ends_with_assistant", "alternation_ok",
+        "chat_ok", F.md5(F.col("__flat")).alias("flat_md5"),
+    ).orderBy("conv_id")

@@ -256,6 +256,30 @@ def pack_sequences(
     once the returned frame is dropped). Pass False for the lazy plan
     and unpersist the input lineage yourself.
     """
+    out = _with_exclusive_cumsum(df, token_col, order_cols, "__cum",
+                                 num_partitions, materialize)
+    return (out.withColumn(out_col,
+                           F.floor(F.col("__cum") / F.lit(budget))
+                           .cast("long"))
+            .drop("__cum"))
+
+
+def _with_exclusive_cumsum(
+    df: DataFrame,
+    token_col: str,
+    order_cols: Sequence[str],
+    out_col: str,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Two-phase distributed EXCLUSIVE cumulative sum of ``token_col``
+    over the total order ``order_cols`` (the :func:`pack_sequences`
+    engine, shared with :func:`block_pack`): range-repartition on the
+    order, per-partition window cumsum, per-partition totals collected
+    (one row per partition) into driver-side offsets that a broadcast
+    join adds back. Partitioning-independent because ranges respect the
+    total order. See :func:`pack_sequences` for the materialize
+    contract."""
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_cols]
@@ -285,8 +309,7 @@ def pack_sequences(
         out = (
             parts.join(F.broadcast(off_df), "__pid")
             .withColumn(out_col,
-                        F.floor((local_before + F.col("__offset"))
-                                / F.lit(budget)).cast("long"))
+                        (local_before + F.col("__offset")).cast("long"))
             .drop("__pid", "__offset")
         )
         if materialize:
@@ -295,6 +318,61 @@ def pack_sequences(
     finally:
         if materialize:
             parts.unpersist()
+
+
+def block_pack(
+    df: DataFrame,
+    token_col: str,
+    block_tokens: int,
+    order_cols: Sequence[str] = ("doc_id",),
+    block_col: str = "block_id",
+    materialize: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style block packing: concatenate every document's tokens in a
+    deterministic total order and cut the stream into fixed
+    ``block_tokens`` blocks, documents SPLITTING across block boundaries
+    — the standard pretraining layout (concat-with-EOD then fixed-length
+    chunks), complementary to :func:`pack_sequences`' no-split greedy
+    packing. Returns one row per (document, block) span:
+
+    - ``token_start`` — the document's global token offset;
+    - ``{block_col}`` — the block this span lands in;
+    - ``block_offset`` — where the span starts within the block;
+    - ``tokens_in_block`` — how many of the document's tokens fall in
+      this block (a document longer than a block yields several rows,
+      interior blocks fully covered).
+
+    Every block is exactly full (the last one ragged), which is the
+    property trainers want batches to have; the mapping is the shuffle
+    plan a shard writer consumes. Zero-token documents contribute no
+    spans and are dropped.
+
+    Scale: the global offset is the shared two-phase distributed cumsum
+    (:func:`_with_exclusive_cumsum` — no single-task global window); the
+    span explosion is in-plan (``sequence`` + ``explode``), sized by
+    ``tokens/block_tokens``, with no further shuffle. Deterministic
+    given a total ``order_cols``; replayable in SQL via a window cumsum
+    + ``generate_series``."""
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    base = _with_exclusive_cumsum(
+        df.filter(F.col(token_col) > 0), token_col, order_cols,
+        "token_start", num_partitions, materialize)
+    S = F.lit(block_tokens)
+    end = F.col("token_start") + F.col(token_col)
+    blocks = F.sequence(F.floor(F.col("token_start") / S),
+                        F.floor((end - 1) / S))
+    out = base.withColumn(block_col, F.explode(blocks))
+    b = F.col(block_col)
+    return (out
+            .withColumn("block_offset",
+                        F.greatest(F.col("token_start") - b * S, F.lit(0))
+                        .cast("long"))
+            .withColumn("tokens_in_block",
+                        (F.least(end, (b + 1) * S)
+                         - F.greatest(F.col("token_start"), b * S))
+                        .cast("long")))
 
 
 def weighted_systematic_sample(

@@ -9428,3 +9428,54 @@ def q201_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "starts_with_user", "ends_with_assistant", "alternation_ok",
         "chat_ok", F.md5(F.col("__flat")).alias("flat_md5"),
     ).orderBy("conv_id")
+
+
+@register_staged(
+    "q202_block_pack",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nz AS (SELECT * FROM d WHERE n > 0),
+    c AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS s
+        FROM nz
+    ),
+    e AS (
+        SELECT doc_id, n, s,
+               unnest(generate_series(s // 256, (s + n - 1) // 256)) AS b
+        FROM c
+    )
+    SELECT doc_id, s AS token_start, b AS block_id,
+           GREATEST(s - b * 256, 0) AS block_offset,
+           LEAST(s + n, (b + 1) * 256) - GREATEST(s, b * 256)
+               AS tokens_in_block
+    FROM e ORDER BY doc_id, block_id
+    """,
+)
+def q202_block_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style block packing (operators/sampling.py::block_pack):
+    the corpus' whitespace tokens are concatenated in doc_id order and
+    cut into exactly-full 256-token blocks, documents splitting across
+    boundaries — one row per (document, block) span with the global
+    offset, in-block offset, and span length. The offsets come from the
+    shared two-phase distributed cumsum (never a single-task global
+    window); the oracle replays it with a window cumsum +
+    generate_series, hash-exact. This is the layout map a shard writer
+    consumes when packing pretraining batches."""
+    from goetl_spark.operators.sampling import block_pack
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+        .cast("long").alias("n"))
+    out = block_pack(toks, "n", 256)
+    return out.select(
+        "doc_id", "token_start", "block_id", "block_offset",
+        "tokens_in_block").orderBy("doc_id", "block_id")

@@ -772,3 +772,48 @@ def repetition_stats(
         "rep_pass",
         F.col("dup_line_ok") & F.col("dup_line_char_ok")
         & F.col("top_ngram_ok") & F.col("dup_ngram_ok"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against a fixed
+    vocabulary table (e.g. the top-N rows of :func:`vocabulary`, a
+    learned BPE/WordPiece vocab, or a product glossary): appends
+    ``n_tokens``, ``n_oov`` (tokens absent from ``vocab_df``) and
+    ``oov_rate`` — the standard pre-flight check before committing a
+    tokenizer to a corpus (high OOV ⇒ wrong domain or wrong vocab
+    size). Same tokenizer convention as :func:`vocabulary`. Empty docs
+    get 0/0/0.0.
+
+    Scale shape: the vocabulary is BROADCAST (vocabularies are bounded
+    by construction — collecting them is the tokenizer-family
+    contract), tokens explode map-side into one doc-keyed
+    partially-aggregated groupBy, and one equi-join puts the counts
+    back on the rows. No driver state beyond the broadcast."""
+    vocab = F.broadcast(
+        vocab_df.select(F.col(token_col).alias("__v")).distinct())
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+    per = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .join(vocab, F.col("__t") == F.col("__v"), "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+             .alias("n_oov"))
+    )
+    return (
+        df.join(per, id_col, "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))
+        .withColumn(
+            "oov_rate",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("n_oov").cast("double") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)))
+    )

@@ -9479,3 +9479,57 @@ def q202_block_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "token_start", "block_id", "block_offset",
         "tokens_in_block").orderBy("doc_id", "block_id")
+
+
+@register_staged(
+    "q203_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+        ORDER BY n DESC, token LIMIT 100
+    ),
+    per AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(per.n_tokens, 0) > 0
+                THEN CAST(per.n_oov AS DOUBLE) / per.n_tokens
+                ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    WHERE d.text IS NOT NULL
+    ORDER BY d.doc_id
+    """,
+)
+def q203_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage pre-flight (operators/text.py::
+    vocab_coverage): the corpus' top-100 tokens (by count, token
+    tie-break — q104's vocabulary op) play the fixed vocab, and every
+    document reports its token count, OOV count, and OOV rate — the
+    check a pipeline runs before committing a tokenizer/vocab size to a
+    100 TB corpus. Vocab is broadcast; one doc-keyed aggregate + one
+    join back. The oracle replays the top-100 selection and the left
+    join; the rate is one int/int division — hash-exact."""
+    from goetl_spark.operators.text import vocab_coverage, vocabulary
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vocab = (vocabulary(d).orderBy(F.desc("n"), "token").limit(100)
+             .select("token"))
+    out = vocab_coverage(d, vocab)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"), "oov_rate",
+    ).orderBy("doc_id")

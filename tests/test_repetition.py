@@ -69,3 +69,18 @@ def test_param_guard(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError):
         repetition_stats(df, top_n=0)
+
+
+def test_vocab_coverage(spark):
+    from goetl_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat bird"), (3, "")],
+        "doc_id int, text string")
+    vocab = spark.createDataFrame([("cat",), ("dog",)], "token string")
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (3, 0)
+    assert out[1]["oov_rate"] == 0.0
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 1)
+    assert out[2]["oov_rate"] == 0.5
+    assert (out[3]["n_tokens"], out[3]["n_oov"], out[3]["oov_rate"]) == (0, 0, 0.0)

@@ -9533,3 +9533,244 @@ def q203_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_oov").cast("long").alias("n_oov"), "oov_rate",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 11): the 4 of the 22 classic shapes not yet in
+# the catalog — Q2 (correlated min decorrelated to a partition window),
+# Q9 (profit rollup), Q11 (HAVING vs global scalar), Q20 (nested
+# semi-join chain). This dataset has no partsupp table (TESTDATA.md), so
+# the part-supplier relation derives from lineitem, the q124/Q16 recipe.
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "q204_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    p AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_type = 'PROMO' AND p_size < 15
+    ),
+    s AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    j AS (
+        SELECT p.p_partkey, p.p_name, s.s_name, s.n_name, s.s_acctbal,
+               c.unit_cost,
+               MIN(c.unit_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+        FROM cost c
+        JOIN p ON c.l_partkey = p.p_partkey
+        JOIN s ON c.l_suppkey = s.s_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+    FROM j WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q204_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 plan shape (min-cost supplier per part): the correlated
+    MIN subquery decorrelated to a part-partitioned window min with
+    tie-keeping equality — per filtered PROMO part, every ASIA-region
+    supplier whose observed unit cost (min l_extendedprice/l_quantity
+    over their lines — the partsupp proxy) matches the part's minimum.
+    At 100 TB: one (part,supp)-keyed aggregate over the fact table,
+    broadcast part filter and supplier⋈nation⋈region dims, and a window
+    PARTITIONED by part (never global); TakeOrdered top-100."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("unit_cost")))
+    p = _t(spark, sf_dir, "part") \
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") < 15)) \
+        .select("p_partkey", "p_name")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    j = (cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+         .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey))
+    w = Window.partitionBy("p_partkey")
+    return (j.withColumn("min_cost", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("min_cost"))
+            .select("p_partkey", "p_name", "s_name", "n_name",
+                    "s_acctbal", "unit_cost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@register_staged(
+    "q205_product_profit",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {DSUM('l_extendedprice * (1 - l_discount) '
+                 '- 0.1 * p_retailprice * l_quantity')} AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q205_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 plan shape (product-type profit by nation and year):
+    5-way join — fact × part filter × supplier × nation × orders (for
+    the order year) — with profit = revenue − 0.1·p_retailprice·qty
+    (the partsupp supplycost proxy), decimal-summed per (nation, year).
+    At 100 TB: part/supplier/nation broadcast, orders co-shuffled with
+    lineitem on the order key once, one map-side-combined rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("%widget%")) \
+        .select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                amount.alias("__amt"))
+        .groupBy("nation", "o_year")
+        .agg(dsum("__amt", "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register_staged(
+    "q206_important_parts",
+    f"""
+    WITH eu AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    base AS (
+        SELECT l_partkey, l_extendedprice, l_discount
+        FROM lineitem JOIN eu ON l_suppkey = eu.s_suppkey
+    ),
+    v AS (
+        SELECT l_partkey AS partkey,
+               {DSUM('l_extendedprice * (1 - l_discount)')} AS value
+        FROM base GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS total
+        FROM base
+    )
+    SELECT partkey, value FROM v, tot
+    WHERE value > 0.001 * total
+    ORDER BY value DESC, partkey
+    """,
+)
+def q206_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 plan shape (important stock): per-part value restricted
+    to EUROPE-region suppliers, kept only where it exceeds a FRACTION OF
+    THE GLOBAL TOTAL — the scalar-subquery HAVING decorrelated to a
+    1-row broadcast crossJoin (q111's recipe). Both the per-part values
+    and the scalar total are decimal-exact sums, so the > comparison is
+    engine-identical. At 100 TB: supplier filter broadcasts, ONE
+    fact-table pass feeds both aggregates, the total is a single row."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey"))
+    base = (li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+            .select("l_partkey",
+                    (F.col("l_extendedprice")
+                     * (F.lit(1) - F.col("l_discount"))).alias("__amt")))
+    v = base.groupBy(F.col("l_partkey").alias("partkey")) \
+        .agg(dsum("__amt", "value"))
+    tot = base.agg(dsum("__amt", "total"))
+    return (v.crossJoin(F.broadcast(tot))
+            .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+            .select("partkey", "value")
+            .orderBy(F.desc("value"), "partkey"))
+
+
+@register_staged(
+    "q207_excess_suppliers",
+    f"""
+    WITH sp AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    agg AS (
+        SELECT l_suppkey,
+               CAST(SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                              AND l_shipdate < DATE '1998-01-01'
+                             THEN CAST(l_quantity AS DECIMAL(38,6))
+                             ELSE CAST(0 AS DECIMAL(38,6)) END)
+                    AS DOUBLE) AS q97,
+               {DSUM('l_quantity')} AS qtot
+        FROM lineitem JOIN sp ON l_partkey = sp.p_partkey
+        GROUP BY l_suppkey
+    ),
+    sel AS (SELECT l_suppkey FROM agg WHERE q97 > 0.15 * qtot)
+    SELECT s_name, n_name FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT l_suppkey FROM sel)
+    ORDER BY s_name
+    """,
+)
+def q207_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 plan shape (potential part promotion): the nested
+    semi-join chain — part-name filter → per-supplier conditional
+    aggregate over the fact table → threshold comparison → semi-join
+    into supplier⋈nation⋈region (EUROPE). Adapted availability rule (no
+    partsupp): keep suppliers whose 1997 shipped quantity of 'small%'
+    parts exceeds 0.15 of their all-time quantity (above the ~1/7
+    proportional share of the 1995-2001 ship window). Both quantity
+    sums are decimal-exact (l_quantity is DOUBLE in this dataset), so
+    the threshold compare is engine-identical. At 100 TB: the part
+    filter broadcasts, ONE conditional aggregate replaces Q20's two
+    correlated scans, and the final semi-join is supplier-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("small%")).select("p_partkey")
+    in97 = ((F.col("l_shipdate") >= _ts_lit(li, "l_shipdate", "1997-01-01"))
+            & (F.col("l_shipdate") < _ts_lit(li, "l_shipdate", "1998-01-01")))
+    agg = (
+        li.join(F.broadcast(sp), li.l_partkey == sp.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.when(in97, F.col("l_quantity").cast("decimal(38,6)"))
+                   .otherwise(F.lit(0).cast("decimal(38,6)")))
+             .cast("double").alias("q97"),
+             dsum("l_quantity", "qtot")))
+    sel = agg.filter(F.col("q97") > F.lit(0.15) * F.col("qtot")) \
+        .select("l_suppkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sel), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_name", "n_name").orderBy("s_name")
+    )

@@ -1218,3 +1218,102 @@ def knn_sq_adc(
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def _sqdist_decimal(vec: Column, centroid: list[float]) -> Column:
+    """Exact-decimal squared euclidean distance between a double-array
+    column and a centroid literal: per-dim (x−c)² doubles (IEEE-identical
+    cross-engine) rounded to 12 decimals and folded in DECIMAL(38,12) —
+    associative, so the in-row left fold here equals the oracle's
+    per-(vec,centroid) SUM regardless of order. Rendered back to double."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    terms = F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c))
+    # DECIMAL(28,12): addition would widen the type (and Spark's
+    # precision-loss rule would silently shrink the scale at 38), so the
+    # merge re-casts — exact, 16 integer digits of headroom
+    total = F.aggregate(
+        terms, F.lit(0).cast("decimal(28,12)"),
+        lambda a, t: (a + F.round(t, 12).cast("decimal(28,12)"))
+        .cast("decimal(28,12)"))
+    return total.cast("double")
+
+
+def _argmin_cluster(vec: Column, cents: dict[int, list[float]]) -> Column:
+    """Nearest-centroid id under (distance, id) ordering: an array of
+    (dist, id) structs reduced by array_min — lexicographic struct
+    comparison gives the deterministic lowest-id tie-break, all in-row."""
+    structs = [F.struct(_sqdist_decimal(vec, c).alias("d"),
+                        F.lit(j).alias("j"))
+               for j, c in sorted(cents.items())]
+    return F.array_min(F.array(*structs))["j"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+) -> dict[int, list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the
+    corpus-scale clustering primitive (domain discovery, curriculum
+    bucketing, IVF-style partitioning) that :func:`_numpy_kmeans` (a
+    driver-side sample fit for PQ/IVF codebooks) deliberately is not:
+    here every ASSIGNMENT pass runs on the executors over the full
+    corpus, and only the k×dim centroid table ever reaches the driver.
+
+    Deterministic end to end: seeds are the first ``k`` vectors under
+    (md5(id), id) order — a reproducible pseudo-random draw, the
+    stratified_topk convention — assignment breaks distance ties by
+    lowest centroid id, and centroid means accumulate round(x,9)
+    DECIMAL(38,9) sums (scale-9 keeps the scaled magnitude below 2^53,
+    the cluster_inertia lesson). Distances are exact-decimal folds
+    (:func:`_sqdist_decimal`), so the whole fit replays bit-exact in
+    oracle SQL as unrolled iteration CTEs (the TextRank discipline).
+    Clusters that empty out drop (no re-seeding), also mirrored.
+
+    Scale shape per iteration: one broadcast-literal argmin map pass +
+    one posexplode groupBy (map-side combined, ≤ k·dim rows out). Driver
+    state: the k×dim centroid dict. Returns {cluster_id: centroid}."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    from goetl_spark.operators.text import md5_int
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    seeds = (base.orderBy(md5_int(F.col("__id").cast("string")), "__id")
+             .limit(k).collect())
+    if not seeds:
+        raise ValueError("cannot seed k-means from an empty frame")
+    cents = {j: [float(x) for x in r["__v"]] for j, r in enumerate(seeds)}
+    dim = len(next(iter(cents.values())))
+    for _ in range(iterations):
+        assigned = base.withColumn(
+            "__c", _argmin_cluster(F.col("__v"), cents))
+        rows = (
+            assigned.select("__c", F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("__c", "__dim")
+            .agg((F.sum(F.round(F.col("__x"), 9).cast("decimal(38,9)"))
+                  .cast("double") / F.count(F.lit(1))).alias("m"))
+            .collect())
+        bydim = {(r["__c"], r["__dim"]): r["m"] for r in rows}
+        cents = {j: [bydim[(j, d)] for d in range(dim)]
+                 for j in sorted({c for c, _ in bydim})}
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign every row to its nearest centroid (lowest-id tie-break) —
+    the pure map-side companion of :func:`kmeans_fit`: centroids ride
+    along as literals, zero shuffle, zero UDFs."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, _argmin_cluster(vec, centroids))

@@ -9774,3 +9774,72 @@ def q207_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               "left_semi")
         .select("s_name", "n_name").orderBy("s_name")
     )
+
+
+def _q208_oracle(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's replay (q197's convention): seed by (md5, id)
+    order, then per round one exact-decimal distance pass + ROW_NUMBER
+    argmin + DECIMAL(38,9) centroid means, ending with the assignment
+    under the final centroids — bit-exact against kmeans_fit+assign."""
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seed AS (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS j
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+    ),
+    c0 AS (SELECT j, unnest(v) AS c,
+                  unnest(generate_series(1, len(v))) AS dim FROM seed),
+    ed AS (SELECT vec_id, unnest(v) AS x,
+                  unnest(generate_series(1, len(v))) AS dim FROM e)"""
+    for i in range(1, iterations + 2):
+        sql += f""",
+    d{i} AS (
+        SELECT ed.vec_id, c.j,
+               CAST(SUM(CAST(round((ed.x - c.c) * (ed.x - c.c), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS d
+        FROM ed JOIN c{i-1} c ON ed.dim = c.dim
+        GROUP BY ed.vec_id, c.j
+    ),
+    a{i} AS (
+        SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, j) AS rn
+            FROM d{i}) WHERE rn = 1
+    )"""
+        if i <= iterations:
+            sql += f""",
+    c{i} AS (
+        SELECT a.cluster AS j, ed.dim,
+               CAST(SUM(CAST(round(ed.x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM ed JOIN a{i} a ON ed.vec_id = a.vec_id
+        GROUP BY a.cluster, ed.dim
+    )"""
+    return sql + (f"\n    SELECT vec_id, cluster FROM a{iterations + 1} "
+                  "ORDER BY vec_id")
+
+
+@register_staged("q208_kmeans", _q208_oracle(4, 2))
+def q208_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/similarity.py::
+    kmeans_fit/kmeans_assign): k=4 over the embeddings table, 2 full
+    update rounds, final nearest-centroid assignment per vector. Every
+    assignment pass runs on the executors (only the k×dim centroid
+    table touches the driver); distances are exact-decimal folds and
+    centroid means DECIMAL(38,9) sums, so the oracle's unrolled
+    iteration CTEs reproduce the assignment bit-exact — no recall
+    floor, no tolerance. The clustering primitive behind domain
+    discovery / curriculum bucketing on a 100 TB corpus."""
+    from goetl_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=4, iterations=2)
+    return (kmeans_assign(e, cents)
+            .select("vec_id", "cluster").orderBy("vec_id"))

@@ -59,11 +59,26 @@ def main():
     # WHICH query pays the one-time costs (md5/codegen JIT, first read
     # of each big table's footers+dictionary pages). Pay them here so
     # per-query timings compare across rounds regardless of order.
+    # Round-11 fix: count() answers from parquet metadata and reads ZERO
+    # data pages (and with aggregatePushdown even min/max would), so the
+    # FIRST query to scan a big column still paid the cold disk read —
+    # measured 24.5 s on q24-at-seat-1 vs 2.4 s warm. Warm the actual
+    # data pages with sums that cannot be statistics-served and compute
+    # no query's answer.
     from pyspark.sql.functions import concat_ws, md5
 
-    for t in ("documents", "embeddings", "lineitem", "orders", "events"):
+    _data_warm = {
+        "documents": "sum(length(text))",
+        "embeddings": "sum(size(embedding))",
+        "lineitem": "sum(l_extendedprice), sum(l_quantity), "
+                    "sum(length(l_returnflag))",
+        "orders": "sum(o_totalprice), sum(length(o_orderstatus))",
+        "events": "sum(value), sum(length(event_type))",
+    }
+    for t, expr_s in _data_warm.items():
         try:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+                .selectExpr(*expr_s.split(", ")).collect()
         except Exception:
             pass
     spark.range(0, 1000).select(
@@ -118,6 +133,32 @@ def main():
               .trigger(availableNow=True).start())
         sq.awaitTermination(60)
         sq.stop()
+    except Exception:
+        pass
+    try:  # (c2) mapInPandas eval path (the shingle/feature extractors'
+        #     SQL_MAP_PANDAS_ITER plan shape — distinct from (d)'s
+        #     grouped-map and the scalar-udf warm above)
+        def _warm_mip(batches):
+            import hashlib  # noqa: F401 — preload into workers
+            import numpy as _np  # noqa: F401
+            for pdf in batches:
+                yield pdf
+
+        spark.range(0, 1000, 1, 4).mapInPandas(
+            _warm_mip, "id long").count()
+    except Exception:
+        pass
+    try:  # (c3) the REAL shingle kernel on a 256-doc slice (~0.4 % of
+        #     sf0.1): q24-at-seat-1 measured 14 s first-in-session even
+        #     with a warm page cache — the cost is the mapInPandas
+        #     shingle path's first full-width execution, which (c2)'s
+        #     identity kernel does not JIT. Engine-path warm only; the
+        #     result is discarded and far too small to cache query work.
+        from goetl_spark.operators.dedup import shingle_index
+
+        shingle_index(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(256).repartition(8)).count()
     except Exception:
         pass
     try:  # (d) ANN kernel shape: Arrow-batched grouped-map with numpy

@@ -469,3 +469,104 @@ def linear_trend(
         (F.col("sy") - slope * F.col("sx")) / nd)
     return agg.select(*keys, "n", slope.alias("slope"),
                       intercept.alias("intercept"))
+
+
+# grain pairs where truncating the finer BUCKET equals truncating the
+# raw timestamp — the condition that lets a coarser rollup be derived
+# from the finer rollup instead of rescanning raw data. week->month is
+# deliberately absent (ISO weeks straddle month boundaries).
+_NESTS: dict[str, tuple[str, ...]] = {
+    "second": ("minute",),
+    "minute": ("hour",),
+    "hour": ("day",),
+    "day": ("week", "month"),
+    "week": (),
+    "month": ("quarter", "year"),
+    "quarter": ("year",),
+    "year": (),
+}
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    grains: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (the
+    TimescaleDB-hypertable / Druid-rollup shape): one table holding
+    per-(grain, bucket, keys) partials — ``n``, ``sum_dec``
+    (DECIMAL(38,6), the mergeable exact sum), ``vmin``/``vmax`` —
+    for every grain in ``grains``, finest first.
+
+    The raw stream is scanned and shuffled ONCE, at the finest grain;
+    every coarser grain re-aggregates the FINER ROLLUP (bucket counts,
+    not events), so at 100 TB the hour→day→week chain costs one
+    events-sized shuffle plus two rollup-sized ones (~hours·keys
+    rows). That derivation is exact only when each coarser grain nests
+    the previous one's buckets — validated against ``_NESTS`` at plan
+    time (week→month raises: ISO weeks straddle months).
+
+    Partials are mergeable by construction: counts add, DECIMAL sums
+    add exactly (shuffle-order independent, the queries.dsum trick),
+    min/max combine — which is what makes ``rollup_merge`` an EXACT
+    incremental refresh rather than an approximation. Rows with NULL
+    timestamp or value are excluded (they belong to no bucket).
+    """
+    grains = list(grains)
+    for finer, coarser in zip(grains, grains[1:]):
+        if coarser not in _NESTS.get(finer, ()):
+            raise ValueError(
+                f"grain {coarser!r} does not nest {finer!r} buckets — "
+                f"allowed next grains: {_NESTS.get(finer, ())}")
+    ts, val = F.col(ts_col), F.col(value_col).cast("double")
+    keys = list(keys)
+
+    def level(src: DataFrame, grain: str, src_ts: str,
+              first: bool) -> DataFrame:
+        bucket = F.date_trunc(grain, F.col(src_ts)).alias("bucket")
+        if first:
+            aggs = [F.count(F.lit(1)).alias("n"),
+                    F.sum(val.cast("decimal(18,6)"))
+                    .cast("decimal(38,6)").alias("sum_dec"),
+                    F.min(val).alias("vmin"), F.max(val).alias("vmax")]
+        else:
+            aggs = [F.sum("n").alias("n"),
+                    F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
+                    F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")]
+        return (src.groupBy(*keys, bucket).agg(*aggs)
+                .withColumn("grain", F.lit(grain)))
+
+    base = df.filter(ts.isNotNull() & val.isNotNull())
+    levels = [level(base, grains[0], ts_col, first=True)]
+    for g in grains[1:]:
+        levels.append(level(levels[-1], g, "bucket", first=False))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("grain", "bucket", *keys, "n", "sum_dec",
+                      "vmin", "vmax")
+
+
+def rollup_merge(existing: DataFrame, delta: DataFrame,
+                 keys: Sequence[str]) -> DataFrame:
+    """Exact incremental refresh of a ``hypertable_rollup`` table:
+    union the standing rollup with the rollup of an APPEND-ONLY delta
+    and re-combine partials per (grain, bucket, keys) — counts add,
+    exact decimal sums add, min/max combine. ``merge(rollup(a),
+    rollup(b)) == rollup(a ∪ b)`` bit-for-bit, which is the whole
+    contract: a scheduled pipeline rolls up only the new partition and
+    merges, never rescanning history.
+
+    Scale shape: both sides are rollup-sized (buckets·keys, not
+    events); the groupBy shuffles only touched buckets. When the
+    standing rollup is stored partitioned by (grain, date(bucket)),
+    the read side partition-prunes to the delta's date range — the
+    same pruned-merge discipline as operators/merge.py.
+    """
+    u = existing.unionByName(delta)
+    return (u.groupBy("grain", "bucket", *keys)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
+                 F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))

@@ -9843,3 +9843,71 @@ def q208_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit(e, k=4, iterations=2)
     return (kmeans_assign(e, cents)
             .select("vec_id", "cluster").orderBy("vec_id"))
+
+
+@register_staged(
+    "q209_hypertable_rollup",
+    """
+    WITH f AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+               MIN(value) AS vmin, MAX(value) AS vmax
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, date_trunc('day', bucket) AS bucket,
+               SUM(n) AS n, SUM(s) AS s,
+               MIN(vmin) AS vmin, MAX(vmax) AS vmax
+        FROM f GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, date_trunc('week', bucket) AS bucket,
+               SUM(n) AS n, SUM(s) AS s,
+               MIN(vmin) AS vmin, MAX(vmax) AS vmax
+        FROM d GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT 'hour' AS grain, * FROM f
+        UNION ALL SELECT 'day', * FROM d
+        UNION ALL SELECT 'week', * FROM w
+    )
+    SELECT grain, bucket, event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(CAST(s AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+               AS vsum,
+           vmin, vmax,
+           CAST(CAST(CAST(s AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) / n
+               AS vavg
+    FROM u ORDER BY grain, bucket, event_type
+    """,
+)
+def q209_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate rollup WITH incremental refresh
+    (operators/timeseries.py::hypertable_rollup/rollup_merge): the
+    events stream is split into two append batches (even/odd
+    event_id), each rolled up to hour→day→week partials independently,
+    then MERGED — and the oracle computes the rollup of the whole
+    table directly, so ``merge(rollup(a), rollup(b)) ==
+    rollup(a ∪ b)`` is the compare, bit-for-bit (counts add, exact
+    DECIMAL(38,6) sums add, min/max combine; vsum/vavg exposed via the
+    q198 string-roundtrip decimal→double). Raw events shuffle once at
+    the finest grain per batch; coarser grains re-aggregate the finer
+    ROLLUP (bucket counts, not events) — the TimescaleDB/Druid
+    continuous-aggregate discipline at 100 TB: roll up only the new
+    partition, merge, never rescan history."""
+    from goetl_spark.operators.timeseries import (
+        _dec2dbl, hypertable_rollup, rollup_merge)
+
+    e = _t(spark, sf_dir, "events")
+    early = hypertable_rollup(
+        e.filter(F.col("event_id") % 2 == 0), "ts", ["event_type"], "value")
+    late = hypertable_rollup(
+        e.filter(F.col("event_id") % 2 == 1), "ts", ["event_type"], "value")
+    merged = rollup_merge(early, late, ["event_type"])
+    return (merged.select(
+                "grain", "bucket", "event_type",
+                F.col("n").cast("long").alias("n"),
+                _dec2dbl(F.col("sum_dec")).alias("vsum"),
+                "vmin", "vmax",
+                (_dec2dbl(F.col("sum_dec")) / F.col("n")).alias("vavg"))
+            .orderBy("grain", "bucket", "event_type"))

@@ -180,6 +180,14 @@ def audit(plan: str) -> dict:
         "python": len(re.findall(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow", plan
         )),
+        # anti-patterns (tests/test_plan_quality.py FAILS on these; the
+        # columns here keep the per-round artifact trail): cartesian
+        # products, row-at-a-time Python UDFs, and nested-loop joins
+        # (nlj > 0 is legitimate ONLY with a bounded build side — the
+        # gate checks the build subtree; this report just counts)
+        "cartesian": len(re.findall(r"\(\d+\) CartesianProduct\b", plan)),
+        "rowudf": len(re.findall(r"\(\d+\) BatchEvalPython\b", plan)),
+        "nlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)),
     }
 
 
@@ -210,18 +218,19 @@ def main() -> None:
         rows.append((name, audit(plan)))
 
     header = (
-        f"| query | shuffles | broadcasts | codegen | pushed | scan_cols | python |"
+        f"| query | shuffles | broadcasts | codegen | pushed | scan_cols "
+        f"| python | cartesian | rowudf | nlj |"
     )
-    sep = "|---" * 7 + "|"
+    sep = "|---" * 10 + "|"
     lines = [header, sep]
     for name, a in rows:
         if a is None:
-            lines.append(f"| {name} | — | — | — | — | — | — | (streaming: executes in-fn) |"
-                         .replace(" | (streaming: executes in-fn) |", " |"))
+            lines.append(f"| {name} |" + " — |" * 9)
             continue
         lines.append(
             f"| {name} | {a['shuffles']} | {a['broadcasts']} | {a['codegen']} "
-            f"| {'y' if a['pushed'] else 'n'} | {a['scan_cols']} | {a['python']} |"
+            f"| {'y' if a['pushed'] else 'n'} | {a['scan_cols']} | {a['python']} "
+            f"| {a['cartesian']} | {a['rowudf']} | {a['nlj']} |"
         )
     table = "\n".join(lines)
     print(table)
@@ -233,8 +242,13 @@ def main() -> None:
             f"Generated by `python scripts/audit_plans.py {sf_dir}`.\n\n"
             "Columns: shuffle Exchanges / BroadcastExchanges / distinct\n"
             "WholeStageCodegen spans / filter pushdown present / widest scan\n"
-            "ReadSchema width / Python (Arrow) exchange count. Streaming\n"
-            "queries execute inside the query fn and are excluded.\n\n"
+            "ReadSchema width / Python (Arrow) exchange count / cartesian\n"
+            "products / row-at-a-time Python UDFs / nested-loop joins\n"
+            "(cartesian and rowudf must be 0 everywhere; nlj > 0 only with\n"
+            "a bounded build side — tests/test_plan_quality.py FAILS the\n"
+            "suite on violations, this table is the artifact trail).\n"
+            "Streaming queries execute inside the query fn and are\n"
+            "excluded.\n\n"
             "q22/q81/q159 are audited via their materialize=False\n"
             "variants (the registered forms localCheckpoint, truncating\n"
             "the plan); their lazy plans OVERSTATE runtime work —\n"

@@ -1289,6 +1289,20 @@ def kmeans_fit(
         raise ValueError("cannot seed k-means from an empty frame")
     cents = {j: [float(x) for x in r["__v"]] for j, r in enumerate(seeds)}
     dim = len(next(iter(cents.values())))
+    # Dirty vectors would otherwise surface as opaque driver-side
+    # TypeError/KeyError deep in the iteration loop (NULL vector → NULL
+    # cluster id; short vector → missing (cluster, dim) cells): reject
+    # them up front with the actual data problem named. One cheap
+    # aggregate pass; callers with known-dirty data filter first.
+    bad = base.filter(
+        F.col("__v").isNull() | (F.size("__v") != dim)
+        | F.exists("__v", lambda x: x.isNull())).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"kmeans_fit: embedding column {vec_col!r} has NULL or "
+            f"ragged vectors (expected non-null size {dim}; offending "
+            f"{id_col}={bad[0]['__id']!r}) — filter or repair before "
+            "fitting")
     for _ in range(iterations):
         assigned = base.withColumn(
             "__c", _argmin_cluster(F.col("__v"), cents))

@@ -659,10 +659,11 @@ def repetition_stats(
       by those repeat occurrences (total line chars minus the chars of
       one copy of each distinct line, over total line chars);
     - ``top_ngram_char_frac`` — the paper's "fraction of characters
-      contained in the most frequently-occurring {top_n}-gram": max over
-      word {top_n}-grams of ``count * chars(gram)`` divided by total
-      word characters (joining spaces excluded on both sides — ties on
-      count resolve by the product, so the stat is order-independent);
+      contained in the most frequently-occurring {top_n}-gram":
+      ``count * chars(gram)`` of the HIGHEST-COUNT word {top_n}-gram
+      divided by total word characters (joining spaces excluded on both
+      sides; ties on count resolve toward the larger product, so the
+      stat is deterministic and order-independent);
     - ``dup_ngram_char_frac`` — fraction of word characters covered by
       {dup_n}-grams occurring at least twice, counting EVERY occurrence
       (``sum(count * chars)`` over duplicated grams / total word chars).
@@ -736,8 +737,16 @@ def repetition_stats(
         )
         return counted.groupBy(*id_cols).agg(agg_expr.alias(alias))
 
+    # the paper's rule: chars of the MOST FREQUENTLY-OCCURRING gram —
+    # struct max picks highest count first, then the larger count*chars
+    # product as a deterministic, engine-portable tie-break (plain
+    # max(cnt*gc) would let a long-but-rare gram outrank the most
+    # frequent one)
     top = gram_agg(
-        top_n, F.max(F.col("__cnt") * F.col("__gc")), "__top_chars")
+        top_n,
+        F.max(F.struct(F.col("__cnt").alias("c"),
+                       (F.col("__cnt") * F.col("__gc")).alias("p")))["p"],
+        "__top_chars")
     dup = gram_agg(
         dup_n,
         F.sum(F.when(F.col("__cnt") >= 2,

@@ -527,8 +527,14 @@ def hypertable_rollup(
               first: bool) -> DataFrame:
         bucket = F.date_trunc(grain, F.col(src_ts)).alias("bucket")
         if first:
+            # per-row cast is DECIMAL(32,6), not (18,6): under non-ANSI
+            # Spark an overflowing cast yields NULL, so (18,6) would
+            # silently DROP |value| >= 1e12 from the sum while n still
+            # counts them. (32,6) holds |value| < 1e26 — beyond double's
+            # 2^53-exact integer range — and Spark's sum widens it to
+            # the same DECIMAL(38,6) partial.
             aggs = [F.count(F.lit(1)).alias("n"),
-                    F.sum(val.cast("decimal(18,6)"))
+                    F.sum(val.cast("decimal(32,6)"))
                     .cast("decimal(38,6)").alias("sum_dec"),
                     F.min(val).alias("vmin"), F.max(val).alias("vmax")]
         else:

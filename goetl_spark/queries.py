@@ -148,57 +148,74 @@ def retired_oracle_sql() -> dict[str, str]:
 # 9f9f453, judge-run evidence only) and q24 (the r10 bench watch item —
 # a fresh driver row at a fixed window position for the warm-vs-cold
 # comparison, same device as r7's q57 seat). 23+25+2 = 50 exactly.
+# Round-12 rotation (plan_window.py at r12 start; r11 verdict asks #1/#2):
+# (a) retirement TRANCHE 2 executes — the 11 rows annotated in
+# OPERATORS.md "retirement candidates, tranche 2" (q08/q10/q14/q23/
+# q29/q31/q47/q53/q61/q74/q104 move to @register_retired; operators,
+# oracles, pytest coverage, and §2 parity rows all stay; replay via
+# `scripts/check_oracle.py --retired`) — this cuts the r13/r14
+# hard-mandatory forecast from 48/50 to 44/43; (b) seats (50): all 11
+# staged registrations q199-q209 now @register (staged-first policy —
+# never had a driver row; this includes q209_hypertable_rollup, fixing
+# the r11 "10 staged / 48 seats" arithmetic the verdict flagged), the
+# 38 r7-last hard-mandatory rows (q05..q141 per plan_window.py), and
+# q01_pricing_summary (oldest expiring) in the spare seat — no
+# changed-code re-seat is needed because every r12 operator change
+# (repetition_stats gram selection, kmeans_fit input validation,
+# hypertable_rollup cast widening) lands inside a seated q199-q209
+# query. 11+38+1 = 50 exactly. The 47 deferred expiring rows become
+# hard-mandatory in r13 (44 after tranche-2 retirement).
 _WINDOW: list[str] = [
-    "q24_minhash_lsh_candidates",
-    "q50_dedup_clusters",
-    "q105_histogram",
-    "q106_correlation",
-    "q107_order_priority",
-    "q108_customer_distribution",
-    "q109_top_supplier",
-    "q110_small_quantity_revenue",
-    "q111_dormant_high_value",
-    "q112_resample_gapfill",
-    "q113_rolling_range",
-    "q114_funnel",
-    "q115_cohort_retention",
-    "q117_token_kl",
-    "q118_char_entropy",
-    "q119_cooccurrence",
-    "q120_standardize",
-    "q121_ntile_bins",
-    "q122_market_share",
-    "q123_promo_revenue",
-    "q124_supplier_part_distribution",
-    "q125_disjunctive_revenue",
-    "q126_weighted_sample",
-    "q127_group_winsorize",
-    "q128_cluster_inertia",
-    "q174_bpe_packing",
-    "q175_lsh_index_roundtrip",
-    "q176_simhash_index_roundtrip",
-    "q177_leakage_safe_split",
-    "q178_token_budget_mix",
-    "q179_sq_ann",
-    "q180_holt_trend",
-    "q181_term_blocklist",
-    "q182_url_quality",
-    "q183_holt_stream",
-    "q184_unigram_tokenize",
-    "q185_hll_index",
-    "q186_cusum_drift",
-    "q187_interval_union",
-    "q188_attribution",
-    "q189_triangles",
-    "q190_cusum_stream",
-    "q191_pmi_collocations",
-    "q192_profile_drift",
-    "q193_readability",
-    "q194_rrf_fusion",
-    "q195_fingerprint_diff",
-    "q196_kcore",
-    "q197_textrank",
-    "q198_linear_trend",
+    "q01_pricing_summary",
+    "q05_join_left_nulls",
+    "q06_join_multiway_broadcast",
+    "q11_transform_shaping",
+    "q12_dates",
+    "q17_cdc",
+    "q18_scd2",
+    "q19_scd3",
+    "q20_profile",
+    "q25_simhash",
+    "q28_embedding_neardup",
+    "q30_text_quality",
+    "q33_dag_runner",
+    "q39_custom_udaf",
+    "q44_quality_gate",
+    "q49_set_ops",
+    "q52_hash_split",
+    "q57_streaming_dedup",
+    "q59_ann_lsh",
+    "q64_fuzzy_pairs",
+    "q66_forecast_revenue",
+    "q67_io_stats",
+    "q79_csv_roundtrip",
+    "q80_jsonl_roundtrip",
+    "q82_tdigest_bound",
+    "q87_tdigest_by_group",
+    "q129_robust_scale",
+    "q130_mode_by_group",
+    "q131_mad",
+    "q132_quantile_normalize",
+    "q133_sorted_neighborhood",
+    "q134_sentence_stats",
+    "q135_pagerank",
+    "q136_wordpiece",
+    "q137_hard_negatives",
+    "q138_sliding_distinct",
+    "q139_funnel_stream",
+    "q140_zscore_stream",
+    "q141_duplicate_spans",
+    "q199_repetition_flags",
+    "q200_dsir_select",
+    "q201_chat_turns",
+    "q202_block_pack",
+    "q203_vocab_coverage",
+    "q204_min_cost_supplier",
+    "q205_product_profit",
+    "q206_important_parts",
+    "q207_excess_suppliers",
+    "q208_kmeans",
+    "q209_hypertable_rollup",
 ]
 
 
@@ -491,7 +508,7 @@ def q07_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q08_topk",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
@@ -534,7 +551,7 @@ def q09_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_in([c, s])
 
 
-@register(
+@register_retired(
     "q10_distinct",
     """
     SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
@@ -639,7 +656,7 @@ def q13_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q14_window_running",
     """
     SELECT o_custkey, o_orderkey,
@@ -967,7 +984,7 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.1, max_df=64)
 
 
-@register(
+@register_retired(
     "q23_minhash_signatures",
     f"""
     WITH {_DUCK_SHINGLES},
@@ -1157,7 +1174,7 @@ _SW = {
 }
 
 
-@register(
+@register_retired(
     "q29_text_stats",
     f"""
     WITH t AS (
@@ -1246,7 +1263,7 @@ def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming / runner / multimodal — the engine-level operators as queries
 # ---------------------------------------------------------------------------
 
-@register(
+@register_retired(
     "q31_streaming_tumbling",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -1902,7 +1919,7 @@ def q52_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q53_length_buckets",
     """
     WITH t AS (
@@ -2140,7 +2157,7 @@ def q60_fanin_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_in([c, s]).select("name", "segment", "kind", "acctbal")
 
 
-@register(
+@register_retired(
     "q61_mix_sources",
     """
     WITH b AS (SELECT doc_id, text FROM documents
@@ -2604,7 +2621,7 @@ def q73_ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
-@register(
+@register_retired(
     "q74_bloom_join",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_items, {DSUM('l_extendedprice')} AS total_price
@@ -3031,7 +3048,7 @@ def q58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "q47_approx_distinct",
     """
     SELECT o_orderstatus,
@@ -4139,7 +4156,7 @@ def q103_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
-@register(
+@register_retired(
     "q104_vocabulary",
     """
     SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
@@ -9132,7 +9149,7 @@ def q198_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q199_repetition_flags",
     """
     WITH d AS (
@@ -9175,7 +9192,14 @@ def q198_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM i2 GROUP BY doc_id, g
     ),
     t2 AS (
-        SELECT doc_id, MAX(cnt * (length(g) - 1)) AS top_chars
+        -- chars of the most-frequent bigram: max count first, then the
+        -- count*chars product as tie-break (mirrors the struct max in
+        -- operators/text.py::repetition_stats)
+        SELECT doc_id,
+               struct_extract(
+                   MAX(struct_pack(c := cnt,
+                                   p := cnt * (length(g) - 1))),
+                   'p') AS top_chars
         FROM g2 GROUP BY doc_id
     ),
     i5 AS (
@@ -9262,7 +9286,7 @@ _DSIR_GRAMS = ("list_concat(words, list_transform("
                "i -> array_to_string(words[i:i+1], ' ')))")
 
 
-@register_staged(
+@register(
     "q200_dsir_select",
     f"""
     WITH tgt AS (
@@ -9333,7 +9357,7 @@ def q200_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "log_weight")
 
 
-@register_staged(
+@register(
     "q201_chat_turns",
     """
     WITH d AS (
@@ -9430,7 +9454,7 @@ def q201_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
-@register_staged(
+@register(
     "q202_block_pack",
     """
     WITH d AS (
@@ -9481,7 +9505,7 @@ def q202_block_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_in_block").orderBy("doc_id", "block_id")
 
 
-@register_staged(
+@register(
     "q203_vocab_coverage",
     """
     WITH toks AS (
@@ -9544,7 +9568,7 @@ def q203_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "q204_min_cost_supplier",
     """
     WITH cost AS (
@@ -9611,7 +9635,7 @@ def q204_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100))
 
 
-@register_staged(
+@register(
     "q205_product_profit",
     f"""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
@@ -9657,7 +9681,7 @@ def q205_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "q206_important_parts",
     f"""
     WITH eu AS (
@@ -9712,7 +9736,7 @@ def q206_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("value"), "partkey"))
 
 
-@register_staged(
+@register(
     "q207_excess_suppliers",
     f"""
     WITH sp AS (
@@ -9826,7 +9850,7 @@ def _q208_oracle(k: int, iterations: int) -> str:
                   "ORDER BY vec_id")
 
 
-@register_staged("q208_kmeans", _q208_oracle(4, 2))
+@register("q208_kmeans", _q208_oracle(4, 2))
 def q208_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (operators/similarity.py::
     kmeans_fit/kmeans_assign): k=4 over the embeddings table, 2 full
@@ -9845,12 +9869,12 @@ def q208_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cluster").orderBy("vec_id"))
 
 
-@register_staged(
+@register(
     "q209_hypertable_rollup",
     """
     WITH f AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
-               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(32,6))) AS s,
                MIN(value) AS vmin, MAX(value) AS vmax
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         GROUP BY 1, 2
@@ -9910,4 +9934,80 @@ def q209_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dec2dbl(F.col("sum_dec")).alias("vsum"),
                 "vmin", "vmax",
                 (_dec2dbl(F.col("sum_dec")) / F.col("n")).alias("vavg"))
+            .orderBy("grain", "bucket", "event_type"))
+
+
+@register_staged(
+    "q210_stream_rollup",
+    """
+    WITH f AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(32,6))) AS s,
+               MIN(value) AS vmin, MAX(value) AS vmax
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, date_trunc('day', bucket) AS bucket,
+               SUM(n) AS n, SUM(s) AS s,
+               MIN(vmin) AS vmin, MAX(vmax) AS vmax
+        FROM f GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, date_trunc('week', bucket) AS bucket,
+               SUM(n) AS n, SUM(s) AS s,
+               MIN(vmin) AS vmin, MAX(vmax) AS vmax
+        FROM d GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT 'hour' AS grain, * FROM f
+        UNION ALL SELECT 'day', * FROM d
+        UNION ALL SELECT 'week', * FROM w
+    )
+    SELECT grain, bucket, event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(CAST(s AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+               AS vsum,
+           vmin, vmax
+    FROM u ORDER BY grain, bucket, event_type
+    """,
+)
+def q210_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (streaming/warehouse.py::
+    stream_rollup) — q209's operator wired into Structured Streaming,
+    the r11 verdict's depth suggestion: the events table replays as 3
+    chronologically-ordered micro-batches; each batch is rolled up to
+    hour->day->week partials and rollup_merge-d into a persisted
+    parquet rollup behind an atomic two-rename swap with a
+    transactional batch-id marker (partial merges are NOT idempotent,
+    so replay safety is the marker, not the merge — see operator
+    docstring). The oracle computes the rollup of the whole table
+    directly, so the compare IS the continuous-aggregate contract,
+    incremental-refresh edition: merge(rollup(b1), rollup(b2),
+    rollup(b3)) == rollup(all), bit-exact (counts add, DECIMAL(38,6)
+    sums add, min/max combine). At 100 TB each trigger touches one
+    batch of events plus a buckets-x-keys table — history is never
+    rescanned."""
+    from goetl_spark.operators.timeseries import _dec2dbl
+    from goetl_spark.streaming.sources import replay_stream_ordered
+    from goetl_spark.streaming.warehouse import stream_rollup
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stream, _ = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q210_replay"))
+    out = _scratch("goetl_q210_rollup")
+    # _scratch pre-creates the dir; stream_rollup bootstraps on absence
+    import shutil as _sh
+    _sh.rmtree(out, ignore_errors=True)
+    q = stream_rollup(stream, out, "ts", ["event_type"], "value",
+                      _scratch("goetl_q210_ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    merged = spark.read.parquet(out)
+    return (merged.select(
+                "grain", "bucket", "event_type",
+                F.col("n").cast("long").alias("n"),
+                _dec2dbl(F.col("sum_dec")).alias("vsum"),
+                "vmin", "vmax")
             .orderBy("grain", "bucket", "event_type"))

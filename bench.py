@@ -31,15 +31,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-    from goetl_spark.session import get_spark
-    from goetl_spark import queries as catalog
-
-    spark = get_spark("goetl-spark-bench", master=f"local[{cpus}]")
-
+def warm(spark, sf_dir: str, cpus: str | int) -> None:
+    """Bench-style warm prefix: JIT every first-of-kind engine path
+    (JVM, parquet footers AND data pages, Python worker pool, md5/
+    shingle codegen, committer, localCheckpoint, streaming planner,
+    mapInPandas + grouped-map Arrow paths) on toy workloads so per-
+    query timings measure the query. Shared by bench.py and
+    scripts/measure_query.py (the BENCHNOTES adjudication protocol
+    uses the exact prefix the bench artifact uses)."""
     # warm the JVM + parquet footers with a trivial action so per-query
     # timings measure the query, not session startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -174,6 +173,19 @@ def main():
     except Exception:
         pass
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from goetl_spark.session import get_spark
+    from goetl_spark import queries as catalog
+
+    spark = get_spark("goetl-spark-bench", master=f"local[{cpus}]")
+
+    warm(spark, sf_dir, cpus)
 
     timings: dict[str, float] = {}
     full_names: dict[str, str] = {}

@@ -1331,3 +1331,136 @@ def kmeans_assign(
         raise ValueError("centroids must be non-empty")
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.withColumn(out_col, _argmin_cluster(vec, centroids))
+
+
+def _mean_vector(base: DataFrame, dim: int) -> list[float]:
+    """Per-dim corpus mean as CAST(SUM(round(x,9) as DECIMAL(38,9)) AS
+    DOUBLE)/COUNT — exact, shuffle-order independent, the kmeans_fit
+    centroid-mean discipline — so an oracle reproduces it bit-for-bit."""
+    rows = (base.select(F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("__dim")
+            .agg((F.sum(F.round(F.col("__x"), 9).cast("decimal(38,9)"))
+                  .cast("double") / F.count(F.lit(1))).alias("m"))
+            .collect())
+    byd = {r["__dim"]: r["m"] for r in rows}
+    return [byd[d] for d in range(dim)]
+
+
+def _dot_centered_decimal(vec: Column, mu: list[float],
+                          comp: list[float]) -> Column:
+    """Exact-decimal dot product of the CENTERED row vector with a
+    component literal: per-dim (x−mu)·c doubles (IEEE-identical
+    cross-engine) rounded to 12 decimals and folded in DECIMAL(38,12) —
+    associative, so the in-row fold equals the oracle's per-vector SUM
+    regardless of order (the _sqdist_decimal recipe with a product
+    instead of a square)."""
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    c_lit = F.array(*[F.lit(float(c)) for c in comp])
+    centered = F.zip_with(vec, mu_lit, lambda x, m: x - m)
+    terms = F.zip_with(centered, c_lit, lambda x, c: x * c)
+    total = F.aggregate(
+        terms, F.lit(0).cast("decimal(28,12)"),
+        lambda a, t: (a + F.round(t, 12).cast("decimal(28,12)"))
+        .cast("decimal(28,12)"))
+    return total.cast("double")
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> tuple[list[float], list[float]]:
+    """Distributed top principal component via power iteration — the
+    corpus-scale direction finder (dominant topic/domain axis, PCA
+    whitening's first step, outlier axes) computed without ever
+    materializing the d×d covariance: each round is one map pass
+    (w_i = (x_i − μ)·v, exact-decimal fold) and one posexplode groupBy
+    (s_d = Σ_i w_i·(x_id − μ_d), DECIMAL(38,9) sums), i.e. v ←
+    normalize(C·v) with C applied as two passes over the data. Only
+    μ, v (d doubles each) and the norm ever reach the driver.
+
+    Deterministic and oracle-replayable end to end (the kmeans_fit
+    discipline): the start vector is all-ones, every cross-row sum is
+    an exact decimal (order-independent), the norm is sqrt of an
+    exact-decimal sum of squares (computed in-plan on the d-row sums
+    frame, NOT driver-side arithmetic), and the only driver math is
+    libm ``sqrt`` and IEEE division — both bit-equal to DuckDB's, the
+    DSIR log-ratio precedent. Sign convention: power iteration from
+    all-ones converges to ±pc1; the deterministic replay makes the
+    sign reproducible too.
+
+    Returns ``(mu, v)`` — the mean vector and the (unit) component.
+    Project with :func:`pca_project`. Scale shape per iteration: one
+    events-sized map + one shuffle of size rows×dim collapsing to dim
+    rows — no d×d anything, no driver-side data.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    import math
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    head = base.select(F.size("__v").alias("n")).limit(1).collect()
+    if not head:
+        raise ValueError("cannot fit PCA on an empty frame")
+    dim = head[0]["n"]
+    bad = base.filter(
+        F.col("__v").isNull() | (F.size("__v") != dim)
+        | F.exists("__v", lambda x: x.isNull())).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"power_iteration_pca: embedding column {vec_col!r} has NULL "
+            f"or ragged vectors (expected non-null size {dim}; offending "
+            f"{id_col}={bad[0]['__id']!r}) — filter or repair before "
+            "fitting")
+
+    mu = _mean_vector(base, dim)
+    v = [1.0] * dim
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    for _ in range(iterations):
+        w = base.withColumn("__w", _dot_centered_decimal(F.col("__v"), mu, v))
+        sums = (
+            w.select("__w", F.posexplode("__v").alias("__dim", "__x"))
+            .withColumn("__t", F.col("__w") * (
+                F.col("__x") - F.element_at(mu_lit, F.col("__dim") + 1)))
+            .groupBy("__dim")
+            .agg(F.sum(F.round(F.col("__t"), 9).cast("decimal(38,9)"))
+                 .cast("double").alias("s")))
+        rows = sums.collect()  # ONE action = one pass over the data
+        byd = {r["__dim"]: r["s"] for r in rows}
+        s_vals = [(byd[d],) for d in range(dim)]
+        # norm² as an exact-decimal sum of squares — computed with the
+        # ENGINE's round/decimal semantics on a toy dim-row frame (not
+        # Python arithmetic), so the oracle's SUM reproduces it without
+        # replicating Python accumulation order
+        norm_sq = (df.sparkSession.createDataFrame(s_vals, "s double")
+                   .agg(F.sum(F.round(F.col("s") * F.col("s"), 12)
+                              .cast("decimal(38,12)"))
+                        .cast("double")).collect()[0][0])
+        norm = math.sqrt(norm_sq)
+        if norm == 0.0:
+            raise ValueError(
+                "power iteration collapsed to the zero vector (constant "
+                "input along the current direction) — center/clean the "
+                "data or lower iterations")
+        v = [byd[d] / norm for d in range(dim)]
+    return mu, v
+
+
+def pca_project(
+    df: DataFrame,
+    mu: list[float],
+    component: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "pc1",
+) -> DataFrame:
+    """Project every row onto a fitted component: score = (x − μ)·v as
+    the same exact-decimal fold the fit used — a pure map pass, mean
+    and component riding along as literals, zero shuffle, zero UDFs."""
+    if len(mu) != len(component):
+        raise ValueError(
+            f"mu and component disagree on dim: {len(mu)} vs "
+            f"{len(component)}")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, _dot_centered_decimal(vec, mu, component))

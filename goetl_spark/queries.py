@@ -10011,3 +10011,73 @@ def q210_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dec2dbl(F.col("sum_dec")).alias("vsum"),
                 "vmin", "vmax")
             .orderBy("grain", "bucket", "event_type"))
+
+
+def _q211_oracle(iterations: int) -> str:
+    """Unrolled power-iteration replay (the q208 kmeans convention):
+    per round one exact-decimal centered-dot pass, one DECIMAL(38,9)
+    per-dim accumulation, one exact-decimal norm — ending with the
+    projection under the final component. Start vector is all-ones;
+    every cross-row SUM is an exact decimal, so order never matters and
+    the replay is bit-exact."""
+    sql = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ed AS (SELECT vec_id, unnest(v) AS x,
+                  unnest(generate_series(1, len(v))) AS dim FROM e),
+    mu AS (
+        SELECT dim, CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                    / COUNT(*) AS m
+        FROM ed GROUP BY dim
+    ),
+    c0 AS (SELECT dim, 1.0 AS c FROM mu)"""
+    for i in range(1, iterations + 2):
+        sql += f""",
+    w{i} AS (
+        SELECT ed.vec_id,
+               CAST(SUM(CAST(round((ed.x - mu.m) * c.c, 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM ed JOIN mu USING (dim) JOIN c{i-1} c USING (dim)
+        GROUP BY ed.vec_id
+    )"""
+        if i <= iterations:
+            sql += f""",
+    s{i} AS (
+        SELECT ed.dim,
+               CAST(SUM(CAST(round(w.w * (ed.x - mu.m), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS s
+        FROM ed JOIN mu USING (dim) JOIN w{i} w USING (vec_id)
+        GROUP BY ed.dim
+    ),
+    n{i} AS (
+        SELECT sqrt(CAST(SUM(CAST(round(s * s, 12) AS DECIMAL(38,12)))
+                         AS DOUBLE)) AS nrm
+        FROM s{i}
+    ),
+    c{i} AS (SELECT dim, s / (SELECT nrm FROM n{i}) AS c FROM s{i})"""
+    return sql + (f"\n    SELECT vec_id, w AS pc1 FROM w{iterations + 1} "
+                  "ORDER BY vec_id")
+
+
+@register_staged("q211_power_pca", _q211_oracle(2))
+def q211_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-principal-component fit + projection
+    (operators/similarity.py::power_iteration_pca/pca_project): 2 power
+    iterations over the embeddings table — v <- normalize(C.v) with the
+    covariance applied as two passes over the data, never materialized
+    — then every vector scored by (x - mu).v_final. Exact-decimal folds
+    everywhere (kmeans discipline) and the only driver math is libm
+    sqrt + IEEE division, so the oracle's unrolled iteration CTEs
+    replay the projection bit-exact — no tolerance. The corpus-scale
+    direction finder (dominant domain axis, whitening step 1) whose
+    driver state is two dim-length vectors; per iteration one map pass
+    + one rows-by-dim shuffle collapsing to dim rows."""
+    from goetl_spark.operators.similarity import (
+        pca_project, power_iteration_pca)
+
+    e = _t(spark, sf_dir, "embeddings")
+    mu, v = power_iteration_pca(e, iterations=2)
+    return (pca_project(e, mu, v).select("vec_id", "pc1")
+            .orderBy("vec_id"))

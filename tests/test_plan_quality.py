@@ -52,7 +52,7 @@ _STREAMING_EXEC = {
     "q31_streaming_tumbling", "q48_stateful_stream", "q57_streaming_dedup",
     "q58_stream_stream_join", "q93_stream_dedup_ingest", "q139_funnel_stream",
     "q140_zscore_stream", "q158_stream_bloom_cut", "q170_heavy_hitters_stream",
-    "q183_holt_stream", "q190_cusum_stream",
+    "q183_holt_stream", "q190_cusum_stream", "q210_stream_rollup",
 }
 
 # BNLJ build sides that are bounded SEMANTICALLY but not provable from

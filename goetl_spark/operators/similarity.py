@@ -1464,3 +1464,115 @@ def pca_project(
             f"{len(component)}")
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.withColumn(out_col, _dot_centered_decimal(vec, mu, component))
+
+
+def _sqdist_pair_decimal(a: Column, b: Column) -> Column:
+    """Exact-decimal squared euclidean distance between two double-array
+    COLUMNS (the column-column sibling of :func:`_sqdist_decimal`'s
+    column-literal form). Stronger discipline than the literal form (the
+    q213 lesson, same class as q212's): rounding COMPUTED doubles like
+    (x−y)² at a fixed scale is engine-fragile at tie boundaries — one
+    term in ~1M flipped by 1e-12 at sf0.01 — so only the RAW inputs are
+    quantized (round(x, 9), the shared source-value convention) and the
+    difference, square, and fold all stay EXACT decimal arithmetic:
+    (12,9) − (12,9) → ×itself → (25,18) → summed in (30,18). Associative
+    and tie-free, so the in-row fold equals an oracle's per-pair SUM."""
+
+    def q(x: Column) -> Column:
+        return F.round(x, 9).cast("decimal(12,9)")
+
+    def sq(x: Column, y: Column) -> Column:
+        d = q(x) - q(y)
+        return (d * d).cast("decimal(30,18)")
+
+    total = F.aggregate(
+        F.zip_with(a, b, sq), F.lit(0).cast("decimal(30,18)"),
+        lambda acc, t: (acc + t).cast("decimal(30,18)"))
+    # scale-18 decimals carry >17 significant digits, where Spark's and
+    # DuckDB's direct decimal->double casts disagree by 1 ulp on
+    # halfway cases — the string round-trip is the deterministic
+    # conversion (timeseries._dec2dbl, the q198 lesson)
+    return total.cast("string").cast("double")
+
+
+def _cluster_probes(vec: Column, cents: dict[int, list[float]],
+                    nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids under (distance, id) order —
+    array_sort over (dist, id) structs sliced to nprobe, the multi-cell
+    generalization of :func:`_argmin_cluster`. All in-row."""
+    structs = [F.struct(_sqdist_decimal(vec, c).alias("d"),
+                        F.lit(j).alias("j"))
+               for j, c in sorted(cents.items())]
+    return F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    iterations: int = 2,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k nearest-neighbor JOIN between two LARGE
+    embedding corpora — the both-sides-distributed operation the
+    broadcast-query ANN family (brute/IVF/PQ: a bounded query batch vs
+    a corpus) deliberately is not: cross-corpus near-dup detection,
+    train-vs-train semantic overlap, retrieval-index alignment, where
+    NEITHER side fits a broadcast.
+
+    The FAISS-IVF discipline distributed as a JOIN: fit ``n_cells``
+    k-means centroids on the union (:func:`kmeans_fit` — executor-side
+    passes, exact-decimal, deterministic), assign every RIGHT row to
+    its one nearest cell, replicate every LEFT row to its ``nprobe``
+    nearest cells, equi-join on the cell id, score pairs with the
+    exact-decimal pairwise distance, and keep each left row's top-k
+    under (distance, neighbor_id) order. Each right row lives in
+    exactly one cell and probe cells are distinct, so no pair is seen
+    twice — no dedup pass.
+
+    Returns (query_id, neighbor_id, rank, dist). Approximate by
+    construction (a true neighbor in an unprobed cell is missed —
+    recall floors are pinned in tests vs brute force; raise ``nprobe``
+    /lower ``n_cells`` to trade cost for recall) but DETERMINISTIC end
+    to end: every distance is an exact-decimal fold and both argmin
+    and ranking break ties by id, so the result — not a recall proxy —
+    replays bit-exact in oracle SQL.
+
+    Ids must be unique within each side (ranking tie-break); sides may
+    overlap. Scale shape: one kmeans fit (centroid table on the
+    driver), one map+shuffle per side on the cell id, within-cell
+    pairs only (~N·M/n_cells · nprobe in expectation vs N·M all-pairs),
+    one partitioned window for the top-k. No broadcast of either
+    corpus, no cartesian."""
+    if k < 1 or nprobe < 1 or n_cells < 1:
+        raise ValueError("k, n_cells and nprobe must all be >= 1")
+    if nprobe > n_cells:
+        raise ValueError(f"nprobe={nprobe} exceeds n_cells={n_cells}")
+    from pyspark.sql import Window
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lbase = left.select(F.col(id_col).alias("query_id"), vec.alias("__lv"))
+    rbase = right.select(F.col(id_col).alias("neighbor_id"),
+                         vec.alias("__rv"))
+    cents = kmeans_fit(
+        left.select(id_col, vec_col).unionByName(
+            right.select(id_col, vec_col)),
+        vec_col=vec_col, id_col=id_col, k=n_cells, iterations=iterations)
+
+    probes = (lbase.withColumn(
+        "__p", F.explode(_cluster_probes(F.col("__lv"), cents, nprobe)))
+        .select("query_id", "__lv", F.col("__p")["j"].alias("__cell")))
+    assigned = rbase.withColumn(
+        "__cell", _argmin_cluster(F.col("__rv"), cents))
+
+    pairs = probes.join(assigned, "__cell")
+    scored = pairs.withColumn(
+        "dist", _sqdist_pair_decimal(F.col("__lv"), F.col("__rv")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("dist").asc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dist"))

@@ -576,3 +576,143 @@ def rollup_merge(existing: DataFrame, delta: DataFrame,
             .agg(F.sum("n").alias("n"),
                  F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
                  F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
+
+
+_PHASES: dict[str, tuple[str, int]] = {
+    # phase expression name -> (Spark/DuckDB-portable extractor, period)
+    "hour_of_day": ("hour", 24),
+    "month_of_year": ("month", 12),
+}
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    grain: str = "hour",
+    phase: str = "hour_of_day",
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key series —
+    ``value = trend + seasonal + resid`` (the statsmodels
+    ``seasonal_decompose`` shape, distributed): bucket the stream at
+    ``grain`` into per-bucket TOTALS, estimate trend with the standard
+    centered moving average (the 2×p MA with half-weight endpoints for
+    even periods), average the detrended series per calendar phase
+    (hour-of-day / month-of-year) into a seasonal profile centered on
+    the row-weighted detrended mean, and leave the rest as residual.
+    The anomaly/seasonality primitive behind "is this hour's traffic
+    unusual FOR this hour".
+
+    Returns one row per (keys, bucket): ``value`` (bucket total),
+    ``trend`` (NULL at series edges where the MA window is
+    incomplete), ``seasonal``, ``resid`` (NULL where trend is NULL);
+    ``value == trend + seasonal + resid`` holds exactly wherever trend
+    exists.
+
+    Determinism (the q212 lesson — stronger than the kmeans recipe):
+    rounding COMPUTED doubles at a fixed scale is engine-fragile at
+    tie boundaries (Spark BigDecimal HALF_UP vs DuckDB's scaled-double
+    rounding flipped one term in ~4k at sf0.01), so NOTHING computed
+    is ever re-rounded here. Raw inputs are quantized once
+    (round(x, 9), the shared convention for parquet-identical source
+    values); every cross-row aggregate after that — frame sums,
+    endpoint lags, the detrended series, phase sums — is EXACT
+    DECIMAL(38,9) arithmetic on those quantized values (the detrended
+    term is ``D·value − T``, all integers at scale 9, never a rounded
+    ratio), and division/casting to double happens only in final
+    per-row expressions. Identical inputs ⇒ identical IEEE outputs,
+    no order or tie sensitivity anywhere.
+
+    Two documented deviations from statsmodels: the bucket statistic
+    is the total (decomposing totals is what keeps the pipeline
+    exact; feed pre-averaged series only if they are themselves
+    exactly quantized), and the profile centering subtracts the
+    row-weighted detrended mean rather than the mean of the phase
+    averages (equal when phases are balanced, which a gap-free series
+    is up to edge effects). The input should be gap-free at ``grain``
+    (run :func:`resample_fill` first if not): ROWS frames treat
+    adjacent rows as adjacent buckets, the classical assumption.
+
+    Scale shape: one (keys, bucket) shuffle collapses events to
+    buckets·keys rows; ONE window exchange per key series carries the
+    frame sum and both endpoint lags; the phase profile is a
+    p-rows-per-key aggregate joined back broadcast-sized. No global
+    window — every window partitions by the series keys.
+    """
+    if phase not in _PHASES:
+        raise ValueError(
+            f"phase must be one of {sorted(_PHASES)}, got {phase!r}")
+    extractor, period = _PHASES[phase]
+    keys = list(keys)
+    if not keys:
+        raise ValueError(
+            "seasonal_decompose requires at least one series key — a "
+            "keyless series would sort in one task; add a constant "
+            "key column only if the series is genuinely bucket-sized")
+    ts, val = F.col(ts_col), F.col(value_col).cast("double")
+    # DECIMAL(30,9), not (38,9): at precision 38 a multiply would hit
+    # Spark's precision-loss path (scale reduction = silent re-rounding,
+    # exactly the fragility this pipeline exists to avoid); 30,9 leaves
+    # every +,-,x-small-int under 38 with scale preserved, with 1e21 of
+    # integer headroom
+    DEC = "decimal(30,9)"
+
+    def d(c: Column) -> Column:
+        return c.cast(DEC)
+
+    # 1) bucket totals: ONE rounding, of raw source values only
+    b = (df.filter(ts.isNotNull() & val.isNotNull())
+         .groupBy(*keys, F.date_trunc(grain, ts).alias("bucket"))
+         .agg(d(F.sum(F.round(val, 9).cast(DEC))).alias("__vs")))
+
+    # 2) centered-MA trend, kept exact: for even p the 2×p MA is
+    # (2·S − first − last) / 2p with S the symmetric frame sum; for odd
+    # p it is S / p. T (the numerator) and the detrended numerator
+    # dD = D·value − T stay DECIMAL(38,9) end to end.
+    half = period // 2
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    frame = w.rowsBetween(-half, half)
+    s = d(F.sum("__vs").over(frame))
+    nrows = F.count(F.lit(1)).over(frame)
+    if period % 2 == 0:
+        divisor = 2 * period
+        # 2S as S+S: decimal ADDITION grows precision by one and stays
+        # exact; multiplying by an int literal would promote the int to
+        # DECIMAL(10,0) and push the product past precision 38 into
+        # Spark's scale-reducing loss path
+        t_num = d(d(s + s) - d(F.lag("__vs", half).over(w))
+                  - d(F.lead("__vs", half).over(w)))
+        full = nrows == (period + 1)
+    else:
+        divisor = period
+        t_num = s
+        full = nrows == period
+    dlit = F.lit(divisor).cast("decimal(3,0)")  # 30+3+1 = 34 < 38: exact
+    t = (b.withColumn("__t", F.when(full, t_num))
+         .withColumn("__dd", d(d(F.col("__vs") * dlit) - F.col("__t"))))
+
+    # 3) phase profile: exact decimal sums of the detrended numerators;
+    # centering subtracts the row-weighted detrended mean
+    ph = F.expr(f"{extractor}(bucket)")
+    prof = (t.filter(F.col("__dd").isNotNull())
+            .groupBy(*keys, ph.alias("__phase"))
+            .agg(d(F.sum("__dd")).alias("__ds"),
+                 F.count(F.lit(1)).alias("__dn")))
+    wk = Window.partitionBy(*keys)
+    centered = prof.withColumn(
+        "seasonal",
+        F.col("__ds").cast("double") / (F.lit(float(divisor)) * F.col("__dn"))
+        - d(F.sum("__ds").over(wk)).cast("double")
+        / (F.lit(float(divisor)) * F.sum("__dn").over(wk)))
+
+    # 4) final per-row fixed expressions: division + casts only here
+    out = (t.withColumn("__phase", ph)
+           .join(centered.select(*keys, "__phase", "seasonal"),
+                 keys + ["__phase"], "left")
+           .withColumn("value", F.col("__vs").cast("double"))
+           .withColumn("trend",
+                       F.col("__t").cast("double") / F.lit(float(divisor)))
+           .withColumn("resid",
+                       F.col("value") - F.col("trend") - F.col("seasonal")))
+    return out.select(*keys, "bucket", "value", "trend", "seasonal", "resid")

@@ -9800,11 +9800,13 @@ def q207_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q208_oracle(k: int, iterations: int) -> str:
-    """Unrolled Lloyd's replay (q197's convention): seed by (md5, id)
-    order, then per round one exact-decimal distance pass + ROW_NUMBER
-    argmin + DECIMAL(38,9) centroid means, ending with the assignment
-    under the final centroids — bit-exact against kmeans_fit+assign."""
+def _kmeans_ctes(k: int, iterations: int) -> str:
+    """Shared unrolled-Lloyd's CTE prefix (q197's convention): seed by
+    (md5, id) order, then per round one exact-decimal distance pass +
+    ROW_NUMBER argmin + DECIMAL(38,9) centroid means. Ends having
+    defined d{iterations+1} (every vector's exact distance to every
+    FINAL centroid) and a{iterations+1} (the final assignment) — the
+    two frames q208's assignment and q213's IVF probes both read."""
     sql = f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -9846,8 +9848,63 @@ def _q208_oracle(k: int, iterations: int) -> str:
         FROM ed JOIN a{i} a ON ed.vec_id = a.vec_id
         GROUP BY a.cluster, ed.dim
     )"""
-    return sql + (f"\n    SELECT vec_id, cluster FROM a{iterations + 1} "
-                  "ORDER BY vec_id")
+    return sql
+
+
+def _q208_oracle(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's replay ending with the assignment under the
+    final centroids — bit-exact against kmeans_fit+assign."""
+    return _kmeans_ctes(k, iterations) + (
+        f"\n    SELECT vec_id, cluster FROM a{iterations + 1} "
+        "ORDER BY vec_id")
+
+
+def _q213_oracle(n_cells: int, iterations: int, nprobe: int,
+                 k: int) -> str:
+    """Unrolled IVF ann_join replay: the shared kmeans prefix (fit on
+    the WHOLE embeddings table — ann_join fits on left ∪ right, which
+    is exactly that under the even/odd split), then right rows take
+    their final assignment, left rows take their nprobe nearest final
+    centroids, pairs join on the cell, exact-decimal pairwise
+    distances rank under (dist, neighbor_id) — bit-exact, no recall
+    proxy."""
+    it = iterations + 1
+    return _kmeans_ctes(n_cells, iterations) + f""",
+    probes AS (
+        SELECT vec_id AS query_id, j AS cell FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, j) AS rn
+            FROM d{it} WHERE vec_id % 2 = 0) WHERE rn <= {nprobe}
+    ),
+    rassign AS (
+        SELECT vec_id AS neighbor_id, cluster AS cell
+        FROM a{it} WHERE vec_id % 2 = 1
+    ),
+    pairs AS (
+        SELECT p.query_id, r.neighbor_id
+        FROM probes p JOIN rassign r ON p.cell = r.cell
+    ),
+    pdist AS (
+        SELECT pr.query_id, pr.neighbor_id,
+               CAST(CAST(SUM(CAST(
+                   (CAST(round(el.x, 9) AS DECIMAL(12,9))
+                    - CAST(round(er.x, 9) AS DECIMAL(12,9)))
+                   * (CAST(round(el.x, 9) AS DECIMAL(12,9))
+                      - CAST(round(er.x, 9) AS DECIMAL(12,9)))
+                   AS DECIMAL(30,18))) AS VARCHAR) AS DOUBLE) AS dist
+        FROM pairs pr
+        JOIN ed el ON el.vec_id = pr.query_id
+        JOIN ed er ON er.vec_id = pr.neighbor_id AND er.dim = el.dim
+        GROUP BY pr.query_id, pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist FROM (
+        SELECT query_id, neighbor_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rank
+        FROM pdist) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
 
 
 @register("q208_kmeans", _q208_oracle(4, 2))
@@ -10081,3 +10138,104 @@ def q211_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu, v = power_iteration_pca(e, iterations=2)
     return (pca_project(e, mu, v).select("vec_id", "pc1")
             .orderBy("vec_id"))
+
+
+@register_staged(
+    "q212_seasonal_decompose",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(SUM(CAST(round(value, 9) AS DECIMAL(30,9)))
+                    AS DECIMAL(30,9)) AS vs
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t0 AS (
+        SELECT event_type, bucket, vs,
+               CAST(SUM(vs) OVER w25 AS DECIMAL(30,9)) AS s,
+               COUNT(*) OVER w25 AS nn,
+               LAG(vs, 12) OVER wo AS l1,
+               LEAD(vs, 12) OVER wo AS l2
+        FROM b
+        WINDOW w25 AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+               wo AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    t AS (
+        SELECT event_type, bucket, vs,
+               CASE WHEN nn = 25 THEN
+                   CAST(CAST(s + s AS DECIMAL(30,9)) - l1 - l2
+                        AS DECIMAL(30,9))
+               END AS tn
+        FROM t0
+    ),
+    d AS (
+        SELECT event_type, bucket, vs, tn,
+               CAST(CAST(vs * CAST(48 AS DECIMAL(3,0)) AS DECIMAL(30,9))
+                    - tn AS DECIMAL(30,9)) AS dd,
+               hour(bucket) AS ph
+        FROM t
+    ),
+    p AS (
+        SELECT event_type, ph, CAST(SUM(dd) AS DECIMAL(30,9)) AS ds,
+               COUNT(*) AS dn
+        FROM d WHERE dd IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, ph,
+               CAST(ds AS DOUBLE) / (48.0 * dn)
+               - CAST(CAST(SUM(ds) OVER pk AS DECIMAL(30,9)) AS DOUBLE)
+                 / (48.0 * SUM(dn) OVER pk) AS seasonal
+        FROM p WINDOW pk AS (PARTITION BY event_type)
+    )
+    SELECT d.event_type, d.bucket, CAST(vs AS DOUBLE) AS value,
+           CAST(tn AS DOUBLE) / 48.0 AS trend, c.seasonal,
+           CAST(vs AS DOUBLE) - CAST(tn AS DOUBLE) / 48.0 - c.seasonal
+               AS resid
+    FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.ph = c.ph
+    ORDER BY d.event_type, d.bucket
+    """,
+)
+def q212_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/
+    timeseries.py::seasonal_decompose): hourly bucket means per
+    event_type split into trend (centered 2x24 moving average with
+    half-weight endpoints — the even-period classical MA), a zero-mean
+    hour-of-day seasonal profile of the detrended series, and residual
+    — value == trend + seasonal + resid wherever trend exists. Every
+    cross-row mean is an exact DECIMAL(38,9) accumulation, so the
+    oracle's window/group replay is hash-exact. Scale shape: one
+    (key, bucket) shuffle collapses events to buckets x keys rows, one
+    partitioned window exchange per series carries both frame passes,
+    and the 24-row-per-key phase profile joins back broadcast-sized —
+    no global window, no driver state."""
+    from goetl_spark.operators.timeseries import seasonal_decompose
+
+    e = _t(spark, sf_dir, "events")
+    return (seasonal_decompose(e, "ts", ["event_type"], "value",
+                               grain="hour", phase="hour_of_day")
+            .orderBy("event_type", "bucket"))
+
+
+@register_staged("q213_ann_join", _q213_oracle(8, 2, 2, 5))
+def q213_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-partitioned approximate nearest-neighbor JOIN
+    (operators/similarity.py::ann_join) — the both-sides-large ANN
+    operation (cross-corpus near-dup, train-vs-train semantic overlap)
+    the broadcast-query family cannot express: embeddings split
+    even/odd into two corpora, 8 IVF cells fit on the union with
+    distributed k-means, right rows indexed at their nearest cell,
+    left rows probing their 2 nearest cells, exact-decimal pairwise
+    distances, top-5 per query under (dist, neighbor_id) order. Every
+    stage is deterministic, so the oracle replays the RESULT bit-exact
+    (unrolled kmeans CTEs + probe/assign/rank) — recall floors vs
+    brute force are pinned in tests/test_ann_join.py. At 100 TB:
+    within-cell pairs only (~N·M·nprobe/n_cells vs N·M), one shuffle
+    per side on the cell id, no corpus broadcast, no cartesian."""
+    from goetl_spark.operators.similarity import ann_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (ann_join(e.filter(F.col("vec_id") % 2 == 0),
+                     e.filter(F.col("vec_id") % 2 == 1),
+                     k=5, n_cells=8, iterations=2, nprobe=2)
+            .orderBy("query_id", "rank"))

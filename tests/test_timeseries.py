@@ -319,3 +319,78 @@ def test_linear_trend_exact_and_degenerate(spark):
     # NULL x or y rows skipped: key c fits through (0,0),(2,4)
     assert out["c"].n == 2 and abs(out["c"].slope - 2.0) < 1e-12
     assert abs(out["c"].intercept) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+
+
+def _hourly_series(spark, days=14, keys=("a", "b")):
+    """Gap-free hourly series: level 100 + hour-of-day effect (h - 11.5)
+    + small linear drift, per key — known seasonality, known trend."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in keys:
+        bump = 10.0 if k == "a" else -5.0
+        for i in range(24 * days):
+            h = i % 24
+            rows.append((k, t0 + dt.timedelta(hours=i),
+                         100.0 + bump + (h - 11.5) + 0.01 * i))
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+
+
+def test_seasonal_decompose_identity_and_recovery(spark):
+    from goetl_spark.operators.timeseries import seasonal_decompose
+
+    df = _hourly_series(spark)
+    out = seasonal_decompose(df, "ts", ["event_type"], "value",
+                             grain="hour", phase="hour_of_day")
+    rows = out.collect()
+    assert len(rows) == 2 * 24 * 14
+    for r in rows:
+        if r["trend"] is not None:
+            # the additive identity holds exactly (resid is defined as
+            # the remainder of two exact-decimal-derived doubles)
+            assert r["resid"] is not None
+            assert abs(r["value"] - r["trend"] - r["seasonal"]
+                       - r["resid"]) < 1e-12
+    # centered MA of a linear+periodic series reproduces the linear part:
+    # hour-of-day effects cancel inside a full 2x24 window, so seasonal
+    # recovers (h - 11.5) up to the drift's tiny phase bias
+    a = {(r["bucket"].hour): r["seasonal"] for r in rows
+         if r["event_type"] == "a" and r["seasonal"] is not None}
+    for h in range(24):
+        assert abs(a[h] - (h - 11.5)) < 0.1, (h, a[h])
+    # trend is NULL at exactly the first and last 12 buckets per key
+    nulls = [r for r in rows if r["trend"] is None]
+    assert len(nulls) == 2 * 24
+    # residuals are near zero for this noiseless series
+    resids = [abs(r["resid"]) for r in rows if r["resid"] is not None]
+    assert max(resids) < 0.1
+
+
+def test_seasonal_decompose_guards(spark):
+    import pytest as _pt
+
+    from goetl_spark.operators.timeseries import seasonal_decompose
+
+    df = _hourly_series(spark, days=2)
+    with _pt.raises(ValueError, match="phase"):
+        seasonal_decompose(df, "ts", ["event_type"], "value",
+                           phase="minute_of_hour")
+    with _pt.raises(ValueError, match="key"):
+        seasonal_decompose(df, "ts", [], "value")
+
+
+def test_seasonal_decompose_partition_independence(spark):
+    from goetl_spark.operators.timeseries import seasonal_decompose
+
+    df = _hourly_series(spark, days=4)
+    a = sorted(map(tuple, seasonal_decompose(
+        df, "ts", ["event_type"], "value").collect()))
+    b = sorted(map(tuple, seasonal_decompose(
+        df.repartition(13), "ts", ["event_type"], "value").collect()))
+    assert a == b  # bit-exact: every cross-row aggregate is decimal

@@ -1220,32 +1220,78 @@ def knn_sq_adc(
             .filter(F.col("rank") <= k))
 
 
-def _sqdist_decimal(vec: Column, centroid: list[float]) -> Column:
-    """Exact-decimal squared euclidean distance between a double-array
-    column and a centroid literal: per-dim (x−c)² doubles (IEEE-identical
-    cross-engine) rounded to 12 decimals and folded in DECIMAL(38,12) —
-    associative, so the in-row left fold here equals the oracle's
-    per-(vec,centroid) SUM regardless of order. Rendered back to double."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    terms = F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c))
-    # DECIMAL(28,12): addition would widen the type (and Spark's
-    # precision-loss rule would silently shrink the scale at 38), so the
-    # merge re-casts — exact, 16 integer digits of headroom
-    total = F.aggregate(
-        terms, F.lit(0).cast("decimal(28,12)"),
-        lambda a, t: (a + F.round(t, 12).cast("decimal(28,12)"))
-        .cast("decimal(28,12)"))
-    return total.cast("double")
+_QSCALE = 100000.0  # the 1e-5 quantization grid for distance kernels
 
 
-def _argmin_cluster(vec: Column, cents: dict[int, list[float]]) -> Column:
+def _qvec(vec: Column) -> Column:
+    """Quantize a double array onto the 1e-5 integer grid:
+    ``round(x·1e5)`` as LONG. The multiply is ONE IEEE op on raw values
+    (bit-identical in every engine) and both Spark and DuckDB round the
+    identical double half-away-from-zero, so — unlike fractional
+    ``round(x, n)``, whose engine-internal scaling disagrees at tie
+    boundaries (the q212/q213 lesson) — this quantization cannot
+    diverge. Everything downstream is exact integer arithmetic."""
+    return F.transform(vec, lambda x: F.round(x * _QSCALE).cast("long"))
+
+
+def _centroid_q_sql(centroid: list[float]) -> str:
+    """Centroid literal on the 1e-5 grid as SQL TEXT — quantized through
+    the SAME engine-side expression rows use (constant-folded at plan
+    time), never Python rounding. Doubles render via ``repr`` (shortest
+    round-trip form — the SQL parser reconstructs the identical bits).
+
+    Text, not Column objects: building these trees through py4j costs
+    one driver round-trip PER NODE — measured 9.6 s to CONSTRUCT one
+    8-centroid argmin expression at dim 64 before any job ran. One
+    ``F.expr`` string is one parse."""
+    # the D suffix forces a DOUBLE literal — Spark SQL otherwise parses
+    # bare decimals as DecimalType, and the quantizing multiply must be
+    # the same double x double op the oracle's  c * 100000.0  performs
+    return ("array(" + ",".join(
+        f"cast(round({c!r}D * 100000.0D) as bigint)" for c in centroid)
+        + ")")
+
+
+def _sqdist_q_pre_sql(vq_name: str, centroid: list[float]) -> str:
+    """SQL text for the squared distance between an ALREADY-QUANTIZED
+    long-array COLUMN (by name) and a centroid literal — callers
+    comparing a row against many centroids (argmin, probes) materialize
+    ``_qvec`` once per row and reuse it here."""
+    return (f"aggregate(zip_with({vq_name}, {_centroid_q_sql(centroid)}, "
+            "(x, c) -> (x - c) * (x - c)), cast(0 as bigint), "
+            "(a, t) -> a + t)")
+
+
+def _sqdist_qint(vec: Column, centroid: list[float]) -> Column:
+    """Squared euclidean distance between a double-array column and a
+    centroid literal on the 1e-5 grid — pure LONG arithmetic (fold of
+    (xq−cq)², associative and exact), so the in-row fold equals the
+    oracle's per-(vec,centroid) SUM regardless of order, with no
+    decimal ops in the hot path (the BigDecimal folds this replaces
+    cost ~100x: 120 s → ~4 s on q213's 250k-pair scoring at sf0.1).
+    Safe while dim·(2·|x|·1e5)² < 2⁶³, i.e. |values| ≲ 1.8e3 at
+    dim 64 — normalized-embedding territory; pre-scale larger data.
+    Centroids quantize through the SAME engine-side expression
+    (constant-folded), never Python rounding."""
+    return F.aggregate(
+        F.zip_with(_qvec(vec),
+                   F.expr(_centroid_q_sql([float(c) for c in centroid])),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"), lambda a, t: a + t)
+
+
+def _argmin_cluster(vq_name: str, cents: dict[int, list[float]]) -> Column:
     """Nearest-centroid id under (distance, id) ordering: an array of
     (dist, id) structs reduced by array_min — lexicographic struct
-    comparison gives the deterministic lowest-id tie-break, all in-row."""
-    structs = [F.struct(_sqdist_decimal(vec, c).alias("d"),
-                        F.lit(j).alias("j"))
-               for j, c in sorted(cents.items())]
-    return F.array_min(F.array(*structs))["j"]
+    comparison gives the deterministic lowest-id tie-break, all in-row.
+    ``vq_name`` names a PRE-QUANTIZED long-array column (materialize
+    ``_qvec`` as a real column first, so it evaluates once per row, not
+    once per centroid). Built as ONE SQL string — see _centroid_q_sql
+    for why not Column objects."""
+    structs = ",".join(
+        f"named_struct('d', {_sqdist_q_pre_sql(vq_name, c)}, 'j', {j})"
+        for j, c in sorted(cents.items()))
+    return F.expr(f"array_min(array({structs}))['j']")
 
 
 def kmeans_fit(
@@ -1268,8 +1314,8 @@ def kmeans_fit(
     lowest centroid id, and centroid means accumulate round(x,9)
     DECIMAL(38,9) sums (scale-9 keeps the scaled magnitude below 2^53,
     the cluster_inertia lesson). Distances are exact-decimal folds
-    (:func:`_sqdist_decimal`), so the whole fit replays bit-exact in
-    oracle SQL as unrolled iteration CTEs (the TextRank discipline).
+    (:func:`_sqdist_qint`, the 1e-5 integer grid), so the whole fit
+    replays bit-exact in oracle SQL as unrolled iteration CTEs (the TextRank discipline).
     Clusters that empty out drop (no re-seeding), also mirrored.
 
     Scale shape per iteration: one broadcast-literal argmin map pass +
@@ -1303,9 +1349,17 @@ def kmeans_fit(
             f"ragged vectors (expected non-null size {dim}; offending "
             f"{id_col}={bad[0]['__id']!r}) — filter or repair before "
             "fitting")
+    # small inputs read as one or two parquet files = one or two task
+    # slots, and the argmin HOF evaluates interpreted — spread the rows
+    # so the per-element work uses every core. At corpus scale the
+    # input already has >= parallelism partitions and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    qbase = base.withColumn("__vq", _qvec(F.col("__v")))
     for _ in range(iterations):
-        assigned = base.withColumn(
-            "__c", _argmin_cluster(F.col("__v"), cents))
+        assigned = qbase.withColumn(
+            "__c", _argmin_cluster("__vq", cents))
         rows = (
             assigned.select("__c", F.posexplode("__v").alias("__dim", "__x"))
             .groupBy("__c", "__dim")
@@ -1330,7 +1384,9 @@ def kmeans_assign(
     if not centroids:
         raise ValueError("centroids must be non-empty")
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out_col, _argmin_cluster(vec, centroids))
+    return (df.withColumn("__vq", _qvec(vec))
+            .withColumn(out_col, _argmin_cluster("__vq", centroids))
+            .drop("__vq"))
 
 
 def _mean_vector(base: DataFrame, dim: int) -> list[float]:
@@ -1346,23 +1402,25 @@ def _mean_vector(base: DataFrame, dim: int) -> list[float]:
     return [byd[d] for d in range(dim)]
 
 
-def _dot_centered_decimal(vec: Column, mu: list[float],
-                          comp: list[float]) -> Column:
-    """Exact-decimal dot product of the CENTERED row vector with a
-    component literal: per-dim (x−mu)·c doubles (IEEE-identical
-    cross-engine) rounded to 12 decimals and folded in DECIMAL(38,12) —
-    associative, so the in-row fold equals the oracle's per-vector SUM
-    regardless of order (the _sqdist_decimal recipe with a product
-    instead of a square)."""
-    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
-    c_lit = F.array(*[F.lit(float(c)) for c in comp])
-    centered = F.zip_with(vec, mu_lit, lambda x, m: x - m)
-    terms = F.zip_with(centered, c_lit, lambda x, c: x * c)
-    total = F.aggregate(
-        terms, F.lit(0).cast("decimal(28,12)"),
-        lambda a, t: (a + F.round(t, 12).cast("decimal(28,12)"))
-        .cast("decimal(28,12)"))
-    return total.cast("double")
+def _dot_centered_decimal_sql(v_name: str, mu: list[float],
+                              comp: list[float]) -> str:
+    """SQL text for the exact-decimal dot product of the CENTERED row
+    vector (named double-array column) with a component literal:
+    per-dim (x−mu)·c doubles (IEEE-identical cross-engine) rounded to
+    12 decimals and folded in DECIMAL(38,12) — associative, so the
+    in-row fold equals the oracle's per-vector SUM regardless of
+    order. TEXT, not Column objects: two 64-literal arrays built
+    through py4j cost seconds of driver time per iteration (the
+    _centroid_q_sql lesson); doubles render via repr + the D suffix
+    (shortest round-trip, forced DOUBLE literal)."""
+    mu_lit = "array(" + ",".join(f"{float(m)!r}D" for m in mu) + ")"
+    c_lit = "array(" + ",".join(f"{float(c)!r}D" for c in comp) + ")"
+    return (
+        f"cast(aggregate(zip_with(zip_with({v_name}, {mu_lit}, "
+        f"(x, m) -> x - m), {c_lit}, (x, c) -> x * c), "
+        "cast(0 as decimal(28,12)), "
+        "(a, t) -> cast(a + cast(round(t, 12) as decimal(28,12)) "
+        "as decimal(28,12))) as double)")
 
 
 def power_iteration_pca(
@@ -1419,7 +1477,8 @@ def power_iteration_pca(
     v = [1.0] * dim
     mu_lit = F.array(*[F.lit(float(m)) for m in mu])
     for _ in range(iterations):
-        w = base.withColumn("__w", _dot_centered_decimal(F.col("__v"), mu, v))
+        w = base.withColumn(
+            "__w", F.expr(_dot_centered_decimal_sql("__v", mu, v)))
         sums = (
             w.select("__w", F.posexplode("__v").alias("__dim", "__x"))
             .withColumn("__t", F.col("__w") * (
@@ -1463,47 +1522,35 @@ def pca_project(
             f"mu and component disagree on dim: {len(mu)} vs "
             f"{len(component)}")
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out_col, _dot_centered_decimal(vec, mu, component))
+    return (df.withColumn("__pca_v", vec)
+            .withColumn(out_col, F.expr(
+                _dot_centered_decimal_sql("__pca_v", mu, component)))
+            .drop("__pca_v"))
 
 
-def _sqdist_pair_decimal(a: Column, b: Column) -> Column:
-    """Exact-decimal squared euclidean distance between two double-array
-    COLUMNS (the column-column sibling of :func:`_sqdist_decimal`'s
-    column-literal form). Stronger discipline than the literal form (the
-    q213 lesson, same class as q212's): rounding COMPUTED doubles like
-    (x−y)² at a fixed scale is engine-fragile at tie boundaries — one
-    term in ~1M flipped by 1e-12 at sf0.01 — so only the RAW inputs are
-    quantized (round(x, 9), the shared source-value convention) and the
-    difference, square, and fold all stay EXACT decimal arithmetic:
-    (12,9) − (12,9) → ×itself → (25,18) → summed in (30,18). Associative
-    and tie-free, so the in-row fold equals an oracle's per-pair SUM."""
-
-    def q(x: Column) -> Column:
-        return F.round(x, 9).cast("decimal(12,9)")
-
-    def sq(x: Column, y: Column) -> Column:
-        d = q(x) - q(y)
-        return (d * d).cast("decimal(30,18)")
-
-    total = F.aggregate(
-        F.zip_with(a, b, sq), F.lit(0).cast("decimal(30,18)"),
-        lambda acc, t: (acc + t).cast("decimal(30,18)"))
-    # scale-18 decimals carry >17 significant digits, where Spark's and
-    # DuckDB's direct decimal->double casts disagree by 1 ulp on
-    # halfway cases — the string round-trip is the deterministic
-    # conversion (timeseries._dec2dbl, the q198 lesson)
-    return total.cast("string").cast("double")
+def _sqdist_pair_q_pre(aq: Column, bq: Column) -> Column:
+    """Squared euclidean distance between two PRE-QUANTIZED long-array
+    columns on the 1e-5 grid: LONG fold of (xq−yq)², then ONE exact
+    long→double cast (sums stay under 2⁵³) and ONE IEEE division by
+    1e10 back to value units. Exact, order-independent, tie-free, and
+    ~100x cheaper than the BigDecimal fold it replaces (q213 sf0.1
+    scoring: 120 s → ~4 s); quantize each corpus ONCE before the join
+    — every row scores against ~many counterparts."""
+    terms = F.zip_with(aq, bq, lambda x, y: (x - y) * (x - y))
+    s = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return s.cast("double") / F.lit(1e10)
 
 
-def _cluster_probes(vec: Column, cents: dict[int, list[float]],
+def _cluster_probes(vq_name: str, cents: dict[int, list[float]],
                     nprobe: int) -> Column:
     """The ``nprobe`` nearest centroid ids under (distance, id) order —
     array_sort over (dist, id) structs sliced to nprobe, the multi-cell
-    generalization of :func:`_argmin_cluster`. All in-row."""
-    structs = [F.struct(_sqdist_decimal(vec, c).alias("d"),
-                        F.lit(j).alias("j"))
-               for j, c in sorted(cents.items())]
-    return F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    generalization of :func:`_argmin_cluster`. All in-row; ``vq_name``
+    names a pre-quantized column (same reasons as _argmin_cluster)."""
+    structs = ",".join(
+        f"named_struct('d', {_sqdist_q_pre_sql(vq_name, c)}, 'j', {j})"
+        for j, c in sorted(cents.items()))
+    return F.expr(f"slice(array_sort(array({structs})), 1, {nprobe})")
 
 
 def ann_join(
@@ -1554,23 +1601,34 @@ def ann_join(
     from pyspark.sql import Window
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    lbase = left.select(F.col(id_col).alias("query_id"), vec.alias("__lv"))
+    # quantize each corpus ONCE — probes, assignment and pair scoring
+    # all reuse the long arrays (HOFs evaluate interpreted, so a shared
+    # materialized column beats per-expression re-quantization ~3x)
+    lbase = left.select(F.col(id_col).alias("query_id"),
+                        _qvec(vec).alias("__lq"))
     rbase = right.select(F.col(id_col).alias("neighbor_id"),
-                         vec.alias("__rv"))
+                         _qvec(vec).alias("__rq"))
+    # same small-input spread as kmeans_fit: probe/assign HOFs evaluate
+    # interpreted, and a one-file corpus otherwise runs them on one core
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if lbase.rdd.getNumPartitions() < par:
+        lbase = lbase.repartition(par)
+    if rbase.rdd.getNumPartitions() < par:
+        rbase = rbase.repartition(par)
     cents = kmeans_fit(
         left.select(id_col, vec_col).unionByName(
             right.select(id_col, vec_col)),
         vec_col=vec_col, id_col=id_col, k=n_cells, iterations=iterations)
 
     probes = (lbase.withColumn(
-        "__p", F.explode(_cluster_probes(F.col("__lv"), cents, nprobe)))
-        .select("query_id", "__lv", F.col("__p")["j"].alias("__cell")))
+        "__p", F.explode(_cluster_probes("__lq", cents, nprobe)))
+        .select("query_id", "__lq", F.col("__p")["j"].alias("__cell")))
     assigned = rbase.withColumn(
-        "__cell", _argmin_cluster(F.col("__rv"), cents))
+        "__cell", _argmin_cluster("__rq", cents))
 
     pairs = probes.join(assigned, "__cell")
     scored = pairs.withColumn(
-        "dist", _sqdist_pair_decimal(F.col("__lv"), F.col("__rv")))
+        "dist", _sqdist_pair_q_pre(F.col("__lq"), F.col("__rq")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("dist").asc(), F.col("neighbor_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -9803,7 +9803,9 @@ def q207_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_ctes(k: int, iterations: int) -> str:
     """Shared unrolled-Lloyd's CTE prefix (q197's convention): seed by
     (md5, id) order, then per round one exact-decimal distance pass +
-    ROW_NUMBER argmin + DECIMAL(38,9) centroid means. Ends having
+    ROW_NUMBER argmin + DECIMAL(38,9) centroid means; distances are
+    integer folds on the 1e-5 grid (round(x·1e5) of IEEE-identical
+    products — tie-free, see similarity._qvec). Ends having
     defined d{iterations+1} (every vector's exact distance to every
     FINAL centroid) and a{iterations+1} (the final assignment) — the
     two frames q208's assignment and q213's IVF probes both read."""
@@ -9827,8 +9829,10 @@ def _kmeans_ctes(k: int, iterations: int) -> str:
         sql += f""",
     d{i} AS (
         SELECT ed.vec_id, c.j,
-               CAST(SUM(CAST(round((ed.x - c.c) * (ed.x - c.c), 12)
-                             AS DECIMAL(38,12))) AS DOUBLE) AS d
+               SUM((CAST(round(ed.x * 100000.0) AS BIGINT)
+                    - CAST(round(c.c * 100000.0) AS BIGINT))
+                   * (CAST(round(ed.x * 100000.0) AS BIGINT)
+                      - CAST(round(c.c * 100000.0) AS BIGINT))) AS d
         FROM ed JOIN c{i-1} c ON ed.dim = c.dim
         GROUP BY ed.vec_id, c.j
     ),
@@ -9887,12 +9891,11 @@ def _q213_oracle(n_cells: int, iterations: int, nprobe: int,
     ),
     pdist AS (
         SELECT pr.query_id, pr.neighbor_id,
-               CAST(CAST(SUM(CAST(
-                   (CAST(round(el.x, 9) AS DECIMAL(12,9))
-                    - CAST(round(er.x, 9) AS DECIMAL(12,9)))
-                   * (CAST(round(el.x, 9) AS DECIMAL(12,9))
-                      - CAST(round(er.x, 9) AS DECIMAL(12,9)))
-                   AS DECIMAL(30,18))) AS VARCHAR) AS DOUBLE) AS dist
+               CAST(SUM((CAST(round(el.x * 100000.0) AS BIGINT)
+                         - CAST(round(er.x * 100000.0) AS BIGINT))
+                        * (CAST(round(el.x * 100000.0) AS BIGINT)
+                           - CAST(round(er.x * 100000.0) AS BIGINT)))
+                    AS DOUBLE) / 10000000000.0 AS dist
         FROM pairs pr
         JOIN ed el ON el.vec_id = pr.query_id
         JOIN ed er ON er.vec_id = pr.neighbor_id AND er.dim = el.dim
@@ -9913,8 +9916,9 @@ def q208_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_fit/kmeans_assign): k=4 over the embeddings table, 2 full
     update rounds, final nearest-centroid assignment per vector. Every
     assignment pass runs on the executors (only the k×dim centroid
-    table touches the driver); distances are exact-decimal folds and
-    centroid means DECIMAL(38,9) sums, so the oracle's unrolled
+    table touches the driver); distances are exact integer folds on the
+    1e-5 quantization grid (_sqdist_qint) and centroid means
+    DECIMAL(38,9) sums, so the oracle's unrolled
     iteration CTEs reproduce the assignment bit-exact — no recall
     floor, no tolerance. The clustering primitive behind domain
     discovery / curriculum bucketing on a 100 TB corpus."""

@@ -395,3 +395,56 @@ def fingerprint_diff(
     return joined.select(*pcols, "n_rows_a", "n_rows_b",
                          "fingerprint_a", "fingerprint_b",
                          status.alias("status"))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity report (Sweeney 2002): group
+    the table by its quasi-identifier combination and flag classes
+    smaller than ``k`` — the governance pre-flight before a dataset
+    with person-adjacent attributes ships to training. A class of size
+    < k means those rows are re-identifiable by joining the
+    quasi-identifiers against an external table.
+
+    Returns one row per quasi-identifier combination: the quasi
+    columns, ``n`` (class size) and ``k_ok``. NULL quasi values form
+    their own class (standard groupBy semantics — a NULL zip code is
+    itself a linkable value).
+
+    Scale shape: ONE map-side-combinable groupBy on the quasi columns;
+    the report is bounded by the quasi-id domain, not the row count.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for k-anonymity, got {k}")
+    cols = list(quasi_cols)
+    if not cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("k_ok", F.col("n") >= k))
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Enforce k-anonymity by SUPPRESSION: drop every row whose
+    quasi-identifier equivalence class holds fewer than ``k`` rows
+    (the standard first remedy; generalization hierarchies are the
+    caller's domain knowledge). The surviving table is k-anonymous
+    over ``quasi_cols`` by construction.
+
+    Scale shape: the bounded class report broadcast-joins back as a
+    semi-join on the quasi columns — the fact table shuffles zero
+    times when the report side broadcasts (quasi-id domains are
+    small by definition; a domain too big to broadcast means the
+    quasi set is near-unique and suppression would drop ~everything
+    — the report is the diagnostic for that)."""
+    cols = list(quasi_cols)
+    ok = (k_anonymity_report(df, cols, k)
+          .filter(F.col("k_ok")).select(*cols))
+    return df.join(F.broadcast(ok), cols, "left_semi")

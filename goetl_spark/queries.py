@@ -10243,3 +10243,49 @@ def q213_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      e.filter(F.col("vec_id") % 2 == 1),
                      k=5, n_cells=8, iterations=2, nprobe=2)
             .orderBy("query_id", "rank"))
+
+
+@register_staged(
+    "q214_k_anonymity",
+    """
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT c.c_custkey FROM customer c
+        JOIN classes k ON c.c_mktsegment = k.c_mktsegment
+                      AND c.c_nationkey = k.c_nationkey
+        WHERE k.n >= 8
+    )
+    SELECT cl.c_mktsegment, cl.c_nationkey, CAST(cl.n AS BIGINT) AS n,
+           cl.n >= 8 AS k_ok,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS rows_kept,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_total
+    FROM classes cl
+    ORDER BY cl.c_mktsegment, cl.c_nationkey
+    """,
+)
+def q214_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity governance pre-flight (quality.py::
+    k_anonymity_report/suppress_small_groups, Sweeney 2002): customer
+    equivalence classes over the (market segment, nation) quasi-
+    identifier pair at k=8 — the per-class report plus, on every row,
+    how many rows survive suppression (proving the semi-join enforce
+    step drops exactly the under-k classes). One map-side-combinable
+    groupBy for the report; the enforcement broadcast-semi-joins the
+    bounded class table back — the fact side never shuffles. The
+    oracle replays both, hash-exact (pure integer counts)."""
+    from goetl_spark.quality import k_anonymity_report, suppress_small_groups
+
+    c = _t(spark, sf_dir, "customer")
+    quasi = ["c_mktsegment", "c_nationkey"]
+    rep = k_anonymity_report(c, quasi, k=8)
+    kept = suppress_small_groups(c, quasi, k=8).count()
+    total = c.count()
+    return (rep.withColumn("rows_kept", F.lit(kept).cast("long"))
+            .withColumn("rows_total", F.lit(total).cast("long"))
+            .select("c_mktsegment", "c_nationkey",
+                    F.col("n").cast("long").alias("n"), "k_ok",
+                    "rows_kept", "rows_total")
+            .orderBy("c_mktsegment", "c_nationkey"))

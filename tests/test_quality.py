@@ -239,3 +239,37 @@ def test_partition_fingerprints_and_diff(spark):
         partition_fingerprints(a, [])
     with _pytest.raises(ValueError):
         partition_fingerprints(a.select("part"), ["part"])
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    from goetl_spark.quality import k_anonymity_report, suppress_small_groups
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 3 + [(None, 1)] * 2
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    rep = {(r["seg"], r["nat"]): (r["n"], r["k_ok"])
+           for r in k_anonymity_report(df, ["seg", "nat"], k=3).collect()}
+    assert rep[("a", 1)] == (5, True)
+    assert rep[("a", 2)] == (2, False)
+    assert rep[("b", 1)] == (3, True)
+    assert rep[(None, 1)] == (2, False)  # NULL quasi forms its own class
+
+    kept = suppress_small_groups(df, ["seg", "nat"], k=3)
+    assert kept.count() == 8  # the two under-k classes drop entirely
+    left = {(r["seg"], r["nat"]) for r in kept.collect()}
+    assert left == {("a", 1), ("b", 1)}
+
+
+def test_k_anonymity_guards(spark):
+    import pytest as _pt
+
+    from goetl_spark.quality import k_anonymity_report
+
+    df = spark.createDataFrame([("a", 1)], "seg string, nat int")
+    with _pt.raises(ValueError, match="k must be >= 2"):
+        k_anonymity_report(df, ["seg"], k=1)
+    with _pt.raises(ValueError, match="non-empty"):
+        k_anonymity_report(df, [], k=3)

@@ -716,3 +716,85 @@ def seasonal_decompose(
            .withColumn("resid",
                        F.col("value") - F.col("trend") - F.col("seasonal")))
     return out.select(*keys, "bucket", "value", "trend", "seasonal", "resid")
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    grain: str = "hour",
+    lags: Sequence[int] = (1, 2, 3),
+    moment_scale: int = 1,
+) -> DataFrame:
+    """Autocorrelation function per key series: Pearson correlation
+    between the bucketed series and its ``lag``-shifted self, one row
+    per (keys, lag) — the seasonality/memory diagnostic (a daily cycle
+    shows as a spike at lag 24 on hourly buckets) and the standard
+    pre-flight before ARIMA-ish modeling.
+
+    Pairs are (x_t, x_{t+lag}) over the bucket-ordered series, so each
+    lag's correlation uses n_buckets − lag pairs (the "non-circular"
+    convention; gap-free input is the caller's contract, as in
+    :func:`seasonal_decompose`).
+
+    Determinism (stats.pearson_corr_exact's recipe, grouped): bucket
+    totals stay EXACT DECIMAL from aggregation through the lag/lead
+    window and all five moment sums — products squared in decimal,
+    each moment rounded to ``moment_scale`` before its double cast —
+    so nothing computed is ever re-rounded and the only IEEE work is
+    the final five-term formula per (key, lag). Degenerate series
+    (zero variance after rounding) yield NULL, never NaN.
+
+    Scale shape: one (keys, bucket) shuffle collapses events; ONE
+    window exchange per key serves every lag's lead(); the moment
+    aggregate is keys×lags rows. No global window, no driver state.
+    """
+    lags = sorted(set(int(x) for x in lags))
+    if not lags or lags[0] < 1:
+        raise ValueError(f"lags must be positive ints, got {lags}")
+    keys = list(keys)
+    if not keys:
+        raise ValueError("acf requires at least one series key (the "
+                         "seasonal_decompose single-task-sort rule)")
+    ts, val = F.col(ts_col), F.col(value_col).cast("double")
+
+    b = (df.filter(ts.isNotNull() & val.isNotNull())
+         .groupBy(*keys, F.date_trunc(grain, ts).alias("bucket"))
+         .agg(F.sum(F.round(val, 6).cast("decimal(19,6)"))
+              .cast("decimal(19,6)").alias("__v")))
+
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    lagged = b.select(
+        *keys, "__v",
+        *[F.lead("__v", k).over(w).alias(f"__w{k}") for k in lags])
+    stacked = lagged.select(
+        *keys,
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col("__v").alias("x"),
+                     F.col(f"__w{k}").alias("y")) for k in lags]))
+        .alias("p")
+    ).select(*keys, F.col("p.lag").alias("lag"),
+             F.col("p.x").alias("x"), F.col("p.y").alias("y")) \
+     .filter(F.col("y").isNotNull())
+
+    def shrink(c: Column) -> Column:
+        return (F.round(c, moment_scale)
+                .cast(f"decimal(38,{moment_scale})").cast("double"))
+
+    agg = stacked.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        shrink(F.sum(F.col("x").cast("decimal(38,6)"))).alias("sx"),
+        shrink(F.sum(F.col("y").cast("decimal(38,6)"))).alias("sy"),
+        shrink(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        shrink(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        shrink(F.sum(F.col("x") * F.col("y"))).alias("sxy"))
+    n = F.col("n").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)))
+    return agg.select(*keys, "lag", F.col("n").cast("long").alias("n"),
+                      corr.alias("acf"))

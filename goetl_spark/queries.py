@@ -10289,3 +10289,129 @@ def q214_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n"), "k_ok",
                     "rows_kept", "rows_total")
             .orderBy("c_mktsegment", "c_nationkey"))
+
+
+@register_staged(
+    "q215_acf",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(SUM(CAST(round(value, 6) AS DECIMAL(19,6)))
+                    AS DECIMAL(19,6)) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT event_type, v,
+               LEAD(v, 1) OVER w AS w1,
+               LEAD(v, 2) OVER w AS w2,
+               LEAD(v, 24) OVER w AS w24
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    st AS (
+        SELECT event_type, 1 AS lag, v AS x, w1 AS y FROM l
+        WHERE w1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, v, w2 FROM l WHERE w2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 24, v, w24 FROM l WHERE w24 IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, lag, COUNT(*) AS n,
+               CAST(CAST(round(SUM(CAST(x AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sx,
+               CAST(CAST(round(SUM(CAST(y AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sy,
+               CAST(CAST(round(SUM(x * x), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sxx,
+               CAST(CAST(round(SUM(y * y), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS syy,
+               CAST(CAST(round(SUM(x * y), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sxy
+        FROM st GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS acf
+    FROM m ORDER BY event_type, lag
+    """,
+)
+def q215_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (operators/timeseries.py::acf): hourly
+    per-event-type bucket totals correlated against their own lags
+    1/2/24 — the seasonality/memory diagnostic (a daily cycle spikes
+    at lag 24). Bucket totals stay exact decimal from aggregation
+    through lead() and all five moment sums (the q106 grouped recipe),
+    so the oracle's window+moment replay is hash-exact. One bucket
+    shuffle, one window exchange serving every lag, a keys-x-lags
+    moment aggregate — no global window."""
+    from goetl_spark.operators.timeseries import acf
+
+    e = _t(spark, sf_dir, "events")
+    return (acf(e, "ts", ["event_type"], "value",
+                grain="hour", lags=(1, 2, 24))
+            .orderBy("event_type", "lag"))
+
+
+@register_staged(
+    "q216_feature_encode",
+    """
+    WITH base AS (
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_totalprice IS NOT NULL
+    ),
+    g AS (
+        SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                    AS VARCHAR) AS DOUBLE) AS s,
+               COUNT(*) AS n
+        FROM base
+    ),
+    per_cat AS (
+        SELECT o_orderpriority,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                    AS VARCHAR) AS DOUBLE) AS s,
+               COUNT(*) AS n
+        FROM base GROUP BY 1
+    ),
+    fr AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE)
+               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS freq_enc
+        FROM orders GROUP BY 1
+    )
+    SELECT p.o_orderpriority,
+           CAST(p.n AS BIGINT) AS n,
+           (p.s + 10.0 * (g.s / g.n)) / (p.n + 10.0) AS target_enc,
+           fr.freq_enc
+    FROM per_cat p CROSS JOIN g
+    JOIN fr ON p.o_orderpriority = fr.o_orderpriority
+    ORDER BY p.o_orderpriority
+    """,
+)
+def q216_feature_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical feature encoding (operators/encoding.py::
+    target_encode/frequency_encode): smoothed mean-target encoding of
+    order priority against order value (pseudo-count 10 shrinkage
+    toward the global mean) plus label-free frequency encoding, the
+    per-category table both encoders broadcast back. Exact decimal
+    sums cross to double via the string round-trip (magnitudes exceed
+    2^53 of scaled integer at sf0.1), then one fixed double formula —
+    hash-exact. At 100 TB both encoders are one domain-bounded
+    aggregate + a broadcast join; the fact table never shuffles."""
+    from goetl_spark.operators.encoding import (frequency_encode,
+                                                target_encode)
+
+    o = _t(spark, sf_dir, "orders")
+    enc = target_encode(o, ["o_orderpriority"], "o_totalprice",
+                        smoothing=10.0)
+    both = frequency_encode(enc, ["o_orderpriority"])
+    return (both.filter(F.col("o_totalprice").isNotNull())
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.first("target_enc").alias("target_enc"),
+                 F.first("freq_enc").alias("freq_enc"))
+            .orderBy("o_orderpriority"))

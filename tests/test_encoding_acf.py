@@ -1,0 +1,84 @@
+"""Categorical encoders (operators/encoding.py) and the ACF diagnostic
+(operators/timeseries.py::acf)."""
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.encoding import frequency_encode, target_encode
+from goetl_spark.operators.timeseries import acf
+
+
+def test_target_encode_shrinkage(spark):
+    rows = [("a", 10.0)] * 8 + [("b", 100.0)] * 2 + [("c", None)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r["cat"]: r["target_enc"]
+           for r in target_encode(df, ["cat"], "y", smoothing=2.0)
+           .select("cat", "target_enc").distinct().collect()}
+    gmean = (8 * 10.0 + 2 * 100.0) / 10  # 28.0
+    assert math.isclose(out["a"], (80.0 + 2 * gmean) / 10, rel_tol=1e-12)
+    assert math.isclose(out["b"], (200.0 + 2 * gmean) / 4, rel_tol=1e-12)
+    # the all-NULL-target category gets NO per-cat row -> NULL encoding
+    assert out["c"] is None
+    # shrinkage: the rare category sits between its raw mean and global
+    assert gmean < out["b"] < 100.0
+
+
+def test_frequency_encode_shares(spark):
+    rows = [("a",)] * 3 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "cat string")
+    out = {r["cat"]: r["freq_enc"]
+           for r in frequency_encode(df, ["cat"]).distinct().collect()}
+    assert out == {"a": 0.75, "b": 0.25}
+
+
+def test_encode_guards(spark):
+    df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode(df, ["cat"], "y", smoothing=-1)
+    with pytest.raises(ValueError, match="non-empty"):
+        target_encode(df, [], "y")
+    with pytest.raises(ValueError, match="all NULL"):
+        target_encode(
+            spark.createDataFrame([("a", None)], "cat string, y double"),
+            ["cat"], "y")
+
+
+def _series(spark, period=4, n=64):
+    """Pure period-4 cycle -> acf ~ +1 at lag 4, strongly negative at
+    lag 2 (anti-phase)."""
+    t0 = dt.datetime(2024, 1, 1)
+    cyc = [1.0, 5.0, 9.0, 5.0]
+    rows = [("k", t0 + dt.timedelta(hours=i), cyc[i % period])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+
+
+def test_acf_detects_periodicity(spark):
+    out = {r["lag"]: (r["n"], r["acf"])
+           for r in acf(_series(spark), "ts", ["event_type"], "value",
+                        grain="hour", lags=(1, 2, 4)).collect()}
+    n4, a4 = out[4]
+    assert n4 == 60  # 64 buckets - lag
+    assert a4 > 0.99
+    assert out[2][1] < -0.99  # anti-phase
+    assert abs(out[1][1]) < 0.2  # quarter-phase ~ 0
+
+
+def test_acf_constant_series_is_null_not_nan(spark):
+    df = _series(spark).withColumn("value", F.lit(3.0))
+    rows = acf(df, "ts", ["event_type"], "value", lags=(1,)).collect()
+    assert rows[0]["acf"] is None
+
+
+def test_acf_guards(spark):
+    df = _series(spark)
+    with pytest.raises(ValueError, match="lags"):
+        acf(df, "ts", ["event_type"], "value", lags=(0,))
+    with pytest.raises(ValueError, match="key"):
+        acf(df, "ts", [], "value")

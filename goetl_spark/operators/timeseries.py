@@ -792,9 +792,16 @@ def acf(
     n = F.col("n").cast("double")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # clamp to the Pearson range: moment_scale rounds each moment sum
+    # independently, so a series whose magnitudes are small relative to
+    # the scale can distort the five-term formula past ±1 (hypothesis
+    # found acf = -1.81 on an n=2, |x|<1 series at the default scale) —
+    # the same dial pearson_corr_exact documents; the clamp makes the
+    # invariant unconditional and well-scaled inputs are unaffected
     corr = F.when(
         (varx > 0) & (vary > 0),
-        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.sqrt(varx) * F.sqrt(vary)))
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)))))
     return agg.select(*keys, "lag", F.col("n").cast("long").alias("n"),
                       corr.alias("acf"))

@@ -10333,9 +10333,10 @@ def q214_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
            CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
                  AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
-               (CAST(n AS DOUBLE) * sxy - sx * sy)
-               / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+               GREATEST(-1.0, LEAST(1.0,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))))
            END AS acf
     FROM m ORDER BY event_type, lag
     """,

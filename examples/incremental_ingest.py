@@ -12,6 +12,11 @@ Run: python examples/incremental_ingest.py [sf_dir]
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+# runnable standalone (`python examples/<name>.py`): the script dir
+# is examples/, so put the repo root on the path for goetl_spark
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,

@@ -1,0 +1,118 @@
+"""Example 6 — metrics monitoring on a continuous aggregate.
+
+The round-11/12 time-series layer end-to-end, each stage the
+registered scale-shaped operator: an event stream lands as
+micro-batches into a PERSISTED hypertable rollup (exactly-once
+incremental refresh — history never rescanned), then the standing
+rollup serves the monitoring battery: ACF seasonality diagnostic,
+classical seasonal decomposition, residual CUSUM drift alarms, and an
+OLS trend per series. The shape a 100 TB metrics pipeline runs daily:
+every diagnostic reads the buckets×keys rollup, never the raw events.
+
+Run: python examples/timeseries_monitoring.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import tempfile
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
+         workdir: str | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.timeseries import (
+        acf, cusum, hypertable_rollup, linear_trend, seasonal_decompose)
+    from goetl_spark.queries import _t
+    from goetl_spark.session import get_spark
+    from goetl_spark.streaming.sources import replay_stream_ordered
+    from goetl_spark.streaming.warehouse import stream_rollup
+
+    owns_spark = spark is None
+    spark = spark or get_spark("example-ts-monitoring", master="local[4]",
+                               shuffle_partitions=4)
+    work = workdir or os.path.join(tempfile.gettempdir(), "goetl_ex_ts")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    # the catalog loader normalizes ts across the two parquet layouts the
+    # testdata has shipped with (NANOS-as-long / NTZ micros)
+    events = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    # 1) STREAMING INGEST: the day's events arrive as 3 time-ordered
+    # micro-batches; each is rolled up and merged into the persisted
+    # rollup behind the transactional batch marker (exactly-once).
+    stream, _ = replay_stream_ordered(
+        events, "ts", num_chunks=3, dir=os.path.join(work, "replay"))
+    rollup_path = os.path.join(work, "rollup")
+    q = stream_rollup(stream, rollup_path, "ts", ["event_type"], "value",
+                      os.path.join(work, "ckpt"), grains=("hour", "day"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    rollup = spark.read.parquet(rollup_path)
+    # the continuous-aggregate contract: incremental == direct
+    direct = hypertable_rollup(events, "ts", ["event_type"], "value",
+                               grains=("hour", "day"))
+    cols = ["grain", "bucket", "event_type", "n", "sum_dec", "vmin", "vmax"]
+    incremental_exact = (
+        sorted(map(tuple, rollup.select(*cols).collect()))
+        == sorted(map(tuple, direct.select(*cols).collect())))
+
+    # 2) DIAGNOSTICS off the raw stream (bucketing inside each op —
+    # the rollup above is the serving table; the operators bucket
+    # identically so a production pipeline feeds them the rollup).
+    acf_rows = acf(events, "ts", ["event_type"], "value",
+                   grain="hour", lags=(1, 24)).collect()
+    daily_acf = {r["event_type"]: r["acf"] for r in acf_rows
+                 if r["lag"] == 24 and r["acf"] is not None}
+
+    dec = seasonal_decompose(events, "ts", ["event_type"], "value",
+                             grain="hour", phase="hour_of_day")
+    resid = dec.filter(F.col("resid").isNotNull()) \
+        .select("event_type", "bucket", "resid")
+
+    # 3) drift alarms on the deseasonalized residuals
+    # slack ~ one residual sigma, threshold ~ 5 sigma of accumulated
+    # drift: quiet under seasonal noise, loud on a real mean shift
+    alarms = cusum(resid, "resid", order_cols=("bucket",),
+                   key_cols=("event_type",), target=0.0, slack=30.0,
+                   threshold=150.0)
+    n_alarms = alarms.filter(F.col("alarm")).count()
+
+    # 4) long-run trend per series (exact-decimal OLS)
+    base = events.select(
+        "event_type",
+        ((F.unix_micros(F.col("ts")) - F.lit(1704067200000000))
+         .cast("double") / F.lit(86400_000000.0)).alias("x"),
+        F.col("value").alias("y"))
+    trends = {r["event_type"]: r["slope"]
+              for r in linear_trend(base, ["event_type"], "x", "y").collect()}
+
+    out = {
+        "rollup_rows": rollup.count(),
+        "incremental_exact": incremental_exact,
+        "series": len(trends),
+        "daily_acf": daily_acf,
+        "resid_buckets": resid.count(),
+        "cusum_alarms": n_alarms,
+        "slopes": trends,
+    }
+    if owns_spark:
+        spark.stop()
+    else:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    print(main(*sys.argv[1:]))

@@ -81,3 +81,18 @@ def test_incremental_ingest_example(spark, tmp_path):
     assert r["near_dropped"] >= 4           # near-dups caught+verified
     assert r["corpus_after"] == (r["corpus_day1"] + r["batch"]
                                  - r["exact_dropped"] - r["near_dropped"])
+
+
+def test_timeseries_monitoring_example(spark, tmp_path):
+    from timeseries_monitoring import main
+
+    r = main(SF, spark=spark, workdir=str(tmp_path / "ts"))
+    # the continuous-aggregate contract holds on the streamed table
+    assert r["incremental_exact"] is True
+    assert r["rollup_rows"] > 0
+    assert r["series"] == len(r["slopes"]) > 0
+    assert r["resid_buckets"] > 0
+    for v in r["daily_acf"].values():
+        assert -1.0 <= v <= 1.0
+    # the alarm battery is selective, not saturated
+    assert 0 <= r["cusum_alarms"] < r["resid_buckets"] / 2

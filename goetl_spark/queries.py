@@ -165,57 +165,75 @@ def retired_oracle_sql() -> dict[str, str]:
 # hypertable_rollup cast widening) lands inside a seated q199-q209
 # query. 11+38+1 = 50 exactly. The 47 deferred expiring rows become
 # hard-mandatory in r13 (44 after tranche-2 retirement).
+# Round-13 rotation (plan_window.py at r13 start; r12 verdict asks #2):
+# (a) retirement TRANCHE 3 executes — the 6 rows annotated in
+# OPERATORS.md "retirement candidates, tranche 3" (q22/q24/q25/q28/
+# q51/q82 move to @register_retired; operators, oracles, pytest
+# coverage, and §2 parity rows all stay; replay via
+# `scripts/check_oracle.py --retired`) — trimming q22 from the r13
+# hard-expiring set opens one spare seat, and dropping q24/q25/q28/
+# q51/q82 from the r12 window shrinks the 5-round-out (r17) mandatory
+# cycle; (b) seats (50): all 7 staged registrations q210-q216 now
+# @register (staged-first policy — never had a driver row; q214/q216
+# additionally carry this round's NULL-key join-back fixes and q215
+# the ACF decimal-precision fixes, so their first driver rows also
+# verify the changed code), the 42 remaining r8-last hard-mandatory
+# rows (q16..q157 per plan_window.py, minus retired q22), and
+# q26_knn_bruteforce (from the oldest remaining cohort — 41 rows
+# last recorded r10, mandatory r15) in the spare seat, smoothing the
+# r15 bulge. 7+42+1 = 50 exactly. plan_window.py after this rotation:
+# r14 = 0 hard-mandatory / 0 expiring / +50 spare.
 _WINDOW: list[str] = [
-    "q01_pricing_summary",
-    "q05_join_left_nulls",
-    "q06_join_multiway_broadcast",
-    "q11_transform_shaping",
-    "q12_dates",
-    "q17_cdc",
-    "q18_scd2",
-    "q19_scd3",
-    "q20_profile",
-    "q25_simhash",
-    "q28_embedding_neardup",
-    "q30_text_quality",
-    "q33_dag_runner",
-    "q39_custom_udaf",
-    "q44_quality_gate",
-    "q49_set_ops",
-    "q52_hash_split",
-    "q57_streaming_dedup",
-    "q59_ann_lsh",
-    "q64_fuzzy_pairs",
-    "q66_forecast_revenue",
-    "q67_io_stats",
-    "q79_csv_roundtrip",
-    "q80_jsonl_roundtrip",
-    "q82_tdigest_bound",
-    "q87_tdigest_by_group",
-    "q129_robust_scale",
-    "q130_mode_by_group",
-    "q131_mad",
-    "q132_quantile_normalize",
-    "q133_sorted_neighborhood",
-    "q134_sentence_stats",
-    "q135_pagerank",
-    "q136_wordpiece",
-    "q137_hard_negatives",
-    "q138_sliding_distinct",
-    "q139_funnel_stream",
-    "q140_zscore_stream",
-    "q141_duplicate_spans",
-    "q199_repetition_flags",
-    "q200_dsir_select",
-    "q201_chat_turns",
-    "q202_block_pack",
-    "q203_vocab_coverage",
-    "q204_min_cost_supplier",
-    "q205_product_profit",
-    "q206_important_parts",
-    "q207_excess_suppliers",
-    "q208_kmeans",
-    "q209_hypertable_rollup",
+    "q16_sessionize",
+    "q32_pipeline_runner",
+    "q35_asof_join",
+    "q36_range_join",
+    "q48_stateful_stream",
+    "q54_redact_pii",
+    "q55_shipping_priority",
+    "q56_local_supplier_volume",
+    "q58_stream_stream_join",
+    "q60_fanin_heterogeneous",
+    "q62_pivot",
+    "q65_json_extract",
+    "q68_salted_join",
+    "q69_bucketed_join",
+    "q70_merge",
+    "q71_repetition_removal",
+    "q72_merge_pruned",
+    "q73_ann_ivf_centroids",
+    "q75_zorder_scan",
+    "q76_returned_item_revenue",
+    "q77_large_volume_customers",
+    "q78_sole_returned_supplier",
+    "q81_sequence_packing",
+    "q83_nation_volume",
+    "q84_priority_shipmode",
+    "q85_decontaminate",
+    "q142_gopher_quality",
+    "q143_semantic_dedup",
+    "q144_epoch_shuffle",
+    "q145_perplexity_buckets",
+    "q146_quality_features",
+    "q147_boilerplate_strip",
+    "q148_bloom_semi_join",
+    "q149_bloom_anti_join",
+    "q150_url_parts",
+    "q151_unicode_nfc",
+    "q152_training_shards",
+    "q153_interval_lookup",
+    "q154_image_dhash",
+    "q155_registrable_domain",
+    "q156_incident_window_join",
+    "q157_window_overlap_join",
+    "q210_stream_rollup",
+    "q211_power_pca",
+    "q212_seasonal_decompose",
+    "q213_ann_join",
+    "q214_k_anonymity",
+    "q215_acf",
+    "q216_feature_encode",
+    "q26_knn_bruteforce",
 ]
 
 
@@ -952,7 +970,7 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-@register(
+@register_retired(
     "q22_ngram_jaccard",
     f"""
     WITH {_DUCK_SHINGLES},
@@ -1008,7 +1026,7 @@ def q23_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-@register(
+@register_retired(
     "q24_minhash_lsh_candidates",
     f"""
     WITH {_DUCK_SHINGLES},
@@ -1040,7 +1058,7 @@ def q24_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
-@register(
+@register_retired(
     "q25_simhash",
     """
     WITH toks AS (
@@ -1143,7 +1161,7 @@ def q27_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
-@register(
+@register_retired(
     "q28_embedding_neardup",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings)
@@ -1861,7 +1879,7 @@ def q50_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@register(
+@register_retired(
     "q51_write_roundtrip",
     f"""
     SELECT l_linestatus, COUNT(*) AS n, {DSUM('l_extendedprice')} AS sum_price
@@ -3832,7 +3850,7 @@ def q98_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TDIGEST_PROBS = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 
-@register(
+@register_retired(
     "q82_tdigest_bound",
     f"""
     WITH exact(p, v) AS (
@@ -9998,7 +10016,7 @@ def q209_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("grain", "bucket", "event_type"))
 
 
-@register_staged(
+@register(
     "q210_stream_rollup",
     """
     WITH f AS (
@@ -10122,7 +10140,7 @@ def _q211_oracle(iterations: int) -> str:
                   "ORDER BY vec_id")
 
 
-@register_staged("q211_power_pca", _q211_oracle(2))
+@register("q211_power_pca", _q211_oracle(2))
 def q211_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed top-principal-component fit + projection
     (operators/similarity.py::power_iteration_pca/pca_project): 2 power
@@ -10144,7 +10162,7 @@ def q211_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
-@register_staged(
+@register(
     "q212_seasonal_decompose",
     """
     WITH b AS (
@@ -10221,7 +10239,7 @@ def q212_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "bucket"))
 
 
-@register_staged("q213_ann_join", _q213_oracle(8, 2, 2, 5))
+@register("q213_ann_join", _q213_oracle(8, 2, 2, 5))
 def q213_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-partitioned approximate nearest-neighbor JOIN
     (operators/similarity.py::ann_join) — the both-sides-large ANN
@@ -10245,7 +10263,7 @@ def q213_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-@register_staged(
+@register(
     "q214_k_anonymity",
     """
     WITH classes AS (
@@ -10291,7 +10309,7 @@ def q214_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment", "c_nationkey"))
 
 
-@register_staged(
+@register(
     "q215_acf",
     """
     WITH b AS (
@@ -10358,7 +10376,7 @@ def q215_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
-@register_staged(
+@register(
     "q216_feature_encode",
     """
     WITH base AS (

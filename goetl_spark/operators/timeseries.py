@@ -759,10 +759,13 @@ def acf(
                          "seasonal_decompose single-task-sort rule)")
     ts, val = F.col(ts_col), F.col(value_col).cast("double")
 
+    # the bucket sum stays WIDE (Spark sums decimal(19,6) at (29,6)):
+    # a downcast back to (19,6) would overflow to NULL (non-ANSI) or
+    # raise (ANSI) once a bucket total passes ~1e13 — the same
+    # (18,6)-cast bug class hypertable_rollup fixed in r12
     b = (df.filter(ts.isNotNull() & val.isNotNull())
          .groupBy(*keys, F.date_trunc(grain, ts).alias("bucket"))
-         .agg(F.sum(F.round(val, 6).cast("decimal(19,6)"))
-              .cast("decimal(19,6)").alias("__v")))
+         .agg(F.sum(F.round(val, 6).cast("decimal(19,6)")).alias("__v")))
 
     w = Window.partitionBy(*keys).orderBy("bucket")
     lagged = b.select(
@@ -776,19 +779,27 @@ def acf(
         .alias("p")
     ).select(*keys, F.col("p.lag").alias("lag"),
              F.col("p.x").alias("x"), F.col("p.y").alias("y")) \
-     .filter(F.col("y").isNotNull())
+     .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
 
     def shrink(c: Column) -> Column:
         return (F.round(c, moment_scale)
                 .cast(f"decimal(38,{moment_scale})").cast("double"))
 
+    # square on the (18,6) grid: 18+18+1 = 37 <= 38 keeps the product
+    # EXACT at scale 12 — squaring the wider totals directly would
+    # request precision > 38 and hit Spark's precision-loss path, which
+    # silently HALF_UP-rounds each product to scale 11 (re-rounding a
+    # computed value, the contract this function documents against).
+    # A bucket total past ~1e12 fails this cast LOUDLY under ANSI
+    # instead of silently distorting the correlation.
+    xd, yd = (F.col(c).cast("decimal(18,6)") for c in ("x", "y"))
     agg = stacked.groupBy(*keys, "lag").agg(
         F.count(F.lit(1)).alias("n"),
         shrink(F.sum(F.col("x").cast("decimal(38,6)"))).alias("sx"),
         shrink(F.sum(F.col("y").cast("decimal(38,6)"))).alias("sy"),
-        shrink(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
-        shrink(F.sum(F.col("y") * F.col("y"))).alias("syy"),
-        shrink(F.sum(F.col("x") * F.col("y"))).alias("sxy"))
+        shrink(F.sum(xd * xd)).alias("sxx"),
+        shrink(F.sum(yd * yd)).alias("syy"),
+        shrink(F.sum(xd * yd)).alias("sxy"))
     n = F.col("n").cast("double")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")

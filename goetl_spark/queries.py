@@ -10326,8 +10326,7 @@ def q214_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
-               CAST(SUM(CAST(round(value, 6) AS DECIMAL(19,6)))
-                    AS DECIMAL(19,6)) AS v
+               SUM(CAST(round(value, 6) AS DECIMAL(19,6))) AS v
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -10352,11 +10351,14 @@ def q214_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(38,1)) AS DOUBLE) AS sx,
                CAST(CAST(round(SUM(CAST(y AS DECIMAL(38,6))), 1)
                     AS DECIMAL(38,1)) AS DOUBLE) AS sy,
-               CAST(CAST(round(SUM(x * x), 1)
+               CAST(CAST(round(SUM(CAST(x AS DECIMAL(19,6))
+                                   * CAST(x AS DECIMAL(19,6))), 1)
                     AS DECIMAL(38,1)) AS DOUBLE) AS sxx,
-               CAST(CAST(round(SUM(y * y), 1)
+               CAST(CAST(round(SUM(CAST(y AS DECIMAL(19,6))
+                                   * CAST(y AS DECIMAL(19,6))), 1)
                     AS DECIMAL(38,1)) AS DOUBLE) AS syy,
-               CAST(CAST(round(SUM(x * y), 1)
+               CAST(CAST(round(SUM(CAST(x AS DECIMAL(19,6))
+                                   * CAST(y AS DECIMAL(19,6))), 1)
                     AS DECIMAL(38,1)) AS DOUBLE) AS sxy
         FROM st GROUP BY 1, 2
     )

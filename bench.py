@@ -204,6 +204,35 @@ def warm(spark, sf_dir: str, cpus: str | int) -> None:
                        num_partitions=4).count()
     except Exception:
         pass
+    try:  # (f) standing-index lifecycle shapes (r13, q175/q176
+        #     adjudication): write -> append -> candidates against the
+        #     reloaded index pays its own first-in-session premium the
+        #     chains above don't JIT (band-partitioned committer,
+        #     signature kernels, band-join codegen) — measure_query
+        #     reps: q176 25.7 then 7.0-8.5 s, q175 7.8 then 5.0-5.3 s,
+        #     and driver benches are rep-1 numbers. Run both tiny
+        #     lifecycles on a 256-doc slice; results discarded, scratch
+        #     wiped — far too small to cache any query's work (the real
+        #     queries re-derive their own indexes in their own scratch).
+        from goetl_spark.operators.dedup import (
+            lsh_index_candidates, lsh_index_write,
+            simhash_index_candidates, simhash_index_write)
+        from pyspark.sql import functions as _F
+
+        _docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "text").limit(256).repartition(8))
+        _a = _docs.filter(_F.col("doc_id") % 2 == 0)
+        _b = _docs.filter(_F.col("doc_id") % 2 == 1)
+        simhash_index_write(_a, f"{scratch}/sh", max_hamming=4)
+        simhash_index_write(_b, f"{scratch}/sh", mode="append",
+                            max_hamming=4)
+        simhash_index_candidates(_docs.limit(64), f"{scratch}/sh",
+                                 max_hamming=4).count()
+        lsh_index_write(_a, f"{scratch}/lsh")
+        lsh_index_write(_b, f"{scratch}/lsh", mode="append")
+        lsh_index_candidates(_docs.limit(64), f"{scratch}/lsh").count()
+    except Exception:
+        pass
     shutil.rmtree(scratch, ignore_errors=True)
 
 

@@ -29,6 +29,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from goetl_spark.operators.scd import scd_type2
@@ -56,6 +57,8 @@ def stream_scd2(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
+        backup = dimension_path.rstrip("/") + ".__scd2_old__"
+        _restore_if_interrupted(dimension_path, backup)
         dim = spark.read.parquet(dimension_path)
         merged = scd_type2(
             batch_df, dim, key_fields, tracked_fields,
@@ -64,7 +67,6 @@ def stream_scd2(
         staging = dimension_path.rstrip("/") + ".__scd2_tmp__"
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").parquet(staging)
-        backup = dimension_path.rstrip("/") + ".__scd2_old__"
         shutil.rmtree(backup, ignore_errors=True)
         os.rename(dimension_path, backup)
         os.rename(staging, dimension_path)
@@ -79,6 +81,34 @@ def stream_scd2(
 
 
 _BATCH_MARKER = "_applied_batch_id"
+_PART_COL = "__part"
+
+
+def _restore_if_interrupted(path: str, backup: str) -> None:
+    """Crash recovery for the two-rename swap: a crash between
+    ``rename(path, backup)`` and ``rename(staging, path)`` leaves the
+    live path absent and the backup present — without this, a restart
+    would take the bootstrap path and silently rebuild the table from
+    one batch, losing all accumulated history (r12 advisor finding).
+    Restoring FIRST makes every crash point recoverable: before the
+    first rename nothing moved; after the second the swap completed
+    and the stale backup is just re-deleted by the swap code."""
+    if not os.path.exists(path) and os.path.isdir(backup):
+        os.rename(backup, path)
+
+
+def _link_or_copy_tree(src: str, dst: str) -> None:
+    """Populate ``dst`` with ``src``'s files WITHOUT rewriting bytes:
+    hard links where the filesystem supports them (same-device rename
+    scratch — link count is the only cost), byte copy as the fallback.
+    The subsequent root swap renames directories, which never touches
+    shared inodes, and deleting the backup root only decrements link
+    counts."""
+    try:
+        shutil.copytree(src, dst, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
 
 
 def stream_rollup(
@@ -105,12 +135,29 @@ def stream_rollup(
     ``stream_scd2``'s merge, merging PARTIALS is NOT idempotent — a
     replayed batch would double its counts and sums. Replay safety
     therefore comes from a transactional batch marker: the applied
-    ``batch_id`` is written INSIDE the staging directory before the
+    ``batch_id`` is written INSIDE the new table root before the
     atomic rename, so the marker and the data it describes swap in as
     one unit, and any batch with ``batch_id <= marker`` is skipped. A
     crash between checkpoint-commit and swap replays the batch (marker
     says unapplied -> applied exactly once); a crash after the swap
-    skips it (marker says applied). Exactly-once either way.
+    skips it (marker says applied); a crash BETWEEN the two renames is
+    repaired on the next trigger by restoring the backup (the live
+    root is only ever absent while the backup exists). Exactly-once
+    at every crash point.
+
+    Incremental-rewrite shape (the growth bound): the standing table
+    is partitioned by ``(grain, date(bucket))``, and each trigger
+    READS + REWRITES only the partitions its batch touches — bytes
+    written per trigger are proportional to the batch's time range,
+    not the table's. Untouched partitions enter the new table root as
+    hard links (no data bytes moved), so the whole-root rename stays
+    the single atomic commit point; without this, a years-deep hourly
+    rollup would be fully rewritten every trigger even though a
+    trigger touches one day. Swap-scratch directories live next to
+    ``rollup_path`` on the same filesystem; atomic rename + hard links
+    are local-FS/HDFS semantics — an object-store deployment needs a
+    table format (Iceberg/Delta) for the same commit, the
+    operators/maintenance.py caveat.
 
     The first batch bootstraps the table if ``rollup_path`` does not
     exist yet — no separate seeding step.
@@ -120,25 +167,74 @@ def stream_rollup(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
+        backup = rollup_path.rstrip("/") + ".__rollup_old__"
+        _restore_if_interrupted(rollup_path, backup)
         marker = os.path.join(rollup_path, _BATCH_MARKER)
         if os.path.exists(marker):
             with open(marker) as f:
                 if batch_id <= int(f.read().strip()):
                     return  # at-least-once replay of an applied batch
-        delta = hypertable_rollup(batch_df, ts_col, keys, value_col, grains)
-        if os.path.exists(rollup_path):
-            existing = spark.read.parquet(rollup_path)
-            merged = rollup_merge(existing, delta, keys)
+
+        part = F.date_format(F.col("bucket"), "yyyy-MM-dd")
+        # rollup-sized (batch buckets x keys) — pin it so the touched-
+        # partition probe and the merge don't re-aggregate the batch
+        delta = (hypertable_rollup(batch_df, ts_col, keys, value_col, grains)
+                 .withColumn(_PART_COL, part)
+                 .localCheckpoint(eager=True))
+        exists = os.path.exists(rollup_path)
+        if exists:
+            # touched partitions: bounded by grains x the batch's days
+            touched = sorted(
+                (r["grain"], r[_PART_COL]) for r in
+                delta.select("grain", _PART_COL).distinct().collect())
+            pred = None
+            for g, p in touched:
+                c = (F.col("grain") == g) & (F.col(_PART_COL) == p)
+                pred = c if pred is None else pred | c
+            # partition-pruned scan: only the touched directories read
+            existing = (spark.read.parquet(rollup_path)
+                        .filter(pred).drop(_PART_COL))
+            merged = rollup_merge(existing, delta.drop(_PART_COL), keys)
         else:
-            merged = rollup_merge(delta.limit(0), delta, keys)
+            touched = None  # bootstrap: everything is new
+            merged = rollup_merge(delta.limit(0).drop(_PART_COL),
+                                  delta.drop(_PART_COL), keys)
+
         staging = rollup_path.rstrip("/") + ".__rollup_tmp__"
         shutil.rmtree(staging, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(staging)
+        (merged.withColumn(_PART_COL, part)
+         .write.mode("overwrite").partitionBy("grain", _PART_COL)
+         .parquet(staging))
+
+        if exists:
+            # assemble the new root: hard-link every untouched
+            # partition dir from the live table, then move the
+            # rewritten (touched) ones in from staging
+            newroot = rollup_path.rstrip("/") + ".__rollup_next__"
+            shutil.rmtree(newroot, ignore_errors=True)
+            os.makedirs(newroot)
+            touched_set = {f"grain={g}/{_PART_COL}={p}" for g, p in touched}
+            for gdir in os.listdir(rollup_path):
+                gpath = os.path.join(rollup_path, gdir)
+                if not (os.path.isdir(gpath) and gdir.startswith("grain=")):
+                    continue
+                for pdir in os.listdir(gpath):
+                    if f"{gdir}/{pdir}" in touched_set:
+                        continue
+                    _link_or_copy_tree(os.path.join(gpath, pdir),
+                                       os.path.join(newroot, gdir, pdir))
+            for g, p in touched:
+                rel = os.path.join(f"grain={g}", f"{_PART_COL}={p}")
+                src = os.path.join(staging, rel)
+                if os.path.isdir(src):  # a merge never deletes a bucket
+                    os.renames(src, os.path.join(newroot, rel))
+            shutil.rmtree(staging, ignore_errors=True)
+            staging = newroot
+
         with open(os.path.join(staging, _BATCH_MARKER), "w") as f:
             f.write(str(batch_id))
-        backup = rollup_path.rstrip("/") + ".__rollup_old__"
         shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(rollup_path):
+        if exists:
             os.rename(rollup_path, backup)
         os.rename(staging, rollup_path)
         shutil.rmtree(backup, ignore_errors=True)

@@ -91,3 +91,85 @@ def test_null_rows_excluded(spark):
     n_hour = (got.filter(F.col("grain") == "hour")
               .agg(F.sum("n")).collect()[0][0])
     assert n_hour == e.filter(F.col("value").isNotNull()).count()
+
+
+def _day_files(out: str, day: str) -> dict[str, int]:
+    """{relative parquet path: size} under every grain's <day> partition."""
+    got = {}
+    for root, _dirs, files in os.walk(out):
+        if f"__part={day}" not in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                got[os.path.relpath(p, out)] = os.path.getsize(p)
+    return got
+
+
+def test_incremental_rewrite_touches_only_batch_partitions(spark):
+    """The r12 verdict's growth-bound ask: a trigger must rewrite only
+    the partitions its batch touches. Day-1's files must survive the
+    day-2 trigger byte-identical UNDER THE SAME NAMES (a rewrite would
+    emit fresh part-file UUIDs), while the merged table still equals
+    the direct rollup bit-exactly."""
+    e = _events(spark)  # 400 rows x 37 min ~ 10.3 days from 2024-01-01
+    day1 = e.filter(F.to_date("ts") == "2024-01-01")
+    rest = e.filter(F.to_date("ts") > "2024-01-01")
+
+    replay_dir = _scratch("goetl_t_sr_replay4")
+    os.makedirs(replay_dir)
+    out = _scratch("goetl_t_sr_out4")
+    ckpt = _scratch("goetl_t_sr_ckpt4")
+
+    stream, _ = replay_stream_ordered(day1, "ts", num_chunks=1,
+                                      dir=replay_dir)
+    _run(stream, out, ckpt)
+    before = _day_files(out, "2024-01-01")
+    assert before  # day-1 partitions exist
+
+    # append day 2+ as a later file; SAME checkpoint -> batch_id advances
+    rest.coalesce(1).write.mode("overwrite").parquet(replay_dir + "_stage")
+    src = next(f for f in os.listdir(replay_dir + "_stage")
+               if f.endswith(".parquet"))
+    shutil.copy(os.path.join(replay_dir + "_stage", src),
+                os.path.join(replay_dir, "chunk999.parquet"))
+    stream2, _ = replay_stream_ordered(
+        e.limit(0), "ts", num_chunks=0, dir=replay_dir)
+    _run(stream2, out, ckpt)
+
+    after = _day_files(out, "2024-01-01")
+    assert after == before  # untouched day: same file names, same bytes
+
+    got = spark.read.parquet(out)
+    want = hypertable_rollup(e, "ts", ["event_type"], "value",
+                             grains=("hour", "day"))
+    cols = ["grain", "bucket", "event_type", "n", "sum_dec", "vmin", "vmax"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert g == w
+
+
+def test_crash_between_renames_recovers_history(spark):
+    """r12 advisor finding: a crash between rename(live, backup) and
+    rename(staging, live) used to strand the table — the next trigger
+    found no marker and no table, took the bootstrap path, and rebuilt
+    from that single batch, silently losing all history. The repair:
+    restore the backup on entry."""
+    e = _events(spark)
+    replay_dir = _scratch("goetl_t_sr_replay5")
+    os.makedirs(replay_dir)
+    out = _scratch("goetl_t_sr_out5")
+    stream, _ = replay_stream_ordered(e, "ts", num_chunks=2, dir=replay_dir)
+    _run(stream, out, _scratch("goetl_t_sr_ckpt5a"))
+    healthy = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    # simulate the crash window: live table renamed away, swap never run
+    os.rename(out, out + ".__rollup_old__")
+    assert not os.path.exists(out)
+
+    # any later trigger repairs first; replayed batches then marker-skip
+    stream2, _ = replay_stream_ordered(e, "ts", num_chunks=2, dir=replay_dir)
+    _run(stream2, out, _scratch("goetl_t_sr_ckpt5b"))
+    recovered = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert recovered == healthy
+    assert not os.path.exists(out + ".__rollup_old__")

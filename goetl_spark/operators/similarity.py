@@ -1553,11 +1553,17 @@ def _cluster_probes(vq_name: str, cents: dict[int, list[float]],
     return F.expr(f"slice(array_sort(array({structs})), 1, {nprobe})")
 
 
+#: in-row centroid scoring is O(n_cells) per row inside ONE generated
+#: expression — past this the expression itself (not the data) becomes
+#: the bottleneck; beyond-cap corpora need a two-level coarse/fine IVF
+_ANN_JOIN_MAX_CELLS = 4096
+
+
 def ann_join(
     left: DataFrame,
     right: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     iterations: int = 2,
     nprobe: int = 2,
     vec_col: str = "embedding",
@@ -1593,9 +1599,25 @@ def ann_join(
     driver), one map+shuffle per side on the cell id, within-cell
     pairs only (~N·M/n_cells · nprobe in expectation vs N·M all-pairs),
     one partitioned window for the top-k. No broadcast of either
-    corpus, no cartesian."""
-    if k < 1 or nprobe < 1 or n_cells < 1:
+    corpus, no cartesian.
+
+    ``n_cells=None`` (the default) sizes the index from the data: one
+    cheap ``count()`` per side, then ``n_cells ~ sqrt(N+M)`` clamped to
+    ``[nprobe, 4096]`` — the balanced-cell rule (expected cell
+    population ~sqrt(N), so within-cell pair work N*M*nprobe/n_cells
+    SHRINKS relative to all-pairs as the corpus grows, instead of a
+    fixed cell count silently fattening every cell). Deterministic (a
+    count, not a sample). Skewed DATA can still overfill one cell
+    whatever n_cells says — that is AQE skew-join's job at execution
+    time (tests/test_ann_join.py pins the straggler being split)."""
+    import math
+
+    if k < 1 or nprobe < 1 or (n_cells is not None and n_cells < 1):
         raise ValueError("k, n_cells and nprobe must all be >= 1")
+    if n_cells is None:
+        total = left.count() + right.count()
+        n_cells = max(nprobe, min(math.isqrt(total), _ANN_JOIN_MAX_CELLS),
+                      1)
     if nprobe > n_cells:
         raise ValueError(f"nprobe={nprobe} exceeds n_cells={n_cells}")
     from pyspark.sql import Window

@@ -79,3 +79,75 @@ def test_guards(spark):
         ann_join(left, right, k=0)
     with pytest.raises(ValueError, match="nprobe"):
         ann_join(left, right, nprobe=9, n_cells=4)
+
+
+def test_auto_n_cells_sqrt_rule(spark):
+    """n_cells=None sizes the index as ~sqrt(N+M) clamped to
+    [nprobe, 4096] — deterministic, and the result keeps the operator
+    contract (ranked, consistent, within-cell only)."""
+    left, right, _ = _corpora(spark, seed=7, n=60)  # N+M = 240 -> 15 cells
+    got = ann_join(left, right, k=2, nprobe=2)
+    rows = got.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["dist"]))
+    for rs in by_q.values():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+    # determinism of the auto size: same inputs -> identical result
+    again = sorted(map(tuple, ann_join(left, right, k=2, nprobe=2).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_skewed_cell_is_split_by_aqe(spark):
+    """SCALING.md's documented ann_join hazard: skewed DATA overfills
+    one cell no matter what n_cells says. The mitigation is runtime,
+    not planning — AQE's skew-join splits the straggler partition. Pin
+    it: a 95/5 two-cluster corpus joined on the cell id under
+    test-sized skew thresholds must execute with the cell join marked
+    skew=true (the straggler was split), and the result must still be
+    rank-consistent."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    dim = 32
+    hot = rng.normal(scale=0.5, size=dim)
+    cold = hot + 60.0  # far-separated second cluster
+    rows = []
+    for i in range(2400):
+        mu = hot if i % 20 else cold  # 95% of rows in the hot cluster
+        rows.append((i, [float(v) for v in mu + rng.normal(size=dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    left, right = df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 = 1")
+
+    conf = spark.conf
+    keys = {
+        # force the cell join onto the shuffle path and make the test's
+        # ~0.5 MB hot partition cross AQE's skew thresholds
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "24KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "12KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        got = ann_join(left, right, k=3, n_cells=2, nprobe=1)
+        rows_out = got.collect()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            (conf.set(k, v) if v is not None else conf.unset(k))
+
+    assert "skew=true" in plan, plan[:2000]
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["dist"]))
+    for rs in by_q.values():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        assert [d for _, d in rs] == sorted(d for _, d in rs)

@@ -68,26 +68,134 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def fit_category_encoders(
+    labeled: DataFrame,
+    cat_cols,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> dict[str, dict]:
+    """Fit smoothed mean-target encoders for the categorical feature
+    layer — the model-side consumer encoding.py was built for. Per
+    column, collects the SAME bounded class table
+    :func:`~goetl_spark.operators.encoding.target_encode` broadcasts
+    (operators/encoding.py::target_encoding_table), so a category's
+    served value is bit-identical to the batch encoder's join-back.
+
+    Returns ``{col: {"values": {category: encoding}, "default": g}}``
+    — ``values`` may carry a ``None`` key (NULL categories form their
+    own class); ``default`` is the global target mean, which is
+    exactly what an unseen category's shrinkage formula degenerates to
+    at count 0. Feed to :func:`encode_categories`.
+
+    Scale shape: one domain-bounded aggregate + bounded collect PER
+    COLUMN over the labeled TRAINING frame (a sample at 100 TB — see
+    module docstring); serving via :func:`encode_categories` is pure
+    map work. A domain too large to collect is the same diagnostic as
+    encoding.py's: near-unique categories belong in hashed features,
+    not an encoder table."""
+    from goetl_spark.operators.encoding import target_encoding_table
+
+    out = {}
+    for c in cat_cols:
+        enc, gmean = target_encoding_table(labeled, [c], target_col,
+                                           smoothing=smoothing)
+        out[c] = {"values": {r[c]: r["target_enc"] for r in enc.collect()},
+                  "default": gmean}
+    return out
+
+
+def fit_frequency_encoders(df: DataFrame, cat_cols) -> dict[str, dict]:
+    """Label-free companion to :func:`fit_category_encoders`: each
+    category maps to its share of the fitting frame
+    (operators/encoding.py::frequency_encoding_table, collected).
+    Unseen categories default to 0.0 — they appeared in no rows."""
+    from goetl_spark.operators.encoding import frequency_encoding_table
+
+    out = {}
+    for c in cat_cols:
+        enc = frequency_encoding_table(df, [c])
+        out[c] = {"values": {r[c]: r["freq_enc"] for r in enc.collect()},
+                  "default": 0.0}
+    return out
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, int):
+        return str(v)
+    raise TypeError(
+        f"encode_categories: unsupported category literal type "
+        f"{type(v).__name__!r} ({v!r}) — str/int/bool categories only")
+
+
+def _dbl_literal(f: float) -> str:
+    # string->double, the house cross-engine-exact double literal
+    return f"CAST('{float(f)!r}' AS DOUBLE)"
+
+
+def encode_categories(
+    df: DataFrame,
+    encoders: dict[str, dict],
+    prefix: str = "f_cat_",
+) -> DataFrame:
+    """Append ``{prefix}{col}`` numeric features from fitted encoder
+    dicts (:func:`fit_category_encoders` / :func:`fit_frequency_encoders`)
+    — the serving half of the categorical feature layer, in
+    :func:`score_quality`'s serving shape: each column becomes ONE
+    literal ``CASE`` expression (a single ``F.expr`` string — py4j
+    Column construction costs a driver round-trip per node, the r12
+    measured lesson), so scoring is pure whole-stage-codegen map work
+    with no join, no broadcast, no ML runtime, and an encoder exported
+    as numbers reproduces identical features anywhere.
+
+    NULL categories hit their own fitted class when present (explicit
+    ``IS NULL`` branch); anything unseen — including NULL with no
+    fitted NULL class — falls to the encoder's ``default``."""
+    for col, spec in encoders.items():
+        vals = dict(spec["values"])
+        branches = []
+        if None in vals:
+            branches.append(
+                f"WHEN `{col}` IS NULL THEN {_dbl_literal(vals.pop(None))}")
+        for v in sorted(vals, key=str):
+            branches.append(f"WHEN `{col}` = {_sql_literal(v)} "
+                            f"THEN {_dbl_literal(vals[v])}")
+        case = (" ".join(["CASE", *branches]) +
+                f" ELSE {_dbl_literal(spec['default'])} END")
+        df = df.withColumn(prefix + col, F.expr(case))
+    return df
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",
     text_col: str = "text",
     max_iter: int = 50,
     reg_param: float = 0.01,
+    extra_cols=(),
 ):
     """Train the LR quality model on a labeled frame (label 1 =
     high-quality reference text, 0 = noise). Returns the fitted
     ``pyspark.ml`` PipelineModel (assembler + scaler + LR) — pass it to
     :func:`score_quality`. Standard-scaling the features keeps the
     L2-regularized coefficients comparable across ratio vs log-length
-    features."""
+    features.
+
+    ``extra_cols`` appends caller-provided numeric feature columns —
+    e.g. the categorical encodings from :func:`encode_categories` —
+    to the text features; they must already be on ``labeled`` (and on
+    every frame later passed to :func:`score_quality`, which reads the
+    feature list back from the fitted assembler)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
     feats = text_features(labeled, text_col)
     pipe = Pipeline(stages=[
-        VectorAssembler(inputCols=list(QUALITY_FEATURES),
+        VectorAssembler(inputCols=list(QUALITY_FEATURES) + list(extra_cols),
                         outputCol="__raw"),
         StandardScaler(inputCol="__raw", outputCol="__feat",
                        withMean=True, withStd=True),
@@ -117,13 +225,16 @@ def score_quality(
     (same per-feature operation order)."""
     lr = model.stages[-1]
     scaler = model.stages[1]
+    # the fitted assembler is the source of truth for the feature list
+    # (QUALITY_FEATURES plus any extra_cols the model was trained with)
+    names = list(model.stages[0].getInputCols())
     coefs = [float(c) for c in lr.coefficients]
     mean = [float(m) for m in scaler.mean]
     std = [float(s) for s in scaler.std]
 
     feats = text_features(df, text_col)
     margin = F.lit(float(lr.intercept))
-    for name, w, mu, sd in zip(QUALITY_FEATURES, coefs, mean, std):
+    for name, w, mu, sd in zip(names, coefs, mean, std):
         # MLlib StandardScalerModel semantics: zero-variance features
         # scale to 0 (factor 0), not NaN
         scaled = (F.lit(0.0) if sd == 0.0

@@ -73,6 +73,25 @@ def target_encode(
     shuffles. A domain too large to broadcast means the feature is
     near-unique — use hashing (classifier.py's feature layer) instead.
     """
+    enc, _ = target_encoding_table(df, cat_cols, target_col,
+                                   smoothing=smoothing, out_col=out_col)
+    return _join_back(df, enc, list(cat_cols), out_col)
+
+
+def target_encoding_table(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    target_col: str,
+    smoothing: float = 10.0,
+    out_col: str = "target_enc",
+) -> tuple[DataFrame, float]:
+    """The bounded per-category encoding TABLE behind
+    :func:`target_encode` (cat_cols + ``out_col``), plus the global
+    target mean — the shrinkage limit, i.e. exactly what an UNSEEN
+    category at serving time encodes to. Exposed so the model feature
+    layer (operators/classifier.py::fit_category_encoders) can collect
+    the very same table the join-back encoder broadcasts: fit and
+    serve are bit-identical by construction, not by parallel math."""
     if smoothing < 0:
         raise ValueError(f"smoothing must be >= 0, got {smoothing}")
     cats = list(cat_cols)
@@ -101,7 +120,7 @@ def target_encode(
         ((F.col("__sd").cast("string").cast("double")
           + F.lit(m) * F.lit(gmean))
          / (F.col("__n") + F.lit(m))).alias(out_col))
-    return _join_back(df, enc, cats, out_col)
+    return enc, gmean
 
 
 def frequency_encode(
@@ -115,6 +134,19 @@ def frequency_encode(
     one fact-table pass into the domain-bounded class table (N is the
     sum of class counts — no separate full-table count action), one
     broadcast null-safe join back."""
+    enc = frequency_encoding_table(df, cat_cols, out_col=out_col)
+    return _join_back(df, enc, list(cat_cols), out_col)
+
+
+def frequency_encoding_table(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    out_col: str = "freq_enc",
+) -> DataFrame:
+    """The bounded per-category share TABLE behind
+    :func:`frequency_encode` (cat_cols + ``out_col``) — same
+    fit-equals-serve role as :func:`target_encoding_table`. An unseen
+    category's share is 0.0 by definition (it appeared in no rows)."""
     cats = list(cat_cols)
     if not cats:
         raise ValueError("cat_cols must be non-empty")
@@ -124,7 +156,6 @@ def frequency_encode(
     total = per_cat.agg(F.sum("__n").alias("n")).collect()[0]["n"]
     if total is None or total == 0:
         raise ValueError("frequency_encode: empty input")
-    enc = per_cat.select(
+    return per_cat.select(
         *cats,
         (F.col("__n").cast("double") / F.lit(float(total))).alias(out_col))
-    return _join_back(df, enc, cats, out_col)

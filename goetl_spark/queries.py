@@ -10459,3 +10459,84 @@ def q216_feature_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.first("target_enc").alias("target_enc"),
                  F.first("freq_enc").alias("freq_enc"))
             .orderBy("o_orderpriority"))
+
+
+@register_staged(
+    "q217_encoded_quality_routing",
+    """
+    WITH d AS (
+        SELECT doc_id, NULLIF(source, 'src0') AS source, lang,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(CAST(SUM(CAST(y AS DECIMAL(38,6)))
+                    AS VARCHAR) AS DOUBLE) AS s,
+               COUNT(*) AS n
+        FROM d
+    ),
+    per_cat AS (
+        SELECT source,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(38,6)))
+                    AS VARCHAR) AS DOUBLE) AS s,
+               COUNT(*) AS n
+        FROM d GROUP BY 1
+    ),
+    enc AS (
+        SELECT source, (p.s + 10.0 * (g.s / g.n)) / (p.n + 10.0) AS e
+        FROM per_cat p CROSS JOIN g
+    ),
+    fr AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE)
+               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d) AS fe
+        FROM d GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           enc.e AS src_en_rate, fr.fe AS lang_share,
+           CASE WHEN enc.e >= 0.45 THEN 'en_heavy'
+                WHEN enc.e >= 0.35 THEN 'mixed'
+                ELSE 'tail' END AS tier
+    FROM d
+    JOIN enc ON d.source IS NOT DISTINCT FROM enc.source
+    JOIN fr USING (lang)
+    ORDER BY d.doc_id
+    """,
+)
+def q217_encoded_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical encoders wired into the classifier feature layer
+    end to end (operators/classifier.py::fit_category_encoders /
+    fit_frequency_encoders / encode_categories, collecting the very
+    class tables operators/encoding.py broadcasts — the r12 verdict's
+    depth suggestion (b)): per-source English-share target encoding
+    (the label is the deterministic lang='en' indicator) and per-lang
+    frequency encoding are FITTED as bounded tables, then SERVED as
+    literal CASE expressions — one F.expr string per column, so the
+    routing scan is pure whole-stage-codegen map work with no join and
+    no ML runtime — and each document routes into a quality tier by
+    its source's encoded rate. src0 is NULLIF'd to NULL so the driver
+    row proves the NULL category class round-trips through fit AND
+    serve (the r12 NULL-key class of bug, now covered at the feature
+    layer too). Fit==serve bit-equality is pinned in
+    tests/test_encoder_features.py; the LR model consuming these
+    features via train_quality_classifier(extra_cols=...) is
+    pytest-covered (not oracle-expressible — DuckDB trains nothing).
+    At 100 TB: fit is one domain-bounded aggregate per column over a
+    labeled SAMPLE; serving touches the corpus once, map-only."""
+    from goetl_spark.operators.classifier import (
+        encode_categories, fit_category_encoders, fit_frequency_encoders)
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("source", F.nullif(F.col("source"), F.lit("src0"))))
+    lbl = d.withColumn(
+        "y", F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)))
+    tenc = fit_category_encoders(lbl, ["source"], "y", smoothing=10.0)
+    fenc = fit_frequency_encoders(lbl, ["lang"])
+    out = encode_categories(encode_categories(lbl, tenc), fenc)
+    return (out.select(
+        "doc_id", "source", "lang",
+        F.col("f_cat_source").alias("src_en_rate"),
+        F.col("f_cat_lang").alias("lang_share"),
+        F.when(F.col("f_cat_source") >= 0.45, "en_heavy")
+         .when(F.col("f_cat_source") >= 0.35, "mixed")
+         .otherwise("tail").alias("tier"))
+        .orderBy("doc_id"))

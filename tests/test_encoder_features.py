@@ -1,0 +1,121 @@
+"""Categorical encoders wired into the classifier feature layer
+(operators/classifier.py::fit_category_encoders / fit_frequency_encoders
+/ encode_categories): fit==serve bit-equality against the batch
+encoders' join-backs (the stated contract — both read the same class
+table), NULL/unseen routing, literal escaping, and LR training over the
+encoded extras end-to-end."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goetl_spark.operators.classifier import (
+    encode_categories, fit_category_encoders, fit_frequency_encoders)
+from goetl_spark.operators.encoding import frequency_encode, target_encode
+
+
+def _frame(spark):
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", None), ("b", 10.0), ("b", 14.0),
+        (None, 5.0), (None, 7.0), (None, 9.0), ("it's", 100.0),
+    ]
+    return spark.createDataFrame(rows, "cat string, y double")
+
+
+def test_serving_matches_batch_encoder_bit_exact(spark):
+    df = _frame(spark)
+    enc = fit_category_encoders(df, ["cat"], "y", smoothing=10.0)
+    got = encode_categories(df.select("cat").distinct(), enc)
+    want = target_encode(df, ["cat"], "y", smoothing=10.0)
+    g = {r["cat"]: r["f_cat_cat"] for r in got.collect()}
+    w = {r["cat"]: r["target_enc"] for r in
+         want.select("cat", "target_enc").distinct().collect()}
+    assert g == w  # bit-exact, incl. the NULL class
+    assert None in g and g[None] == w[None]
+
+
+def test_frequency_serving_matches_batch_encoder(spark):
+    df = _frame(spark)
+    enc = fit_frequency_encoders(df, ["cat"])
+    got = {r["cat"]: r["f_cat_cat"] for r in
+           encode_categories(df.select("cat").distinct(), enc).collect()}
+    want = {r["cat"]: r["freq_enc"] for r in
+            frequency_encode(df, ["cat"])
+            .select("cat", "freq_enc").distinct().collect()}
+    assert got == want
+
+
+def test_unseen_category_gets_default(spark):
+    df = _frame(spark)
+    tenc = fit_category_encoders(df, ["cat"], "y")
+    fenc = fit_frequency_encoders(df, ["cat"])
+    fresh = spark.createDataFrame([("zzz-new",)], "cat string")
+    t = encode_categories(fresh, tenc).collect()[0]["f_cat_cat"]
+    f = encode_categories(fresh, fenc).collect()[0]["f_cat_cat"]
+    assert t == tenc["cat"]["default"]  # shrinkage limit = global mean
+    assert f == 0.0  # an unseen category has zero share by definition
+
+    # NULL with no fitted NULL class also routes to the default
+    nonull = fit_category_encoders(df.filter(F.col("cat").isNotNull()),
+                                   ["cat"], "y")
+    v = (encode_categories(spark.createDataFrame([(None,)], "cat string"),
+                           nonull).collect()[0]["f_cat_cat"])
+    assert v == nonull["cat"]["default"]
+
+
+def test_literal_escaping_and_guards(spark):
+    df = _frame(spark)  # carries the "it's" category
+    enc = fit_frequency_encoders(df, ["cat"])
+    assert "it's" in enc["cat"]["values"]
+    got = encode_categories(
+        spark.createDataFrame([("it's",)], "cat string"), enc)
+    assert got.collect()[0]["f_cat_cat"] == enc["cat"]["values"]["it's"]
+    with pytest.raises(TypeError, match="unsupported category literal"):
+        encode_categories(df, {"cat": {"values": {1.5: 0.1}, "default": 0.0}})
+
+
+def test_train_and_score_with_encoded_extras(spark):
+    """End-to-end: encoded categorical features join the LR model and
+    the literal-expression scorer reproduces ml.transform through the
+    fitted-assembler feature list."""
+    from test_classifier import NOISE, PROSE
+    from goetl_spark.operators.classifier import (
+        score_quality, train_quality_classifier)
+
+    rows = ([(i, PROSE * (1 + i % 3), "web", 1.0) for i in range(30)] +
+            [(100 + i, NOISE * (1 + i % 3), "spamnet", 0.0)
+             for i in range(30)] +
+            [(200 + i, PROSE + NOISE, None, float(i % 2)) for i in range(6)])
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, src string, label double")
+    enc = fit_category_encoders(labeled, ["src"], "label", smoothing=5.0)
+    train = encode_categories(labeled, enc)
+    model = train_quality_classifier(train, extra_cols=["f_cat_src"])
+    assert list(model.stages[0].getInputCols())[-1] == "f_cat_src"
+
+    test = spark.createDataFrame(
+        [(1, PROSE, "web"), (2, NOISE, "spamnet"),
+         (3, PROSE, None), (4, NOISE, "brand-new-source")],
+        "doc_id long, text string, src string")
+    scored = score_quality(encode_categories(test, enc), model)
+    out = {r.doc_id: r.quality_prob for r in scored.collect()}
+    assert out[1] > 0.9 and out[2] < 0.1
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    # consumed feature columns are dropped; source column survives
+    assert "f_cat_src" not in scored.columns and "src" in scored.columns
+
+    try:
+        from pyspark.ml.functions import vector_to_array
+        from goetl_spark.operators.classifier import text_features
+        ml = {r.doc_id: r.p for r in
+              model.transform(
+                  encode_categories(text_features(test), enc))
+              .select("doc_id", vector_to_array("probability")[1].alias("p"))
+              .collect()}
+    except Exception as e:  # pragma: no cover - session-order dependent
+        if "ObservationManager" in str(e):
+            pytest.skip("ml.transform unexecutable after Observations "
+                        "(SPARK ObservationManager serialization bug)")
+        raise
+    for d in out:
+        assert abs(out[d] - ml[d]) < 1e-9, (d, out[d], ml[d])

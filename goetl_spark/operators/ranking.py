@@ -350,3 +350,90 @@ def rrf_fuse(
     return (fanin.groupBy(*gcols, *icols)
             .agg(F.count(F.lit(1)).cast("int").alias("n_lists"),
                  F.sum("__c").cast("double").alias("rrf_score")))
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval evaluation at cutoff ``k`` — the missing
+    measurement half of the ANN/retrieval family (knn_bruteforce, IVF,
+    PQ, ann_join, rrf_fuse all PRODUCE ranked lists; this grades one
+    against binary relevance judgments): hits@k, recall@k,
+    precision@k, MRR@k, AP@k (mean over queries = MAP@k, left to the
+    caller — per-query rows are the operator so failures are
+    attributable).
+
+    ``results`` carries (query_col, doc_col, rank_col) with 1-based
+    ranks unique per query (any top-k operator in this repo).
+    ``qrels`` carries (query_col, doc_col) relevant pairs — duplicates
+    are collapsed. Every JUDGED query gets a row (a query with
+    relevant docs but no retrieved hits scores 0 everywhere);
+    unjudged queries in ``results`` are dropped — scoring them 0
+    would say "wrong" when the truth is "ungraded".
+
+    Determinism (hash-exact in oracle SQL, no float sums anywhere):
+    AP@k's running-precision sum is computed as EXACT integers by
+    multiplying through with L = lcm(1..k) — each term
+    precision@r_i = i/r_i becomes i·(L DIV r_i), an exact long since
+    every r ≤ k divides L — then ONE long→double conversion and two
+    IEEE divisions (/L, /min(nrel,k)). recall/precision/MRR are
+    single int/int divisions. Order-independent, tie-free by
+    construction; ``k <= 42`` keeps L·k inside long range (the guard).
+
+    Scale shape: one rank-window per query partition (bounded: ≤ k
+    rows each), equi-joins on the query key, aggregates map-side
+    combinable. qrels is eval-set-sized — Catalyst broadcasts it when
+    small; nothing here is corpus-sized."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 42:
+        raise ValueError(
+            f"k={k}: lcm(1..k) must stay in long range for the exact-"
+            f"integer AP accumulation — k <= 42 (recall/precision at "
+            f"larger cutoffs: call with the metrics you need per slice)")
+    import math
+
+    lcm = math.lcm(*range(1, k + 1))
+
+    rel = (qrels.select(F.col(query_col).alias("__q"),
+                        F.col(doc_col).alias("__d"))
+           .distinct())
+    base = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("nrel"))
+
+    top = (results.select(F.col(query_col).alias("__q"),
+                          F.col(doc_col).alias("__d"),
+                          F.col(rank_col).cast("long").alias("__r"))
+           .filter((F.col("__r") >= 1) & (F.col("__r") <= k)))
+    hits = top.join(rel, ["__q", "__d"])
+    w = Window.partitionBy("__q").orderBy("__r")
+    hit_agg = (hits.withColumn("__i", F.row_number().over(w))
+               .groupBy("__q")
+               .agg(F.count(F.lit(1)).alias("__hits"),
+                    F.min("__r").alias("__first"),
+                    F.sum(F.expr(f"__i * (CAST({lcm} AS BIGINT) DIV __r)"))
+                     .alias("__apnum")))
+
+    m = F.least(F.col("nrel"), F.lit(k)).cast("long")
+    out = (base.join(hit_agg, "__q", "left")
+           .select(
+               F.col("__q").alias(query_col),
+               F.col("nrel").cast("long").alias("nrel"),
+               F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
+                .alias("hits_at_k"),
+               (F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.col("nrel")).alias("recall_at_k"),
+               (F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))).alias("precision_at_k"),
+               F.when(F.col("__first").isNull(), F.lit(0.0))
+                .otherwise(F.lit(1.0) / F.col("__first"))
+                .alias("mrr_at_k"),
+               F.when(F.col("__apnum").isNull(), F.lit(0.0))
+                .otherwise(F.col("__apnum").cast("double")
+                           / F.lit(float(lcm)) / m)
+                .alias("ap_at_k")))
+    return out

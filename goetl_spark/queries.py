@@ -10540,3 +10540,86 @@ def q217_encoded_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("f_cat_source") >= 0.35, "mixed")
          .otherwise("tail").alias("tier"))
         .orderBy("doc_id"))
+
+
+@register_staged(
+    "q218_retrieval_eval",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+        FROM embeddings WHERE vec_id < 40
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+               label
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               {_DUCK_COS.format(a='qv', b='cv')} AS cos_sim
+        FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+    ),
+    run AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT s.*, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM s
+        ) WHERE rank <= 10
+    ),
+    rel AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM q JOIN c ON q.label = c.label AND c.neighbor_id <> q.query_id
+    ),
+    base AS (SELECT query_id, COUNT(*) AS nrel FROM rel GROUP BY 1),
+    hits AS (
+        SELECT r.query_id, r.rank,
+               ROW_NUMBER() OVER (PARTITION BY r.query_id
+                                  ORDER BY r.rank) AS i
+        FROM run r JOIN rel USING (query_id, neighbor_id)
+    ),
+    agg AS (
+        SELECT query_id, COUNT(*) AS h, MIN(rank) AS fr,
+               SUM(i * (2520 // rank)) AS apnum
+        FROM hits GROUP BY 1
+    )
+    SELECT b.query_id, CAST(b.nrel AS BIGINT) AS nrel,
+           CAST(COALESCE(h, 0) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(h, 0) AS DOUBLE) / b.nrel AS recall_at_k,
+           CAST(COALESCE(h, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+               AS precision_at_k,
+           CASE WHEN fr IS NULL THEN 0.0
+                ELSE CAST(1 AS DOUBLE) / fr END AS mrr_at_k,
+           CASE WHEN apnum IS NULL THEN 0.0
+                ELSE CAST(apnum AS DOUBLE) / CAST(2520 AS DOUBLE)
+                     / LEAST(b.nrel, 10) END AS ap_at_k
+    FROM base b LEFT JOIN agg USING (query_id)
+    ORDER BY b.query_id
+    """,
+)
+def q218_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (operators/ranking.py::retrieval_metrics)
+    grading the exact-cosine retriever against same-label ground truth:
+    40 query vectors retrieve top-10 by knn_bruteforce (q26's proven
+    run shape), qrels = corpus vectors sharing the query's label, and
+    each judged query gets hits@10 / recall@10 / precision@10 / MRR@10
+    / AP@10. AP is summed as EXACT integers — every running-precision
+    term i/r becomes i*(lcm(1..10) DIV r) — then one long->double
+    conversion and two IEEE divisions, so there is NO float sum to
+    diverge cross-engine and the metrics hash-exact. At 100 TB the
+    eval set (queries x k hits) is tiny by construction; the expensive
+    side is the RUN being graded, not the grading — metrics join on
+    the query key with a bounded per-query window."""
+    from goetl_spark.operators.ranking import retrieval_metrics
+    from goetl_spark.operators.similarity import knn_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 40)
+    run = knn_bruteforce(e, queries, k=10)
+    qrels = (queries.select(F.col("vec_id").alias("query_id"), "label")
+             .join(e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                   "label")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id"))
+    return (retrieval_metrics(run, qrels, k=10)
+            .orderBy("query_id"))

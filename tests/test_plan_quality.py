@@ -65,6 +65,11 @@ _BNLJ_EXEMPT = {
     # broadcast side = mined candidate ids, ≤ n_queries × k by the
     # retriever's own top-k contract before the NLJ re-join
     "q137_hard_negatives": "top-k candidate set (n_queries x k rows)",
+    # q26's identical shape: the graded RUN is knn_bruteforce over the
+    # 40 query vectors selected by an inequality on vec_id — the
+    # broadcast side is the query batch, not the corpus; the metrics
+    # join itself is an equi-join on the query key
+    "q218_retrieval_eval": "filtered query-vector scan (nq rows)",
 }
 
 _RANGE_BOUND = 4096  # widest constant fan-out in the tree is 32 seeds

@@ -78,6 +78,81 @@ def target_encode(
     return _join_back(df, enc, list(cat_cols), out_col)
 
 
+def target_encode_loo(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    target_col: str,
+    smoothing: float = 10.0,
+    out_col: str = "target_enc_loo",
+) -> DataFrame:
+    """Leave-one-out target encoding — the LEAKAGE-SAFE variant of
+    :func:`target_encode` for encoding the TRAINING frame itself: each
+    row's own label is excluded from its category's statistics,
+
+        (sum_c − yᵢ + m · global_mean) / (n_c − 1 + m)
+
+    so the feature never memorizes the row it describes (plain target
+    encoding leaks each row's label into its own feature — fine for
+    serving unseen data, an overfitting channel when the encoded frame
+    is what the model trains on). Rows with a NULL target have nothing
+    to leak and get the plain class encoding; classes with NO observed
+    targets encode NULL (same contract as :func:`target_encode` —
+    impute upstream); a singleton class's only row encodes exactly the
+    global mean (its exclusion leaves a count-0 class). ``smoothing``
+    must be > 0 — at m=0 that singleton denominator is 0/0.
+
+    Determinism: the per-row exclusion ``sum_c − yᵢ`` is an EXACT
+    DECIMAL(38,6) subtraction (nothing computed is re-rounded), then
+    the same string-round-trip crossing and fixed double formula as
+    the sibling — replays bit-exact in oracle SQL.
+
+    Scale shape: identical to :func:`target_encode` — one fact pass
+    into the domain-bounded class table, one broadcast null-safe join
+    back carrying (sum, count) instead of the finished encoding; the
+    per-row formula is pure map work. The fact side never shuffles."""
+    if smoothing <= 0:
+        raise ValueError(
+            f"leave-one-out encoding needs smoothing > 0 (a singleton "
+            f"class's denominator is n-1+m = m), got {smoothing}")
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    t = F.col(target_col).cast("double")
+    base = df.filter(t.isNotNull())
+    per_cat = (base.groupBy(*cats)
+               .agg(F.sum(t.cast("decimal(38,6)")).alias("__sd"),
+                    F.count(F.lit(1)).alias("__n"))
+               .localCheckpoint(eager=True))
+    g = per_cat.agg(
+        F.sum("__sd").cast("string").cast("double").alias("s"),
+        F.sum("__n").alias("n")).collect()[0]
+    if g["n"] is None or g["n"] == 0:
+        raise ValueError(f"target_encode_loo: {target_col!r} is all NULL")
+    gmean = g["s"] / g["n"]
+
+    keyed = per_cat.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(cats)],
+        "__sd", "__n")
+    cond = None
+    for i, c in enumerate(cats):
+        eq = F.col(c).eqNullSafe(F.col(f"__k_{i}"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(keyed), on=cond, how="left")
+
+    m = float(smoothing)
+    shrink = F.lit(m) * F.lit(gmean)
+    own = (((F.col("__sd") - t.cast("decimal(38,6)"))
+            .cast("string").cast("double") + shrink)
+           / (F.col("__n") - 1 + F.lit(m)))
+    others = ((F.col("__sd").cast("string").cast("double") + shrink)
+              / (F.col("__n") + F.lit(m)))
+    enc = (F.when(F.col("__n").isNull(), F.lit(None).cast("double"))
+           .when(t.isNotNull(), own)
+           .otherwise(others))
+    return (joined.withColumn(out_col, enc)
+            .drop(*[f"__k_{i}" for i in range(len(cats))], "__sd", "__n"))
+
+
 def target_encoding_table(
     df: DataFrame,
     cat_cols: Sequence[str],

@@ -10623,3 +10623,66 @@ def q218_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("query_id", "neighbor_id"))
     return (retrieval_metrics(run, qrels, k=10)
             .orderBy("query_id"))
+
+
+@register_staged(
+    "q219_loo_target_encoding",
+    """
+    WITH ords AS (
+        SELECT o_orderkey,
+               NULLIF(o_orderpriority, '1-URGENT') AS o_orderpriority,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_totalprice END AS y
+        FROM orders
+    ),
+    cls AS (
+        SELECT o_orderpriority,
+               SUM(CAST(y AS DECIMAL(38,6))) AS sd, COUNT(*) AS n
+        FROM ords WHERE y IS NOT NULL GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(CAST(SUM(sd) AS VARCHAR) AS DOUBLE) AS s, SUM(n) AS n
+        FROM cls
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN c.n IS NULL THEN NULL
+                WHEN o.y IS NOT NULL THEN
+                    (CAST(CAST(c.sd - CAST(o.y AS DECIMAL(38,6))
+                          AS VARCHAR) AS DOUBLE)
+                     + 10.0 * (g.s / g.n)) / (c.n - 1 + 10.0)
+                ELSE (CAST(CAST(c.sd AS VARCHAR) AS DOUBLE)
+                      + 10.0 * (g.s / g.n)) / (c.n + 10.0)
+           END AS loo_enc
+    FROM ords o
+    LEFT JOIN cls c ON o.o_orderpriority IS NOT DISTINCT FROM c.o_orderpriority
+    CROSS JOIN g
+    ORDER BY o.o_orderkey
+    """,
+)
+def q219_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/encoding.py::
+    target_encode_loo) — the leakage-safe training-frame variant of
+    q216's encoder: every order's own price is excluded from its
+    priority class's statistics via an EXACT DECIMAL(38,6) per-row
+    subtraction before the string-round-trip crossing and the fixed
+    double shrinkage formula, so the feature a model trains on never
+    contains the label it predicts. Fixture exercises all four edges
+    the operator documents: 1-URGENT NULLIF'd to a NULL category
+    class; every 97th order's target NULLed (nothing to leak -> plain
+    class encoding); the ordinary LOO path; and per-row distinctness
+    (same class, different price -> different encoding, hash-covered
+    row by row). At 100 TB: identical shape to target_encode — one
+    fact pass into the domain-bounded class table, broadcast null-safe
+    join back carrying (sum, count), per-row formula pure map work."""
+    from goetl_spark.operators.encoding import target_encode_loo
+
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("o_orderpriority",
+                     F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")))
+         .withColumn("y", F.when(F.col("o_orderkey") % 97 == 0,
+                                 F.lit(None).cast("double"))
+                           .otherwise(F.col("o_totalprice"))))
+    return (target_encode_loo(o, ["o_orderpriority"], "y", smoothing=10.0,
+                              out_col="loo_enc")
+            .select("o_orderkey", "o_orderpriority", "loo_enc")
+            .orderBy("o_orderkey"))

@@ -113,3 +113,50 @@ def test_acf_guards(spark):
         acf(df, "ts", ["event_type"], "value", lags=(0,))
     with pytest.raises(ValueError, match="key"):
         acf(df, "ts", [], "value")
+
+
+def test_target_encode_loo_hand_computed(spark):
+    """LOO excludes exactly the row's own label: two same-class rows
+    with different labels get DIFFERENT encodings, each matching the
+    hand formula (sum_c - y_i + m*g) / (n_c - 1 + m)."""
+    from goetl_spark.operators.encoding import target_encode_loo
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {(r["cat"], r["y"]): r["target_enc_loo"]
+           for r in target_encode_loo(df, ["cat"], "y", smoothing=2.0)
+           .collect()}
+    g = 160.0 / 4  # 40.0
+    assert math.isclose(got[("a", 10.0)], (60.0 - 10.0 + 2 * g) / 4,
+                        rel_tol=1e-12)
+    assert math.isclose(got[("a", 30.0)], (60.0 - 30.0 + 2 * g) / 4,
+                        rel_tol=1e-12)
+    assert got[("a", 10.0)] != got[("a", 30.0)]  # self excluded
+    # singleton class: excluding the only row leaves count 0 -> global
+    assert math.isclose(got[("b", 100.0)], g, rel_tol=1e-12)
+
+
+def test_target_encode_loo_null_edges(spark):
+    from goetl_spark.operators.encoding import target_encode_loo
+
+    rows = [(None, 10.0), (None, 30.0), ("a", 50.0), ("a", None),
+            ("dead", None)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = target_encode_loo(df, ["cat"], "y", smoothing=2.0)
+    got = {(r["cat"], r["y"]): r["target_enc_loo"] for r in out.collect()}
+    g = 90.0 / 3  # 30.0
+    # NULL category is its own class, LOO applies within it
+    assert math.isclose(got[(None, 10.0)], (40.0 - 10.0 + 2 * g) / 3,
+                        rel_tol=1e-12)
+    # NULL-target row leaks nothing: plain class encoding
+    assert math.isclose(got[("a", None)], (50.0 + 2 * g) / 3, rel_tol=1e-12)
+    # class with no observed targets: NULL (the target_encode contract)
+    assert got[("dead", None)] is None
+
+
+def test_target_encode_loo_guard(spark):
+    from goetl_spark.operators.encoding import target_encode_loo
+
+    df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
+    with pytest.raises(ValueError, match="smoothing > 0"):
+        target_encode_loo(df, ["cat"], "y", smoothing=0.0)

@@ -1,0 +1,107 @@
+"""Example 7 — model-based curation with encoded features + retrieval
+grading.
+
+The round-13 feature/eval layer end-to-end, each stage the registered
+scale-shaped operator: categorical metadata (source, language) is
+FITTED into bounded encoder tables on a labeled frame — leakage-safe
+leave-one-out encoding for the training features, fit==serve literal
+tables for everything scored later — an LR quality model trains over
+text + encoded features, the whole corpus is scored by the pure
+literal-expression scorer (map-only, no ML runtime in the plan), and
+the corpus's embedding retriever is graded against labeled ground
+truth with exact-arithmetic retrieval metrics. The shape a 100 TB
+curation pipeline runs per snapshot: fit on a sample, serve
+everything, grade the retriever before trusting its dedup verdicts.
+
+Run: python examples/model_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.classifier import (
+        encode_categories, fit_category_encoders, fit_frequency_encoders,
+        score_quality, train_quality_classifier)
+    from goetl_spark.operators.encoding import target_encode_loo
+    from goetl_spark.operators.ranking import retrieval_metrics
+    from goetl_spark.operators.similarity import knn_bruteforce
+    from goetl_spark.queries import _t
+    from goetl_spark.session import get_spark
+
+    owns_spark = spark is None
+    spark = spark or get_spark("example-model-curation", master="local[4]",
+                               shuffle_partitions=4)
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # 1) LABEL a training sample with a deterministic quality proxy
+    # (in production: human labels or a reference corpus). Here:
+    # English docs above the median length are the "reference" class.
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    labeled = docs.withColumn(
+        "label",
+        F.when((F.col("lang") == "en") & (F.col("n_chars") >= med), 1.0)
+         .otherwise(0.0))
+
+    # 2) FIT the categorical feature layer on the labeled frame:
+    # leakage-safe LOO encoding builds the TRAINING feature (each
+    # row's own label excluded), while the fit==serve literal tables
+    # encode everything scored later with the plain class statistics.
+    enc_tables = fit_category_encoders(labeled, ["source"], "label")
+    freq_tables = fit_frequency_encoders(labeled, ["lang"])
+    train = (target_encode_loo(labeled, ["source"], "label",
+                               out_col="f_cat_source")
+             .transform(lambda d: encode_categories(d, freq_tables)))
+
+    # 3) TRAIN the LR quality model over text + encoded features, then
+    # SCORE the full corpus with the literal-expression scorer (the
+    # serving path encodes with the fitted tables, not LOO).
+    model = train_quality_classifier(
+        train, extra_cols=["f_cat_source", "f_cat_lang"])
+    serve = encode_categories(encode_categories(docs, enc_tables),
+                              freq_tables)
+    scored = score_quality(serve, model)
+    kept = scored.filter(F.col("quality_prob") >= 0.5)
+
+    # 4) GRADE the embedding retriever against labeled ground truth
+    # before trusting it for semantic dedup: brute-force cosine run,
+    # same-label qrels, exact-arithmetic metrics.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    run = knn_bruteforce(emb, queries, k=10)
+    qrels = (queries.select(F.col("vec_id").alias("query_id"), "label")
+             .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                              "label"), "label")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id"))
+    metrics = retrieval_metrics(run, qrels, k=10)
+    summary = metrics.agg(
+        F.avg("recall_at_k").alias("mean_recall"),
+        F.avg("mrr_at_k").alias("mean_mrr"),
+        F.avg("ap_at_k").alias("map_at_k")).collect()[0]
+
+    out = {
+        "labeled_pos": int(labeled.filter("label = 1.0").count()),
+        "fitted_sources": len(enc_tables["source"]["values"]),
+        "corpus": int(docs.count()),
+        "kept": int(kept.count()),
+        "retrieval_queries": int(metrics.count()),
+        "mean_recall_at_10": float(summary["mean_recall"]),
+        "mean_mrr_at_10": float(summary["mean_mrr"]),
+        "map_at_10": float(summary["map_at_k"]),
+    }
+    if owns_spark:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    print(main(*sys.argv[1:]))

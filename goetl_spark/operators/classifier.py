@@ -169,6 +169,73 @@ def encode_categories(
     return df
 
 
+def classification_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class evaluation of a (multiclass) classifier: one row per
+    class observed in labels OR predictions with ``tp/fp/fn/support``
+    counts and one-vs-rest ``precision/recall/f1`` — the measurement
+    half of the quality-classifier family (train/score produce
+    predictions; this grades them). Macro/micro averages are one
+    aggregate over the per-class rows, left to the caller so failures
+    stay attributable to a class.
+
+    NULL labels and NULL predictions form their own class (the house
+    NULL semantics — an unlabeled row is itself a category; null-safe
+    equality throughout). Undefined ratios are NULL, not 0: precision
+    for a never-predicted class and recall for a zero-support class
+    have no value to report (sklearn's zero_division=0 silently calls
+    these 0.0 — a class you never predicted is not "0% precise").
+
+    Determinism: every metric is a single long/long IEEE division
+    (f1 via its closed form 2·tp/(2·tp+fp+fn), never 2PR/(P+R) — no
+    computed value feeds another division), so rows replay hash-exact
+    in oracle SQL.
+
+    Scale shape: ONE fact pass into the confusion matrix (a
+    map-side-combinable groupBy bounded by classes², eagerly
+    localCheckpointed); everything after reduces/joins that bounded
+    table. Class-valued columns only — near-unique "classes" are a
+    caller bug, and the classes² bound is the diagnostic."""
+    lab, prd = F.col(label_col), F.col(pred_col)
+    cm = (df.groupBy(lab.alias("__l"), prd.alias("__p"))
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .localCheckpoint(eager=True))
+
+    classes = (cm.select(F.col("__l").alias("cls"))
+               .union(cm.select(F.col("__p").alias("cls")))
+               .distinct())
+    diag = cm.filter(F.col("__l").eqNullSafe(F.col("__p"))).select(
+        F.col("__l").alias("__k"), F.col("__n").alias("tp"))
+    off = cm.filter(~F.col("__l").eqNullSafe(F.col("__p")))
+    fp = off.groupBy(F.col("__p").alias("__k")).agg(
+        F.sum("__n").alias("fp"))
+    fn = off.groupBy(F.col("__l").alias("__k")).agg(
+        F.sum("__n").alias("fn"))
+    sup = cm.groupBy(F.col("__l").alias("__k")).agg(
+        F.sum("__n").alias("support"))
+
+    out = classes
+    for part in (diag, fp, fn, sup):
+        out = (out.join(part, on=F.col("cls").eqNullSafe(F.col("__k")),
+                        how="left")
+               .drop("__k"))
+    tp = F.coalesce(F.col("tp"), F.lit(0)).cast("long")
+    fpc = F.coalesce(F.col("fp"), F.lit(0)).cast("long")
+    fnc = F.coalesce(F.col("fn"), F.lit(0)).cast("long")
+    return out.select(
+        "cls",
+        tp.alias("tp"), fpc.alias("fp"), fnc.alias("fn"),
+        F.coalesce(F.col("support"), F.lit(0)).cast("long")
+         .alias("support"),
+        F.when(tp + fpc > 0, tp / (tp + fpc)).alias("precision"),
+        F.when(tp + fnc > 0, tp / (tp + fnc)).alias("recall"),
+        F.when(2 * tp + fpc + fnc > 0,
+               (2 * tp) / (2 * tp + fpc + fnc)).alias("f1"))
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

@@ -10686,3 +10686,89 @@ def q219_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                               out_col="loo_enc")
             .select("o_orderkey", "o_orderpriority", "loo_enc")
             .orderBy("o_orderkey"))
+
+
+@register_staged(
+    "q220_langid_confusion",
+    f"""
+    WITH t AS (
+        SELECT NULLIF(lang, 'zh') AS label,
+               string_split_regex(text, '\\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT label,
+               len(list_filter(toks, x -> lower(x) IN ({{sw_en}}))) AS s_en,
+               len(list_filter(toks, x -> lower(x) IN ({{sw_es}}))) AS s_es,
+               len(list_filter(toks, x -> lower(x) IN ({{sw_fr}}))) AS s_fr,
+               len(list_filter(toks, x -> lower(x) IN ({{sw_de}}))) AS s_de
+        FROM t
+    ),
+    p AS (
+        SELECT label,
+               CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+                         THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS pred
+        FROM scored
+    ),
+    cm AS (SELECT label, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+    classes AS (
+        SELECT DISTINCT label AS cls FROM cm
+        UNION SELECT DISTINCT pred FROM cm
+    ),
+    diag AS (SELECT label AS cls, n AS tp FROM cm
+             WHERE label IS NOT DISTINCT FROM pred),
+    fpos AS (SELECT pred AS cls, SUM(n) AS fp FROM cm
+             WHERE label IS DISTINCT FROM pred GROUP BY 1),
+    fneg AS (SELECT label AS cls, SUM(n) AS fn FROM cm
+             WHERE label IS DISTINCT FROM pred GROUP BY 1),
+    sup AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY 1),
+    m AS (
+        SELECT c.cls,
+               COALESCE(tp, 0) AS tp0, COALESCE(fp, 0) AS fp0,
+               COALESCE(fn, 0) AS fn0, COALESCE(support, 0) AS sup0
+        FROM classes c
+        LEFT JOIN diag ON c.cls IS NOT DISTINCT FROM diag.cls
+        LEFT JOIN fpos ON c.cls IS NOT DISTINCT FROM fpos.cls
+        LEFT JOIN fneg ON c.cls IS NOT DISTINCT FROM fneg.cls
+        LEFT JOIN sup ON c.cls IS NOT DISTINCT FROM sup.cls
+    )
+    SELECT cls, CAST(tp0 AS BIGINT) AS tp, CAST(fp0 AS BIGINT) AS fp,
+           CAST(fn0 AS BIGINT) AS fn, CAST(sup0 AS BIGINT) AS support,
+           CASE WHEN tp0 + fp0 > 0
+                THEN CAST(tp0 AS DOUBLE) / (tp0 + fp0) END AS "precision",
+           CASE WHEN tp0 + fn0 > 0
+                THEN CAST(tp0 AS DOUBLE) / (tp0 + fn0) END AS recall,
+           CASE WHEN 2 * tp0 + fp0 + fn0 > 0
+                THEN CAST(2 * tp0 AS DOUBLE) / (2 * tp0 + fp0 + fn0)
+                END AS f1
+    FROM m ORDER BY cls
+    """.format(sw_en=_SW['en'], sw_es=_SW['es'],
+               sw_fr=_SW['fr'], sw_de=_SW['de']),
+)
+def q220_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class classifier evaluation (operators/classifier.py::
+    classification_metrics) grading the heuristic language identifier
+    (operators/text.py::detect_language, q29's proven oracle shape)
+    against the corpus's labeled language: one row per class observed
+    in labels OR predictions with tp/fp/fn/support and one-vs-rest
+    precision/recall/f1. The zh label is NULLIF'd to NULL so the
+    driver row exercises the NULL-class contract (an unlabeled row is
+    its own class — and since detect_language never predicts NULL, the
+    NULL class shows support with zero tp, the never-predicted
+    asymmetry); 'zh'-less prediction also leaves every zh doc as
+    another class's fp, real confusion. Every metric is a single
+    long/long IEEE division (f1 via 2tp/(2tp+fp+fn), no computed value
+    feeding another division) — hash-exact. At 100 TB: one fact pass
+    into the classes^2-bounded confusion matrix; everything after
+    reduces that bounded table."""
+    from goetl_spark.operators.classifier import classification_metrics
+    from goetl_spark.operators.text import detect_language
+
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.nullif(F.col("lang"), F.lit("zh")).alias("label"),
+                 detect_language("text").alias("pred")))
+    return (classification_metrics(d, "label", "pred")
+            .orderBy("cls"))

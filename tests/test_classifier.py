@@ -92,3 +92,48 @@ def test_expression_scorer_matches_ml_transform(spark):
         raise
     for d in ours:
         assert abs(ours[d] - ml[d]) < 1e-9, (d, ours[d], ml[d])
+
+
+def test_classification_metrics_hand_computed(spark):
+    from goetl_spark.operators.classifier import classification_metrics
+
+    rows = ([("a", "a")] * 3 + [("a", "b")] + [("b", "b")] * 2 +
+            [("b", "a")] + [("c", "a")] + [(None, "a")] + [("a", None)])
+    df = spark.createDataFrame(rows, "label string, pred string")
+    got = {r["cls"]: r for r in
+           classification_metrics(df, "label", "pred").collect()}
+    assert set(got) == {"a", "b", "c", None}
+
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (3, 3, 2, 5)
+    assert a["precision"] == 0.5 and a["recall"] == 3 / 5
+    assert a["f1"] == 6 / 11  # closed form 2tp/(2tp+fp+fn)
+
+    b = got["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (2, 1, 1)
+    assert b["precision"] == b["recall"] == b["f1"] == 2 / 3
+
+    c = got["c"]  # never predicted: precision undefined, NOT 0
+    assert c["precision"] is None
+    assert c["recall"] == 0.0 and c["f1"] == 0.0
+
+    n = got[None]  # NULL labels/preds are their own class
+    assert (n["tp"], n["fp"], n["fn"], n["support"]) == (0, 1, 1, 1)
+    assert n["precision"] == 0.0 and n["recall"] == 0.0
+
+
+def test_classification_metrics_perfect_and_partition_independent(spark):
+    from goetl_spark.operators.classifier import classification_metrics
+
+    rows = [("x", "x")] * 4 + [("y", "y")] * 2
+    df = spark.createDataFrame(rows, "label string, pred string")
+    for r in classification_metrics(df, "label", "pred").collect():
+        assert r["precision"] == r["recall"] == r["f1"] == 1.0
+    big = spark.createDataFrame(
+        [(f"c{i % 7}", f"c{(i * 3) % 7}") for i in range(200)],
+        "label string, pred string")
+    one = sorted(map(tuple,
+                     classification_metrics(big, "label", "pred").collect()))
+    two = sorted(map(tuple, classification_metrics(
+        big.repartition(13), "label", "pred").collect()))
+    assert one == two

@@ -96,3 +96,18 @@ def test_timeseries_monitoring_example(spark, tmp_path):
         assert -1.0 <= v <= 1.0
     # the alarm battery is selective, not saturated
     assert 0 <= r["cusum_alarms"] < r["resid_buckets"] / 2
+
+
+def test_model_curation_example(spark):
+    from model_curation import main
+
+    r = main(SF, spark=spark)
+    assert r["corpus"] > 0 and 0 < r["kept"] < r["corpus"]
+    assert r["labeled_pos"] > 0
+    assert r["fitted_sources"] >= 2
+    assert r["retrieval_queries"] == 20
+    for k in ("mean_recall_at_10", "mean_mrr_at_10", "map_at_10"):
+        assert 0.0 <= r[k] <= 1.0
+    # clustered same-label embeddings: the exact retriever should rank
+    # at least one relevant doc near the top for most queries
+    assert r["mean_mrr_at_10"] > 0.3

@@ -200,6 +200,82 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(F.explode(structs).alias("p")).select("p.*")
 
 
+def population_stability_index(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    breaks: Sequence[float],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distributional drift between two snapshots of one numeric
+    column — the binned-divergence companion to :func:`profile_drift`
+    (which sees null rates, cardinality and the mean, but not a shape
+    change that preserves them): per-bin shares of each side and the
+    PSI term ``(share_a − share_b) · ln(share_a / share_b)``; the
+    column's PSI is the sum of the terms (one tiny aggregate, left to
+    the caller so per-bin attribution survives — the standard reading:
+    <0.1 stable, 0.1–0.25 shifting, >0.25 drifted).
+
+    ``breaks`` are the FIXED reference bin edges (ascending; standard
+    PSI practice — derive them once from the reference snapshot, then
+    reuse them every run so scores are comparable across runs): values
+    bin into (-inf, b0), [b0, b1), …, [b_last, +inf); NULLs form their
+    own bin (bin_id −1) — a null-rate shift IS distribution drift.
+    Shares are Laplace-smoothed, ``(n_i + s) / (N + s·B)`` with
+    ``s = smoothing`` over all B bins, so empty bins contribute a
+    finite term instead of an undefined ln(0) (the lm.py +0.5
+    convention); ``smoothing`` must be > 0.
+
+    Determinism: bin assignment compares raw values against literal
+    edges (one CASE expression — no computed boundary); each share is
+    a fixed double formula; the single transcendental term is rounded
+    at scale 9 into DECIMAL(38,9) (the lm.py ln-term recipe), so the
+    caller's sum is shuffle-order independent and the rows replay
+    hash-exact in oracle SQL.
+
+    Scale shape: ONE pass per side into a bins-bounded count table
+    (map-side combinable), a 1-row total crossJoined back, and a
+    full-outer bin join — cost is two scans of the column regardless
+    of bin count. The caller owns break quality: edges that send
+    everything to one bin measure nothing (exact_quantiles on the
+    reference snapshot is the in-house way to derive deciles)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    edges = [float(b) for b in breaks]
+    if not edges or sorted(edges) != edges or len(set(edges)) != len(edges):
+        raise ValueError("breaks must be non-empty, ascending, distinct")
+    n_bins = len(edges) + 2  # value bins + the NULL bin
+
+    branches = ["WHEN `{c}` IS NULL THEN -1".format(c=col)]
+    for i, e in enumerate(edges):
+        branches.append(f"WHEN `{col}` < CAST('{e!r}' AS DOUBLE) THEN {i}")
+    case = (" ".join(["CASE", *branches]) + f" ELSE {len(edges)} END")
+
+    def _binned(df: DataFrame, side: str) -> DataFrame:
+        return (df.select(F.expr(case).alias("bin_id"))
+                .groupBy("bin_id")
+                .agg(F.count(F.lit(1)).alias(f"n_{side}")))
+
+    joined = (_binned(df_a, "a").join(_binned(df_b, "b"), "bin_id", "full")
+              .localCheckpoint(eager=True))  # bins-bounded; scanned twice
+    na = F.coalesce(F.col("n_a"), F.lit(0))
+    nb = F.coalesce(F.col("n_b"), F.lit(0))
+    # per-side totals re-derived from the bounded bin table (exact — a
+    # side's total is the sum of its bin counts), so no window and no
+    # second pass over either input
+    tot = joined.agg(F.sum(na).alias("__ta"), F.sum(nb).alias("__tb"))
+    s = float(smoothing)
+    share_a = (na + F.lit(s)) / (F.col("__ta") + F.lit(s * n_bins))
+    share_b = (nb + F.lit(s)) / (F.col("__tb") + F.lit(s * n_bins))
+    return (joined.crossJoin(F.broadcast(tot))
+            .select(
+                "bin_id", na.cast("long").alias("n_a"),
+                nb.cast("long").alias("n_b"),
+                share_a.alias("share_a"), share_b.alias("share_b"),
+                F.round((share_a - share_b) * F.log(share_a / share_b), 9)
+                 .cast("decimal(38,9)").alias("psi_term")))
+
+
 def profile_drift(
     df_a: DataFrame,
     df_b: DataFrame,

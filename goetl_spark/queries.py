@@ -10772,3 +10772,81 @@ def q220_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  detect_language("text").alias("pred")))
     return (classification_metrics(d, "label", "pred")
             .orderBy("cls"))
+
+
+@register_staged(
+    "q221_psi_drift",
+    """
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN NULL
+                    ELSE o_totalprice END AS v
+        FROM orders
+    ),
+    a AS (
+        SELECT CASE WHEN v IS NULL THEN -1
+                    WHEN v < CAST('75000.0' AS DOUBLE) THEN 0
+                    WHEN v < CAST('150000.0' AS DOUBLE) THEN 1
+                    WHEN v < CAST('225000.0' AS DOUBLE) THEN 2
+                    ELSE 3 END AS bin_id,
+               COUNT(*) AS n_a
+        FROM src WHERE o_orderkey % 3 = 0 GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN v IS NULL THEN -1
+                    WHEN v < CAST('75000.0' AS DOUBLE) THEN 0
+                    WHEN v < CAST('150000.0' AS DOUBLE) THEN 1
+                    WHEN v < CAST('225000.0' AS DOUBLE) THEN 2
+                    ELSE 3 END AS bin_id,
+               COUNT(*) AS n_b
+        FROM src WHERE o_orderkey % 3 <> 0 GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(a.bin_id, b.bin_id) AS bin_id,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM a FULL JOIN b ON a.bin_id = b.bin_id
+    ),
+    t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+    m AS (
+        SELECT bin_id, n_a, n_b,
+               (CAST(n_a AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   / (CAST(ta AS DOUBLE) + CAST('2.5' AS DOUBLE))
+                   AS share_a,
+               (CAST(n_b AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   / (CAST(tb AS DOUBLE) + CAST('2.5' AS DOUBLE))
+                   AS share_b
+        FROM j CROSS JOIN t
+    )
+    SELECT bin_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           share_a, share_b,
+           CAST(round((share_a - share_b) * ln(share_a / share_b), 9)
+                AS DECIMAL(38,9)) AS psi_term
+    FROM m ORDER BY bin_id
+    """,
+)
+def q221_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (quality.py::
+    population_stability_index) — the binned distributional-drift
+    companion profile_drift cannot see: orders split deterministically
+    into two snapshots (orderkey mod 3), o_totalprice binned against
+    FIXED literal reference edges (75k/150k/225k — the standard PSI
+    discipline: derive edges once, reuse them every run so scores are
+    comparable), every 101st price NULLed so the driver row exercises
+    the NULL bin (a null-rate shift IS distribution drift), and
+    per-bin Laplace-smoothed shares (+0.5 over the 5-bin space — 4
+    value bins + the NULL bin) with the PSI term rounded at scale 9
+    into DECIMAL(38,9) (the lm.py ln-term recipe, so the caller's sum
+    is shuffle-order independent). At 100 TB: one pass per side into a
+    bins-bounded count table, the totals re-derived from that table —
+    never a second scan of either input."""
+    from goetl_spark.quality import population_stability_index
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "v", F.when(F.col("o_orderkey") % 101 == 0,
+                    F.lit(None).cast("double"))
+              .otherwise(F.col("o_totalprice")))
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 != 0)
+    return (population_stability_index(
+                a, b, "v", breaks=[75000.0, 150000.0, 225000.0])
+            .orderBy("bin_id"))

@@ -300,3 +300,50 @@ def test_k_anonymity_guards(spark):
         k_anonymity_report(df, ["seg"], k=1)
     with _pt.raises(ValueError, match="non-empty"):
         k_anonymity_report(df, [], k=3)
+
+
+def test_psi_hand_computed(spark):
+    import math as _math
+
+    from goetl_spark.quality import population_stability_index
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (10.0,), (10.0,), (10.0,)],
+                              "v double")
+    rows = {r["bin_id"]: r for r in
+            population_stability_index(a, b, "v", breaks=[5.0]).collect()}
+    assert set(rows) == {0, 1}  # no NULLs -> no -1 row
+    # B = 1 edge + 2 = 3 bins; denom = 4 + 0.5*3 = 5.5
+    r0 = rows[0]
+    assert (r0["n_a"], r0["n_b"]) == (3, 1)
+    assert r0["share_a"] == 3.5 / 5.5 and r0["share_b"] == 1.5 / 5.5
+    want = round((3.5 / 5.5 - 1.5 / 5.5) * _math.log(3.5 / 1.5), 9)
+    assert _math.isclose(float(r0["psi_term"]), want, rel_tol=1e-12)
+    # symmetric bins on mirrored counts: equal terms
+    assert float(rows[1]["psi_term"]) == float(r0["psi_term"])
+
+
+def test_psi_null_bin_and_identical_sides(spark):
+    from goetl_spark.quality import population_stability_index
+
+    a = spark.createDataFrame([(None,), (1.0,), (9.0,)], "v double")
+    out = {r["bin_id"]: r for r in
+           population_stability_index(a, a, "v", breaks=[5.0]).collect()}
+    assert -1 in out  # NULLs are their own bin
+    for r in out.values():  # identical sides: every term is exactly 0
+        assert float(r["psi_term"]) == 0.0
+        assert r["share_a"] == r["share_b"]
+
+
+def test_psi_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.quality import population_stability_index
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError, match="smoothing"):
+        population_stability_index(df, df, "v", [1.0], smoothing=0.0)
+    with _pytest.raises(ValueError, match="ascending"):
+        population_stability_index(df, df, "v", [2.0, 1.0])
+    with _pytest.raises(ValueError, match="ascending"):
+        population_stability_index(df, df, "v", [])

@@ -236,6 +236,66 @@ def classification_metrics(
                (2 * tp) / (2 * tp + fpc + fnc)).alias("f1"))
 
 
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration leg of the eval suite (:func:`classification_metrics`
+    grades decisions; this grades the CONFIDENCE behind them): scores
+    bin into ``n_bins`` equal-width bins over [0, 1] and each bin
+    reports its count, positive count, observed positive rate, the
+    bin midpoint (the confidence the bin CLAIMS), and its expected-
+    calibration-error contribution ``|obs_rate − midpoint| · n / N``
+    — ECE is the caller's one sum over the ≤ n_bins rows, left
+    per-bin so miscalibration stays attributable to a score range.
+
+    Bin edges are the exact rationals i/n_bins (a score of exactly an
+    edge goes UP, 1.0 into the last bin). Rows with a NULL or
+    out-of-range score, or a NULL label, are rejected with a clear
+    error — a "probability" outside [0, 1] is a caller bug worth
+    failing loudly on, and an unlabeled row would silently dilute a
+    bin's observed rate; calibration is only defined on labeled,
+    scored rows.
+
+    Determinism: every output is either an integer count or a fixed
+    chain of IEEE ops on exact inputs (int/int divisions, the exact
+    midpoint rational, one subtraction, one multiply) — no
+    transcendental, no float sum — so rows replay hash-exact in
+    oracle SQL. Scale shape: one fact pass into an n_bins-bounded
+    count table; the total re-derives from it."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    p = F.col(prob_col)
+    bad = df.filter(p.isNull() | (p < 0.0) | (p > 1.0)
+                    | F.col(label_col).isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"calibration_bins: NULL/out-of-range {prob_col!r} or NULL "
+            f"{label_col!r} (first offender: {bad[0].asDict()}) — scores "
+            f"must be probabilities in [0,1] on labeled rows")
+    bin_id = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    y = F.col(label_col).cast("double")
+    counts = (df.groupBy(bin_id.alias("bin_id"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(y > 0, 1).otherwise(0)).alias("n_pos"))
+              .localCheckpoint(eager=True))
+    total = counts.agg(F.sum("n").alias("__N"))
+    mid = ((F.col("bin_id") * 2 + 1) / F.lit(float(2 * n_bins)))
+    obs = F.col("n_pos") / F.col("n")
+    return (counts.crossJoin(F.broadcast(total))
+            .select(
+                "bin_id",
+                F.col("n").cast("long").alias("n"),
+                F.col("n_pos").cast("long").alias("n_pos"),
+                mid.alias("midpoint"),
+                obs.alias("obs_rate"),
+                (F.abs(obs - mid) * F.col("n") / F.col("__N"))
+                 .alias("ece_term")))
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

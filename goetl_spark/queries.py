@@ -10850,3 +10850,59 @@ def q221_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (population_stability_index(
                 a, b, "v", breaks=[75000.0, 150000.0, 225000.0])
             .orderBy("bin_id"))
+
+
+@register_staged(
+    "q222_calibration_bins",
+    """
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is',
+                                     'that','it','for'))) AS sw,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT y, sw / CAST(greatest(n_tok, 1) AS DOUBLE) AS p FROM f
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin_id,
+               COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS ntot FROM binned)
+    SELECT bin_id, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           (bin_id * 2 + 1) / CAST(20 AS DOUBLE) AS midpoint,
+           CAST(n_pos AS DOUBLE) / n AS obs_rate,
+           ABS(CAST(n_pos AS DOUBLE) / n
+               - (bin_id * 2 + 1) / CAST(20 AS DOUBLE)) * n / ntot
+               AS ece_term
+    FROM binned CROSS JOIN t
+    ORDER BY bin_id
+    """,
+)
+def q222_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration (operators/classifier.py::
+    calibration_bins) of a deterministic confidence score: the English
+    stopword ratio (q146's proven exact int/int ratio layer) read as
+    P(doc is English) and graded against the lang label — per decile
+    bin, claimed confidence (midpoint) vs observed English rate plus
+    the ECE contribution |obs − mid|·n/N (total ECE = the caller's one
+    sum over ≤10 rows). Every value is an integer count or a fixed
+    chain of IEEE ops on exact int/int inputs — no transcendental, no
+    float sum — hash-exact. The eval-suite leg classification_metrics
+    cannot see: a scorer can rank perfectly and still claim wildly
+    wrong confidences. At 100 TB: one fact pass into a 10-row bin
+    table; the total re-derives from it."""
+    from goetl_spark.operators.classifier import calibration_bins
+    from goetl_spark.operators.text import stopword_hits, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        (stopword_hits("text", "en").cast("double")
+         / F.greatest(token_count("text"), F.lit(1)).cast("double"))
+         .alias("p"))
+    return calibration_bins(d, "p", "y", n_bins=10).orderBy("bin_id")

@@ -137,3 +137,41 @@ def test_classification_metrics_perfect_and_partition_independent(spark):
     two = sorted(map(tuple, classification_metrics(
         big.repartition(13), "label", "pred").collect()))
     assert one == two
+
+
+def test_calibration_bins_hand_computed(spark):
+    from goetl_spark.operators.classifier import calibration_bins
+
+    rows = [(0.05, 0.0), (0.05, 1.0),          # bin 0: obs 1/2, mid 0.05
+            (0.95, 1.0), (0.95, 1.0), (0.85, 0.0),  # bins 9/8
+            (1.0, 1.0),                          # exactly 1.0 -> last bin
+            (0.2, 0.0)]                          # edge 0.2 -> bin 2 (up)
+    df = spark.createDataFrame(rows, "p double, y double")
+    got = {r["bin_id"]: r for r in
+           calibration_bins(df, "p", "y", n_bins=10).collect()}
+    assert set(got) == {0, 2, 8, 9}
+    b0 = got[0]
+    assert (b0["n"], b0["n_pos"]) == (2, 1)
+    assert b0["midpoint"] == 0.05 and b0["obs_rate"] == 0.5
+    assert b0["ece_term"] == abs(0.5 - 0.05) * 2 / 7
+    b9 = got[9]  # 0.95 x2 + the exact-1.0 row
+    assert (b9["n"], b9["n_pos"]) == (3, 3)
+    assert b9["obs_rate"] == 1.0 and b9["midpoint"] == 0.95
+    assert got[2]["n"] == 1  # boundary score goes to the upper bin
+    # ECE of a perfectly sharp bin is small but nonzero (midpoint gap)
+    total_ece = sum(float(r["ece_term"]) for r in got.values())
+    assert 0.0 < total_ece < 1.0
+
+
+def test_calibration_bins_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.classifier import calibration_bins
+
+    ok = spark.createDataFrame([(0.5, 1.0)], "p double, y double")
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(ok, "p", "y", n_bins=0)
+    for bad_rows in ([(1.5, 1.0)], [(None, 1.0)], [(0.5, None)]):
+        bad = spark.createDataFrame(bad_rows, "p double, y double")
+        with _pytest.raises(ValueError, match="calibration_bins"):
+            calibration_bins(bad, "p", "y")

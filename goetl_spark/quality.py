@@ -239,24 +239,59 @@ def population_stability_index(
     of bin count. The caller owns break quality: edges that send
     everything to one bin measure nothing (exact_quantiles on the
     reference snapshot is the in-house way to derive deciles)."""
-    if smoothing <= 0:
-        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    edges = _psi_edges(breaks)
+    return psi_from_counts(bin_counts(df_a, col, breaks),
+                           bin_counts(df_b, col, breaks),
+                           n_bins=len(edges) + 2, smoothing=smoothing)
+
+
+def _psi_edges(breaks: Sequence[float]) -> list[float]:
     edges = [float(b) for b in breaks]
     if not edges or sorted(edges) != edges or len(set(edges)) != len(edges):
         raise ValueError("breaks must be non-empty, ascending, distinct")
-    n_bins = len(edges) + 2  # value bins + the NULL bin
+    return edges
 
+
+def _bin_case_sql(col: str, edges: Sequence[float]) -> str:
+    """The literal-CASE bin assignment shared by every PSI surface:
+    NULL → −1, value bins by ascending edge, no computed boundary."""
     branches = ["WHEN `{c}` IS NULL THEN -1".format(c=col)]
     for i, e in enumerate(edges):
         branches.append(f"WHEN `{col}` < CAST('{e!r}' AS DOUBLE) THEN {i}")
-    case = (" ".join(["CASE", *branches]) + f" ELSE {len(edges)} END")
+    return " ".join(["CASE", *branches]) + f" ELSE {len(edges)} END"
 
-    def _binned(df: DataFrame, side: str) -> DataFrame:
-        return (df.select(F.expr(case).alias("bin_id"))
-                .groupBy("bin_id")
-                .agg(F.count(F.lit(1)).alias(f"n_{side}")))
 
-    joined = (_binned(df_a, "a").join(_binned(df_b, "b"), "bin_id", "full")
+def bin_counts(df: DataFrame, col: str, breaks: Sequence[float]) -> DataFrame:
+    """One pass of ``col`` into the PSI bin-count table ``(bin_id, n)``
+    — the fit half of the PSI surface (fit a reference snapshot once,
+    persist the tiny table, grade every later snapshot or stream
+    against it). Map-side-combinable; bins-bounded output."""
+    edges = _psi_edges(breaks)
+    return (df.select(F.expr(_bin_case_sql(col, edges)).alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def psi_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    n_bins: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI terms from two pre-binned ``(bin_id, n)`` count tables —
+    the compare half of the PSI surface, shared bit-identically by
+    :func:`population_stability_index` (bins both sides itself) and
+    the streaming monitor (streaming/quality.py::stream_psi_monitor,
+    which accumulates the current side incrementally). ``n_bins`` is
+    the full bin-space size for the Laplace denominator (value bins +
+    the NULL bin) and must match how the counts were binned."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    a = counts_a.select("bin_id", F.col("n").alias("n_a"))
+    b = counts_b.select("bin_id", F.col("n").alias("n_b"))
+    joined = (a.join(b, "bin_id", "full")
               .localCheckpoint(eager=True))  # bins-bounded; scanned twice
     na = F.coalesce(F.col("n_a"), F.lit(0))
     nb = F.coalesce(F.col("n_b"), F.lit(0))

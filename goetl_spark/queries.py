@@ -10906,3 +10906,88 @@ def q222_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.greatest(token_count("text"), F.lit(1)).cast("double"))
          .alias("p"))
     return calibration_bins(d, "p", "y", n_bins=10).orderBy("bin_id")
+
+
+@register_staged(
+    "q223_stream_psi",
+    """
+    WITH cur AS (
+        SELECT CASE WHEN value IS NULL THEN -1
+                    WHEN value < CAST('50.0' AS DOUBLE) THEN 0
+                    WHEN value < CAST('150.0' AS DOUBLE) THEN 1
+                    WHEN value < CAST('300.0' AS DOUBLE) THEN 2
+                    ELSE 3 END AS bin_id,
+               COUNT(*) AS n_a
+        FROM events GROUP BY 1
+    ),
+    ref AS (
+        SELECT CASE WHEN value IS NULL THEN -1
+                    WHEN value < CAST('50.0' AS DOUBLE) THEN 0
+                    WHEN value < CAST('150.0' AS DOUBLE) THEN 1
+                    WHEN value < CAST('300.0' AS DOUBLE) THEN 2
+                    ELSE 3 END AS bin_id,
+               COUNT(*) AS n_b
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(cur.bin_id, ref.bin_id) AS bin_id,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM cur FULL JOIN ref ON cur.bin_id = ref.bin_id
+    ),
+    t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+    m AS (
+        SELECT bin_id, n_a, n_b,
+               (CAST(n_a AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   / (CAST(ta AS DOUBLE) + CAST('2.5' AS DOUBLE))
+                   AS share_a,
+               (CAST(n_b AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   / (CAST(tb AS DOUBLE) + CAST('2.5' AS DOUBLE))
+                   AS share_b
+        FROM j CROSS JOIN t
+    )
+    SELECT bin_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           share_a, share_b,
+           CAST(round((share_a - share_b) * ln(share_a / share_b), 9)
+                AS DECIMAL(38,9)) AS psi_term
+    FROM m ORDER BY bin_id
+    """,
+)
+def q223_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/quality.py::
+    stream_psi_monitor) — the streaming twin of q221's PSI: events
+    replay as 3 time-ordered micro-batches, each trigger accumulates
+    the value column's bin counts into a persisted BINS-BOUNDED
+    standing table behind the stream_rollup exactly-once recipe
+    (transactional batch marker — count accumulation is not
+    idempotent — plus crash-window repair), and the PSI of the
+    accumulated stream against a once-fitted 'click' reference is
+    composed with quality.py::psi_from_counts, the SAME compare code
+    the batch operator uses. The contract the oracle checks IS the
+    twin contract: the standing table equals bin_counts(all events)
+    no matter how history was chopped into batches, so the streamed
+    PSI is bit-exact to the direct batch PSI. At 100 TB: per trigger
+    one batch-sized map + bins-sized merge + tiny swap; the standing
+    table never grows with time (contrast stream_rollup's
+    partitioned table — documented in the operator)."""
+    from goetl_spark.quality import bin_counts, psi_from_counts
+    from goetl_spark.streaming.quality import stream_psi_monitor
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    breaks = [50.0, 150.0, 300.0]
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stream, _ = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q223_replay"))
+    out = _scratch("goetl_q223_counts")
+    import shutil as _sh
+    _sh.rmtree(out, ignore_errors=True)
+    q = stream_psi_monitor(stream, out, "value", breaks,
+                           _scratch("goetl_q223_ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    ref = bin_counts(e.filter(F.col("event_type") == "click"),
+                     "value", breaks)
+    return (psi_from_counts(spark.read.parquet(out), ref,
+                            n_bins=len(breaks) + 2)
+            .orderBy("bin_id"))

@@ -1,0 +1,94 @@
+"""Streaming drift monitoring — the streaming twin of the PSI surface
+(goetl_spark/quality.py::population_stability_index), same discipline
+as the other twins (streaming/warehouse.py, streaming/sinks.py): the
+batch operator defines the semantics, the stream accumulates state
+incrementally, and the accumulated result is BIT-EXACT to the batch
+operator over the same data — verified by oracle, not argued.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from goetl_spark.quality import _bin_case_sql, _psi_edges
+from goetl_spark.streaming.warehouse import (
+    _BATCH_MARKER, _restore_if_interrupted)
+
+
+def stream_psi_monitor(
+    event_stream: DataFrame,
+    counts_path: str,
+    value_col: str,
+    breaks: Sequence[float],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Accumulate a streaming column's PSI bin counts into a persisted
+    ``(bin_id, n)`` table — the incremental half of continuous drift
+    monitoring: the standing table always equals
+    ``bin_counts(everything_seen_so_far)``, so at ANY point
+    ``psi_from_counts(read(counts_path), reference)`` is the exact PSI
+    of the accumulated stream against the fitted reference (fit once
+    with quality.py::bin_counts, persist, reuse — the fixed-edges PSI
+    discipline). Split-invariant by construction: merged counts are
+    independent of how history was chopped into micro-batches, which
+    is also exactly what makes the contract oracle-checkable.
+
+    Replay safety is the stream_rollup recipe, same reasoning: count
+    accumulation is NOT idempotent, so exactly-once comes from the
+    transactional batch-id marker swapped atomically WITH the table,
+    and a crash between the two renames is repaired on entry. Unlike
+    the rollup, the standing table here is BINS-BOUNDED (≤ edges + 2
+    rows, it never grows with time range), so the whole-table
+    read+rewrite per trigger is the correct plan, not a scale hazard —
+    no partition assembly needed.
+
+    Per trigger: one batch-sized map + bins-sized shuffle, one
+    bins-sized merge, one tiny table swap. NULL values land in the −1
+    bin (a null-rate shift IS drift, the batch operator's contract)."""
+    edges = _psi_edges(breaks)
+    case = _bin_case_sql(value_col, edges)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        backup = counts_path.rstrip("/") + ".__psi_old__"
+        _restore_if_interrupted(counts_path, backup)
+        marker = os.path.join(counts_path, _BATCH_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # at-least-once replay of an applied batch
+        delta = (batch_df.select(F.expr(case).alias("bin_id"))
+                 .groupBy("bin_id")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        if os.path.exists(counts_path):
+            existing = spark.read.parquet(counts_path)
+            merged = (existing.unionByName(delta)
+                      .groupBy("bin_id").agg(F.sum("n").alias("n")))
+        else:
+            merged = delta
+        staging = counts_path.rstrip("/") + ".__psi_tmp__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (merged.select("bin_id", F.col("n").cast("long").alias("n"))
+         .coalesce(1).write.mode("overwrite").parquet(staging))
+        with open(os.path.join(staging, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(counts_path):
+            os.rename(counts_path, backup)
+        os.rename(staging, counts_path)
+        shutil.rmtree(backup, ignore_errors=True)
+
+    w = (event_stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -18,6 +18,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _baskets(df: DataFrame, basket_col: str, item_col: str,
+             max_basket_size: int | None) -> DataFrame:
+    """(basket, sorted item SET) with NULLs filtered before the set and
+    over-cap baskets dropped before any expansion — shared by pair
+    counting and rule mining so their counts agree by construction."""
+    baskets = (df.filter(F.col(basket_col).isNotNull()
+                         & F.col(item_col).isNotNull())
+               .groupBy(F.col(basket_col).alias("b"))
+               .agg(F.array_sort(F.collect_set(F.col(item_col)))
+                    .alias("items")))
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("items") <= max_basket_size)
+    return baskets
+
+
+def _expand_pairs(baskets: DataFrame) -> DataFrame:
+    """In-row (item_a < item_b) pair expansion + the pair-count agg."""
+    n = F.size("items")
+    pair_arrays = F.flatten(F.transform(
+        F.col("items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + 2, n),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
+    return (baskets.select(F.explode(pair_arrays).alias("p"))
+            .select("p.item_a", "p.item_b")
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("n_baskets")))
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket_col: str,
@@ -39,25 +68,78 @@ def cooccurrence_pairs(
     computed over the same item set a SQL DISTINCT-frame oracle sees —
     collect_set alone would drop the NULL after the cap (round-6
     advisor finding)."""
-    baskets = (df.filter(F.col(basket_col).isNotNull()
-                         & F.col(item_col).isNotNull())
-               .groupBy(F.col(basket_col).alias("b"))
-               .agg(F.array_sort(F.collect_set(F.col(item_col)))
-                    .alias("items")))
-    if max_basket_size is not None:
-        baskets = baskets.filter(F.size("items") <= max_basket_size)
-    n = F.size("items")
-    pair_arrays = F.flatten(F.transform(
-        F.col("items"),
-        lambda x, i: F.transform(
-            F.slice(F.col("items"), i + 2, n),
-            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
-    pairs = (
-        baskets.select(F.explode(pair_arrays).alias("p"))
-        .select("p.item_a", "p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
-    )
+    pairs = _expand_pairs(_baskets(df, basket_col, item_col,
+                                   max_basket_size))
     if min_count > 1:
         pairs = pairs.filter(F.col("n_baskets") >= min_count)
     return pairs
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = 256,
+    min_count: int = 1,
+) -> DataFrame:
+    """Directional association rules from the co-occurring pairs:
+    for every pair surviving ``min_count``, BOTH rules a→b and b→a
+    with the classic Agrawal metrics —
+
+        support    = n_both / n_baskets_total
+        confidence = n_both / n_antecedent
+        lift       = confidence / (n_consequent / n_baskets_total)
+
+    Item basket-counts are computed over the SAME capped,
+    NULL-filtered, set-deduplicated baskets as the pair counts (one
+    shared basket build — a pair's count can never exceed either
+    item's count, an invariant a separate uncapped item scan would
+    silently break for items living in over-cap baskets).
+
+    Determinism: each metric is a fixed chain of at most two long/long
+    IEEE divisions and one multiply — lift is computed as
+    ``(n_both / n_ante) / (n_cons / N)`` rather than ``n_both·N /
+    (n_ante·n_cons)`` so no integer product can overflow long at
+    corpus scale — hash-exact in oracle SQL.
+
+    Scale shape: the basket build is :func:`cooccurrence_pairs`'s one
+    shuffle (pinned once, read by both the pair expansion and the item
+    counts); rules and item counts are aggregates of bounded tables
+    (pairs ≤ co-occurring-domain², items ≤ item domain); the total is
+    a 1-row aggregate crossJoined back — no driver action."""
+    baskets = _baskets(df, basket_col, item_col,
+                       max_basket_size).localCheckpoint(eager=True)
+    pairs = _expand_pairs(baskets)
+    if min_count > 1:
+        pairs = pairs.filter(F.col("n_baskets") >= min_count)
+    items = (baskets.select(F.explode("items").alias("item"))
+             .groupBy("item").agg(F.count(F.lit(1)).alias("n_item")))
+    total = baskets.agg(F.count(F.lit(1)).alias("n_baskets_total"))
+
+    both = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_baskets").alias("n_both"),
+    ).unionByName(pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        F.col("n_baskets").alias("n_both")))
+    ante = items.select(F.col("item").alias("antecedent"),
+                        F.col("n_item").alias("n_ante"))
+    cons = items.select(F.col("item").alias("consequent"),
+                        F.col("n_item").alias("n_cons"))
+    conf = F.col("n_both") / F.col("n_ante")
+    base = F.col("n_cons") / F.col("n_baskets_total")
+    return (both.join(ante, "antecedent").join(cons, "consequent")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "antecedent", "consequent",
+                F.col("n_both").cast("long").alias("n_both"),
+                F.col("n_ante").cast("long").alias("n_ante"),
+                F.col("n_cons").cast("long").alias("n_cons"),
+                F.col("n_baskets_total").cast("long")
+                 .alias("n_baskets_total"),
+                (F.col("n_both") / F.col("n_baskets_total"))
+                 .alias("support"),
+                conf.alias("confidence"),
+                (conf / base).alias("lift")))

@@ -10991,3 +10991,67 @@ def q223_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (psi_from_counts(spark.read.parquet(out), ref,
                             n_bins=len(breaks) + 2)
             .orderBy("bin_id"))
+
+
+@register_staged(
+    "q224_association_rules",
+    """
+    WITH li AS (
+        SELECT l.l_orderkey AS b, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+    ),
+    bic AS (SELECT DISTINCT b, item FROM li),
+    ok AS (SELECT b FROM bic GROUP BY b HAVING COUNT(*) <= 256),
+    bi AS (SELECT bic.* FROM bic JOIN ok USING (b)),
+    pairs AS (
+        SELECT x.item AS item_a, y.item AS item_b, COUNT(*) AS n_both
+        FROM bi x JOIN bi y ON x.b = y.b AND x.item < y.item
+        GROUP BY 1, 2
+    ),
+    items AS (SELECT item, COUNT(*) AS n_item FROM bi GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM ok),
+    directed AS (
+        SELECT item_a AS antecedent, item_b AS consequent, n_both
+        FROM pairs
+        UNION ALL
+        SELECT item_b, item_a, n_both FROM pairs
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.n_both AS BIGINT) AS n_both,
+           CAST(a.n_item AS BIGINT) AS n_ante,
+           CAST(c.n_item AS BIGINT) AS n_cons,
+           CAST(t.n_total AS BIGINT) AS n_baskets_total,
+           r.n_both / t.n_total AS support,
+           r.n_both / a.n_item AS confidence,
+           (r.n_both / a.n_item) / (c.n_item / t.n_total) AS lift
+    FROM directed r
+    JOIN items a ON r.antecedent = a.item
+    JOIN items c ON r.consequent = c.item
+    CROSS JOIN tot t
+    ORDER BY r.antecedent, r.consequent
+    """,
+)
+def q224_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules (operators/mining.py::
+    association_rules) — q119's co-occurrence pairs completed into the
+    Agrawal metric set: orders as baskets, part brands as items (the
+    lineitem⋈part broadcast-dim join), every surviving pair emitted in
+    both directions with support / confidence / lift. Item counts come
+    from the SAME capped set-deduplicated baskets as the pair counts
+    (one shared basket build — the invariant n_both <= min(n_ante,
+    n_cons) holds by construction), and lift is computed as
+    (n_both/n_ante)/(n_cons/N) so no integer product can overflow long
+    at corpus scale; every metric is a fixed chain of long/long IEEE
+    divisions — hash-exact. At 100 TB: one basket shuffle pinned once,
+    in-row pair expansion (never a self-join on the fact side),
+    bounded pair/item tables, 1-row total crossJoined back."""
+    from goetl_spark.operators.mining import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p),
+                      li["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_orderkey").alias("b"), F.col("p_brand").alias("item"))
+    return (association_rules(baskets, "b", "item")
+            .orderBy("antecedent", "consequent"))

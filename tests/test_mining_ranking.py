@@ -273,3 +273,57 @@ def test_rrf_fuse_assume_unique_fast_path(spark):
         return df._jdf.queryExecution().executedPlan().toString().count(
             "Exchange")
     assert n_exchanges(fast) < n_exchanges(slow)
+
+
+def test_association_rules_hand_computed(spark):
+    from goetl_spark.operators.mining import association_rules
+
+    # baskets: {a,b,c}, {a,b}, {a}, {b,d}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "b"),
+            (3, "a"), (4, "b"), (4, "d")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["antecedent"], r["consequent"]): r for r in
+           association_rules(df, "basket", "item").collect()}
+    # every surviving pair appears in BOTH directions
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+                        ("b", "c"), ("c", "b"), ("b", "d"), ("d", "b")}
+    ab = got[("a", "b")]
+    assert (ab["n_both"], ab["n_ante"], ab["n_cons"],
+            ab["n_baskets_total"]) == (2, 3, 3, 4)
+    assert ab["support"] == 2 / 4
+    assert ab["confidence"] == 2 / 3
+    assert ab["lift"] == (2 / 3) / (3 / 4)
+    ba = got[("b", "a")]  # direction flips confidence, lift is symmetric
+    assert ba["confidence"] == 2 / 3 and ba["lift"] == ab["lift"]
+    cb = got[("c", "b")]
+    assert cb["confidence"] == 1.0  # every c-basket contains b
+    assert cb["lift"] == 1.0 / (3 / 4)
+
+
+def test_association_rules_cap_keeps_counts_consistent(spark):
+    """Item counts must come from the SAME capped baskets as pair
+    counts — an item living only in an over-cap basket must not
+    inflate n_ante past what pairs can see."""
+    from goetl_spark.operators.mining import association_rules
+
+    rows = ([(1, "a"), (1, "b")] + [(2, "a")] +
+            [(3, f"x{k}") for k in range(5)] + [(3, "a")])  # size-6 basket
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["antecedent"], r["consequent"]): r for r in
+           association_rules(df, "basket", "item",
+                             max_basket_size=3).collect()}
+    ab = got[("a", "b")]
+    # basket 3 (size 6 > cap) is invisible everywhere: a counts 2, not 3
+    assert (ab["n_both"], ab["n_ante"], ab["n_baskets_total"]) == (1, 2, 2)
+    assert all(k[0].startswith(("a", "b")) and k[1].startswith(("a", "b"))
+               for k in got)
+
+
+def test_association_rules_min_count(spark):
+    from goetl_spark.operators.mining import association_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = association_rules(df, "basket", "item", min_count=2)
+    keys = {(r["antecedent"], r["consequent"]) for r in got.collect()}
+    assert keys == {("a", "b"), ("b", "a")}  # (a,c) pruned at 1

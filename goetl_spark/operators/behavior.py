@@ -261,3 +261,56 @@ def attribution_credit(
         F.col(ts_col).alias("touch_ts"),
         F.col(type_col).alias("touch_type"),
         "credit")
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the structural companion to the funnel family (funnels
+    test ONE hypothesized path; the transition matrix reports every
+    observed (state → next state) edge with its probability): one row
+    per observed (src, dst) pair with the count, the source's total
+    outgoing transitions, and ``p = n / n_src_total``.
+
+    Ordering must be TOTAL per user or "next" is not well-defined in
+    ANY engine — pass ``order_cols`` tie-breakers (an event id) when
+    ``ts_col`` can tie. End-of-stream is detected by a constant lead
+    (NULL past the last row), so a NULL ``type_col`` still works as a
+    real state (house NULL semantics: an untyped event is itself a
+    category) and is never confused with "no next event"; a user's
+    final event simply emits no transition.
+
+    Determinism: counts are exact; ``p`` is one long/long IEEE
+    division — hash-exact in oracle SQL given total order.
+
+    Scale shape: ONE per-user window exchange (partitioned by user —
+    never a global window) into a states²-bounded pair count; the
+    source totals re-derive from that bounded table (null-safe join on
+    the src state). States are categorical by definition — the
+    states² bound is the diagnostic, as with classification_metrics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    nxt_exists = F.lead(F.lit(1)).over(w)
+    nxt = F.lead(F.col(type_col)).over(w)
+    pairs = (df.withColumn("__has_next", nxt_exists)
+             .withColumn("__dst", nxt)
+             .filter(F.col("__has_next").isNotNull())
+             .groupBy(F.col(type_col).alias("src"),
+                      F.col("__dst").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
+    totals = (pairs.groupBy(F.col("src").alias("__s"))
+              .agg(F.sum("n").alias("n_src_total")))
+    return (pairs.join(F.broadcast(totals),
+                       on=F.col("src").eqNullSafe(F.col("__s")))
+            .drop("__s")
+            .select("src", "dst",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("n_src_total").cast("long").alias("n_src_total"),
+                    (F.col("n") / F.col("n_src_total")).alias("p")))

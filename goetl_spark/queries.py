@@ -11055,3 +11055,55 @@ def q224_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("b"), F.col("p_brand").alias("item"))
     return (association_rules(baskets, "b", "item")
             .orderBy("antecedent", "consequent"))
+
+
+@register_staged(
+    "q225_transition_matrix",
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               NULLIF(event_type, 'error') AS et
+        FROM events
+    ),
+    nxt AS (
+        SELECT et AS src,
+               LEAD(et) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst,
+               LEAD(1) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS has_next
+        FROM e
+    ),
+    pairs AS (
+        SELECT src, dst, COUNT(*) AS n FROM nxt
+        WHERE has_next IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, SUM(n) AS n_src_total FROM pairs GROUP BY 1)
+    SELECT pr.src, pr.dst, CAST(pr.n AS BIGINT) AS n,
+           CAST(t.n_src_total AS BIGINT) AS n_src_total,
+           pr.n / t.n_src_total AS p
+    FROM pairs pr JOIN tot t ON pr.src IS NOT DISTINCT FROM t.src
+    ORDER BY pr.src, pr.dst
+    """,
+)
+def q225_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/behavior.py::
+    transition_matrix) over per-user event streams — the structural
+    companion to the funnel family (q129's funnel tests ONE path; this
+    reports every observed state→state edge with its probability).
+    Total per-user order via (ts, event_id); the 'error' type is
+    NULLIF'd so the driver row proves NULL is a real state on BOTH
+    sides of an edge — detected via the constant-lead end-of-stream
+    marker, never confused with a user's final event (which emits no
+    transition). p is one long/long IEEE division per edge —
+    hash-exact. At 100 TB: one per-user window exchange (never a
+    global window) into a states²-bounded pair table; source totals
+    re-derive from that table with a null-safe broadcast join."""
+    from goetl_spark.operators.behavior import transition_matrix
+
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "ts", "event_id",
+                 F.nullif(F.col("event_type"), F.lit("error"))
+                  .alias("et")))
+    return (transition_matrix(e, "user_id", "ts", "et",
+                              order_cols=["event_id"])
+            .orderBy("src", "dst"))

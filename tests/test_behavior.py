@@ -210,3 +210,66 @@ def test_attribution_guards(spark):
     with _pytest.raises(ValueError):
         attribution_credit(ev, "user_id", "ts", "event_type",
                            "purchase", ["purchase", "view"])
+
+
+def test_transition_matrix_hand_computed(spark):
+    import datetime as dt
+
+    from goetl_spark.operators.behavior import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: a -> b ; user 3: lone event
+        (1, t0, 1, "a"), (1, t0.replace(hour=1), 2, "b"),
+        (1, t0.replace(hour=2), 3, "a"), (1, t0.replace(hour=3), 4, "c"),
+        (2, t0, 5, "a"), (2, t0.replace(hour=1), 6, "b"),
+        (3, t0, 7, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r["src"], r["dst"]): r for r in
+           transition_matrix(df, "user_id", "ts", "event_type",
+                             order_cols=["event_id"]).collect()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["n_src_total"] == 3
+    assert got[("a", "b")]["p"] == 2 / 3
+    assert got[("a", "c")]["p"] == 1 / 3
+    assert got[("b", "a")]["p"] == 1.0  # user 2's final b emits nothing
+    # a user's last event never appears as a src; lone users contribute 0
+    assert not any(s == "c" for s, _ in got)
+
+
+def test_transition_matrix_null_state_vs_stream_end(spark):
+    import datetime as dt
+
+    from goetl_spark.operators.behavior import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "a"), (1, t0.replace(hour=1), 2, None),
+            (1, t0.replace(hour=2), 3, "b")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r["src"], r["dst"]): r["p"] for r in
+           transition_matrix(df, "user_id", "ts", "event_type",
+                             order_cols=["event_id"]).collect()}
+    # NULL is a real state on both sides, distinct from end-of-stream
+    assert got == {("a", None): 1.0, (None, "b"): 1.0}
+
+
+def test_transition_matrix_partition_independence(spark):
+    import datetime as dt
+
+    from goetl_spark.operators.behavior import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(minutes=i), u * 100 + i,
+             "abcd"[(u + i) % 4])
+            for u in range(20) for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    one = sorted(map(tuple, transition_matrix(
+        df, "user_id", "ts", "event_type", ["event_id"]).collect()))
+    two = sorted(map(tuple, transition_matrix(
+        df.repartition(17), "user_id", "ts", "event_type",
+        ["event_id"]).collect()))
+    assert one == two

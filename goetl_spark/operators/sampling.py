@@ -690,11 +690,16 @@ def dsir_log_weights(
     rounded-decimal-sum recipe), so the total is associative and
     shuffle-order independent.
 
-    Scale shape: one explode+groupBy per corpus for the models (map-side
-    combined, ``buckets``-bounded results), one explode+groupBy over the
-    candidates for (doc, bucket) counts, one BROADCAST join against the
-    ratio table, one doc-key sum. Driver state = two ``buckets``-row
-    dicts. No UDFs, no all-pairs, no global windows."""
+    Scale shape: ONE explode+groupBy over the candidates into the
+    pinned (doc, bucket) count table — the raw model is the
+    bucket-marginal of that table (bit-identical to a direct corpus
+    aggregate, since per-doc counts sum to corpus counts), so the
+    candidate text is scanned and hashed ONCE, not twice (r13: the
+    materialized count table is integers, far smaller than re-hashing
+    100 TB of text) — plus one explode+groupBy over the (small) target
+    for its model, one BROADCAST join against the ratio table, one
+    doc-key sum. Driver state = two ``buckets``-row dicts. No UDFs, no
+    all-pairs, no global windows."""
     import math
 
     if buckets < 2:
@@ -702,15 +707,20 @@ def dsir_log_weights(
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
 
-    def bucket_counts(frame: DataFrame) -> dict[int, int]:
-        rows = (
-            frame.select(F.explode(_dsir_ngrams(text_col)).alias("g"))
-            .select((md5_int(F.col("g")) % buckets).alias("b"))
-            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-            .collect())
-        return {r["b"]: r["c"] for r in rows}
+    ids = list(id_cols)
+    doc_bucket = (
+        df.select(*ids, F.explode(_dsir_ngrams(text_col)).alias("g"))
+        .select(*ids, (md5_int(F.col("g")) % buckets).alias("b"))
+        .groupBy(*ids, "b").agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True))
 
-    ct_t, ct_r = bucket_counts(target_df), bucket_counts(df)
+    ct_t = {r["b"]: r["c"] for r in (
+        target_df.select(F.explode(_dsir_ngrams(text_col)).alias("g"))
+        .select((md5_int(F.col("g")) % buckets).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        .collect())}
+    ct_r = {r["b"]: r["c"] for r in (
+        doc_bucket.groupBy("b").agg(F.sum("__cnt").alias("c")).collect())}
     n_t, n_r = sum(ct_t.values()), sum(ct_r.values())
     if n_t == 0 or n_r == 0:
         raise ValueError("target and candidate corpora must both contain "
@@ -724,11 +734,8 @@ def dsir_log_weights(
          for b in range(buckets)],
         "b int, ratio double")
 
-    ids = list(id_cols)
     doc_feats = (
-        df.select(*ids, F.explode(_dsir_ngrams(text_col)).alias("g"))
-        .select(*ids, (md5_int(F.col("g")) % buckets).alias("b"))
-        .groupBy(*ids, "b").agg(F.count(F.lit(1)).alias("__cnt"))
+        doc_bucket
         .join(F.broadcast(ratio_df), "b")
         .groupBy(*ids)
         .agg(F.sum(F.round(F.col("__cnt") * F.col("ratio"), 9)

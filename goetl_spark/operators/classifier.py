@@ -296,6 +296,66 @@ def calibration_bins(
                  .alias("ece_term")))
 
 
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC (one row: n / n_pos / n_neg / auc) —
+    the threshold-free ranking leg of the eval suite
+    (:func:`classification_metrics` grades one threshold,
+    :func:`calibration_bins` the confidences; AUC grades the whole
+    ranking). Computed via the Mann-Whitney rank form with midrank
+    ties, all in EXACT integer arithmetic: scores collapse to their
+    distinct-value groups, an exclusive cumulative count gives each
+    group's rank offset, and twice the positive rank-sum is
+    ``Σ_g n_pos_g · (2·cum_before_g + n_g + 1)`` — an exact long —
+    so ``auc = (2Σr − n_pos(n_pos+1)) / (2·n_pos) / n_neg`` is two
+    IEEE divisions of exact integers, hash-exact in oracle SQL and
+    identical to sklearn's tie-corrected AUC.
+
+    NULL scores/labels are rejected loudly (an unrankable row is a
+    caller bug, the :func:`calibration_bins` contract), as is a
+    single-class eval set (AUC is undefined — returning 0.5 would
+    disguise a broken label join as a coin-flip model).
+
+    Scale shape: one groupBy collapses the data to distinct scores;
+    the rank offsets come from the range-partitioned two-phase cumsum
+    (sampling.py::_with_exclusive_cumsum — NEVER a global window); one
+    bounded 1-row aggregate ends it. Exactness bound: the rank sum is
+    ≤ n_pos·n_total on the ×2 grid — past ~4.6e18 the long sum
+    overflows and ANSI mode fails loudly rather than rounding."""
+    p, y = F.col(score_col), F.col(label_col)
+    bad = df.filter(p.isNull() | y.isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"roc_auc: NULL {score_col!r} or {label_col!r} "
+            f"(first offender: {bad[0].asDict()}) — every row must be "
+            f"scored and labeled")
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    g = (df.groupBy(p.alias("__score"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
+               .alias("n_pos")))
+    c = _with_exclusive_cumsum(g, "n", ["__score"], "cum_before")
+    row = c.agg(
+        F.sum(F.col("n_pos")
+              * (2 * F.col("cum_before") + F.col("n") + 1)).alias("num2"),
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
+        F.sum("n").alias("nt")).collect()[0]
+    np_, nn, nt = int(row["np"]), int(row["nn"]), int(row["nt"])
+    if np_ == 0 or nn == 0:
+        raise ValueError(
+            f"roc_auc: eval set has n_pos={np_}, n_neg={nn} — AUC is "
+            f"undefined on a single-class set")
+    auc = (int(row["num2"]) - np_ * (np_ + 1)) / (2.0 * np_) / nn
+    return df.sparkSession.createDataFrame(
+        [(nt, np_, nn, float(auc))],
+        "n long, n_pos long, n_neg long, auc double")
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

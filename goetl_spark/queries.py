@@ -11107,3 +11107,68 @@ def q225_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (transition_matrix(e, "user_id", "ts", "et",
                               order_cols=["event_id"])
             .orderBy("src", "dst"))
+
+
+@register_staged(
+    "q226_roc_auc",
+    """
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is',
+                                     'that','it','for'))) AS sw,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT y, sw / CAST(greatest(n_tok, 1) AS DOUBLE) AS p FROM f
+    ),
+    g AS (
+        SELECT p AS score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    c AS (
+        SELECT n, n_pos,
+               COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT SUM(n_pos * (2 * cum_before + n + 1)) AS num2,
+               SUM(n_pos) AS np, SUM(n - n_pos) AS nn, SUM(n) AS nt
+        FROM c
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn AS auc
+    FROM s
+    """,
+)
+def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/classifier.py::roc_auc) of
+    q222's deterministic confidence score — the English stopword ratio
+    ranked against the lang label: the threshold-free leg of the eval
+    suite (q220 grades one decision threshold, q222 the claimed
+    confidences, this the whole ranking). Mann-Whitney midrank form in
+    EXACT integer arithmetic: distinct-score groups, exclusive
+    cumulative counts for the rank offsets (the range-partitioned
+    two-phase cumsum — never a global window; the oracle's global SUM
+    OVER is the luxury only the bounded DuckDB side takes), twice the
+    positive rank-sum as an exact long, then two IEEE divisions —
+    hash-exact. Stopword-heavy docs ARE disproportionately English,
+    so the AUC is materially above 0.5 — a real signal, measured
+    exactly. At 100 TB: one score-collapse shuffle + the cumsum's
+    range exchange; everything after is bins-bounded."""
+    from goetl_spark.operators.classifier import roc_auc
+    from goetl_spark.operators.text import stopword_hits, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        (stopword_hits("text", "en").cast("double")
+         / F.greatest(token_count("text"), F.lit(1)).cast("double"))
+         .alias("p"))
+    return roc_auc(d, "p", "y")

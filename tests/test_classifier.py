@@ -175,3 +175,65 @@ def test_calibration_bins_guards(spark):
         bad = spark.createDataFrame(bad_rows, "p double, y double")
         with _pytest.raises(ValueError, match="calibration_bins"):
             calibration_bins(bad, "p", "y")
+
+
+def test_roc_auc_hand_computed_with_ties(spark):
+    from goetl_spark.operators.classifier import roc_auc
+
+    # scores: 0.1(n) 0.4(p) 0.4(n) 0.9(p)  -> midrank ties at 0.4
+    rows = [(0.1, 0.0), (0.4, 1.0), (0.4, 0.0), (0.9, 1.0)]
+    df = spark.createDataFrame(rows, "p double, y double")
+    r = roc_auc(df, "p", "y").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+    # ranks: 0.1->1, both 0.4->2.5, 0.9->4; sum_pos = 2.5 + 4 = 6.5
+    # auc = (6.5 - 2*3/2) / (2*2) = 3.5/4
+    assert r["auc"] == 3.5 / 4
+
+    perfect = spark.createDataFrame(
+        [(0.1, 0.0), (0.2, 0.0), (0.8, 1.0), (0.9, 1.0)],
+        "p double, y double")
+    assert roc_auc(perfect, "p", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.9, 0.0), (0.8, 0.0), (0.1, 1.0)], "p double, y double")
+    assert roc_auc(inverted, "p", "y").collect()[0]["auc"] == 0.0
+    all_tied = spark.createDataFrame(
+        [(0.5, 1.0), (0.5, 0.0), (0.5, 1.0)], "p double, y double")
+    assert all_tied and roc_auc(all_tied, "p", "y").collect()[0]["auc"] == 0.5
+
+
+def test_roc_auc_matches_sklearn_formula_and_partitioning(spark):
+    from goetl_spark.operators.classifier import roc_auc
+
+    rows = [((i * 37 % 100) / 100.0, float((i * 13 % 7) < 3))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "p double, y double")
+
+    def ref(pairs):  # midrank AUC, pure python
+        from collections import Counter
+        n_by = Counter(p for p, _ in pairs)
+        order = sorted(n_by)
+        cum, rank_of = 0, {}
+        for s in order:
+            rank_of[s] = cum + (n_by[s] + 1) / 2
+            cum += n_by[s]
+        pos = [rank_of[p] for p, y in pairs if y > 0]
+        np_, nn = len(pos), len(pairs) - len(pos)
+        return (sum(pos) - np_ * (np_ + 1) / 2) / (np_ * nn)
+
+    got = roc_auc(df, "p", "y").collect()[0]["auc"]
+    assert abs(got - ref(rows)) < 1e-12
+    again = roc_auc(df.repartition(13), "p", "y").collect()[0]["auc"]
+    assert again == got  # exact-integer rank sums: partition-independent
+
+
+def test_roc_auc_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.classifier import roc_auc
+
+    with _pytest.raises(ValueError, match="NULL"):
+        roc_auc(spark.createDataFrame([(None, 1.0)], "p double, y double"),
+                "p", "y")
+    with _pytest.raises(ValueError, match="single-class"):
+        roc_auc(spark.createDataFrame([(0.5, 1.0), (0.6, 1.0)],
+                                      "p double, y double"), "p", "y")

@@ -88,6 +88,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         F.avg("mrr_at_k").alias("mean_mrr"),
         F.avg("ap_at_k").alias("map_at_k")).collect()[0]
 
+    # 5) GRADE the scorer itself on the labeled frame: ranking quality
+    # (exact tie-aware AUC) and confidence quality (reliability bins +
+    # total ECE) — the eval-suite legs a threshold can't see.
+    from goetl_spark.operators.classifier import calibration_bins, roc_auc
+
+    scored_train = score_quality(train, model)
+    auc = roc_auc(scored_train, "quality_prob", "label") \
+        .collect()[0]["auc"]
+    ece = sum(float(r["ece_term"]) for r in
+              calibration_bins(scored_train, "quality_prob", "label",
+                               n_bins=10).collect())
+
     out = {
         "labeled_pos": int(labeled.filter("label = 1.0").count()),
         "fitted_sources": len(enc_tables["source"]["values"]),
@@ -97,6 +109,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "mean_recall_at_10": float(summary["mean_recall"]),
         "mean_mrr_at_10": float(summary["mean_mrr"]),
         "map_at_10": float(summary["map_at_k"]),
+        "train_auc": float(auc),
+        "train_ece": float(ece),
     }
     if owns_spark:
         spark.stop()

@@ -113,3 +113,7 @@ def test_model_curation_example(spark):
     # qrels) — pin that the pipeline produced real hits, not corpus
     # quality the data doesn't have
     assert r["mean_mrr_at_10"] > 0.0 and r["mean_recall_at_10"] > 0.0
+    # the trained model DOES separate its own training classes: strong
+    # ranking, reasonably calibrated confidences
+    assert r["train_auc"] > 0.9
+    assert 0.0 <= r["train_ece"] < 0.5

@@ -356,6 +356,81 @@ def roc_auc(
         "n long, n_pos long, n_neg long, auc double")
 
 
+def pr_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision over the full ranking (one row: n / n_pos /
+    n_neg / average_precision) — sklearn's threshold form
+    ``AP = Σ_k (R_k − R_{k−1}) · P_k``, the imbalance-robust companion
+    to :func:`roc_auc` (AUC stays high when negatives dwarf positives;
+    AP collapses with precision, which is what a rare-positive quality
+    filter actually feels). Thresholds are the distinct scores
+    DESCENDING, ties grouped (all equal scores cross a threshold
+    together, the sklearn semantics): per group
+    ``term = (tp_g / n_pos) · (tp_cum_g / n_cum_g)`` with INCLUSIVE
+    cumulative counts.
+
+    Determinism: group counts and both cumulative counts are exact
+    longs (the :func:`roc_auc` machinery — range-partitioned cumsum,
+    never a global window); each term is two exact-long divisions and
+    one multiply in fixed order, then scale-9 rounding into
+    DECIMAL(38,9) before the sum (the lm.py recipe — terms carry
+    unequal denominators, so unlike AUC the sum cannot stay on an
+    integer grid). Hash-exact in oracle SQL.
+
+    Same guards as :func:`roc_auc`: NULL scores/labels and
+    single-class sets are rejected loudly."""
+    p, y = F.col(score_col), F.col(label_col)
+    bad = df.filter(p.isNull() | y.isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"pr_auc: NULL {score_col!r} or {label_col!r} "
+            f"(first offender: {bad[0].asDict()}) — every row must be "
+            f"scored and labeled")
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    g = (df.groupBy(p.alias("__score"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
+               .alias("n_pos"))
+         # descending scores: cumsum over the NEGATED key (the helper
+         # ranges ascending); scores are distinct post-groupBy so the
+         # order is total
+         .withColumn("__negscore", -F.col("__score")))
+    c = _with_exclusive_cumsum(g, "n", ["__negscore"], "n_before")
+    c = _with_exclusive_cumsum(c, "n_pos", ["__negscore"], "tp_before")
+    # totals ride a 1-row crossJoin (no second pass over the data)
+    tot = c.agg(F.sum("n_pos").alias("__np_total"),
+                F.sum(F.col("n") - F.col("n_pos")).alias("__nn_total"),
+                F.sum("n").alias("__nt"))
+    # term = ΔR·P = (n_pos_g / n_pos_total) · (tp_cum_incl / n_cum_incl)
+    term = (F.col("n_pos") / F.col("__np_total")
+            * ((F.col("n_pos") + F.col("tp_before"))
+               / (F.col("n") + F.col("n_before"))))
+    row = (c.crossJoin(F.broadcast(tot))
+           .select(
+               F.col("__np_total"), F.col("__nn_total"), F.col("__nt"),
+               F.when(F.col("n_pos") > 0,
+                      F.round(term, 9).cast("decimal(38,9)"))
+                .otherwise(F.lit(0).cast("decimal(38,9)")).alias("__t"))
+           .groupBy("__np_total", "__nn_total", "__nt")
+           .agg(F.sum("__t").cast("double").alias("ap"))
+           .collect())
+    if not row:
+        raise ValueError("pr_auc: empty input")
+    r = row[0]
+    np_, nn = int(r["__np_total"]), int(r["__nn_total"])
+    if np_ == 0 or nn == 0:
+        raise ValueError(
+            f"pr_auc: eval set has n_pos={np_}, n_neg={nn} — average "
+            f"precision is undefined on a single-class set")
+    return df.sparkSession.createDataFrame(
+        [(int(r["__nt"]), np_, nn, float(r["ap"]))],
+        "n long, n_pos long, n_neg long, average_precision double")
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

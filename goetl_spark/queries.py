@@ -11172,3 +11172,75 @@ def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.greatest(token_count("text"), F.lit(1)).cast("double"))
          .alias("p"))
     return roc_auc(d, "p", "y")
+
+
+@register_staged(
+    "q227_pr_auc",
+    """
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is',
+                                     'that','it','for'))) AS sw,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT y, sw / CAST(greatest(n_tok, 1) AS DOUBLE) AS p FROM f
+    ),
+    g AS (
+        SELECT p AS score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    c AS (
+        SELECT n, n_pos,
+               COALESCE(SUM(n) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_before,
+               COALESCE(SUM(n_pos) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS tp_before
+        FROM g
+    ),
+    t AS (SELECT SUM(n_pos) AS np, SUM(n - n_pos) AS nn, SUM(n) AS nt
+          FROM c),
+    s AS (
+        SELECT t.nt, t.np, t.nn,
+               SUM(CASE WHEN n_pos > 0 THEN
+                   CAST(round(n_pos / t.np
+                              * ((n_pos + tp_before) / (n + n_before)),
+                        9) AS DECIMAL(38,9))
+                   ELSE CAST(0 AS DECIMAL(38,9)) END) AS ap_d
+        FROM c CROSS JOIN t
+        GROUP BY t.nt, t.np, t.nn
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CAST(ap_d AS DOUBLE) AS average_precision
+    FROM s
+    """,
+)
+def q227_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision over the full ranking (operators/
+    classifier.py::pr_auc) of q226's score — the imbalance-robust
+    companion to AUC (precision collapses when a rare-positive filter
+    degrades; AUC barely moves): sklearn's threshold form over
+    distinct scores DESCENDING with ties crossing together, inclusive
+    cumulative counts from the range-partitioned cumsum (never a
+    global window on the Spark side), each ΔR·P term two exact-long
+    divisions and a multiply in fixed order, rounded scale-9 into
+    DECIMAL(38,9) before the sum (terms carry unequal denominators —
+    unlike AUC the sum cannot stay on an integer grid, so it takes the
+    lm.py transcendental-recipe instead) — hash-exact. At 100 TB: one
+    score-collapse shuffle + two bounded cumsum exchanges."""
+    from goetl_spark.operators.classifier import pr_auc
+    from goetl_spark.operators.text import stopword_hits, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        (stopword_hits("text", "en").cast("double")
+         / F.greatest(token_count("text"), F.lit(1)).cast("double"))
+         .alias("p"))
+    return pr_auc(d, "p", "y")

@@ -237,3 +237,59 @@ def test_roc_auc_guards(spark):
     with _pytest.raises(ValueError, match="single-class"):
         roc_auc(spark.createDataFrame([(0.5, 1.0), (0.6, 1.0)],
                                       "p double, y double"), "p", "y")
+
+
+def test_pr_auc_hand_computed_and_sklearn_parity(spark):
+    from goetl_spark.operators.classifier import pr_auc
+
+    # descending: 0.9(p) | 0.4 tie group (1p,1n) | 0.1(n)
+    rows = [(0.1, 0.0), (0.4, 1.0), (0.4, 0.0), (0.9, 1.0)]
+    df = spark.createDataFrame(rows, "p double, y double")
+    r = pr_auc(df, "p", "y").collect()[0]
+    # groups desc: 0.9 -> dR=1/2, P=1/1; 0.4 -> dR=1/2, P=2/3; 0.1 -> 0
+    want = round(0.5 * 1.0, 9) + round(0.5 * (2 / 3), 9)
+    assert abs(r["average_precision"] - want) < 1e-12
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+
+    perfect = spark.createDataFrame(
+        [(0.1, 0.0), (0.8, 1.0), (0.9, 1.0)], "p double, y double")
+    assert pr_auc(perfect, "p", "y").collect()[0][
+        "average_precision"] == 1.0
+
+    def ref(pairs):  # sklearn's threshold AP, pure python
+        from collections import defaultdict
+        g = defaultdict(lambda: [0, 0])
+        for p, y in pairs:
+            g[p][0] += 1
+            g[p][1] += int(y > 0)
+        np_ = sum(v[1] for v in g.values())
+        nc = tc = 0
+        ap = 0.0
+        for s in sorted(g, reverse=True):
+            n, tp = g[s]
+            nc, tc = nc + n, tc + tp
+            if tp:
+                ap += round(tp / np_ * (tc / nc), 9)
+        return ap
+
+    rows2 = [((i * 37 % 100) / 100.0, float((i * 13 % 7) < 2))
+             for i in range(300)]
+    df2 = spark.createDataFrame(rows2, "p double, y double")
+    got = pr_auc(df2, "p", "y").collect()[0]["average_precision"]
+    assert abs(got - ref(rows2)) < 1e-9
+    again = pr_auc(df2.repartition(11), "p", "y").collect()[0][
+        "average_precision"]
+    assert again == got  # rounded-decimal sum: partition-independent
+
+
+def test_pr_auc_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.classifier import pr_auc
+
+    with _pytest.raises(ValueError, match="NULL"):
+        pr_auc(spark.createDataFrame([(0.5, None)], "p double, y double"),
+               "p", "y")
+    with _pytest.raises(ValueError, match="single-class"):
+        pr_auc(spark.createDataFrame([(0.5, 0.0), (0.6, 0.0)],
+                                     "p double, y double"), "p", "y")

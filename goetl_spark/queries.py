@@ -183,57 +183,64 @@ def retired_oracle_sql() -> dict[str, str]:
 # last recorded r10, mandatory r15) in the spare seat, smoothing the
 # r15 bulge. 7+42+1 = 50 exactly. plan_window.py after this rotation:
 # r14 = 0 hard-mandatory / 0 expiring / +50 spare.
+# Round-14 rotation (plan_window.py at r14 start; r13 verdict ask #1):
+# 0 hard-mandatory / 0 expiring this round, 11 staged — so the window
+# seats all 11 staged q217-q227 (staged-first policy: none has ever
+# had a driver row) plus the largest early-seat slice of the r10-last
+# cohort (41 rows, mandatory r15) the spare seats allow: 39 of 41,
+# deferring q172/q173 (hard-mandatory r15 — recoverable: r15 load
+# becomes 2 hard + whatever stages this round). 39+11 = 50 exactly.
 _WINDOW: list[str] = [
-    "q16_sessionize",
-    "q32_pipeline_runner",
-    "q35_asof_join",
-    "q36_range_join",
-    "q48_stateful_stream",
-    "q54_redact_pii",
-    "q55_shipping_priority",
-    "q56_local_supplier_volume",
-    "q58_stream_stream_join",
-    "q60_fanin_heterogeneous",
-    "q62_pivot",
-    "q65_json_extract",
-    "q68_salted_join",
-    "q69_bucketed_join",
-    "q70_merge",
-    "q71_repetition_removal",
-    "q72_merge_pruned",
-    "q73_ann_ivf_centroids",
-    "q75_zorder_scan",
-    "q76_returned_item_revenue",
-    "q77_large_volume_customers",
-    "q78_sole_returned_supplier",
-    "q81_sequence_packing",
-    "q83_nation_volume",
-    "q84_priority_shipmode",
-    "q85_decontaminate",
-    "q142_gopher_quality",
-    "q143_semantic_dedup",
-    "q144_epoch_shuffle",
-    "q145_perplexity_buckets",
-    "q146_quality_features",
-    "q147_boilerplate_strip",
-    "q148_bloom_semi_join",
-    "q149_bloom_anti_join",
-    "q150_url_parts",
-    "q151_unicode_nfc",
-    "q152_training_shards",
-    "q153_interval_lookup",
-    "q154_image_dhash",
-    "q155_registrable_domain",
-    "q156_incident_window_join",
-    "q157_window_overlap_join",
-    "q210_stream_rollup",
-    "q211_power_pca",
-    "q212_seasonal_decompose",
-    "q213_ann_join",
-    "q214_k_anonymity",
-    "q215_acf",
-    "q216_feature_encode",
-    "q26_knn_bruteforce",
+    "q15_events_hourly",
+    "q27_ann_ivf",
+    "q34_multimodal_features",
+    "q37_rollup",
+    "q40_scd1",
+    "q45_sliding_window",
+    "q46_session_window",
+    "q86_stratified_topk",
+    "q88_pq_rerank",
+    "q89_paragraph_dedup",
+    "q90_skew_report",
+    "q91_dedup_incremental",
+    "q92_ivfpq",
+    "q93_stream_dedup_ingest",
+    "q94_chunking",
+    "q95_llm_pipeline_e2e",
+    "q96_topk_partial",
+    "q97_winsorize",
+    "q98_strip_html",
+    "q99_winnow_overlap",
+    "q100_pq_recall",
+    "q101_heavy_hitters",
+    "q102_bm25",
+    "q103_join_cardinality",
+    "q116_bigram_lm",
+    "q158_stream_bloom_cut",
+    "q159_image_phash",
+    "q160_bpe_merges",
+    "q161_psl_domains",
+    "q162_orc_roundtrip",
+    "q163_bpe_tokenize",
+    "q164_domain_cap",
+    "q165_tfidf",
+    "q166_audio_neardup",
+    "q167_kneser_ney_lm",
+    "q168_ewma",
+    "q169_sentence_chunks",
+    "q170_heavy_hitters_stream",
+    "q171_ngram_containment",
+    "q217_encoded_quality_routing",
+    "q218_retrieval_eval",
+    "q219_loo_target_encoding",
+    "q220_langid_confusion",
+    "q221_psi_drift",
+    "q222_calibration_bins",
+    "q223_stream_psi",
+    "q224_association_rules",
+    "q225_transition_matrix",
+    "q226_roc_auc",
+    "q227_pr_auc",
 ]
 
 
@@ -10461,7 +10468,7 @@ def q216_feature_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
-@register_staged(
+@register(
     "q217_encoded_quality_routing",
     """
     WITH d AS (
@@ -10542,7 +10549,7 @@ def q217_encoded_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-@register_staged(
+@register(
     "q218_retrieval_eval",
     f"""
     WITH q AS (
@@ -10625,7 +10632,7 @@ def q218_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
-@register_staged(
+@register(
     "q219_loo_target_encoding",
     """
     WITH ords AS (
@@ -10688,7 +10695,7 @@ def q219_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
-@register_staged(
+@register(
     "q220_langid_confusion",
     f"""
     WITH t AS (
@@ -10774,7 +10781,7 @@ def q220_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cls"))
 
 
-@register_staged(
+@register(
     "q221_psi_drift",
     """
     WITH src AS (
@@ -10852,7 +10859,7 @@ def q221_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin_id"))
 
 
-@register_staged(
+@register(
     "q222_calibration_bins",
     """
     WITH f AS (
@@ -10908,7 +10915,7 @@ def q222_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(d, "p", "y", n_bins=10).orderBy("bin_id")
 
 
-@register_staged(
+@register(
     "q223_stream_psi",
     """
     WITH cur AS (
@@ -10993,7 +11000,7 @@ def q223_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin_id"))
 
 
-@register_staged(
+@register(
     "q224_association_rules",
     """
     WITH li AS (
@@ -11057,7 +11064,7 @@ def q224_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("antecedent", "consequent"))
 
 
-@register_staged(
+@register(
     "q225_transition_matrix",
     """
     WITH e AS (
@@ -11109,7 +11116,7 @@ def q225_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("src", "dst"))
 
 
-@register_staged(
+@register(
     "q226_roc_auc",
     """
     WITH f AS (
@@ -11174,7 +11181,7 @@ def q226_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(d, "p", "y")
 
 
-@register_staged(
+@register(
     "q227_pr_auc",
     """
     WITH f AS (

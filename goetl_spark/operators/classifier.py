@@ -68,18 +68,66 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def _grouping_sets_counts(df: DataFrame, cat_cols, aggs,
+                          max_categories: int):
+    """ONE scan over ``df`` producing per-(column, category) aggregate
+    rows for every column at once: ``GROUPING SETS ((c1), (c2), ...)``
+    with ``grouping_id()`` attributing each output row to its column
+    (NULL is a real category — a row whose value for column i is NULL
+    with grouping bit i = 0 IS the NULL class, distinct from the other
+    columns' placeholder NULLs). Returns ``{col: [Row, ...]}``.
+
+    The collect is capped at ``len(cats) · max_categories`` rows —
+    past that, some column's domain is too large for a literal-CASE
+    encoder and the error path (only) re-scans to name the offender
+    with the 'use hashed features' diagnostic."""
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    k = len(cats)
+    gd = df.groupingSets([[c] for c in cats], *cats)
+    agg_df = gd.agg(F.grouping_id().alias("__gid"), *aggs)
+    cap = k * max_categories
+    rows = agg_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        sizes = df.agg(*[F.countDistinct(c).alias(c) for c in cats]) \
+                  .collect()[0].asDict()
+        worst = max(sizes, key=sizes.get)
+        raise ValueError(
+            f"encoder fit: categorical domains too large to collect "
+            f"(> {max_categories} categories/column; per-column distinct "
+            f"counts {sizes}, worst {worst!r}) — a near-unique column "
+            f"belongs in hashed features, not a literal-CASE encoder; "
+            f"raise max_categories only if the domain is genuinely "
+            f"bounded")
+    # grouping_id bit i is 0 when column i IS grouped: set j has
+    # exactly bit j clear
+    by_col: dict[str, list] = {c: [] for c in cats}
+    all_set = (1 << k) - 1
+    for r in rows:
+        gid = r["__gid"]
+        j = next(i for i in range(k) if not (gid >> (k - 1 - i)) & 1)
+        assert gid == all_set - (1 << (k - 1 - j))
+        by_col[cats[j]].append(r)
+    return by_col
+
+
 def fit_category_encoders(
     labeled: DataFrame,
     cat_cols,
     target_col: str,
     smoothing: float = 10.0,
+    max_categories: int = 10_000,
 ) -> dict[str, dict]:
     """Fit smoothed mean-target encoders for the categorical feature
-    layer — the model-side consumer encoding.py was built for. Per
-    column, collects the SAME bounded class table
-    :func:`~goetl_spark.operators.encoding.target_encode` broadcasts
-    (operators/encoding.py::target_encoding_table), so a category's
-    served value is bit-identical to the batch encoder's join-back.
+    layer — the model-side consumer encoding.py was built for. The
+    per-category statistics are the SAME exact-decimal (sum, count)
+    pairs :func:`~goetl_spark.operators.encoding.target_encode`
+    aggregates (operators/encoding.py::target_encoding_table), and the
+    encoding formula replays the identical fixed IEEE chain (decimal →
+    string → double crossing, then one multiply-add-divide), so a
+    category's served value is bit-identical to the batch encoder's
+    join-back — pinned by tests, not assumed.
 
     Returns ``{col: {"values": {category: encoding}, "default": g}}``
     — ``values`` may carry a ``None`` key (NULL categories form their
@@ -87,34 +135,65 @@ def fit_category_encoders(
     exactly what an unseen category's shrinkage formula degenerates to
     at count 0. Feed to :func:`encode_categories`.
 
-    Scale shape: one domain-bounded aggregate + bounded collect PER
-    COLUMN over the labeled TRAINING frame (a sample at 100 TB — see
-    module docstring); serving via :func:`encode_categories` is pure
-    map work. A domain too large to collect is the same diagnostic as
-    encoding.py's: near-unique categories belong in hashed features,
-    not an encoder table."""
-    from goetl_spark.operators.encoding import target_encoding_table
-
+    Scale shape: ONE domain-bounded GROUPING SETS aggregate + one
+    bounded collect over the labeled TRAINING frame for ALL columns
+    together (a sample at 100 TB — see module docstring; k columns
+    used to cost k scans). The collect is capped at ``max_categories``
+    per column — a domain past that belongs in hashed features, and
+    the guard raises that diagnostic instead of OOMing the driver or
+    emitting a CASE expression past codegen limits."""
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    cats = list(cat_cols)
+    t = F.col(target_col).cast("double")
+    base = labeled.filter(t.isNotNull())
+    by_col = _grouping_sets_counts(
+        base, cats,
+        [F.sum(t.cast("decimal(38,6)")).alias("__sd"),
+         F.count(F.lit(1)).alias("__n")],
+        max_categories)
+    if not any(by_col.values()):
+        raise ValueError(f"target_encode: {target_col!r} is all NULL")
+    # global mean: exact-decimal total of any one column's class sums
+    # (every set partitions the same filtered rows, and decimal sums
+    # are exact, so the total is identical whichever set derives it),
+    # crossed to double via the house string round-trip
+    first = by_col[cats[0]]
+    total_sd = None
+    total_n = 0
+    for r in first:
+        total_sd = r["__sd"] if total_sd is None else total_sd + r["__sd"]
+        total_n += r["__n"]
+    gmean = float(str(total_sd)) / total_n
+    m = float(smoothing)
     out = {}
-    for c in cat_cols:
-        enc, gmean = target_encoding_table(labeled, [c], target_col,
-                                           smoothing=smoothing)
-        out[c] = {"values": {r[c]: r["target_enc"] for r in enc.collect()},
-                  "default": gmean}
+    for c in cats:
+        vals = {r[c]: (float(str(r["__sd"])) + m * gmean) / (r["__n"] + m)
+                for r in by_col[c]}
+        out[c] = {"values": vals, "default": gmean}
     return out
 
 
-def fit_frequency_encoders(df: DataFrame, cat_cols) -> dict[str, dict]:
+def fit_frequency_encoders(
+    df: DataFrame, cat_cols, max_categories: int = 10_000,
+) -> dict[str, dict]:
     """Label-free companion to :func:`fit_category_encoders`: each
-    category maps to its share of the fitting frame
-    (operators/encoding.py::frequency_encoding_table, collected).
-    Unseen categories default to 0.0 — they appeared in no rows."""
-    from goetl_spark.operators.encoding import frequency_encoding_table
-
+    category maps to its share of the fitting frame (n_c / N — the
+    exact expression operators/encoding.py::frequency_encoding_table
+    computes, replayed on the collected counts; bit-identical, pinned
+    by tests). Unseen categories default to 0.0 — they appeared in no
+    rows. Same single-scan GROUPING SETS shape and ``max_categories``
+    guard as the target-encoder fit."""
+    cats = list(cat_cols)
+    by_col = _grouping_sets_counts(
+        df, cats, [F.count(F.lit(1)).alias("__n")], max_categories)
     out = {}
-    for c in cat_cols:
-        enc = frequency_encoding_table(df, [c])
-        out[c] = {"values": {r[c]: r["freq_enc"] for r in enc.collect()},
+    for c in cats:
+        total = sum(r["__n"] for r in by_col[c])
+        if total == 0:
+            raise ValueError("frequency_encode: empty input")
+        out[c] = {"values": {r[c]: float(r["__n"]) / float(total)
+                             for r in by_col[c]},
                   "default": 0.0}
     return out
 
@@ -253,12 +332,15 @@ def calibration_bins(
     per-bin so miscalibration stays attributable to a score range.
 
     Bin edges are the exact rationals i/n_bins (a score of exactly an
-    edge goes UP, 1.0 into the last bin). Rows with a NULL or
+    edge goes UP, 1.0 into the last bin). Rows with a NULL, NaN, or
     out-of-range score, or a NULL label, are rejected with a clear
     error — a "probability" outside [0, 1] is a caller bug worth
     failing loudly on, and an unlabeled row would silently dilute a
     bin's observed rate; calibration is only defined on labeled,
-    scored rows.
+    scored rows. The check rides the binning aggregate itself (bad
+    rows land in a sentinel bin that raises after the pass), so clean
+    data pays exactly ONE fact scan — only the error path re-scans to
+    fetch a first offender for the message.
 
     Determinism: every output is either an integer count or a fixed
     chain of IEEE ops on exact inputs (int/int divisions, the exact
@@ -269,19 +351,21 @@ def calibration_bins(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     p = F.col(prob_col)
-    bad = df.filter(p.isNull() | (p < 0.0) | (p > 1.0)
-                    | F.col(label_col).isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"calibration_bins: NULL/out-of-range {prob_col!r} or NULL "
-            f"{label_col!r} (first offender: {bad[0].asDict()}) — scores "
-            f"must be probabilities in [0,1] on labeled rows")
-    bin_id = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    bad_row = (p.isNull() | F.isnan(p.cast("double"))
+               | (p < 0.0) | (p > 1.0) | F.col(label_col).isNull())
+    bin_id = F.when(bad_row, F.lit(-1)).otherwise(
+        F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)))
     y = F.col(label_col).cast("double")
     counts = (df.groupBy(bin_id.alias("bin_id"))
               .agg(F.count(F.lit(1)).alias("n"),
                    F.sum(F.when(y > 0, 1).otherwise(0)).alias("n_pos"))
               .localCheckpoint(eager=True))
+    if counts.filter(F.col("bin_id") == -1).head() is not None:
+        offender = df.filter(bad_row).limit(1).collect()
+        raise ValueError(
+            f"calibration_bins: NULL/NaN/out-of-range {prob_col!r} or NULL "
+            f"{label_col!r} (first offender: {offender[0].asDict()}) — "
+            f"scores must be probabilities in [0,1] on labeled rows")
     total = counts.agg(F.sum("n").alias("__N"))
     mid = ((F.col("bin_id") * 2 + 1) / F.lit(float(2 * n_bins)))
     obs = F.col("n_pos") / F.col("n")
@@ -294,6 +378,23 @@ def calibration_bins(
                 obs.alias("obs_rate"),
                 (F.abs(obs - mid) * F.col("n") / F.col("__N"))
                  .alias("ece_term")))
+
+
+def _raise_unrankable(df, p, y, row, op, score_col, label_col):
+    """Shared guard tail for :func:`roc_auc` / :func:`pr_auc`: the bad
+    counts were aggregated inside the main pass (clean data = one
+    scan); only when they're non-zero does this re-scan for a first
+    offender to name in the error."""
+    if int(row["bad_score"] or 0) == 0 and int(row["bad_label"] or 0) == 0:
+        return
+    offender = df.filter(
+        p.isNull() | F.isnan(p.cast("double")) | y.isNull()
+    ).limit(1).collect()
+    detail = offender[0].asDict() if offender else "?"
+    raise ValueError(
+        f"{op}: NULL/NaN {score_col!r} or NULL {label_col!r} "
+        f"(first offender: {detail}) — every row must be "
+        f"scored and labeled")
 
 
 def roc_auc(
@@ -314,10 +415,13 @@ def roc_auc(
     IEEE divisions of exact integers, hash-exact in oracle SQL and
     identical to sklearn's tie-corrected AUC.
 
-    NULL scores/labels are rejected loudly (an unrankable row is a
-    caller bug, the :func:`calibration_bins` contract), as is a
-    single-class eval set (AUC is undefined — returning 0.5 would
-    disguise a broken label join as a coin-flip model).
+    NULL/NaN scores and NULL labels are rejected loudly (an unrankable
+    row is a caller bug, the :func:`calibration_bins` contract), as is
+    a single-class eval set (AUC is undefined — returning 0.5 would
+    disguise a broken label join as a coin-flip model). The check
+    rides the score-collapse groupBy (bad counts aggregate alongside
+    the rank sums and raise after), so clean data pays exactly ONE
+    fact scan — only the error path re-scans for a first offender.
 
     Scale shape: one groupBy collapses the data to distinct scores;
     the rank offsets come from the range-partitioned two-phase cumsum
@@ -326,25 +430,25 @@ def roc_auc(
     ≤ n_pos·n_total on the ×2 grid — past ~4.6e18 the long sum
     overflows and ANSI mode fails loudly rather than rounding."""
     p, y = F.col(score_col), F.col(label_col)
-    bad = df.filter(p.isNull() | y.isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"roc_auc: NULL {score_col!r} or {label_col!r} "
-            f"(first offender: {bad[0].asDict()}) — every row must be "
-            f"scored and labeled")
     from goetl_spark.operators.sampling import _with_exclusive_cumsum
 
     g = (df.groupBy(p.alias("__score"))
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
-               .alias("n_pos")))
+               .alias("n_pos"),
+              F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel")))
     c = _with_exclusive_cumsum(g, "n", ["__score"], "cum_before")
+    sk = F.col("__score")
+    bad_key = sk.isNull() | F.isnan(sk.cast("double"))
     row = c.agg(
         F.sum(F.col("n_pos")
               * (2 * F.col("cum_before") + F.col("n") + 1)).alias("num2"),
         F.sum("n_pos").alias("np"),
         F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
-        F.sum("n").alias("nt")).collect()[0]
+        F.sum("n").alias("nt"),
+        F.sum(F.when(bad_key, F.col("n")).otherwise(0)).alias("bad_score"),
+        F.sum("__nolabel").alias("bad_label")).collect()[0]
+    _raise_unrankable(df, p, y, row, "roc_auc", score_col, label_col)
     np_, nn, nt = int(row["np"]), int(row["nn"]), int(row["nt"])
     if np_ == 0 or nn == 0:
         raise ValueError(
@@ -380,31 +484,33 @@ def pr_auc(
     unequal denominators, so unlike AUC the sum cannot stay on an
     integer grid). Hash-exact in oracle SQL.
 
-    Same guards as :func:`roc_auc`: NULL scores/labels and
-    single-class sets are rejected loudly."""
+    Same guards as :func:`roc_auc` (folded into the main pass the same
+    way — clean data pays one fact scan): NULL/NaN scores, NULL
+    labels, and single-class sets are rejected loudly."""
     p, y = F.col(score_col), F.col(label_col)
-    bad = df.filter(p.isNull() | y.isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"pr_auc: NULL {score_col!r} or {label_col!r} "
-            f"(first offender: {bad[0].asDict()}) — every row must be "
-            f"scored and labeled")
     from goetl_spark.operators.sampling import _with_exclusive_cumsum
 
     g = (df.groupBy(p.alias("__score"))
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
-               .alias("n_pos"))
+               .alias("n_pos"),
+              F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel"))
          # descending scores: cumsum over the NEGATED key (the helper
          # ranges ascending); scores are distinct post-groupBy so the
          # order is total
          .withColumn("__negscore", -F.col("__score")))
     c = _with_exclusive_cumsum(g, "n", ["__negscore"], "n_before")
     c = _with_exclusive_cumsum(c, "n_pos", ["__negscore"], "tp_before")
-    # totals ride a 1-row crossJoin (no second pass over the data)
+    sk = F.col("__score")
+    bad_key = sk.isNull() | F.isnan(sk.cast("double"))
+    # totals (and the folded bad-row counts) ride a 1-row crossJoin —
+    # no second pass over the data
     tot = c.agg(F.sum("n_pos").alias("__np_total"),
                 F.sum(F.col("n") - F.col("n_pos")).alias("__nn_total"),
-                F.sum("n").alias("__nt"))
+                F.sum("n").alias("__nt"),
+                F.sum(F.when(bad_key, F.col("n")).otherwise(0))
+                 .alias("bad_score"),
+                F.sum("__nolabel").alias("bad_label"))
     # term = ΔR·P = (n_pos_g / n_pos_total) · (tp_cum_incl / n_cum_incl)
     term = (F.col("n_pos") / F.col("__np_total")
             * ((F.col("n_pos") + F.col("tp_before"))
@@ -412,15 +518,18 @@ def pr_auc(
     row = (c.crossJoin(F.broadcast(tot))
            .select(
                F.col("__np_total"), F.col("__nn_total"), F.col("__nt"),
+               F.col("bad_score"), F.col("bad_label"),
                F.when(F.col("n_pos") > 0,
                       F.round(term, 9).cast("decimal(38,9)"))
                 .otherwise(F.lit(0).cast("decimal(38,9)")).alias("__t"))
-           .groupBy("__np_total", "__nn_total", "__nt")
+           .groupBy("__np_total", "__nn_total", "__nt",
+                    "bad_score", "bad_label")
            .agg(F.sum("__t").cast("double").alias("ap"))
            .collect())
     if not row:
         raise ValueError("pr_auc: empty input")
     r = row[0]
+    _raise_unrankable(df, p, y, r, "pr_auc", score_col, label_col)
     np_, nn = int(r["__np_total"]), int(r["__nn_total"])
     if np_ == 0 or nn == 0:
         raise ValueError(

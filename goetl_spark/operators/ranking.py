@@ -376,6 +376,15 @@ def retrieval_metrics(
     unjudged queries in ``results`` are dropped — scoring them 0
     would say "wrong" when the truth is "ungraded".
 
+    The rank-uniqueness contract is ENFORCED, not assumed (r13 advisor
+    item): a duplicate (query, doc) pair or a repeated rank among a
+    query's top-k HITS would double-count — recall@k silently past
+    1.0, AP inflated — so the aggregate also counts distinct docs and
+    distinct ranks per query and the plan raises loudly on mismatch
+    (assert_true rides the output expressions — no extra scan; the
+    only duplicates that are metric-neutral, non-relevant docs
+    repeated in results, pass through like the siblings' clean data).
+
     Determinism (hash-exact in oracle SQL, no float sums anywhere):
     AP@k's running-precision sum is computed as EXACT integers by
     multiplying through with L = lcm(1..k) — each term
@@ -414,17 +423,30 @@ def retrieval_metrics(
     hit_agg = (hits.withColumn("__i", F.row_number().over(w))
                .groupBy("__q")
                .agg(F.count(F.lit(1)).alias("__hits"),
+                    F.count_distinct(F.col("__d")).alias("__dd"),
+                    F.count_distinct(F.col("__r")).alias("__dr"),
                     F.min("__r").alias("__first"),
                     F.sum(F.expr(f"__i * (CAST({lcm} AS BIGINT) DIV __r)"))
                      .alias("__apnum")))
 
+    dup_ok = F.assert_true(
+        F.col("__hits").isNull()
+        | ((F.col("__hits") == F.col("__dd"))
+           & (F.col("__hits") == F.col("__dr"))),
+        F.concat(
+            F.lit("retrieval_metrics: duplicate (query, doc) pair or "
+                  "repeated rank among top-k hits for query "),
+            F.col("__q").cast("string"),
+            F.lit(" — ranks must be unique per query (dedup results "
+                  "keeping min rank upstream)")))
     m = F.least(F.col("nrel"), F.lit(k)).cast("long")
     out = (base.join(hit_agg, "__q", "left")
            .select(
                F.col("__q").alias(query_col),
                F.col("nrel").cast("long").alias("nrel"),
-               F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
-                .alias("hits_at_k"),
+               F.when(dup_ok.isNull(),
+                      F.coalesce(F.col("__hits"), F.lit(0)))
+                .cast("long").alias("hits_at_k"),
                (F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
                 / F.col("nrel")).alias("recall_at_k"),
                (F.coalesce(F.col("__hits"), F.lit(0)).cast("double")

@@ -790,9 +790,23 @@ def acf(
     # request precision > 38 and hit Spark's precision-loss path, which
     # silently HALF_UP-rounds each product to scale 11 (re-rounding a
     # computed value, the contract this function documents against).
-    # A bucket total past ~1e12 fails this cast LOUDLY under ANSI
-    # instead of silently distorting the correlation.
-    xd, yd = (F.col(c).cast("decimal(18,6)") for c in ("x", "y"))
+    # The downcast is guarded EXPLICITLY (assert_true rides the cast):
+    # under Spark's default non-ANSI config an overflowing cast yields
+    # NULL and the (key, lag) row would silently vanish — the guard
+    # raises at execution time regardless of spark.sql.ansi.enabled
+    # (r13 advisor item; nothing in this repo sets ANSI mode).
+    def _grid(name: str) -> Column:
+        c = F.col(name)
+        ok = F.assert_true(
+            F.abs(c) < F.lit(10) ** 12,
+            F.concat(F.lit(f"acf: bucket total {name}="),
+                     c.cast("string"),
+                     F.lit(" exceeds the exact (18,6) moment grid "
+                           "(|total| must stay < 1e12) — rescale "
+                           "value_col or coarsen the grain")))
+        return F.when(ok.isNull(), c.cast("decimal(18,6)"))
+
+    xd, yd = _grid("x"), _grid("y")
     agg = stacked.groupBy(*keys, "lag").agg(
         F.count(F.lit(1)).alias("n"),
         shrink(F.sum(F.col("x").cast("decimal(38,6)"))).alias("sx"),

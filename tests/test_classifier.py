@@ -293,3 +293,22 @@ def test_pr_auc_guards(spark):
     with _pytest.raises(ValueError, match="single-class"):
         pr_auc(spark.createDataFrame([(0.5, 0.0), (0.6, 0.0)],
                                      "p double, y double"), "p", "y")
+
+
+def test_eval_ops_reject_nan_scores(spark):
+    # r13 advisor item 1: NaN fails both (p < 0) and (p > 1), so the
+    # old guards silently binned/ranked it — now rejected loudly
+    import pytest as _pytest
+
+    from goetl_spark.operators.classifier import (
+        calibration_bins, pr_auc, roc_auc)
+
+    nan = spark.createDataFrame(
+        [(float("nan"), 1.0), (0.5, 0.0), (0.7, 1.0)],
+        "p double, y double")
+    with _pytest.raises(ValueError, match="NaN"):
+        calibration_bins(nan, "p", "y")
+    with _pytest.raises(ValueError, match="NaN"):
+        roc_auc(nan, "p", "y")
+    with _pytest.raises(ValueError, match="NaN"):
+        pr_auc(nan, "p", "y")

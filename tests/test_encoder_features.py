@@ -119,3 +119,42 @@ def test_train_and_score_with_encoded_extras(spark):
         raise
     for d in out:
         assert abs(out[d] - ml[d]) < 1e-9, (d, out[d], ml[d])
+
+
+def test_multi_column_single_pass_fit_matches_per_column_tables(spark):
+    # r13 verdict ask #5: k columns now fit in ONE grouping-sets scan —
+    # the result must stay bit-identical to the per-column class tables
+    from goetl_spark.operators.encoding import (
+        frequency_encoding_table, target_encoding_table)
+
+    rows = [("a", "x", 1.0), ("a", "y", 0.0), ("b", "x", 1.0),
+            (None, "y", 1.0), ("b", None, 0.0), ("a", "x", None),
+            ("c", "z", 1.0), ("a", None, 0.5)]
+    df = spark.createDataFrame(rows, "c1 string, c2 string, y double")
+    enc = fit_category_encoders(df, ["c1", "c2"], "y", smoothing=7.0)
+    for c in ("c1", "c2"):
+        tbl, gm = target_encoding_table(df, [c], "y", smoothing=7.0)
+        want = {r[c]: r["target_enc"] for r in tbl.collect()}
+        assert enc[c]["values"] == want
+        assert enc[c]["default"] == gm
+    fenc = fit_frequency_encoders(df, ["c1", "c2"])
+    for c in ("c1", "c2"):
+        tbl = frequency_encoding_table(df, [c])
+        want = {r[c]: r["freq_enc"] for r in tbl.collect()}
+        assert fenc[c]["values"] == want
+
+
+def test_max_categories_guard_names_hashed_features(spark):
+    # r13 advisor item: a near-unique column must raise the diagnostic
+    # instead of OOMing the driver / blowing the CASE past codegen
+    df = spark.createDataFrame(
+        [(f"cat{i}", "k", 1.0) for i in range(40)],
+        "wide string, narrow string, y double")
+    with pytest.raises(ValueError, match="hashed features"):
+        fit_category_encoders(df, ["wide", "narrow"], "y",
+                              max_categories=10)
+    with pytest.raises(ValueError, match="hashed features"):
+        fit_frequency_encoders(df, ["wide"], max_categories=10)
+    # at a sufficient cap the same frame fits fine
+    ok = fit_frequency_encoders(df, ["wide"], max_categories=40)
+    assert len(ok["wide"]["values"]) == 40

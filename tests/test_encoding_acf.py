@@ -160,3 +160,21 @@ def test_target_encode_loo_guard(spark):
     df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
     with pytest.raises(ValueError, match="smoothing > 0"):
         target_encode_loo(df, ["cat"], "y", smoothing=0.0)
+
+
+def test_acf_overflow_raises_loudly(spark):
+    # r13 advisor item 2: under default (non-ANSI) config the (18,6)
+    # moment-grid downcast silently NULLed an overflowing bucket total;
+    # the guard must raise regardless of spark.sql.ansi.enabled
+    import datetime
+
+    import pytest as _pytest
+
+    from goetl_spark.operators.timeseries import acf
+
+    big = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1, h), 2.0e12)
+         for h in range(4)],
+        "k string, ts timestamp, v double")
+    with _pytest.raises(Exception, match="exceeds the exact"):
+        acf(big, "ts", ["k"], "v", lags=[1]).collect()

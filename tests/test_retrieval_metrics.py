@@ -77,3 +77,31 @@ def test_guards(spark):
         retrieval_metrics(run, qrels, k=0)
     with pytest.raises(ValueError, match="42"):
         retrieval_metrics(run, qrels, k=43)
+
+
+def test_duplicate_hits_or_ranks_raise(spark):
+    # r13 advisor item: a duplicate (query, doc) pair or repeated rank
+    # among a query's top-k HITS would double-count (recall silently
+    # > 1.0) — the folded guard must raise at execution, not return
+    run, qrels = _run(spark), _qrels(spark)
+    # the RELEVANT doc d1 retrieved twice for query A (ranks 2 and 5)
+    extra = spark.createDataFrame(
+        [("A", "d1", 5)], "query_id string, neighbor_id string, rank long")
+    with pytest.raises(Exception, match="duplicate"):
+        retrieval_metrics(run.union(extra), qrels, k=5).collect()
+    # two different RELEVANT docs sharing one rank
+    tied = spark.createDataFrame(
+        [("A", "d1", 1), ("A", "d2", 1)],
+        "query_id string, neighbor_id string, rank long")
+    qr2 = spark.createDataFrame([("A", "d1"), ("A", "d2")],
+                                "query_id string, neighbor_id string")
+    with pytest.raises(Exception, match="duplicate|repeated rank"):
+        retrieval_metrics(tied, qr2, k=5).collect()
+    # metric-neutral duplicates (a NON-relevant doc repeated) pass
+    # through untouched — same rows as the clean run
+    neutral = spark.createDataFrame(
+        [("A", "d9", 5)], "query_id string, neighbor_id string, rank long")
+    clean = sorted(map(tuple, retrieval_metrics(run, qrels, k=4).collect()))
+    noisy = sorted(map(tuple, retrieval_metrics(
+        run.union(neutral), qrels, k=4).collect()))
+    assert clean == noisy

@@ -540,6 +540,168 @@ def pr_auc(
         "n long, n_pos long, n_neg long, average_precision double")
 
 
+def _group_offset_join(c: DataFrame, groups, offs: DataFrame) -> DataFrame:
+    """Null-safe equi-join of per-group offset/total columns back onto
+    the collapsed score table (NULL group keys are real classes — the
+    encoding.py `_join_back` contract)."""
+    keyed = offs.select(
+        *[F.col(g).alias(f"__g_{i}") for i, g in enumerate(groups)],
+        *[c2 for c2 in offs.columns if c2 not in groups])
+    cond = None
+    for i, g in enumerate(groups):
+        eq = F.col(g).eqNullSafe(F.col(f"__g_{i}"))
+        cond = eq if cond is None else cond & eq
+    return (c.join(F.broadcast(keyed), on=cond, how="inner")
+            .drop(*[f"__g_{i}" for i in range(len(groups))]))
+
+
+def roc_auc_by(
+    df: DataFrame,
+    group_cols,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-segment exact tie-aware ROC-AUC — one row per group with
+    ``n / n_pos / n_neg / auc``: the per-slice quality question a
+    curation pipeline actually asks ("does the scorer rank well on
+    EVERY language/source?", not just on average — aggregate AUC
+    happily hides a slice where the ranking is inverted). Same exact
+    Mann-Whitney midrank arithmetic as :func:`roc_auc`; the rank
+    offsets come from ONE total-order cumsum over (group..., score) —
+    group keys lead the order, so each group's rows are contiguous and
+    its in-group exclusive count is ``cum_total − min(cum_total over
+    the group)``, a per-group offset subtraction instead of a per-group
+    window. NULL group keys form their own segment (null-safe offset
+    join back, the house NULL semantics).
+
+    Single-class GROUPS yield NULL auc instead of raising (the
+    :func:`classification_metrics` undefined-ratio convention — one
+    degenerate slice must not kill the other segments' evaluation;
+    n_pos/n_neg in the row say why). NULL/NaN scores and NULL labels
+    still raise loudly — via assert_true riding the output expressions,
+    so the whole plan stays LAZY (no driver action) and clean data
+    pays one fact scan.
+
+    Scale shape: one (group, score) collapse shuffle, the
+    range-partitioned two-phase cumsum, one groups-bounded offset
+    aggregate broadcast back — never a global or per-group window over
+    fact rows."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must be non-empty — use roc_auc "
+                         "for the whole-frame AUC")
+    p, y = F.col(score_col), F.col(label_col)
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    g = (df.groupBy(*groups, p.alias("__score"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
+               .alias("n_pos"),
+              F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel")))
+    c = _with_exclusive_cumsum(g, "n", [*groups, "__score"], "__cumt")
+    offs = c.groupBy(*groups).agg(F.min("__cumt").alias("__goff"))
+    c = _group_offset_join(c, groups, offs)
+
+    sk = F.col("__score")
+    bad_key = sk.isNull() | F.isnan(sk.cast("double"))
+    cum_before = F.col("__cumt") - F.col("__goff")
+    per = (c.groupBy(*groups)
+           .agg(F.sum(F.col("n_pos") * (2 * cum_before + F.col("n") + 1))
+                 .alias("__num2"),
+                F.sum("n_pos").alias("__np"),
+                F.sum(F.col("n") - F.col("n_pos")).alias("__nn"),
+                F.sum("n").alias("__nt"),
+                F.sum(F.when(bad_key, F.col("n")).otherwise(0))
+                 .alias("__bads"),
+                F.sum("__nolabel").alias("__badl")))
+    ok = F.assert_true(
+        (F.col("__bads") == 0) & (F.col("__badl") == 0),
+        F.lit(f"roc_auc_by: NULL/NaN {score_col!r} or NULL "
+              f"{label_col!r} — every row must be scored and labeled"))
+    np_, nn = F.col("__np"), F.col("__nn")
+    auc = F.when(ok.isNull() & (np_ > 0) & (nn > 0),
+                 (F.col("__num2") - np_ * (np_ + 1)).cast("double")
+                 / (F.lit(2.0) * np_) / nn)
+    return per.select(
+        *groups,
+        F.col("__nt").cast("long").alias("n"),
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        auc.alias("auc"))
+
+
+def pr_auc_by(
+    df: DataFrame,
+    group_cols,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-segment average precision — one row per group with
+    ``n / n_pos / n_neg / average_precision``: :func:`pr_auc`'s
+    sklearn threshold form computed per slice with the
+    :func:`roc_auc_by` machinery (total-order cumsums over
+    (group..., score DESC), per-group offset subtraction, null-safe
+    offset join, assert_true guards riding the lazy plan). Terms round
+    scale-9 into DECIMAL(38,9) before the per-group sum (the lm.py
+    recipe — unequal denominators, no integer grid). Single-class
+    groups yield NULL average_precision; NULL/NaN scores and NULL
+    labels raise loudly."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must be non-empty — use pr_auc "
+                         "for the whole-frame average precision")
+    p, y = F.col(score_col), F.col(label_col)
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    g = (df.groupBy(*groups, p.alias("__score"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
+               .alias("n_pos"),
+              F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel"))
+         .withColumn("__negscore", -F.col("__score")))
+    c = _with_exclusive_cumsum(g, "n", [*groups, "__negscore"], "__nbt")
+    c = _with_exclusive_cumsum(c, "n_pos", [*groups, "__negscore"],
+                               "__tpt")
+    offs = c.groupBy(*groups).agg(
+        F.min("__nbt").alias("__goffn"),
+        F.min("__tpt").alias("__gofftp"),
+        F.sum("n_pos").alias("__np_g"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("__nn_g"),
+        F.sum("n").alias("__nt_g"))
+    c = _group_offset_join(c, groups, offs)
+
+    sk = F.col("__score")
+    bad_key = sk.isNull() | F.isnan(sk.cast("double"))
+    n_before = F.col("__nbt") - F.col("__goffn")
+    tp_before = F.col("__tpt") - F.col("__gofftp")
+    term = (F.col("n_pos") / F.col("__np_g")
+            * ((F.col("n_pos") + tp_before) / (F.col("n") + n_before)))
+    per = (c.groupBy(*groups)
+           .agg(F.first("__np_g").alias("__np"),
+                F.first("__nn_g").alias("__nn"),
+                F.first("__nt_g").alias("__nt"),
+                F.sum(F.when(F.col("n_pos") > 0,
+                             F.round(term, 9).cast("decimal(38,9)"))
+                       .otherwise(F.lit(0).cast("decimal(38,9)")))
+                 .alias("__ap"),
+                F.sum(F.when(bad_key, F.col("n")).otherwise(0))
+                 .alias("__bads"),
+                F.sum("__nolabel").alias("__badl")))
+    ok = F.assert_true(
+        (F.col("__bads") == 0) & (F.col("__badl") == 0),
+        F.lit(f"pr_auc_by: NULL/NaN {score_col!r} or NULL "
+              f"{label_col!r} — every row must be scored and labeled"))
+    np_, nn = F.col("__np"), F.col("__nn")
+    ap = F.when(ok.isNull() & (np_ > 0) & (nn > 0),
+                F.col("__ap").cast("double"))
+    return per.select(
+        *groups,
+        F.col("__nt").cast("long").alias("n"),
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        ap.alias("average_precision"))
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

@@ -13,15 +13,15 @@ driver-side listing, no data job), then a single distributed
 read→repartition→write pass does the rewrite.
 
 Swap semantics (READ THIS before production use): the rewrite lands in a
-sibling staging directory and is swapped in with two ``os.rename`` calls.
-This is a LOCAL-FILESYSTEM demo of the pattern — ``os.walk``/``os.rename``
-don't speak HDFS/S3, and the swap is not atomic: between the two renames
-the table path briefly does not exist, so a concurrent reader can observe
-a missing directory. A crash in that window leaves the data intact in
-``<path>.__compact_old__`` — recovery is ``mv <path>.__compact_old__
-<path>`` (and the backup is only deleted AFTER the new listing is
-verified non-empty, so no crash point loses data). True atomic commits
-need a table format (Iceberg/Delta snapshot swap) — out of scope here.
+sibling staging directory and is swapped in with two ``os.rename`` calls
+— the shared primitive (and the full local-FS/object-store portability
+caveat for the whole swap family) lives in :mod:`goetl_spark.fs`. A
+crash between the renames leaves the data intact in
+``<path>.__compact_old__`` and is REPAIRED automatically on the next
+compaction entry (``fs.restore_if_interrupted``); the backup is only
+deleted AFTER the new listing is verified, so no crash point loses
+data. True atomic commits need a table format (Iceberg/Delta snapshot
+swap) — out of scope here.
 """
 
 from __future__ import annotations
@@ -31,6 +31,8 @@ import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from goetl_spark import fs
 
 
 def _count_and_checksum(df) -> tuple[int, int]:
@@ -88,6 +90,7 @@ def compact_parquet(
     so every directory ends up with ~target-sized files and hot partitions
     still fan out across tasks. Returns before/after stats.
     """
+    fs.restore_if_interrupted(path, path.rstrip("/") + ".__compact_old__")
     files_before, bytes_before = dir_stats(path)
     df = spark.read.parquet(path)
     # one pre-pass: row count + an order-independent content checksum
@@ -174,8 +177,12 @@ def compact_parquet(
 def _swap_verified(path: str, staging: str) -> None:
     """Two-rename swap of ``staging`` into ``path``; the backup is only
     deleted after the swapped-in listing matches what was staged, so no
-    crash point loses data (recovery: mv <path>.__compact_old__ <path>).
-    See the module docstring for the non-atomic-window caveat."""
+    crash point loses data. A crash BETWEEN the renames is repaired on
+    the next run: both compaction entries call
+    ``fs.restore_if_interrupted`` before reading the live table (the
+    same r12-class hardening stream_scd2/stream_rollup carry). The
+    local-FS portability caveat for the whole swap family lives in
+    goetl_spark/fs.py."""
     staged_files, staged_bytes = dir_stats(staging)
     backup = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(backup, ignore_errors=True)
@@ -220,8 +227,22 @@ def compact_incremental(
 
     Returns {compacted: [relative dirs], skipped: n, files_before/after}.
     """
+    # repair any crash-between-renames leftovers BEFORE collecting
+    # leaves: a backup dir holds parquet files and would otherwise be
+    # walked as a leaf while its missing original went unseen
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.endswith(".__compact_old__"):
+                fs.restore_if_interrupted(
+                    os.path.join(root, d[: -len(".__compact_old__")]),
+                    os.path.join(root, d))
+                dirs.remove(d)
+
     leaves = []
     for root, _dirs, files in os.walk(path):
+        if root.endswith(".__compact_old__") \
+                or root.endswith(".__compact_tmp__"):
+            continue
         if any(f.endswith(".parquet") and not f.startswith(".") for f in files):
             leaves.append(root)
 

@@ -459,3 +459,108 @@ def retrieval_metrics(
                            / F.lit(float(lcm)) / m)
                 .alias("ap_at_k")))
     return out
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Per-query nDCG at cutoff ``k`` with GRADED relevance — the
+    companion :func:`retrieval_metrics` deliberately is not (binary
+    qrels can't say "the best answer ranked below a merely-okay one";
+    nDCG's log-position discount grades exactly that). One row per
+    JUDGED query: ``n_judged`` (docs with grade > 0), ``dcg_at_k``,
+    ``idcg_at_k`` (the same discounted sum over that query's own
+    grades ideally ordered), and ``ndcg_at_k = dcg/idcg``.
+
+    ``qrels`` carries (query_col, doc_col, grade_col) with numeric
+    grades >= 0 (0 = judged irrelevant — contributes nothing but IS a
+    judgment; negative grades raise). Duplicate judgments collapse to
+    MAX grade. Gains are linear (``grade / log2(rank+1)``) — callers
+    wanting the exponential form pre-map grade to 2^grade − 1.
+    Unjudged queries drop, zero-relevant judged queries get NULL nDCG
+    (0/0 is "nothing to rank", not a zero score); the
+    :func:`retrieval_metrics` duplicate-hit guard applies (a repeated
+    doc or rank among scored hits raises).
+
+    Determinism (the lm.py transcendental recipe): each term
+    ``grade / log2(rank+1)`` is rounded half-up at scale 9 and summed
+    as DECIMAL(38,9) — log2 differs from DuckDB's in the last ulp on
+    some inputs, the rounding absorbs it — then ONE string-crossed
+    double division for the ratio. Hash-exact in oracle SQL.
+
+    Scale shape: qrels is eval-set-sized; the ideal ranking is one
+    rank-window per query partition over qrels (bounded per query),
+    the observed side an equi-join on (query, doc) — nothing here is
+    corpus-sized, matching :func:`retrieval_metrics`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = F.col(grade_col).cast("double")
+    rel = (qrels.select(F.col(query_col).alias("__q"),
+                        F.col(doc_col).alias("__d"),
+                        g.alias("__g"))
+           .groupBy("__q", "__d").agg(F.max("__g").alias("__g")))
+    neg_ok = F.assert_true(
+        F.col("__g") >= 0,
+        F.concat(F.lit("ndcg_at_k: negative grade for query "),
+                 F.col("__q").cast("string"),
+                 F.lit(" — grades must be >= 0 (NULL grades are "
+                       "excluded by the max-collapse)")))
+    rel = rel.filter(F.col("__g").isNotNull()) \
+             .withColumn("__g", F.when(neg_ok.isNull(), F.col("__g")))
+
+    def disc_term(grade: Column, pos: Column) -> Column:
+        return (F.round(grade / F.log2(pos.cast("double") + F.lit(1.0)), 9)
+                .cast("decimal(38,9)"))
+
+    # ideal side: each query's own grades, best-first; one bounded
+    # window per query partition (ties in grade order don't matter —
+    # equal grades contribute equal terms at the swapped positions)
+    wi = Window.partitionBy("__q").orderBy(F.col("__g").desc(),
+                                           F.col("__d").asc())
+    ideal = (rel.withColumn("__pos", F.row_number().over(wi))
+             .filter((F.col("__pos") <= k) & (F.col("__g") > 0))
+             .groupBy("__q")
+             .agg(F.sum(disc_term(F.col("__g"), F.col("__pos")))
+                   .alias("__idcg")))
+    n_judged = (rel.groupBy("__q")
+                .agg(F.sum(F.when(F.col("__g") > 0, 1).otherwise(0))
+                      .cast("long").alias("n_judged")))
+
+    top = (results.select(F.col(query_col).alias("__q"),
+                          F.col(doc_col).alias("__d"),
+                          F.col(rank_col).cast("long").alias("__r"))
+           .filter((F.col("__r") >= 1) & (F.col("__r") <= k)))
+    hits = top.join(rel.filter(F.col("__g") > 0), ["__q", "__d"])
+    got = (hits.groupBy("__q")
+           .agg(F.sum(disc_term(F.col("__g"), F.col("__r")))
+                 .alias("__dcg"),
+                F.count(F.lit(1)).alias("__h"),
+                F.count_distinct(F.col("__d")).alias("__dd"),
+                F.count_distinct(F.col("__r")).alias("__dr")))
+    dup_ok = F.assert_true(
+        F.col("__h").isNull()
+        | ((F.col("__h") == F.col("__dd"))
+           & (F.col("__h") == F.col("__dr"))),
+        F.concat(F.lit("ndcg_at_k: duplicate (query, doc) pair or "
+                       "repeated rank among top-k hits for query "),
+                 F.col("__q").cast("string")))
+
+    zero = F.lit(0).cast("decimal(38,9)")
+    dcg = F.when(dup_ok.isNull(), F.coalesce(F.col("__dcg"), zero))
+    idcg = F.coalesce(F.col("__idcg"), zero)
+    return (n_judged.join(ideal, "__q", "left").join(got, "__q", "left")
+            .select(
+                F.col("__q").alias(query_col),
+                F.col("n_judged"),
+                dcg.cast("double").alias("dcg_at_k"),
+                idcg.cast("double").alias("idcg_at_k"),
+                F.when(idcg > 0,
+                       dcg.cast("string").cast("double")
+                       / idcg.cast("string").cast("double"))
+                 .alias("ndcg_at_k")))

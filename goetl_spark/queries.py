@@ -11251,3 +11251,229 @@ def q227_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.greatest(token_count("text"), F.lit(1)).cast("double"))
          .alias("p"))
     return pr_auc(d, "p", "y")
+
+
+@register_staged(
+    "q228_roc_auc_by_source",
+    """
+    WITH f AS (
+        SELECT source AS grp,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is',
+                                     'that','it','for')))
+               / CAST(greatest(len(regexp_split_to_array(text, '\\s+')), 1)
+                      AS DOUBLE) AS p
+        FROM documents
+    ),
+    g AS (
+        SELECT grp, p AS score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS np
+        FROM f GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT grp, n, np,
+               COALESCE(SUM(n) OVER (PARTITION BY grp ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cb
+        FROM g
+    ),
+    s AS (
+        SELECT grp, SUM(np * (2 * cb + n + 1)) AS num2,
+               SUM(np) AS np, SUM(n - np) AS nn, SUM(n) AS nt
+        FROM c GROUP BY 1
+    )
+    SELECT grp AS source, CAST(nt AS BIGINT) AS n,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND nn > 0 THEN
+               CAST(num2 - np * (np + 1) AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * np) / nn END AS auc
+    FROM s ORDER BY source
+    """,
+)
+def q228_roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT ROC-AUC (operators/classifier.py::roc_auc_by — the
+    r13 verdict's scale-shaped sibling ask): q226's stopword-ratio
+    ranking graded per source instead of corpus-wide — the per-slice
+    question a curation pipeline actually asks ("does the scorer rank
+    well on EVERY source?"; the aggregate AUC hides an inverted slice).
+    Same exact Mann-Whitney midrank integers; the rank offsets come
+    from ONE total-order cumsum over (source, score) with per-group
+    min-offset subtraction — never a per-group window over fact rows,
+    and the oracle's PARTITION BY window is the bounded-DuckDB-side
+    luxury only. Single-class sources would yield NULL auc (the
+    classification_metrics undefined-ratio convention) — this corpus
+    mixes langs in every source, so all 20 rows carry real AUCs.
+    At 100 TB: one (group, score) collapse + the cumsum exchange +
+    one groups-bounded broadcast."""
+    from goetl_spark.operators.classifier import roc_auc_by
+    from goetl_spark.operators.text import stopword_hits, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        (stopword_hits("text", "en").cast("double")
+         / F.greatest(token_count("text"), F.lit(1)).cast("double"))
+         .alias("p"))
+    return roc_auc_by(d, ["source"], "p", "y").orderBy("source")
+
+
+@register_staged(
+    "q229_pr_auc_by_priority",
+    """
+    WITH f AS (
+        SELECT o_orderpriority AS grp,
+               CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+               o_totalprice AS p
+        FROM orders
+    ),
+    g AS (
+        SELECT grp, p AS score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS np
+        FROM f GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT grp, n, np,
+               COALESCE(SUM(n) OVER (PARTITION BY grp ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS nb,
+               COALESCE(SUM(np) OVER (PARTITION BY grp ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS tpb
+        FROM g
+    ),
+    t AS (
+        SELECT grp, SUM(np) AS np, SUM(n - np) AS nn, SUM(n) AS nt
+        FROM c GROUP BY 1
+    ),
+    s AS (
+        SELECT c.grp,
+               SUM(CASE WHEN c.np > 0 THEN
+                   CAST(round(c.np / t.np
+                              * ((c.np + c.tpb) / (c.n + c.nb)), 9)
+                        AS DECIMAL(38,9))
+                   ELSE CAST(0 AS DECIMAL(38,9)) END) AS apd
+        FROM c JOIN t ON c.grp = t.grp GROUP BY 1
+    )
+    SELECT t.grp AS o_orderpriority, CAST(t.nt AS BIGINT) AS n,
+           CAST(t.np AS BIGINT) AS n_pos, CAST(t.nn AS BIGINT) AS n_neg,
+           CASE WHEN t.np > 0 AND t.nn > 0
+                THEN CAST(s.apd AS DOUBLE) END AS average_precision
+    FROM t JOIN s ON t.grp = s.grp ORDER BY 1
+    """,
+)
+def q229_pr_auc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment average precision (operators/classifier.py::
+    pr_auc_by — q227's per-slice sibling, the other half of the r13
+    verdict ask): "does order value predict fulfillment within EVERY
+    priority band?" — y = (o_orderstatus = 'F') ranked by o_totalprice
+    per o_orderpriority. Near-unique scores make this the stress shape
+    for the machinery: the (group, score) collapse barely shrinks the
+    data, so both inclusive cumsums genuinely run at fact scale
+    through the range-partitioned two-phase engine (never a window),
+    and the five output rows reduce from it. Terms round scale-9 into
+    DECIMAL(38,9) before the per-group sum (the lm.py recipe) —
+    hash-exact vs the oracle's PARTITION BY replay."""
+    from goetl_spark.operators.classifier import pr_auc_by
+
+    d = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1.0))
+         .otherwise(F.lit(0.0)).alias("y"),
+        F.col("o_totalprice").alias("p"))
+    return (pr_auc_by(d, ["o_orderpriority"], "p", "y")
+            .orderBy("o_orderpriority"))
+
+
+@register_staged(
+    "q230_ndcg_per_lang",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(CAST(right(source, 1) AS INTEGER) % 4 AS DOUBLE) AS g,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is',
+                                     'that','it','for')))
+               / CAST(greatest(len(regexp_split_to_array(text, '\\s+')), 1)
+                      AS DOUBLE) AS p
+        FROM documents
+    ),
+    res AS (
+        SELECT lang AS q, doc_id AS doc,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY p DESC, doc_id) AS r
+        FROM d QUALIFY r <= 10
+    ),
+    rel AS (
+        SELECT lang AS q, doc_id AS doc, MAX(g) AS g FROM d GROUP BY 1, 2
+    ),
+    nj AS (
+        SELECT q, CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_judged
+        FROM rel GROUP BY 1
+    ),
+    ideal AS (
+        SELECT q, SUM(CAST(round(g / log2(pos + 1.0), 9)
+                      AS DECIMAL(38,9))) AS idcg
+        FROM (SELECT q, g, doc,
+                     ROW_NUMBER() OVER (PARTITION BY q
+                                        ORDER BY g DESC, doc) AS pos
+              FROM rel)
+        WHERE pos <= 10 AND g > 0 GROUP BY 1
+    ),
+    got AS (
+        SELECT res.q, SUM(CAST(round(rel.g / log2(res.r + 1.0), 9)
+                          AS DECIMAL(38,9))) AS dcg
+        FROM res JOIN rel ON res.q = rel.q AND res.doc = rel.doc
+        WHERE rel.g > 0 GROUP BY 1
+    )
+    SELECT nj.q AS query_id, nj.n_judged,
+           CAST(COALESCE(got.dcg, 0) AS DOUBLE) AS dcg_at_k,
+           CAST(COALESCE(ideal.idcg, 0) AS DOUBLE) AS idcg_at_k,
+           CASE WHEN COALESCE(ideal.idcg, 0) > 0 THEN
+               CAST(CAST(COALESCE(got.dcg, CAST(0 AS DECIMAL(38,9)))
+                    AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(ideal.idcg AS VARCHAR) AS DOUBLE) END
+           AS ndcg_at_k
+    FROM nj LEFT JOIN ideal ON nj.q = ideal.q
+            LEFT JOIN got ON nj.q = got.q
+    ORDER BY 1
+    """,
+)
+def q230_ndcg_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance nDCG@10 (operators/ranking.py::ndcg_at_k — the
+    eval-suite completeness gap the r13 verdict named: binary
+    retrieval_metrics can't say "the BEST answer ranked below a
+    merely-okay one"): each lang is a "query", its ranked list is the
+    top-10 docs by the q226 stopword-ratio score (one bounded
+    partitioned window), and judgments grade every doc by a
+    deterministic source tier (last source digit mod 4 — grades 0-3,
+    so five sources are judged-irrelevant and the log2-position
+    discount has real work to do). DCG terms round scale-9 into
+    DECIMAL(38,9) before the sum (the lm.py transcendental recipe —
+    Spark's and DuckDB's log2 differ in the last ulp on some inputs),
+    the ratio is one string-crossed double division — hash-exact.
+    At 100 TB: results and qrels are eval-set-sized by construction;
+    nothing here scans a corpus."""
+    from goetl_spark.operators.ranking import ndcg_at_k
+    from goetl_spark.operators.text import stopword_hits, token_count
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        (F.substring(F.col("source"), -1, 1).cast("int") % 4)
+         .cast("double").alias("g"),
+        (stopword_hits("text", "en").cast("double")
+         / F.greatest(token_count("text"), F.lit(1)).cast("double"))
+         .alias("p"))
+    w = W.partitionBy("lang").orderBy(F.col("p").desc(),
+                                      F.col("doc_id").asc())
+    res = (d.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 10)
+           .select(F.col("lang").alias("query_id"),
+                   F.col("doc_id").alias("neighbor_id"), "rank"))
+    qrels = d.select(F.col("lang").alias("query_id"),
+                     F.col("doc_id").alias("neighbor_id"),
+                     F.col("g").alias("grade"))
+    return ndcg_at_k(res, qrels, k=10).orderBy("query_id")

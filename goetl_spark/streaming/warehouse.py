@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from goetl_spark import fs
 from goetl_spark.operators.scd import scd_type2
 from goetl_spark.operators.timeseries import hypertable_rollup, rollup_merge
 
@@ -67,10 +68,7 @@ def stream_scd2(
         staging = dimension_path.rstrip("/") + ".__scd2_tmp__"
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(backup, ignore_errors=True)
-        os.rename(dimension_path, backup)
-        os.rename(staging, dimension_path)
-        shutil.rmtree(backup)
+        fs.two_rename_swap(dimension_path, staging, backup)
 
     w = (change_stream.writeStream.foreachBatch(_apply)
          .option("checkpointLocation", checkpoint_dir)
@@ -83,32 +81,12 @@ def stream_scd2(
 _BATCH_MARKER = "_applied_batch_id"
 _PART_COL = "__part"
 
-
-def _restore_if_interrupted(path: str, backup: str) -> None:
-    """Crash recovery for the two-rename swap: a crash between
-    ``rename(path, backup)`` and ``rename(staging, path)`` leaves the
-    live path absent and the backup present — without this, a restart
-    would take the bootstrap path and silently rebuild the table from
-    one batch, losing all accumulated history (r12 advisor finding).
-    Restoring FIRST makes every crash point recoverable: before the
-    first rename nothing moved; after the second the swap completed
-    and the stale backup is just re-deleted by the swap code."""
-    if not os.path.exists(path) and os.path.isdir(backup):
-        os.rename(backup, path)
-
-
-def _link_or_copy_tree(src: str, dst: str) -> None:
-    """Populate ``dst`` with ``src``'s files WITHOUT rewriting bytes:
-    hard links where the filesystem supports them (same-device rename
-    scratch — link count is the only cost), byte copy as the fallback.
-    The subsequent root swap renames directories, which never touches
-    shared inodes, and deleting the backup root only decrements link
-    counts."""
-    try:
-        shutil.copytree(src, dst, copy_function=os.link)
-    except OSError:
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.copytree(src, dst)
+# the swap primitives (and THE local-FS portability caveat) live in
+# goetl_spark/fs.py — one documented location for the whole family
+# (stream_scd2, stream_rollup, compact_parquet); aliased here because
+# the r12/r13 fixes landed under these names
+_restore_if_interrupted = fs.restore_if_interrupted
+_link_or_copy_tree = fs.link_or_copy_tree
 
 
 def stream_rollup(
@@ -233,11 +211,8 @@ def stream_rollup(
 
         with open(os.path.join(staging, _BATCH_MARKER), "w") as f:
             f.write(str(batch_id))
-        shutil.rmtree(backup, ignore_errors=True)
-        if exists:
-            os.rename(rollup_path, backup)
-        os.rename(staging, rollup_path)
-        shutil.rmtree(backup, ignore_errors=True)
+        fs.two_rename_swap(rollup_path, staging, backup,
+                           path_exists=exists)
 
     w = (event_stream.writeStream.foreachBatch(_apply)
          .option("checkpointLocation", checkpoint_dir)

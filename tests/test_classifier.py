@@ -312,3 +312,67 @@ def test_eval_ops_reject_nan_scores(spark):
         roc_auc(nan, "p", "y")
     with _pytest.raises(ValueError, match="NaN"):
         pr_auc(nan, "p", "y")
+
+
+def test_grouped_auc_matches_whole_frame_per_slice(spark):
+    # roc_auc_by / pr_auc_by (r13 verdict ask #4): per-group results
+    # must equal the whole-frame operators run on each slice — bit-
+    # exact, including a NULL group key (its own segment)
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.classifier import (
+        pr_auc, pr_auc_by, roc_auc, roc_auc_by)
+
+    rows = [(("g%d" % (i % 3)) if i % 11 else None,
+             (i * 37 % 100) / 100.0, float((i * 13 % 7) < 3))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, p double, y double")
+    got = {r["g"]: r for r in roc_auc_by(df, ["g"], "p", "y").collect()}
+    gotp = {r["g"]: r for r in pr_auc_by(df, ["g"], "p", "y").collect()}
+    assert set(got) == {None, "g0", "g1", "g2"}
+    for gval in got:
+        sl = df.filter(F.col("g").isNull() if gval is None
+                       else (F.col("g") == gval))
+        w = roc_auc(sl, "p", "y").collect()[0]
+        assert got[gval]["auc"] == w["auc"]
+        assert (got[gval]["n"], got[gval]["n_pos"], got[gval]["n_neg"]) \
+            == (w["n"], w["n_pos"], w["n_neg"])
+        wp = pr_auc(sl, "p", "y").collect()[0]
+        assert gotp[gval]["average_precision"] == wp["average_precision"]
+    # partition independence (exact integer/decimal machinery)
+    key = str
+    a = sorted(map(tuple, roc_auc_by(df, ["g"], "p", "y").collect()),
+               key=key)
+    b = sorted(map(tuple,
+                   roc_auc_by(df.repartition(13), ["g"], "p", "y")
+                   .collect()), key=key)
+    assert a == b
+
+
+def test_grouped_auc_single_class_group_is_null_and_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.classifier import pr_auc_by, roc_auc_by
+
+    rows = [("g0", 0.1, 0.0), ("g0", 0.9, 1.0),
+            ("solo", 0.5, 1.0), ("solo", 0.6, 1.0)]
+    df = spark.createDataFrame(rows, "g string, p double, y double")
+    r = {x["g"]: x for x in roc_auc_by(df, ["g"], "p", "y").collect()}
+    assert r["solo"]["auc"] is None  # undefined, not a coin-flip 0.5
+    assert r["g0"]["auc"] == 1.0
+    rp = {x["g"]: x for x in pr_auc_by(df, ["g"], "p", "y").collect()}
+    assert rp["solo"]["average_precision"] is None
+    assert rp["g0"]["average_precision"] == 1.0
+    # empty group list routes to the whole-frame ops
+    with _pytest.raises(ValueError, match="roc_auc"):
+        roc_auc_by(df, [], "p", "y")
+    with _pytest.raises(ValueError, match="pr_auc"):
+        pr_auc_by(df, [], "p", "y")
+    # NaN score / NULL label raise at execution (lazy assert_true)
+    bad = df.union(spark.createDataFrame([("g0", float("nan"), 1.0)],
+                                         df.schema))
+    with _pytest.raises(Exception, match="NaN"):
+        roc_auc_by(bad, ["g"], "p", "y").collect()
+    bad2 = df.union(spark.createDataFrame([("g0", 0.5, None)], df.schema))
+    with _pytest.raises(Exception, match="NULL"):
+        pr_auc_by(bad2, ["g"], "p", "y").collect()

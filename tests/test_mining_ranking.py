@@ -327,3 +327,35 @@ def test_association_rules_min_count(spark):
     got = association_rules(df, "basket", "item", min_count=2)
     keys = {(r["antecedent"], r["consequent"]) for r in got.collect()}
     assert keys == {("a", "b"), ("b", "a")}  # (a,c) pruned at 1
+
+
+def test_association_rules_pruning_knobs(spark):
+    # r13 verdict slack (c): min_support / top_n prune the PAIR table
+    # before rule doubling; metrics for surviving rules are unchanged
+    from goetl_spark.operators.mining import association_rules
+
+    rows = ([(b, it) for b in range(10) for it in ("x", "y")]  # x,y in 10
+            + [(b, "z") for b in range(2)])                    # z in 2
+    df = spark.createDataFrame(rows, "b int, it string")
+    full = {(r["antecedent"], r["consequent"]): r
+            for r in association_rules(df, "b", "it").collect()}
+    assert ("x", "z") in full and ("x", "y") in full
+
+    # min_support 0.5: only the x<->y pair (10/10 baskets) survives
+    ms = {(r["antecedent"], r["consequent"]): r
+          for r in association_rules(df, "b", "it",
+                                     min_support=0.5).collect()}
+    assert set(ms) == {("x", "y"), ("y", "x")}
+    for k in ms:  # surviving metrics identical to the unpruned run
+        assert tuple(ms[k]) == tuple(full[k])
+
+    # top_n=1 keeps the most frequent pair, output bounded at 2 rules
+    tn = {(r["antecedent"], r["consequent"]): r
+          for r in association_rules(df, "b", "it", top_n=1).collect()}
+    assert set(tn) == {("x", "y"), ("y", "x")}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_support"):
+        association_rules(df, "b", "it", min_support=1.5)
+    with _pytest.raises(ValueError, match="top_n"):
+        association_rules(df, "b", "it", top_n=0)

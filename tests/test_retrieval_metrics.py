@@ -105,3 +105,70 @@ def test_duplicate_hits_or_ranks_raise(spark):
     noisy = sorted(map(tuple, retrieval_metrics(
         run.union(neutral), qrels, k=4).collect()))
     assert clean == noisy
+
+
+def _ndcg_ref(hits, grades, k=3):
+    # pure-python reference with the operator's scale-9 term rounding
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                                ROUND_HALF_UP))
+
+    dcg = sum(rnd(g / math.log2(r + 1)) for r, g in hits)
+    ideal = sorted([g for g in grades if g > 0], reverse=True)[:k]
+    idcg = sum(rnd(g / math.log2(i + 2)) for i, g in enumerate(ideal))
+    return dcg, idcg
+
+
+def test_ndcg_hand_computed(spark):
+    from goetl_spark.operators.ranking import ndcg_at_k
+
+    res = spark.createDataFrame(
+        [("A", "d1", 1), ("A", "d2", 2), ("A", "d3", 3), ("A", "d9", 4),
+         ("B", "x1", 1), ("B", "x2", 2), ("C", "c1", 1), ("Z", "z0", 1)],
+        "query_id string, neighbor_id string, rank long")
+    qr = spark.createDataFrame(
+        [("A", "d1", 1.0), ("A", "d2", 3.0), ("A", "d4", 2.0),
+         ("A", "d3", 0.0), ("B", "x2", 2.0), ("B", "x9", 1.0),
+         ("C", "c9", 0.0), ("A", "d2", 1.0)],  # dup judgment -> max 3.0
+        "query_id string, neighbor_id string, grade double")
+    out = {r["query_id"]: r for r in ndcg_at_k(res, qr, k=3).collect()}
+
+    dA, iA = _ndcg_ref([(1, 1.0), (2, 3.0)], [1.0, 3.0, 2.0, 0.0])
+    assert abs(out["A"]["dcg_at_k"] - dA) < 1e-12
+    assert abs(out["A"]["idcg_at_k"] - iA) < 1e-12
+    assert abs(out["A"]["ndcg_at_k"] - dA / iA) < 1e-12
+    assert out["A"]["n_judged"] == 3
+    dB, iB = _ndcg_ref([(2, 2.0)], [2.0, 1.0])
+    assert abs(out["B"]["ndcg_at_k"] - dB / iB) < 1e-12
+    # judged but zero-relevant: NULL nDCG (nothing to rank), not 0
+    assert out["C"]["ndcg_at_k"] is None and out["C"]["dcg_at_k"] == 0.0
+    # unjudged query dropped
+    assert "Z" not in out
+    # perfect ranking -> 1.0 exactly (same terms both sides)
+    perfect = spark.createDataFrame(
+        [("A", "d2", 1), ("A", "d4", 2), ("A", "d1", 3)],
+        "query_id string, neighbor_id string, rank long")
+    p = ndcg_at_k(perfect, qr, k=3).collect()
+    assert {r["query_id"]: r["ndcg_at_k"] for r in p}["A"] == 1.0
+
+
+def test_ndcg_guards(spark):
+    from goetl_spark.operators.ranking import ndcg_at_k
+
+    res = spark.createDataFrame([("A", "d1", 1)],
+                                "query_id string, neighbor_id string, "
+                                "rank long")
+    qr = spark.createDataFrame([("A", "d1", 2.0)],
+                               "query_id string, neighbor_id string, "
+                               "grade double")
+    with pytest.raises(ValueError, match=">= 1"):
+        ndcg_at_k(res, qr, k=0)
+    neg = qr.union(spark.createDataFrame([("A", "bad", -1.0)], qr.schema))
+    with pytest.raises(Exception, match="negative grade"):
+        ndcg_at_k(res, neg, k=3).collect()
+    dup = res.union(spark.createDataFrame([("A", "d1", 2)], res.schema))
+    with pytest.raises(Exception, match="duplicate"):
+        ndcg_at_k(dup, qr, k=3).collect()

@@ -720,3 +720,37 @@ def test_audio_frame_energy_ragged_tail_and_stereo(spark):
     assert len(out) == 1
     assert out[0].n_samples == 300          # ragged tail frame
     assert out[0].rms == pytest.approx(0.0, abs=1e-9)
+
+
+def test_compact_crash_between_renames_repaired(spark, tmp_path):
+    # r14 (fs.py consolidation): a crash between the two swap renames
+    # leaves the live dir absent and .__compact_old__ present; both
+    # compaction entries must self-repair instead of reading a missing
+    # table or walking the backup as data
+    import os
+
+    from goetl_spark.operators.maintenance import (compact_incremental,
+                                                   compact_parquet)
+
+    # compact_parquet path-level repair
+    p = str(tmp_path / "t1")
+    spark.range(0, 100, 1, 4).write.parquet(p)
+    rows_before = spark.read.parquet(p).count()
+    os.rename(p, p + ".__compact_old__")  # simulated crash window
+    stats = compact_parquet(spark, p, target_file_mb=1)
+    assert spark.read.parquet(p).count() == rows_before
+    assert stats["files_before"] > 0
+
+    # compact_incremental leaf-level repair: the backup must be
+    # restored, not compacted as its own leaf
+    root = str(tmp_path / "t2")
+    spark.range(0, 50, 1, 2).selectExpr("id", "id % 2 AS part") \
+        .write.partitionBy("part").parquet(root)
+    leaf = os.path.join(root, "part=0")
+    os.rename(leaf, leaf + ".__compact_old__")
+    out = compact_incremental(spark, root, small_file_mb=1,
+                              min_small_files=999)  # no rewrites, repair only
+    assert os.path.isdir(leaf)
+    assert not os.path.isdir(leaf + ".__compact_old__")
+    assert spark.read.parquet(root).count() == 50
+    assert out["compacted"] == []

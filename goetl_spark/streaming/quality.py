@@ -15,6 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from goetl_spark import fs
 from goetl_spark.quality import _bin_case_sql, _psi_edges
 from goetl_spark.streaming.warehouse import (
     _BATCH_MARKER, _restore_if_interrupted)
@@ -80,11 +81,8 @@ def stream_psi_monitor(
          .coalesce(1).write.mode("overwrite").parquet(staging))
         with open(os.path.join(staging, _BATCH_MARKER), "w") as f:
             f.write(str(batch_id))
-        shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(counts_path):
-            os.rename(counts_path, backup)
-        os.rename(staging, counts_path)
-        shutil.rmtree(backup, ignore_errors=True)
+        fs.two_rename_swap(counts_path, staging, backup,
+                           path_exists=os.path.exists(counts_path))
 
     w = (event_stream.writeStream.foreachBatch(_apply)
          .option("checkpointLocation", checkpoint_dir)

@@ -96,6 +96,12 @@ def test_timeseries_monitoring_example(spark, tmp_path):
         assert -1.0 <= v <= 1.0
     # the alarm battery is selective, not saturated
     assert 0 <= r["cusum_alarms"] < r["resid_buckets"] / 2
+    # drift leg (r14): stream-accumulated PSI vs the early-window
+    # reference is finite and small on stationary synthetic data
+    assert 0.0 <= float(r["stream_psi"]) < 1.0
+    # calibration leg: the seasonal profile's claimed probabilities
+    # are near-calibrated against their own observed frequencies
+    assert 0.0 <= r["calibration_ece"] < 0.25
 
 
 def test_model_curation_example(spark):

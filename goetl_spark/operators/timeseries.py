@@ -830,3 +830,106 @@ def acf(
             / (F.sqrt(varx) * F.sqrt(vary)))))
     return agg.select(*keys, "lag", F.col("n").cast("long").alias("n"),
                       corr.alias("acf"))
+
+
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    grain: str = "hour",
+    lags: Sequence[int] = (0, 1, 2),
+    moment_scale: int = 1,
+) -> DataFrame:
+    """Cross-correlation function per key series — :func:`acf`'s
+    two-signal sibling and the lead/lag diagnostic a metrics pipeline
+    runs between RELATED series ("do errors lead purchases dropping?
+    by how many buckets?"): Pearson correlation between the bucketed
+    ``x`` series and the ``y`` series shifted ``lag`` buckets FORWARD,
+    one row per (keys, lag). ``ccf(x, x)`` at lag k equals
+    ``acf(x)`` at lag k; lag 0 (allowed here, unlike acf where it is
+    identically 1) is the plain same-bucket correlation.
+
+    Rows whose x or y is NULL are excluded from that side's bucket
+    total BEFORE bucketing (each series keeps its own observations —
+    an event contributing to x need not carry y); buckets missing
+    either side contribute no pair (gap-free input is the caller's
+    contract, the :func:`acf` convention).
+
+    Determinism: identical to :func:`acf` — exact DECIMAL bucket
+    totals through the lead() window, five moment sums squared on the
+    (18,6) grid (the overflow guard raises loudly past |total| ~1e12
+    regardless of ANSI config), each moment rounded once at
+    ``moment_scale``, one five-term IEEE formula per (key, lag),
+    result clamped to the Pearson range. Hash-exact in oracle SQL.
+
+    Scale shape: one (keys, bucket) shuffle collapses events (both
+    sums in the SAME aggregate — one pass); ONE window exchange per
+    key serves every lag's lead(); the moment aggregate is keys×lags
+    rows. No global window, no driver state."""
+    lags = sorted(set(int(x) for x in lags))
+    if not lags or lags[0] < 0:
+        raise ValueError(f"lags must be ints >= 0, got {lags}")
+    keys = list(keys)
+    if not keys:
+        raise ValueError("ccf requires at least one series key (the "
+                         "seasonal_decompose single-task-sort rule)")
+    ts = F.col(ts_col)
+    xv = F.col(x_col).cast("double")
+    yv = F.col(y_col).cast("double")
+
+    b = (df.filter(ts.isNotNull())
+         .groupBy(*keys, F.date_trunc(grain, ts).alias("bucket"))
+         .agg(F.sum(F.round(xv, 6).cast("decimal(19,6)")).alias("__vx"),
+              F.sum(F.round(yv, 6).cast("decimal(19,6)")).alias("__vy"))
+         .filter(F.col("__vx").isNotNull() | F.col("__vy").isNotNull()))
+
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    lagged = b.select(
+        *keys, "__vx",
+        *[(F.col("__vy") if k == 0 else F.lead("__vy", k).over(w))
+          .alias(f"__w{k}") for k in lags])
+    stacked = lagged.select(
+        *keys,
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col("__vx").alias("x"),
+                     F.col(f"__w{k}").alias("y")) for k in lags]))
+        .alias("p")
+    ).select(*keys, F.col("p.lag").alias("lag"),
+             F.col("p.x").alias("x"), F.col("p.y").alias("y")) \
+     .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def shrink(c: Column) -> Column:
+        return (F.round(c, moment_scale)
+                .cast(f"decimal(38,{moment_scale})").cast("double"))
+
+    def _grid(name: str) -> Column:
+        c = F.col(name)
+        ok = F.assert_true(
+            F.abs(c) < F.lit(10) ** 12,
+            F.concat(F.lit(f"ccf: bucket total {name}="),
+                     c.cast("string"),
+                     F.lit(" exceeds the exact (18,6) moment grid "
+                           "(|total| must stay < 1e12) — rescale the "
+                           "value columns or coarsen the grain")))
+        return F.when(ok.isNull(), c.cast("decimal(18,6)"))
+
+    xd, yd = _grid("x"), _grid("y")
+    agg = stacked.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        shrink(F.sum(F.col("x").cast("decimal(38,6)"))).alias("sx"),
+        shrink(F.sum(F.col("y").cast("decimal(38,6)"))).alias("sy"),
+        shrink(F.sum(xd * xd)).alias("sxx"),
+        shrink(F.sum(yd * yd)).alias("syy"),
+        shrink(F.sum(xd * yd)).alias("sxy"))
+    n = F.col("n").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0),
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)))))
+    return agg.select(*keys, "lag", F.col("n").cast("long").alias("n"),
+                      corr.alias("ccf"))

@@ -11477,3 +11477,87 @@ def q230_ndcg_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("doc_id").alias("neighbor_id"),
                      F.col("g").alias("grade"))
     return ndcg_at_k(res, qrels, k=10).orderBy("query_id")
+
+
+@register_staged(
+    "q231_ccf",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               SUM(CAST(round(value, 6) AS DECIMAL(19,6))) AS vx,
+               SUM(CAST(round(CAST(user_id % 100 AS DOUBLE), 6)
+                        AS DECIMAL(19,6))) AS vy
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+        HAVING SUM(CAST(round(value, 6) AS DECIMAL(19,6))) IS NOT NULL
+            OR SUM(CAST(round(CAST(user_id % 100 AS DOUBLE), 6)
+                        AS DECIMAL(19,6))) IS NOT NULL
+    ),
+    l AS (
+        SELECT event_type, vx,
+               vy AS w0,
+               LEAD(vy, 1) OVER w AS w1,
+               LEAD(vy, 24) OVER w AS w24
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    st AS (
+        SELECT event_type, 0 AS lag, vx AS x, w0 AS y FROM l
+        WHERE vx IS NOT NULL AND w0 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 1, vx, w1 FROM l
+        WHERE vx IS NOT NULL AND w1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 24, vx, w24 FROM l
+        WHERE vx IS NOT NULL AND w24 IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, lag, COUNT(*) AS n,
+               CAST(CAST(round(SUM(CAST(x AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sx,
+               CAST(CAST(round(SUM(CAST(y AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sy,
+               CAST(CAST(round(SUM(CAST(x AS DECIMAL(19,6))
+                                   * CAST(x AS DECIMAL(19,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sxx,
+               CAST(CAST(round(SUM(CAST(y AS DECIMAL(19,6))
+                                   * CAST(y AS DECIMAL(19,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS syy,
+               CAST(CAST(round(SUM(CAST(x AS DECIMAL(19,6))
+                                   * CAST(y AS DECIMAL(19,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sxy
+        FROM st GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
+               GREATEST(-1.0, LEAST(1.0,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))))
+           END AS ccf
+    FROM m ORDER BY event_type, lag
+    """,
+)
+def q231_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (operators/timeseries.py::ccf —
+    acf's two-signal sibling, r14): per event type, the hourly VALUE
+    total correlated against the hourly USER-ACTIVITY total (user_id
+    mod 100 as the deterministic activity proxy) at lags 0/1/24 — the
+    lead/lag diagnostic between related metrics ("does activity lead
+    value, and by how many buckets?"). Same exact-decimal moment
+    recipe as q215 (bucket totals exact DECIMAL through lead() and
+    all five moments, one rounding at the moment scale, five-term IEEE
+    formula, Pearson clamp), with lag 0 allowed (plain same-bucket
+    correlation — identically 1 only in the acf special case). Each
+    series keeps its own observations: a bucket missing either side
+    contributes no pair. One bucket shuffle computing BOTH sums in the
+    same aggregate, one window exchange serving every lag, keys×lags
+    moment rows — no global window."""
+    from goetl_spark.operators.timeseries import ccf
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("value").alias("x"),
+        (F.col("user_id") % 100).cast("double").alias("y"))
+    return (ccf(e, "ts", ["event_type"], "x", "y", grain="hour",
+                lags=(0, 1, 24))
+            .orderBy("event_type", "lag"))

@@ -178,3 +178,53 @@ def test_acf_overflow_raises_loudly(spark):
         "k string, ts timestamp, v double")
     with _pytest.raises(Exception, match="exceeds the exact"):
         acf(big, "ts", ["k"], "v", lags=[1]).collect()
+
+
+def test_ccf_matches_acf_on_same_signal_and_pure_python(spark):
+    # ccf (r14): ccf(x, x) at lag k == acf(x) at lag k; ccf(x, y) at
+    # lag 0/1 matches a pure-python pearson over the bucket series
+    import datetime
+
+    from goetl_spark.operators.timeseries import acf, ccf
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("k", base + datetime.timedelta(hours=h),
+             float((h * 7) % 13), float(((h + 2) * 7) % 13))
+            for h in range(48)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, "
+                                     "x double, y double")
+    a = {r["lag"]: r["acf"]
+         for r in acf(df, "ts", ["k"], "x", lags=[1, 2, 3]).collect()}
+    c = {r["lag"]: r["ccf"]
+         for r in ccf(df, "ts", ["k"], "x", "x", lags=[1, 2, 3]).collect()}
+    assert a == c
+
+    def pearson(u, v):
+        n = len(u)
+        su, sv = sum(u), sum(v)
+        suu = sum(q * q for q in u)
+        svv = sum(q * q for q in v)
+        suv = sum(p * q for p, q in zip(u, v))
+        return ((n * suv - su * sv)
+                / (((n * suu - su * su) ** 0.5)
+                   * ((n * svv - sv * sv) ** 0.5)))
+
+    xs = [float((h * 7) % 13) for h in range(48)]
+    ys = [float(((h + 2) * 7) % 13) for h in range(48)]
+    got = {r["lag"]: r["ccf"]
+           for r in ccf(df, "ts", ["k"], "x", "y", lags=[0, 1]).collect()}
+    assert abs(got[0] - pearson(xs, ys)) < 1e-3      # moment_scale=1
+    assert abs(got[1] - pearson(xs[:-1], ys[1:])) < 1e-3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lags"):
+        ccf(df, "ts", ["k"], "x", "y", lags=[-1])
+    with _pytest.raises(ValueError, match="key"):
+        ccf(df, "ts", [], "x", "y")
+    # the acf-style overflow guard is loud here too
+    big = spark.createDataFrame(
+        [("k", base + datetime.timedelta(hours=h), 2.0e12, 1.0)
+         for h in range(4)],
+        "k string, ts timestamp, x double, y double")
+    with _pytest.raises(Exception, match="exceeds the exact"):
+        ccf(big, "ts", ["k"], "x", "y", lags=[0]).collect()

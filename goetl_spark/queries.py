@@ -11561,3 +11561,48 @@ def q231_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ccf(e, "ts", ["event_type"], "x", "y", grain="hour",
                 lags=(0, 1, 24))
             .orderBy("event_type", "lag"))
+
+
+@register_staged(
+    "q232_edit_distance_join",
+    """
+    WITH a AS (
+        SELECT p_partkey AS id_a, p_name AS s FROM part
+        WHERE p_partkey % 10 = 0
+    ),
+    b AS (
+        SELECT p_partkey AS id_b, p_name AS t FROM part
+        WHERE p_partkey % 10 = 1
+    )
+    SELECT id_a, id_b, CAST(levenshtein(s, t) AS INT) AS edit_dist
+    FROM a CROSS JOIN b
+    WHERE levenshtein(s, t) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q232_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS edit-distance join (operators/dedup.py::
+    edit_distance_join — the record-linkage primitive, r14): link two
+    part-name sets at levenshtein <= 2 with the PassJoin pigeonhole
+    (Li/Deng/Feng ICDE'11): every right name splits into d+1
+    deterministic segments, an unedited segment must appear verbatim
+    in any match within d positions of its slot, so candidates are a
+    bounded in-row key expansion + one equi-join — never the oracle's
+    CROSS JOIN, which is the luxury only the bounded DuckDB side
+    takes. One exact JVM levenshtein verifies each distinct candidate.
+    Completeness is the contract (fuzzy_pairs/sorted-neighborhood are
+    the documented recall-trade siblings): the oracle is the naive
+    all-pairs ground truth, so a single missed pair is a hash
+    mismatch. Exact integer distances — deterministic set output.
+    At 100 TB: two map-side expansions, segment-key equi-join,
+    distinct, verify joins; candidates ~ genuine segment collisions,
+    not N·M."""
+    from goetl_spark.operators.dedup import edit_distance_join
+
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("s"))
+    b = p.filter(F.col("p_partkey") % 10 == 1).select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("t"))
+    return (edit_distance_join(a, b, "id_a", "s", "id_b", "t", max_dist=2)
+            .orderBy("id_a", "id_b"))

@@ -860,3 +860,69 @@ def test_readability_scores(spark):
     # empty / NULL text: zero words -> NULL scores, no division error
     assert out[3].n_words == 0 and out[3].flesch_ease is None
     assert out[4].flesch_ease is None and out[4].fk_grade is None
+
+
+def _lev_ref(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def test_edit_distance_join_lossless_vs_brute_force(spark):
+    # r14: the PassJoin pigeonhole must be COMPLETE — every pair the
+    # naive all-pairs reference finds, at every d, including empty and
+    # shorter-than-d+1 strings (the short-string side branch)
+    import random
+
+    from goetl_spark.operators.dedup import edit_distance_join
+
+    rng = random.Random(7)
+    alpha = "abcde"
+
+    def mutate(s, n):
+        s = list(s)
+        for _ in range(n):
+            op = rng.choice("sid")
+            if op == "s" and s:
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+            elif op == "i":
+                s.insert(rng.randrange(len(s) + 1), rng.choice(alpha))
+            elif op == "d" and s:
+                del s[rng.randrange(len(s))]
+        return "".join(s)
+
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 15)))
+            for _ in range(40)]
+    lefts = [(i, mutate(rng.choice(base), rng.randrange(0, 4)))
+             for i in range(80)] + [(200, ""), (201, "a"), (202, "ab")]
+    rights = [(i, mutate(rng.choice(base), rng.randrange(0, 4)))
+              for i in range(80)] + [(300, ""), (301, "b"), (303, None)]
+    L = spark.createDataFrame(lefts, "lid int, s string")
+    R = spark.createDataFrame(rights, "rid int, t string")
+    for d in (0, 1, 2, 3):
+        got = {(r["lid"], r["rid"], r["edit_dist"]) for r in
+               edit_distance_join(L, R, "lid", "s", "rid", "t",
+                                  max_dist=d).collect()}
+        want = {(li, ri, _lev_ref(a, b)) for li, a in lefts
+                for ri, b in rights
+                if b is not None and _lev_ref(a, b) <= d}
+        assert got == want, (d, len(got), len(want))
+
+
+def test_edit_distance_join_guards(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.dedup import edit_distance_join
+
+    L = spark.createDataFrame([(1, "x")], "lid int, s string")
+    with _pytest.raises(ValueError, match=">= 0"):
+        edit_distance_join(L, L, "lid", "s", "lid", "s", max_dist=-1)
+    with _pytest.raises(ValueError, match="shingle/minhash"):
+        edit_distance_join(L, L, "lid", "s", "lid", "s", max_dist=9)

@@ -397,6 +397,76 @@ def _raise_unrankable(df, p, y, row, op, score_col, label_col):
         f"scored and labeled")
 
 
+def calibration_bins_by(
+    df: DataFrame,
+    group_cols,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-SEGMENT reliability bins — :func:`calibration_bins` with one
+    diagram per group (the grouped-eval sibling of :func:`roc_auc_by`:
+    an aggregate ECE happily hides one slice whose confidences are
+    upside down). One row per (group, bin) with the same columns;
+    ``ece_term`` normalizes by the GROUP's row count, so each group's
+    ECE is the sum of its own rows. NULL group keys form their own
+    segment.
+
+    Same rejection contract as the sibling (NULL/NaN/out-of-range
+    scores, NULL labels), enforced LAZILY: bad rows land in a sentinel
+    bin whose per-group count rides the totals table, and an
+    assert_true in the totals projection raises at execution — it
+    lives on the broadcast side, so even a group consisting ENTIRELY
+    of bad rows (whose output rows are all filtered) still trips it.
+    Clean data pays one fact scan and zero driver actions.
+
+    Scale shape: one fact pass into a groups×(n_bins+1)-bounded count
+    table; totals reduce it and broadcast back."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must be non-empty — use "
+                         "calibration_bins for the whole-frame diagram")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    p = F.col(prob_col)
+    bad_row = (p.isNull() | F.isnan(p.cast("double"))
+               | (p < 0.0) | (p > 1.0) | F.col(label_col).isNull())
+    bin_id = F.when(bad_row, F.lit(-1)).otherwise(
+        F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)))
+    y = F.col(label_col).cast("double")
+    counts = (df.groupBy(*groups, bin_id.alias("bin_id"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(y > 0, 1).otherwise(0)).alias("n_pos")))
+    ok = F.assert_true(
+        F.col("__nbad") == 0,
+        F.concat(
+            F.lit(f"calibration_bins_by: NULL/NaN/out-of-range "
+                  f"{prob_col!r} or NULL {label_col!r} in group ("),
+            F.concat_ws(
+                ", ", *[F.coalesce(F.col(g).cast("string"), F.lit("NULL"))
+                        for g in groups]),
+            F.lit(") — scores must be probabilities in [0,1] on "
+                  "labeled rows")))
+    totals = (counts.groupBy(*groups)
+              .agg(F.sum(F.when(F.col("bin_id") == -1, F.col("n"))
+                          .otherwise(0)).alias("__nbad"),
+                   F.sum(F.when(F.col("bin_id") >= 0, F.col("n"))
+                          .otherwise(0)).alias("__rawN"))
+              .select(*groups,
+                      F.when(ok.isNull(), F.col("__rawN")).alias("__N")))
+    joined = _group_offset_join(counts.filter(F.col("bin_id") >= 0),
+                                groups, totals)
+    mid = ((F.col("bin_id") * 2 + 1) / F.lit(float(2 * n_bins)))
+    obs = F.col("n_pos") / F.col("n")
+    return joined.select(
+        *groups, "bin_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        mid.alias("midpoint"),
+        obs.alias("obs_rate"),
+        (F.abs(obs - mid) * F.col("n") / F.col("__N")).alias("ece_term"))
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,

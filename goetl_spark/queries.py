@@ -11606,3 +11606,70 @@ def q232_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("id_b"), F.col("p_name").alias("t"))
     return (edit_distance_join(a, b, "id_a", "s", "id_b", "t", max_dist=2)
             .orderBy("id_a", "id_b"))
+
+
+@register_staged(
+    "q233_calibration_by_priority",
+    """
+    WITH lab AS (
+        SELECT o_orderpriority AS grp, month(o_orderdate) AS m,
+               CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        FROM orders
+    ),
+    prof AS (
+        SELECT grp, m,
+               CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               / COUNT(*) AS p
+        FROM lab GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT lab.grp, lab.y, prof.p
+        FROM lab JOIN prof ON lab.grp = prof.grp AND lab.m = prof.m
+    ),
+    binned AS (
+        SELECT grp, least(CAST(floor(p * 10) AS INT), 9) AS bin_id,
+               COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM j GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, SUM(n) AS N FROM binned GROUP BY 1)
+    SELECT b.grp AS o_orderpriority, b.bin_id,
+           CAST(b.n AS BIGINT) AS n, CAST(b.n_pos AS BIGINT) AS n_pos,
+           (b.bin_id * 2 + 1) / 20.0 AS midpoint,
+           CAST(b.n_pos AS BIGINT) / CAST(b.n AS BIGINT) AS obs_rate,
+           abs(CAST(b.n_pos AS BIGINT) / CAST(b.n AS BIGINT)
+               - (b.bin_id * 2 + 1) / 20.0)
+           * CAST(b.n AS BIGINT) / CAST(t.N AS BIGINT) AS ece_term
+    FROM binned b JOIN tot t ON b.grp = t.grp
+    ORDER BY 1, 2
+    """,
+)
+def q233_calibration_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment reliability diagram (operators/classifier.py::
+    calibration_bins_by — the grouped sibling completing the
+    q228/q229 per-slice eval story): the month-of-order fulfillment
+    profile CLAIMS each order's probability of status 'F'; the
+    grouped bins grade whether those claimed confidences match
+    observed frequencies WITHIN each priority band (an aggregate ECE
+    hides a slice whose confidences are inverted — the same argument
+    as per-slice AUC). ece_term normalizes by the GROUP's total, so
+    each group's ECE is one sum over its own <= 10 rows. Guards ride
+    the broadcast-side totals projection (assert_true), so even an
+    all-bad group raises and clean data pays ONE fact pass with zero
+    driver actions. Every output is integer counts or fixed IEEE
+    chains on exact inputs — hash-exact. At 100 TB: one fact pass
+    into a groups x bins table; totals reduce it and broadcast back."""
+    from goetl_spark.operators.classifier import calibration_bins_by
+
+    lab = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.month("o_orderdate").alias("m"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1.0))
+         .otherwise(F.lit(0.0)).alias("y"))
+    prof = (lab.groupBy("o_orderpriority", "m")
+            .agg((F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+                  .cast("long") / F.count(F.lit(1))).alias("p")))
+    graded = lab.join(prof, ["o_orderpriority", "m"])
+    return (calibration_bins_by(graded, ["o_orderpriority"], "p", "y",
+                                n_bins=10)
+            .orderBy("o_orderpriority", "bin_id"))

@@ -376,3 +376,44 @@ def test_grouped_auc_single_class_group_is_null_and_guards(spark):
     bad2 = df.union(spark.createDataFrame([("g0", 0.5, None)], df.schema))
     with _pytest.raises(Exception, match="NULL"):
         pr_auc_by(bad2, ["g"], "p", "y").collect()
+
+
+def test_calibration_bins_by_matches_whole_frame_and_guards(spark):
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.classifier import (calibration_bins,
+                                                  calibration_bins_by)
+
+    rows = [(("g%d" % (i % 2)) if i % 9 else None,
+             (i * 37 % 101) / 100.0, float((i * 13 % 7) < 3))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, p double, y double")
+    got = {}
+    for r in calibration_bins_by(df, ["g"], "p", "y", n_bins=5).collect():
+        got.setdefault(r["g"], {})[r["bin_id"]] = r
+    for gval in [None, "g0", "g1"]:
+        sl = df.filter(F.col("g").isNull() if gval is None
+                       else (F.col("g") == gval))
+        want = {r["bin_id"]: r
+                for r in calibration_bins(sl, "p", "y", n_bins=5).collect()}
+        assert set(got[gval]) == set(want)
+        for b in want:
+            gw, ww = got[gval][b], want[b]
+            assert (gw["n"], gw["n_pos"], gw["midpoint"], gw["obs_rate"],
+                    gw["ece_term"]) == (ww["n"], ww["n_pos"],
+                                        ww["midpoint"], ww["obs_rate"],
+                                        ww["ece_term"])
+    import pytest as _pytest
+
+    # a group consisting ENTIRELY of bad rows must still raise (the
+    # assert lives on the broadcast totals side, not the filtered rows)
+    allbad = df.union(spark.createDataFrame([("solo", 1.5, 1.0)],
+                                            df.schema))
+    with _pytest.raises(Exception, match="calibration_bins_by"):
+        calibration_bins_by(allbad, ["g"], "p", "y").collect()
+    nan = df.union(spark.createDataFrame([("g0", float("nan"), 1.0)],
+                                         df.schema))
+    with _pytest.raises(Exception, match="calibration_bins_by"):
+        calibration_bins_by(nan, ["g"], "p", "y").collect()
+    with _pytest.raises(ValueError, match="whole-frame"):
+        calibration_bins_by(df, [], "p", "y")

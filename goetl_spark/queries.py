@@ -11673,3 +11673,56 @@ def q233_calibration_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (calibration_bins_by(graded, ["o_orderpriority"], "p", "y",
                                 n_bins=10)
             .orderBy("o_orderpriority", "bin_id"))
+
+
+@register_staged(
+    "q234_jaccard_join",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents
+    ),
+    a AS (SELECT doc_id AS id_a, w AS wa FROM d WHERE doc_id % 10 = 0),
+    b AS (SELECT doc_id AS id_b, w AS wb FROM d WHERE doc_id % 10 = 1),
+    p AS (
+        SELECT id_a, id_b,
+               len(list_intersect(wa, wb)) AS o,
+               len(wa) AS na, len(wb) AS nb
+        FROM a CROSS JOIN b
+    )
+    SELECT id_a, id_b,
+           CAST(o AS BIGINT) / CAST(na + nb - o AS BIGINT) AS jaccard
+    FROM p
+    WHERE CAST(o AS BIGINT) / CAST(na + nb - o AS BIGINT) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q234_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold join (operators/dedup.py::jaccard_join
+    — the lossless set-similarity sibling of q232's edit-distance
+    join, r14): link two document word-set slices at J >= 0.8 with
+    the AllPairs/PPJoin prefix filter (Bayardo WWW'07 / Xiao WWW'08):
+    tokens order by global rarity (one shared count table, token
+    tie-break — total and deterministic), each record emits only its
+    first |x| − ⌈τ|x|⌉ + 1 rarest tokens as join keys (the pigeonhole
+    overlap bound), a length filter rides the candidate join, and one
+    exact array_intersect verifies each distinct pair — never the
+    oracle's CROSS JOIN, the luxury only the bounded DuckDB side
+    takes. minhash LSH (q24/q175) answers this approximately with a
+    banding recall curve; this guarantees the exact threshold, so a
+    single missed pair is a hash mismatch. Integer intersection
+    sizes, one IEEE division — hash-exact. At 100 TB: one shared
+    token-count aggregate, map-side sorts, prefix-key equi-join;
+    candidates ~ genuine rare-token collisions, not N·M."""
+    from goetl_spark.operators.dedup import jaccard_join
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), r"\s+")).alias("w"))
+    a = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = d.filter(F.col("doc_id") % 10 == 1).select(
+        F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    return (jaccard_join(a, b, "id_a", "wa", "id_b", "wb", threshold=0.8)
+            .orderBy("id_a", "id_b"))

@@ -926,3 +926,41 @@ def test_edit_distance_join_guards(spark):
         edit_distance_join(L, L, "lid", "s", "lid", "s", max_dist=-1)
     with _pytest.raises(ValueError, match="shingle/minhash"):
         edit_distance_join(L, L, "lid", "s", "lid", "s", max_dist=9)
+
+
+def test_jaccard_join_lossless_vs_brute_force(spark):
+    # r14: the AllPairs prefix filter must be COMPLETE at every
+    # threshold — duplicates collapse, empty/NULL sets drop
+    import random
+
+    from goetl_spark.operators.dedup import jaccard_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def mkset():
+        return [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+
+    lefts = [(i, mkset()) for i in range(80)] + [(900, []), (901, None)]
+    rights = [(i, mkset()) for i in range(80)] + [(950, ["w1"])]
+    L = spark.createDataFrame(lefts, "lid int, w array<string>")
+    R = spark.createDataFrame(rights, "rid int, w array<string>")
+
+    def jac(a, b):
+        sa, sb = set(a), set(b)
+        return len(sa & sb) / len(sa | sb)
+
+    for tau in (0.3, 0.5, 0.8, 1.0):
+        got = {(r["lid"], r["rid"]): r["jaccard"] for r in
+               jaccard_join(L, R, "lid", "w", "rid", "w", tau).collect()}
+        want = {(li, ri): jac(a, b) for li, a in lefts for ri, b in rights
+                if a and b and jac(a, b) >= tau}
+        assert set(got) == set(want), (tau, len(got), len(want))
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_join(L, R, "lid", "w", "rid", "w", 0.0)
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_join(L, R, "lid", "w", "rid", "w", 1.1)

@@ -568,3 +568,90 @@ def suppress_small_groups(
           .filter(F.col("k_ok")).select(*cols))
     return df.join(F.broadcast(ok), on=_nullsafe_cond(df, ok, cols),
                    how="left_semi")
+
+
+def ks_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance between two
+    snapshots of a numeric column — the BIN-FREE drift companion to
+    :func:`population_stability_index` (PSI needs reference bin edges
+    and measures nothing an edge set hides; KS is
+    ``max |ECDF_a(v) − ECDF_b(v)|`` over every distinct pooled value,
+    so a shape change anywhere moves it, no binning decision to own).
+    One row per group (one row total with no ``group_cols``):
+    ``n_a / n_b / ks``.
+
+    Exact, not sampled: both ECDFs evaluate at every distinct value
+    via INCLUSIVE cumulative counts from the range-partitioned
+    two-phase cumsum over (group..., value) with the per-group
+    min-offset subtraction (the roc_auc_by machinery) — never a
+    global or per-group window over fact rows. Cumulative counts are
+    exact longs; each candidate is two IEEE long/long divisions, one
+    subtraction, abs, and MAX (order-independent) — hash-exact in
+    oracle SQL.
+
+    NULL values are EXCLUDED from both ECDFs (an unordered value has
+    no place on the axis) but a null-rate shift IS drift — pair this
+    with PSI's −1 bin or :func:`profile_drift` for that signal. NaN
+    values raise loudly (they would sort somewhere arbitrary and
+    silently distort the supremum; the folded-guard contract). A
+    group empty on EITHER side yields NULL ks (the grouped-eval
+    undefined convention — n_a/n_b in the row say why).
+
+    Scale shape: one union + (group, value) collapse shuffle, ONE
+    cumsum range exchange, a groups-bounded totals broadcast — the
+    fact data crosses the network exactly twice regardless of group
+    count."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    groups = list(group_cols)
+    v = F.col(col)
+    tagged = (df_a.select(*groups, v.alias("__v"),
+                          F.lit(1).alias("__ina"), F.lit(0).alias("__inb"))
+              .unionByName(
+                  df_b.select(*groups, v.alias("__v"),
+                              F.lit(0).alias("__ina"),
+                              F.lit(1).alias("__inb")))
+              .filter(F.col("__v").isNotNull()))
+    g = (tagged.groupBy(*groups, "__v")
+         .agg(F.sum("__ina").alias("na_v"), F.sum("__inb").alias("nb_v")))
+    c = _with_exclusive_cumsum(g, "na_v", [*groups, "__v"], "__ca")
+    c = _with_exclusive_cumsum(c, "nb_v", [*groups, "__v"], "__cb")
+
+    bad_key = F.isnan(F.col("__v").cast("double"))
+    if groups:
+        offs = c.groupBy(*groups).agg(
+            F.min("__ca").alias("__ga"), F.min("__cb").alias("__gb"),
+            F.sum("na_v").alias("__na"), F.sum("nb_v").alias("__nb"),
+            F.sum(F.when(bad_key, F.col("na_v") + F.col("nb_v"))
+                   .otherwise(0)).alias("__nbad"))
+        c = _group_offset_join(c, groups, offs)
+    else:
+        offs = c.agg(
+            F.min("__ca").alias("__ga"), F.min("__cb").alias("__gb"),
+            F.sum("na_v").alias("__na"), F.sum("nb_v").alias("__nb"),
+            F.sum(F.when(bad_key, F.col("na_v") + F.col("nb_v"))
+                   .otherwise(0)).alias("__nbad"))
+        c = c.crossJoin(F.broadcast(offs))
+
+    ok = F.assert_true(
+        F.col("__nbad") == 0,
+        F.lit(f"ks_distance: NaN values in {col!r} — NaN has no place "
+              f"on the ECDF axis; filter or impute upstream"))
+    fa = (F.col("__ca") - F.col("__ga") + F.col("na_v")) / F.col("__na")
+    fb = (F.col("__cb") - F.col("__gb") + F.col("nb_v")) / F.col("__nb")
+    diff = F.when(ok.isNull() & (F.col("__na") > 0) & (F.col("__nb") > 0),
+                  F.abs(fa - fb))
+    return (c.groupBy(*groups)
+            .agg(F.first("__na").alias("__fna"),
+                 F.first("__nb").alias("__fnb"),
+                 F.max(diff).alias("ks"))
+            .select(*groups,
+                    F.col("__fna").cast("long").alias("n_a"),
+                    F.col("__fnb").cast("long").alias("n_b"),
+                    "ks"))

@@ -11726,3 +11726,65 @@ def q234_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
     return (jaccard_join(a, b, "id_a", "wa", "id_b", "wb", threshold=0.8)
             .orderBy("id_a", "id_b"))
+
+
+@register_staged(
+    "q235_ks_drift",
+    """
+    WITH t AS (
+        SELECT event_type AS g, value AS v,
+               CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ina,
+               CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END AS inb
+        FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (
+        SELECT g, v, SUM(ina) AS na_v, SUM(inb) AS nb_v
+        FROM t GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT g, na_v, nb_v,
+               SUM(na_v) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca,
+               SUM(nb_v) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cb
+        FROM gv
+    ),
+    tot AS (SELECT g, SUM(na_v) AS na, SUM(nb_v) AS nb FROM gv GROUP BY 1),
+    s AS (
+        SELECT c.g, t2.na, t2.nb,
+               abs(CAST(c.ca AS BIGINT) / CAST(t2.na AS BIGINT)
+                   - CAST(c.cb AS BIGINT) / CAST(t2.nb AS BIGINT)) AS d
+        FROM c JOIN tot t2 ON c.g = t2.g
+    )
+    SELECT g AS event_type, CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b, MAX(d) AS ks
+    FROM s GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def q235_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift (quality.py::
+    ks_distance — the BIN-FREE companion to q221's PSI, r14): per
+    event type, the value distribution of the event_id%3==0 slice vs
+    the rest — ``max |ECDF_a − ECDF_b|`` over every distinct pooled
+    value, so there is no bin-edge decision to own and a shape change
+    anywhere moves the statistic. Both ECDFs come from inclusive
+    cumulative counts via the range-partitioned two-phase cumsum over
+    (group, value) with per-group min-offset subtraction (the
+    roc_auc_by machinery — never a per-group window over fact rows;
+    the oracle's PARTITION BY window is the bounded-DuckDB-side
+    luxury). Exact long cumulative counts, two IEEE divisions, abs,
+    MAX — hash-exact. The same-distribution split keeps KS near 0 —
+    the exactness, not the magnitude, is what the oracle checks.
+    At 100 TB: one union + (group, value) collapse, one cumsum
+    exchange, a groups-bounded totals broadcast."""
+    from goetl_spark.quality import ks_distance
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id")
+    a = e.filter(F.col("event_id") % 3 == 0).select("event_type", "value")
+    b = e.filter(F.col("event_id") % 3 != 0).select("event_type", "value")
+    return (ks_distance(a, b, "value", ["event_type"])
+            .orderBy("event_type"))

@@ -352,3 +352,60 @@ def test_compression_ratio_bands(spark):
              df.select("doc_id",
                        compression_ratio("text").alias("ratio")).collect()}
     assert again == out
+
+
+def test_ks_distance_exact_vs_brute_force(spark):
+    # r14: exact two-sample KS — whole-frame and grouped (incl. NULL
+    # group key, one-sided group -> NULL), NULL values excluded, NaN
+    # raises, partition-independent
+    import random
+
+    from pyspark.sql import functions as F
+
+    from goetl_spark.quality import ks_distance
+
+    rng = random.Random(3)
+
+    def ks_ref(a, b):
+        vals = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        return max(abs(sum(1 for x in a if x <= v) / na
+                       - sum(1 for x in b if x <= v) / nb)
+                   for v in vals)
+
+    a = [round(rng.gauss(0, 1), 3) for _ in range(200)]
+    b = [round(rng.gauss(0.4, 1.2), 3) for _ in range(170)]
+    A = spark.createDataFrame([(x,) for x in a], "v double")
+    B = spark.createDataFrame([(x,) for x in b], "v double")
+    r = ks_distance(A, B, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (200, 170)
+    assert abs(r["ks"] - ks_ref(a, b)) < 1e-12
+    assert ks_distance(A, A, "v").collect()[0]["ks"] == 0.0
+
+    rows_a = [(("g%d" % (i % 2)) if i % 7 else None, a[i % len(a)])
+              for i in range(150)] + [("only_a", 1.0), ("only_a", 2.0)]
+    rows_b = [(("g%d" % (i % 2)) if i % 7 else None, b[i % len(b)])
+              for i in range(140)]
+    GA = spark.createDataFrame(rows_a, "g string, v double")
+    GB = spark.createDataFrame(rows_b, "g string, v double")
+    got = {r["g"]: r for r in ks_distance(GA, GB, "v", ["g"]).collect()}
+    for gval in [None, "g0", "g1"]:
+        sa = [x for gg, x in rows_a if gg == gval]
+        sb = [x for gg, x in rows_b if gg == gval]
+        assert abs(got[gval]["ks"] - ks_ref(sa, sb)) < 1e-12
+    assert got["only_a"]["ks"] is None and got["only_a"]["n_b"] == 0
+
+    x1 = sorted(map(tuple, ks_distance(GA, GB, "v", ["g"]).collect()),
+                key=str)
+    x2 = sorted(map(tuple,
+                    ks_distance(GA.repartition(13), GB.repartition(7),
+                                "v", ["g"]).collect()), key=str)
+    assert x1 == x2
+
+    AN = A.union(spark.createDataFrame([(None,)], "v double"))
+    assert ks_distance(AN, B, "v").collect()[0]["n_a"] == 200
+
+    import pytest as _pytest
+    nanA = A.union(spark.createDataFrame([(float("nan"),)], "v double"))
+    with _pytest.raises(Exception, match="NaN"):
+        ks_distance(nanA, B, "v").collect()

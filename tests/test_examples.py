@@ -123,3 +123,19 @@ def test_model_curation_example(spark):
     # ranking, reasonably calibrated confidences
     assert r["train_auc"] > 0.9
     assert 0.0 <= r["train_ece"] < 0.5
+
+
+def test_record_linkage_example(spark):
+    from record_linkage import main
+
+    r = main(SF, spark=spark)
+    assert r["catalog_a"] > 0 and r["catalog_b"] > 0
+    # both linkers fire and fusion tiers partition the pair universe
+    assert r["edit_pairs"] > 0 and r["jaccard_pairs"] > 0
+    assert r["confident"] + r["review"] > 0
+    assert r["confident"] <= min(r["edit_pairs"] + r["jaccard_pairs"],
+                                 r["edit_pairs"] * 2)
+    # the matched slice is a subset of catalog A
+    assert 0 < r["matched_a"] <= r["catalog_a"]
+    if r["price_ks"] is not None:
+        assert 0.0 <= r["price_ks"] <= 1.0

@@ -519,6 +519,8 @@ def roc_auc(
         F.sum(F.when(bad_key, F.col("n")).otherwise(0)).alias("bad_score"),
         F.sum("__nolabel").alias("bad_label")).collect()[0]
     _raise_unrankable(df, p, y, row, "roc_auc", score_col, label_col)
+    if row["nt"] is None:
+        raise ValueError("roc_auc: empty input")
     np_, nn, nt = int(row["np"]), int(row["nn"]), int(row["nt"])
     if np_ == 0 or nn == 0:
         raise ValueError(

@@ -651,6 +651,10 @@ def ks_distance(
             .agg(F.first("__na").alias("__fna"),
                  F.first("__nb").alias("__fnb"),
                  F.max(diff).alias("ks"))
+            # both-sides-empty whole-frame input: the global aggregate
+            # still emits one all-NULL row — drop it (empty in, empty
+            # out, matching the grouped path)
+            .filter(F.col("__fna").isNotNull() | F.col("__fnb").isNotNull())
             .select(*groups,
                     F.col("__fna").cast("long").alias("n_a"),
                     F.col("__fnb").cast("long").alias("n_b"),

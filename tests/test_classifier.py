@@ -417,3 +417,15 @@ def test_calibration_bins_by_matches_whole_frame_and_guards(spark):
         calibration_bins_by(nan, ["g"], "p", "y").collect()
     with _pytest.raises(ValueError, match="whole-frame"):
         calibration_bins_by(df, [], "p", "y")
+
+
+def test_auc_empty_input_clean_error(spark):
+    import pytest as _pytest
+
+    from goetl_spark.operators.classifier import pr_auc, roc_auc
+
+    empty = spark.createDataFrame([], "p double, y double")
+    with _pytest.raises(ValueError, match="empty"):
+        roc_auc(empty, "p", "y")
+    with _pytest.raises(ValueError, match="empty"):
+        pr_auc(empty, "p", "y")

@@ -409,3 +409,15 @@ def test_ks_distance_exact_vs_brute_force(spark):
     nanA = A.union(spark.createDataFrame([(float("nan"),)], "v double"))
     with _pytest.raises(Exception, match="NaN"):
         ks_distance(nanA, B, "v").collect()
+
+
+def test_ks_distance_empty_edges(spark):
+    from goetl_spark.quality import ks_distance
+
+    empty = spark.createDataFrame([], "v double")
+    # both empty: empty out (no all-NULL aggregate row)
+    assert ks_distance(empty, empty, "v").collect() == []
+    # one side empty: NULL ks with the zero count visible
+    A = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    r = ks_distance(A, empty, "v").collect()
+    assert len(r) == 1 and r[0]["n_b"] == 0 and r[0]["ks"] is None

@@ -659,3 +659,104 @@ def ks_distance(
                     F.col("__fna").cast("long").alias("n_a"),
                     F.col("__fnb").cast("long").alias("n_b"),
                     "ks"))
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Association diagnostics between two categorical columns — one
+    row: ``n / k_a / k_b / mi_nats / chi2 / cramers_v``. The
+    feature-relevance question the encoder/classifier layer asks
+    before spending a column ("does source tell us anything about
+    lang?" / "are these two features redundant?"): mutual information
+    ``Σ p_ab·ln(p_ab/(p_a·p_b))`` in nats, the chi-square statistic,
+    and Cramér's V ``sqrt(χ²/(n·(min(k_a,k_b)−1)))`` — the [0,1]
+    normalization that makes V comparable across tables.
+
+    NULL categories form their own class on both axes (the house NULL
+    semantics — an absent value is information; null-safe joins
+    throughout). Zero cells are never materialized: MI takes the
+    0·ln 0 = 0 convention, and chi-square uses the identity
+    ``χ² = N·(Σ_observed o²/(n_a·n_b) − 1)`` — algebraically equal to
+    the all-cells sum, since expected counts over ALL cells total
+    exactly N. A perfect bijection reaches V = 1 exactly (per cell
+    o² = n_a·n_b, so the grid value is exact — pinned by tests);
+    degenerate tables (k_a or k_b = 1) yield V = NULL — association
+    with a constant is undefined, not 0.
+
+    Determinism: marginals and the total derive from the SAME
+    contingency table (exact longs, no second fact pass). MI's ln
+    terms round scale-9 into DECIMAL(38,9) before summing (the lm.py
+    transcendental recipe — irrational values never sit on a rounding
+    tie). Chi-square terms are RATIONAL, where scale-9 rounding of a
+    computed double DOES hit the engines' documented tie-boundary
+    disagreement (the q212/q213 lesson — this function's first draft
+    reproduced it) — so each o²/(n_a·n_b) ∈ [0,1] is computed on the
+    exact scale-9 integer grid by pure decimal FLOOR division
+    (q = [o² ≥ d], then (r·10⁹) div d — every intermediate fits
+    DECIMAL(38,0) for N up to ~1e12 rows), summed as exact longs, and
+    converted once. The per-term floor truncation makes the grid a
+    documented ≤ cells·1e-9·N understatement (clamped at 0).
+    Hash-exact in oracle SQL.
+
+    Scale shape: ONE fact pass into the k_a×k_b-bounded contingency
+    table (map-side combinable, eagerly pinned); marginals, total,
+    and both statistics reduce that bounded table — class-valued
+    columns only, the classes² bound is the diagnostic."""
+    a, b = F.col(col_a), F.col(col_b)
+    ct = (df.groupBy(a.alias("__a"), b.alias("__b"))
+          .agg(F.count(F.lit(1)).alias("n_ab"))
+          .localCheckpoint(eager=True))
+    ma = ct.groupBy("__a").agg(F.sum("n_ab").alias("n_a"))
+    mb = ct.groupBy("__b").agg(F.sum("n_ab").alias("n_b"))
+    tot = ct.agg(F.sum("n_ab").alias("N"),
+                 F.count_distinct(F.struct("__a")).alias("k_a"),
+                 F.count_distinct(F.struct("__b")).alias("k_b"))
+
+    j = (ct.join(ma.withColumnRenamed("__a", "__ka"),
+                 F.col("__a").eqNullSafe(F.col("__ka"))).drop("__ka")
+         .join(mb.withColumnRenamed("__b", "__kb"),
+               F.col("__b").eqNullSafe(F.col("__kb"))).drop("__kb")
+         .crossJoin(F.broadcast(tot)))
+
+    p_ab = F.col("n_ab") / F.col("N")
+    p_a = F.col("n_a") / F.col("N")
+    p_b = F.col("n_b") / F.col("N")
+    mi_term = F.round(p_ab * F.log(p_ab / (p_a * p_b)), 9) \
+        .cast("decimal(38,9)")
+    # exact scale-9 grid for o²/(n_a·n_b) ∈ [0,1]: q = [o² >= d] (the
+    # integer quotient can only be 0 or 1), remainder scaled by 10⁹
+    # and FLOOR-divided — every intermediate fits DECIMAL(38,0) and
+    # floor division is bit-identical across engines, unlike round()
+    # on a rational double
+    grid = F.expr("""
+        CAST(CASE WHEN CAST(n_ab AS DECIMAL(19,0)) * n_ab
+                       >= CAST(n_a AS DECIMAL(19,0)) * n_b
+                  THEN 1000000000 ELSE 0 END
+             + (CAST(CAST(CAST(n_ab AS DECIMAL(19,0)) * n_ab
+                           - CASE WHEN CAST(n_ab AS DECIMAL(19,0)) * n_ab
+                                       >= CAST(n_a AS DECIMAL(19,0)) * n_b
+                                  THEN CAST(n_a AS DECIMAL(19,0)) * n_b
+                                  ELSE CAST(0 AS DECIMAL(38,0)) END
+                      AS DECIMAL(28,0)) * 1000000000 AS DECIMAL(38,0))
+                DIV (CAST(n_a AS DECIMAL(19,0)) * n_b))
+        AS LONG)""")
+    agg = (j.groupBy("N", "k_a", "k_b")
+           .agg(F.sum(mi_term).cast("double").alias("mi_nats"),
+                F.sum(grid).alias("__s9")))
+    # chi² = N·(S − 1) with S = Σ9/10⁹ (clamped: per-term floor can
+    # leave S a hair under 1 at perfect independence)
+    s_minus_1 = F.greatest(
+        F.lit(0.0),
+        (F.col("__s9") - F.lit(1_000_000_000)).cast("double")
+        / F.lit(1.0e9))
+    chi2 = s_minus_1 * F.col("N").cast("double")
+    kmin = F.least(F.col("k_a"), F.col("k_b"))
+    v = F.when(kmin > 1, F.sqrt(s_minus_1 / (kmin - 1).cast("double")))
+    return agg.select(
+        F.col("N").cast("long").alias("n"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("k_b").cast("long").alias("k_b"),
+        "mi_nats", chi2.alias("chi2"), v.alias("cramers_v"))

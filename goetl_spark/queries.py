@@ -11788,3 +11788,71 @@ def q235_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("event_id") % 3 != 0).select("event_type", "value")
     return (ks_distance(a, b, "value", ["event_type"])
             .orderBy("event_type"))
+
+
+@register_staged(
+    "q236_lang_source_association",
+    """
+    WITH ct AS (
+        SELECT lang AS a, source AS b, COUNT(*) AS n_ab
+        FROM documents GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, SUM(n_ab) AS n_a FROM ct GROUP BY 1),
+    mb AS (SELECT b, SUM(n_ab) AS n_b FROM ct GROUP BY 1),
+    tot AS (
+        SELECT SUM(n_ab) AS N, COUNT(DISTINCT a) AS k_a,
+               COUNT(DISTINCT b) AS k_b
+        FROM ct
+    ),
+    j AS (
+        SELECT CAST(ct.n_ab AS HUGEINT) AS o,
+               CAST(ma.n_a AS HUGEINT) * mb.n_b AS d,
+               ct.n_ab, ma.n_a, mb.n_b, tot.N, tot.k_a, tot.k_b
+        FROM ct JOIN ma ON ct.a IS NOT DISTINCT FROM ma.a
+                JOIN mb ON ct.b IS NOT DISTINCT FROM mb.b
+                CROSS JOIN tot
+    ),
+    s AS (
+        SELECT N, k_a, k_b,
+               SUM(CAST(round((n_ab / N)
+                   * ln((n_ab / N) / ((n_a / N) * (n_b / N))), 9)
+                   AS DECIMAL(38,9))) AS mi_d,
+               SUM(CASE WHEN o * o >= d THEN 1000000000 ELSE 0 END
+                   + ((o * o - CASE WHEN o * o >= d THEN d
+                               ELSE CAST(0 AS HUGEINT) END)
+                      * 1000000000) // d) AS s9
+        FROM j GROUP BY 1, 2, 3
+    )
+    SELECT CAST(N AS BIGINT) AS n, CAST(k_a AS BIGINT) AS k_a,
+           CAST(k_b AS BIGINT) AS k_b,
+           CAST(mi_d AS DOUBLE) AS mi_nats,
+           greatest(0.0, CAST(s9 - 1000000000 AS DOUBLE) / 1e9)
+               * CAST(N AS DOUBLE) AS chi2,
+           CASE WHEN least(k_a, k_b) > 1 THEN
+               sqrt(greatest(0.0, CAST(s9 - 1000000000 AS DOUBLE) / 1e9)
+                    / CAST(least(k_a, k_b) - 1 AS DOUBLE)) END
+           AS cramers_v
+    FROM s
+    """,
+)
+def q236_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association diagnostics (quality.py::
+    categorical_association, r14): is LANGUAGE confounded with SOURCE
+    in this corpus? — the feature-relevance pre-flight the encoder/
+    classifier layer (q216/q217) runs before spending a column:
+    mutual information in nats, the chi-square statistic, and
+    Cramér's V over the lang×source contingency table. Zero cells are
+    never materialized — χ² = N·(Σ_observed o²/(n_a·n_b) − 1), exact
+    by the all-cells-expected-counts-sum-to-N identity. The χ² terms
+    are RATIONAL, so the usual round-at-9 of a computed double hits
+    the engines' tie-boundary disagreement (this query's first draft
+    reproduced it at sf0.01: one term, 1e-9 off) — instead each
+    o²/(n_a·n_b) computes on the exact scale-9 integer grid by pure
+    decimal FLOOR division, bit-identical in both engines; MI keeps
+    the lm.py ln-recipe (irrational terms never sit on a tie). One
+    fact pass into the classes²-bounded table; everything after
+    reduces it."""
+    from goetl_spark.quality import categorical_association
+
+    return categorical_association(
+        _t(spark, sf_dir, "documents"), "lang", "source")

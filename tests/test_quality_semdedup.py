@@ -421,3 +421,63 @@ def test_ks_distance_empty_edges(spark):
     A = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     r = ks_distance(A, empty, "v").collect()
     assert len(r) == 1 and r[0]["n_b"] == 0 and r[0]["ks"] is None
+
+
+def test_categorical_association_reference_and_bounds(spark):
+    # r14: MI/chi2/Cramér's V vs a pure-python scale-9 reference;
+    # perfect bijection reaches V == 1 (the zero-cell mass is
+    # recovered as N - sum(observed e)); constant column -> NULL V
+    import math
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from goetl_spark.quality import categorical_association
+
+    def rnd9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                               ROUND_HALF_UP))
+
+    def ref(pairs):
+        n = len(pairs)
+        ab = Counter(pairs)
+        ca = Counter(a for a, _ in pairs)
+        cb = Counter(b for _, b in pairs)
+        mi = sum(rnd9((m / n) * math.log(
+            (m / n) / ((ca[a] / n) * (cb[b] / n))))
+            for (a, b), m in ab.items())
+        s9 = 0
+        for (a, b), m in ab.items():
+            d = ca[a] * cb[b]
+            q = 1_000_000_000 if m * m >= d else 0
+            r = m * m - (d if q else 0)
+            s9 += q + (r * 10**9) // d
+        s_minus_1 = max(0.0, (s9 - 10**9) / 1e9)
+        chi = s_minus_1 * n
+        kmin = min(len(ca), len(cb))
+        v = (math.sqrt(s_minus_1 / (kmin - 1))
+             if kmin > 1 else None)
+        return n, len(ca), len(cb), mi, chi, v
+
+    rng = random.Random(5)
+    pairs = [(rng.choice(["x", "y", "z", None]),
+              rng.choice(["p", "q", None])) for _ in range(400)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = categorical_association(df, "a", "b").collect()[0]
+    n, ka, kb, mi, chi, v = ref(pairs)
+    assert (r["n"], r["k_a"], r["k_b"]) == (n, ka, kb)
+    assert abs(r["mi_nats"] - mi) < 1e-8
+    assert r["chi2"] == chi
+    assert r["cramers_v"] == v
+
+    dep = spark.createDataFrame([(c, c.upper()) for c in "xyzxyz" * 20],
+                                "a string, b string")
+    rd = categorical_association(dep, "a", "b").collect()[0]
+    assert abs(rd["cramers_v"] - 1.0) < 1e-9
+    const = spark.createDataFrame([("x", "k"), ("y", "k")],
+                                  "a string, b string")
+    rc = categorical_association(const, "a", "b").collect()[0]
+    assert rc["cramers_v"] is None and abs(rc["mi_nats"]) < 1e-12
+    p1 = categorical_association(df, "a", "b").collect()[0]
+    p2 = categorical_association(df.repartition(13), "a", "b").collect()[0]
+    assert tuple(p1) == tuple(p2)

@@ -651,8 +651,10 @@ def roc_auc_by(
     degenerate slice must not kill the other segments' evaluation;
     n_pos/n_neg in the row say why). NULL/NaN scores and NULL labels
     still raise loudly — via assert_true riding the output expressions,
-    so the whole plan stays LAZY (no driver action) and clean data
-    pays one fact scan.
+    so there is no separate validation scan and clean data pays one
+    fact pass (the cumsum machinery's internal partition-totals
+    collect — ≤ #partitions rows, the pack_sequences contract — is
+    the only driver exchange).
 
     Scale shape: one (group, score) collapse shuffle, the
     range-partitioned two-phase cumsum, one groups-bounded offset
@@ -713,7 +715,8 @@ def pr_auc_by(
     sklearn threshold form computed per slice with the
     :func:`roc_auc_by` machinery (total-order cumsums over
     (group..., score DESC), per-group offset subtraction, null-safe
-    offset join, assert_true guards riding the lazy plan). Terms round
+    offset join, assert_true guards — no separate validation scan,
+    same bounded cumsum-internal driver exchange). Terms round
     scale-9 into DECIMAL(38,9) before the per-group sum (the lm.py
     recipe — unequal denominators, no integer grid). Single-class
     groups yield NULL average_precision; NULL/NaN scores and NULL

@@ -1634,7 +1634,11 @@ def jaccard_join(
 
     Duplicate tokens collapse (Jaccard is a SET measure); NULL or
     EMPTY token sets are dropped (J against the empty set is 0 — or
-    0/0 — never >= a positive τ). ``threshold`` must be in (0, 1].
+    0/0 — never >= a positive τ); a NULL element INSIDE a set is
+    excluded on both sides (it matches nothing — the rarity join is
+    null-strict, and the verify arrays are rebuilt from the same
+    join, so the exclusion is consistent by construction; pinned by
+    tests). ``threshold`` must be in (0, 1].
     Deterministic set output — integer intersection sizes, one IEEE
     division — replays hash-exact against the naive all-pairs oracle.
 

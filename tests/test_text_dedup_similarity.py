@@ -964,3 +964,13 @@ def test_jaccard_join_lossless_vs_brute_force(spark):
         jaccard_join(L, R, "lid", "w", "rid", "w", 0.0)
     with _pytest.raises(ValueError, match="threshold"):
         jaccard_join(L, R, "lid", "w", "rid", "w", 1.1)
+
+    # NULL elements inside a set are excluded on BOTH sides
+    Ln = spark.createDataFrame([(1, ["a", None, "b"])],
+                               "lid int, w array<string>")
+    Rn = spark.createDataFrame([(2, ["a", "b"]), (3, ["a", None])],
+                               "rid int, w array<string>")
+    got_n = sorted((r["lid"], r["rid"], r["jaccard"]) for r in
+                   jaccard_join(Ln, Rn, "lid", "w", "rid", "w",
+                                0.5).collect())
+    assert got_n == [(1, 2, 1.0), (1, 3, 0.5)]

@@ -213,3 +213,65 @@ def test_grouped_calibration_mass_conservation(spark, rows, n_bins):
     for g, (n, npos, ece) in per.items():
         assert [n, npos] == ref[g]
         assert 0.0 <= ece <= 1.0 + 1e-12
+
+
+def test_r14_family_off_type_and_unicode_edges(spark):
+    # adversarial-probe regressions: integer score/grade/value columns
+    # flow through the cast-guarded paths, and the PassJoin pigeonhole
+    # stays lossless on multi-byte unicode (Spark length/substring/
+    # levenshtein all count CHARACTERS, consistently)
+    from goetl_spark.operators.classifier import roc_auc, roc_auc_by
+    from goetl_spark.operators.dedup import edit_distance_join, jaccard_join
+    from goetl_spark.operators.ranking import ndcg_at_k
+    from goetl_spark.quality import ks_distance
+
+    rows = [("g", i % 7, float(i % 3 == 0)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, p int, y double")
+    assert (roc_auc_by(df, ["g"], "p", "y").collect()[0]["auc"]
+            == roc_auc(df, "p", "y").collect()[0]["auc"])
+
+    r2 = spark.createDataFrame(
+        [("A", "d1", 1), ("A", "d2", 2)],
+        "query_id string, neighbor_id string, rank long")
+    q2 = spark.createDataFrame(
+        [("A", "d1", 2), ("A", "d2", 1)],
+        "query_id string, neighbor_id string, grade int")
+    assert ndcg_at_k(r2, q2, k=2).collect()[0]["ndcg_at_k"] == 1.0
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    lefts = [(0, "héllo"), (1, "naïve"), (2, "日本語です"), (3, "café")]
+    rights = [(0, "hello"), (1, "naive"), (2, "日本語だよ"), (3, "cafe"),
+              (4, "çafé")]
+    L = spark.createDataFrame(lefts, "lid int, s string")
+    R = spark.createDataFrame(rights, "rid int, t string")
+    got = {(r["lid"], r["rid"], r["edit_dist"]) for r in
+           edit_distance_join(L, R, "lid", "s", "rid", "t",
+                              max_dist=2).collect()}
+    want = {(i, j, lev(a, b)) for i, a in lefts for j, b in rights
+            if lev(a, b) <= 2}
+    assert got == want
+
+    A = spark.createDataFrame([(i % 5,) for i in range(40)], "v int")
+    B = spark.createDataFrame([(i % 7,) for i in range(40)], "v int")
+    assert 0.0 <= ks_distance(A, B, "v").collect()[0]["ks"] <= 1.0
+
+    # uniform token frequencies: the (count, token) tie-break still
+    # yields a total order and the filter stays lossless
+    LU = spark.createDataFrame([(1, ["a", "b"]), (2, ["b", "c"])],
+                               "lid int, w array<string>")
+    RU = spark.createDataFrame([(1, ["a", "b"]), (2, ["c", "d"])],
+                               "rid int, w array<string>")
+    g5 = {(r["lid"], r["rid"]): r["jaccard"] for r in
+          jaccard_join(LU, RU, "lid", "w", "rid", "w", 0.5).collect()}
+    assert g5 == {(1, 1): 1.0}

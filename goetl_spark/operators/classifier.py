@@ -777,6 +777,96 @@ def pr_auc_by(
         ap.alias("average_precision"))
 
 
+def regression_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    group_cols=(),
+    moment_scale: int = 1,
+) -> DataFrame:
+    """Regression evaluation — the eval-suite leg for CONTINUOUS
+    targets (:func:`classification_metrics` grades decisions,
+    :func:`roc_auc` rankings, :func:`calibration_bins` confidences;
+    value predictors — demand forecasts, score regressors, the OLS
+    trends of timeseries.py — grade here). One row per group (one row
+    total with no ``group_cols``): ``n / mae / bias / rmse / r2``.
+    ``bias`` is the signed mean error (pred − label) — the
+    over/under-forecast direction MAE deliberately hides; ``r2`` is
+    ``1 − SS_res/SS_tot`` via the one-pass algebraic form
+    ``SS_tot = n·Σy² − (Σy)²``, NULL on a constant-label group
+    (explaining zero variance is undefined, not perfect — the
+    single-class-AUC convention).
+
+    NULL/NaN on either side is rejected loudly (an ungradable row is
+    a caller bug — the :func:`roc_auc` contract); the check rides the
+    main aggregate as a folded bad-row count raised via assert_true
+    inside the output projection, so clean data pays exactly ONE fact
+    scan. Empty input returns an empty frame (grouped or not).
+
+    Determinism (stats.pearson_corr_exact's recipe): the per-row
+    error is plain IEEE (same parquet bits, same ops in both
+    engines); every SUM accumulates in exact decimal — Σ|e|, Σe, Σy
+    at scale 6, with second moments e², y² squared IN decimal
+    (19,6)×(19,6) — then rounds to ``moment_scale`` before its double
+    cast (the measured cross-engine scale-cast hazard), and only the
+    final fixed chain of IEEE ops runs in doubles — hash-exact in
+    oracle SQL. Raise ``moment_scale`` for |err| ≪ 1 columns, where
+    scale-1 sums would collapse to 0 (the standardize dial).
+
+    Scale shape: ONE partial-aggregated fact pass into a
+    groups-bounded moment table; everything after is per-row
+    arithmetic on that bounded table. No window, no join, no second
+    scan."""
+    y = F.col(label_col).cast("double")
+    f = F.col(pred_col).cast("double")
+    err = f - y
+    bad = (F.col(label_col).isNull() | F.isnan(y)
+           | F.col(pred_col).isNull() | F.isnan(f))
+    good = ~bad
+
+    def shrink(c):  # exact decimal -> double, the pearson_corr_exact recipe
+        return (F.round(c, moment_scale)
+                .cast(f"decimal(38,{moment_scale})").cast("double"))
+
+    yq = y.cast("decimal(19,6)")
+    eq = err.cast("decimal(19,6)")
+    aggs = [
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("__nbad"),
+        shrink(F.sum(F.when(good, F.abs(err).cast("decimal(38,6)"))))
+            .alias("__sa"),
+        shrink(F.sum(F.when(good, err.cast("decimal(38,6)"))))
+            .alias("__se"),
+        shrink(F.sum(F.when(good, eq * eq))).alias("__see"),
+        shrink(F.sum(F.when(good, y.cast("decimal(38,6)")))).alias("__sy"),
+        shrink(F.sum(F.when(good, yq * yq))).alias("__syy"),
+    ]
+    groups = list(group_cols)
+    g = df.groupBy(*groups).agg(*aggs) if groups else df.agg(*aggs)
+    ok = F.assert_true(
+        F.col("__nbad") == 0,
+        F.lit(f"regression_metrics: NULL/NaN {label_col!r} or "
+              f"{pred_col!r} — every row must be labeled and predicted; "
+              f"filter or impute upstream"))
+    nd = F.col("n").cast("double")
+    live = ok.isNull() & (F.col("n") > 0)
+    ss_tot = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return (g
+            # whole-frame empty input: the global aggregate still emits
+            # one all-zero row — drop it (empty in, empty out); kept when
+            # __nbad > 0 so the assert still fires on all-bad input
+            .filter((F.col("n") > 0) | (F.col("__nbad") > 0))
+            .select(
+                *groups,
+                F.col("n"),
+                F.when(live, F.col("__sa") / nd).alias("mae"),
+                F.when(live, F.col("__se") / nd).alias("bias"),
+                F.when(live, F.sqrt(F.col("__see") / nd)).alias("rmse"),
+                F.when(live & (ss_tot > 0),
+                       F.lit(1.0) - nd * F.col("__see") / ss_tot)
+                 .alias("r2")))
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",

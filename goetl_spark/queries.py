@@ -11856,3 +11856,139 @@ def q236_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return categorical_association(
         _t(spark, sf_dir, "documents"), "lang", "source")
+
+
+@register_staged(
+    "q237_regression_eval",
+    """
+    WITH t AS (
+        SELECT event_type AS g, value AS y,
+               value * 0.9 + CAST(event_id % 7 AS DOUBLE) - 3.0 AS f
+        FROM events WHERE value IS NOT NULL
+    ),
+    e AS (SELECT g, y, f - y AS err FROM t),
+    s AS (
+        SELECT g, COUNT(*) AS n,
+               CAST(CAST(round(SUM(CAST(abs(err) AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sa,
+               CAST(CAST(round(SUM(CAST(err AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS se,
+               CAST(CAST(round(SUM(CAST(err AS DECIMAL(19,6))
+                    * CAST(err AS DECIMAL(19,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS see,
+               CAST(CAST(round(SUM(CAST(y AS DECIMAL(38,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS sy,
+               CAST(CAST(round(SUM(CAST(y AS DECIMAL(19,6))
+                    * CAST(y AS DECIMAL(19,6))), 1)
+                    AS DECIMAL(38,1)) AS DOUBLE) AS syy
+        FROM e GROUP BY 1
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           sa / CAST(n AS DOUBLE) AS mae,
+           se / CAST(n AS DOUBLE) AS bias,
+           sqrt(see / CAST(n AS DOUBLE)) AS rmse,
+           CASE WHEN CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+               1.0 - CAST(n AS DOUBLE) * see
+                     / (CAST(n AS DOUBLE) * syy - sy * sy) END AS r2
+    FROM s ORDER BY 1
+    """,
+)
+def q237_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment regression evaluation (classifier.py::
+    regression_metrics — the CONTINUOUS-target eval leg, r14;
+    decisions/confidence/ranking/drift have q218-q227, value
+    predictors graded nowhere until now): a deterministic synthetic
+    forecast of event value (0.9·value + (event_id mod 7) − 3 — pure
+    per-row IEEE both engines reproduce bit-for-bit) graded per event
+    type with n / MAE / signed bias / RMSE / R². Every sum
+    accumulates in exact decimal with second moments squared IN
+    decimal (the pearson_corr_exact recipe, mirrored term-for-term in
+    the oracle); only the final fixed IEEE chain runs in doubles —
+    hash-exact. R² uses the one-pass algebraic SS_tot = n·Σy² − (Σy)²
+    and returns NULL on a constant-label group. NULL/NaN rows reject
+    loudly via a bad-row count folded into the SAME aggregate (one
+    fact scan, the roc_auc guard contract). At 100 TB: one
+    partial-aggregated pass into a groups-bounded moment table."""
+    from goetl_spark.operators.classifier import regression_metrics
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        "event_type",
+        F.col("value").alias("y"),
+        (F.col("value") * F.lit(0.9)
+         + (F.col("event_id") % 7).cast("double")
+         - F.lit(3.0)).alias("f"))
+    return (regression_metrics(scored, "y", "f", ["event_type"])
+            .orderBy("event_type"))
+
+
+@register_staged(
+    "q238_wasserstein_drift",
+    """
+    WITH t AS (
+        SELECT lang AS g, n_chars AS v,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ina,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS inb
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    gv AS (
+        SELECT g, v, SUM(ina) AS na_v, SUM(inb) AS nb_v
+        FROM t GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT g, na_v, nb_v,
+               SUM(na_v) OVER w AS fa, SUM(nb_v) OVER w AS fb,
+               CAST(v AS DECIMAL(29,9)) AS vq,
+               lead(CAST(v AS DECIMAL(29,9)))
+                   OVER (PARTITION BY g ORDER BY v) AS vn
+        FROM gv
+        WINDOW w AS (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT g, SUM(na_v) AS na, SUM(nb_v) AS nb FROM gv GROUP BY 1),
+    s AS (
+        SELECT c.g, t2.na, t2.nb,
+               SUM(CASE WHEN c.vn IS NULL THEN CAST(0 AS DECIMAL(38,9))
+                   ELSE CAST(CAST(
+                       (abs(CAST(c.fa AS HUGEINT) * t2.nb
+                            - CAST(c.fb AS HUGEINT) * t2.na) * 1000000000)
+                       // (CAST(t2.na AS HUGEINT) * t2.nb)
+                   AS DECIMAL(10,0)) * CAST(c.vn - c.vq AS DECIMAL(19,9))
+                   AS DECIMAL(38,9)) END) AS sd
+        FROM c JOIN tot t2 ON c.g IS NOT DISTINCT FROM t2.g
+        GROUP BY 1, 2, 3
+    )
+    SELECT g AS lang, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(CAST(round(sd, 0) AS DECIMAL(38,0)) AS DOUBLE) / 1e9
+           END AS w1
+    FROM s ORDER BY 1
+    """,
+)
+def q238_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein document-length drift (quality.py::
+    wasserstein_distance — the MAGNITUDE-AWARE companion to q235's
+    KS, r14): per language, how far apart are the n_chars
+    distributions of the doc_id%2 halves, in characters — KS reports
+    the largest ECDF gap, W₁ = ∫|ECDF_a − ECDF_b| dv reports how far
+    the mass actually moved (the retrain-trigger question "did length
+    drift by 40 chars or by 0.4?"). Cumulative counts ride the
+    range-partitioned two-phase cumsum; the consecutive-value gap
+    comes from a rank self-join on the collapsed table, never a
+    window (the oracle's lead() is the bounded-DuckDB-side luxury).
+    Every |F_a − F_b| is RATIONAL — computed on the exact scale-9
+    integer grid by pure decimal FLOOR division (the q236
+    discipline), × the exact decimal gap on the BIGINT axis, summed
+    exactly, one rounded double cast at the end — hash-exact, with a
+    documented ≤ k·1e-9·range floor understatement. The same-
+    distribution split keeps W₁ near 0 — the exactness is what the
+    oracle checks. At 100 TB: one union + (group, value) collapse,
+    three cumsum exchanges and a rank self-join over the COLLAPSED
+    table, a groups-bounded totals broadcast."""
+    from goetl_spark.quality import wasserstein_distance
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("lang", "n_chars")
+    b = d.filter(F.col("doc_id") % 2 != 0).select("lang", "n_chars")
+    return (wasserstein_distance(a, b, "n_chars", ["lang"])
+            .orderBy("lang"))

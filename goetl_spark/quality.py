@@ -898,3 +898,88 @@ def categorical_association(
         F.col("k_a").cast("long").alias("k_a"),
         F.col("k_b").cast("long").alias("k_b"),
         "mi_nats", chi2.alias("chi2"), v.alias("cramers_v"))
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    value_scale: int = 4,
+) -> DataFrame:
+    """One-way ANOVA / eta-squared between a CATEGORICAL and a NUMERIC
+    column — the third leg of the association trio
+    (:func:`categorical_association` answers cat×cat,
+    :func:`~goetl_spark.stats.pearson_corr_exact` /
+    :func:`~goetl_spark.stats.spearman_corr` num×num; "does SEGMENT
+    explain VALUE?" answers here). One row:
+    ``n / k / eta2 / f_stat`` — η² = SS_between/SS_total is the
+    variance share the grouping explains ([0, 1], the effect size);
+    F = (SS_b/(k−1))/(SS_w/(n−k)) is the classical test statistic.
+
+    NULL categories form their own class (the house NULL semantics);
+    NULL values are EXCLUDED (no magnitude to explain — pair with
+    :func:`profile_drift` for null-rate signal); NaN values raise
+    loudly. Degenerate conventions: k < 2 or zero total variance →
+    eta2/F NULL (explaining nothing is undefined, not 0); zero
+    WITHIN variance or n = k → F NULL (infinite F disguises a
+    saturated fit).
+
+    Determinism: values quantize once onto the scale-``value_scale``
+    decimal grid (exact for inputs with ≤ that many decimals; a
+    documented half-up round otherwise — raise/lower the dial to the
+    column's native precision). Every sum is an exact integer on that
+    grid; the k-bounded per-class table is collected (the
+    :func:`~goetl_spark.operators.classifier.roc_auc` bounded-collect
+    pattern — classes, never fact rows) and SS_between / SS_total
+    assemble in arbitrary-precision Python integers with the SAME
+    per-class floor division the oracle's HUGEINT ``//`` performs:
+    η² lands on the exact 1e-9 grid (documented ≤ (k+2)·1e-9·grid
+    understatement), and F is a fixed IEEE chain on exactly-
+    representable smalls — hash-exact in oracle SQL. Magnitude bound:
+    |Σv| per class ≤ ~1e15 on the default grid (10^19-digit squares);
+    past it the decimal overflow raises loudly under ANSI.
+
+    Scale shape: ONE partial-aggregated fact pass into the k-bounded
+    class table; a k-row collect; zero joins, zero windows, zero
+    second scans. Class-valued group columns only — the classes
+    bound IS the contract (the categorical_association caveat)."""
+    scale = int(value_scale)
+    mult = 10 ** scale
+    v = F.col(value_col)
+    vq = v.cast(f"decimal({15 + scale},{scale})")
+    v_int = (vq * F.lit(mult)).cast(f"decimal({16 + scale},0)")
+    per = (df.filter(v.isNotNull())
+           .groupBy(F.col(group_col).alias("__g"))
+           .agg(F.count(F.lit(1)).alias("n_g"),
+                F.sum(v_int).alias("s"),
+                F.sum(v_int * v_int).alias("q"),
+                F.sum(F.when(F.isnan(v.cast("double")), 1).otherwise(0))
+                 .alias("nbad"))
+           .collect())
+    spark = df.sparkSession
+    schema = ("n long, k long, eta2 double, f_stat double")
+    if not per:
+        return spark.createDataFrame([], schema)
+    if sum(int(r["nbad"]) for r in per):
+        raise ValueError(
+            f"anova_oneway: NaN values in {value_col!r} — NaN has no "
+            f"magnitude; filter or impute upstream")
+    k = len(per)
+    n = sum(int(r["n_g"]) for r in per)
+    # exact integer grid: s, q are Decimal integers on the 10^-scale /
+    # 10^-2scale grids; floor-divide per class exactly as the oracle's
+    # HUGEINT // does
+    a = sum((int(r["s"]) ** 2) // int(r["n_g"]) for r in per)
+    s_tot = sum(int(r["s"]) for r in per)
+    q_tot = sum(int(r["q"]) for r in per)
+    c = (s_tot ** 2) // n
+    ssb = max(0, a - c)          # floors can leave it a hair negative
+    sst = q_tot - c              # q_tot exact, c floored: >= 0
+    eta2 = f_stat = None
+    if k >= 2 and sst > 0:
+        eta9 = (ssb * 10 ** 9) // sst
+        eta2 = float(eta9) / 1.0e9
+        if n > k and eta9 < 10 ** 9:
+            f_stat = (float(eta9) / float(10 ** 9 - eta9)) \
+                * (float(n - k) / float(k - 1))
+    return spark.createDataFrame([(n, k, eta2, f_stat)], schema)

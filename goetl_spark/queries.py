@@ -11992,3 +11992,127 @@ def q238_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.filter(F.col("doc_id") % 2 != 0).select("lang", "n_chars")
     return (wasserstein_distance(a, b, "n_chars", ["lang"])
             .orderBy("lang"))
+
+
+@register_staged(
+    "q239_spearman_value_time",
+    """
+    WITH f AS (
+        SELECT event_type AS g, value AS x, ts AS y
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    r AS (
+        SELECT g,
+               2 * (RANK() OVER (PARTITION BY g ORDER BY x))
+                   + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx,
+               2 * (RANK() OVER (PARTITION BY g ORDER BY y))
+                   + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry
+        FROM f
+    ),
+    s AS (
+        SELECT g, COUNT(*) AS n,
+               SUM(CAST(rx AS HUGEINT)) AS sx,
+               SUM(CAST(ry AS HUGEINT)) AS sy,
+               SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+               SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+               SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+        FROM r GROUP BY 1
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS rho
+    FROM s ORDER BY 1
+    """,
+)
+def q239_spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (stats.py::spearman_corr — Pearson's
+    monotone, outlier-robust sibling, r14): per event type, is event
+    VALUE rank-correlated with TIME — the drift-screening question
+    ("are values trending?") a heavy-tailed column answers better by
+    ranks than by Pearson, where one extreme pair saturates the
+    moment. Midranks come from the (group, value)-collapsed table via
+    the range-partitioned two-phase cumsum on the ×2 integer grid
+    (ties share a midrank; never a per-group window over fact rows —
+    the oracle's RANK()/COUNT() windows are the bounded-DuckDB-side
+    luxury), joined back to fact rows; rho is Pearson over the two
+    integer rank columns with every moment an EXACT decimal sum and
+    only the final five-term IEEE chain in doubles — hash-exact
+    inside the documented 2⁵³ parity bound (moments ~4n³: per-group
+    n ≲ 6e4; here ≤ ~2.5e4 at sf0.1). Same-engine determinism is
+    unconditional. A constant-column group yields NULL (undefined,
+    not 0). At 100 TB: two collapse shuffles + two cumsum exchanges
+    + two fact equi-joins, one moment aggregate — rho per segment
+    without ever sorting fact rows globally."""
+    from goetl_spark.stats import spearman_corr
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+         .select("event_type", "value", "ts"))
+    return (spearman_corr(e, "value", "ts", ["event_type"])
+            .orderBy("event_type"))
+
+
+@register_staged(
+    "q240_anova_value_by_type",
+    """
+    WITH f AS (
+        SELECT event_type AS g, CAST(value AS DECIMAL(19,4)) AS v4
+        FROM events WHERE value IS NOT NULL
+    ),
+    pg AS (
+        SELECT g, COUNT(*) AS n_g,
+               SUM(CAST(v4 * 10000 AS HUGEINT)) AS s,
+               SUM(CAST(v4 * 10000 AS HUGEINT)
+                   * CAST(v4 * 10000 AS HUGEINT)) AS q
+        FROM f GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(n_g) AS n, COUNT(*) AS k,
+               SUM((s * s) // n_g) AS a,
+               SUM(s) AS s_tot, SUM(q) AS q_tot
+        FROM pg
+    ),
+    u AS (
+        SELECT n, k,
+               greatest(CAST(0 AS HUGEINT),
+                        a - (s_tot * s_tot) // n) AS ssb,
+               q_tot - (s_tot * s_tot) // n AS sst
+        FROM t
+    ),
+    e AS (
+        SELECT n, k, ssb, sst,
+               CASE WHEN k >= 2 AND sst > 0
+                    THEN (ssb * 1000000000) // sst END AS eta9
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(eta9 AS DOUBLE) / 1e9 AS eta2,
+           CASE WHEN eta9 IS NOT NULL AND n > k AND eta9 < 1000000000 THEN
+               (CAST(eta9 AS DOUBLE) / CAST(1000000000 - eta9 AS DOUBLE))
+               * (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+           END AS f_stat
+    FROM e
+    """,
+)
+def q240_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA / eta-squared (quality.py::anova_oneway — the
+    cat×num leg completing the association trio: q236 answers
+    cat×cat, q106/q239 num×num, r14): does EVENT TYPE explain EVENT
+    VALUE, and by how much — η² is the explained-variance share (the
+    effect size a feature screen ranks by), F the classical
+    statistic. Values quantize once onto the scale-4 decimal grid
+    (exact for this 2-decimal column); every sum is an exact grid
+    integer; the k-bounded class table collects (the roc_auc
+    bounded-collect pattern) and SS_between/SS_total assemble in
+    arbitrary-precision Python with the SAME per-class floor
+    divisions the oracle's HUGEINT // performs — η² lands on the
+    exact 1e-9 grid, F is a fixed IEEE chain on exactly-representable
+    smalls; hash-exact. Degenerate conventions: k<2 or zero total
+    variance → NULLs. At 100 TB: ONE partial-aggregated fact pass
+    into the classes-bounded table, a k-row collect, nothing else."""
+    from goetl_spark.quality import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"), "value", "event_type")

@@ -163,3 +163,112 @@ def pearson_corr_exact(df: DataFrame, x: str, y: str,
              * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))))
     corr = (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))
     return agg.select(F.col("n"), corr.alias("corr"))
+
+
+def spearman_corr(df: DataFrame, x: str, y: str,
+                  group_cols=()) -> DataFrame:
+    """Spearman rank correlation with midrank ties — the MONOTONE
+    association companion to :func:`pearson_corr_exact` (Pearson asks
+    "linear?", Spearman asks "monotone?" — outlier-robust and
+    scale-free, the feature-screening question a curation pipeline
+    asks of heavy-tailed columns where one extreme pair can saturate
+    Pearson). One row per group (one row total with no
+    ``group_cols``): ``n / rho``.
+
+    Exact ranks, not approximations: each column's midranks come from
+    the (group, value)-collapsed table — an exclusive cumulative
+    count via the range-partitioned two-phase cumsum (the roc_auc
+    machinery, never a per-group window over fact rows) gives
+    ``rank2 = 2·cum_before + cnt + 1``, the midrank on the ×2 integer
+    grid (ties share it; the grid keeps .5 midranks integral) —
+    joined back to fact rows (null-safe on group keys). rho is then
+    Pearson over the two integer rank columns with every moment
+    accumulated in EXACT decimal; only the final five-term IEEE chain
+    runs in doubles.
+
+    NULL on either side excludes the PAIR (both rankings must cover
+    the same rows — the pearson_corr_exact contract); NaN raises
+    loudly via a count folded into the moment aggregate (NaN would
+    take an arbitrary rank and silently distort rho). A group whose
+    surviving x (or y) is CONSTANT yields rho NULL (monotone
+    association with a constant is undefined, not 0). Empty input
+    returns an empty frame.
+
+    Determinism: within Spark, unconditional (exact integer moments;
+    the final double chain is a fixed function of them). Cross-engine
+    ORACLE parity additionally needs the moment values inside 2⁵³
+    (decimal→double casts are only correctly rounded there in both
+    engines — the pearson_corr_exact caveat): moments grow as ~4n³
+    per group, so bit-exact parity holds for per-group n ≲ 6e4;
+    beyond that results are correct to the last ulp but not
+    contractually hash-identical. Exactness (decimal-38) bound:
+    n ≲ 1e9 per group.
+
+    Scale shape: two (group, value) collapse shuffles + two cumsum
+    exchanges over the collapsed tables, two equi-joins back to fact
+    rows on (group, value), ONE moment aggregate — no window over
+    fact rows, no collect beyond the cumsum's per-partition totals."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    groups = list(group_cols)
+    fact = (df.select(*groups, F.col(x).alias("__x"), F.col(y).alias("__y"))
+            .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()))
+
+    def rank2_table(col_name: str, out: str) -> DataFrame:
+        gt = (fact.groupBy(*groups, F.col(col_name).alias("__v"))
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+        ct = _with_exclusive_cumsum(gt, "__cnt", [*groups, "__v"], "__cb")
+        if groups:
+            ct = _group_offset_join(
+                ct, groups,
+                ct.groupBy(*groups).agg(F.min("__cb").alias("__g0")))
+        else:
+            ct = ct.crossJoin(
+                F.broadcast(ct.agg(F.min("__cb").alias("__g0"))))
+        return ct.select(
+            *[F.col(g).alias(f"__rg_{i}") for i, g in enumerate(groups)],
+            F.col("__v").alias(f"__v_{out}"),
+            (2 * (F.col("__cb") - F.col("__g0")) + F.col("__cnt") + 1)
+            .cast("long").alias(out))
+
+    def back(joined: DataFrame, rt: DataFrame, col_name: str,
+             out: str) -> DataFrame:
+        cond = F.col(col_name) == F.col(f"__v_{out}")
+        for i, g in enumerate(groups):
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__rg_{i}"))
+        return (joined.join(rt, on=cond, how="inner")
+                .drop(f"__v_{out}",
+                      *[f"__rg_{i}" for i in range(len(groups))]))
+
+    ranked = back(back(fact, rank2_table("__x", "__rx"), "__x", "__rx"),
+                  rank2_table("__y", "__ry"), "__y", "__ry")
+
+    xr = F.col("__rx").cast("decimal(19,0)")
+    yr = F.col("__ry").cast("decimal(19,0)")
+    nan_pair = (F.isnan(F.col("__x").cast("double"))
+                | F.isnan(F.col("__y").cast("double")))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(nan_pair, 1).otherwise(0)).alias("__nbad"),
+        F.sum(xr).alias("__sx"), F.sum(yr).alias("__sy"),
+        F.sum(xr * xr).alias("__sxx"), F.sum(yr * yr).alias("__syy"),
+        F.sum(xr * yr).alias("__sxy"),
+    ]
+    m = (ranked.groupBy(*groups).agg(*aggs) if groups
+         else ranked.agg(*aggs))
+    ok = F.assert_true(
+        F.col("__nbad") == 0,
+        F.lit(f"spearman_corr: NaN values in {x!r}/{y!r} — NaN has no "
+              f"rank; filter or impute upstream"))
+    nd = F.col("n").cast("decimal(19,0)")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    da = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    db = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = F.when(
+        ok.isNull() & (da > 0) & (db > 0),
+        num.cast("double")
+        / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))))
+    return (m.filter((F.col("n") > 0) | (F.col("__nbad") > 0))
+            .select(*groups, F.col("n").cast("long").alias("n"),
+                    rho.alias("rho")))

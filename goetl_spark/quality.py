@@ -983,3 +983,98 @@ def anova_oneway(
             f_stat = (float(eta9) / float(10 ** 9 - eta9)) \
                 * (float(n - k) / float(k - 1))
     return spark.createDataFrame([(n, k, eta2, f_stat)], schema)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    value_scale: int = 4,
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative column — the
+    inequality diagnostic behind every domain-cap / dedup-budget
+    decision ("is crawl volume concentrated in a handful of domains?"
+    / "do a few users carry all the revenue?" — the question
+    :func:`~goetl_spark.operators.web.cap_per_domain` answers by
+    fiat, this measures). One row per group (one row total with no
+    ``group_cols``): ``n / gini`` — 0 = perfectly equal, →1 = one row
+    holds everything.
+
+    Tie-correct by construction: over the (group, value)-collapsed
+    table, G = (Σᵢ 2·r̃ᵢ·xᵢ)/(n·Σx) − (n+1)/n with midranks r̃ (equal
+    values share one), algebraically Σᵢⱼ|xᵢ−xⱼ|/(2n²μ) — computed as
+    the single exact rational (T − (n+1)·S)/(n·S) where
+    T = Σ_v v·cnt·(2·cum_before + cnt + 1) and S = Σ_v v·cnt are
+    exact integers on the scale-``value_scale`` grid (cumulative
+    counts from the range-partitioned two-phase cumsum — never a
+    per-group window). The rational lands on the exact 1e-9 grid by
+    decimal FLOOR division (the q236 discipline) — hash-exact in
+    oracle SQL, with a documented ≤1e-9 per-group understatement.
+    Magnitude bound: n·Σx·10^(scale+9) per group must fit
+    DECIMAL(38) — n·Σx ≲ 1e25 on the default grid; ANSI raises
+    loudly past it.
+
+    NULL values are EXCLUDED (no mass to rank); NaN and NEGATIVE
+    values raise loudly via counts folded into the totals pass (a
+    negative mass makes the Lorenz ordering meaningless — shift or
+    clip upstream, and own the decision). All-zero groups yield NULL
+    gini (share-of-nothing is undefined, not 0).
+
+    Scale shape: one (group, value) collapse shuffle, ONE cumsum
+    range exchange over the collapsed table, a groups-bounded totals
+    broadcast — same exchange budget as :func:`ks_distance`."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    groups = list(group_cols)
+    scale = int(value_scale)
+    v = F.col(col)
+    g = (df.filter(v.isNotNull())
+         .groupBy(*groups, v.alias("__v"))
+         .agg(F.count(F.lit(1)).alias("__cnt")))
+    c = _with_exclusive_cumsum(g, "__cnt", [*groups, "__v"], "__cb")
+
+    vd = F.col("__v").cast("double")
+    bad_nan = F.isnan(vd)
+    bad_neg = ~bad_nan & (vd < 0)
+    v4 = F.when(~bad_nan & ~bad_neg,
+                (F.col("__v").cast(f"decimal({15 + scale},{scale})")
+                 * F.lit(10 ** scale)).cast(f"decimal({16 + scale},0)"))
+    c = c.select(*groups, "__cnt", "__cb",
+                 v4.alias("__v4"),
+                 F.when(bad_nan, F.col("__cnt")).otherwise(0).alias("__bn"),
+                 F.when(bad_neg, F.col("__cnt")).otherwise(0).alias("__bg"))
+    off_aggs = [
+        F.min("__cb").alias("__g0"),
+        F.sum("__cnt").alias("__n"),
+        F.sum(F.col("__v4") * F.col("__cnt")).alias("__s"),
+        F.sum("__bn").alias("__nbad"), F.sum("__bg").alias("__nneg")]
+    if groups:
+        offs = c.groupBy(*groups).agg(*off_aggs)
+        c = _group_offset_join(c, groups, offs)
+    else:
+        c = c.crossJoin(F.broadcast(c.agg(*off_aggs)))
+
+    term = (F.col("__v4") * F.col("__cnt")
+            * (2 * (F.col("__cb") - F.col("__g0")) + F.col("__cnt") + 1))
+    agg = (c.groupBy(*groups)
+           .agg(F.sum(term).alias("__t"),
+                F.first("__n").alias("__fn"),
+                F.first("__s").alias("__fs"),
+                F.first("__nbad").alias("__fbad"),
+                F.first("__nneg").alias("__fneg")))
+    ok = F.assert_true(
+        (F.col("__fbad") == 0) & (F.col("__fneg") == 0),
+        F.lit(f"gini_coefficient: NaN or negative values in {col!r} — "
+              f"Gini needs non-negative mass; filter/clip upstream and "
+              f"own the decision"))
+    g9 = F.expr("""
+        (CAST((__t - (CAST(__fn AS DECIMAL(19,0)) + 1) * __fs)
+              * 1000000000 AS DECIMAL(38,0)))
+        DIV (CAST(__fn AS DECIMAL(19,0)) * __fs)""")
+    gini = F.when(ok.isNull() & (F.col("__fs") > 0),
+                  g9.cast("double") / F.lit(1.0e9))
+    return (agg.filter(F.col("__fn").isNotNull())
+            .select(*groups,
+                    F.col("__fn").cast("long").alias("n"),
+                    gini.alias("gini")))

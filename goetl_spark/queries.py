@@ -12116,3 +12116,56 @@ def q240_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goetl_spark.quality import anova_oneway
 
     return anova_oneway(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
+@register_staged(
+    "q241_user_spend_gini",
+    """
+    WITH ut AS (
+        SELECT event_type AS g, user_id,
+               SUM(CAST(value AS DECIMAL(19,4))) AS t
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT g, CAST(t * 10000 AS HUGEINT) AS v4,
+               2 * (RANK() OVER (PARTITION BY g ORDER BY t))
+                   + COUNT(*) OVER (PARTITION BY g, t) - 1 AS r2
+        FROM ut
+    ),
+    s AS (
+        SELECT g, COUNT(*) AS n, SUM(v4) AS sv, SUM(v4 * r2) AS tt
+        FROM r GROUP BY 1
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN sv > 0 THEN
+               CAST(((tt - (n + 1) * sv) * 1000000000)
+                    // (n * sv) AS DOUBLE) / 1e9
+           END AS gini
+    FROM s ORDER BY 1
+    """,
+)
+def q241_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user event value (quality.py::
+    gini_coefficient, r14): per event type, how concentrated is total
+    value across users — the measured form of the budget/cap question
+    web.py's cap_per_domain answers by fiat ("do a few whales carry
+    all purchase value?"). User totals accumulate as exact decimals
+    (one fact collapse); the coefficient is tie-correct by midranks —
+    G = (Σ 2·r̃·x)/(n·Σx) − (n+1)/n over the (group, total)-collapsed
+    table with cumulative counts from the range-partitioned two-phase
+    cumsum (the oracle's RANK window is the bounded-DuckDB-side
+    luxury) — computed as ONE exact rational floored onto the 1e-9
+    grid (the q236 discipline): hash-exact, ≤1e-9 understatement.
+    All-zero groups → NULL; NaN/negative mass raises loudly. At
+    100 TB: one fact collapse to user totals, one (group, value)
+    collapse, one cumsum exchange, a groups-bounded totals broadcast."""
+    from goetl_spark.quality import gini_coefficient
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull()))
+    ut = (e.groupBy("event_type", "user_id")
+          .agg(F.sum(F.col("value").cast("decimal(19,4)"))
+                .alias("user_total")))
+    return (gini_coefficient(ut, "user_total", ["event_type"])
+            .orderBy("event_type"))

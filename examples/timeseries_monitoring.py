@@ -156,6 +156,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
     cal = calibration_bins(graded, "claimed_p", "above", n_bins=5)
     ece = cal.agg(F.sum("ece_term").alias("ece")).first()["ece"]
 
+    # 7) FORECAST GRADING (r14): the trend model is only a monitor
+    # until someone measures it — fit the exact-decimal OLS line on
+    # the FIRST half of each series' hourly buckets, forecast the
+    # second half, and grade per series with the continuous-target
+    # eval leg (MAE in value units, R² vs just predicting the mean).
+    from goetl_spark.operators.classifier import regression_metrics
+    from goetl_spark.operators.timeseries import linear_trend as _lt
+
+    hx = hourly.withColumn(
+        "x", (F.unix_micros(F.col("bucket")).cast("double")
+              / F.lit(3600_000000.0)))
+    mid = hx.agg(((F.min("x") + F.max("x")) / 2).alias("m")).first()["m"]
+    fit = _lt(hx.filter(F.col("x") <= mid), ["event_type"], "x", "avg_v")
+    test = (hx.filter(F.col("x") > mid)
+            .join(fit.select("event_type", "slope", "intercept"),
+                  "event_type")
+            .filter(F.col("slope").isNotNull())
+            .withColumn("pred",
+                        F.col("intercept") + F.col("slope") * F.col("x")))
+    fc_eval = {r["event_type"]: (r["mae"], r["r2"])
+               for r in regression_metrics(
+                   test, "avg_v", "pred", ["event_type"]).collect()}
+
     out = {
         "rollup_rows": rollup.count(),
         "incremental_exact": incremental_exact,
@@ -166,6 +189,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
         "slopes": trends,
         "stream_psi": stream_psi,
         "calibration_ece": ece,
+        "forecast_eval": fc_eval,
     }
     if owns_spark:
         spark.stop()

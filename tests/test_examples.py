@@ -102,6 +102,14 @@ def test_timeseries_monitoring_example(spark, tmp_path):
     # calibration leg: the seasonal profile's claimed probabilities
     # are near-calibrated against their own observed frequencies
     assert 0.0 <= r["calibration_ece"] < 0.25
+    # forecast-grading leg (r14): every fitted series is graded; MAE
+    # is finite and R² bounded above by 1 (a flat synthetic series
+    # can grade negative — worse than predicting the mean is a real
+    # verdict, not an error)
+    assert len(r["forecast_eval"]) > 0
+    for mae, r2 in r["forecast_eval"].values():
+        assert mae is not None and mae >= 0.0
+        assert r2 is None or r2 <= 1.0
 
 
 def test_model_curation_example(spark):

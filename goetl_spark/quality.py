@@ -1078,3 +1078,162 @@ def gini_coefficient(
             .select(*groups,
                     F.col("__fn").cast("long").alias("n"),
                     gini.alias("gini")))
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelings of the same
+    rows — chance-corrected AGREEMENT, the weak-supervision /
+    annotator-audit question (:func:`categorical_association` asks
+    "are these two columns related?"; kappa asks the stricter "do two
+    raters using the SAME label space actually agree beyond chance?"
+    — two heuristic labelers can be strongly associated yet never
+    agree). One row: ``n / po / pe / kappa`` — p_o the observed
+    agreement share, p_e the chance agreement from the raters'
+    marginals, κ = (p_o − p_e)/(1 − p_e) ∈ [−1, 1] (negative =
+    systematically worse than chance; 0 on independent raters; the
+    Landis-Koch bands are the caller's read).
+
+    NULL labels form their own class on both sides (the house NULL
+    semantics — null-safe diagonal); degenerate p_e = 1 (both raters
+    constant) yields κ NULL (agreement beyond chance is undefined
+    when chance is certainty). Empty input returns an empty frame.
+
+    Determinism: ONE fact pass into the classes²-bounded confusion
+    table, collected (the :func:`anova_oneway` bounded-collect
+    pattern); κ assembles in arbitrary-precision Python as the single
+    exact rational (N·Σdiag − Σ(row_i·col_i)) / (N² − Σ(row_i·col_i))
+    floored onto the 1e-9 grid with the sign split out (Spark's DIV
+    truncates toward zero, DuckDB's // floors — they only agree on
+    non-negatives, so the oracle mirrors |num| // den with a sign
+    factor); p_e lands on the same grid (its numerator exceeds 2⁵³
+    long before N does); p_o is one exact long/long IEEE division —
+    hash-exact in oracle SQL.
+
+    Scale shape: one partial-aggregated fact pass, a classes²-row
+    collect, nothing else. Class-valued columns only — the classes²
+    bound is the contract."""
+    a, b = F.col(col_a), F.col(col_b)
+    cm = (df.groupBy(a.alias("__a"), b.alias("__b"))
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .collect())
+    spark = df.sparkSession
+    schema = "n long, po double, pe double, kappa double"
+    if not cm:
+        return spark.createDataFrame([], schema)
+    n = sum(int(r["__n"]) for r in cm)
+    diag = sum(int(r["__n"]) for r in cm
+               if (r["__a"] is None and r["__b"] is None)
+               or (r["__a"] is not None and r["__a"] == r["__b"]))
+    row_m: dict = {}
+    col_m: dict = {}
+    for r in cm:
+        row_m[r["__a"]] = row_m.get(r["__a"], 0) + int(r["__n"])
+        col_m[r["__b"]] = col_m.get(r["__b"], 0) + int(r["__n"])
+    src = sum(row_m[k] * col_m.get(k, 0) for k in row_m)
+    po = float(diag) / float(n)
+    pe9 = (src * 10 ** 9) // (n * n)
+    pe = float(pe9) / 1.0e9
+    num = n * diag - src
+    den = n * n - src
+    if den == 0:
+        kappa = None
+    else:
+        sign = -1 if num < 0 else 1
+        kappa = sign * float((abs(num) * 10 ** 9) // den) / 1.0e9
+    return spark.createDataFrame([(n, po, pe, kappa)], schema)
+
+
+def top_share(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 10,
+    value_scale: int = 4,
+) -> DataFrame:
+    """Share of total mass held by the ``k`` heaviest rows — the
+    head-concentration readout behind cap/budget decisions
+    (:func:`gini_coefficient` scores the WHOLE Lorenz curve; this
+    answers the operational "what fraction of chars do the top 10
+    sources hold?" that a cap policy acts on). One row per group (one
+    row total with no ``group_cols``): ``n / k_eff / share``.
+
+    Tie-safe by construction: rows tied at the k-th weight are
+    interchangeable, so the top-k SUM is unique without a tie-break —
+    over the (group, weight)-collapsed table, each distinct weight
+    contributes ``w · min(cnt, max(0, k − rows_heavier))`` with
+    ``rows_heavier`` from ONE exclusive cumsum ordered by descending
+    weight (the range-partitioned two-phase machinery, never a
+    per-group window). Weights quantize once onto the
+    scale-``value_scale`` decimal grid; the share is the single exact
+    rational topsum/total floored onto the 1e-9 grid (the q236
+    discipline) — hash-exact in oracle SQL, ≤1e-9 understatement.
+
+    NULL weights are EXCLUDED (no mass); NaN and NEGATIVE weights
+    raise loudly (the :func:`gini_coefficient` contract — a negative
+    mass makes "top" meaningless); all-zero groups yield NULL share.
+    ``k_eff = min(k, n)`` reports saturation (share = 1.0 whenever
+    k ≥ n is a statement about k, not the data).
+
+    Scale shape: one (group, weight) collapse shuffle, ONE cumsum
+    range exchange over the collapsed table, a groups-bounded totals
+    broadcast — the ks_distance exchange budget."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    if k < 1:
+        raise ValueError(f"top_share: k must be >= 1, got {k}")
+    groups = list(group_cols)
+    scale = int(value_scale)
+    w = F.col(weight_col)
+    g = (df.filter(w.isNotNull())
+         .groupBy(*groups, w.alias("__w"))
+         .agg(F.count(F.lit(1)).alias("__cnt")))
+    wd = F.col("__w").cast("double")
+    bad_nan = F.isnan(wd)
+    bad_neg = ~bad_nan & (wd < 0)
+    w4 = F.when(~bad_nan & ~bad_neg,
+                (F.col("__w").cast(f"decimal({15 + scale},{scale})")
+                 * F.lit(10 ** scale)).cast(f"decimal({16 + scale},0)"))
+    g = g.select(*groups, "__cnt", w4.alias("__w4"),
+                 F.when(bad_nan, F.col("__cnt")).otherwise(0).alias("__bn"),
+                 F.when(bad_neg, F.col("__cnt")).otherwise(0).alias("__bg"),
+                 (-F.coalesce(F.col("__w4"), F.lit(0))).alias("__ord"))
+    c = _with_exclusive_cumsum(g, "__cnt", [*groups, "__ord"], "__cb")
+    off_aggs = [
+        F.min("__cb").alias("__g0"),
+        F.sum("__cnt").alias("__n"),
+        F.sum(F.col("__w4") * F.col("__cnt")).alias("__s"),
+        F.sum("__bn").alias("__nbad"), F.sum("__bg").alias("__nneg")]
+    if groups:
+        c = _group_offset_join(c, groups, c.groupBy(*groups).agg(*off_aggs))
+    else:
+        c = c.crossJoin(F.broadcast(c.agg(*off_aggs)))
+
+    heavier = F.col("__cb") - F.col("__g0")
+    take = F.least(F.col("__cnt").cast("long"),
+                   F.greatest(F.lit(0).cast("long"),
+                              F.lit(k) - heavier))
+    agg = (c.groupBy(*groups)
+           .agg(F.sum(F.col("__w4") * take).alias("__t"),
+                F.first("__n").alias("__fn"),
+                F.first("__s").alias("__fs"),
+                F.first("__nbad").alias("__fbad"),
+                F.first("__nneg").alias("__fneg")))
+    ok = F.assert_true(
+        (F.col("__fbad") == 0) & (F.col("__fneg") == 0),
+        F.lit(f"top_share: NaN or negative weights in {weight_col!r} — "
+              f"'top' needs non-negative mass; filter/clip upstream"))
+    s9 = F.expr(
+        "(CAST(__t * 1000000000 AS DECIMAL(38,0))) DIV __fs")
+    share = F.when(ok.isNull() & (F.col("__fs") > 0),
+                   s9.cast("double") / F.lit(1.0e9))
+    return (agg.filter(F.col("__fn").isNotNull())
+            .select(*groups,
+                    F.col("__fn").cast("long").alias("n"),
+                    F.least(F.lit(k).cast("long"), F.col("__fn"))
+                     .cast("long").alias("k_eff"),
+                    share.alias("share")))

@@ -12169,3 +12169,124 @@ def q241_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("user_total")))
     return (gini_coefficient(ut, "user_total", ["event_type"])
             .orderBy("event_type"))
+
+
+@register_staged(
+    "q242_annotator_agreement",
+    """
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 'long'
+                    WHEN n_chars >= 150 THEN 'mid'
+                    ELSE 'short' END AS a,
+               CASE WHEN length(regexp_replace(text, '[^ ]', '', 'g')) >= 50
+                        THEN 'long'
+                    WHEN length(regexp_replace(text, '[^ ]', '', 'g')) >= 25
+                        THEN 'mid'
+                    ELSE 'short' END AS b
+        FROM documents
+    ),
+    cm AS (SELECT a, b, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+    ra AS (SELECT a, SUM(c) AS na FROM cm GROUP BY 1),
+    rb AS (SELECT b, SUM(c) AS nb FROM cm GROUP BY 1),
+    s AS (
+        SELECT (SELECT SUM(c) FROM cm) AS n,
+               (SELECT COALESCE(SUM(c), 0) FROM cm WHERE a = b) AS diag,
+               (SELECT SUM(CAST(ra.na AS HUGEINT) * rb.nb)
+                FROM ra JOIN rb ON ra.a = rb.b) AS src
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST((src * 1000000000) // (CAST(n AS HUGEINT) * n) AS DOUBLE)
+               / 1e9 AS pe,
+           CASE WHEN CAST(n AS HUGEINT) * n - src <> 0 THEN
+               (CASE WHEN CAST(n AS HUGEINT) * diag - src < 0
+                     THEN -1 ELSE 1 END)
+               * CAST((abs(CAST(n AS HUGEINT) * diag - src) * 1000000000)
+                      // (CAST(n AS HUGEINT) * n - src) AS DOUBLE) / 1e9
+           END AS kappa
+    FROM s
+    """,
+)
+def q242_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic annotators (quality.py::
+    cohens_kappa, r14): a char-count labeler and a space-count labeler
+    bucket every document into short/mid/long, and κ measures their
+    agreement BEYOND CHANCE — the weak-supervision audit
+    (q236's association asks "related?"; this asks the stricter "do
+    raters sharing a label space actually agree?" — the question you
+    answer before trusting rule-based labels as training data). One
+    fact pass into the classes²-bounded confusion table, a bounded
+    collect, then the single exact rational
+    (N·Σdiag − Σ row·col)/(N² − Σ row·col) floored onto the 1e-9 grid
+    with the sign split out (Spark DIV truncates, DuckDB // floors —
+    they agree only on non-negatives); p_e rides the same grid, p_o
+    one exact long division — hash-exact. At 100 TB: one
+    partial-aggregated pass, a classes² collect, nothing else."""
+    from goetl_spark.quality import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    lab = d.select(
+        F.when(F.col("n_chars") >= 300, "long")
+         .when(F.col("n_chars") >= 150, "mid")
+         .otherwise("short").alias("a"),
+        F.when(spaces >= 50, "long")
+         .when(spaces >= 25, "mid")
+         .otherwise("short").alias("b"))
+    return cohens_kappa(lab, "a", "b")
+
+
+@register_staged(
+    "q243_source_head_share",
+    """
+    WITH st AS (
+        SELECT lang AS g, source, SUM(n_chars) AS w
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    gv AS (SELECT g, w, COUNT(*) AS cnt FROM st GROUP BY 1, 2),
+    c AS (
+        SELECT g, w, cnt,
+               COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY w DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS heavier
+        FROM gv
+    ),
+    s AS (
+        SELECT g, SUM(cnt) AS n,
+               SUM(CAST(w * 10000 AS HUGEINT) * cnt) AS tot,
+               SUM(CAST(w * 10000 AS HUGEINT)
+                   * least(cnt, greatest(0, 10 - heavier))) AS topv
+        FROM c GROUP BY 1
+    )
+    SELECT g AS lang, CAST(n AS BIGINT) AS n,
+           CAST(least(10, n) AS BIGINT) AS k_eff,
+           CASE WHEN tot > 0 THEN
+               CAST((topv * 1000000000) // tot AS DOUBLE) / 1e9
+           END AS share
+    FROM s ORDER BY 1
+    """,
+)
+def q243_source_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 source share of corpus characters per language
+    (quality.py::top_share, r14): the operational head-concentration
+    readout a domain-cap policy acts on — q241's Gini scores the
+    whole Lorenz curve, this answers "what fraction of each
+    language's chars do its 10 biggest sources hold?". Source totals
+    are one exact fact collapse; the top-k sum is TIE-SAFE by
+    construction (rows tied at the k-th weight are interchangeable —
+    each distinct weight contributes w·min(cnt, max(0, k−heavier))
+    with `heavier` from one descending-weight cumsum, never a
+    per-group window; the oracle's window is the bounded-DuckDB-side
+    luxury); the share is one exact rational floored onto the 1e-9
+    grid — hash-exact. At 100 TB: one fact collapse to source totals,
+    one (group, weight) collapse, one cumsum exchange, a
+    groups-bounded totals broadcast."""
+    from goetl_spark.quality import top_share
+
+    st = (_t(spark, sf_dir, "documents")
+          .filter(F.col("n_chars").isNotNull())
+          .groupBy("lang", "source")
+          .agg(F.sum("n_chars").alias("chars_total")))
+    return (top_share(st, "chars_total", ["lang"], k=10)
+            .orderBy("lang"))

@@ -1237,3 +1237,110 @@ def top_share(
                     F.least(F.lit(k).cast("long"), F.col("__fn"))
                      .cast("long").alias("k_eff"),
                     share.alias("share")))
+
+
+#: Benford expected leading-digit shares log10(1 + 1/d) as FIXED double
+#: literals (identical in operator and oracle — no cross-engine
+#: transcendental ever evaluates)
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def benford_profile(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    value_scale: int = 4,
+) -> DataFrame:
+    """Leading-digit distribution vs Benford's law — the
+    data-authenticity screen (naturally-generated magnitudes spanning
+    orders follow log10(1+1/d); fabricated, truncated, or
+    unit-capped columns visibly don't — the classic fraud/synthetic
+    tell, and a cheap drift canary for value-bearing columns). Nine
+    rows per group: ``digit / n_d / share / expected / dev`` with
+    ``dev = share − expected`` signed — MAD (Nigrini's cutoffs) or
+    χ² is the caller's one aggregate over the 9 bounded rows, left
+    per-digit so a deviation stays attributable (the
+    :func:`~goetl_spark.operators.classifier.calibration_bins`
+    contract).
+
+    The leading digit comes from the value's MAGNITUDE on the
+    scale-``value_scale`` decimal grid: |v| quantizes once (exact for
+    inputs with ≤ that many decimals), and the digit is the first
+    character of the grid integer's STRING — decimal-integer
+    rendering is identical in both engines, so no log10 and no
+    cross-engine float formatting ever runs; ``expected`` is a FIXED
+    literal table (:data:`BENFORD_EXPECTED`). Shares are exact
+    long/long IEEE divisions; ``dev`` one subtraction against a
+    literal — hash-exact in oracle SQL.
+
+    ZERO-magnitude values carry no leading digit and are EXCLUDED
+    from the profile (their count is :func:`profile`'s job — a
+    zero-heavy column is its own finding); NULLs are excluded; NaN
+    raises loudly via the sentinel row folded into the counting pass
+    (one fact scan). Negative values profile by |v| (Benford is a
+    magnitude law). Groups with no surviving rows emit nothing.
+
+    Scale shape: ONE fact pass into a (groups × 11)-bounded sentinel
+    count table; the 9-digit scaffold and totals join that bounded
+    table — never the fact rows."""
+    from goetl_spark.operators.classifier import _group_offset_join
+
+    groups = list(group_cols)
+    scale = int(value_scale)
+    v = F.col(col)
+    vd = v.cast("double")
+    m4 = (F.abs(v).cast(f"decimal({15 + scale},{scale})")
+          * F.lit(10 ** scale)).cast(f"decimal({16 + scale},0)")
+    digit = (F.when(F.isnan(vd), F.lit(-1))
+             .when(m4 > 0,
+                   F.substring(m4.cast("string"), 1, 1).cast("int"))
+             .otherwise(F.lit(0)))      # zero magnitude: excluded, not bad
+    counts = (df.filter(v.isNotNull())
+              .groupBy(*groups, digit.alias("__d"))
+              .agg(F.count(F.lit(1)).alias("__nd"))
+              .localCheckpoint(eager=True))
+
+    tot_aggs = [
+        F.sum(F.when(F.col("__d") > 0, F.col("__nd")).otherwise(0))
+         .alias("__N"),
+        F.sum(F.when(F.col("__d") == -1, F.col("__nd")).otherwise(0))
+         .alias("__nbad")]
+    scaffold = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    if groups:
+        tot = counts.groupBy(*groups).agg(*tot_aggs)
+        grid = tot.select(*groups, "__N", "__nbad", scaffold)
+    else:
+        tot = counts.agg(*tot_aggs)
+        grid = tot.select("__N", "__nbad", scaffold)
+    dk = counts.filter(F.col("__d") > 0).select(
+        *[F.col(g).alias(f"__cg_{i}") for i, g in enumerate(groups)],
+        F.col("__d").alias("__cd"), "__nd")
+    cond = F.col("digit") == F.col("__cd")
+    for i, g in enumerate(groups):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__cg_{i}"))
+    j = (grid.join(dk, on=cond, how="left")
+         .drop("__cd", *[f"__cg_{i}" for i in range(len(groups))]))
+
+    ok = F.assert_true(
+        F.col("__nbad") == 0,
+        F.lit(f"benford_profile: NaN values in {col!r} — NaN has no "
+              f"magnitude; filter or impute upstream"))
+    exp_col = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"))
+    n_d = F.coalesce(F.col("__nd"), F.lit(0)).cast("long")
+    share = F.when(ok.isNull() & (F.col("__N") > 0),
+                   n_d / F.col("__N"))
+    # kept when __nbad > 0 even at __N == 0 so an ALL-NaN group still
+    # reaches the assert instead of being silently filtered away
+    return (j.filter((F.col("__N") > 0) | (F.col("__nbad") > 0))
+            .select(*groups,
+                    F.col("digit"),
+                    n_d.alias("n_d"),
+                    share.alias("share"),
+                    exp_col.alias("expected"),
+                    (share - exp_col).alias("dev")))

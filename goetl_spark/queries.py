@@ -12290,3 +12290,70 @@ def q243_source_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum("n_chars").alias("chars_total")))
     return (top_share(st, "chars_total", ["lang"], k=10)
             .orderBy("lang"))
+
+
+@register_staged(
+    "q244_benford_values",
+    """
+    WITH f AS (
+        SELECT event_type AS g,
+               CAST(CAST(abs(value) AS DECIMAL(19,4)) * 10000
+                    AS HUGEINT) AS m
+        FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+        SELECT g, CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM f WHERE m > 0
+    ),
+    c AS (SELECT g, digit, COUNT(*) AS n_d FROM d GROUP BY 1, 2),
+    tot AS (SELECT g, SUM(n_d) AS N FROM c GROUP BY 1),
+    grid AS (
+        SELECT t.g, t.N, dig.digit
+        FROM tot t CROSS JOIN
+             (SELECT unnest(generate_series(1, 9)) AS digit) dig
+    ),
+    x AS (
+        SELECT grid.g, grid.digit, grid.N,
+               COALESCE(c.n_d, 0) AS n_d,
+               CAST(CASE grid.digit
+                    WHEN 1 THEN 0.3010299956639812
+                    WHEN 2 THEN 0.17609125905568124
+                    WHEN 3 THEN 0.12493873660829992
+                    WHEN 4 THEN 0.09691001300805642
+                    WHEN 5 THEN 0.07918124604762482
+                    WHEN 6 THEN 0.06694678963061322
+                    WHEN 7 THEN 0.05799194697768673
+                    WHEN 8 THEN 0.05115252244738129
+                    WHEN 9 THEN 0.04575749056067514
+               END AS DOUBLE) AS expected
+        FROM grid LEFT JOIN c
+             ON grid.g IS NOT DISTINCT FROM c.g AND grid.digit = c.digit
+    )
+    SELECT g AS event_type, digit, CAST(n_d AS BIGINT) AS n_d,
+           CAST(n_d AS DOUBLE) / CAST(N AS DOUBLE) AS share,
+           expected,
+           CAST(n_d AS DOUBLE) / CAST(N AS DOUBLE) - expected AS dev
+    FROM x ORDER BY 1, 2
+    """,
+)
+def q244_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit screen (quality.py::benford_profile,
+    r14): per event type, the observed leading-digit distribution of
+    |value| against the log10(1+1/d) law — the data-authenticity /
+    drift canary (a unit-capped, truncated, or fabricated value
+    column visibly breaks the law; MAD over the 9 bounded rows is
+    the caller's one aggregate). The digit comes from the magnitude's
+    scale-4 decimal grid integer rendered as a STRING — decimal-
+    integer rendering is identical in both engines, so no log10 and
+    no float formatting ever runs; expected shares are FIXED literals
+    in operator and oracle alike. Shares are exact long/long IEEE
+    divisions — hash-exact. Zeros carry no leading digit (excluded,
+    profile()'s job); NaN raises via the sentinel row folded into the
+    one counting pass. At 100 TB: one fact pass into a (groups ×
+    11)-bounded sentinel table; scaffold and totals join THAT, never
+    fact rows."""
+    from goetl_spark.quality import benford_profile
+
+    return (benford_profile(_t(spark, sf_dir, "events"), "value",
+                            ["event_type"])
+            .orderBy("event_type", "digit"))

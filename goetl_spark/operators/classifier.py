@@ -941,3 +941,110 @@ def score_quality(
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     drop = [c for c in feats.columns if c.startswith("f_")]
     return feats.withColumn(out, prob).drop(*drop)
+
+
+def gains_at_k(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    ks=(10, 100, 1000),
+) -> DataFrame:
+    """Cumulative gains / lift table at selection depths — the
+    TARGETING readout of the eval suite (:func:`roc_auc` grades the
+    whole ranking; a campaign asks the operational "if I can only
+    act on the top k, how many positives do I capture and how much
+    better than random is that?"). One row per requested depth:
+    ``k / k_eff / expected_pos / precision / recall / lift``.
+
+    Ties are handled by EXPECTATION, not by an arbitrary row order
+    (the Mann-Whitney midrank philosophy): rows tied at the k-th
+    score are interchangeable, so the boundary block contributes
+    ``pos_block · take/cnt`` — the expected positives under random
+    tie-breaking, which is also the unique permutation-invariant
+    answer. Scores collapse to distinct values; ``heavier`` (rows
+    strictly above) comes from ONE descending-score cumsum (the
+    range-partitioned two-phase machinery, never a global window);
+    every depth reads the same collapsed table.
+
+    Determinism: expected_pos accumulates per distinct score as
+    ``(pos·take·10⁹) DIV cnt`` — exact integers, zero remainder off
+    the boundary block — and precision/recall/lift land on the same
+    1e-9 grid by further exact integer division (documented ≤ 2e-9
+    understatement; lift's numerator E9·N stays inside DECIMAL(38)
+    for N ≲ 1e12). Hash-exact in oracle SQL. NULL/NaN scores and
+    NULL labels reject loudly via counts folded into the collapse
+    (the :func:`roc_auc` guard contract, one fact scan). Zero
+    positives → recall/lift NULL (capturing a share of nothing is
+    undefined); ``k_eff = min(k, n)`` reports saturation. Empty
+    input returns an empty frame.
+
+    Scale shape: one (score) collapse shuffle, ONE cumsum range
+    exchange over the collapsed table, a 1-row totals broadcast, a
+    ks-sized explode of the COLLAPSED table — fact rows cross the
+    network once."""
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"gains_at_k: depths must be >= 1, got {ks}")
+    p, y = F.col(score_col), F.col(label_col)
+    g = (df.groupBy(p.alias("__score"))
+         .agg(F.count(F.lit(1)).alias("__cnt"),
+              F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
+               .alias("__pos"),
+              F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel")))
+    sk = F.col("__score")
+    g = g.withColumn(
+        "__badscore",
+        F.when(sk.isNull() | F.isnan(sk.cast("double")), F.col("__cnt"))
+         .otherwise(0))
+    # negate in the score's NATIVE type — a double cast here could
+    # collide distinct integer scores past 2^53 and make `heavier`
+    # order-dependent; NULL scores order at 0 (they raise anyway)
+    g = g.withColumn("__ord", F.when(sk.isNull(), F.lit(0)).otherwise(-sk))
+    c = _with_exclusive_cumsum(g, "__cnt", ["__ord"], "__hv")
+    tot = c.agg(F.sum("__cnt").alias("__N"),
+                F.sum("__pos").alias("__P"),
+                F.sum("__badscore").alias("__bs"),
+                F.sum("__nolabel").alias("__bl"))
+    c = c.crossJoin(F.broadcast(tot))
+    c = c.withColumn("__k", F.explode(F.array(*[F.lit(k) for k in ks])))
+
+    take = F.least(F.col("__cnt").cast("long"),
+                   F.greatest(F.lit(0).cast("long"),
+                              F.col("__k") - F.col("__hv")))
+    t9 = F.expr("""
+        (CAST(__pos AS DECIMAL(19,0)) * __take * 1000000000)
+        DIV __cnt""")
+    agg = (c.withColumn("__take", take)
+           .groupBy("__k")
+           .agg(F.sum(t9).alias("__e9"),
+                F.first("__N").alias("__fN"),
+                F.first("__P").alias("__fP"),
+                F.first("__bs").alias("__fbs"),
+                F.first("__bl").alias("__fbl")))
+    ok = F.assert_true(
+        (F.col("__fbs") == 0) & (F.col("__fbl") == 0),
+        F.lit(f"gains_at_k: NULL/NaN {score_col!r} or NULL "
+              f"{label_col!r} — every row must be scored and labeled"))
+    keff = F.least(F.col("__k").cast("long"), F.col("__fN"))
+    live = ok.isNull() & (F.col("__fN") > 0)
+    prec9 = F.expr("CAST(__e9 AS DECIMAL(38,0)) DIV __keff")
+    rec9 = F.expr("CAST(__e9 AS DECIMAL(38,0)) DIV __fP")
+    lift9 = F.expr(
+        "(CAST(__e9 AS DECIMAL(38,0)) * __fN) DIV "
+        "(CAST(__keff AS DECIMAL(19,0)) * __fP)")
+    return (agg.withColumn("__keff", keff)
+            .filter(F.col("__fN").isNotNull())
+            .select(
+                F.col("__k").cast("long").alias("k"),
+                F.col("__keff").cast("long").alias("k_eff"),
+                F.when(live, F.col("__e9").cast("double") / F.lit(1.0e9))
+                 .alias("expected_pos"),
+                F.when(live, prec9.cast("double") / F.lit(1.0e9))
+                 .alias("precision"),
+                F.when(live & (F.col("__fP") > 0),
+                       rec9.cast("double") / F.lit(1.0e9)).alias("recall"),
+                F.when(live & (F.col("__fP") > 0),
+                       lift9.cast("double") / F.lit(1.0e9)).alias("lift"))
+            .orderBy("k"))

@@ -12357,3 +12357,67 @@ def q244_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (benford_profile(_t(spark, sf_dir, "events"), "value",
                             ["event_type"])
             .orderBy("event_type", "digit"))
+
+
+@register_staged(
+    "q245_length_targeting_gains",
+    """
+    WITH f AS (
+        SELECT n_chars AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM f GROUP BY 1),
+    c AS (
+        SELECT s, cnt, pos,
+               COALESCE(SUM(cnt) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS hv
+        FROM g
+    ),
+    tot AS (SELECT SUM(cnt) AS N, SUM(pos) AS P FROM g),
+    kk AS (SELECT unnest([10, 100, 1000]) AS k),
+    e AS (
+        SELECT kk.k, t.N, t.P,
+               SUM((CAST(c.pos AS HUGEINT)
+                    * least(c.cnt, greatest(0, kk.k - c.hv))
+                    * 1000000000) // c.cnt) AS e9
+        FROM c CROSS JOIN kk CROSS JOIN tot t
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(least(k, N) AS BIGINT) AS k_eff,
+           CAST(e9 AS DOUBLE) / 1e9 AS expected_pos,
+           CAST(e9 // least(k, N) AS DOUBLE) / 1e9 AS precision,
+           CASE WHEN P > 0 THEN CAST(e9 // P AS DOUBLE) / 1e9
+           END AS recall,
+           CASE WHEN P > 0 THEN
+               CAST((e9 * N) // (CAST(least(k, N) AS HUGEINT) * P)
+                    AS DOUBLE) / 1e9
+           END AS lift
+    FROM e ORDER BY 1
+    """,
+)
+def q245_length_targeting_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift at selection depths (classifier.py::
+    gains_at_k, r14): if a curation budget can only take the k
+    LONGEST documents, how many English ones does it capture and how
+    much better than random is that — the targeting readout (q226's
+    AUC grades the whole ranking; a budget acts at a depth). Ties at
+    the k-th length contribute their EXPECTED positives pos·take/cnt
+    (the permutation-invariant answer — no arbitrary row order
+    exists); `heavier` comes from ONE descending-score cumsum over
+    the collapsed score table, negated in the score's NATIVE type
+    (a double cast could collide big integer scores). Every metric
+    lands on the exact 1e-9 grid by integer floor division —
+    hash-exact. At 100 TB: one score collapse, one cumsum exchange,
+    a 1-row totals broadcast, a ks-sized explode of the COLLAPSED
+    table."""
+    from goetl_spark.operators.classifier import gains_at_k
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("n_chars").isNotNull())
+         .select("n_chars",
+                 F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+                  .alias("is_en")))
+    return gains_at_k(d, "n_chars", "is_en", ks=(10, 100, 1000))

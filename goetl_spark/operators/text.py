@@ -826,3 +826,62 @@ def vocab_coverage(
                    F.col("n_oov").cast("double") / F.col("n_tokens"))
             .otherwise(F.lit(0.0)))
     )
+
+
+def vocabulary_richness(df: DataFrame, text_col: str = "text",
+                        group_cols=()) -> DataFrame:
+    """Vocabulary saturation diagnostics — "how much of this corpus
+    slice's TRUE vocabulary have we actually seen?", the
+    collect-more-or-stop question a data-acquisition loop asks per
+    language/source. One row per group: ``n_tokens / distinct_tokens
+    / f1 / f2 / chao1 / coverage`` — ``chao1`` is the bias-corrected
+    Chao (1984) richness floor ``D + f1(f1−1)/(2(f2+1))`` estimating
+    the unseen-species mass from singletons/doubletons, and
+    ``coverage`` the Good-Turing sample coverage ``1 − f1/n`` (the
+    probability the NEXT token drawn is one we already know).
+
+    Same tokenizer as :func:`vocabulary`/BM25 (lowercase, split on
+    non-alphanumeric, empties dropped) so richness numbers are
+    comparable with every other text diagnostic. NULL/empty texts
+    simply contribute no tokens; a group with zero tokens emits
+    nothing (there is no sample to estimate from).
+
+    Determinism: D/f1/f2/n are exact longs off the frequency table;
+    chao1's rational correction lands on the exact 1e-9 grid by
+    integer floor division (the q236 discipline; f1 ≲ 3e9 keeps the
+    DECIMAL(38) intermediate in range — vocabularies are bounded by
+    construction long before that) and adds to D in one IEEE op;
+    coverage is one exact long/long division — hash-exact in oracle
+    SQL.
+
+    Scale shape: explode → ONE partially-aggregated (group, token)
+    collapse (the shuffle carries per-partition vocabularies, never
+    corpus tokens — the :func:`vocabulary` shape) → one groups-
+    bounded aggregate over the frequency table. No window, no join,
+    no collect."""
+    groups = list(group_cols)
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+    freq = (df.select(*groups, F.explode(toks).alias("__t"))
+            .groupBy(*groups, "__t")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    aggs = [
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("__d"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("__f2"),
+    ]
+    m = freq.groupBy(*groups).agg(*aggs) if groups else freq.agg(*aggs)
+    chao9 = F.expr("""
+        (CAST(__f1 AS DECIMAL(19,0)) * (__f1 - 1) * 1000000000)
+        DIV (2 * (__f2 + 1))""")
+    return (m.filter(F.col("__n").isNotNull())
+            .select(*groups,
+                    F.col("__n").cast("long").alias("n_tokens"),
+                    F.col("__d").cast("long").alias("distinct_tokens"),
+                    F.col("__f1").cast("long").alias("f1"),
+                    F.col("__f2").cast("long").alias("f2"),
+                    (F.col("__d").cast("double")
+                     + chao9.cast("double") / F.lit(1.0e9)).alias("chao1"),
+                    (F.lit(1.0) - F.col("__f1") / F.col("__n"))
+                     .alias("coverage")))

@@ -12421,3 +12421,53 @@ def q245_length_targeting_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
                   .alias("is_en")))
     return gains_at_k(d, "n_chars", "is_en", ks=(10, 100, 1000))
+
+
+@register_staged(
+    "q246_vocab_richness",
+    """
+    WITH tok AS (
+        SELECT lang AS g,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM documents
+    ),
+    freq AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    m AS (
+        SELECT g, SUM(c) AS n, COUNT(*) AS d,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        FROM freq GROUP BY 1
+    )
+    SELECT g AS lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(d AS BIGINT) AS distinct_tokens,
+           CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+           CAST(d AS DOUBLE)
+               + CAST((CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000000)
+                      // (2 * (f2 + 1)) AS DOUBLE) / 1e9 AS chao1,
+           1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+    FROM m ORDER BY 1
+    """,
+)
+def q246_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary saturation per language (operators/text.py::
+    vocabulary_richness, r14): the collect-more-or-stop question a
+    data-acquisition loop asks per slice — Chao1's bias-corrected
+    richness floor D + f1(f1−1)/(2(f2+1)) estimates how many distinct
+    tokens the slice's TRUE vocabulary holds beyond the D seen, and
+    Good-Turing coverage 1 − f1/n is the probability the next token
+    drawn is already known. Same tokenizer as q104's vocabulary (and
+    BM25/BPE seeding), so the numbers compose with every other text
+    diagnostic. D/f1/f2/n are exact longs off the (group, token)
+    frequency collapse; Chao1's rational correction lands on the
+    exact 1e-9 floor grid and coverage is one long/long division —
+    hash-exact. At 100 TB: explode → one partially-aggregated token
+    collapse (per-partition vocabularies cross the shuffle, never
+    corpus tokens) → a groups-bounded aggregate; no join, no window,
+    no collect."""
+    from goetl_spark.operators.text import vocabulary_richness
+
+    return (vocabulary_richness(
+                _t(spark, sf_dir, "documents").select("lang", "text"),
+                "text", ["lang"])
+            .orderBy("lang"))

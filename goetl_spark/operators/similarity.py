@@ -1656,3 +1656,76 @@ def ann_join(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "dist"))
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    CLUSTER-quality leg of the eval suite (:func:`cluster_inertia`
+    reports within-cluster dispersion alone; silhouette weighs it
+    against the NEAREST OTHER cluster, so it catches the failure
+    inertia can't: tight clusters that sit on top of each other).
+    For each vector, a = distance to its own centroid, b = min
+    distance to any other centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    one row per cluster: ``label / n_vectors / mean_silhouette``.
+    The "simplified silhouette" (Hruschka et al.) — O(n·k) against
+    centroids instead of the O(n²) pairwise classic, the only form
+    that scales, and the form every large-scale library ships.
+
+    NULL labels form their own cluster (house NULL semantics,
+    null-safe centroid matching); rows with a NULL vector are
+    excluded (nothing to place). A single-cluster input yields NULL
+    mean_silhouette (there is no "other" cluster — undefined, not
+    0); a vector exactly on both centroids scores 0.
+
+    Determinism: centroids are exact-decimal per-(label, dim) sums
+    cast once to double (the :func:`cluster_inertia` recipe) and one
+    IEEE division; per-dimension squared deviations are fixed IEEE
+    chains on bit-identical inputs, rounded scale-9 into
+    DECIMAL(38,9) before the dimension sum (order-free; these are
+    generic dyadic values, not the small-denominator rationals that
+    concentrate on rounding boundaries — the q236 hazard class), and
+    a/b compare on the exact decimal BEFORE the one sqrt each. Mean
+    silhouette rounds each s at scale 9 into the exact decimal sum.
+    Hash-exact in oracle SQL.
+
+    Scale shape: one posexplode (rows × dims, map-side), a broadcast
+    join against the (labels × dims)-bounded centroid table fanning
+    to rows × dims × k map-side, ONE partial-aggregated (row,
+    centroid) collapse (the shuffle carries rows × k), a per-row
+    reduce, a labels-bounded mean. No window, no collect."""
+    lab = F.col(label_col)
+    pts = (df.filter(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).alias("__rid"), lab.alias("__l"),
+                   F.posexplode(F.col(vec_col)).alias("__dim", "__x")))
+    xd = F.col("__x").cast("double")
+    cent = (pts.groupBy(F.col("__l").alias("__lc"), "__dim")
+            .agg((F.sum(xd.cast("decimal(19,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("__mu")))
+    j = pts.join(F.broadcast(cent.withColumnRenamed("__dim", "__cdim")),
+                 F.col("__dim") == F.col("__cdim")).drop("__cdim")
+    term = F.round((xd - F.col("__mu")) * (xd - F.col("__mu")), 9) \
+        .cast("decimal(38,9)")
+    d2 = (j.groupBy("__rid", "__l", "__lc")
+          .agg(F.sum(term).alias("__d2")))
+    own = F.col("__l").eqNullSafe(F.col("__lc"))
+    per_row = (d2.groupBy("__rid", "__l")
+               .agg(F.min(F.when(own, F.col("__d2"))).alias("__a2"),
+                    F.min(F.when(~own, F.col("__d2"))).alias("__b2")))
+    a = F.sqrt(F.col("__a2").cast("double"))
+    b = F.sqrt(F.col("__b2").cast("double"))
+    s = F.when(F.col("__b2").isNull(), F.lit(None).cast("double")) \
+        .when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)) \
+        .otherwise(F.lit(0.0))
+    return (per_row
+            .select("__l", F.round(s, 9).cast("decimal(38,9)").alias("__s"))
+            .groupBy(F.col("__l").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 (F.sum("__s").cast("double")
+                  / F.count("__s")).alias("mean_silhouette"))
+            .select("label", F.col("n_vectors").cast("long").alias("n_vectors"),
+                    "mean_silhouette"))

@@ -12471,3 +12471,73 @@ def q246_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _t(spark, sf_dir, "documents").select("lang", "text"),
                 "text", ["lang"])
             .orderBy("lang"))
+
+
+@register_staged(
+    "q247_silhouette",
+    """
+    WITH pts AS (
+        SELECT vec_id AS rid, label AS l,
+               unnest(embedding) AS x,
+               unnest(range(0, len(embedding))) AS dim
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+        SELECT l AS lc, dim,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(19,6)))
+                    AS DOUBLE) / COUNT(*) AS mu
+        FROM pts GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT p.rid, p.l, c.lc,
+               SUM(CAST(round((CAST(p.x AS DOUBLE) - c.mu)
+                              * (CAST(p.x AS DOUBLE) - c.mu), 9)
+                   AS DECIMAL(38,9))) AS d2
+        FROM pts p JOIN cent c ON p.dim = c.dim
+        GROUP BY 1, 2, 3
+    ),
+    pr AS (
+        SELECT rid, l,
+               MIN(CASE WHEN l IS NOT DISTINCT FROM lc THEN d2 END) AS a2,
+               MIN(CASE WHEN NOT (l IS NOT DISTINCT FROM lc) THEN d2 END)
+                   AS b2
+        FROM d2 GROUP BY 1, 2
+    ),
+    sv AS (
+        SELECT l,
+               CAST(round(CASE WHEN b2 IS NULL THEN NULL
+                    WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                  sqrt(CAST(b2 AS DOUBLE))) > 0
+                    THEN (sqrt(CAST(b2 AS DOUBLE))
+                          - sqrt(CAST(a2 AS DOUBLE)))
+                         / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                    sqrt(CAST(b2 AS DOUBLE)))
+                    ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS s
+        FROM pr
+    )
+    SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(s) AS DOUBLE) / COUNT(s) AS mean_silhouette
+    FROM sv GROUP BY 1 ORDER BY 1
+    """,
+)
+def q247_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (similarity.py::
+    silhouette_simplified, r14 — the CLUSTER-quality eval leg; q208's
+    inertia reports within-cluster dispersion alone, silhouette weighs
+    it against the NEAREST OTHER centroid, catching tight clusters
+    that sit on top of each other): the ground-truth labels of the
+    embeddings table graded as a clustering. Centroids are
+    exact-decimal per-(label, dim) means (the cluster_inertia
+    recipe); per-dim squared deviations are fixed IEEE chains on
+    bit-identical inputs rounded scale-9 into exact decimal before
+    the dimension sum; a/b compare on the exact decimal BEFORE the
+    one sqrt each; per-cluster means ride the same decimal recipe —
+    hash-exact. O(n·k) against centroids (the Hruschka simplified
+    form — the only silhouette that scales), never O(n²) pairwise.
+    At 100 TB: one map-side posexplode, a broadcast join against the
+    (labels × dims)-bounded centroid table, ONE partial-aggregated
+    (row, centroid) collapse, a labels-bounded mean."""
+    from goetl_spark.operators.similarity import silhouette_simplified
+
+    return (silhouette_simplified(_t(spark, sf_dir, "embeddings"))
+            .orderBy("label"))

@@ -1344,3 +1344,69 @@ def benford_profile(
                     share.alias("share"),
                     exp_col.alias("expected"),
                     (share - exp_col).alias("dev")))
+
+
+def categorical_entropy(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Shannon entropy of a categorical column — the DIVERSITY leg of
+    the mix-diagnostics trio (:func:`gini_coefficient` and
+    :func:`top_share` measure concentration of a WEIGHT across keys;
+    entropy measures how evenly the ROWS spread across classes — the
+    "is this language's source mix diverse or monoculture?" question
+    a data-mixing plan starts from). One row per group:
+    ``n / k / entropy_nats / balance`` — balance = H/ln(k) ∈ [0, 1]
+    (Pielou's evenness: 1 = perfectly even, → 0 = one class holds
+    everything), NULL for k = 1 (evenness of a single class is
+    undefined, the q236 Cramér's-V convention).
+
+    NULL categories form their own class (house NULL semantics — an
+    absent value is information). Empty input returns an empty frame.
+
+    Determinism: class counts are exact longs off ONE fact collapse;
+    each −p·ln p term computes from exact long/long division and
+    rounds scale-9 into DECIMAL(38,9) before the class sum (the
+    lm.py transcendental recipe — ln values are irrational and do
+    not sit on rounding boundaries), as does ln(k); balance is one
+    IEEE division of the two grid values — hash-exact in oracle SQL.
+
+    Scale shape: one partial-aggregated fact collapse into the
+    classes-bounded table; a groups-bounded totals join; everything
+    after reduces the bounded table. The classes bound is the
+    contract."""
+    from goetl_spark.operators.classifier import _group_offset_join
+
+    groups = list(group_cols)
+    # eagerly pinned: totals aggregate and the per-class rows must read
+    # the SAME classes-bounded table (the categorical_association
+    # precedent), and the self-join needs broken lineage anyway
+    ct = (df.groupBy(*groups, F.col(col).alias("__c"))
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .localCheckpoint(eager=True))
+    # "__tot", not "__N": Spark resolves names case-insensitively, so
+    # __N would collide with the per-class __n
+    tot_aggs = [F.sum("__n").alias("__tot"),
+                F.count(F.lit(1)).alias("__k")]
+    if groups:
+        ct = _group_offset_join(ct, groups,
+                                ct.groupBy(*groups).agg(*tot_aggs))
+    else:
+        ct = ct.crossJoin(F.broadcast(ct.agg(*tot_aggs)))
+    p = F.col("__n") / F.col("__tot")
+    term = F.round(-p * F.log(p), 9).cast("decimal(38,9)")
+    agg = (ct.groupBy(*groups)
+           .agg(F.first("__tot").alias("__fN"),
+                F.first("__k").alias("__fk"),
+                F.sum(term).alias("__h")))
+    lnk = F.round(F.log(F.col("__fk").cast("double")), 9) \
+        .cast("decimal(38,9)")
+    h = F.col("__h").cast("double")
+    balance = F.when(F.col("__fk") > 1, h / lnk.cast("double"))
+    return (agg.filter(F.col("__fN").isNotNull())
+            .select(*groups,
+                    F.col("__fN").cast("long").alias("n"),
+                    F.col("__fk").cast("long").alias("k"),
+                    h.alias("entropy_nats"),
+                    balance.alias("balance")))

@@ -12541,3 +12541,48 @@ def q247_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (silhouette_simplified(_t(spark, sf_dir, "embeddings"))
             .orderBy("label"))
+
+
+@register_staged(
+    "q248_source_mix_entropy",
+    """
+    WITH ct AS (
+        SELECT lang AS g, source AS c, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, SUM(n) AS nt, COUNT(*) AS k FROM ct GROUP BY 1),
+    t AS (
+        SELECT ct.g, tot.nt, tot.k,
+               SUM(CAST(round(-(ct.n / tot.nt) * ln(ct.n / tot.nt), 9)
+                   AS DECIMAL(38,9))) AS h
+        FROM ct JOIN tot ON ct.g IS NOT DISTINCT FROM tot.g
+        GROUP BY 1, 2, 3
+    )
+    SELECT g AS lang, CAST(nt AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(h AS DOUBLE) AS entropy_nats,
+           CASE WHEN k > 1 THEN CAST(h AS DOUBLE)
+                / CAST(CAST(round(ln(CAST(k AS DOUBLE)), 9)
+                       AS DECIMAL(38,9)) AS DOUBLE) END AS balance
+    FROM t ORDER BY 1
+    """,
+)
+def q248_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix diversity per language (quality.py::
+    categorical_entropy, r14 — the DIVERSITY leg completing the mix
+    trio: q241's Gini and q243's top-share measure concentration of
+    WEIGHT, entropy measures how evenly ROWS spread across classes —
+    the "diverse mix or monoculture?" question a data-mixing plan
+    starts from): Shannon entropy of the source distribution within
+    each language plus Pielou's evenness H/ln(k) (NULL for k=1 — the
+    Cramér's-V degenerate convention). Class counts are exact longs
+    off ONE fact collapse (eagerly pinned so totals and per-class
+    rows read the SAME table); each −p·ln p term and ln(k) round
+    scale-9 into exact decimal per the lm.py transcendental recipe;
+    balance is one IEEE division of the grid values — hash-exact.
+    At 100 TB: one partial-aggregated collapse into the
+    classes-bounded table; everything after reduces it."""
+    from goetl_spark.quality import categorical_entropy
+
+    return (categorical_entropy(
+                _t(spark, sf_dir, "documents"), "source", ["lang"])
+            .orderBy("lang"))

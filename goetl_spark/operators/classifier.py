@@ -1048,3 +1048,64 @@ def gains_at_k(
                 F.when(live & (F.col("__fP") > 0),
                        lift9.cast("double") / F.lit(1.0e9)).alias("lift"))
             .orderBy("k"))
+
+
+def matthews_corr(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient (multiclass Rₖ) — the
+    single-number balanced summary of a classifier's confusion matrix
+    (:func:`classification_metrics` reports per-class P/R/F1;
+    accuracy and F1 both reward majority-class collapse on skewed
+    labels, MCC ∈ [−1, 1] only rewards doing well on EVERY class —
+    Chicco & Jurman 2020's case for it as the default single metric).
+    One row: ``n / mcc`` with
+    ``mcc = (N·Σc_kk − Σ t_k·p_k) / (√(N² − Σp_k²)·√(N² − Σt_k²))``
+    over truth marginals t and prediction marginals p.
+
+    Same numerator as :func:`~goetl_spark.quality.cohens_kappa`
+    (agreement beyond chance), different normalizer — kappa grades
+    RATERS sharing a label space, MCC grades a PREDICTOR against
+    truth. NULL labels/predictions form their own class (null-safe
+    diagonal); a constant truth or constant prediction yields NULL
+    (a zero-variance side has no correlation to report, the
+    single-class-AUC convention). Empty input → empty frame.
+
+    Determinism: ONE fact pass into the classes²-bounded confusion
+    table, collected (the bounded-collect pattern); the three
+    assembled integers are exact in arbitrary-precision Python and
+    the final chain is num/(√d1·√d2) on their double casts — every
+    cast correctly rounded while the values sit inside 2⁵³, i.e.
+    bit-exact oracle parity for N ≲ 9e7 (beyond, correct to the last
+    ulp; within-Spark reproducibility unconditional).
+
+    Scale shape: one partial-aggregated fact pass, a classes²-row
+    collect, nothing else."""
+    a, b = F.col(label_col), F.col(pred_col)
+    cm = (df.groupBy(a.alias("__a"), b.alias("__b"))
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .collect())
+    spark = df.sparkSession
+    schema = "n long, mcc double"
+    if not cm:
+        return spark.createDataFrame([], schema)
+    n = sum(int(r["__n"]) for r in cm)
+    diag = sum(int(r["__n"]) for r in cm
+               if (r["__a"] is None and r["__b"] is None)
+               or (r["__a"] is not None and r["__a"] == r["__b"]))
+    t_m: dict = {}
+    p_m: dict = {}
+    for r in cm:
+        t_m[r["__a"]] = t_m.get(r["__a"], 0) + int(r["__n"])
+        p_m[r["__b"]] = p_m.get(r["__b"], 0) + int(r["__n"])
+    num = n * diag - sum(t_m[k] * p_m.get(k, 0) for k in t_m)
+    d1 = n * n - sum(v * v for v in p_m.values())
+    d2 = n * n - sum(v * v for v in t_m.values())
+    if d1 == 0 or d2 == 0:
+        mcc = None
+    else:
+        import math
+        mcc = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    return spark.createDataFrame([(n, mcc)], schema)

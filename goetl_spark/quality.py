@@ -1410,3 +1410,66 @@ def categorical_entropy(
                     F.col("__fk").cast("long").alias("k"),
                     h.alias("entropy_nats"),
                     balance.alias("balance")))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H — the NON-PARAMETRIC cat×num association test
+    (:func:`anova_oneway` compares MEANS and inherits every outlier;
+    KW is ANOVA on pooled midranks, so one extreme value moves its
+    rank by one step, not the whole statistic — the robust twin, the
+    same pairing Spearman makes with Pearson). One row:
+    ``n / k / eta2_rank / h_stat`` — η²_rank is the explained-variance
+    share of the midranks (the effect size), and the tie-corrected
+    H = (n−1)·η²_rank (algebraically identical to the classical
+    12/(N(N+1))·ΣR²/n − 3(N+1) form with the tie divisor — ANOVA on
+    midranks IS the tie-corrected KW).
+
+    Composition, not reimplementation: pooled midranks come from the
+    spearman machinery (ONE (value)-collapsed cumsum on the ×2
+    integer grid, joined back to fact rows), and the grid assembly IS
+    :func:`anova_oneway` over the exact integer ranks (on the scale-4
+    grid so the per-class floor is 1e-8 of a rank-unit², invisible
+    even at toy n). η²_rank lands on the exact
+    1e-9 grid; h_stat is one IEEE multiply of exact values
+    (documented ≤ (n−1)·1e-9 absolute grid slack). NULL values are
+    EXCLUDED (no rank), NULL groups are their own class, NaN raises
+    (via the rank path), degenerate inputs (k < 2, all-tied values)
+    yield NULL η²/H. Hash-exact in oracle SQL.
+
+    Scale shape: one (value) collapse + ONE cumsum exchange + one
+    fact join-back (the spearman budget minus a column), then
+    anova_oneway's one aggregate + k-row collect."""
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    v = F.col(value_col)
+    fact = (df.filter(v.isNotNull())
+            .select(F.col(group_col).alias("__g"), v.alias("__v")))
+    gt = (fact.groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt")))
+    ct = _with_exclusive_cumsum(gt, "__cnt", ["__v"], "__cb")
+    # the cumsum MATERIALIZED the collapsed table — the NaN check reads
+    # that bounded checkpoint, never a second fact scan (the folded-
+    # guard discipline)
+    if ct.filter(F.isnan(F.col("__v").cast("double"))).limit(1).count():
+        raise ValueError(
+            f"kruskal_wallis: NaN values in {value_col!r} — NaN has no "
+            f"rank; filter or impute upstream")
+    rt = ct.select(F.col("__v").alias("__rv"),
+                   (2 * F.col("__cb") + F.col("__cnt") + 1)
+                   .cast("long").alias("__r2"))
+    ranked = (fact.join(rt, F.col("__v") == F.col("__rv"))
+              .select("__g", "__r2"))
+    # ranks are exact integers, but the anova grid FLOORS each
+    # s²/n_g at 10^-2·scale of a unit² — at value_scale=0 that is a
+    # whole rank-unit² per class, visible on toy inputs; scale 4
+    # makes the floor 1e-8 of a unit² while every bound stays
+    # generous (oracle HUGEINT squares cap at n_g·N ≲ 6.5e14)
+    out = anova_oneway(ranked, "__r2", "__g", value_scale=4)
+    nd = F.col("n").cast("double")
+    return out.select(
+        "n", "k",
+        F.col("eta2").alias("eta2_rank"),
+        ((nd - F.lit(1.0)) * F.col("eta2")).alias("h_stat"))

@@ -12586,3 +12586,130 @@ def q248_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (categorical_entropy(
                 _t(spark, sf_dir, "documents"), "source", ["lang"])
             .orderBy("lang"))
+
+
+@register_staged(
+    "q249_mcc_length_labelers",
+    """
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 'long'
+                    WHEN n_chars >= 150 THEN 'mid'
+                    ELSE 'short' END AS a,
+               CASE WHEN length(regexp_replace(text, '[^ ]', '', 'g')) >= 50
+                        THEN 'long'
+                    WHEN length(regexp_replace(text, '[^ ]', '', 'g')) >= 25
+                        THEN 'mid'
+                    ELSE 'short' END AS b
+        FROM documents
+    ),
+    cm AS (SELECT a, b, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+    ra AS (SELECT a, SUM(c) AS na FROM cm GROUP BY 1),
+    rb AS (SELECT b, SUM(c) AS nb FROM cm GROUP BY 1),
+    s AS (
+        SELECT (SELECT SUM(c) FROM cm) AS n,
+               (SELECT COALESCE(SUM(c), 0) FROM cm WHERE a = b) AS diag,
+               (SELECT SUM(CAST(ra.na AS HUGEINT) * rb.nb)
+                FROM ra JOIN rb ON ra.a = rb.b) AS src,
+               (SELECT SUM(CAST(nb AS HUGEINT) * nb) FROM rb) AS sp2,
+               (SELECT SUM(CAST(na AS HUGEINT) * na) FROM ra) AS st2
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n AS HUGEINT) * n - sp2 <> 0
+                 AND CAST(n AS HUGEINT) * n - st2 <> 0 THEN
+               CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS HUGEINT) * n - sp2 AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * n - st2 AS DOUBLE)))
+           END AS mcc
+    FROM s
+    """,
+)
+def q249_mcc_length_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation (classifier.py::matthews_corr — the
+    balanced single-number confusion summary, r14): the space-count
+    labeler graded as a PREDICTOR of the char-count labeler's truth
+    over q242's fixture — same numerator as kappa (agreement beyond
+    chance), the marginal-variance normalizer instead: MCC only
+    rewards doing well on EVERY class, where accuracy and F1 reward
+    majority-class collapse (Chicco & Jurman 2020). One confusion
+    pass, a classes² collect, exact Python integers, one
+    num/(√d1·√d2) IEEE chain on casts that stay correctly rounded
+    inside 2⁵³ (parity bound N ≲ 9e7; within-Spark determinism
+    unconditional) — hash-exact. At 100 TB: one partial-aggregated
+    pass, a classes² collect, nothing else."""
+    from goetl_spark.operators.classifier import matthews_corr
+
+    d = _t(spark, sf_dir, "documents")
+    spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    lab = d.select(
+        F.when(F.col("n_chars") >= 300, "long")
+         .when(F.col("n_chars") >= 150, "mid")
+         .otherwise("short").alias("a"),
+        F.when(spaces >= 50, "long")
+         .when(spaces >= 25, "mid")
+         .otherwise("short").alias("b"))
+    return matthews_corr(lab, "a", "b")
+
+
+@register_staged(
+    "q250_kruskal_wallis",
+    """
+    WITH f AS (
+        SELECT event_type AS g, value AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT g, 2 * (RANK() OVER (ORDER BY v))
+                  + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+        FROM f
+    ),
+    pg AS (
+        SELECT g, COUNT(*) AS n_g,
+               SUM(CAST(r2 AS HUGEINT) * 10000) AS s,
+               SUM((CAST(r2 AS HUGEINT) * 10000)
+                   * (CAST(r2 AS HUGEINT) * 10000)) AS q
+        FROM r GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(n_g) AS n, COUNT(*) AS k,
+               SUM((s * s) // n_g) AS a,
+               SUM(s) AS s_tot, SUM(q) AS q_tot
+        FROM pg
+    ),
+    u AS (
+        SELECT n, k,
+               greatest(CAST(0 AS HUGEINT),
+                        a - (s_tot * s_tot) // n) AS ssb,
+               q_tot - (s_tot * s_tot) // n AS sst
+        FROM t
+    ),
+    e AS (
+        SELECT n, k,
+               CASE WHEN k >= 2 AND sst > 0
+                    THEN (ssb * 1000000000) // sst END AS eta9
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(eta9 AS DOUBLE) / 1e9 AS eta2_rank,
+           (CAST(n AS DOUBLE) - 1.0)
+               * (CAST(eta9 AS DOUBLE) / 1e9) AS h_stat
+    FROM e
+    """,
+)
+def q250_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (quality.py::kruskal_wallis — q240's
+    outlier-robust twin, the same pairing q239's Spearman makes with
+    Pearson, r14): does event TYPE shift the event VALUE
+    DISTRIBUTION, judged on pooled midranks so one extreme value
+    moves one rank step, not the statistic. Composition, not
+    reimplementation: pooled ×2-grid midranks from the spearman
+    cumsum machinery joined back to fact rows, then anova_oneway at
+    value_scale=0 (ranks are exact integers) — ANOVA on midranks IS
+    the tie-corrected KW, with H = (n−1)·η²_rank. η²_rank on the
+    exact 1e-9 floor grid; H one IEEE multiply of exact values
+    (documented ≤ (n−1)·1e-9 grid slack). Hash-exact. At 100 TB:
+    one value collapse + one cumsum exchange + one fact join-back,
+    then the classes-bounded anova collect."""
+    from goetl_spark.quality import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"), "value",
+                          "event_type")

@@ -99,3 +99,44 @@ def test_top_share_guards(spark):
         top_share(spark.createDataFrame([(1.0,)], "v double"), "v", k=0)
     e = spark.createDataFrame([], "v double")
     assert top_share(e, "v").collect() == []
+
+
+# ----------------------------------------------------------------- mcc
+
+def test_mcc_textbook_binary(spark):
+    from goetl_spark.operators.classifier import matthews_corr
+    import math
+    # tp=20 fn=5 fp=10 tn=15 -> mcc = (20*15-10*5)/sqrt(30*25*25*20)
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = matthews_corr(df, "a", "b").collect()[0]
+    want = (20 * 15 - 10 * 5) / math.sqrt(30 * 25) / math.sqrt(25 * 20)
+    assert r["mcc"] == pytest.approx(want, abs=1e-12)
+
+
+def test_mcc_perfect_inverted_constant_empty(spark):
+    from goetl_spark.operators.classifier import matthews_corr
+    perf = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 2, "a string, b string")
+    assert matthews_corr(perf, "a", "b").collect()[0]["mcc"] == \
+        pytest.approx(1.0, abs=1e-12)
+    inv = spark.createDataFrame(
+        [("x", "y")] * 3 + [("y", "x")] * 3, "a string, b string")
+    assert matthews_corr(inv, "a", "b").collect()[0]["mcc"] == \
+        pytest.approx(-1.0, abs=1e-12)
+    const = spark.createDataFrame([("x", "y")] * 4, "a string, b string")
+    assert matthews_corr(const, "a", "b").collect()[0]["mcc"] is None
+    e = spark.createDataFrame([], "a string, b string")
+    assert matthews_corr(e, "a", "b").collect() == []
+
+
+def test_mcc_null_class_and_kappa_numerator_kinship(spark):
+    from goetl_spark.operators.classifier import matthews_corr
+    from goetl_spark.quality import cohens_kappa
+    rows = ([("x", "x")] * 5 + [(None, None)] * 3 + [("x", None)] * 2)
+    df = spark.createDataFrame(rows, "a string, b string")
+    mcc = matthews_corr(df, "a", "b").collect()[0]["mcc"]
+    kap = cohens_kappa(df, "a", "b").collect()[0]["kappa"]
+    # same numerator, different normalizers: signs must agree
+    assert (mcc > 0) == (kap > 0)

@@ -160,3 +160,69 @@ def test_anova_eta_bounds_and_strong_effect(spark):
     row = anova_oneway(df, "v", "g").collect()[0]
     assert 0.999 < row["eta2"] <= 1.0
     assert row["f_stat"] > 1000
+
+
+# --------------------------------------------------------- kruskal-wallis
+
+def test_kw_matches_scipy_form_reference(spark):
+    from goetl_spark.quality import kruskal_wallis
+
+    # hand data with ties across groups
+    rows = [("a", 1.0), ("a", 3.0), ("a", 3.0), ("b", 2.0), ("b", 5.0),
+            ("b", 5.0), ("c", 4.0), ("c", 6.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+
+    # pure-python tie-corrected KW via ANOVA-on-midranks identity
+    import bisect
+    vals = [v for _, v in rows]
+    s = sorted(vals)
+    ranks = [(bisect.bisect_left(s, v) + 1 + bisect.bisect_right(s, v)) / 2
+             for v in vals]
+    groups = {}
+    for (g, _), rk in zip(rows, ranks):
+        groups.setdefault(g, []).append(rk)
+    n = len(rows)
+    mean = sum(ranks) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - mean) ** 2
+              for v in groups.values())
+    sst = sum((x - mean) ** 2 for x in ranks)
+    want_eta = ssb / sst
+    assert (r["n"], r["k"]) == (9, 3)
+    assert r["eta2_rank"] == pytest.approx(want_eta, abs=2e-9)
+    assert r["h_stat"] == pytest.approx((n - 1) * want_eta, rel=1e-6)
+
+
+def test_kw_outlier_robust_vs_anova(spark):
+    from goetl_spark.quality import anova_oneway, kruskal_wallis
+
+    # clear group shift + one absurd outlier in group a
+    rows = ([("a", float(i)) for i in range(10)]
+            + [("b", float(i + 5)) for i in range(10)]
+            + [("a", 1.0e6)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    kw = kruskal_wallis(df, "v", "g").collect()[0]
+    an = anova_oneway(df, "v", "g").collect()[0]
+    # the outlier floods ANOVA's SST (eta2 collapses toward 0) but
+    # shifts KW by a single rank step
+    assert kw["eta2_rank"] > 5 * an["eta2"]
+
+
+def test_kw_degenerates_and_guards(spark):
+    from goetl_spark.quality import kruskal_wallis
+
+    # all-tied values: zero rank variance -> NULLs
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0), ("b", 2.0)], "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r["eta2_rank"] is None and r["h_stat"] is None
+    # NaN raises; NULL values excluded
+    dn = spark.createDataFrame(
+        [("a", 1.0), ("b", float("nan"))], "g string, v double")
+    with pytest.raises(ValueError, match="kruskal_wallis"):
+        kruskal_wallis(dn, "v", "g")
+    dnull = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)], "g string, v double")
+    assert kruskal_wallis(dnull, "v", "g").collect()[0]["n"] == 2
+    e = spark.createDataFrame([], "g string, v double")
+    assert kruskal_wallis(e, "v", "g").collect() == []

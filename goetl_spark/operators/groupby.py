@@ -172,3 +172,103 @@ def mode_by_group(df: DataFrame, keys: Sequence[str], col: str,
             .filter(F.col("__rk") == 1)
             .select(*ks, F.col(col).alias(out),
                     F.col("__n").alias("mode_count")))
+
+
+def trimmed_mean(
+    df: DataFrame,
+    col: str,
+    group_cols=(),
+    trim: float = 0.1,
+    value_scale: int = 4,
+) -> DataFrame:
+    """α-trimmed mean — the ROBUST location estimate (a plain average
+    inherits every outlier; the α-trimmed mean drops the ⌊n·α⌋
+    smallest and largest observations first, the robust-stats
+    counterpart this family pairs with :func:`~goetl_spark.quality.
+    kruskal_wallis` and Spearman). One row per group (one row total
+    with no ``group_cols``): ``n / n_used / trimmed_mean``.
+
+    Exact and tie-safe, never a sort-and-slice: over the
+    (group, value)-collapsed table, each distinct value contributes
+    the OVERLAP of its row span [before, before+cnt) with the kept
+    window [k, n−k) — ``take = min(before+cnt, n−k) − max(before, k)``
+    clamped at 0, with ``before`` from ONE ascending-value cumsum
+    (the range-partitioned machinery, never a per-group window) and
+    ``k = ⌊n·α⌋`` (the scipy trim_mean convention). Rows tied across
+    the trim boundary are interchangeable, so the kept SUM is unique
+    without any tie-break. Values quantize once onto the
+    scale-``value_scale`` decimal grid; the mean is ONE exact
+    rational floored onto the 1e-9 grid (the q236 discipline) —
+    hash-exact in oracle SQL, ≤1e-9·grid-step understatement toward
+    −∞ (signed values floor consistently in both engines only when
+    non-negative — negative sums take the sign-split path).
+
+    NULL values are EXCLUDED; NaN raises loudly via the folded
+    sentinel counts (the :func:`~goetl_spark.quality.gini_coefficient`
+    contract). ``trim`` must sit in [0, 0.5) — trimming half or more
+    leaves nothing (the median is :func:`exact_percentiles`' job).
+    Empty input returns an empty frame.
+
+    Scale shape: one (group, value) collapse shuffle, ONE cumsum
+    range exchange over the collapsed table, a groups-bounded totals
+    broadcast — the ks_distance exchange budget."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    if not (0.0 <= trim < 0.5):
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    groups = list(group_cols)
+    scale = int(value_scale)
+    v = F.col(col)
+    g = (df.filter(v.isNotNull())
+         .groupBy(*groups, v.alias("__v"))
+         .agg(F.count(F.lit(1)).alias("__cnt")))
+    c = _with_exclusive_cumsum(g, "__cnt", [*groups, "__v"], "__cb")
+    vd = F.col("__v").cast("double")
+    bad_nan = F.isnan(vd)
+    v4 = F.when(~bad_nan,
+                (F.col("__v").cast(f"decimal({15 + scale},{scale})")
+                 * F.lit(10 ** scale)).cast(f"decimal({16 + scale},0)"))
+    c = c.select(*groups, "__cnt", "__cb", v4.alias("__v4"),
+                 F.when(bad_nan, F.col("__cnt")).otherwise(0).alias("__bn"))
+    off_aggs = [F.min("__cb").alias("__g0"),
+                F.sum("__cnt").alias("__n"),
+                F.sum("__bn").alias("__nbad")]
+    if groups:
+        c = _group_offset_join(c, groups, c.groupBy(*groups).agg(*off_aggs))
+    else:
+        c = c.crossJoin(F.broadcast(c.agg(*off_aggs)))
+
+    k = F.floor(F.col("__n").cast("double") * F.lit(float(trim))) \
+        .cast("long")
+    before = F.col("__cb") - F.col("__g0")
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(before + F.col("__cnt"), F.col("__n") - k)
+        - F.greatest(before, k))
+    agg = (c.withColumn("__take", take)
+           .groupBy(*groups)
+           .agg(F.sum(F.col("__v4") * F.col("__take")).alias("__num"),
+                F.sum("__take").alias("__den"),
+                F.first("__n").alias("__fn"),
+                F.first("__nbad").alias("__fbad")))
+    ok = F.assert_true(
+        F.col("__fbad") == 0,
+        F.lit(f"trimmed_mean: NaN values in {col!r} — NaN has no place "
+              f"in an order statistic; filter or impute upstream"))
+    # sign-split grid: DIV truncates in Spark but floors in DuckDB —
+    # they agree only on non-negative numerators (the cohens_kappa
+    # lesson)
+    m9 = F.expr("""
+        CASE WHEN __num >= 0 THEN
+            (CAST(__num * 1000000000 AS DECIMAL(38,0))) DIV __den
+        ELSE
+            -((CAST((-__num) * 1000000000 AS DECIMAL(38,0))) DIV __den)
+        END""")
+    mean = F.when(ok.isNull() & (F.col("__den") > 0),
+                  m9.cast("double") / F.lit(1.0e9 * 10 ** scale))
+    return (agg.filter(F.col("__fn").isNotNull())
+            .select(*groups,
+                    F.col("__fn").cast("long").alias("n"),
+                    F.col("__den").cast("long").alias("n_used"),
+                    mean.alias("trimmed_mean")))

@@ -12713,3 +12713,64 @@ def q250_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kruskal_wallis(_t(spark, sf_dir, "events"), "value",
                           "event_type")
+
+
+@register_staged(
+    "q251_trimmed_mean_value",
+    """
+    WITH f AS (
+        SELECT event_type AS g, value AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (SELECT g, v, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+    c AS (
+        SELECT g, cnt,
+               CAST(CAST(v AS DECIMAL(19,4)) * 10000 AS HUGEINT) AS v4,
+               COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS before,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM gv
+    ),
+    ck AS (
+        SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k
+        FROM c
+    ),
+    s AS (
+        SELECT g, MAX(n) AS n,
+               SUM(v4 * greatest(0, least(before + cnt, n - k)
+                                    - greatest(before, k))) AS num,
+               SUM(greatest(0, least(before + cnt, n - k)
+                               - greatest(before, k))) AS den
+        FROM ck GROUP BY 1
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(den AS BIGINT) AS n_used,
+           CASE WHEN den > 0 THEN
+               CAST(CASE WHEN num >= 0 THEN (num * 1000000000) // den
+                    ELSE -(((-num) * 1000000000) // den) END AS DOUBLE)
+               / 1e13
+           END AS trimmed_mean
+    FROM s ORDER BY 1
+    """,
+)
+def q251_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event value per type (operators/
+    groupby.py::trimmed_mean, r14 — the robust location leg of the
+    robust-stats family q239/q250 started): a plain average inherits
+    every outlier; the trimmed mean drops the ⌊n·0.1⌋ smallest and
+    largest observations first. Exact and tie-safe, never a
+    sort-and-slice: each distinct value contributes the OVERLAP of
+    its row span with the kept window [k, n−k) — rows tied across
+    the trim boundary are interchangeable, so the kept sum is unique
+    — with cumulative counts from the range-partitioned cumsum (the
+    oracle's window is the bounded-DuckDB-side luxury). The mean is
+    ONE exact rational on the 1e-9 grid with the sign split out
+    (Spark DIV truncates, DuckDB // floors). Hash-exact. At 100 TB:
+    one (group, value) collapse, one cumsum exchange, a
+    groups-bounded totals broadcast."""
+    from goetl_spark.operators.groupby import trimmed_mean
+
+    return (trimmed_mean(_t(spark, sf_dir, "events"), "value",
+                         ["event_type"], trim=0.1)
+            .orderBy("event_type"))

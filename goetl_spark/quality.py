@@ -1287,22 +1287,45 @@ def benford_profile(
     Scale shape: ONE fact pass into a (groups × 11)-bounded sentinel
     count table; the 9-digit scaffold and totals join that bounded
     table — never the fact rows."""
-    from goetl_spark.operators.classifier import _group_offset_join
-
     groups = list(group_cols)
-    scale = int(value_scale)
-    v = F.col(col)
-    vd = v.cast("double")
-    m4 = (F.abs(v).cast(f"decimal({15 + scale},{scale})")
-          * F.lit(10 ** scale)).cast(f"decimal({16 + scale},0)")
-    digit = (F.when(F.isnan(vd), F.lit(-1))
-             .when(m4 > 0,
-                   F.substring(m4.cast("string"), 1, 1).cast("int"))
-             .otherwise(F.lit(0)))      # zero magnitude: excluded, not bad
-    counts = (df.filter(v.isNotNull())
-              .groupBy(*groups, digit.alias("__d"))
+    counts = (df.filter(F.col(col).isNotNull())
+              .groupBy(*groups,
+                       _benford_digit(col, int(value_scale)).alias("__d"))
               .agg(F.count(F.lit(1)).alias("__nd"))
               .localCheckpoint(eager=True))
+    return benford_from_counts(counts, groups, _source=repr(col))
+
+
+def _benford_digit(col: str, scale: int):
+    """Sentinel leading-digit expression shared by the batch profile
+    and the streaming monitor (identical digits are WHAT makes the
+    twin contract bit-exact): −1 = NaN (raises downstream), 0 = zero
+    magnitude (excluded), 1..9 = the first character of the
+    scale-``scale`` grid integer's string."""
+    v = F.col(col)
+    m4 = (F.abs(v).cast(f"decimal({15 + scale},{scale})")
+          * F.lit(10 ** scale)).cast(f"decimal({16 + scale},0)")
+    return (F.when(F.isnan(v.cast("double")), F.lit(-1))
+            .when(m4 > 0,
+                  F.substring(m4.cast("string"), 1, 1).cast("int"))
+            .otherwise(F.lit(0)))
+
+
+def benford_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str] = (),
+    _source: str = "counts",
+) -> DataFrame:
+    """Turn a ``(group..., __d, __nd)`` sentinel digit-count table
+    (:func:`_benford_digit` classes) into the :func:`benford_profile`
+    output — the interpretation half the streaming monitor shares
+    with the batch operator (the psi_from_counts pattern): the
+    profile of an accumulated standing table is bit-exact to the
+    batch profile of everything the stream has seen."""
+    from goetl_spark.operators.classifier import _group_offset_join  # noqa: F401
+
+    groups = list(group_cols)
+    col = _source
 
     tot_aggs = [
         F.sum(F.when(F.col("__d") > 0, F.col("__nd")).otherwise(0))
@@ -1327,7 +1350,7 @@ def benford_profile(
 
     ok = F.assert_true(
         F.col("__nbad") == 0,
-        F.lit(f"benford_profile: NaN values in {col!r} — NaN has no "
+        F.lit(f"benford_profile: NaN values in {col} — NaN has no "
               f"magnitude; filter or impute upstream"))
     exp_col = F.element_at(
         F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),

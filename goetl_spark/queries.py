@@ -12774,3 +12774,86 @@ def q251_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (trimmed_mean(_t(spark, sf_dir, "events"), "value",
                          ["event_type"], trim=0.1)
             .orderBy("event_type"))
+
+
+@register_staged(
+    "q252_stream_benford",
+    """
+    WITH f AS (
+        SELECT event_type AS g,
+               CAST(CAST(abs(value) AS DECIMAL(19,4)) * 10000
+                    AS HUGEINT) AS m
+        FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+        SELECT g, CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM f WHERE m > 0
+    ),
+    c AS (SELECT g, digit, COUNT(*) AS n_d FROM d GROUP BY 1, 2),
+    tot AS (SELECT g, SUM(n_d) AS N FROM c GROUP BY 1),
+    grid AS (
+        SELECT t.g, t.N, dig.digit
+        FROM tot t CROSS JOIN
+             (SELECT unnest(generate_series(1, 9)) AS digit) dig
+    ),
+    x AS (
+        SELECT grid.g, grid.digit, grid.N,
+               COALESCE(c.n_d, 0) AS n_d,
+               CAST(CASE grid.digit
+                    WHEN 1 THEN 0.3010299956639812
+                    WHEN 2 THEN 0.17609125905568124
+                    WHEN 3 THEN 0.12493873660829992
+                    WHEN 4 THEN 0.09691001300805642
+                    WHEN 5 THEN 0.07918124604762482
+                    WHEN 6 THEN 0.06694678963061322
+                    WHEN 7 THEN 0.05799194697768673
+                    WHEN 8 THEN 0.05115252244738129
+                    WHEN 9 THEN 0.04575749056067514
+               END AS DOUBLE) AS expected
+        FROM grid LEFT JOIN c
+             ON grid.g IS NOT DISTINCT FROM c.g AND grid.digit = c.digit
+    )
+    SELECT g AS event_type, digit, CAST(n_d AS BIGINT) AS n_d,
+           CAST(n_d AS DOUBLE) / CAST(N AS DOUBLE) AS share,
+           expected,
+           CAST(n_d AS DOUBLE) / CAST(N AS DOUBLE) - expected AS dev
+    FROM x ORDER BY 1, 2
+    """,
+)
+def q252_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford drift canary (streaming/quality.py::
+    stream_benford_monitor — q244's streaming twin, the
+    stream_psi_monitor contract shape, r14): events replay as 3
+    time-ordered micro-batches, each trigger folds the batch's
+    sentinel leading-digit counts into a persisted (groups ×
+    11)-bounded standing table behind the exactly-once recipe
+    (transactional batch marker + crash-window repair — count
+    accumulation is not idempotent), and the profile of the
+    accumulated table composes with quality.py::benford_from_counts
+    — the SAME interpretation code the batch operator uses, over the
+    SAME _benford_digit expression. The oracle checks the twin
+    contract itself: the streamed profile is bit-exact to the direct
+    batch profile of all events (q244's SQL verbatim), no matter how
+    history was chopped. At 100 TB: per trigger one batch-sized map
+    + classes-sized merge + tiny swap; the standing table never
+    grows with time."""
+    from goetl_spark.quality import benford_from_counts
+    from goetl_spark.streaming.quality import stream_benford_monitor
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stream, _ = replay_stream_ordered(
+        e, "ts", num_chunks=3, dir=_scratch("goetl_q252_replay"))
+    out = _scratch("goetl_q252_counts")
+    import shutil as _sh
+    _sh.rmtree(out, ignore_errors=True)
+    q = stream_benford_monitor(stream, out, "value",
+                               _scratch("goetl_q252_ckpt"),
+                               group_cols=["event_type"])
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (benford_from_counts(spark.read.parquet(out), ["event_type"],
+                                _source="'value'")
+            .orderBy("event_type", "digit"))

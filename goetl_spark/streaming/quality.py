@@ -90,3 +90,80 @@ def stream_psi_monitor(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_benford_monitor(
+    event_stream: DataFrame,
+    counts_path: str,
+    value_col: str,
+    checkpoint_dir: str,
+    group_cols: Sequence[str] = (),
+    value_scale: int = 4,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Accumulate a streaming column's sentinel leading-digit counts
+    into a persisted ``(group..., __d, __nd)`` table — the streaming
+    twin of :func:`goetl_spark.quality.benford_profile`, same
+    contract shape as :func:`stream_psi_monitor`: the standing table
+    always equals the batch digit collapse of everything seen, so at
+    ANY point ``benford_from_counts(read(counts_path), group_cols)``
+    is bit-exact to ``benford_profile(everything_so_far)`` — the
+    drift canary runs continuously without ever re-scanning history.
+    Digits come from the SAME :func:`~goetl_spark.quality.
+    _benford_digit` expression the batch operator compiles (identical
+    digits are WHAT makes the twin bit-exact); NaN rows accumulate in
+    the −1 sentinel and fail loudly at READ time exactly as the batch
+    profile does.
+
+    Replay safety is the stream_rollup recipe (transactional batch-id
+    marker swapped atomically with the table, crash-window repaired
+    on entry — count accumulation is not idempotent). The standing
+    table is (groups × 11)-BOUNDED, so whole-table read+rewrite per
+    trigger is the correct plan (the stream_psi_monitor reasoning);
+    group columns must be class-valued — the classes bound is the
+    contract.
+
+    Per trigger: one batch-sized map + classes-sized shuffle, one
+    classes-sized merge, one tiny table swap."""
+    from goetl_spark.quality import _benford_digit
+
+    groups = list(group_cols)
+    digit = _benford_digit(value_col, int(value_scale))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        backup = counts_path.rstrip("/") + ".__benford_old__"
+        _restore_if_interrupted(counts_path, backup)
+        marker = os.path.join(counts_path, _BATCH_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # at-least-once replay of an applied batch
+        delta = (batch_df.filter(F.col(value_col).isNotNull())
+                 .groupBy(*groups, digit.alias("__d"))
+                 .agg(F.count(F.lit(1)).alias("__nd")))
+        if os.path.exists(counts_path):
+            existing = spark.read.parquet(counts_path)
+            merged = (existing.unionByName(delta)
+                      .groupBy(*groups, "__d")
+                      .agg(F.sum("__nd").alias("__nd")))
+        else:
+            merged = delta
+        staging = counts_path.rstrip("/") + ".__benford_tmp__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (merged.select(*groups, "__d",
+                       F.col("__nd").cast("long").alias("__nd"))
+         .coalesce(1).write.mode("overwrite").parquet(staging))
+        with open(os.path.join(staging, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
+        fs.two_rename_swap(counts_path, staging, backup,
+                           path_exists=os.path.exists(counts_path))
+
+    w = (event_stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

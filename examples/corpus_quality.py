@@ -87,11 +87,33 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     first_doc = int(epoch_shuffle(survivors, "doc_id", epoch=0)
                     .select("doc_id").first()[0])
 
+    # 7. MIX DIAGNOSTICS (r14): before shipping the surviving corpus,
+    #    measure its composition — is any language a source
+    #    monoculture (entropy/evenness), how head-heavy is each
+    #    language's source mix (top-share), and how saturated is each
+    #    language's vocabulary (keep collecting or stop)?
+    from goetl_spark.operators.text import vocabulary_richness
+    from goetl_spark.quality import categorical_entropy, top_share
+
+    kept_docs = docs.join(survivors, "doc_id")
+    mix = {r["lang"]: (r["balance"], r["k"])
+           for r in categorical_entropy(
+               kept_docs, "source", ["lang"]).collect()}
+    src_tot = (kept_docs.groupBy("lang", "source")
+               .agg(F.sum("n_chars").alias("chars")))
+    head = {r["lang"]: r["share"]
+            for r in top_share(src_tot, "chars", ["lang"], k=3).collect()}
+    sat = {r["lang"]: r["coverage"]
+           for r in vocabulary_richness(
+               kept_docs, "text", ["lang"]).collect()}
+
     result = {"input_docs": n0, "boiler_lines_dropped": n_boiler_lines,
               "gopher_pass": n_gopher, "tiers": tier_counts,
               "model_kept": n_model_kept, "semdedup_kept_vecs": n_sem_kept,
               "containment_pairs": n_contained,
-              "epoch0_first_doc": first_doc}
+              "epoch0_first_doc": first_doc,
+              "mix_evenness": mix, "head3_share": head,
+              "vocab_coverage": sat}
     print(f"corpus_quality: {result}")
     if owns_spark:
         spark.stop()

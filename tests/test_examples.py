@@ -64,6 +64,17 @@ def test_corpus_quality_example(spark):
     assert 0 < r["model_kept"] <= r["input_docs"]
     assert 0 < r["semdedup_kept_vecs"] <= 500
     assert r["containment_pairs"] >= 0
+    # mix-diagnostics leg (r14): every surviving language reports
+    # evenness in [0,1] (or None for a single-source language), a
+    # top-3 head share in (0,1], and a vocabulary coverage in [0,1]
+    assert r["mix_evenness"] and set(r["head3_share"]) == set(
+        r["vocab_coverage"])
+    for bal, k in r["mix_evenness"].values():
+        assert (bal is None and k == 1) or 0.0 <= bal <= 1.0 + 1e-9
+    for share in r["head3_share"].values():
+        assert 0.0 < share <= 1.0
+    for cov in r["vocab_coverage"].values():
+        assert 0.0 <= cov <= 1.0
     r2 = main(SF, spark=spark)
     assert r2["epoch0_first_doc"] == r["epoch0_first_doc"]
 

@@ -314,3 +314,67 @@ def transition_matrix(
                     F.col("n").cast("long").alias("n"),
                     F.col("n_src_total").cast("long").alias("n_src_total"),
                     (F.col("n") / F.col("n_src_total")).alias("p")))
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B significance readout the
+    funnel/retention family stops short of (funnel_counts says WHAT
+    converted; this says whether the difference between two variants
+    is bigger than chance). Expects EXACTLY two groups (anything else
+    raises — a silently-picked pair would be a wrong answer); one
+    row: ``group_a / group_b / n_a / n_b / rate_a / rate_b / diff /
+    z`` with groups assigned by ascending key (NULL first — the house
+    NULL-is-a-class rule, deterministic, documented) and
+    ``z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))`` under the pooled
+    null. The caller compares |z| to 1.96/2.58 — no p-value column on
+    purpose (Φ is a transcendental the oracle cannot replay exactly;
+    the z threshold is the decision anyway).
+
+    Success semantics: ``success_col`` is truthy per row (cast >
+    0); NULL success counts as failure only if you say so — NULL
+    success rows are EXCLUDED and reported via n (an unobserved
+    outcome is not a failure), the regression_metrics exclusion
+    stance. Degenerate pooled rates (p̂ = 0 or 1 → zero variance)
+    yield NULL z.
+
+    Determinism: counts are exact longs off ONE fact aggregate; every
+    output is a fixed IEEE chain on them (long/long divisions, one
+    sqrt) mirrored expression-for-expression in the oracle —
+    hash-exact.
+
+    Scale shape: one partial-aggregated fact pass into a 2-row
+    table; a 2-row collect; nothing else."""
+    g = F.col(group_col)
+    s = F.col(success_col).cast("double")
+    per = (df.filter(s.isNotNull())
+           .groupBy(g.alias("__g"))
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum(F.when(s > 0, 1).otherwise(0)).alias("__s"))
+           .collect())
+    spark = df.sparkSession
+    schema = ("group_a string, group_b string, n_a long, n_b long, "
+              "rate_a double, rate_b double, diff double, z double")
+    if not per:
+        return spark.createDataFrame([], schema)
+    if len(per) != 2:
+        raise ValueError(
+            f"two_proportion_test: need exactly 2 groups in "
+            f"{group_col!r}, got {len(per)} "
+            f"({sorted(str(r['__g']) for r in per)[:5]}) — filter or "
+            f"bucket upstream")
+    rows = sorted(per, key=lambda r: (r["__g"] is not None, r["__g"]))
+    (ga, na, sa), (gb, nb, sb) = \
+        [(r["__g"], int(r["__n"]), int(r["__s"])) for r in rows]
+    pa, pb = sa / na, sb / nb
+    pooled = (sa + sb) / (na + nb)
+    import math
+    se2 = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    z = None if se2 <= 0.0 else (pa - pb) / math.sqrt(se2)
+    return spark.createDataFrame(
+        [(None if ga is None else str(ga),
+          None if gb is None else str(gb),
+          na, nb, pa, pb, pa - pb, z)], schema)

@@ -12857,3 +12857,72 @@ def q252_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (benford_from_counts(spark.read.parquet(out), ["event_type"],
                                 _source="'value'")
             .orderBy("event_type", "digit"))
+
+
+@register_staged(
+    "q253_conversion_ab_test",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type IS NULL THEN NULL
+                        WHEN event_type = 'purchase' THEN 1.0
+                        ELSE 0.0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    g AS (SELECT user_id % 2 AS v, conv FROM u WHERE conv IS NOT NULL),
+    s AS (
+        SELECT v, COUNT(*) AS n,
+               SUM(CASE WHEN conv > 0 THEN 1 ELSE 0 END) AS sc
+        FROM g GROUP BY 1
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN v = 0 THEN n END) AS na,
+            MAX(CASE WHEN v = 0 THEN sc END) AS sa,
+            MAX(CASE WHEN v = 1 THEN n END) AS nb,
+            MAX(CASE WHEN v = 1 THEN sc END) AS sb
+        FROM s
+    ),
+    r AS (
+        SELECT na, nb,
+               CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ra,
+               CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS rb,
+               CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pool
+        FROM w
+    )
+    SELECT '0' AS group_a, '1' AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ra AS rate_a, rb AS rate_b, ra - rb AS diff,
+           CASE WHEN pool * (1.0 - pool)
+                     * (1.0 / CAST(na AS DOUBLE)
+                        + 1.0 / CAST(nb AS DOUBLE)) > 0 THEN
+               (ra - rb) / sqrt(pool * (1.0 - pool)
+                                * (1.0 / CAST(na AS DOUBLE)
+                                   + 1.0 / CAST(nb AS DOUBLE)))
+           END AS z
+    FROM r
+    """,
+)
+def q253_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance (operators/behavior.py::
+    two_proportion_test, r14 — the readout the funnel/retention
+    family stops short of): per-user purchase conversion between the
+    user_id-parity halves — a same-population split, so z should sit
+    near 0 and the EXACTNESS is what the oracle checks. Counts are
+    exact longs off one per-user collapse + one 2-row aggregate;
+    every output is a fixed IEEE chain mirrored expression-for-
+    expression (no p-value column on purpose — Φ is a transcendental
+    the oracle cannot replay; |z| vs 1.96 is the decision anyway).
+    Users whose outcome is unobserved (all-NULL event types) are
+    EXCLUDED, not counted as failures. At 100 TB: one user-key
+    collapse, a 2-row aggregate, a 2-row collect."""
+    from goetl_spark.operators.behavior import two_proportion_test
+
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull()))
+    users = (e.groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "purchase")
+                        .cast("double")).alias("converted")))
+    ab = users.select((F.col("user_id") % 2).alias("variant"),
+                      "converted")
+    return two_proportion_test(ab, "variant", "converted")

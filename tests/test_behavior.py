@@ -273,3 +273,58 @@ def test_transition_matrix_partition_independence(spark):
         df.repartition(17), "user_id", "ts", "event_type",
         ["event_id"]).collect()))
     assert one == two
+
+
+# --------------------------------------------------- two-proportion test
+
+def test_two_proportion_textbook_and_sign(spark):
+    import math
+
+    import pytest
+
+    from goetl_spark.operators.behavior import two_proportion_test
+
+    rows = ([("a", 1.0)] * 30 + [("a", 0.0)] * 70
+            + [("b", 1.0)] * 45 + [("b", 0.0)] * 55)
+    df = spark.createDataFrame(rows, "g string, s double")
+    r = two_proportion_test(df, "g", "s").collect()[0]
+    p = 75 / 200
+    want = (0.30 - 0.45) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"]) == \
+        ("a", "b", 100, 100)
+    assert r["rate_a"] == 0.3 and r["rate_b"] == 0.45
+    assert r["z"] == pytest.approx(want, abs=1e-12)
+    assert r["z"] < -1.96  # a is significantly WORSE, sign carries it
+
+
+def test_two_proportion_degenerate_null_success_and_group_count(spark):
+    import pytest
+
+    from goetl_spark.operators.behavior import two_proportion_test
+
+    # all-success: zero pooled variance -> z NULL
+    d = spark.createDataFrame([("a", 1.0), ("b", 1.0)],
+                              "g string, s double")
+    assert two_proportion_test(d, "g", "s").collect()[0]["z"] is None
+    # NULL success rows are excluded, not failures
+    d2 = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 0.0)], "g string, s double")
+    r = two_proportion_test(d2, "g", "s").collect()[0]
+    assert (r["n_a"], r["rate_a"]) == (1, 1.0)
+    # group count != 2 raises; NULL group is a real (first) group
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        two_proportion_test(
+            spark.createDataFrame([("a", 1.0)], "g string, s double"),
+            "g", "s")
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        two_proportion_test(
+            spark.createDataFrame(
+                [("a", 1.0), ("b", 1.0), ("c", 0.0)],
+                "g string, s double"), "g", "s")
+    d3 = spark.createDataFrame([(None, 1.0), ("b", 0.0)],
+                               "g string, s double")
+    r3 = two_proportion_test(d3, "g", "s").collect()[0]
+    assert r3["group_a"] is None and r3["group_b"] == "b"
+    # empty
+    e = spark.createDataFrame([], "g string, s double")
+    assert two_proportion_test(e, "g", "s").collect() == []

@@ -1496,3 +1496,64 @@ def kruskal_wallis(
         "n", "k",
         F.col("eta2").alias("eta2_rank"),
         ((nd - F.lit(1.0)) * F.col("eta2")).alias("h_stat"))
+
+
+def categorical_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI over a CATEGORICAL column's class mix — the drift leg for
+    lang/source/variant columns, where the numeric PSI's fixed bin
+    edges have no meaning: classes ARE the bins. One row per class
+    observed on EITHER side: ``cls / n_a / n_b / share_a / share_b /
+    psi_term``; the column's PSI is the caller's one sum (per-class
+    attribution survives — the :func:`population_stability_index`
+    contract and reading thresholds).
+
+    NULL categories form their own class (house NULL semantics — a
+    null-rate shift IS mix drift). Shares are Laplace-smoothed over
+    the UNION class space ``(n_i + s)/(N + s·k)`` so a class present
+    on only one side contributes a finite term instead of ln(0); k is
+    the union class count, derived from the same collapsed table —
+    which also makes scores comparable between runs only when the
+    class space is stable (a brand-new class changes k for every
+    term; that discontinuity is itself the drift signal, documented
+    rather than hidden).
+
+    Determinism: ONE tagged union + ONE (class) collapse produce both
+    sides' counts (exact longs, no join at all); totals and k come
+    from the same bounded table; each share is a fixed double
+    formula and the single transcendental term rounds scale-9 into
+    DECIMAL(38,9) (the lm.py recipe) — hash-exact in oracle SQL.
+
+    Scale shape: one union + one partial-aggregated collapse into the
+    classes-bounded table, a 1-row totals broadcast. Class-valued
+    columns only — the classes bound is the contract."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    c = F.col(col)
+    tagged = (df_a.select(c.alias("__c"), F.lit(1).alias("__ia"),
+                          F.lit(0).alias("__ib"))
+              .unionByName(df_b.select(c.alias("__c"),
+                                       F.lit(0).alias("__ia"),
+                                       F.lit(1).alias("__ib"))))
+    ct = (tagged.groupBy("__c")
+          .agg(F.sum("__ia").alias("__na"), F.sum("__ib").alias("__nb"))
+          .localCheckpoint(eager=True))
+    tot = ct.agg(F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb"),
+                 F.count(F.lit(1)).alias("__k"))
+    s = float(smoothing)
+    share_a = ((F.col("__na") + F.lit(s))
+               / (F.col("__ta") + F.lit(s) * F.col("__k")))
+    share_b = ((F.col("__nb") + F.lit(s))
+               / (F.col("__tb") + F.lit(s) * F.col("__k")))
+    return (ct.crossJoin(F.broadcast(tot))
+            .select(F.col("__c").alias("cls"),
+                    F.col("__na").cast("long").alias("n_a"),
+                    F.col("__nb").cast("long").alias("n_b"),
+                    share_a.alias("share_a"), share_b.alias("share_b"),
+                    F.round((share_a - share_b)
+                            * F.log(share_a / share_b), 9)
+                     .cast("decimal(38,9)").alias("psi_term")))

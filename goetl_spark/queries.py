@@ -12926,3 +12926,48 @@ def q253_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = users.select((F.col("user_id") % 2).alias("variant"),
                       "converted")
     return two_proportion_test(ab, "variant", "converted")
+
+
+@register_staged(
+    "q254_source_mix_psi",
+    """
+    WITH t AS (
+        SELECT source AS c,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS ib
+        FROM documents
+    ),
+    ct AS (SELECT c, SUM(ia) AS na, SUM(ib) AS nb FROM t GROUP BY 1),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb, COUNT(*) AS k FROM ct)
+    SELECT ct.c AS cls, CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           (na + 0.5) / (ta + 0.5 * k) AS share_a,
+           (nb + 0.5) / (tb + 0.5 * k) AS share_b,
+           CAST(round(((na + 0.5) / (ta + 0.5 * k)
+                       - (nb + 0.5) / (tb + 0.5 * k))
+                * ln(((na + 0.5) / (ta + 0.5 * k))
+                     / ((nb + 0.5) / (tb + 0.5 * k))), 9)
+                AS DECIMAL(38,9)) AS psi_term
+    FROM ct CROSS JOIN tot ORDER BY 1
+    """,
+)
+def q254_source_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix PSI (quality.py::categorical_psi, r14 — the
+    drift leg for CLASS columns, where q221's numeric PSI has no bin
+    edges to fix: classes ARE the bins): the source mix of the
+    doc_id%2 halves of the corpus, per-class terms with
+    Laplace-smoothed shares over the union class space so one-sided
+    classes contribute finite terms. ONE tagged union + ONE class
+    collapse produce both sides' counts (exact longs, no join);
+    totals and k derive from the same bounded table; the single
+    transcendental term rounds scale-9 into exact decimal (the lm.py
+    recipe) — hash-exact. The same-population split keeps PSI near 0;
+    the exactness is what the oracle checks. At 100 TB: one union +
+    one partial-aggregated collapse into the classes-bounded table,
+    a 1-row totals broadcast."""
+    from goetl_spark.quality import categorical_psi
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("source")
+    b = d.filter(F.col("doc_id") % 2 != 0).select("source")
+    return categorical_psi(a, b, "source").orderBy("cls")

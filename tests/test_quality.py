@@ -347,3 +347,47 @@ def test_psi_guards(spark):
         population_stability_index(df, df, "v", [2.0, 1.0])
     with _pytest.raises(ValueError, match="ascending"):
         population_stability_index(df, df, "v", [])
+
+
+# ----------------------------------------------------- categorical PSI
+
+def test_categorical_psi_reference_and_conventions(spark):
+    import math
+
+    import pytest
+
+    from goetl_spark.quality import categorical_psi
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 3 + [(None,)],
+                              "v string")
+    b = spark.createDataFrame([("x",)] * 2 + [("y",)] * 6 + [("z",)] * 2,
+                              "v string")
+    rows = {r["cls"]: r for r in categorical_psi(a, b, "v").collect()}
+    # union class space: {x, y, z, NULL} -> k = 4
+    assert set(rows) == {"x", "y", "z", None}
+
+    def share(n, t):
+        return (n + 0.5) / (t + 2.0)
+
+    for cls, na, nb in [(None, 1, 0), ("x", 6, 2), ("y", 3, 6),
+                        ("z", 0, 2)]:
+        sa, sb = share(na, 10), share(nb, 10)
+        want = round((sa - sb) * math.log(sa / sb), 9)
+        assert float(rows[cls]["psi_term"]) == pytest.approx(
+            want, abs=2e-9), cls
+        assert (rows[cls]["n_a"], rows[cls]["n_b"]) == (na, nb)
+    # all terms non-negative ((p-q)ln(p/q) >= 0), identical sides -> 0
+    assert all(float(r["psi_term"]) >= 0 for r in rows.values())
+    same = categorical_psi(a, a, "v").collect()
+    assert all(float(r["psi_term"]) == 0 for r in same)
+
+
+def test_categorical_psi_guards_and_empty(spark):
+    import pytest
+
+    from goetl_spark.quality import categorical_psi
+
+    e = spark.createDataFrame([], "v string")
+    assert categorical_psi(e, e, "v").collect() == []
+    with pytest.raises(ValueError, match="smoothing"):
+        categorical_psi(e, e, "v", smoothing=0.0)

@@ -338,8 +338,10 @@ def two_proportion_test(
     0); NULL success counts as failure only if you say so — NULL
     success rows are EXCLUDED and reported via n (an unobserved
     outcome is not a failure), the regression_metrics exclusion
-    stance. Degenerate pooled rates (p̂ = 0 or 1 → zero variance)
-    yield NULL z.
+    stance; NaN raises loudly (it is neither success nor failure nor
+    unobserved — the regression_metrics/gini/trimmed_mean family
+    convention). Degenerate pooled rates (p̂ = 0 or 1 → zero
+    variance) yield NULL z.
 
     Determinism: counts are exact longs off ONE fact aggregate; every
     output is a fixed IEEE chain on them (long/long divisions, one
@@ -350,16 +352,26 @@ def two_proportion_test(
     table; a 2-row collect; nothing else."""
     g = F.col(group_col)
     s = F.col(success_col).cast("double")
+    # NaN passes isNotNull and fails s > 0 — without the folded count it
+    # would silently land in the failure bucket, against the family's
+    # raise-loudly-on-NaN convention (r15 ADVICE)
     per = (df.filter(s.isNotNull())
            .groupBy(g.alias("__g"))
            .agg(F.count(F.lit(1)).alias("__n"),
-                F.sum(F.when(s > 0, 1).otherwise(0)).alias("__s"))
+                F.sum(F.when(s > 0, 1).otherwise(0)).alias("__s"),
+                F.sum(F.when(F.isnan(s), 1).otherwise(0)).alias("__bad"))
            .collect())
     spark = df.sparkSession
     schema = ("group_a string, group_b string, n_a long, n_b long, "
               "rate_a double, rate_b double, diff double, z double")
     if not per:
         return spark.createDataFrame([], schema)
+    n_nan = sum(int(r["__bad"]) for r in per)
+    if n_nan:
+        raise ValueError(
+            f"two_proportion_test: {n_nan} NaN value(s) in "
+            f"{success_col!r} — NaN is neither success nor failure; "
+            f"filter or impute upstream")
     if len(per) != 2:
         raise ValueError(
             f"two_proportion_test: need exactly 2 groups in "

@@ -308,7 +308,8 @@ def psi_from_counts(
                 nb.cast("long").alias("n_b"),
                 share_a.alias("share_a"), share_b.alias("share_b"),
                 F.round((share_a - share_b) * F.log(share_a / share_b), 9)
-                 .cast("decimal(38,9)").alias("psi_term")))
+                 .cast("decimal(38,9)").cast("double")
+                 .alias("psi_term")))
 
 
 def profile_drift(
@@ -776,7 +777,15 @@ def wasserstein_distance(
          .agg(F.first("__na").alias("__fna"),
               F.first("__nb").alias("__fnb"),
               F.first("__nbad").alias("__fbad"),
-              F.sum(F.when(F.col("__vn").isNotNull(), term)
+              # the (__na > 0) & (__nb > 0) legs keep the decimal DIV's
+              # denominator nonzero for a group present on only ONE side
+              # with >=2 distinct values (ANSI DIVIDE_BY_ZERO otherwise —
+              # the w1 NULL guard below fires too late, the term is
+              # evaluated inside this aggregate); such groups sum 0 and
+              # emit NULL w1 per the contract
+              F.sum(F.when(F.col("__vn").isNotNull()
+                           & (F.col("__na") > 0) & (F.col("__nb") > 0),
+                           term)
                      .otherwise(F.lit(0).cast("decimal(38,9)")))
                .alias("__s")))
     # folded into the output expression (NOT a pruned-away side agg)
@@ -1525,8 +1534,10 @@ def categorical_psi(
     Determinism: ONE tagged union + ONE (class) collapse produce both
     sides' counts (exact longs, no join at all); totals and k come
     from the same bounded table; each share is a fixed double
-    formula and the single transcendental term rounds scale-9 into
-    DECIMAL(38,9) (the lm.py recipe) — hash-exact in oracle SQL.
+    formula and the single transcendental term rounds on the scale-9
+    decimal grid (the lm.py recipe) then emits as double — the
+    registry's hash-safe emission contract (r14 lesson: DecimalType
+    outputs hash differently across engines even when equal).
 
     Scale shape: one union + one partial-aggregated collapse into the
     classes-bounded table, a 1-row totals broadcast. Class-valued
@@ -1556,4 +1567,6 @@ def categorical_psi(
                     share_a.alias("share_a"), share_b.alias("share_b"),
                     F.round((share_a - share_b)
                             * F.log(share_a / share_b), 9)
-                     .cast("decimal(38,9)").alias("psi_term")))
+                     .cast("decimal(38,9)").cast("double")
+                     .alias("psi_term")))
+

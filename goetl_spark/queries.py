@@ -190,57 +190,77 @@ def retired_oracle_sql() -> dict[str, str]:
 # cohort (41 rows, mandatory r15) the spare seats allow: 39 of 41,
 # deferring q172/q173 (hard-mandatory r15 — recoverable: r15 load
 # becomes 2 hard + whatever stages this round). 39+11 = 50 exactly.
+# Round-15 rotation (plan_window.py at r15 start; r14 verdict asks
+# #1/#3): the window is OVER capacity — 2 hard-mandatory (q172/q173)
+# + 49 expiring + 27 staged + the 2 force-seats = 80 candidates for
+# 50 seats. Seats: (a) FORCE-SEATS q221/q223 — the r14 driver hash
+# failures (the registry's only DecimalType-emitting rows; fixed this
+# round: psi_term now decimal-grid-rounds then emits double at
+# quality.py::psi_from_counts / categorical_psi, oracles double-cast
+# to match) — their green rows are the proof the fix landed; (b) the
+# 2 hard-mandatory deferrals q172/q173; (c) all 27 staged q228-q254,
+# now @register (staged-first policy: never had a driver row; q254
+# additionally carries the categorical_psi double-emission fix, q238
+# the Wasserstein one-sided-group guard, q253 the two-proportion NaN
+# guard — their first driver rows also verify the changed code);
+# (d) the 19 oldest expiring r11-last rows the remaining seats allow
+# (q50, q105-q115, q117-q123 per plan_window.py order, minus the two
+# seats surrendered to the force-seats: q124/q125 defer). 2+2+27+19 =
+# 50 exactly. The 30 deferred expiring rows (q124-q128, q174-q198)
+# become hard-mandatory in r16 — recoverable because r15 staging is
+# CAPPED (~5 rows, r14 verdict ask #4): r16 ≈ 30 hard + ~5 staged =
+# ~35 ≤ 50.
 _WINDOW: list[str] = [
-    "q15_events_hourly",
-    "q27_ann_ivf",
-    "q34_multimodal_features",
-    "q37_rollup",
-    "q40_scd1",
-    "q45_sliding_window",
-    "q46_session_window",
-    "q86_stratified_topk",
-    "q88_pq_rerank",
-    "q89_paragraph_dedup",
-    "q90_skew_report",
-    "q91_dedup_incremental",
-    "q92_ivfpq",
-    "q93_stream_dedup_ingest",
-    "q94_chunking",
-    "q95_llm_pipeline_e2e",
-    "q96_topk_partial",
-    "q97_winsorize",
-    "q98_strip_html",
-    "q99_winnow_overlap",
-    "q100_pq_recall",
-    "q101_heavy_hitters",
-    "q102_bm25",
-    "q103_join_cardinality",
-    "q116_bigram_lm",
-    "q158_stream_bloom_cut",
-    "q159_image_phash",
-    "q160_bpe_merges",
-    "q161_psl_domains",
-    "q162_orc_roundtrip",
-    "q163_bpe_tokenize",
-    "q164_domain_cap",
-    "q165_tfidf",
-    "q166_audio_neardup",
-    "q167_kneser_ney_lm",
-    "q168_ewma",
-    "q169_sentence_chunks",
-    "q170_heavy_hitters_stream",
-    "q171_ngram_containment",
-    "q217_encoded_quality_routing",
-    "q218_retrieval_eval",
-    "q219_loo_target_encoding",
-    "q220_langid_confusion",
+    "q50_dedup_clusters",
+    "q105_histogram",
+    "q106_correlation",
+    "q107_order_priority",
+    "q108_customer_distribution",
+    "q109_top_supplier",
+    "q110_small_quantity_revenue",
+    "q111_dormant_high_value",
+    "q112_resample_gapfill",
+    "q113_rolling_range",
+    "q114_funnel",
+    "q115_cohort_retention",
+    "q117_token_kl",
+    "q118_char_entropy",
+    "q119_cooccurrence",
+    "q120_standardize",
+    "q121_ntile_bins",
+    "q122_market_share",
+    "q123_promo_revenue",
+    "q172_dataset_fingerprint",
+    "q173_dedup_keep_best",
     "q221_psi_drift",
-    "q222_calibration_bins",
     "q223_stream_psi",
-    "q224_association_rules",
-    "q225_transition_matrix",
-    "q226_roc_auc",
-    "q227_pr_auc",
+    "q228_roc_auc_by_source",
+    "q229_pr_auc_by_priority",
+    "q230_ndcg_per_lang",
+    "q231_ccf",
+    "q232_edit_distance_join",
+    "q233_calibration_by_priority",
+    "q234_jaccard_join",
+    "q235_ks_drift",
+    "q236_lang_source_association",
+    "q237_regression_eval",
+    "q238_wasserstein_drift",
+    "q239_spearman_value_time",
+    "q240_anova_value_by_type",
+    "q241_user_spend_gini",
+    "q242_annotator_agreement",
+    "q243_source_head_share",
+    "q244_benford_values",
+    "q245_length_targeting_gains",
+    "q246_vocab_richness",
+    "q247_silhouette",
+    "q248_source_mix_entropy",
+    "q249_mcc_length_labelers",
+    "q250_kruskal_wallis",
+    "q251_trimmed_mean_value",
+    "q252_stream_benford",
+    "q253_conversion_ab_test",
+    "q254_source_mix_psi",
 ]
 
 
@@ -6015,8 +6035,12 @@ ENTRY_QUERY = q01_pricing_summary
 # round-8 rotation; the 16 round-8 staged entries (q158-q173) were
 # seated at the round-9 rotation; the 25 round-9/-10 staged entries
 # (q174-q198) were seated at the round-11 rotation (the r10 rotation
-# never ran). The queue is currently EMPTY — new operators this round
-# land here again, tests-first.
+# never ran); the 11 round-13 staged entries (q217-q227) were seated
+# at the round-14 rotation; the 27 round-14 staged entries (q228-q254)
+# were seated at the round-15 rotation. The queue is currently EMPTY —
+# and r15 staging is CAPPED at ~5 rows (r14 verdict ask #4: r16
+# already owes 30 hard-mandatory seats; mandatory+staged must stay
+# ≤ 50).
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -10826,8 +10850,8 @@ def q220_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bin_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            share_a, share_b,
-           CAST(round((share_a - share_b) * ln(share_a / share_b), 9)
-                AS DECIMAL(38,9)) AS psi_term
+           CAST(CAST(round((share_a - share_b) * ln(share_a / share_b), 9)
+                     AS DECIMAL(38,9)) AS DOUBLE) AS psi_term
     FROM m ORDER BY bin_id
     """,
 )
@@ -10841,9 +10865,10 @@ def q221_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable), every 101st price NULLed so the driver row exercises
     the NULL bin (a null-rate shift IS distribution drift), and
     per-bin Laplace-smoothed shares (+0.5 over the 5-bin space — 4
-    value bins + the NULL bin) with the PSI term rounded at scale 9
-    into DECIMAL(38,9) (the lm.py ln-term recipe, so the caller's sum
-    is shuffle-order independent). At 100 TB: one pass per side into a
+    value bins + the NULL bin) with the PSI term rounded on the
+    scale-9 decimal grid and emitted as double (the lm.py ln-term
+    recipe — grid rounding keeps the caller's sum shuffle-order
+    independent; the double emission is the hash-safe contract). At 100 TB: one pass per side into a
     bins-bounded count table, the totals re-derived from that table —
     never a second scan of either input."""
     from goetl_spark.quality import population_stability_index
@@ -10954,8 +10979,8 @@ def q222_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bin_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            share_a, share_b,
-           CAST(round((share_a - share_b) * ln(share_a / share_b), 9)
-                AS DECIMAL(38,9)) AS psi_term
+           CAST(CAST(round((share_a - share_b) * ln(share_a / share_b), 9)
+                     AS DECIMAL(38,9)) AS DOUBLE) AS psi_term
     FROM m ORDER BY bin_id
     """,
 )
@@ -11253,7 +11278,7 @@ def q227_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_auc(d, "p", "y")
 
 
-@register_staged(
+@register(
     "q228_roc_auc_by_source",
     """
     WITH f AS (
@@ -11319,7 +11344,7 @@ def q228_roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc_by(d, ["source"], "p", "y").orderBy("source")
 
 
-@register_staged(
+@register(
     "q229_pr_auc_by_priority",
     """
     WITH f AS (
@@ -11386,7 +11411,7 @@ def q229_pr_auc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
-@register_staged(
+@register(
     "q230_ndcg_per_lang",
     """
     WITH d AS (
@@ -11479,7 +11504,7 @@ def q230_ndcg_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(res, qrels, k=10).orderBy("query_id")
 
 
-@register_staged(
+@register(
     "q231_ccf",
     """
     WITH b AS (
@@ -11563,7 +11588,7 @@ def q231_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
-@register_staged(
+@register(
     "q232_edit_distance_join",
     """
     WITH a AS (
@@ -11608,7 +11633,7 @@ def q232_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-@register_staged(
+@register(
     "q233_calibration_by_priority",
     """
     WITH lab AS (
@@ -11675,7 +11700,7 @@ def q233_calibration_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority", "bin_id"))
 
 
-@register_staged(
+@register(
     "q234_jaccard_join",
     """
     WITH d AS (
@@ -11728,7 +11753,7 @@ def q234_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-@register_staged(
+@register(
     "q235_ks_drift",
     """
     WITH t AS (
@@ -11790,7 +11815,7 @@ def q235_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q236_lang_source_association",
     """
     WITH ct AS (
@@ -11858,7 +11883,7 @@ def q236_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "lang", "source")
 
 
-@register_staged(
+@register(
     "q237_regression_eval",
     """
     WITH t AS (
@@ -11922,7 +11947,7 @@ def q237_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q238_wasserstein_drift",
     """
     WITH t AS (
@@ -11948,7 +11973,8 @@ def q237_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT g, SUM(na_v) AS na, SUM(nb_v) AS nb FROM gv GROUP BY 1),
     s AS (
         SELECT c.g, t2.na, t2.nb,
-               SUM(CASE WHEN c.vn IS NULL THEN CAST(0 AS DECIMAL(38,9))
+               SUM(CASE WHEN c.vn IS NULL OR t2.na = 0 OR t2.nb = 0
+                        THEN CAST(0 AS DECIMAL(38,9))
                    ELSE CAST(CAST(
                        (abs(CAST(c.fa AS HUGEINT) * t2.nb
                             - CAST(c.fb AS HUGEINT) * t2.na) * 1000000000)
@@ -11994,7 +12020,7 @@ def q238_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-@register_staged(
+@register(
     "q239_spearman_value_time",
     """
     WITH f AS (
@@ -12055,7 +12081,7 @@ def q239_spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q240_anova_value_by_type",
     """
     WITH f AS (
@@ -12118,7 +12144,7 @@ def q240_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_oneway(_t(spark, sf_dir, "events"), "value", "event_type")
 
 
-@register_staged(
+@register(
     "q241_user_spend_gini",
     """
     WITH ut AS (
@@ -12171,7 +12197,7 @@ def q241_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q242_annotator_agreement",
     """
     WITH lab AS (
@@ -12236,7 +12262,7 @@ def q242_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(lab, "a", "b")
 
 
-@register_staged(
+@register(
     "q243_source_head_share",
     """
     WITH st AS (
@@ -12292,7 +12318,7 @@ def q243_source_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-@register_staged(
+@register(
     "q244_benford_values",
     """
     WITH f AS (
@@ -12359,7 +12385,7 @@ def q244_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "digit"))
 
 
-@register_staged(
+@register(
     "q245_length_targeting_gains",
     """
     WITH f AS (
@@ -12423,7 +12449,7 @@ def q245_length_targeting_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gains_at_k(d, "n_chars", "is_en", ks=(10, 100, 1000))
 
 
-@register_staged(
+@register(
     "q246_vocab_richness",
     """
     WITH tok AS (
@@ -12473,7 +12499,7 @@ def q246_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-@register_staged(
+@register(
     "q247_silhouette",
     """
     WITH pts AS (
@@ -12543,7 +12569,7 @@ def q247_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("label"))
 
 
-@register_staged(
+@register(
     "q248_source_mix_entropy",
     """
     WITH ct AS (
@@ -12588,7 +12614,7 @@ def q248_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-@register_staged(
+@register(
     "q249_mcc_length_labelers",
     """
     WITH lab AS (
@@ -12650,7 +12676,7 @@ def q249_mcc_length_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matthews_corr(lab, "a", "b")
 
 
-@register_staged(
+@register(
     "q250_kruskal_wallis",
     """
     WITH f AS (
@@ -12703,7 +12729,9 @@ def q250_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves one rank step, not the statistic. Composition, not
     reimplementation: pooled ×2-grid midranks from the spearman
     cumsum machinery joined back to fact rows, then anova_oneway at
-    value_scale=0 (ranks are exact integers) — ANOVA on midranks IS
+    value_scale=4 (×2-grid midranks are exact integers, scaled by
+    10⁴ onto the family's 1e-8 unit-squared floor — the
+    quality.py::kruskal_wallis rationale) — ANOVA on midranks IS
     the tie-corrected KW, with H = (n−1)·η²_rank. η²_rank on the
     exact 1e-9 floor grid; H one IEEE multiply of exact values
     (documented ≤ (n−1)·1e-9 grid slack). Hash-exact. At 100 TB:
@@ -12715,7 +12743,7 @@ def q250_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "event_type")
 
 
-@register_staged(
+@register(
     "q251_trimmed_mean_value",
     """
     WITH f AS (
@@ -12776,7 +12804,7 @@ def q251_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register_staged(
+@register(
     "q252_stream_benford",
     """
     WITH f AS (
@@ -12859,7 +12887,7 @@ def q252_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "digit"))
 
 
-@register_staged(
+@register(
     "q253_conversion_ab_test",
     """
     WITH u AS (
@@ -12928,7 +12956,7 @@ def q253_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_test(ab, "variant", "converted")
 
 
-@register_staged(
+@register(
     "q254_source_mix_psi",
     """
     WITH t AS (
@@ -12943,11 +12971,11 @@ def q253_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nb AS BIGINT) AS n_b,
            (na + 0.5) / (ta + 0.5 * k) AS share_a,
            (nb + 0.5) / (tb + 0.5 * k) AS share_b,
-           CAST(round(((na + 0.5) / (ta + 0.5 * k)
-                       - (nb + 0.5) / (tb + 0.5 * k))
-                * ln(((na + 0.5) / (ta + 0.5 * k))
-                     / ((nb + 0.5) / (tb + 0.5 * k))), 9)
-                AS DECIMAL(38,9)) AS psi_term
+           CAST(CAST(round(((na + 0.5) / (ta + 0.5 * k)
+                            - (nb + 0.5) / (tb + 0.5 * k))
+                     * ln(((na + 0.5) / (ta + 0.5 * k))
+                          / ((nb + 0.5) / (tb + 0.5 * k))), 9)
+                     AS DECIMAL(38,9)) AS DOUBLE) AS psi_term
     FROM ct CROSS JOIN tot ORDER BY 1
     """,
 )
@@ -12960,8 +12988,8 @@ def q254_source_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes contribute finite terms. ONE tagged union + ONE class
     collapse produce both sides' counts (exact longs, no join);
     totals and k derive from the same bounded table; the single
-    transcendental term rounds scale-9 into exact decimal (the lm.py
-    recipe) — hash-exact. The same-population split keeps PSI near 0;
+    transcendental term rounds on the scale-9 decimal grid and emits
+    as double (the lm.py recipe; hash-safe emission contract). The same-population split keeps PSI near 0;
     the exactness is what the oracle checks. At 100 TB: one union +
     one partial-aggregated collapse into the classes-bounded table,
     a 1-row totals broadcast."""

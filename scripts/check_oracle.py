@@ -55,6 +55,16 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
                 f"col {col}: dtype-kind skew spark={sv.dtype} duck={dv.dtype} "
                 "(driver hash would fail; CAST the oracle aggregate)")
             continue
+        # object-vs-float is the SAME hash hazard (r14: q221/q223 emitted
+        # DecimalType -> Spark hands back Decimal objects, DuckDB float64;
+        # numerically equal, hashes differently). Hard-fail it identically
+        # rather than numerically coercing past it.
+        if {sv.dtype.kind, dv.dtype.kind} == {"O", "f"}:
+            problems.append(
+                f"col {col}: dtype-kind skew spark={sv.dtype} duck={dv.dtype} "
+                "(object vs float — driver hash would fail; emit double, "
+                "not decimal/object)")
+            continue
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sv2 = pd.to_numeric(sv, errors="coerce")
             dv2 = pd.to_numeric(dv, errors="coerce")
@@ -111,7 +121,19 @@ def main():
             continue
         t0 = time.time()
         try:
-            spark_pd = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            # emitted-type contract (r14 lesson): DecimalType outputs hash
+            # differently at the driver even when numerically equal — any
+            # decimal column in an OUTPUT schema is a hard failure here,
+            # mirroring tests/test_plan_quality.py::test_hash_safe_output_types
+            dec = [f.name for f in sdf.schema.fields
+                   if f.dataType.simpleString().startswith("decimal")]
+            if dec:
+                failed.append(name)
+                print(f"FAIL {name}: DecimalType output column(s) {dec} "
+                      "(driver hash hazard; cast to double before emitting)")
+                continue
+            spark_pd = sdf.toPandas()
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}")

@@ -328,3 +328,10 @@ def test_two_proportion_degenerate_null_success_and_group_count(spark):
     # empty
     e = spark.createDataFrame([], "g string, s double")
     assert two_proportion_test(e, "g", "s").collect() == []
+    # NaN success raises loudly (family convention) rather than being
+    # silently counted as a failure (passes isNotNull, fails s > 0)
+    d4 = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("b", 0.0)],
+        "g string, s double")
+    with pytest.raises(ValueError, match="NaN"):
+        two_proportion_test(d4, "g", "s")

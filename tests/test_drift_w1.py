@@ -71,13 +71,21 @@ def test_nulls_excluded_nan_raises(spark):
 
 
 def test_grouped_empty_side_null_and_per_group_match(spark):
-    a = [("g1", 1), ("g1", 5), ("g2", 2), ("g2", 2), ("g3", 7)]
+    # g3 is one-sided with a SINGLE value (NULL-lead masks the div);
+    # g4 is one-sided with TWO distinct values — its non-NULL lead row
+    # evaluates the grid term inside the aggregate, so the term's own
+    # (__na > 0) AND (__nb > 0) guard must keep the decimal DIV's
+    # denominator nonzero (ANSI DIVIDE_BY_ZERO regression, r15 ADVICE)
+    a = [("g1", 1), ("g1", 5), ("g2", 2), ("g2", 2), ("g3", 7),
+         ("g4", 1), ("g4", 4)]
     b = [("g1", 3), ("g1", 5), ("g2", 2), ("g2", 9)]
     da = spark.createDataFrame(a, "g string, v long")
     db = spark.createDataFrame(b, "g string, v long")
     got = {r["g"]: r for r in
            wasserstein_distance(da, db, "v", ["g"]).collect()}
     assert got["g3"]["w1"] is None and got["g3"]["n_b"] == 0
+    assert got["g4"]["w1"] is None and got["g4"]["n_b"] == 0
+    assert got["g4"]["n_a"] == 2
     for g in ("g1", "g2"):
         ra = [v for gg, v in a if gg == g]
         rb = [v for gg, v in b if gg == g]

@@ -117,6 +117,40 @@ def _gate_names() -> list[str]:
     return sorted(n for n in todo if n not in _STREAMING_EXEC)
 
 
+# Driver-hash-safe output types. The r14 driver hash-failed q221/q223
+# — the registry's ONLY DecimalType-emitting rows — because Spark hands
+# the driver `Decimal(...)` objects while DuckDB's pandas bridge hands
+# back float64: numerically equal, canonicalizes differently, hash
+# mismatch. This gate makes the emitted-type contract mechanical: every
+# live + staged query (streaming included — their memory-sink reads are
+# hashed the same way) may emit ONLY types both engines canonicalize
+# identically. Round decimal-grid arithmetic INTERNALLY all you want;
+# cast to double before emitting (quality.py::psi_from_counts is the
+# pattern).
+_HASH_SAFE_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "boolean", "string", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _type_gate_names() -> list[str]:
+    todo = {**catalog.queries(), **catalog.staged_queries()}
+    return sorted(todo)
+
+
+@pytest.mark.parametrize("name", _type_gate_names())
+def test_hash_safe_output_types(spark, name):
+    todo = {**catalog.queries(), **catalog.staged_queries()}
+    fn = LAZY_VARIANTS.get(name, todo[name])
+    df = fn(spark, "/root/testdata/sf0.001")
+    bad = [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+           if f.dataType.simpleString() not in _HASH_SAFE_TYPES]
+    assert not bad, (
+        f"{name} emits non-hash-safe column types {bad}; the driver's "
+        "value hash canonicalizes these differently across engines — "
+        "cast to a type in _HASH_SAFE_TYPES before emitting")
+
+
 @pytest.mark.parametrize("name", _gate_names())
 def test_no_scale_antipatterns(spark, name):
     todo = {**catalog.queries(), **catalog.staged_queries()}

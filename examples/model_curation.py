@@ -100,6 +100,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
               calibration_bins(scored_train, "quality_prob", "label",
                                n_bins=10).collect())
 
+    # 6) the TARGETING readout (r14 gains_at_k, wired per the r14
+    # verdict): a curation budget acts on the top k scored docs —
+    # how many reference-class docs does each depth capture, and how
+    # much better than random? Tie blocks contribute in expectation,
+    # so the numbers are permutation-invariant under equal scores.
+    from goetl_spark.operators.classifier import gains_at_k
+
+    n_lab = scored_train.count()
+    gains = {int(r["k"]): (float(r["recall"]), float(r["lift"]))
+             for r in gains_at_k(
+                 scored_train, "quality_prob", "label",
+                 ks=(max(1, n_lab // 20), max(2, n_lab // 4))).collect()}
+
     out = {
         "labeled_pos": int(labeled.filter("label = 1.0").count()),
         "fitted_sources": len(enc_tables["source"]["values"]),
@@ -111,6 +124,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "map_at_10": float(summary["map_at_k"]),
         "train_auc": float(auc),
         "train_ece": float(ece),
+        "gains": gains,
     }
     if owns_spark:
         spark.stop()

@@ -1708,3 +1708,220 @@ def jaccard_join(
             .filter(F.col("jaccard") >= tau)
             .select(F.col("__lid").alias(left_id),
                     F.col("__rid").alias(right_id), "jaccard"))
+
+
+def _jaccard_meta_path(path: str) -> str | None:
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    return os.path.join(path.removeprefix("file://"), "_jaccard_meta.json")
+
+
+def _jaccard_sorted(df: DataFrame, id_c: str, arr_c: str,
+                    toks: DataFrame) -> DataFrame:
+    """Per-record DISTINCT tokens sorted by the given (tok, cnt)
+    rarity table — tokens absent from the table count 0 (rarest), so
+    a FROZEN build-time table keeps ordering every future batch
+    totally and deterministically."""
+    e = (df.select(id_c, F.explode(arr_c).alias("tok"))
+         .join(toks, "tok", "left")
+         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    return (e.groupBy(id_c)
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("cnt"), F.col("tok")))).alias("__st"))
+            .select(id_c,
+                    F.transform(F.col("__st"), lambda s: s["tok"])
+                     .alias(arr_c),
+                    F.size("__st").alias("__n")))
+
+
+def _jaccard_prefix(arr_c: str, tau: float):
+    p = (F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")) + 1).cast("int")
+    return F.slice(F.col(arr_c), 1, p)
+
+
+def jaccard_index_write(
+    df: DataFrame, path: str,
+    id_col: str = "doc_id", tokens_col: str = "tokens",
+    threshold: float = 0.8, mode: str = "overwrite",
+) -> None:
+    """Persist the prefix-filter index of a token-set corpus — the
+    standing-index variant of :func:`jaccard_join`, the exact-Jaccard
+    analog of :func:`lsh_index_write` (r14 verdict depth candidate:
+    repeated corpus pulls were re-sorting every record's token set on
+    every call). Three parquet legs under ``path``: ``tokens/`` (the
+    build-corpus rarity table — FROZEN; every later batch is ordered
+    by it), ``records/`` (id, rarity-sorted distinct tokens, set
+    size — the verify side), ``prefix/`` (tok, id, set size — the
+    candidate join keys, |x| − ⌈τ·|x|⌉ + 1 rarest tokens per record),
+    plus a ``_jaccard_meta.json`` config manifest.
+
+    Freezing the rarity order is CORRECT, not a compromise: the
+    AllPairs/PPJoin prefix pigeonhole (Bayardo WWW'07; Xiao WWW'08)
+    holds for ANY total token order as long as both sides use the
+    SAME one — rarity ordering is purely a selectivity heuristic.
+    What drifts as the corpus grows is only candidate THINNESS
+    (tokens that were rare at build time may become common); rebuild
+    when candidate counts creep, exactly like re-banding an LSH
+    index. ``mode='append'`` adds a day's accepted documents —
+    sorted under the frozen order, tokens table untouched — after
+    the same config check the LSH index makes (a prefix written at a
+    different τ is incomparable).
+
+    NULL/empty token sets are dropped, duplicate tokens collapse,
+    NULL elements are excluded — the :func:`jaccard_join` set
+    contract. Scale shape: one token-count aggregate (build only),
+    one sort-within-record map pass, three columnar writes; the
+    queries (:func:`jaccard_index_candidates`) then skip the corpus
+    sort forever."""
+    import json
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    meta = {"threshold": float(threshold)}
+    mp = _jaccard_meta_path(path)
+    if mode == "append" and mp is not None:
+        import os
+        if os.path.exists(mp):
+            existing = json.load(open(mp))
+            if existing != meta:
+                raise ValueError(
+                    f"jaccard_index_write(append): config {meta} != "
+                    f"index config {existing} — prefixes are "
+                    f"incomparable across thresholds")
+    spark = df.sparkSession
+    base = (df.select(F.col(id_col).alias("__id"),
+                      F.array_distinct(F.col(tokens_col)).alias("__t"))
+            .filter(F.col("__t").isNotNull() & (F.size("__t") > 0)))
+    if mode == "overwrite":
+        toks = (base.select(F.explode("__t").alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+        toks.write.mode("overwrite").parquet(f"{path}/tokens")
+    toks = spark.read.parquet(f"{path}/tokens")
+    recs = _jaccard_sorted(base, "__id", "__t", toks)
+    recs.write.mode(mode).parquet(f"{path}/records")
+    pref = (recs.select("__id", "__n",
+                        F.explode(_jaccard_prefix("__t", float(threshold)))
+                         .alias("tok")))
+    pref.write.mode(mode).parquet(f"{path}/prefix")
+    if mp is not None:
+        import os
+        os.makedirs(path.removeprefix("file://"), exist_ok=True)
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+
+
+def jaccard_index_candidates(
+    new_docs: DataFrame, path: str,
+    id_col: str = "doc_id", tokens_col: str = "tokens",
+    threshold: float | None = None,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Exact Jaccard matches of a NEW batch against the persisted
+    :func:`jaccard_index_write` index (plus, by default, within-batch
+    pairs): (query_id, match_id, jaccard) with jaccard >= τ — every
+    answer VERIFIED by exact ``array_intersect``, so unlike
+    :func:`lsh_index_candidates` there is no recall curve to tune;
+    the index only accelerates.
+
+    ``threshold`` defaults to the index's τ; a HIGHER τ is accepted
+    (the stored prefixes, computed at the lower build τ, are longer
+    than this query needs — a candidate superset, the verify join
+    filters it); a LOWER τ raises, because stored prefixes would be
+    too short and the pigeonhole guarantee — an overlap of
+    ⌈τ·max(|x|,|y|)⌉ must touch both prefixes — breaks silently (a
+    recall hole, the one thing an exact operator must never have).
+
+    The batch is sorted under the index's FROZEN rarity order
+    (unseen tokens rank rarest — deterministic; see
+    :func:`jaccard_index_write` for why any shared total order is
+    correct); its prefixes at the query τ equi-join the stored
+    prefix table with the τ·|x| <= |y| <= |x|/τ length filter riding
+    the join, then one verify join against ``records/`` plus the
+    batch arrays. Scale: the batch side is tiny next to the index;
+    the candidate join shuffles on tok — hot prefix tokens fatten
+    one cell, AQE's skew-join job (the :func:`jaccard_join`
+    story)."""
+    import json
+
+    mp = _jaccard_meta_path(path)
+    idx_tau = None
+    if mp is not None:
+        import os
+        if os.path.exists(mp):
+            idx_tau = float(json.load(open(mp))["threshold"])
+    if threshold is None:
+        if idx_tau is None:
+            raise ValueError(
+                "jaccard_index_candidates: no _jaccard_meta.json at "
+                f"{path!r} and no threshold given")
+        tau = idx_tau
+    else:
+        tau = float(threshold)
+        if not 0.0 < tau <= 1.0:
+            raise ValueError(f"threshold must be in (0, 1], got {tau}")
+        if idx_tau is not None and tau < idx_tau:
+            raise ValueError(
+                f"jaccard_index_candidates: query threshold {tau} < "
+                f"index threshold {idx_tau} — stored prefixes are too "
+                f"short for the pigeonhole guarantee; rebuild the "
+                f"index at the lower threshold")
+    spark = new_docs.sparkSession
+    toks = spark.read.parquet(f"{path}/tokens")
+    base = (new_docs.select(F.col(id_col).alias("__qid"),
+                            F.array_distinct(F.col(tokens_col))
+                             .alias("__qt"))
+            .filter(F.col("__qt").isNotNull() & (F.size("__qt") > 0)))
+    qs = (_jaccard_sorted(base, "__qid", "__qt", toks)
+          .localCheckpoint(eager=True))
+    q_keys = qs.select("__qid", F.col("__n").alias("__qn"),
+                       F.explode(_jaccard_prefix("__qt", tau)).alias("tok"))
+    idx_pref = spark.read.parquet(f"{path}/prefix").select(
+        F.col("__id").alias("__mid"), F.col("__n").alias("__mn"), "tok")
+    cand = (q_keys.join(idx_pref, "tok")
+            .filter((F.col("__mn") >= F.lit(tau) * F.col("__qn"))
+                    & (F.col("__mn") <= F.col("__qn") / F.lit(tau)))
+            .select("__qid", "__mid").distinct())
+    recs = spark.read.parquet(f"{path}/records").select(
+        F.col("__id").alias("__mid"), F.col("__t").alias("__mt"),
+        F.col("__n").alias("__mmn"))
+    o = F.size(F.array_intersect(F.col("__qqt"), F.col("__mt")))
+    vs = (cand
+          .join(qs.select(F.col("__qid"), F.col("__qt").alias("__qqt"),
+                          F.col("__n").alias("__qqn")), "__qid")
+          .join(recs, "__mid")
+          .withColumn("jaccard",
+                      o / (F.col("__qqn") + F.col("__mmn") - o))
+          .filter(F.col("jaccard") >= F.lit(tau))
+          .select(F.col("__qid").alias("query_id"),
+                  F.col("__mid").alias("match_id"), "jaccard"))
+    if not include_new_pairs:
+        return vs
+    a_keys = qs.select(F.col("__qid").alias("__aid"),
+                       F.col("__n").alias("__an"),
+                       F.explode(_jaccard_prefix("__qt", tau)).alias("tok"))
+    b_keys = qs.select(F.col("__qid").alias("__bid"),
+                       F.col("__n").alias("__bn"),
+                       F.explode(_jaccard_prefix("__qt", tau)).alias("tok"))
+    wc = (a_keys.join(b_keys, "tok")
+          .filter((F.col("__aid") < F.col("__bid"))
+                  & (F.col("__bn") >= F.lit(tau) * F.col("__an"))
+                  & (F.col("__bn") <= F.col("__an") / F.lit(tau)))
+          .select("__aid", "__bid").distinct())
+    ow = F.size(F.array_intersect(F.col("__at"), F.col("__bt")))
+    within = (wc
+              .join(qs.select(F.col("__qid").alias("__aid"),
+                              F.col("__qt").alias("__at"),
+                              F.col("__n").alias("__wan")), "__aid")
+              .join(qs.select(F.col("__qid").alias("__bid"),
+                              F.col("__qt").alias("__bt"),
+                              F.col("__n").alias("__wbn")), "__bid")
+              .withColumn("jaccard",
+                          ow / (F.col("__wan") + F.col("__wbn") - ow))
+              .filter(F.col("jaccard") >= F.lit(tau))
+              .select(F.col("__aid").alias("query_id"),
+                      F.col("__bid").alias("match_id"), "jaccard"))
+    return vs.unionByName(within)

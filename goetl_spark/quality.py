@@ -1570,3 +1570,129 @@ def categorical_psi(
                      .cast("decimal(38,9)").cast("double")
                      .alias("psi_term")))
 
+
+def classifier_two_sample_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_cols: Sequence[str],
+    fold_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Classifier two-sample test (C2ST) — the MULTIVARIATE drift leg
+    the per-column family cannot see (Lopez-Paz & Oquab, "Revisiting
+    Classifier Two-Sample Tests", ICLR 2017 — public algorithm):
+    :func:`population_stability_index` / :func:`ks_distance` /
+    :func:`wasserstein_distance` each watch ONE column, so a drift
+    that only lives in the JOINT distribution (lang mix per source
+    shifts while both marginals hold) is invisible to all of them.
+    C2ST asks the operational question directly: can a classifier
+    told "which snapshot is this row from?" beat a coin flip? One
+    row: ``n_a / n_b / auc / separability`` where auc is the exact
+    tie-aware ROC-AUC of the snapshot classifier and ``separability
+    = 2·|auc − 0.5|`` rescales it to [0, 1] (0 = indistinguishable,
+    1 = fully separated). Read like PSI: < 0.1 noise, > 0.25 act.
+
+    The classifier is the simplest honest one: rows from both
+    snapshots union-tag ``__y`` ∈ {0, 1}, and each row's score is
+    the Laplace-smoothed rate P̂(__y = 1 | cell) of its COMPOSITE
+    class (the ``cat_cols`` tuple — the joint cell, not the
+    marginals: per-feature scores would average away exactly the
+    interaction drift this test exists to catch), CROSS-FITTED on
+    ``fold_col``: rows in fold 0 are scored with rates fitted only
+    on fold 1 and vice versa, the paper's held-out discipline. The
+    obvious cheaper recipes are both broken and deliberately NOT
+    used: a plain same-fold rate leaks each row's own label (AUC → 1
+    on ANY split), and leave-one-out backfires — under exact H₀ with
+    balanced cells the self-exclusion is the only score variation
+    left, so scores ANTI-separate and the test screams on identical
+    snapshots. Cross-fitting has neither failure: under H₀ the score
+    is independent of the row's own label, AUC sits at 0.5 ± noise;
+    under drift (marginal OR joint — both move the cell mix) the
+    same cells separate the tags in BOTH folds and AUC rises.
+
+    ``fold_col`` must be a caller-computed 0/1 column INDEPENDENT of
+    the snapshot split (e.g. ``(id DIV 2) % 2`` against an ``id % 2``
+    snapshot split — the oracle-replayable discipline; a fold that
+    correlates with the snapshot biases the rates); any other value,
+    NULL included, raises loudly. NUMERIC feature columns: bin them
+    upstream with fixed literal edges (the q221 PSI discipline) and
+    pass the bin id as a category. NULL categories form their own
+    class (a null-rate shift IS drift). An empty snapshot raises
+    (two samples are the contract); an empty fold raises (nothing to
+    fit the other fold's rates on).
+
+    Determinism: cell/fold counts are exact longs off ONE fact pass;
+    each opposite-fold base rate is one IEEE division of longs; each
+    score is the fixed chain ``(s + m·g) / (n + m)`` on them; AUC is
+    Mann-Whitney midrank arithmetic on exact longs
+    (classifier.py::roc_auc) — hash-exact in oracle SQL.
+
+    Scale shape: one partial-aggregated fact pass into the
+    (cells × 2)-bounded rate table (cell count is the product of
+    class domains — the class-valued-columns contract shared with
+    :func:`categorical_psi`), a broadcast join back (the fact side
+    never shuffles), one distinct-score collapse +
+    range-partitioned cumsum for the AUC, one 1-row aggregate. No
+    iteration, no driver-side model state."""
+    from goetl_spark.operators.classifier import roc_auc
+
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    m = float(smoothing)
+    fold = F.col(fold_col)
+    tagged = (df_a.select(*cats, fold.alias("__f"), F.lit(0).alias("__y"))
+              .unionByName(
+                  df_b.select(*cats, fold.alias("__f"),
+                              F.lit(1).alias("__y"))))
+    # one fact pass -> (cell, fold) counts; fold validation rides it
+    # (bad fold values surface as extra groups in the bounded totals)
+    ct = (tagged.groupBy(*cats, "__f")
+          .agg(F.sum("__y").alias("__s"), F.count(F.lit(1)).alias("__n"))
+          .localCheckpoint(eager=True))
+    tots = {r["__f"]: (int(r["__s"]), int(r["__n"]))
+            for r in ct.groupBy("__f")
+                       .agg(F.sum("__s").alias("__s"),
+                            F.sum("__n").alias("__n")).collect()}
+    bad = sorted((k for k in tots if k not in (0, 1)), key=str)
+    if bad:
+        raise ValueError(
+            f"classifier_two_sample_test: {fold_col!r} must be 0 or 1, "
+            f"got {bad[:5]} — compute the fold upstream "
+            f"(e.g. (id DIV 2) % 2)")
+    if 0 not in tots or 1 not in tots:
+        raise ValueError(
+            f"classifier_two_sample_test: fold "
+            f"{0 if 0 not in tots else 1} is empty — cross-fitting "
+            f"needs both folds populated")
+    # opposite-fold base rates (one IEEE division of exact longs each)
+    g = {f: tots[1 - f][0] / tots[1 - f][1] for f in (0, 1)}
+    # flip the fold key so a row of fold f equi-joins its OPPOSITE
+    # fold's cell stats
+    opp = ct.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(cats)],
+        (1 - F.col("__f")).alias("__f"), "__s", "__n")
+    cond = F.col("__f").eqNullSafe(F.col("__of"))
+    opp = opp.withColumnRenamed("__f", "__of")
+    for i, c in enumerate(cats):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{i}"))
+    joined = tagged.join(F.broadcast(opp), on=cond, how="left")
+    gm = F.when(F.col("__f") == 0, F.lit(g[0])).otherwise(F.lit(g[1]))
+    score = ((F.coalesce(F.col("__s"), F.lit(0)) + F.lit(m) * gm)
+             / (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(m)))
+    scored = joined.select(score.alias("__score"), "__y")
+    try:
+        r = roc_auc(scored, "__score", "__y").collect()[0]
+    except ValueError as e:
+        if "single-class" in str(e) or "empty input" in str(e):
+            raise ValueError(
+                "classifier_two_sample_test: one snapshot is empty — "
+                "a two-sample test needs two samples; gate upstream"
+            ) from e
+        raise
+    auc = float(r["auc"])
+    return df_a.sparkSession.createDataFrame(
+        [(int(r["n_neg"]), int(r["n_pos"]), auc, 2.0 * abs(auc - 0.5))],
+        "n_a long, n_b long, auc double, separability double")

@@ -12999,3 +12999,167 @@ def q254_source_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.col("doc_id") % 2 == 0).select("source")
     b = d.filter(F.col("doc_id") % 2 != 0).select("source")
     return categorical_psi(a, b, "source").orderBy("cls")
+
+
+@register_staged(
+    "q255_multivariate_drift",
+    """
+    WITH t AS (
+        SELECT lang, source,
+               CASE WHEN n_chars IS NULL THEN -1
+                    WHEN n_chars < 500 THEN 0
+                    WHEN n_chars < 2000 THEN 1 ELSE 2 END AS len_bin,
+               CAST((doc_id // 2) % 2 AS INT) AS f,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS y
+        FROM documents
+    ),
+    ct AS (
+        SELECT lang, source, len_bin, f,
+               SUM(y) AS s, COUNT(*) AS n
+        FROM t GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT f, SUM(s) AS s, SUM(n) AS n FROM ct GROUP BY 1),
+    scored AS (
+        SELECT t.y,
+               (COALESCE(c2.s, 0)
+                + 10.0 * (CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE)))
+               / (COALESCE(c2.n, 0) + 10.0) AS score
+        FROM t
+        LEFT JOIN ct c2
+          ON t.lang IS NOT DISTINCT FROM c2.lang
+         AND t.source IS NOT DISTINCT FROM c2.source
+         AND t.len_bin IS NOT DISTINCT FROM c2.len_bin
+         AND c2.f = 1 - t.f
+        JOIN tot o ON o.f = 1 - t.f
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    c AS (
+        SELECT n, n_pos,
+               COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT SUM(n_pos * (2 * cum_before + n + 1)) AS num2,
+               SUM(n_pos) AS np, SUM(n - n_pos) AS nn, SUM(n) AS nt
+        FROM c
+    )
+    SELECT CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+           CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn AS auc,
+           2.0 * abs(CAST(num2 - np * (np + 1) AS DOUBLE)
+                     / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+               AS separability
+    FROM s
+    """,
+)
+def q255_multivariate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier two-sample test (quality.py::
+    classifier_two_sample_test, r15 — the MULTIVARIATE drift leg the
+    r14 verdict named as the family's gap: PSI/KS/W1/categorical-PSI
+    each watch ONE column; a drift living only in the JOINT
+    distribution is invisible to all of them): can a cross-fitted
+    cell-rate classifier tell the doc_id%2 halves of the corpus
+    apart on (lang, source, binned n_chars)? Features follow the
+    documented disciplines — the numeric column binned with FIXED
+    literal edges (500/2000, the q221 PSI discipline, NULL its own
+    bin), the fold (doc_id//2)%2 independent of the snapshot split
+    by construction. Cross-fitting is the load-bearing choice: plain
+    same-fold rates leak each row's label (AUC -> 1 on ANY split),
+    leave-one-out anti-separates under exact H0 — both would make
+    this same-population fixture scream; the held-out rates keep AUC
+    at 0.5 +/- noise, and the EXACTNESS of that reading (cell counts
+    -> one IEEE rate chain -> Mann-Whitney midrank AUC on exact
+    longs) is what the oracle checks, hash-bit for hash-bit. At
+    100 TB: one fact pass into the (cells x 2)-bounded rate table,
+    a broadcast join back, one score collapse + range-partitioned
+    cumsum, a 1-row aggregate."""
+    from goetl_spark.quality import classifier_two_sample_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.when(F.col("n_chars").isNull(), F.lit(-1))
+         .when(F.col("n_chars") < 500, F.lit(0))
+         .when(F.col("n_chars") < 2000, F.lit(1))
+         .otherwise(F.lit(2)).alias("len_bin"),
+        (F.floor(F.col("doc_id") / 2) % 2).cast("int").alias("fold"))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 != 0)
+    return classifier_two_sample_test(
+        a, b, ["lang", "source", "len_bin"], "fold")
+
+
+@register_staged(
+    "q256_jaccard_index",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents
+    ),
+    idx AS (SELECT doc_id AS mid, w AS wm FROM d
+            WHERE doc_id % 10 IN (2, 4, 6)),
+    q AS (SELECT doc_id AS qid, w AS wq FROM d WHERE doc_id % 10 = 8),
+    cp AS (
+        SELECT qid AS query_id, mid AS match_id,
+               len(list_intersect(wq, wm)) AS o,
+               len(wq) AS nq, len(wm) AS nm
+        FROM q CROSS JOIN idx
+    ),
+    wp AS (
+        SELECT a.qid AS query_id, b.qid AS match_id,
+               len(list_intersect(a.wq, b.wq)) AS o,
+               len(a.wq) AS nq, len(b.wq) AS nm
+        FROM q a CROSS JOIN q b WHERE a.qid < b.qid
+    ),
+    u AS (SELECT * FROM cp UNION ALL SELECT * FROM wp)
+    SELECT query_id, match_id,
+           CAST(o AS BIGINT) / CAST(nq + nm - o AS BIGINT) AS jaccard
+    FROM u
+    WHERE CAST(o AS BIGINT) / CAST(nq + nm - o AS BIGINT) >= 0.8
+    ORDER BY query_id, match_id
+    """,
+)
+def q256_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-index exact Jaccard (operators/dedup.py::
+    jaccard_index_write / jaccard_index_candidates, r15 — the r14
+    verdict's depth candidate: q234's jaccard_join re-sorts every
+    record's token set on every call; daily-ingest corpora should
+    pay the rarity sort ONCE). Full index lifecycle in one driver
+    row: build on the doc_id%10 ∈ {2,4} word sets, APPEND the %10=6
+    slice (whose tokens were partly unseen at build time — they rank
+    cnt=0, rarest, under the frozen order; the lossless-under-any-
+    shared-total-order property is exactly what the oracle then
+    checks), and pull the %10=8 batch against the standing index at
+    τ=0.8, within-batch pairs included. Every emitted pair is
+    verified by exact array_intersect — the index only accelerates,
+    so a single missed or extra pair vs the oracle's naive CROSS
+    JOIN (the bounded-DuckDB-side luxury) is a defect, not a recall
+    curve. Integer intersection sizes, one IEEE division —
+    hash-exact. At 100 TB: the batch side is tiny next to the index;
+    prefix-key equi-join + length filter, never all-pairs; the
+    corpus sort is amortized across every future pull."""
+    import shutil as _sh
+
+    from goetl_spark.operators.dedup import (
+        jaccard_index_candidates,
+        jaccard_index_write,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), r"\s+")).alias("w"))
+    path = _scratch("goetl_q256_jidx")
+    _sh.rmtree(path, ignore_errors=True)
+    jaccard_index_write(d.filter((F.col("doc_id") % 10).isin(2, 4)),
+                        path, "doc_id", "w", threshold=0.8)
+    jaccard_index_write(d.filter(F.col("doc_id") % 10 == 6), path,
+                        "doc_id", "w", threshold=0.8, mode="append")
+    return (jaccard_index_candidates(
+                d.filter(F.col("doc_id") % 10 == 8), path, "doc_id", "w")
+            .orderBy("query_id", "match_id"))

@@ -142,6 +142,16 @@ def test_model_curation_example(spark):
     # ranking, reasonably calibrated confidences
     assert r["train_auc"] > 0.9
     assert 0.0 <= r["train_ece"] < 0.5
+    # targeting readout: a strongly-ranking model's top slice must
+    # beat random selection (lift > 1) and shallow-depth recall must
+    # not exceed deeper-depth recall
+    gains = r["gains"]
+    assert len(gains) == 2
+    (k_lo, (rec_lo, lift_lo)), (k_hi, (rec_hi, lift_hi)) = \
+        sorted(gains.items())
+    assert k_lo < k_hi
+    assert rec_lo <= rec_hi <= 1.0
+    assert lift_lo > 1.0
 
 
 def test_record_linkage_example(spark):

@@ -1925,3 +1925,189 @@ def jaccard_index_candidates(
               .select(F.col("__aid").alias("query_id"),
                       F.col("__bid").alias("match_id"), "jaccard"))
     return vs.unionByName(within)
+
+
+def _edit_meta_path(path: str) -> str | None:
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    return os.path.join(path.removeprefix("file://"), "_edit_meta.json")
+
+
+def edit_distance_index_write(
+    df: DataFrame, path: str,
+    id_col: str = "doc_id", str_col: str = "text",
+    max_dist: int = 2, mode: str = "overwrite",
+) -> None:
+    """Persist the PassJoin segment index of a string corpus — the
+    standing-index variant of :func:`edit_distance_join` (the
+    :func:`jaccard_index_write` sibling; r14 verdict depth
+    candidate): the corpus takes the join's RIGHT role once —
+    ``strings/`` (id, string — the verify side), ``segments/`` (the
+    d+1 deterministic per-string segment keys for strings of length
+    >= d+1), ``short/`` (id, length — strings too short to segment,
+    length < d+1) — and every future batch pays only its own LEFT
+    expansion.
+
+    The threshold direction is the MIRROR of the Jaccard index:
+    there a LOWER query τ breaks the stored prefixes and a higher τ
+    is a superset; here a HIGHER query d breaks the pigeonhole (d
+    edits over d_idx+1 <= d segments can touch every segment —
+    silent recall hole, raises) while any LOWER d still guarantees
+    completeness: d_q edits over d_idx+1 > d_q segments leave some
+    segment unedited, shifted at most d_q positions — the batch
+    expansion just enumerates the INDEX's segmentation (k = d_idx+1
+    slots) with the query's tighter ±d_q tolerances. Build at the
+    loosest threshold the pipeline will ever query.
+
+    NULL strings are dropped (the :func:`edit_distance_join`
+    contract); ids must be unique per side; ``mode='append'`` adds a
+    day's accepted strings after the config check. Scale shape: one
+    bounded (d+1)-per-row map expansion + three columnar writes;
+    queries never re-segment the corpus."""
+    import json
+
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if max_dist > 8:
+        raise ValueError(
+            f"max_dist={max_dist}: past d=8 the candidate expansion "
+            f"is the wrong tool; use the shingle/minhash family")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    d, k = int(max_dist), int(max_dist) + 1
+    meta = {"max_dist": d}
+    mp = _edit_meta_path(path)
+    if mode == "append" and mp is not None:
+        import os
+        if os.path.exists(mp):
+            existing = json.load(open(mp))
+            if existing != meta:
+                raise ValueError(
+                    f"edit_distance_index_write(append): config {meta} "
+                    f"!= index config {existing} — segmentations are "
+                    f"incomparable across max_dist")
+    rc = (df.select(F.col(id_col).alias("__rid"),
+                    F.col(str_col).alias("__rs"))
+          .filter(F.col("__rs").isNotNull()))
+    rc.write.mode(mode).parquet(f"{path}/strings")
+    # the edit_distance_join right-side expansion verbatim (segment i
+    # of a length-L string starts at i·(L div k) + min(i, L mod k))
+    r_segs = f"""
+    transform(sequence(0, {d}), i ->
+        struct(i AS seg_i, length(__rs) AS seg_l,
+               substring(__rs,
+                         (i * (length(__rs) div {k})
+                          + least(i, length(__rs) % {k})) + 1,
+                         ((length(__rs) div {k})
+                          + IF(i < length(__rs) % {k}, 1, 0))) AS seg))
+    """
+    (rc.filter(F.length("__rs") >= k)
+     .select("__rid", F.explode(F.expr(r_segs)).alias("p"))
+     .select("__rid", "p.seg_i", "p.seg_l", "p.seg")
+     .write.mode(mode).parquet(f"{path}/segments"))
+    (rc.filter(F.length("__rs") < k)
+     .select("__rid", F.length("__rs").alias("__L"))
+     .write.mode(mode).parquet(f"{path}/short"))
+    if mp is not None:
+        import os
+        os.makedirs(path.removeprefix("file://"), exist_ok=True)
+        with open(mp, "w") as fh:
+            json.dump(meta, fh)
+
+
+def edit_distance_index_candidates(
+    new_docs: DataFrame, path: str,
+    id_col: str = "doc_id", str_col: str = "text",
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Exact edit-distance matches of a NEW batch against the
+    persisted :func:`edit_distance_index_write` index: (query_id,
+    match_id, edit_dist) with edit_dist <= d, every pair verified by
+    one exact JVM ``levenshtein`` — complete by the PassJoin
+    pigeonhole (Li/Deng/Feng ICDE'11), so like the Jaccard index
+    there is no recall curve: the index only accelerates.
+
+    ``max_dist`` defaults to the index's d; a LOWER d is accepted
+    (the stored d_idx+1-way segmentation still pigeonholes d_q <
+    d_idx+1 edits — the batch enumerates the index's segment slots
+    with the tighter ±d_q position/length tolerances, and the exact
+    verify discards the slack); a HIGHER d raises (d edits can touch
+    every stored segment — a silent recall hole, the one thing an
+    exact operator must never have; rebuild at the looser d).
+    Strings the index holds in ``short/`` (length <= d_idx) match
+    through an exact length-keyed equi-join — both sides bounded by
+    the <= 2·d_idx length domain.
+
+    Scale: the batch pays the (2d+1)·(d_idx+1)·(2d+1)-bounded in-row
+    expansion; the candidate equi-join shuffles on the segment key
+    against the pre-built index — hot segment cells are AQE's job
+    (the :func:`edit_distance_join` story)."""
+    import json
+
+    mp = _edit_meta_path(path)
+    idx_d = None
+    if mp is not None:
+        import os
+        if os.path.exists(mp):
+            idx_d = int(json.load(open(mp))["max_dist"])
+    if max_dist is None:
+        if idx_d is None:
+            raise ValueError(
+                "edit_distance_index_candidates: no _edit_meta.json at "
+                f"{path!r} and no max_dist given")
+        d = idx_d
+    else:
+        d = int(max_dist)
+        if d < 0:
+            raise ValueError(f"max_dist must be >= 0, got {d}")
+        if idx_d is not None and d > idx_d:
+            raise ValueError(
+                f"edit_distance_index_candidates: query max_dist {d} > "
+                f"index max_dist {idx_d} — the stored {idx_d + 1}-way "
+                f"segmentation cannot pigeonhole {d} edits; rebuild the "
+                f"index at the looser threshold")
+    if idx_d is None:
+        idx_d = d
+    k = idx_d + 1  # the INDEX segmentation; query tolerances are ±d
+    spark = new_docs.sparkSession
+    lc = (new_docs.select(F.col(id_col).alias("__lid"),
+                          F.col(str_col).alias("__ls"))
+          .filter(F.col("__ls").isNotNull())
+          .localCheckpoint(eager=True))
+    seg_len = f"((L div {k}) + IF(i < L % {k}, 1, 0))"
+    seg_start = f"(i * (L div {k}) + least(i, L % {k}))"
+    l_cands = f"""
+    flatten(transform(
+        filter(sequence(greatest(length(__ls) - {d}, {k}),
+                        greatest(length(__ls) + {d}, {k})),
+               L -> L <= length(__ls) + {d}),
+        L -> flatten(transform(sequence(0, {idx_d}), i ->
+            transform(
+                filter(sequence(greatest({seg_start} - {d}, 0),
+                                {seg_start} + {d}),
+                       q -> q + {seg_len} <= length(__ls)),
+                q -> struct(i AS seg_i, L AS seg_l,
+                            substring(__ls, q + 1, {seg_len}) AS seg))))))
+    """
+    l_keys = (lc.select("__lid", F.explode(F.expr(l_cands)).alias("p"))
+              .select("__lid", "p.seg_i", "p.seg_l", "p.seg"))
+    idx_segs = spark.read.parquet(f"{path}/segments")
+    cand = (l_keys.join(idx_segs, ["seg_i", "seg_l", "seg"])
+            .select("__lid", "__rid").distinct())
+    r_short = spark.read.parquet(f"{path}/short")
+    l_short = (lc.filter(F.length("__ls") <= F.lit(idx_d + d))
+               .select("__lid", F.explode(F.expr(
+                   f"filter(sequence(greatest(length(__ls) - {d}, 0), "
+                   f"length(__ls) + {d}), L -> L < {k})")).alias("__L")))
+    cand = cand.unionByName(
+        l_short.join(r_short, "__L").select("__lid", "__rid").distinct())
+    rc = spark.read.parquet(f"{path}/strings")
+    dist = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    return (cand.join(lc, "__lid").join(rc, "__rid")
+            .withColumn("edit_dist", dist)
+            .filter(F.col("edit_dist") <= d)
+            .select(F.col("__lid").alias("query_id"),
+                    F.col("__rid").alias("match_id"),
+                    F.col("edit_dist").cast("int").alias("edit_dist")))

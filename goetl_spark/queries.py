@@ -6037,10 +6037,13 @@ ENTRY_QUERY = q01_pricing_summary
 # (q174-q198) were seated at the round-11 rotation (the r10 rotation
 # never ran); the 11 round-13 staged entries (q217-q227) were seated
 # at the round-14 rotation; the 27 round-14 staged entries (q228-q254)
-# were seated at the round-15 rotation. The queue is currently EMPTY —
-# and r15 staging is CAPPED at ~5 rows (r14 verdict ask #4: r16
-# already owes 30 hard-mandatory seats; mandatory+staged must stay
-# ≤ 50).
+# were seated at the round-15 rotation. r15 staging is CAPPED at ~5
+# rows (r14 verdict ask #4: r16 already owes 30 hard-mandatory seats;
+# mandatory+staged must stay ≤ 50) — the queue holds exactly 3:
+# q255_multivariate_drift (C2ST, the verdict's multivariate-drift
+# gap), q256_jaccard_index and q257_edit_index (the standing-index
+# variants of both similarity joins, the verdict's other named gap).
+# r16 ≈ 30 hard + 3 staged = 33 of 50 seats.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}

@@ -1587,10 +1587,17 @@ def classifier_two_sample_test(
     shifts while both marginals hold) is invisible to all of them.
     C2ST asks the operational question directly: can a classifier
     told "which snapshot is this row from?" beat a coin flip? One
-    row: ``n_a / n_b / auc / separability`` where auc is the exact
-    tie-aware ROC-AUC of the snapshot classifier and ``separability
-    = 2·|auc − 0.5|`` rescales it to [0, 1] (0 = indistinguishable,
-    1 = fully separated). Read like PSI: < 0.1 noise, > 0.25 act.
+    row: ``n_a / n_b / auc / separability / z`` where auc is the
+    exact tie-aware ROC-AUC of the snapshot classifier,
+    ``separability = 2·|auc − 0.5|`` rescales it to [0, 1] (0 =
+    indistinguishable, 1 = fully separated; read like PSI: < 0.1
+    noise, > 0.25 act), and z is the Mann-Whitney normal-
+    approximation significance (AUC ~ N(0.5, (n_a+n_b+1)/(12·n_a·
+    n_b)) under H₀) — the sample-size context separability lacks
+    (auc 0.501 is noise at n=1k, screaming drift at n=10M); compare
+    |z| to 1.96/2.58, the :func:`~goetl_spark.operators.behavior.
+    two_proportion_test` no-p-value discipline. Untied variance, so
+    |z| is conservative under ties (understates, never invents).
 
     The classifier is the simplest honest one: rows from both
     snapshots union-tag ``__y`` ∈ {0, 1}, and each row's score is
@@ -1693,6 +1700,17 @@ def classifier_two_sample_test(
             ) from e
         raise
     auc = float(r["auc"])
+    na, nb = int(r["n_neg"]), int(r["n_pos"])
+    # Mann-Whitney normal approximation under H0: AUC ~ N(0.5,
+    # (n_a+n_b+1)/(12·n_a·n_b)) — the significance readout that turns
+    # "auc 0.501 on 10M rows" into an actionable z (the
+    # two_proportion_test discipline: emit z, no p-value column — Phi
+    # is a transcendental an oracle cannot replay; |z| vs 1.96/2.58 is
+    # the decision anyway). No tie correction: ties only SHRINK the
+    # true variance, so the reported |z| is conservative — it
+    # understates drift, never invents it (documented bias direction).
+    import math
+    z = (auc - 0.5) / math.sqrt((na + nb + 1) / (12.0 * na * nb))
     return df_a.sparkSession.createDataFrame(
-        [(int(r["n_neg"]), int(r["n_pos"]), auc, 2.0 * abs(auc - 0.5))],
-        "n_a long, n_b long, auc double, separability double")
+        [(na, nb, auc, 2.0 * abs(auc - 0.5), z)],
+        "n_a long, n_b long, auc double, separability double, z double")

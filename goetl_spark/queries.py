@@ -13057,7 +13057,12 @@ def q254_source_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(2 AS DOUBLE) * np) / nn AS auc,
            2.0 * abs(CAST(num2 - np * (np + 1) AS DOUBLE)
                      / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
-               AS separability
+               AS separability,
+           (CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+           / sqrt(CAST(nn + np + 1 AS DOUBLE)
+                  / (12.0 * CAST(nn AS DOUBLE) * CAST(np AS DOUBLE)))
+               AS z
     FROM s
     """,
 )

@@ -41,6 +41,7 @@ def test_identical_snapshots_auc_exactly_half(spark):
     assert (r["n_a"], r["n_b"]) == (40, 40)
     assert r["auc"] == 0.5
     assert r["separability"] == 0.0
+    assert r["z"] == 0.0
 
 
 def test_identical_snapshots_imbalanced_cells_near_half(spark):
@@ -65,6 +66,9 @@ def test_full_separation_detected(spark):
     r = classifier_two_sample_test(a, b, ["u", "v"], "fold").collect()[0]
     assert r["auc"] == 1.0
     assert r["separability"] == 1.0
+    # Mann-Whitney z at n=24+24: (1-0.5)/sqrt(49/(12*576)) ~ 5.9 —
+    # far past the 1.96 act line
+    assert r["z"] > 1.96
 
 
 def test_joint_only_drift_detected_psi_blind(spark):

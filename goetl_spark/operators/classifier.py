@@ -467,6 +467,29 @@ def calibration_bins_by(
         (F.abs(obs - mid) * F.col("n") / F.col("__N")).alias("ece_term"))
 
 
+def _mw_rank_sum_row(g: DataFrame):
+    """Collect the Mann-Whitney rank-sum aggregate from a distinct-
+    score group table ``(__score, n, n_pos, __nolabel)`` — the exact-
+    integer core shared by :func:`roc_auc` (which builds the groups
+    from fact rows) and quality.py::classifier_two_sample_test (which
+    builds them from its cells-bounded count table, so the fact side
+    never shuffles a second time). Returns the 1-row aggregate with
+    ``num2/np/nn/nt/bad_score/bad_label``; callers own the guards."""
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    c = _with_exclusive_cumsum(g, "n", ["__score"], "cum_before")
+    sk = F.col("__score")
+    bad_key = sk.isNull() | F.isnan(sk.cast("double"))
+    return c.agg(
+        F.sum(F.col("n_pos")
+              * (2 * F.col("cum_before") + F.col("n") + 1)).alias("num2"),
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
+        F.sum("n").alias("nt"),
+        F.sum(F.when(bad_key, F.col("n")).otherwise(0)).alias("bad_score"),
+        F.sum("__nolabel").alias("bad_label")).collect()[0]
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -500,24 +523,12 @@ def roc_auc(
     ≤ n_pos·n_total on the ×2 grid — past ~4.6e18 the long sum
     overflows and ANSI mode fails loudly rather than rounding."""
     p, y = F.col(score_col), F.col(label_col)
-    from goetl_spark.operators.sampling import _with_exclusive_cumsum
-
     g = (df.groupBy(p.alias("__score"))
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum(F.when(y.cast("double") > 0, 1).otherwise(0))
                .alias("n_pos"),
               F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel")))
-    c = _with_exclusive_cumsum(g, "n", ["__score"], "cum_before")
-    sk = F.col("__score")
-    bad_key = sk.isNull() | F.isnan(sk.cast("double"))
-    row = c.agg(
-        F.sum(F.col("n_pos")
-              * (2 * F.col("cum_before") + F.col("n") + 1)).alias("num2"),
-        F.sum("n_pos").alias("np"),
-        F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
-        F.sum("n").alias("nt"),
-        F.sum(F.when(bad_key, F.col("n")).otherwise(0)).alias("bad_score"),
-        F.sum("__nolabel").alias("bad_label")).collect()[0]
+    row = _mw_rank_sum_row(g)
     _raise_unrankable(df, p, y, row, "roc_auc", score_col, label_col)
     if row["nt"] is None:
         raise ValueError("roc_auc: empty input")

@@ -1571,6 +1571,121 @@ def categorical_psi(
                      .alias("psi_term")))
 
 
+def cell_fold_counts(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    fold_col: str,
+) -> DataFrame:
+    """ONE partial-aggregated fact pass into the (cells × folds)-
+    bounded count table ``(cat_cols..., __f, n)`` — the fit half of
+    the C2ST surface, shared bit-identically by
+    :func:`classifier_two_sample_test` (counts both sides itself) and
+    the streaming monitor (streaming/quality.py::stream_c2st_monitor,
+    which accumulates the current side incrementally — the
+    psi_from_counts/bin_counts split applied to the multivariate
+    leg). Fold values are NOT validated here (a count table has no
+    row to blame); :func:`c2st_from_counts` validates the bounded
+    table at compare time."""
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    return (df.groupBy(*cats, F.col(fold_col).alias("__f"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def c2st_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    cat_cols: Sequence[str],
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """C2ST from two pre-aggregated :func:`cell_fold_counts` tables —
+    the compare half of the classifier two-sample test: every
+    quantity (cross-fitted rates, per-row scores, Mann-Whitney AUC)
+    is derivable from the bounded ``(cells, fold, n)`` tables because
+    rows in the same (cell, fold) are INDISTINGUISHABLE to the
+    classifier — they share one score, so the score distribution is
+    the count table weighted by n. That is what makes the streaming
+    twin possible (accumulate counts, compare any time) and what
+    keeps the batch plan to ONE fact pass per side: the fact frame
+    never shuffles again for the score collapse; everything after
+    the count tables is cells-bounded. See
+    :func:`classifier_two_sample_test` for the statistical contract
+    (cross-fitting rationale, fold independence, reading guide)."""
+    from goetl_spark.operators.classifier import _mw_rank_sum_row
+
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    m = float(smoothing)
+    # tag = snapshot membership: __s counts side-b rows per (cell, fold)
+    ct = (counts_a.select(*cats, "__f", F.col("n").alias("__n"),
+                          F.lit(0).alias("__s"))
+          .unionByName(
+              counts_b.select(*cats, "__f", F.col("n").alias("__n"),
+                              F.col("n").alias("__s")))
+          .groupBy(*cats, "__f")
+          .agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+          .localCheckpoint(eager=True))  # bounded; scanned three times
+    tots = {r["__f"]: (int(r["__s"]), int(r["__n"]))
+            for r in ct.groupBy("__f")
+                       .agg(F.sum("__s").alias("__s"),
+                            F.sum("__n").alias("__n")).collect()}
+    bad = sorted((k for k in tots if k not in (0, 1)), key=str)
+    if bad:
+        raise ValueError(
+            f"classifier_two_sample_test: fold column must be 0 or 1, "
+            f"got {bad[:5]} — compute the fold upstream "
+            f"(e.g. (id DIV 2) % 2)")
+    if 0 not in tots or 1 not in tots:
+        raise ValueError(
+            f"classifier_two_sample_test: fold "
+            f"{0 if 0 not in tots else 1} is empty — cross-fitting "
+            f"needs both folds populated")
+    nb = tots[0][0] + tots[1][0]
+    na = (tots[0][1] + tots[1][1]) - nb
+    if na == 0 or nb == 0:
+        raise ValueError(
+            "classifier_two_sample_test: one snapshot is empty — "
+            "a two-sample test needs two samples; gate upstream")
+    # opposite-fold base rates (one IEEE division of exact longs each)
+    g = {f: tots[1 - f][0] / tots[1 - f][1] for f in (0, 1)}
+    # flip the fold key so a cell-fold row equi-joins its OPPOSITE
+    # fold's stats — a bounded self-join, never fact-sized
+    opp = ct.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(cats)],
+        (1 - F.col("__f")).alias("__of"),
+        F.col("__n").alias("__on"), F.col("__s").alias("__os"))
+    cond = F.col("__f").eqNullSafe(F.col("__of"))
+    for i, c in enumerate(cats):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{i}"))
+    joined = ct.join(F.broadcast(opp), on=cond, how="left")
+    gm = F.when(F.col("__f") == 0, F.lit(g[0])).otherwise(F.lit(g[1]))
+    score = ((F.coalesce(F.col("__os"), F.lit(0)) + F.lit(m) * gm)
+             / (F.coalesce(F.col("__on"), F.lit(0)) + F.lit(m)))
+    sg = (joined.groupBy(score.alias("__score"))
+          .agg(F.sum("__n").alias("n"), F.sum("__s").alias("n_pos"),
+               F.lit(0).alias("__nolabel")))
+    r = _mw_rank_sum_row(sg)
+    np_, nn = int(r["np"]), int(r["nn"])
+    auc = (int(r["num2"]) - np_ * (np_ + 1)) / (2.0 * np_) / nn
+    # Mann-Whitney normal approximation under H0: AUC ~ N(0.5,
+    # (n_a+n_b+1)/(12·n_a·n_b)) — the significance readout that turns
+    # "auc 0.501 on 10M rows" into an actionable z (the
+    # two_proportion_test discipline: emit z, no p-value column — Phi
+    # is a transcendental an oracle cannot replay; |z| vs 1.96/2.58 is
+    # the decision anyway). No tie correction: ties only SHRINK the
+    # true variance, so the reported |z| is conservative — it
+    # understates drift, never invents it (documented bias direction).
+    import math
+    z = (auc - 0.5) / math.sqrt((nn + np_ + 1) / (12.0 * nn * np_))
+    return counts_a.sparkSession.createDataFrame(
+        [(nn, np_, auc, 2.0 * abs(auc - 0.5), z)],
+        "n_a long, n_b long, auc double, separability double, z double")
+
+
 def classifier_two_sample_test(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -1600,22 +1715,24 @@ def classifier_two_sample_test(
     |z| is conservative under ties (understates, never invents).
 
     The classifier is the simplest honest one: rows from both
-    snapshots union-tag ``__y`` ∈ {0, 1}, and each row's score is
-    the Laplace-smoothed rate P̂(__y = 1 | cell) of its COMPOSITE
-    class (the ``cat_cols`` tuple — the joint cell, not the
-    marginals: per-feature scores would average away exactly the
-    interaction drift this test exists to catch), CROSS-FITTED on
-    ``fold_col``: rows in fold 0 are scored with rates fitted only
-    on fold 1 and vice versa, the paper's held-out discipline. The
-    obvious cheaper recipes are both broken and deliberately NOT
-    used: a plain same-fold rate leaks each row's own label (AUC → 1
-    on ANY split), and leave-one-out backfires — under exact H₀ with
+    snapshots union-tag ``__y`` ∈ {0, 1} and the COMPOSITE class
+    (the ``cat_cols`` tuple — the joint cell, not the marginals:
+    per-feature scores would average away exactly the interaction
+    drift this test exists to catch) is scored with the Laplace-
+    smoothed rate P̂(__y = 1 | cell) CROSS-FITTED on ``fold_col``:
+    rows in fold 0 are scored with rates fitted only on fold 1 and
+    vice versa, the paper's held-out discipline. The obvious cheaper
+    recipes are both broken and deliberately NOT used: a plain
+    same-fold rate leaks each row's own label (AUC → 1 on ANY
+    split), and leave-one-out backfires — under exact H₀ with
     balanced cells the self-exclusion is the only score variation
     left, so scores ANTI-separate and the test screams on identical
     snapshots. Cross-fitting has neither failure: under H₀ the score
     is independent of the row's own label, AUC sits at 0.5 ± noise;
     under drift (marginal OR joint — both move the cell mix) the
     same cells separate the tags in BOTH folds and AUC rises.
+    Smoothing pulls sparse cells toward the base rate, so high-
+    cardinality noise washes toward 0.5 instead of screaming.
 
     ``fold_col`` must be a caller-computed 0/1 column INDEPENDENT of
     the snapshot split (e.g. ``(id DIV 2) % 2`` against an ``id % 2``
@@ -1628,89 +1745,27 @@ def classifier_two_sample_test(
     (two samples are the contract); an empty fold raises (nothing to
     fit the other fold's rates on).
 
-    Determinism: cell/fold counts are exact longs off ONE fact pass;
-    each opposite-fold base rate is one IEEE division of longs; each
-    score is the fixed chain ``(s + m·g) / (n + m)`` on them; AUC is
-    Mann-Whitney midrank arithmetic on exact longs
-    (classifier.py::roc_auc) — hash-exact in oracle SQL.
+    Composition (r15 second pass): thin wrapper over ONE
+    :func:`cell_fold_counts` pass per side + :func:`c2st_from_counts`
+    — rows in the same (cell, fold) share one score, so the whole
+    test is derivable from the bounded count tables; the fact frame
+    never shuffles a second time for the score collapse, and the
+    same compare half serves the streaming monitor
+    (streaming/quality.py::stream_c2st_monitor) bit-identically.
 
-    Scale shape: one partial-aggregated fact pass into the
-    (cells × 2)-bounded rate table (cell count is the product of
-    class domains — the class-valued-columns contract shared with
-    :func:`categorical_psi`), a broadcast join back (the fact side
-    never shuffles), one distinct-score collapse +
-    range-partitioned cumsum for the AUC, one 1-row aggregate. No
+    Determinism: cell/fold counts are exact longs off one fact pass
+    per side; each opposite-fold base rate is one IEEE division of
+    longs; each score is the fixed chain ``(s + m·g) / (n + m)`` on
+    them; AUC is Mann-Whitney midrank arithmetic on exact longs
+    (classifier.py::_mw_rank_sum_row) — hash-exact in oracle SQL.
+
+    Scale shape: one partial-aggregated fact pass per side into the
+    (cells × 2)-bounded tables (cell count is the product of class
+    domains — the class-valued-columns contract shared with
+    :func:`categorical_psi`); everything downstream (rate join,
+    score collapse, rank cumsum) runs on bounded tables. No
     iteration, no driver-side model state."""
-    from goetl_spark.operators.classifier import roc_auc
-
-    cats = list(cat_cols)
-    if not cats:
-        raise ValueError("cat_cols must be non-empty")
-    if smoothing <= 0:
-        raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    m = float(smoothing)
-    fold = F.col(fold_col)
-    tagged = (df_a.select(*cats, fold.alias("__f"), F.lit(0).alias("__y"))
-              .unionByName(
-                  df_b.select(*cats, fold.alias("__f"),
-                              F.lit(1).alias("__y"))))
-    # one fact pass -> (cell, fold) counts; fold validation rides it
-    # (bad fold values surface as extra groups in the bounded totals)
-    ct = (tagged.groupBy(*cats, "__f")
-          .agg(F.sum("__y").alias("__s"), F.count(F.lit(1)).alias("__n"))
-          .localCheckpoint(eager=True))
-    tots = {r["__f"]: (int(r["__s"]), int(r["__n"]))
-            for r in ct.groupBy("__f")
-                       .agg(F.sum("__s").alias("__s"),
-                            F.sum("__n").alias("__n")).collect()}
-    bad = sorted((k for k in tots if k not in (0, 1)), key=str)
-    if bad:
-        raise ValueError(
-            f"classifier_two_sample_test: {fold_col!r} must be 0 or 1, "
-            f"got {bad[:5]} — compute the fold upstream "
-            f"(e.g. (id DIV 2) % 2)")
-    if 0 not in tots or 1 not in tots:
-        raise ValueError(
-            f"classifier_two_sample_test: fold "
-            f"{0 if 0 not in tots else 1} is empty — cross-fitting "
-            f"needs both folds populated")
-    # opposite-fold base rates (one IEEE division of exact longs each)
-    g = {f: tots[1 - f][0] / tots[1 - f][1] for f in (0, 1)}
-    # flip the fold key so a row of fold f equi-joins its OPPOSITE
-    # fold's cell stats
-    opp = ct.select(
-        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(cats)],
-        (1 - F.col("__f")).alias("__f"), "__s", "__n")
-    cond = F.col("__f").eqNullSafe(F.col("__of"))
-    opp = opp.withColumnRenamed("__f", "__of")
-    for i, c in enumerate(cats):
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{i}"))
-    joined = tagged.join(F.broadcast(opp), on=cond, how="left")
-    gm = F.when(F.col("__f") == 0, F.lit(g[0])).otherwise(F.lit(g[1]))
-    score = ((F.coalesce(F.col("__s"), F.lit(0)) + F.lit(m) * gm)
-             / (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(m)))
-    scored = joined.select(score.alias("__score"), "__y")
-    try:
-        r = roc_auc(scored, "__score", "__y").collect()[0]
-    except ValueError as e:
-        if "single-class" in str(e) or "empty input" in str(e):
-            raise ValueError(
-                "classifier_two_sample_test: one snapshot is empty — "
-                "a two-sample test needs two samples; gate upstream"
-            ) from e
-        raise
-    auc = float(r["auc"])
-    na, nb = int(r["n_neg"]), int(r["n_pos"])
-    # Mann-Whitney normal approximation under H0: AUC ~ N(0.5,
-    # (n_a+n_b+1)/(12·n_a·n_b)) — the significance readout that turns
-    # "auc 0.501 on 10M rows" into an actionable z (the
-    # two_proportion_test discipline: emit z, no p-value column — Phi
-    # is a transcendental an oracle cannot replay; |z| vs 1.96/2.58 is
-    # the decision anyway). No tie correction: ties only SHRINK the
-    # true variance, so the reported |z| is conservative — it
-    # understates drift, never invents it (documented bias direction).
-    import math
-    z = (auc - 0.5) / math.sqrt((na + nb + 1) / (12.0 * na * nb))
-    return df_a.sparkSession.createDataFrame(
-        [(na, nb, auc, 2.0 * abs(auc - 0.5), z)],
-        "n_a long, n_b long, auc double, separability double, z double")
+    return c2st_from_counts(
+        cell_fold_counts(df_a, cat_cols, fold_col),
+        cell_fold_counts(df_b, cat_cols, fold_col),
+        cat_cols, smoothing=smoothing)

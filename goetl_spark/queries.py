@@ -6042,8 +6042,10 @@ ENTRY_QUERY = q01_pricing_summary
 # mandatory+staged must stay ≤ 50) — the queue holds exactly 3:
 # q255_multivariate_drift (C2ST, the verdict's multivariate-drift
 # gap), q256_jaccard_index and q257_edit_index (the standing-index
-# variants of both similarity joins, the verdict's other named gap).
-# r16 ≈ 30 hard + 3 staged = 33 of 50 seats.
+# variants of both similarity joins, the verdict's other named gap),
+# and q258_stream_c2st (q255's streaming twin — the drift family's
+# streaming discipline applied to the multivariate leg).
+# r16 ≈ 30 hard + 4 staged = 34 of 50 seats.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13230,3 +13232,117 @@ def q257_edit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p.filter(F.col("p_partkey") % 10 == 8), path,
                 "p_partkey", "p_name", max_dist=1)
             .orderBy("query_id", "match_id"))
+
+
+@register_staged(
+    "q258_stream_c2st",
+    """
+    WITH t AS (
+        SELECT event_type,
+               CASE WHEN value IS NULL THEN -1
+                    WHEN value < CAST('50.0' AS DOUBLE) THEN 0
+                    WHEN value < CAST('150.0' AS DOUBLE) THEN 1
+                    WHEN value < CAST('300.0' AS DOUBLE) THEN 2
+                    ELSE 3 END AS vbin,
+               CAST((event_id // 2) % 2 AS INT) AS f,
+               CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END AS y
+        FROM events
+    ),
+    ct AS (
+        SELECT event_type, vbin, f, SUM(y) AS s, COUNT(*) AS n
+        FROM t GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT f, SUM(s) AS s, SUM(n) AS n FROM ct GROUP BY 1),
+    scored AS (
+        SELECT t.y,
+               (COALESCE(c2.s, 0)
+                + 10.0 * (CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE)))
+               / (COALESCE(c2.n, 0) + 10.0) AS score
+        FROM t
+        LEFT JOIN ct c2
+          ON t.event_type IS NOT DISTINCT FROM c2.event_type
+         AND t.vbin = c2.vbin
+         AND c2.f = 1 - t.f
+        JOIN tot o ON o.f = 1 - t.f
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    c AS (
+        SELECT n, n_pos,
+               COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT SUM(n_pos * (2 * cum_before + n + 1)) AS num2,
+               SUM(n_pos) AS np, SUM(n - n_pos) AS nn, SUM(n) AS nt
+        FROM c
+    )
+    SELECT CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+           CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn AS auc,
+           2.0 * abs(CAST(num2 - np * (np + 1) AS DOUBLE)
+                     / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+               AS separability,
+           (CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+           / sqrt(CAST(nn + np + 1 AS DOUBLE)
+                  / (12.0 * CAST(nn AS DOUBLE) * CAST(np AS DOUBLE)))
+               AS z
+    FROM s
+    """,
+)
+def q258_stream_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multivariate drift monitor (streaming/quality.py::
+    stream_c2st_monitor, r15 — q255's streaming twin, completing the
+    drift family's streaming discipline: stream_psi watches one
+    numeric column, stream_benford one magnitude column; a JOINT
+    shift in (event_type × value-bin) is invisible to both): the
+    event_id%3 != 0 slice replays as 3 time-ordered micro-batches,
+    each trigger accumulates (cell, fold) counts into a persisted
+    CELLS-BOUNDED standing table behind the stream_rollup
+    exactly-once recipe, and the C2ST of the accumulated stream
+    against a once-fitted batch reference (the %3 == 0 slice) is
+    composed with quality.py::c2st_from_counts — the SAME compare
+    half the batch operator uses. The twin contract IS what the
+    oracle checks: the standing table equals cell_fold_counts(all
+    current rows) no matter how history was chopped, so the streamed
+    C2ST readout (auc / separability / Mann-Whitney z) is bit-exact
+    to the direct batch test. Features follow the documented
+    disciplines (value binned at FIXED literal 50/150/300 edges with
+    the NULL bin; fold (event_id//2)%2 independent of the snapshot
+    split). At 100 TB: per trigger one batch-sized map + cells-sized
+    merge + tiny swap; the standing table never grows with time."""
+    import shutil as _sh
+
+    from goetl_spark.quality import c2st_from_counts, cell_fold_counts
+    from goetl_spark.streaming.quality import stream_c2st_monitor
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.when(F.col("value").isNull(), F.lit(-1))
+         .when(F.col("value") < 50.0, F.lit(0))
+         .when(F.col("value") < 150.0, F.lit(1))
+         .when(F.col("value") < 300.0, F.lit(2))
+         .otherwise(F.lit(3)).alias("vbin"),
+        (F.floor(F.col("event_id") / 2) % 2).cast("int").alias("fold"))
+    cats = ["event_type", "vbin"]
+    cur = e.filter(F.col("event_id") % 3 != 0)
+    ref = e.filter(F.col("event_id") % 3 == 0)
+    stream, _ = replay_stream_ordered(
+        cur, "ts", num_chunks=3, dir=_scratch("goetl_q258_replay"))
+    out = _scratch("goetl_q258_counts")
+    _sh.rmtree(out, ignore_errors=True)
+    q = stream_c2st_monitor(stream, out, cats, "fold",
+                            _scratch("goetl_q258_ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return c2st_from_counts(cell_fold_counts(ref, cats, "fold"),
+                            spark.read.parquet(out), cats)

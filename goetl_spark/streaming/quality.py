@@ -167,3 +167,80 @@ def stream_benford_monitor(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_c2st_monitor(
+    event_stream: DataFrame,
+    counts_path: str,
+    cat_cols: Sequence[str],
+    fold_col: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Accumulate a stream's C2ST cell/fold counts into a persisted
+    ``(cat_cols..., __f, n)`` table — the streaming twin of
+    :func:`goetl_spark.quality.classifier_two_sample_test`, same
+    contract shape as :func:`stream_psi_monitor`: the standing table
+    always equals ``cell_fold_counts(everything_seen_so_far)``, so at
+    ANY point ``c2st_from_counts(reference, read(counts_path))`` is
+    the exact multivariate drift readout of the accumulated stream
+    against a once-fitted reference (fit with quality.py::
+    cell_fold_counts, persist, reuse). Continuous MULTIVARIATE drift
+    monitoring without re-scanning history — the per-column monitors
+    (:func:`stream_psi_monitor` numeric, :func:`stream_benford_monitor`
+    authenticity) cannot see a joint-only shift; this one can, and
+    the z readout gives the act threshold as the sample grows.
+
+    Split-invariant by construction (merged counts are independent of
+    how history was chopped into micro-batches — what makes the twin
+    oracle-checkable bit-exactly). Replay safety is the stream_rollup
+    recipe (transactional batch-id marker swapped atomically with the
+    table, crash-window repaired on entry — count accumulation is not
+    idempotent). The standing table is (cells × 2)-BOUNDED (the
+    class-valued-columns contract), so whole-table read+rewrite per
+    trigger is the correct plan, not a scale hazard. Fold validation
+    happens at COMPARE time (c2st_from_counts raises on a non-0/1 or
+    one-sided fold — a count table has no row to blame mid-stream).
+
+    Per trigger: one batch-sized map + cells-sized shuffle, one
+    cells-sized merge, one tiny table swap."""
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        backup = counts_path.rstrip("/") + ".__c2st_old__"
+        _restore_if_interrupted(counts_path, backup)
+        marker = os.path.join(counts_path, _BATCH_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # at-least-once replay of an applied batch
+        delta = (batch_df
+                 .groupBy(*cats, F.col(fold_col).alias("__f"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+        if os.path.exists(counts_path):
+            existing = spark.read.parquet(counts_path)
+            merged = (existing.unionByName(delta)
+                      .groupBy(*cats, "__f")
+                      .agg(F.sum("n").alias("n")))
+        else:
+            merged = delta
+        staging = counts_path.rstrip("/") + ".__c2st_tmp__"
+        shutil.rmtree(staging, ignore_errors=True)
+        (merged.select(*cats, "__f", F.col("n").cast("long").alias("n"))
+         .coalesce(1).write.mode("overwrite").parquet(staging))
+        with open(os.path.join(staging, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
+        fs.two_rename_swap(counts_path, staging, backup,
+                           path_exists=os.path.exists(counts_path))
+
+    w = (event_stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

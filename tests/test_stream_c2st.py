@@ -1,0 +1,89 @@
+"""Streaming C2ST monitor (streaming/quality.py::stream_c2st_monitor):
+the accumulated standing (cells, fold) count table must equal
+cell_fold_counts over everything streamed, bit-for-bit and
+split-invariant; the drift readout composed from it must equal the
+batch classifier_two_sample_test; replay is marker-safe."""
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+from goetl_spark.quality import (
+    c2st_from_counts,
+    cell_fold_counts,
+    classifier_two_sample_test,
+)
+from goetl_spark.streaming.quality import stream_c2st_monitor
+from goetl_spark.streaming.sources import replay_stream_ordered
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=3 * i),
+             ("web", "api", "batch")[i % 3],
+             None if i % 11 == 0 else f"seg{i % 4}",
+             (i // 2) % 2)
+            for i in range(300)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, src string, seg string, "
+              "fold int")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(tempfile.gettempdir(), name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _run(stream, out, ckpt):
+    q = stream_c2st_monitor(stream, out, ["src", "seg"], "fold", ckpt)
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def test_accumulated_equals_direct_and_c2st_composes(spark):
+    e = _events(spark)
+    cur = e.filter("event_id % 3 != 0")
+    ref = e.filter("event_id % 3 = 0")
+    replay = _scratch("goetl_t_c2st_replay")
+    os.makedirs(replay)
+    stream, _ = replay_stream_ordered(cur, "ts", num_chunks=3, dir=replay)
+    out = _scratch("goetl_t_c2st_out")
+    _run(stream, out, _scratch("goetl_t_c2st_ckpt"))
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()),
+                 key=str)
+    want = sorted(map(tuple,
+                      cell_fold_counts(cur, ["src", "seg"],
+                                       "fold").collect()),
+                  key=str)
+    assert got == want  # split-invariant, NULL seg class included
+    assert any(r[1] is None for r in got)  # NULL category is a class
+
+    via_stream = c2st_from_counts(
+        cell_fold_counts(ref, ["src", "seg"], "fold"),
+        spark.read.parquet(out), ["src", "seg"]).collect()
+    direct = classifier_two_sample_test(
+        ref, cur.select("src", "seg", "fold"),
+        ["src", "seg"], "fold").collect()
+    assert [tuple(r) for r in via_stream] == [tuple(r) for r in direct]
+
+
+def test_replay_marker_safe(spark):
+    e = _events(spark).filter("event_id % 3 != 0")
+    replay = _scratch("goetl_t_c2st_replay2")
+    os.makedirs(replay)
+    stream, _ = replay_stream_ordered(e, "ts", num_chunks=2, dir=replay)
+    out = _scratch("goetl_t_c2st_out2")
+    _run(stream, out, _scratch("goetl_t_c2st_ckpt2a"))
+    once = sorted(map(tuple, spark.read.parquet(out).collect()), key=str)
+
+    # fresh checkpoint replays every batch; markers must skip them all
+    stream2, _ = replay_stream_ordered(e, "ts", num_chunks=2, dir=replay)
+    _run(stream2, out, _scratch("goetl_t_c2st_ckpt2b"))
+    assert sorted(map(tuple, spark.read.parquet(out).collect()),
+                  key=str) == once

@@ -107,13 +107,33 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
            for r in vocabulary_richness(
                kept_docs, "text", ["lang"]).collect()}
 
+    # 8. MULTIVARIATE survivorship-bias check (r15): did the pipeline
+    #    keep a corpus whose JOINT (lang, source, length-bin) mix
+    #    still looks like the input, or did the filters carve out a
+    #    joint slice no per-column diagnostic above can see? C2ST
+    #    between input and survivors; |z| is the act threshold.
+    from goetl_spark.quality import classifier_two_sample_test
+
+    feats = docs.select(
+        "doc_id", "lang", "source",
+        F.when(F.col("n_chars").isNull(), F.lit(-1))
+         .when(F.col("n_chars") < 500, F.lit(0))
+         .when(F.col("n_chars") < 2000, F.lit(1))
+         .otherwise(F.lit(2)).alias("len_bin"),
+        (F.floor(F.col("doc_id") / 2) % 2).cast("int").alias("fold"))
+    drift = classifier_two_sample_test(
+        feats, feats.join(survivors, "doc_id"),
+        ["lang", "source", "len_bin"], "fold").collect()[0]
+
     result = {"input_docs": n0, "boiler_lines_dropped": n_boiler_lines,
               "gopher_pass": n_gopher, "tiers": tier_counts,
               "model_kept": n_model_kept, "semdedup_kept_vecs": n_sem_kept,
               "containment_pairs": n_contained,
               "epoch0_first_doc": first_doc,
               "mix_evenness": mix, "head3_share": head,
-              "vocab_coverage": sat}
+              "vocab_coverage": sat,
+              "survivorship_auc": float(drift["auc"]),
+              "survivorship_z": float(drift["z"])}
     print(f"corpus_quality: {result}")
     if owns_spark:
         spark.stop()

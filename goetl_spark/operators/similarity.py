@@ -1729,3 +1729,158 @@ def silhouette_simplified(
                   / F.count("__s")).alias("mean_silhouette"))
             .select("label", F.col("n_vectors").cast("long").alias("n_vectors"),
                     "mean_silhouette"))
+
+
+def _ann_meta_path(path: str) -> str | None:
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    return os.path.join(path.removeprefix("file://"), "_ann_meta.json")
+
+
+def _ann_check_vectors(df: DataFrame, vec_col: str, id_col: str,
+                       dim: int, who: str) -> None:
+    """kmeans_fit's dirty-vector rejection applied at the index
+    boundary — NULL/ragged vectors would otherwise crash the Arrow
+    assign kernel with an opaque numpy stack error."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bad = (df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+           .filter(F.col("__v").isNull() | (F.size("__v") != dim)
+                   | F.exists("__v", lambda x: x.isNull()))
+           .limit(1).collect())
+    if bad:
+        raise ValueError(
+            f"{who}: embedding column {vec_col!r} has NULL or ragged "
+            f"vectors (expected non-null size {dim}; offending "
+            f"{id_col}={bad[0]['__id']!r}) — filter or repair first")
+
+
+def ann_index_write(
+    df: DataFrame, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k_cells: int = 16, iterations: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF index of an embedding corpus — the standing-
+    index leg of the ANN family (the lsh_index_write discipline
+    applied to vectors, and the sentence knn_ivf_trained's docstring
+    promises made real: "write the assigned corpus partitioned by
+    cell and the probe join partition-prunes"). ``overwrite`` fits
+    deterministic Lloyd's centroids (:func:`kmeans_fit` — seeded by
+    (md5(id), id) order, exact-decimal assignment arithmetic), pins
+    them in ``_ann_meta.json``, and writes the assigned corpus —
+    (id, vector, precomputed norm, cell) — PARTITIONED BY cell, so
+    every future search reads only its probed cells' files.
+    ``append`` assigns a new batch under the FROZEN centroids (the
+    jaccard_index frozen-order discipline: what drifts as the corpus
+    grows is cell balance, never correctness — searches stay exact
+    within probed cells; re-fit when recall at fixed nprobe creeps
+    down, the LSH re-band trigger) and appends to the same layout.
+
+    NULL/ragged vectors raise loudly at the boundary (the kmeans_fit
+    contract). Scale shape: one fit (iterations × one argmin map pass
+    + one k·dim collapse), one assign map pass, one partitioned
+    columnar write; queries (:func:`ann_index_search`) then never
+    touch unprobed cells."""
+    import json
+    import os
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    mp = _ann_meta_path(path)
+    if mp is None:
+        raise ValueError(
+            f"ann_index_write: only local/file:// paths are supported "
+            f"for the config manifest, got {path!r}")
+    if mode == "overwrite":
+        cents = kmeans_fit(df, vec_col, id_col, k=int(k_cells),
+                           iterations=int(iterations))
+        clist = [cents[j] for j in sorted(cents)]
+        meta = {"k_cells": int(k_cells), "iterations": int(iterations),
+                "dim": len(clist[0]), "centroids": clist}
+    else:
+        if not os.path.exists(mp):
+            raise ValueError(
+                f"ann_index_write(append): no index at {path!r} — "
+                f"build with mode='overwrite' first")
+        meta = json.load(open(mp))
+        clist = meta["centroids"]
+        _ann_check_vectors(df, vec_col, id_col, meta["dim"],
+                           "ann_index_write(append)")
+    assign1 = _ivf_assign_pandas(clist, 1)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    (df.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"),
+               norm(F.col(vec_col)).alias("c_norm"),
+               assign1(F.col(vec_col)).getItem(0).alias("cell"))
+     .write.mode(mode).partitionBy("cell").parquet(f"{path}/corpus"))
+    os.makedirs(path.removeprefix("file://"), exist_ok=True)
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+
+
+def ann_index_search(
+    queries: DataFrame, path: str,
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k of a query batch against the persisted
+    :func:`ann_index_write` index: (query_id, neighbor_id, cos_sim,
+    rank) — :func:`knn_ivf_trained` semantics (multi-probe, exact
+    scoring inside probed cells, recall → 1 as nprobe → n_cells and
+    EXACTLY brute-force at nprobe = n_cells) with the corpus side
+    coming pre-assigned from parquet: no re-fit, no re-assign, and —
+    the point of the standing index — the read is PARTITION-PRUNED
+    to the union of the batch's probed cells (a bounded ≤ n_cells
+    driver collect of the probe set feeds the literal pushdown; the
+    plan's PartitionFilters row is the receipt, pinned in tests).
+
+    Ids must be disjoint from corpus ids only in the sense that a
+    self-match (same id) is excluded, the knn_ivf_trained contract.
+    NULL/ragged query vectors raise loudly. Per batch: one Arrow
+    assign pass over the (small) query side, one pruned corpus scan,
+    one cell equi-join + Arrow dot kernel, one per-query window
+    top-k."""
+    import json
+    import os
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    mp = _ann_meta_path(path)
+    if mp is None or not os.path.exists(mp):
+        raise ValueError(
+            f"ann_index_search: no _ann_meta.json at {path!r} — build "
+            f"with ann_index_write first")
+    meta = json.load(open(mp))
+    clist = meta["centroids"]
+    _ann_check_vectors(queries, vec_col, id_col, meta["dim"],
+                       "ann_index_search")
+    nprobe = min(int(nprobe), len(clist))
+    assignp = _ivf_assign_pandas(clist, nprobe)
+    q = (queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            F.explode(assignp(F.col(vec_col))).alias("_probe_cell"))
+         .localCheckpoint(eager=True))  # assign once; scanned twice
+    probed = sorted(r["_probe_cell"]
+                    for r in q.select("_probe_cell").distinct().collect())
+    spark = queries.sparkSession
+    c = (spark.read.parquet(f"{path}/corpus")
+         .where(F.col("cell").isin(probed)))
+    dot_pd = _dot_pandas()
+    scored = (
+        c.join(F.broadcast(q), F.col("cell") == F.col("_probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            (dot_pd(F.col("q_vec"), F.col("embedding"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -6043,9 +6043,11 @@ ENTRY_QUERY = q01_pricing_summary
 # q255_multivariate_drift (C2ST, the verdict's multivariate-drift
 # gap), q256_jaccard_index and q257_edit_index (the standing-index
 # variants of both similarity joins, the verdict's other named gap),
-# and q258_stream_c2st (q255's streaming twin — the drift family's
-# streaming discipline applied to the multivariate leg).
-# r16 ≈ 30 hard + 4 staged = 34 of 50 seats.
+# q258_stream_c2st (q255's streaming twin — the drift family's
+# streaming discipline applied to the multivariate leg), and
+# q259_ann_index (the ANN leg of the standing-index family:
+# partition-pruned persisted IVF). That fills the ~5-row cap.
+# r16 ≈ 30 hard + 5 staged = 35 of 50 seats.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13346,3 +13348,66 @@ def q258_stream_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return c2st_from_counts(cell_fold_counts(ref, cats, "fold"),
                             spark.read.parquet(out), cats)
+
+
+@register_staged(
+    "q259_ann_index",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               {{cos}} AS cos_sim
+        FROM c JOIN q ON neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """.format(cos=_DUCK_COS.format(a='qv', b='cv')),
+)
+def q259_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing IVF index lifecycle (operators/similarity.py::
+    ann_index_write / ann_index_search, r15 — the ANN leg of the
+    standing-index family, making knn_ivf_trained's '100 TB: write
+    the assigned corpus partitioned by cell' sentence a real
+    persisted layout): build deterministic Lloyd's cells on the
+    vec_id%2==0 embeddings, APPEND the odd half under the FROZEN
+    centroids (cell balance drifts, correctness never — the
+    jaccard_index discipline), then search the first 20 vectors at
+    FULL probe (nprobe = n_cells), where IVF is exactly brute-force
+    — so the oracle is the naive cosine top-k ground truth (the
+    q26/q27 pattern) and a single wrong neighbor or rank is a hash
+    mismatch, end-to-end through the fit, the two partitioned
+    writes, the probe-set collect, and the partition-pruned read.
+    Partial-probe recall and the PartitionFilters receipt are pinned
+    in tests/test_ann_index.py (recall is data-dependent — a
+    recall-floor pytest contract, not an exactness oracle; the q100
+    split). At 100 TB: searches read only probed cells' files; the
+    corpus never re-fits or re-assigns per query batch."""
+    import shutil as _sh
+
+    from goetl_spark.operators.similarity import (
+        ann_index_search,
+        ann_index_write,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = _scratch("goetl_q259_aidx")
+    _sh.rmtree(path, ignore_errors=True)
+    ann_index_write(e.filter(F.col("vec_id") % 2 == 0), path,
+                    k_cells=4, iterations=1)
+    ann_index_write(e.filter(F.col("vec_id") % 2 != 0), path,
+                    mode="append")
+    return (ann_index_search(e.filter(F.col("vec_id") < 20), path,
+                             k=5, nprobe=4)
+            .orderBy("query_id", "rank"))

@@ -117,3 +117,12 @@ def test_validation(spark, tmp_path):
         ann_index_search(_vecs(spark, rows), path, k=0)
     with pytest.raises(ValueError, match="nprobe"):
         ann_index_search(_vecs(spark, rows), path, nprobe=0)
+
+
+def test_empty_query_batch(spark, tmp_path):
+    path = str(tmp_path / "aempty")
+    ann_index_write(_vecs(spark, _clustered()), path, k_cells=3,
+                    iterations=1)
+    empty = spark.createDataFrame([], "vec_id long, "
+                                      "embedding array<float>")
+    assert ann_index_search(empty, path, k=3).collect() == []

@@ -104,3 +104,18 @@ def test_validation(spark, tmp_path):
         edit_distance_index_write(d, str(tmp_path / "x"), max_dist=9)
     with pytest.raises(ValueError, match="mode"):
         edit_distance_index_write(d, str(tmp_path / "x"), mode="nope")
+
+
+def test_degenerate_leg_shapes(spark, tmp_path):
+    # short/ or segments/ written from an EMPTY frame must still
+    # round-trip (corpus all-long or all-short) — probed r15
+    p1 = str(tmp_path / "elong")
+    edit_distance_index_write(
+        _df(spark, [(1, "abcdef"), (2, "abcdeg")]), p1, "doc_id",
+        "text", max_dist=2)
+    assert _got(spark, p1, batch=[(9, "abcdef")]) == {(9, 1, 0),
+                                                      (9, 2, 1)}
+    p2 = str(tmp_path / "eshort")
+    edit_distance_index_write(_df(spark, [(1, "ab"), (2, "ac")]), p2,
+                              "doc_id", "text", max_dist=2)
+    assert _got(spark, p2, batch=[(9, "ab")]) == {(9, 1, 0), (9, 2, 1)}

@@ -129,3 +129,22 @@ def test_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="mode"):
         jaccard_index_write(_docs(spark, CORPUS),
                             str(tmp_path / "x"), mode="error")
+
+
+def test_degenerate_empty_shapes(spark, tmp_path):
+    # an index leg written from an EMPTY frame (corpus whose token
+    # sets all drop) must still round-trip: Spark writes schema-bearing
+    # empty parquet, queries read it and return empty — probed r15
+    path = str(tmp_path / "jempty")
+    jaccard_index_write(_docs(spark, [(1, [])]), path, "doc_id",
+                        "tokens", threshold=0.5)
+    # cross side empty; within-batch pairs still work against the
+    # empty index (records 1/2 share 3 of 5 tokens, J=0.6)
+    assert _got(spark, path, batch=CORPUS[:2],
+                include_new_pairs=False) == set()
+    assert _got(spark, path, batch=CORPUS[:2]) == {(1, 2, 0.6)}
+    # a batch whose sets all drop returns empty against a real index
+    path2 = str(tmp_path / "jreal")
+    jaccard_index_write(_docs(spark, CORPUS), path2, "doc_id",
+                        "tokens", threshold=0.5)
+    assert _got(spark, path2, batch=[(9, []), (10, None)]) == set()

@@ -8,7 +8,11 @@ Jaccard-threshold join on the name token sets
 (operators/dedup.py::jaccard_join) — then evidence fusion (a pair
 found by both linkers with high agreement is a confident match), and
 a drift check (quality.py::ks_distance) proving the matched slice is
-distributionally representative of its source. The shape a 100 TB
+distributionally representative of its source, and (r15) the day-2
+incremental leg: catalog A persisted as STANDING edit/Jaccard indexes
+(dedup.py::edit_distance_index_write / jaccard_index_write) so
+tomorrow's feed links without re-paying the catalog's rarity sort or
+segmentation. The shape a 100 TB
 catalog-reconciliation pipeline runs: both linkers are pigeonhole-
 blocked equi-joins, never a cartesian, and completeness at the
 declared thresholds is a theorem (brute-force-pinned in tests), not
@@ -95,6 +99,40 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     ks = ks_distance(matched_a, cat_a.select("price_a"),
                      "price_a").collect()[0]
 
+    # 5) DAY-2 INCREMENTAL (r15): catalog A becomes STANDING indexes —
+    # the rarity sort (Jaccard) and segmentation (PassJoin) are paid
+    # ONCE; tomorrow's feed links against the persisted layout without
+    # touching catalog A again. The edit feed queries at the TIGHTER
+    # d=1 (triage only wants near-exact day-2 matches — legal against
+    # a d=2 index, the below-build-threshold guarantee).
+    import os
+    import shutil
+    import tempfile
+
+    from goetl_spark.operators.dedup import (
+        edit_distance_index_candidates, edit_distance_index_write,
+        jaccard_index_candidates, jaccard_index_write)
+
+    base = os.path.join(tempfile.gettempdir(), "goetl_example_link_idx")
+    shutil.rmtree(base, ignore_errors=True)
+    edit_distance_index_write(
+        cat_a.select("id_a", F.col("name_a").alias("s")),
+        f"{base}/edit", "id_a", "s", max_dist=2)
+    jaccard_index_write(
+        cat_a.select("id_a",
+                     F.array_distinct(F.split("name_a", r"\s+"))
+                      .alias("w")),
+        f"{base}/jacc", "id_a", "w", threshold=0.5)
+    feed = cat_b.filter(F.col("id_b") % 7 == 0)
+    inc_edit = edit_distance_index_candidates(
+        feed.select("id_b", F.col("name_b").alias("s")),
+        f"{base}/edit", "id_b", "s", max_dist=1)
+    inc_jacc = jaccard_index_candidates(
+        feed.select("id_b",
+                    F.array_distinct(F.split("name_b", r"\s+"))
+                     .alias("w")),
+        f"{base}/jacc", "id_b", "w", include_new_pairs=False)
+
     out = {
         "catalog_a": cat_a.count(),
         "catalog_b": cat_b.count(),
@@ -104,6 +142,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "review": n_review,
         "matched_a": int(ks["n_a"]),
         "price_ks": float(ks["ks"]) if ks["ks"] is not None else None,
+        "feed": feed.count(),
+        "feed_edit_pairs": inc_edit.count(),
+        "feed_jaccard_pairs": inc_jacc.count(),
     }
     if owns_spark:
         spark.stop()

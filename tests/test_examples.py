@@ -172,3 +172,11 @@ def test_record_linkage_example(spark):
     assert 0 < r["matched_a"] <= r["catalog_a"]
     if r["price_ks"] is not None:
         assert 0.0 <= r["price_ks"] <= 1.0
+    # day-2 incremental leg (r15 standing indexes): the feed links
+    # against the persisted catalog-A layout; the d=1 edit feed is a
+    # subset of the full d=2 one-shot pair universe, the jaccard feed
+    # of the one-shot jaccard universe
+    assert r["feed"] > 0
+    assert 0 <= r["feed_edit_pairs"] <= r["edit_pairs"]
+    assert 0 <= r["feed_jaccard_pairs"] <= r["jaccard_pairs"]
+    assert r["feed_jaccard_pairs"] > 0  # color-word names collide

@@ -1711,6 +1711,10 @@ def jaccard_join(
 
 
 def _jaccard_meta_path(path: str) -> str | None:
+    """Config-manifest location; local filesystem paths only — the
+    validation is best-effort on object stores (the _lsh_meta_read
+    contract: a remote scheme returns None and the threshold gate is
+    skipped rather than the query failed)."""
     import os
 
     if "://" in path and not path.startswith("file://"):
@@ -1928,6 +1932,10 @@ def jaccard_index_candidates(
 
 
 def _edit_meta_path(path: str) -> str | None:
+    """Config-manifest location; local filesystem paths only — the
+    validation is best-effort on object stores (the _lsh_meta_read
+    contract: a remote scheme returns None and the threshold gate is
+    skipped rather than the query failed)."""
     import os
 
     if "://" in path and not path.startswith("file://"):

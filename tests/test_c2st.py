@@ -131,3 +131,52 @@ def test_cross_fit_kills_label_leakage(spark):
     a, b = _frame(spark, rows_a), _frame(spark, rows_b)
     r = classifier_two_sample_test(a, b, ["u", "v"], "fold").collect()[0]
     assert r["separability"] < 0.25
+
+
+def _ref_c2st(rows_a, rows_b, m=10.0):
+    """Pure-Python reference: cross-fitted smoothed cell rates ->
+    per-row scores -> midrank Mann-Whitney AUC. Independent of every
+    Spark expression the operator compiles."""
+    from collections import defaultdict
+
+    ct = defaultdict(lambda: [0, 0])  # (cell, fold) -> [s, n]
+    rows = [(tuple(r[:-1]), r[-1], 0) for r in rows_a] + \
+           [(tuple(r[:-1]), r[-1], 1) for r in rows_b]
+    for cell, f, y in rows:
+        ct[(cell, f)][0] += y
+        ct[(cell, f)][1] += 1
+    tot = {f: [sum(v[0] for (c, ff), v in ct.items() if ff == f),
+               sum(v[1] for (c, ff), v in ct.items() if ff == f)]
+           for f in (0, 1)}
+    g = {f: tot[1 - f][0] / tot[1 - f][1] for f in (0, 1)}
+    scored = []
+    for cell, f, y in rows:
+        s, n = ct.get((cell, 1 - f), (0, 0))
+        scored.append(((s + m * g[f]) / (n + m), y))
+    pos = sorted(s for s, y in scored if y == 1)
+    neg = sorted(s for s, y in scored if y == 0)
+    wins = sum((1.0 if p > q else 0.5 if p == q else 0.0)
+               for p in pos for q in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_against_pure_python_reference(spark):
+    # nontrivial fixture: shared cells with different rates, a
+    # one-sided cell, NULL class, fold imbalance, score ties
+    rows_a = [("en", "web", 0)] * 5 + [("en", "web", 1)] * 3 \
+        + [("fr", "web", 0)] * 2 + [("fr", "book", 1)] * 4 \
+        + [(None, "web", 0)] * 2 + [("de", "book", 1)]
+    rows_b = [("en", "web", 0)] * 2 + [("en", "web", 1)] * 6 \
+        + [("fr", "book", 0)] * 3 + [("fr", "book", 1)] \
+        + [(None, "web", 1)] * 3 + [("es", "web", 0)] * 2
+    da = spark.createDataFrame(rows_a, "u string, v string, fold int")
+    db = spark.createDataFrame(rows_b, "u string, v string, fold int")
+    got = classifier_two_sample_test(da, db, ["u", "v"],
+                                     "fold").collect()[0]
+    want = _ref_c2st(rows_a, rows_b)
+    assert got["auc"] == pytest.approx(want, abs=1e-12)
+    assert got["n_a"] == len(rows_a) and got["n_b"] == len(rows_b)
+    import math
+    sd = math.sqrt((got["n_a"] + got["n_b"] + 1)
+                   / (12.0 * got["n_a"] * got["n_b"]))
+    assert got["z"] == pytest.approx((want - 0.5) / sd, abs=1e-9)

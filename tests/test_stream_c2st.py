@@ -87,3 +87,30 @@ def test_replay_marker_safe(spark):
     _run(stream2, out, _scratch("goetl_t_c2st_ckpt2b"))
     assert sorted(map(tuple, spark.read.parquet(out).collect()),
                   key=str) == once
+
+
+def test_two_monitor_topology_composes(spark):
+    # BOTH snapshots accumulated by independent monitors (reference
+    # stream + current stream, different chunkings) — the full
+    # continuous-monitoring topology: compose the two standing tables
+    # at any point and the readout equals the batch test
+    e = _events(spark)
+    cur = e.filter("event_id % 3 != 0")
+    ref = e.filter("event_id % 3 = 0")
+    r1 = _scratch("goetl_t_c2st2_replay_a")
+    r2 = _scratch("goetl_t_c2st2_replay_b")
+    os.makedirs(r1), os.makedirs(r2)
+    s_ref, _ = replay_stream_ordered(ref, "ts", num_chunks=1, dir=r1)
+    s_cur, _ = replay_stream_ordered(cur, "ts", num_chunks=4, dir=r2)
+    out_ref = _scratch("goetl_t_c2st2_out_a")
+    out_cur = _scratch("goetl_t_c2st2_out_b")
+    _run(s_ref, out_ref, _scratch("goetl_t_c2st2_ck_a"))
+    _run(s_cur, out_cur, _scratch("goetl_t_c2st2_ck_b"))
+    via_streams = c2st_from_counts(
+        spark.read.parquet(out_ref), spark.read.parquet(out_cur),
+        ["src", "seg"]).collect()
+    direct = classifier_two_sample_test(
+        ref.select("src", "seg", "fold"),
+        cur.select("src", "seg", "fold"),
+        ["src", "seg"], "fold").collect()
+    assert [tuple(r) for r in via_streams] == [tuple(r) for r in direct]

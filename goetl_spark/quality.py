@@ -1769,3 +1769,131 @@ def classifier_two_sample_test(
         cell_fold_counts(df_a, cat_cols, fold_col),
         cell_fold_counts(df_b, cat_cols, fold_col),
         cat_cols, smoothing=smoothing)
+
+
+def classifier_two_sample_test_by(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: Sequence[str],
+    cat_cols: Sequence[str],
+    fold_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Per-segment classifier two-sample test — one row per group
+    with ``n_a / n_b / auc / separability / z``: the grouped sibling
+    of :func:`classifier_two_sample_test` (the roc_auc →
+    :func:`~goetl_spark.operators.classifier.roc_auc_by` pattern
+    applied to the multivariate drift leg): an aggregate C2ST can
+    read 0.5 while ONE segment's joint feature mix shifted hard —
+    this answers "WHICH segment drifted?" with the same cross-fitted
+    cell-rate classifier fitted INDEPENDENTLY per group (a segment's
+    rates never leak into another's scores).
+
+    Degeneracy follows the grouped-eval undefined convention
+    (roc_auc raises where roc_auc_by yields NULL): a group missing a
+    snapshot, missing a fold, or single-class after scoring emits
+    NULL auc/separability/z with n_a/n_b saying why — one degenerate
+    slice must not kill the other segments' readout. A fold value
+    outside {0, 1} (NULL included) still raises loudly — that is a
+    caller bug in the fold COLUMN, not a segment's data shape.
+
+    Everything after the one fact pass per side is bounded:
+    (groups × cells × 2) count table, (groups × 2) fold totals,
+    bounded flipped self-joins for opposite-fold cell stats and base
+    rates, then the roc_auc_by machinery over the (groups, score)
+    collapse (total-order range-partitioned cumsum, per-group offset
+    subtraction, null-safe offset join — never a per-group window).
+    Determinism: exact longs, one IEEE rate division per (group,
+    fold), the fixed ``(s + m·g)/(n + m)`` score chain, Mann-Whitney
+    integer arithmetic — hash-exact in oracle SQL."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError(
+            "group_cols must be non-empty — use "
+            "classifier_two_sample_test for the whole-frame readout")
+    cats = list(cat_cols)
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    m = float(smoothing)
+    fold = F.col(fold_col)
+    tagged = (df_a.select(*groups, *cats, fold.alias("__f"),
+                          F.lit(0).alias("__y"))
+              .unionByName(
+                  df_b.select(*groups, *cats, fold.alias("__f"),
+                              F.lit(1).alias("__y"))))
+    ct = (tagged.groupBy(*groups, *cats, "__f")
+          .agg(F.sum("__y").alias("__s"), F.count(F.lit(1)).alias("__n"))
+          .localCheckpoint(eager=True))  # bounded; scanned four times
+    bad = sorted((r["__f"] for r in ct.select("__f").distinct().collect()
+                  if r["__f"] not in (0, 1)), key=str)
+    if bad:
+        raise ValueError(
+            f"classifier_two_sample_test_by: {fold_col!r} must be 0 or "
+            f"1, got {bad[:5]} — compute the fold upstream "
+            f"(e.g. (id DIV 2) % 2)")
+    # per-(group, fold) totals -> the OPPOSITE fold's base rate, per
+    # group (one IEEE division of exact longs; NULL when the opposite
+    # fold is empty in that group — the degeneracy marker)
+    gt = ct.groupBy(*groups, "__f").agg(F.sum("__s").alias("__st"),
+                                        F.sum("__n").alias("__nt"))
+    gkeys = [F.col(c).alias(f"__gk_{i}") for i, c in enumerate(groups)]
+    gt_opp = gt.select(*gkeys, (1 - F.col("__f")).alias("__gof"),
+                       (F.col("__st").cast("double") / F.col("__nt"))
+                       .alias("__grate"))
+    cond_g = F.col("__f") == F.col("__gof")
+    for i, c in enumerate(groups):
+        cond_g = cond_g & F.col(c).eqNullSafe(F.col(f"__gk_{i}"))
+    scored = ct.join(F.broadcast(gt_opp), on=cond_g, how="left")
+    # opposite-fold CELL stats (bounded flipped self-join)
+    ckeys = [F.col(c).alias(f"__ck_{i}")
+             for i, c in enumerate([*groups, *cats])]
+    opp = ct.select(*ckeys, (1 - F.col("__f")).alias("__cof"),
+                    F.col("__s").alias("__os"), F.col("__n").alias("__on"))
+    cond_c = F.col("__f") == F.col("__cof")
+    for i, c in enumerate([*groups, *cats]):
+        cond_c = cond_c & F.col(c).eqNullSafe(F.col(f"__ck_{i}"))
+    scored = scored.join(F.broadcast(opp), on=cond_c, how="left")
+    score = F.when(
+        F.col("__grate").isNotNull(),
+        (F.coalesce(F.col("__os"), F.lit(0)) + F.lit(m) * F.col("__grate"))
+        / (F.coalesce(F.col("__on"), F.lit(0)) + F.lit(m)))
+    sg = (scored.groupBy(*groups, score.alias("__score"))
+          .agg(F.sum("__n").alias("n"), F.sum("__s").alias("n_pos")))
+    # the roc_auc_by machinery over the bounded (groups, score) table
+    c = _with_exclusive_cumsum(sg, "n", [*groups, "__score"], "__cumt")
+    offs = c.groupBy(*groups).agg(F.min("__cumt").alias("__goff"))
+    c = _group_offset_join(c, groups, offs)
+    cum_before = F.col("__cumt") - F.col("__goff")
+    per = (c.groupBy(*groups)
+           .agg(F.sum(F.col("n_pos") * (2 * cum_before + F.col("n") + 1))
+                 .alias("__num2"),
+                F.sum("n_pos").alias("__np"),
+                F.sum(F.col("n") - F.col("n_pos")).alias("__nn"),
+                F.sum(F.when(F.col("__score").isNull(), F.col("n"))
+                       .otherwise(0)).alias("__nullsc")))
+    np_, nn = F.col("__np"), F.col("__nn")
+    # degenerate group: a missing fold left NULL scores (they rode the
+    # cumsum as their own key; exclude the group), or single-class
+    auc = F.when((F.col("__nullsc") == 0) & (np_ > 0) & (nn > 0),
+                 (F.col("__num2") - np_ * (np_ + 1)).cast("double")
+                 / (F.lit(2.0) * np_) / nn)
+    sep = F.lit(2.0) * F.abs(auc - F.lit(0.5))
+    # the variance denominator must stay INSIDE the definedness guard:
+    # ANSI throws DIVIDE_BY_ZERO even for double division, and a
+    # degenerate group has np or nn = 0 (the W1-guard lesson — CaseWhen
+    # branches evaluate lazily, an unguarded sibling expression does not)
+    z = F.when(
+        (F.col("__nullsc") == 0) & (np_ > 0) & (nn > 0),
+        (auc - F.lit(0.5))
+        / F.sqrt((nn + np_ + 1).cast("double")
+                 / (F.lit(12.0) * nn.cast("double") * np_)))
+    return per.select(
+        *groups,
+        nn.cast("long").alias("n_a"),
+        np_.cast("long").alias("n_b"),
+        auc.alias("auc"), sep.alias("separability"), z.alias("z"))

@@ -180,3 +180,89 @@ def test_against_pure_python_reference(spark):
     sd = math.sqrt((got["n_a"] + got["n_b"] + 1)
                    / (12.0 * got["n_a"] * got["n_b"]))
     assert got["z"] == pytest.approx((want - 0.5) / sd, abs=1e-9)
+
+
+def test_grouped_matches_wholeframe_and_is_independent(spark):
+    from goetl_spark.quality import classifier_two_sample_test_by
+
+    # segment g1: XOR joint drift; segment g2: identical balanced
+    # snapshots (exact 0.5); per-group readouts must equal running the
+    # whole-frame test on each segment alone — bit for bit
+    g1_a = [("g1", u, u, i % 2) for u in ("0", "1") for i in range(10)]
+    g1_b = [("g1", u, "1" if u == "0" else "0", i % 2)
+            for u in ("0", "1") for i in range(10)]
+    g2 = [("g2", u, v, f) for u in ("a", "b") for v in ("x", "y")
+          for f in (0, 1) for _ in range(3)]
+    schema = "g string, u string, v string, fold int"
+    da = spark.createDataFrame(g1_a + g2, schema)
+    db = spark.createDataFrame(g1_b + g2, schema)
+    got = {r["g"]: r for r in classifier_two_sample_test_by(
+        da, db, ["g"], ["u", "v"], "fold").collect()}
+    assert set(got) == {"g1", "g2"}
+    for g in ("g1", "g2"):
+        whole = classifier_two_sample_test(
+            da.filter(f"g = '{g}'").drop("g"),
+            db.filter(f"g = '{g}'").drop("g"),
+            ["u", "v"], "fold").collect()[0]
+        r = got[g]
+        assert (r["n_a"], r["n_b"]) == (whole["n_a"], whole["n_b"])
+        assert r["auc"] == whole["auc"]
+        assert r["separability"] == whole["separability"]
+        assert r["z"] == whole["z"]
+    assert got["g1"]["auc"] == 1.0 and got["g2"]["auc"] == 0.5
+
+
+def test_grouped_degenerate_groups_null_not_raise(spark):
+    from goetl_spark.quality import classifier_two_sample_test_by
+
+    schema = "g string, u string, v string, fold int"
+    # g_ok: healthy; g_oneside: only in snapshot a; g_onefold: both
+    # snapshots but fold 1 never occurs in the segment
+    a = ([("g_ok", "a", "x", f) for f in (0, 1, 0, 1)]
+         + [("g_oneside", "a", "x", 0), ("g_oneside", "a", "x", 1)]
+         + [("g_onefold", "a", "x", 0)])
+    b = ([("g_ok", "b", "x", f) for f in (0, 1, 0, 1)]
+         + [("g_onefold", "b", "x", 0)])
+    da, db = (spark.createDataFrame(r, schema) for r in (a, b))
+    got = {r["g"]: r for r in classifier_two_sample_test_by(
+        da, db, ["g"], ["u", "v"], "fold").collect()}
+    assert got["g_ok"]["auc"] == 1.0  # disjoint cells separate fully
+    assert got["g_oneside"]["auc"] is None
+    assert (got["g_oneside"]["n_a"], got["g_oneside"]["n_b"]) == (2, 0)
+    assert got["g_onefold"]["auc"] is None
+    assert got["g_onefold"]["z"] is None
+    # fold-column bugs still raise loudly (caller bug, not degeneracy)
+    import pytest as _pt
+    badf = spark.createDataFrame([("g", "a", "x", 3)], schema)
+    with _pt.raises(ValueError, match="must be 0 or 1"):
+        classifier_two_sample_test_by(badf, db, ["g"], ["u"], "fold")
+    with _pt.raises(ValueError, match="group_cols"):
+        from goetl_spark.quality import classifier_two_sample_test_by \
+            as f
+        f(da, db, [], ["u"], "fold")
+
+
+def test_grouped_against_pure_python_reference(spark):
+    from goetl_spark.quality import classifier_two_sample_test_by
+
+    # the whole-frame reference applied per segment, on an asymmetric
+    # multi-segment fixture with NULL classes and fold imbalance
+    rows_a = [("s1",) + r for r in
+              [("en", "web", 0)] * 4 + [("en", "web", 1)] * 2
+              + [(None, "web", 0)] * 2 + [("fr", "book", 1)] * 3] \
+        + [("s2",) + r for r in
+           [("de", "web", 0)] * 3 + [("de", "book", 1)] * 2]
+    rows_b = [("s1",) + r for r in
+              [("en", "web", 0)] * 1 + [("en", "web", 1)] * 5
+              + [(None, "web", 1)] * 2 + [("fr", "book", 0)] * 2] \
+        + [("s2",) + r for r in
+           [("de", "book", 0)] * 2 + [("de", "web", 1)] * 4]
+    schema = "g string, u string, v string, fold int"
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    got = {r["g"]: r for r in classifier_two_sample_test_by(
+        da, db, ["g"], ["u", "v"], "fold").collect()}
+    for g in ("s1", "s2"):
+        want = _ref_c2st([r[1:] for r in rows_a if r[0] == g],
+                         [r[1:] for r in rows_b if r[0] == g])
+        assert got[g]["auc"] == pytest.approx(want, abs=1e-12), g

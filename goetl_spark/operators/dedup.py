@@ -1179,34 +1179,21 @@ def lsh_recall_report(
         "recall double, precision double")
 
 
-def _lsh_meta_read(path: str) -> dict | None:
-    """Index-config manifest reader; local filesystem paths only (the
-    validation is best-effort on object stores — a `file:`-less remote
-    scheme returns None rather than failing the query)."""
-    import json
-    import os
+def _lsh_meta_read(spark, path: str) -> dict | None:
+    """Index-config manifest reader — the scheme-agnostic Spark text
+    leg at ``{path}/_meta`` (see operators/index_meta.py), with the
+    pre-migration driver-local ``_lsh_meta.json`` as a local-path
+    fallback. Returns None only when no manifest is readable; callers
+    raise in that case rather than skip validation."""
+    from .index_meta import meta_read
 
-    if "://" in path and not path.startswith("file://"):
-        return None
-    p = os.path.join(path.removeprefix("file://"), "_lsh_meta.json")
-    if not os.path.exists(p):
-        return None
-    try:
-        return json.load(open(p))
-    except (OSError, json.JSONDecodeError):
-        return None
+    return meta_read(spark, path, legacy="_lsh_meta.json")
 
 
-def _lsh_meta_write(path: str, meta: dict) -> None:
-    import json
-    import os
+def _lsh_meta_write(spark, path: str, meta: dict) -> None:
+    from .index_meta import meta_write
 
-    if "://" in path and not path.startswith("file://"):
-        return
-    p = path.removeprefix("file://")
-    os.makedirs(p, exist_ok=True)
-    with open(os.path.join(p, "_lsh_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    meta_write(spark, path, meta)
 
 
 def lsh_index_write(
@@ -1221,16 +1208,29 @@ def lsh_index_write(
     analog of :func:`dedup_against`'s exact-digest corpus. Shingling +
     minhashing of the standing corpus happens ONCE, here; incremental
     batches never recompute it. ``mode='append'`` adds a day's accepted
-    documents to the index."""
+    documents to the index — after the manifest check (band hashes
+    written under a different config are incomparable; a missing
+    manifest RAISES rather than skipping the check)."""
+    spark = df.sparkSession
     meta = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
-    existing = _lsh_meta_read(path)
-    if mode == "append" and existing is not None and existing != meta:
-        raise ValueError(
-            f"lsh_index_write(append): config {meta} != index config "
-            f"{existing} — band hashes are incomparable across configs")
+    if mode == "append":
+        existing = _lsh_meta_read(spark, path)
+        if existing is None:
+            raise ValueError(
+                f"lsh_index_write(append): no readable manifest at "
+                f"{path!r} — cannot confirm the index config; rebuild "
+                f"with mode='overwrite'")
+        if existing != meta:
+            raise ValueError(
+                f"lsh_index_write(append): config {meta} != index config "
+                f"{existing} — band hashes are incomparable across configs")
     bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
     bands.write.mode(mode).partitionBy("band").parquet(path)
-    _lsh_meta_write(path, meta)
+    if mode == "overwrite":
+        # root-layout index: the data overwrite truncates `path`, so the
+        # manifest goes right after; a crash in between now fails LOUDLY
+        # at query time (readers raise on a missing manifest)
+        _lsh_meta_write(spark, path, meta)
 
 
 def lsh_index_candidates(
@@ -1252,13 +1252,18 @@ def lsh_index_candidates(
     re-deriving any corpus signatures. Feed the output through
     ``ngram_jaccard_pairs``-style verification or straight to
     :func:`dedup_clusters`."""
-    existing = _lsh_meta_read(path)
+    spark = new_docs.sparkSession
+    existing = _lsh_meta_read(spark, path)
     ours = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
-    if existing is not None and existing != ours:
+    if existing is None:
+        raise ValueError(
+            f"lsh_index_candidates: no readable manifest at {path!r} — "
+            f"cannot confirm the index config matches {ours}; rebuild "
+            f"the index (a skipped config check is a silent recall hole)")
+    if existing != ours:
         raise ValueError(
             f"lsh_index_candidates: config {ours} != index config "
             f"{existing} — band hashes are incomparable across configs")
-    spark = new_docs.sparkSession
     new_bands = lsh_band_rows(new_docs, text_col, id_col, n,
                               num_hashes, band_size) \
         .localCheckpoint(eager=True)
@@ -1299,16 +1304,25 @@ def simhash_index_write(
     Hamming bound is guaranteed a band collision). Cheapest signature
     of the family: one 60-bit hash per document, ``max_hamming + 1``
     band rows each. Same manifest discipline as the LSH index —
-    mismatched (max_hamming, bits) raise at query time."""
+    mismatched (max_hamming, bits) raise at query time, and a missing
+    manifest raises rather than skipping the check."""
+    spark = df.sparkSession
     meta = {"max_hamming": max_hamming, "bits": bits}
-    existing = _lsh_meta_read(path)
-    if mode == "append" and existing is not None and existing != meta:
-        raise ValueError(
-            f"simhash_index_write(append): config {meta} != index "
-            f"config {existing} — band keys are incomparable")
+    if mode == "append":
+        existing = _lsh_meta_read(spark, path)
+        if existing is None:
+            raise ValueError(
+                f"simhash_index_write(append): no readable manifest at "
+                f"{path!r} — cannot confirm the index config; rebuild "
+                f"with mode='overwrite'")
+        if existing != meta:
+            raise ValueError(
+                f"simhash_index_write(append): config {meta} != index "
+                f"config {existing} — band keys are incomparable")
     rows = simhash_band_rows(df, text_col, id_col, max_hamming, bits)
     rows.write.mode(mode).partitionBy("band").parquet(path)
-    _lsh_meta_write(path, meta)
+    if mode == "overwrite":
+        _lsh_meta_write(spark, path, meta)
 
 
 def simhash_index_candidates(
@@ -1323,13 +1337,19 @@ def simhash_index_candidates(
     bands are lossless and the stored simhash rides along for the
     final ``bit_count`` check (no second pass over corpus text).
     ``include_new_pairs`` adds within-batch pairs the same way."""
+    spark = new_docs.sparkSession
     ours = {"max_hamming": max_hamming, "bits": bits}
-    existing = _lsh_meta_read(path)
-    if existing is not None and existing != ours:
+    existing = _lsh_meta_read(spark, path)
+    if existing is None:
+        raise ValueError(
+            f"simhash_index_candidates: no readable manifest at "
+            f"{path!r} — cannot confirm the index config matches "
+            f"{ours}; rebuild the index (a skipped config check is a "
+            f"silent recall hole)")
+    if existing != ours:
         raise ValueError(
             f"simhash_index_candidates: config {ours} != index config "
             f"{existing} — band keys are incomparable")
-    spark = new_docs.sparkSession
     nb = simhash_band_rows(new_docs, text_col, id_col, max_hamming,
                            bits).localCheckpoint(eager=True)
     idx = spark.read.parquet(path)
@@ -1710,25 +1730,19 @@ def jaccard_join(
                     F.col("__rid").alias(right_id), "jaccard"))
 
 
-def _jaccard_meta_path(path: str) -> str | None:
-    """Config-manifest location; local filesystem paths only — the
-    validation is best-effort on object stores (the _lsh_meta_read
-    contract: a remote scheme returns None and the threshold gate is
-    skipped rather than the query failed)."""
-    import os
-
-    if "://" in path and not path.startswith("file://"):
-        return None
-    return os.path.join(path.removeprefix("file://"), "_jaccard_meta.json")
-
-
 def _jaccard_sorted(df: DataFrame, id_c: str, arr_c: str,
                     toks: DataFrame) -> DataFrame:
     """Per-record DISTINCT tokens sorted by the given (tok, cnt)
     rarity table — tokens absent from the table count 0 (rarest), so
     a FROZEN build-time table keeps ordering every future batch
-    totally and deterministically."""
+    totally and deterministically. NULL elements are dropped BEFORE
+    the left join (r16 ADVICE): :func:`jaccard_join`'s inner rarity
+    join is null-strict, and a NULL element kept here would both
+    inflate the set size ``__n`` and land in prefixes as an equi-join
+    key that can never match — a silent recall hole vs the one-shot
+    join's answer."""
     e = (df.select(id_c, F.explode(arr_c).alias("tok"))
+         .filter(F.col("tok").isNotNull())
          .join(toks, "tok", "left")
          .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     return (e.groupBy(id_c)
@@ -1759,7 +1773,9 @@ def jaccard_index_write(
     by it), ``records/`` (id, rarity-sorted distinct tokens, set
     size — the verify side), ``prefix/`` (tok, id, set size — the
     candidate join keys, |x| − ⌈τ·|x|⌉ + 1 rarest tokens per record),
-    plus a ``_jaccard_meta.json`` config manifest.
+    plus a scheme-agnostic ``_meta`` config manifest (a 1-row Spark
+    text leg — see operators/index_meta.py — written BEFORE the data
+    legs so no crash window leaves data without config).
 
     Freezing the rarity order is CORRECT, not a compromise: the
     AllPairs/PPJoin prefix pigeonhole (Bayardo WWW'07; Xiao WWW'08)
@@ -1779,29 +1795,36 @@ def jaccard_index_write(
     one sort-within-record map pass, three columnar writes; the
     queries (:func:`jaccard_index_candidates`) then skip the corpus
     sort forever."""
-    import json
+    from .index_meta import meta_read, meta_write
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    meta = {"threshold": float(threshold)}
-    mp = _jaccard_meta_path(path)
-    if mode == "append" and mp is not None:
-        import os
-        if os.path.exists(mp):
-            existing = json.load(open(mp))
-            if existing != meta:
-                raise ValueError(
-                    f"jaccard_index_write(append): config {meta} != "
-                    f"index config {existing} — prefixes are "
-                    f"incomparable across thresholds")
     spark = df.sparkSession
+    meta = {"threshold": float(threshold)}
+    if mode == "append":
+        existing = meta_read(spark, path, legacy="_jaccard_meta.json")
+        if existing is None:
+            raise ValueError(
+                f"jaccard_index_write(append): no readable manifest at "
+                f"{path!r} — cannot confirm the index threshold; an "
+                f"append under a mismatched tau would mix incomparable "
+                f"prefixes silently. Rebuild with mode='overwrite'")
+        if existing != meta:
+            raise ValueError(
+                f"jaccard_index_write(append): config {meta} != "
+                f"index config {existing} — prefixes are "
+                f"incomparable across thresholds")
     base = (df.select(F.col(id_col).alias("__id"),
                       F.array_distinct(F.col(tokens_col)).alias("__t"))
             .filter(F.col("__t").isNotNull() & (F.size("__t") > 0)))
     if mode == "overwrite":
+        # manifest FIRST (r16 ADVICE: the old write-last ordering left
+        # a crash window where data legs existed without config)
+        meta_write(spark, path, meta)
         toks = (base.select(F.explode("__t").alias("tok"))
+                .filter(F.col("tok").isNotNull())
                 .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
         toks.write.mode("overwrite").parquet(f"{path}/tokens")
     toks = spark.read.parquet(f"{path}/tokens")
@@ -1811,11 +1834,6 @@ def jaccard_index_write(
                         F.explode(_jaccard_prefix("__t", float(threshold)))
                          .alias("tok")))
     pref.write.mode(mode).parquet(f"{path}/prefix")
-    if mp is not None:
-        import os
-        os.makedirs(path.removeprefix("file://"), exist_ok=True)
-        with open(mp, "w") as fh:
-            json.dump(meta, fh)
 
 
 def jaccard_index_candidates(
@@ -1849,31 +1867,31 @@ def jaccard_index_candidates(
     the candidate join shuffles on tok — hot prefix tokens fatten
     one cell, AQE's skew-join job (the :func:`jaccard_join`
     story)."""
-    import json
+    from .index_meta import meta_read
 
-    mp = _jaccard_meta_path(path)
-    idx_tau = None
-    if mp is not None:
-        import os
-        if os.path.exists(mp):
-            idx_tau = float(json.load(open(mp))["threshold"])
+    spark = new_docs.sparkSession
+    existing = meta_read(spark, path, legacy="_jaccard_meta.json")
+    if existing is None:
+        # the manifest is PART of the index: without it the tau
+        # direction guard cannot be validated and a too-low query tau
+        # would lose matches silently (r15 verdict ask #2)
+        raise ValueError(
+            f"jaccard_index_candidates: no readable manifest at "
+            f"{path!r} — cannot validate the pigeonhole direction "
+            f"guard; rebuild the index with jaccard_index_write")
+    idx_tau = float(existing["threshold"])
     if threshold is None:
-        if idx_tau is None:
-            raise ValueError(
-                "jaccard_index_candidates: no _jaccard_meta.json at "
-                f"{path!r} and no threshold given")
         tau = idx_tau
     else:
         tau = float(threshold)
         if not 0.0 < tau <= 1.0:
             raise ValueError(f"threshold must be in (0, 1], got {tau}")
-        if idx_tau is not None and tau < idx_tau:
+        if tau < idx_tau:
             raise ValueError(
                 f"jaccard_index_candidates: query threshold {tau} < "
                 f"index threshold {idx_tau} — stored prefixes are too "
                 f"short for the pigeonhole guarantee; rebuild the "
                 f"index at the lower threshold")
-    spark = new_docs.sparkSession
     toks = spark.read.parquet(f"{path}/tokens")
     base = (new_docs.select(F.col(id_col).alias("__qid"),
                             F.array_distinct(F.col(tokens_col))
@@ -1931,18 +1949,6 @@ def jaccard_index_candidates(
     return vs.unionByName(within)
 
 
-def _edit_meta_path(path: str) -> str | None:
-    """Config-manifest location; local filesystem paths only — the
-    validation is best-effort on object stores (the _lsh_meta_read
-    contract: a remote scheme returns None and the threshold gate is
-    skipped rather than the query failed)."""
-    import os
-
-    if "://" in path and not path.startswith("file://"):
-        return None
-    return os.path.join(path.removeprefix("file://"), "_edit_meta.json")
-
-
 def edit_distance_index_write(
     df: DataFrame, path: str,
     id_col: str = "doc_id", str_col: str = "text",
@@ -1974,7 +1980,7 @@ def edit_distance_index_write(
     day's accepted strings after the config check. Scale shape: one
     bounded (d+1)-per-row map expansion + three columnar writes;
     queries never re-segment the corpus."""
-    import json
+    from .index_meta import meta_read, meta_write
 
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -1984,18 +1990,27 @@ def edit_distance_index_write(
             f"is the wrong tool; use the shingle/minhash family")
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
     d, k = int(max_dist), int(max_dist) + 1
     meta = {"max_dist": d}
-    mp = _edit_meta_path(path)
-    if mode == "append" and mp is not None:
-        import os
-        if os.path.exists(mp):
-            existing = json.load(open(mp))
-            if existing != meta:
-                raise ValueError(
-                    f"edit_distance_index_write(append): config {meta} "
-                    f"!= index config {existing} — segmentations are "
-                    f"incomparable across max_dist")
+    if mode == "append":
+        existing = meta_read(spark, path, legacy="_edit_meta.json")
+        if existing is None:
+            raise ValueError(
+                f"edit_distance_index_write(append): no readable "
+                f"manifest at {path!r} — cannot confirm the index "
+                f"segmentation width; an append under a mismatched "
+                f"max_dist would mix incomparable segmentations "
+                f"silently. Rebuild with mode='overwrite'")
+        if existing != meta:
+            raise ValueError(
+                f"edit_distance_index_write(append): config {meta} "
+                f"!= index config {existing} — segmentations are "
+                f"incomparable across max_dist")
+    else:
+        # manifest FIRST (r16 ADVICE: no crash window between data
+        # legs and the config they are only valid under)
+        meta_write(spark, path, meta)
     rc = (df.select(F.col(id_col).alias("__rid"),
                     F.col(str_col).alias("__rs"))
           .filter(F.col("__rs").isNotNull()))
@@ -2018,11 +2033,6 @@ def edit_distance_index_write(
     (rc.filter(F.length("__rs") < k)
      .select("__rid", F.length("__rs").alias("__L"))
      .write.mode(mode).parquet(f"{path}/short"))
-    if mp is not None:
-        import os
-        os.makedirs(path.removeprefix("file://"), exist_ok=True)
-        with open(mp, "w") as fh:
-            json.dump(meta, fh)
 
 
 def edit_distance_index_candidates(
@@ -2052,34 +2062,33 @@ def edit_distance_index_candidates(
     expansion; the candidate equi-join shuffles on the segment key
     against the pre-built index — hot segment cells are AQE's job
     (the :func:`edit_distance_join` story)."""
-    import json
+    from .index_meta import meta_read
 
-    mp = _edit_meta_path(path)
-    idx_d = None
-    if mp is not None:
-        import os
-        if os.path.exists(mp):
-            idx_d = int(json.load(open(mp))["max_dist"])
+    spark = new_docs.sparkSession
+    existing = meta_read(spark, path, legacy="_edit_meta.json")
+    if existing is None:
+        # the manifest is PART of the index: without idx_d the stored
+        # segmentation width cannot be enumerated, and guessing it from
+        # the query d would mis-enumerate the segments and yield
+        # near-empty candidates silently (r15 verdict ask #2 / ADVICE)
+        raise ValueError(
+            f"edit_distance_index_candidates: no readable manifest at "
+            f"{path!r} — cannot confirm the index segmentation width; "
+            f"rebuild the index with edit_distance_index_write")
+    idx_d = int(existing["max_dist"])
     if max_dist is None:
-        if idx_d is None:
-            raise ValueError(
-                "edit_distance_index_candidates: no _edit_meta.json at "
-                f"{path!r} and no max_dist given")
         d = idx_d
     else:
         d = int(max_dist)
         if d < 0:
             raise ValueError(f"max_dist must be >= 0, got {d}")
-        if idx_d is not None and d > idx_d:
+        if d > idx_d:
             raise ValueError(
                 f"edit_distance_index_candidates: query max_dist {d} > "
                 f"index max_dist {idx_d} — the stored {idx_d + 1}-way "
                 f"segmentation cannot pigeonhole {d} edits; rebuild the "
                 f"index at the looser threshold")
-    if idx_d is None:
-        idx_d = d
     k = idx_d + 1  # the INDEX segmentation; query tolerances are ±d
-    spark = new_docs.sparkSession
     lc = (new_docs.select(F.col(id_col).alias("__lid"),
                           F.col(str_col).alias("__ls"))
           .filter(F.col("__ls").isNotNull())

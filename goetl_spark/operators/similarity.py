@@ -1731,14 +1731,6 @@ def silhouette_simplified(
                     "mean_silhouette"))
 
 
-def _ann_meta_path(path: str) -> str | None:
-    import os
-
-    if "://" in path and not path.startswith("file://"):
-        return None
-    return os.path.join(path.removeprefix("file://"), "_ann_meta.json")
-
-
 def _ann_check_vectors(df: DataFrame, vec_col: str, id_col: str,
                        dim: int, who: str) -> None:
     """kmeans_fit's dirty-vector rejection applied at the index
@@ -1769,7 +1761,10 @@ def ann_index_write(
     cell and the probe join partition-prunes"). ``overwrite`` fits
     deterministic Lloyd's centroids (:func:`kmeans_fit` — seeded by
     (md5(id), id) order, exact-decimal assignment arithmetic), pins
-    them in ``_ann_meta.json``, and writes the assigned corpus —
+    them in a scheme-agnostic ``_meta`` manifest (a 1-row Spark text
+    leg, operators/index_meta.py — works on any store the cluster
+    can write, unlike the pre-r16 driver-local JSON), and writes the
+    assigned corpus —
     (id, vector, precomputed norm, cell) — PARTITIONED BY cell, so
     every future search reads only its probed cells' files.
     ``append`` assigns a new batch under the FROZEN centroids (the
@@ -1783,28 +1778,26 @@ def ann_index_write(
     + one k·dim collapse), one assign map pass, one partitioned
     columnar write; queries (:func:`ann_index_search`) then never
     touch unprobed cells."""
-    import json
-    import os
+    from .index_meta import meta_read, meta_write
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    mp = _ann_meta_path(path)
-    if mp is None:
-        raise ValueError(
-            f"ann_index_write: only local/file:// paths are supported "
-            f"for the config manifest, got {path!r}")
+    spark = df.sparkSession
     if mode == "overwrite":
         cents = kmeans_fit(df, vec_col, id_col, k=int(k_cells),
                            iterations=int(iterations))
         clist = [cents[j] for j in sorted(cents)]
         meta = {"k_cells": int(k_cells), "iterations": int(iterations),
                 "dim": len(clist[0]), "centroids": clist}
+        # manifest FIRST (no crash window leaving corpus files whose
+        # cell assignment has no pinned centroids)
+        meta_write(spark, path, meta)
     else:
-        if not os.path.exists(mp):
+        meta = meta_read(spark, path, legacy="_ann_meta.json")
+        if meta is None:
             raise ValueError(
-                f"ann_index_write(append): no index at {path!r} — "
-                f"build with mode='overwrite' first")
-        meta = json.load(open(mp))
+                f"ann_index_write(append): no readable manifest at "
+                f"{path!r} — build with mode='overwrite' first")
         clist = meta["centroids"]
         _ann_check_vectors(df, vec_col, id_col, meta["dim"],
                            "ann_index_write(append)")
@@ -1814,15 +1807,13 @@ def ann_index_write(
                norm(F.col(vec_col)).alias("c_norm"),
                assign1(F.col(vec_col)).getItem(0).alias("cell"))
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/corpus"))
-    os.makedirs(path.removeprefix("file://"), exist_ok=True)
-    with open(mp, "w") as fh:
-        json.dump(meta, fh)
 
 
 def ann_index_search(
     queries: DataFrame, path: str,
     k: int = 10, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_batch_rows: int = 100_000,
 ) -> DataFrame:
     """Cosine top-k of a query batch against the persisted
     :func:`ann_index_write` index: (query_id, neighbor_id, cos_sim,
@@ -1840,20 +1831,36 @@ def ann_index_search(
     NULL/ragged query vectors raise loudly. Per batch: one Arrow
     assign pass over the (small) query side, one pruned corpus scan,
     one cell equi-join + Arrow dot kernel, one per-query window
-    top-k."""
-    import json
-    import os
+    top-k.
+
+    The BATCH side is broadcast (the contract: queries are small next
+    to the corpus) — a fact-sized "batch" would otherwise fail as an
+    opaque broadcast OOM, so a cheap ``limit(max_batch_rows+1)``
+    pre-flight RAISES with a clear message instead (r15 verdict ask:
+    the contract is self-enforcing, not a silent resource crash).
+    Raise ``max_batch_rows`` deliberately if your executors' memory
+    budget genuinely allows a larger broadcast, or split the batch /
+    use :func:`ann_join` for fact-vs-fact workloads."""
+    from .index_meta import meta_read
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    mp = _ann_meta_path(path)
-    if mp is None or not os.path.exists(mp):
+    spark = queries.sparkSession
+    meta = meta_read(spark, path, legacy="_ann_meta.json")
+    if meta is None:
         raise ValueError(
-            f"ann_index_search: no _ann_meta.json at {path!r} — build "
-            f"with ann_index_write first")
-    meta = json.load(open(mp))
+            f"ann_index_search: no readable manifest at {path!r} — "
+            f"build with ann_index_write first")
+    n_batch = queries.limit(int(max_batch_rows) + 1).count()
+    if n_batch > int(max_batch_rows):
+        raise ValueError(
+            f"ann_index_search: query batch exceeds max_batch_rows="
+            f"{max_batch_rows} — the batch side is broadcast by "
+            f"contract and a fact-sized batch would OOM the "
+            f"executors; split the batch, raise max_batch_rows "
+            f"deliberately, or use ann_join for fact-vs-fact top-k")
     clist = meta["centroids"]
     _ann_check_vectors(queries, vec_col, id_col, meta["dim"],
                        "ann_index_search")
@@ -1867,7 +1874,6 @@ def ann_index_search(
          .localCheckpoint(eager=True))  # assign once; scanned twice
     probed = sorted(r["_probe_cell"]
                     for r in q.select("_probe_cell").distinct().collect())
-    spark = queries.sparkSession
     c = (spark.read.parquet(f"{path}/corpus")
          .where(F.col("cell").isin(probed)))
     dot_pd = _dot_pandas()

@@ -210,57 +210,69 @@ def retired_oracle_sql() -> dict[str, str]:
 # become hard-mandatory in r16 — recoverable because r15 staging is
 # CAPPED (~5 rows, r14 verdict ask #4): r16 ≈ 30 hard + ~5 staged =
 # ~35 ≤ 50.
+# Round-16 rotation (plan_window.py at r16 start; r15 verdict ask #1):
+# OVER capacity again — 30 hard-mandatory (the r15 deferrals
+# q124-q128, q174-q198) + 47 expiring + 5 staged = 82 candidates for
+# 50 seats. Seats: (a) the 30 hard-mandatory rows; (b) all 5 staged
+# q255-q259, now @register (staged-first policy: never had a driver
+# row; q256/q257 additionally carry this round's NULL-token and
+# manifest-ordering fixes — their first driver rows verify the
+# changed code); (c) the 15 oldest expiring rows plan_window's
+# ordering allows (q01..q52). 30+5+15 = 50 exactly. The 32 deferred
+# expiring rows (q57..q209) become hard-mandatory in r17 —
+# recoverable because r16 staging stays capped (~2 rows):
+# r17 ≈ 32 hard + ~2 staged = ~34 ≤ 50.
 _WINDOW: list[str] = [
-    "q50_dedup_clusters",
-    "q105_histogram",
-    "q106_correlation",
-    "q107_order_priority",
-    "q108_customer_distribution",
-    "q109_top_supplier",
-    "q110_small_quantity_revenue",
-    "q111_dormant_high_value",
-    "q112_resample_gapfill",
-    "q113_rolling_range",
-    "q114_funnel",
-    "q115_cohort_retention",
-    "q117_token_kl",
-    "q118_char_entropy",
-    "q119_cooccurrence",
-    "q120_standardize",
-    "q121_ntile_bins",
-    "q122_market_share",
-    "q123_promo_revenue",
-    "q172_dataset_fingerprint",
-    "q173_dedup_keep_best",
-    "q221_psi_drift",
-    "q223_stream_psi",
-    "q228_roc_auc_by_source",
-    "q229_pr_auc_by_priority",
-    "q230_ndcg_per_lang",
-    "q231_ccf",
-    "q232_edit_distance_join",
-    "q233_calibration_by_priority",
-    "q234_jaccard_join",
-    "q235_ks_drift",
-    "q236_lang_source_association",
-    "q237_regression_eval",
-    "q238_wasserstein_drift",
-    "q239_spearman_value_time",
-    "q240_anova_value_by_type",
-    "q241_user_spend_gini",
-    "q242_annotator_agreement",
-    "q243_source_head_share",
-    "q244_benford_values",
-    "q245_length_targeting_gains",
-    "q246_vocab_richness",
-    "q247_silhouette",
-    "q248_source_mix_entropy",
-    "q249_mcc_length_labelers",
-    "q250_kruskal_wallis",
-    "q251_trimmed_mean_value",
-    "q252_stream_benford",
-    "q253_conversion_ab_test",
-    "q254_source_mix_psi",
+    "q01_pricing_summary",
+    "q05_join_left_nulls",
+    "q06_join_multiway_broadcast",
+    "q11_transform_shaping",
+    "q12_dates",
+    "q17_cdc",
+    "q18_scd2",
+    "q19_scd3",
+    "q20_profile",
+    "q30_text_quality",
+    "q33_dag_runner",
+    "q39_custom_udaf",
+    "q44_quality_gate",
+    "q49_set_ops",
+    "q52_hash_split",
+    "q124_supplier_part_distribution",
+    "q125_disjunctive_revenue",
+    "q126_weighted_sample",
+    "q127_group_winsorize",
+    "q128_cluster_inertia",
+    "q174_bpe_packing",
+    "q175_lsh_index_roundtrip",
+    "q176_simhash_index_roundtrip",
+    "q177_leakage_safe_split",
+    "q178_token_budget_mix",
+    "q179_sq_ann",
+    "q180_holt_trend",
+    "q181_term_blocklist",
+    "q182_url_quality",
+    "q183_holt_stream",
+    "q184_unigram_tokenize",
+    "q185_hll_index",
+    "q186_cusum_drift",
+    "q187_interval_union",
+    "q188_attribution",
+    "q189_triangles",
+    "q190_cusum_stream",
+    "q191_pmi_collocations",
+    "q192_profile_drift",
+    "q193_readability",
+    "q194_rrf_fusion",
+    "q195_fingerprint_diff",
+    "q196_kcore",
+    "q197_textrank",
+    "q198_linear_trend",
+    "q255_multivariate_drift",
+    "q256_jaccard_index",
+    "q257_edit_index",
+    "q258_stream_c2st",
+    "q259_ann_index",
 ]
 
 
@@ -6037,17 +6049,14 @@ ENTRY_QUERY = q01_pricing_summary
 # (q174-q198) were seated at the round-11 rotation (the r10 rotation
 # never ran); the 11 round-13 staged entries (q217-q227) were seated
 # at the round-14 rotation; the 27 round-14 staged entries (q228-q254)
-# were seated at the round-15 rotation. r15 staging is CAPPED at ~5
-# rows (r14 verdict ask #4: r16 already owes 30 hard-mandatory seats;
-# mandatory+staged must stay ≤ 50) — the queue holds exactly 3:
-# q255_multivariate_drift (C2ST, the verdict's multivariate-drift
-# gap), q256_jaccard_index and q257_edit_index (the standing-index
-# variants of both similarity joins, the verdict's other named gap),
-# q258_stream_c2st (q255's streaming twin — the drift family's
-# streaming discipline applied to the multivariate leg), and
-# q259_ann_index (the ANN leg of the standing-index family:
-# partition-pruned persisted IVF). That fills the ~5-row cap.
-# r16 ≈ 30 hard + 5 staged = 35 of 50 seats.
+# were seated at the round-15 rotation; the 5 round-15 staged entries
+# (q255-q259) were seated at the round-16 rotation. r16 staging stays
+# capped small (r17 already owes 32 expiring seats; mandatory+staged
+# must stay ≤ 50) — the queue holds exactly 1: q260_grouped_c2st
+# (classifier_two_sample_test_by, the per-segment multivariate drift
+# leg — r15 verdict ask #3), with a per-source SQL oracle replaying
+# the grouped cross-fitted score chain and Mann-Whitney cumsum.
+# r17 ≈ 32 expiring + 1 staged = 33 of 50 seats.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13008,7 +13017,7 @@ def q254_source_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_psi(a, b, "source").orderBy("cls")
 
 
-@register_staged(
+@register(
     "q255_multivariate_drift",
     """
     WITH t AS (
@@ -13106,7 +13115,7 @@ def q255_multivariate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, ["lang", "source", "len_bin"], "fold")
 
 
-@register_staged(
+@register(
     "q256_jaccard_index",
     """
     WITH d AS (
@@ -13177,7 +13186,7 @@ def q256_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "match_id"))
 
 
-@register_staged(
+@register(
     "q257_edit_index",
     """
     WITH idx AS (
@@ -13236,7 +13245,7 @@ def q257_edit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "match_id"))
 
 
-@register_staged(
+@register(
     "q258_stream_c2st",
     """
     WITH t AS (
@@ -13350,7 +13359,7 @@ def q258_stream_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
                             spark.read.parquet(out), cats)
 
 
-@register_staged(
+@register(
     "q259_ann_index",
     f"""
     WITH q AS (
@@ -13411,3 +13420,114 @@ def q259_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ann_index_search(e.filter(F.col("vec_id") < 20), path,
                              k=5, nprobe=4)
             .orderBy("query_id", "rank"))
+
+
+@register_staged(
+    "q260_grouped_c2st",
+    """
+    WITH t AS (
+        SELECT source, lang,
+               CASE WHEN n_chars IS NULL THEN -1
+                    WHEN n_chars < 500 THEN 0
+                    WHEN n_chars < 2000 THEN 1 ELSE 2 END AS len_bin,
+               CAST((doc_id // 2) % 2 AS INT) AS f,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS y
+        FROM documents
+        WHERE doc_id % 2 = 0 OR source <> 'src3'
+    ),
+    ct AS (
+        SELECT source, lang, len_bin, f, SUM(y) AS s, COUNT(*) AS n
+        FROM t GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT source, f, SUM(s) AS s, SUM(n) AS n
+            FROM ct GROUP BY 1, 2),
+    scored AS (
+        SELECT t.source, t.y,
+               CASE WHEN o.n IS NOT NULL THEN
+                   (COALESCE(c2.s, 0)
+                    + 10.0 * (CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE)))
+                   / (COALESCE(c2.n, 0) + 10.0) END AS score
+        FROM t
+        LEFT JOIN ct c2
+          ON t.source IS NOT DISTINCT FROM c2.source
+         AND t.lang IS NOT DISTINCT FROM c2.lang
+         AND t.len_bin IS NOT DISTINCT FROM c2.len_bin
+         AND c2.f = 1 - t.f
+        LEFT JOIN tot o
+          ON o.source IS NOT DISTINCT FROM t.source AND o.f = 1 - t.f
+    ),
+    g AS (
+        SELECT source, score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT source, score, n, n_pos,
+               COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT source,
+               SUM(n_pos * (2 * cum_before + n + 1)) AS num2,
+               SUM(n_pos) AS np, SUM(n - n_pos) AS nn,
+               SUM(CASE WHEN score IS NULL THEN n ELSE 0 END) AS nullsc
+        FROM c GROUP BY 1
+    )
+    SELECT source,
+           CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+           CASE WHEN nullsc = 0 AND np > 0 AND nn > 0 THEN
+               CAST(num2 - np * (np + 1) AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * np) / nn END AS auc,
+           CASE WHEN nullsc = 0 AND np > 0 AND nn > 0 THEN
+               2.0 * abs(CAST(num2 - np * (np + 1) AS DOUBLE)
+                         / (CAST(2 AS DOUBLE) * np) / nn - 0.5) END
+               AS separability,
+           CASE WHEN nullsc = 0 AND np > 0 AND nn > 0 THEN
+               (CAST(num2 - np * (np + 1) AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+               / sqrt(CAST(nn + np + 1 AS DOUBLE)
+                      / (12.0 * CAST(nn AS DOUBLE)
+                         * CAST(np AS DOUBLE))) END AS z
+    FROM s
+    ORDER BY source
+    """,
+)
+def q260_grouped_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped classifier two-sample test (quality.py::
+    classifier_two_sample_test_by, r15 tests-first, staged r16 per
+    the r15 verdict ask #3 — the per-SEGMENT multivariate drift
+    leg: an aggregate C2ST can read 0.5 while one segment's joint
+    feature mix shifted hard; this answers WHICH source drifted,
+    with the cross-fitted cell-rate classifier fitted independently
+    per source). Fixture: the q255 same-population doc_id%2 halves
+    of documents on (lang, fixed-edge binned n_chars), grouped by
+    source — PLUS a deliberately degenerate segment: side b drops
+    'src3' entirely, so that group is single-class after scoring
+    and must emit (n_a, 0, NULL, NULL, NULL) — the grouped-eval
+    degeneracy convention (roc_auc raises, roc_auc_by yields NULL)
+    exercised in the driver row itself, not just in pytest. The
+    oracle replays the whole thing per segment in SQL: per-group
+    opposite-fold rates, the (s + m*g)/(n + m) score chain, a
+    PARTITION BY source Mann-Whitney cumsum, and the same
+    nullsc/np/nn definedness guards. Exact longs, one IEEE rate
+    division per (group, fold), fixed score chain — hash-exact. At
+    100 TB: one fact pass per side into a (groups x cells x 2)-
+    bounded count table; everything after is bounded joins and the
+    range-partitioned grouped cumsum — never a per-group window
+    over fact rows, never a second fact shuffle."""
+    from goetl_spark.quality import classifier_two_sample_test_by
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.when(F.col("n_chars").isNull(), F.lit(-1))
+         .when(F.col("n_chars") < 500, F.lit(0))
+         .when(F.col("n_chars") < 2000, F.lit(1))
+         .otherwise(F.lit(2)).alias("len_bin"),
+        (F.floor(F.col("doc_id") / 2) % 2).cast("int").alias("fold"))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter((F.col("doc_id") % 2 != 0) & (F.col("source") != "src3"))
+    return (classifier_two_sample_test_by(
+                a, b, ["source"], ["lang", "len_bin"], "fold")
+            .orderBy("source"))

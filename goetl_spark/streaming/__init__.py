@@ -19,9 +19,14 @@ from goetl_spark.streaming.sources import (
     replay_stream_ordered,
     state_partitions,
 )
+from goetl_spark.streaming.indexes import (
+    make_index_appender,
+    stream_index_append,
+)
 
 __all__ = [
     "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
     "rate_stream", "file_stream", "replay_stream", "replay_stream_ordered",
     "append_replay_file", "state_partitions",
+    "stream_index_append", "make_index_appender",
 ]

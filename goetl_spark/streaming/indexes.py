@@ -1,0 +1,131 @@
+"""Streaming appends into the standing indexes — the day-2 legs of
+record_linkage/incremental_ingest made CONTINUOUS (r15 verdict slack
+item (a)): a stream of accepted documents/strings/vectors flows into a
+persisted :mod:`~goetl_spark.operators.dedup` /
+:mod:`~goetl_spark.operators.similarity` standing index via
+``foreachBatch`` → ``*_index_write(mode='append')``, so tomorrow's
+batch pull (``*_index_candidates`` / ``ann_index_search``) sees
+everything accepted up to the last trigger without any corpus-side
+recompute (the indexes' whole point: the rarity sort / segmentation /
+centroid fit stay frozen; each micro-batch pays only its own
+expansion).
+
+Exactly-once discipline — the :func:`~goetl_spark.streaming.warehouse.
+stream_rollup` batch-marker applied to appends: the applied
+``batch_id`` is persisted at ``{path}/_applied_batch_id`` through the
+same scheme-agnostic Hadoop-FS channel as the index manifest
+(operators/index_meta.py), and any batch with ``batch_id <= marker``
+is skipped. That closes the checkpoint-replay window (restart after a
+committed trigger re-delivers the batch; the marker says applied).
+Honest residual window, narrower than at-least-once but wider than
+stream_rollup's atomic swap: a crash BETWEEN a committed leg append
+and the marker write replays that one batch and duplicates its rows —
+appends cannot ride a directory swap without rewriting the whole leg.
+The failure mode is benign for the match semantics (a duplicated
+index row re-emits a TRUE pair; no wrong pair can appear and none can
+be lost) but changes multiplicities: consumers that need exact pair
+multiplicity should ``dropDuplicates()`` the candidate output or
+rebuild the index after a crash inside the window. The config gate
+still holds — every micro-batch append re-validates the manifest, so
+a mis-configured stream fails on its FIRST trigger, loudly.
+
+Bootstrap contract: the index must already exist (build once with
+``mode='overwrite'``); a stream pointed at a missing index fails on
+the first non-empty batch with the writers' missing-manifest error.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from goetl_spark.operators.index_meta import _hadoop_path_fs
+
+_MARKER = "_applied_batch_id"
+
+
+def _marker_read(spark, path: str) -> int | None:
+    try:
+        jvm, jpath, fs = _hadoop_path_fs(spark, f"{path}/{_MARKER}")
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+        return int(bytes(baos.toByteArray()).decode("utf-8").strip())
+    except Exception:
+        return None
+
+
+def _marker_write(spark, path: str, batch_id: int) -> None:
+    _, jpath, fs = _hadoop_path_fs(spark, f"{path}/{_MARKER}")
+    out = fs.create(jpath, True)
+    try:
+        out.write(str(int(batch_id)).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _index_writer(kind: str) -> Callable[..., None]:
+    from goetl_spark.operators import dedup, similarity
+
+    writers = {
+        "lsh": dedup.lsh_index_write,
+        "simhash": dedup.simhash_index_write,
+        "jaccard": dedup.jaccard_index_write,
+        "edit": dedup.edit_distance_index_write,
+        "ann": similarity.ann_index_write,
+    }
+    if kind not in writers:
+        raise ValueError(
+            f"kind must be one of {sorted(writers)}, got {kind!r}")
+    return writers[kind]
+
+
+def make_index_appender(
+    index_path: str, kind: str, **index_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` applier, exposed for direct testing of the
+    marker discipline (the stream_rollup test pattern): skip if
+    ``batch_id <= marker``, append through the index's own writer
+    (manifest re-validated every batch), then advance the marker."""
+    writer = _index_writer(kind)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        last = _marker_read(spark, index_path)
+        if last is not None and batch_id <= last:
+            return
+        writer(batch_df, index_path, mode="append", **index_kwargs)
+        _marker_write(spark, index_path, batch_id)
+
+    return _apply
+
+
+def stream_index_append(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    kind: str,
+    trigger_available_now: bool = True,
+    **index_kwargs,
+) -> StreamingQuery:
+    """Continuously append a stream of accepted records into a
+    standing index. ``kind`` selects the index family (``'lsh'`` /
+    ``'simhash'`` / ``'jaccard'`` / ``'edit'`` / ``'ann'``);
+    ``index_kwargs`` are passed to the family's ``*_index_write``
+    (column names and the config the manifest gate validates — e.g.
+    ``threshold=`` for jaccard, ``max_dist=`` for edit). Scale shape
+    per trigger: exactly the batch append's (the micro-batch pays its
+    own sort/expansion/assign against the frozen corpus state; the
+    standing legs are never rewritten)."""
+    applier = make_index_appender(index_path, kind, **index_kwargs)
+    w = (doc_stream.writeStream.foreachBatch(applier)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

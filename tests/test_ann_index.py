@@ -100,12 +100,12 @@ def test_partition_pruning_receipt(spark, tmp_path):
 def test_validation(spark, tmp_path):
     rows = _clustered()
     path = str(tmp_path / "aidx")
-    with pytest.raises(ValueError, match="no index"):
+    with pytest.raises(ValueError, match="no readable manifest"):
         ann_index_write(_vecs(spark, rows), path, mode="append")
     with pytest.raises(ValueError, match="mode"):
         ann_index_write(_vecs(spark, rows), path, mode="nope")
     ann_index_write(_vecs(spark, rows), path, k_cells=3, iterations=1)
-    with pytest.raises(ValueError, match="no _ann_meta"):
+    with pytest.raises(ValueError, match="no readable manifest"):
         ann_index_search(_vecs(spark, rows), str(tmp_path / "missing"))
     ragged = spark.createDataFrame([(1, [1.0, 2.0]), (2, [1.0])],
                                    "vec_id long, embedding array<float>")

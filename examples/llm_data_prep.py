@@ -164,6 +164,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     first_doc = int(epoch_shuffle(clean, "doc_id", epoch=0)
                     .select("doc_id").first()[0])
 
+    # 8. survivorship-bias C2ST (the q255 multivariate drift leg wired
+    #    into the pipeline, r15 verdict slack item (c)): can a
+    #    cross-fitted cell-rate classifier tell the DROPPED documents
+    #    from the SURVIVORS on (lang, source, binned length)?
+    #    separability ~ 0 says the cascade cut volume without
+    #    reshaping the joint corpus mix; a large |z| flags a biased
+    #    cascade — and classifier_two_sample_test_by over ["source"]
+    #    answers WHICH source the bias lives in. Per-column PSI/KS
+    #    can miss a joint-only shift; this is the multivariate check.
+    from goetl_spark.quality import classifier_two_sample_test
+
+    feats = docs.select(
+        "doc_id", "lang", "source",
+        F.when(F.col("n_chars").isNull(), F.lit(-1))
+         .when(F.col("n_chars") < 500, F.lit(0))
+         .when(F.col("n_chars") < 2000, F.lit(1))
+         .otherwise(F.lit(2)).alias("len_bin"),
+        (F.floor(F.col("doc_id") / 2) % 2).cast("int").alias("fold"))
+    surv = feats.join(clean.select("doc_id"), "doc_id")
+    dropped = feats.join(clean.select("doc_id"), "doc_id", "left_anti")
+    c2st = classifier_two_sample_test(
+        dropped, surv, ["lang", "source", "len_bin"], "fold").collect()[0]
+
     result = {"input_docs": n0, "domains": n_domains,
               "after_domain_cap": n_capped, "url_pass": n_url_pass,
               "after_quality": n1,
@@ -175,7 +198,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
               "unigram_tokens": uni_tokens, "chunks": n4,
               "sentence_chunks": n_sent_chunks,
               "packs_of_256_tokens": n_packs,
-              "epoch0_first_doc": first_doc}
+              "epoch0_first_doc": first_doc,
+              "survivorship_n_dropped": int(c2st["n_a"]),
+              "survivorship_n_kept": int(c2st["n_b"]),
+              "survivorship_separability":
+                  round(float(c2st["separability"]), 6)
+                  if c2st["separability"] is not None else None,
+              "survivorship_z": round(float(c2st["z"]), 6)
+                  if c2st["z"] is not None else None}
     print(f"llm_data_prep: {result}")
     if owns_spark:
         spark.stop()

@@ -1180,11 +1180,12 @@ def lsh_recall_report(
 
 
 def _lsh_meta_read(spark, path: str) -> dict | None:
-    """Index-config manifest reader — the scheme-agnostic Spark text
-    leg at ``{path}/_meta`` (see operators/index_meta.py), with the
-    pre-migration driver-local ``_lsh_meta.json`` as a local-path
-    fallback. Returns None only when no manifest is readable; callers
-    raise in that case rather than skip validation."""
+    """Index-config manifest reader — the scheme-agnostic
+    ``{path}/_meta.json`` written through the Hadoop FileSystem API
+    (see operators/index_meta.py), with the pre-migration
+    driver-local ``_lsh_meta.json`` as a local-path fallback. Returns
+    None only when no manifest is readable; callers raise in that
+    case rather than skip validation."""
     from .index_meta import meta_read
 
     return meta_read(spark, path, legacy="_lsh_meta.json")
@@ -1773,9 +1774,10 @@ def jaccard_index_write(
     by it), ``records/`` (id, rarity-sorted distinct tokens, set
     size — the verify side), ``prefix/`` (tok, id, set size — the
     candidate join keys, |x| − ⌈τ·|x|⌉ + 1 rarest tokens per record),
-    plus a scheme-agnostic ``_meta`` config manifest (a 1-row Spark
-    text leg — see operators/index_meta.py — written BEFORE the data
-    legs so no crash window leaves data without config).
+    plus a scheme-agnostic ``_meta.json`` config manifest (written
+    through the Hadoop FileSystem API — see operators/index_meta.py —
+    BEFORE the data legs so no crash window leaves data without
+    config).
 
     Freezing the rarity order is CORRECT, not a compromise: the
     AllPairs/PPJoin prefix pigeonhole (Bayardo WWW'07; Xiao WWW'08)

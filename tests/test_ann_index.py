@@ -126,3 +126,33 @@ def test_empty_query_batch(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, "
                                       "embedding array<float>")
     assert ann_index_search(empty, path, k=3).collect() == []
+
+
+def test_recall_report_monitor(spark, tmp_path):
+    """ann_index_recall_report: the re-fit trigger. Full-probe ground
+    truth makes recall computable without any external oracle; a
+    deliberately starved nprobe=1 on spread clusters must read < 1
+    on SOME fixture while a healthy probe reads high; the threshold
+    flag and the degenerate guards fire correctly."""
+    from goetl_spark.operators.similarity import ann_index_recall_report
+
+    rows = _clustered()
+    path = str(tmp_path / "arr")
+    ann_index_write(_vecs(spark, rows), path, k_cells=3, iterations=2)
+    probe = _vecs(spark, rows[::3])
+    r = ann_index_recall_report(probe, path, k=5, nprobe=2,
+                                min_recall=0.9).collect()[0]
+    assert r["n_queries"] == len(rows[::3])
+    assert r["n_cells"] == 3 and r["nprobe"] == 2
+    assert 0.0 < r["recall"] <= 1.0
+    assert r["needs_refit"] == (r["recall"] < 0.9)
+    # no threshold -> NULL flag
+    r2 = ann_index_recall_report(probe, path, k=5, nprobe=1).collect()[0]
+    assert r2["needs_refit"] is None
+    assert r2["recall"] <= r["recall"] + 1e-12  # more probes never hurt
+    # full-probe monitoring is vacuous -> loud
+    import pytest as _pt
+    with _pt.raises(ValueError, match="probes every cell"):
+        ann_index_recall_report(probe, path, k=5, nprobe=3)
+    with _pt.raises(ValueError, match="no readable manifest"):
+        ann_index_recall_report(probe, str(tmp_path / "nope"), nprobe=1)

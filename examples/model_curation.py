@@ -88,6 +88,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         F.avg("mrr_at_k").alias("mean_mrr"),
         F.avg("ap_at_k").alias("map_at_k")).collect()[0]
 
+    # 4b) the STANDING retriever + its re-fit trigger (r16): in
+    # production the retriever is a persisted IVF index that accretes
+    # daily appends under FROZEN centroids — build on half the
+    # corpus, append the other half (the day-2 pattern), then monitor
+    # recall at the operating nprobe against the full-probe exact
+    # search. needs_refit is the operational answer to "have the
+    # appends drifted the cells enough that the centroids need
+    # re-fitting?" — the LSH re-band discipline for vectors.
+    from goetl_spark.operators.similarity import (
+        ann_index_recall_report, ann_index_write)
+    from goetl_spark.queries import _scratch
+
+    idx_path = _scratch("example_mc_ann_idx")
+    ann_index_write(emb.filter(F.col("vec_id") % 2 == 0), idx_path,
+                    k_cells=4, iterations=1)
+    ann_index_write(emb.filter(F.col("vec_id") % 2 != 0), idx_path,
+                    mode="append")
+    monitor = ann_index_recall_report(queries, idx_path, k=10,
+                                      nprobe=2,
+                                      min_recall=0.8).collect()[0]
+
     # 5) GRADE the scorer itself on the labeled frame: ranking quality
     # (exact tie-aware AUC) and confidence quality (reliability bins +
     # total ECE) — the eval-suite legs a threshold can't see.
@@ -122,6 +143,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "mean_recall_at_10": float(summary["mean_recall"]),
         "mean_mrr_at_10": float(summary["mean_mrr"]),
         "map_at_10": float(summary["map_at_k"]),
+        "ivf_recall_at_nprobe2": round(float(monitor["recall"]), 6),
+        "ivf_needs_refit": bool(monitor["needs_refit"]),
         "train_auc": float(auc),
         "train_ece": float(ece),
         "gains": gains,

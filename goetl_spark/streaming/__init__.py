@@ -21,6 +21,7 @@ from goetl_spark.streaming.sources import (
 )
 from goetl_spark.streaming.indexes import (
     make_index_appender,
+    reset_index_marker,
     stream_index_append,
 )
 
@@ -29,4 +30,5 @@ __all__ = [
     "rate_stream", "file_stream", "replay_stream", "replay_stream_ordered",
     "append_replay_file", "state_partitions",
     "stream_index_append", "make_index_appender",
+    "reset_index_marker",
 ]

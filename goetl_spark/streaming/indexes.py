@@ -32,6 +32,11 @@ a mis-configured stream fails on its FIRST trigger, loudly.
 Bootstrap contract: the index must already exist (build once with
 ``mode='overwrite'``); a stream pointed at a missing index fails on
 the first non-empty batch with the writers' missing-manifest error.
+Batch ids are scoped to the CHECKPOINT: re-pointing a new stream
+(fresh checkpoint) at an existing index requires
+:func:`reset_index_marker` first, or the restarted ids collide with
+the stale marker and the new stream's first batches are skipped as
+replays.
 """
 from __future__ import annotations
 
@@ -65,6 +70,19 @@ def _marker_write(spark, path: str, batch_id: int) -> None:
         out.write(str(int(batch_id)).encode("utf-8"))
     finally:
         out.close()
+
+
+def reset_index_marker(spark, index_path: str) -> None:
+    """Delete the applied-batch marker — REQUIRED when pointing a NEW
+    stream (fresh checkpoint) at an existing index: Spark's batch ids
+    are scoped to the checkpoint, so a fresh stream restarts at
+    batch_id 0 and a stale marker would make the idempotence skip
+    silently swallow the new stream's first batches. One stream, one
+    checkpoint, one marker — re-pointing means resetting (the same
+    rule stream_rollup's checkpoint-scoped marker lives by)."""
+    _, jpath, fs = _hadoop_path_fs(spark, f"{index_path}/{_MARKER}")
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
 
 
 def _index_writer(kind: str) -> Callable[..., None]:

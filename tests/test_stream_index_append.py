@@ -122,3 +122,77 @@ def test_missing_index_fails_loudly(spark):
         apply_(_docs(spark, CORPUS), batch_id=0)
     with pytest.raises(ValueError, match="kind must be"):
         make_index_appender("/tmp/x", "nope")
+
+
+def test_appender_edit_and_ann_kinds(spark):
+    """The dispatcher's other families: streamed appends into the
+    PassJoin and IVF indexes equal one-shot batch appends (the
+    jaccard law, spot-checked per kind — each writer's own suite
+    pins the deeper exactness)."""
+    from goetl_spark.operators.dedup import (
+        edit_distance_index_candidates, edit_distance_index_write)
+    from goetl_spark.operators.similarity import (
+        ann_index_search, ann_index_write)
+
+    # edit-distance index
+    strs = spark.createDataFrame(
+        [(1, "kitten"), (2, "mitten"), (3, "sitting")],
+        "doc_id long, text string")
+    day2 = spark.createDataFrame(
+        [(11, "bitten"), (12, "sittin")], "doc_id long, text string")
+    es, eb = _scratch("goetl_t_sia_es"), _scratch("goetl_t_sia_eb")
+    for p in (es, eb):
+        edit_distance_index_write(strs, p, max_dist=2)
+    edit_distance_index_write(day2, eb, max_dist=2, mode="append")
+    make_index_appender(es, "edit", max_dist=2)(day2, batch_id=0)
+    batch = spark.createDataFrame([(21, "bitten")],
+                                  "doc_id long, text string")
+
+    def epull(p):
+        return {(r["query_id"], r["match_id"], r["edit_dist"])
+                for r in edit_distance_index_candidates(
+                    batch, p, max_dist=1).collect()}
+
+    assert epull(es) == epull(eb) and (21, 11, 0) in epull(es)
+
+    # IVF index (frozen centroids: append assigns, never re-fits)
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0])
+         for i in range(20)], "vec_id long, embedding array<float>")
+    vday2 = vecs.withColumn("vec_id", F.col("vec_id") + 100)
+    as_, ab = _scratch("goetl_t_sia_as"), _scratch("goetl_t_sia_ab")
+    for p in (as_, ab):
+        ann_index_write(vecs, p, k_cells=3, iterations=1)
+    ann_index_write(vday2, ab, mode="append")
+    make_index_appender(as_, "ann")(vday2, batch_id=0)
+    probe = vecs.limit(4)
+
+    def apull(p):
+        return {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in ann_index_search(probe, p, k=5,
+                                          nprobe=3).collect()}
+
+    assert apull(as_) == apull(ab) and apull(as_)
+
+
+def test_reset_marker_for_new_stream(spark):
+    """Fresh-checkpoint footgun: batch ids restart at 0, so a stale
+    marker would silently swallow the new stream's first batches —
+    reset_index_marker is the documented re-pointing step."""
+    from goetl_spark.streaming.indexes import reset_index_marker
+
+    path = _scratch("goetl_t_sia_reset")
+    jaccard_index_write(_docs(spark, CORPUS), path, "doc_id", "tokens",
+                        threshold=0.8)
+    apply_ = make_index_appender(path, "jaccard", id_col="doc_id",
+                                 tokens_col="tokens", threshold=0.8)
+    apply_(_docs(spark, DAY2), batch_id=5)
+    n = spark.read.parquet(f"{path}/records").count()
+    # a NEW stream restarts at 0: without the reset its batch is lost
+    newday = [(31, ["p", "q"]), (32, ["p", "r"])]
+    apply_(_docs(spark, newday), batch_id=0)
+    assert spark.read.parquet(f"{path}/records").count() == n
+    reset_index_marker(spark, path)
+    assert _marker_read(spark, path) is None
+    apply_(_docs(spark, newday), batch_id=0)
+    assert spark.read.parquet(f"{path}/records").count() == n + 2

@@ -184,8 +184,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         (F.floor(F.col("doc_id") / 2) % 2).cast("int").alias("fold"))
     surv = feats.join(clean.select("doc_id"), "doc_id")
     dropped = feats.join(clean.select("doc_id"), "doc_id", "left_anti")
-    c2st = classifier_two_sample_test(
-        dropped, surv, ["lang", "source", "len_bin"], "fold").collect()[0]
+    n_dropped = dropped.count()
+    # the scalar C2ST raises on an empty snapshot (by contract); a
+    # cascade that dropped nothing has no survivorship question to ask
+    c2st = (classifier_two_sample_test(
+                dropped, surv, ["lang", "source", "len_bin"],
+                "fold").collect()[0]
+            if n_dropped else None)
 
     result = {"input_docs": n0, "domains": n_domains,
               "after_domain_cap": n_capped, "url_pass": n_url_pass,
@@ -199,13 +204,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
               "sentence_chunks": n_sent_chunks,
               "packs_of_256_tokens": n_packs,
               "epoch0_first_doc": first_doc,
-              "survivorship_n_dropped": int(c2st["n_a"]),
-              "survivorship_n_kept": int(c2st["n_b"]),
+              "survivorship_n_dropped": n_dropped,
+              "survivorship_n_kept":
+                  int(c2st["n_b"]) if c2st is not None else None,
               "survivorship_separability":
                   round(float(c2st["separability"]), 6)
-                  if c2st["separability"] is not None else None,
+                  if c2st is not None else None,
               "survivorship_z": round(float(c2st["z"]), 6)
-                  if c2st["z"] is not None else None}
+                  if c2st is not None else None}
     print(f"llm_data_prep: {result}")
     if owns_spark:
         spark.stop()

@@ -1213,6 +1213,8 @@ def lsh_index_write(
     written under a different config are incomparable; a missing
     manifest RAISES rather than skipping the check)."""
     spark = df.sparkSession
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     meta = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
     if mode == "append":
         existing = _lsh_meta_read(spark, path)
@@ -1308,6 +1310,8 @@ def simhash_index_write(
     mismatched (max_hamming, bits) raise at query time, and a missing
     manifest raises rather than skipping the check."""
     spark = df.sparkSession
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     meta = {"max_hamming": max_hamming, "bits": bits}
     if mode == "append":
         existing = _lsh_meta_read(spark, path)
@@ -1797,7 +1801,7 @@ def jaccard_index_write(
     one sort-within-record map pass, three columnar writes; the
     queries (:func:`jaccard_index_candidates`) then skip the corpus
     sort forever."""
-    from .index_meta import meta_read, meta_write
+    from .index_meta import meta_invalidate, meta_read, meta_write
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1822,9 +1826,10 @@ def jaccard_index_write(
                       F.array_distinct(F.col(tokens_col)).alias("__t"))
             .filter(F.col("__t").isNotNull() & (F.size("__t") > 0)))
     if mode == "overwrite":
-        # manifest FIRST (r16 ADVICE: the old write-last ordering left
-        # a crash window where data legs existed without config)
-        meta_write(spark, path, meta)
+        # invalidate-first / commit-last (index_meta.py protocol): a
+        # rebuild crash must never leave a readable manifest over data
+        # legs it does not describe — in either direction
+        meta_invalidate(spark, path)
         toks = (base.select(F.explode("__t").alias("tok"))
                 .filter(F.col("tok").isNotNull())
                 .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
@@ -1836,6 +1841,8 @@ def jaccard_index_write(
                         F.explode(_jaccard_prefix("__t", float(threshold)))
                          .alias("tok")))
     pref.write.mode(mode).parquet(f"{path}/prefix")
+    if mode == "overwrite":
+        meta_write(spark, path, meta)
 
 
 def jaccard_index_candidates(
@@ -1982,7 +1989,7 @@ def edit_distance_index_write(
     day's accepted strings after the config check. Scale shape: one
     bounded (d+1)-per-row map expansion + three columnar writes;
     queries never re-segment the corpus."""
-    from .index_meta import meta_read, meta_write
+    from .index_meta import meta_invalidate, meta_read, meta_write
 
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -2010,9 +2017,8 @@ def edit_distance_index_write(
                 f"!= index config {existing} — segmentations are "
                 f"incomparable across max_dist")
     else:
-        # manifest FIRST (r16 ADVICE: no crash window between data
-        # legs and the config they are only valid under)
-        meta_write(spark, path, meta)
+        # invalidate-first / commit-last (index_meta.py protocol)
+        meta_invalidate(spark, path)
     rc = (df.select(F.col(id_col).alias("__rid"),
                     F.col(str_col).alias("__rs"))
           .filter(F.col("__rs").isNotNull()))
@@ -2035,6 +2041,8 @@ def edit_distance_index_write(
     (rc.filter(F.length("__rs") < k)
      .select("__rid", F.length("__rs").alias("__L"))
      .write.mode(mode).parquet(f"{path}/short"))
+    if mode == "overwrite":
+        meta_write(spark, path, meta)
 
 
 def edit_distance_index_candidates(

@@ -8,8 +8,7 @@ note: goetl has no standing indexes; this is beyond-reference
 surface). The manifests used to be driver-local ``_*.json`` files
 written with ``os.path``, unreadable on object-store paths, so on a
 remote scheme the guards silently never fired (r15 verdict "What's
-wrong" #1) — and they were written AFTER the data legs, leaving a
-crash window where data existed without config (r16 ADVICE).
+wrong" #1).
 
 Now the manifest is ``{path}/_meta.json`` written through the HADOOP
 FILESYSTEM API resolved from the path's own scheme + the cluster
@@ -20,14 +19,26 @@ underscore keeps it invisible to parquet reads of ``path`` (the
 Hadoop hidden-file convention), so the band-partitioned LSH/SimHash
 layouts — whose data lives at the path ROOT — are unaffected.
 
-Ordering + strictness contract: writers with subdir layouts
-(jaccard/edit/ann) emit the manifest BEFORE the data legs, and the
-root-layout writers (LSH/SimHash, whose ``mode='overwrite'``
-truncates the whole path) emit it immediately after; readers RAISE
-when the manifest is unreadable instead of skipping validation —
-either way a crash window now yields a LOUD query-time failure,
-never a silent recall hole. Legacy driver-local manifests are still
-read as a fallback so pre-migration local indexes keep working.
+Crash-safety protocol — INVALIDATE-FIRST / COMMIT-LAST. Writing the
+manifest at either end of an overwrite REBUILD over an existing index
+is unsafe on its own: manifest-first leaves new-config/old-data if
+the build crashes after the manifest (a query that trusts the new
+config mis-reads the old data); manifest-last leaves old-config/
+new-data (the mirror hole — e.g. a loosened tau manifest over
+tightened prefixes silently loses recall). So overwrite builds call
+:func:`meta_invalidate` BEFORE touching any data leg and
+:func:`meta_write` only AFTER every leg landed: each crash window
+then leaves either the intact old index (crash before invalidate) or
+a manifest-less index — and the readers RAISE on a missing manifest
+instead of skipping validation, so that state is LOUD, never a
+silent recall hole. ``meta_invalidate`` also removes the streaming
+append marker (``_applied_batch_id``): an overwrite is a NEW index,
+and a surviving marker would make a new stream's restarted batch ids
+look like replays (silent data loss). The root-layout writers
+(LSH/SimHash, whose ``mode='overwrite'`` truncates the whole path,
+manifest and marker included) get the same protocol from the
+truncation itself. Legacy driver-local manifests are still read as a
+fallback so pre-migration local indexes keep working.
 """
 from __future__ import annotations
 
@@ -37,6 +48,7 @@ import os
 from pyspark.sql import SparkSession
 
 _FILENAME = "_meta.json"
+_MARKER = "_applied_batch_id"
 
 
 def _hadoop_path_fs(spark: SparkSession, path: str):
@@ -47,17 +59,64 @@ def _hadoop_path_fs(spark: SparkSession, path: str):
     return jvm, jpath, fs
 
 
-def meta_write(spark: SparkSession, path: str, meta: dict) -> None:
-    """Persist ``meta`` as ``{path}/_meta.json`` on whatever
-    filesystem the path's scheme resolves to (create-with-overwrite:
-    a single create call, no partial-manifest window)."""
-    payload = json.dumps(meta, sort_keys=True).encode("utf-8")
-    _, jpath, fs = _hadoop_path_fs(spark, f"{path}/{_FILENAME}")
+def file_write_bytes(spark: SparkSession, path: str,
+                     payload: bytes) -> None:
+    """Create-with-overwrite a single small file through the path's
+    own filesystem (one create call, no partial-file window). Shared
+    by the manifest and the streaming append marker."""
+    _, jpath, fs = _hadoop_path_fs(spark, path)
     out = fs.create(jpath, True)
     try:
         out.write(payload)
     finally:
         out.close()
+
+
+def file_read_bytes(spark: SparkSession, path: str) -> bytes | None:
+    """Read a small file through the path's own filesystem. Returns
+    None ONLY when the file does not exist; any other failure
+    (transient store error, permission) RAISES — callers must never
+    confuse "absent" with "unreadable" (an unreadable marker treated
+    as absent would silently re-apply a batch; an unreadable manifest
+    treated as absent is handled loudly by the callers' raise)."""
+    jvm, jpath, fs = _hadoop_path_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both ends even on error
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray())
+
+
+def file_delete(spark: SparkSession, path: str) -> None:
+    _, jpath, fs = _hadoop_path_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
+def meta_write(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist ``meta`` as ``{path}/_meta.json`` — the COMMIT step of
+    an overwrite build (call after every data leg landed)."""
+    payload = json.dumps(meta, sort_keys=True).encode("utf-8")
+    file_write_bytes(spark, f"{path}/{_FILENAME}", payload)
+
+
+def meta_invalidate(spark: SparkSession, path: str) -> None:
+    """The INVALIDATE step of an overwrite build: remove the manifest
+    (and the streaming append marker — an overwrite is a new index)
+    BEFORE touching any data leg, so no crash window can leave a
+    readable manifest describing data it does not match. Also removes
+    the legacy driver-local manifests on local paths."""
+    file_delete(spark, f"{path}/{_FILENAME}")
+    file_delete(spark, f"{path}/{_MARKER}")
+    if not ("://" in path and not path.startswith("file://")):
+        base = path.removeprefix("file://")
+        for legacy in ("_lsh_meta.json", "_jaccard_meta.json",
+                       "_edit_meta.json", "_ann_meta.json"):
+            p = os.path.join(base, legacy)
+            if os.path.exists(p):
+                os.remove(p)
 
 
 def _legacy_read(path: str, legacy: str | None) -> dict | None:
@@ -80,19 +139,15 @@ def meta_read(spark: SparkSession, path: str,
               legacy: str | None = None) -> dict | None:
     """Read the ``{path}/_meta.json`` manifest through the path's own
     filesystem; falls back to the legacy driver-local file for
-    pre-migration local indexes. Returns None when no manifest is
-    readable — CALLERS MUST RAISE in that case rather than skip
-    validation (a skipped direction guard is a silent recall hole;
-    r15 verdict ask #2)."""
-    try:
-        jvm, jpath, fs = _hadoop_path_fs(spark, f"{path}/{_FILENAME}")
-        if fs.exists(jpath):
-            stream = fs.open(jpath)
-            baos = jvm.java.io.ByteArrayOutputStream()
-            # copyBytes(close=True) closes both ends even on error
-            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-                stream, baos, 4096, True)
-            return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
-    except Exception:
-        return None
+    pre-migration local indexes. Returns None when no manifest
+    exists (or the payload is not valid JSON) — CALLERS MUST RAISE in
+    that case rather than skip validation (a skipped direction guard
+    is a silent recall hole; r15 verdict ask #2). Transient
+    filesystem errors propagate — also loud."""
+    data = file_read_bytes(spark, f"{path}/{_FILENAME}")
+    if data is not None:
+        try:
+            return json.loads(data.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return None
     return _legacy_read(path, legacy)

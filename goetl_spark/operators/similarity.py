@@ -1778,7 +1778,7 @@ def ann_index_write(
     + one k·dim collapse), one assign map pass, one partitioned
     columnar write; queries (:func:`ann_index_search`) then never
     touch unprobed cells."""
-    from .index_meta import meta_read, meta_write
+    from .index_meta import meta_invalidate, meta_read, meta_write
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -1789,9 +1789,11 @@ def ann_index_write(
         clist = [cents[j] for j in sorted(cents)]
         meta = {"k_cells": int(k_cells), "iterations": int(iterations),
                 "dim": len(clist[0]), "centroids": clist}
-        # manifest FIRST (no crash window leaving corpus files whose
-        # cell assignment has no pinned centroids)
-        meta_write(spark, path, meta)
+        # invalidate-first / commit-last (index_meta.py protocol): a
+        # rebuild crash must never leave new centroids pinned over an
+        # old corpus's cell assignments (or vice versa) — searches
+        # would partition-prune against the WRONG cells silently
+        meta_invalidate(spark, path)
     else:
         meta = meta_read(spark, path, legacy="_ann_meta.json")
         if meta is None:
@@ -1807,6 +1809,8 @@ def ann_index_write(
                norm(F.col(vec_col)).alias("c_norm"),
                assign1(F.col(vec_col)).getItem(0).alias("cell"))
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/corpus"))
+    if mode == "overwrite":
+        meta_write(spark, path, meta)
 
 
 def ann_index_search(
@@ -1956,7 +1960,16 @@ def ann_index_recall_report(
         F.avg(F.col("__n_hit").cast("double") / F.col("__n_exact"))
          .alias("recall")).collect()[0])
     n_q = int(row["n_queries"])
-    recall = float(row["recall"]) if n_q else 1.0
+    if n_q == 0:
+        # a monitor must never report healthy on zero evidence — an
+        # accidentally-empty probe batch (or an empty index corpus)
+        # would otherwise read recall=1.0 / needs_refit=False forever
+        raise ValueError(
+            "ann_index_recall_report: the probe produced no scored "
+            "queries (empty probe batch, or an empty index corpus) — "
+            "fix the probe selection; a health check with zero "
+            "evidence must fail loudly")
+    recall = float(row["recall"])
     needs = None if min_recall is None else bool(recall < min_recall)
     return queries.sparkSession.createDataFrame(
         [(n_q, int(k), int(nprobe), int(n_cells), recall, needs)],

@@ -45,31 +45,29 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from goetl_spark.operators.index_meta import _hadoop_path_fs
-
-_MARKER = "_applied_batch_id"
+from goetl_spark.operators.index_meta import (
+    _MARKER,
+    file_delete,
+    file_read_bytes,
+    file_write_bytes,
+)
 
 
 def _marker_read(spark, path: str) -> int | None:
-    try:
-        jvm, jpath, fs = _hadoop_path_fs(spark, f"{path}/{_MARKER}")
-        if not fs.exists(jpath):
-            return None
-        stream = fs.open(jpath)
-        baos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
-        return int(bytes(baos.toByteArray()).decode("utf-8").strip())
-    except Exception:
+    """None means THE MARKER DOES NOT EXIST (fresh index/stream) and
+    nothing else: a transient store error or a corrupt marker RAISES
+    (file_read_bytes' contract) — treating "unreadable" as "never
+    applied" would silently re-append a batch, the exact duplicate
+    the marker exists to prevent."""
+    data = file_read_bytes(spark, f"{path}/{_MARKER}")
+    if data is None:
         return None
+    return int(data.decode("utf-8").strip())
 
 
 def _marker_write(spark, path: str, batch_id: int) -> None:
-    _, jpath, fs = _hadoop_path_fs(spark, f"{path}/{_MARKER}")
-    out = fs.create(jpath, True)
-    try:
-        out.write(str(int(batch_id)).encode("utf-8"))
-    finally:
-        out.close()
+    file_write_bytes(spark, f"{path}/{_MARKER}",
+                     str(int(batch_id)).encode("utf-8"))
 
 
 def reset_index_marker(spark, index_path: str) -> None:
@@ -79,10 +77,11 @@ def reset_index_marker(spark, index_path: str) -> None:
     batch_id 0 and a stale marker would make the idempotence skip
     silently swallow the new stream's first batches. One stream, one
     checkpoint, one marker — re-pointing means resetting (the same
-    rule stream_rollup's checkpoint-scoped marker lives by)."""
-    _, jpath, fs = _hadoop_path_fs(spark, f"{index_path}/{_MARKER}")
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
+    rule stream_rollup's checkpoint-scoped marker lives by). An
+    overwrite REBUILD of the index resets automatically
+    (index_meta.meta_invalidate removes the marker with the
+    manifest)."""
+    file_delete(spark, f"{index_path}/{_MARKER}")
 
 
 def _index_writer(kind: str) -> Callable[..., None]:

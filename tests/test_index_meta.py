@@ -17,7 +17,8 @@ Pins three contracts:
    tokens are dropped before sizing/sorting, so a pair whose prefixes
    used to share only an unmatchable NULL key is found again.
 3. ann_index_search's fact-sized-batch guard — the broadcast contract
-   fails loudly via the limit() pre-flight, not as an executor OOM.
+   fails loudly via the batch count that rides the probe-set
+   aggregate (zero extra jobs), not as an executor OOM.
 """
 from __future__ import annotations
 
@@ -140,24 +141,57 @@ def test_lsh_simhash_raise_without_manifest(spark, tmp_path):
         simhash_index_write(docs, sp, max_hamming=4, mode="append")
 
 
-def test_manifest_written_before_data_legs(spark, tmp_path):
-    """The subdir-layout writers emit the manifest FIRST (r16 ADVICE:
-    the old write-last ordering left a crash window where data legs
-    existed without the config they are only valid under)."""
-    path = str(tmp_path / "jmeta_first")
-    corpus = _docs(spark, [(1, ["a", "b", "c"])])
+def test_rebuild_crash_leaves_no_mismatched_manifest(spark, tmp_path,
+                                                     monkeypatch):
+    """Invalidate-first / commit-last: a REBUILD that crashes between
+    the data legs must leave NO readable manifest — in either crash
+    direction a surviving manifest would describe data it does not
+    match (new tau over old prefixes loses recall silently; old tau
+    over new shorter prefixes does too). With the manifest gone the
+    readers raise, so the half-rebuilt index is LOUD."""
+    import goetl_spark.operators.dedup as dd
 
-    # simulate the crash: make the records leg unwritable after the
-    # manifest would land, by intercepting the tokens write? Simpler
-    # and just as binding: assert the manifest exists even when a
-    # LATER leg write fails (empty-schema corpus triggers an analysis
-    # error in the explode), so a half-written index fails LOUDLY at
-    # query time on missing data, never silently on missing config.
-    try:
-        jaccard_index_write(corpus.limit(0), path, threshold=0.5)
-    except Exception:
-        pass
+    path = str(tmp_path / "jrebuild")
+    corpus = _docs(spark, [(1, ["a", "b", "c"]), (2, ["a", "b", "d"])])
+    jaccard_index_write(corpus, path, threshold=0.8)
+    assert meta_read(spark, path) == {"threshold": 0.8}
+
+    # crash the rebuild mid-data: fail inside the per-record sort leg
+    def boom(*a, **k):
+        raise RuntimeError("injected rebuild crash")
+
+    monkeypatch.setattr(dd, "_jaccard_sorted", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        jaccard_index_write(corpus, path, threshold=0.5)
+    monkeypatch.undo()
+    # the OLD manifest was invalidated before any leg was touched and
+    # the new one never committed -> queries raise instead of trusting
+    # a config that may not match the on-disk legs
+    assert meta_read(spark, path) is None
+    with pytest.raises(ValueError, match="no readable manifest"):
+        jaccard_index_candidates(_docs(spark, [(9, ["a", "b"])]), path)
+    # a completed rebuild recommits and recovers
+    jaccard_index_write(corpus, path, threshold=0.5)
     assert meta_read(spark, path) == {"threshold": 0.5}
+
+
+def test_overwrite_rebuild_resets_stream_marker(spark, tmp_path):
+    """meta_invalidate removes the streaming append marker with the
+    manifest: an overwrite is a NEW index, and a stale marker would
+    make a new stream's restarted batch ids look like replays (the
+    subdir layouts don't truncate the path, so the reset must be
+    explicit)."""
+    from goetl_spark.streaming.indexes import (
+        _marker_read, make_index_appender)
+
+    path = str(tmp_path / "jmarker")
+    corpus = _docs(spark, [(1, ["a", "b", "c"])])
+    jaccard_index_write(corpus, path, threshold=0.8)
+    make_index_appender(path, "jaccard", threshold=0.8)(
+        _docs(spark, [(11, ["a", "c"])]), batch_id=7)
+    assert _marker_read(spark, path) == 7
+    jaccard_index_write(corpus, path, threshold=0.8)  # rebuild
+    assert _marker_read(spark, path) is None
 
 
 # --- contract 2: NULL elements inside token arrays -------------------------

@@ -206,7 +206,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
               "epoch0_first_doc": first_doc,
               "survivorship_n_dropped": n_dropped,
               "survivorship_n_kept":
-                  int(c2st["n_b"]) if c2st is not None else None,
+                  int(c2st["n_b"]) if c2st is not None else n3b,
               "survivorship_separability":
                   round(float(c2st["separability"]), 6)
                   if c2st is not None else None,

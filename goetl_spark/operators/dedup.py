@@ -1191,12 +1191,6 @@ def _lsh_meta_read(spark, path: str) -> dict | None:
     return meta_read(spark, path, legacy="_lsh_meta.json")
 
 
-def _lsh_meta_write(spark, path: str, meta: dict) -> None:
-    from .index_meta import meta_write
-
-    meta_write(spark, path, meta)
-
-
 def lsh_index_write(
     df: DataFrame, path: str,
     text_col: str = "text", id_col: str = "doc_id",
@@ -1227,13 +1221,24 @@ def lsh_index_write(
             raise ValueError(
                 f"lsh_index_write(append): config {meta} != index config "
                 f"{existing} — band hashes are incomparable across configs")
-    bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
-    bands.write.mode(mode).partitionBy("band").parquet(path)
+    from .index_meta import meta_invalidate, meta_write
+
     if mode == "overwrite":
-        # root-layout index: the data overwrite truncates `path`, so the
-        # manifest goes right after; a crash in between now fails LOUDLY
-        # at query time (readers raise on a missing manifest)
-        _lsh_meta_write(spark, path, meta)
+        # invalidate-first / commit-last, same as the subdir layouts:
+        # the truncating overwrite is NOT a substitute — under
+        # spark.sql.sources.partitionOverwriteMode=dynamic the root
+        # files (manifest, stream marker) would survive the data
+        # rewrite, leaving a readable old config over new bands and a
+        # stale marker that swallows a new stream's batch ids. The
+        # per-write static option below also pins full truncation
+        # regardless of the session default (stale band partitions
+        # from a smaller rebuild corpus must not survive either).
+        meta_invalidate(spark, path)
+    bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
+    (bands.write.mode(mode).option("partitionOverwriteMode", "static")
+     .partitionBy("band").parquet(path))
+    if mode == "overwrite":
+        meta_write(spark, path, meta)
 
 
 def lsh_index_candidates(
@@ -1324,10 +1329,17 @@ def simhash_index_write(
             raise ValueError(
                 f"simhash_index_write(append): config {meta} != index "
                 f"config {existing} — band keys are incomparable")
-    rows = simhash_band_rows(df, text_col, id_col, max_hamming, bits)
-    rows.write.mode(mode).partitionBy("band").parquet(path)
+    from .index_meta import meta_invalidate, meta_write
+
     if mode == "overwrite":
-        _lsh_meta_write(spark, path, meta)
+        # invalidate-first / commit-last (see lsh_index_write: dynamic
+        # partition-overwrite would leave root files + stale bands)
+        meta_invalidate(spark, path)
+    rows = simhash_band_rows(df, text_col, id_col, max_hamming, bits)
+    (rows.write.mode(mode).option("partitionOverwriteMode", "static")
+     .partitionBy("band").parquet(path))
+    if mode == "overwrite":
+        meta_write(spark, path, meta)
 
 
 def simhash_index_candidates(
@@ -1779,9 +1791,11 @@ def jaccard_index_write(
     size — the verify side), ``prefix/`` (tok, id, set size — the
     candidate join keys, |x| − ⌈τ·|x|⌉ + 1 rarest tokens per record),
     plus a scheme-agnostic ``_meta.json`` config manifest (written
-    through the Hadoop FileSystem API — see operators/index_meta.py —
-    BEFORE the data legs so no crash window leaves data without
-    config).
+    through the Hadoop FileSystem API under the invalidate-first /
+    commit-last protocol — see operators/index_meta.py: the old
+    manifest is removed before any data leg is touched and the new
+    one commits only after every leg landed, so no rebuild-crash
+    window leaves a readable config over data it does not match).
 
     Freezing the rarity order is CORRECT, not a compromise: the
     AllPairs/PPJoin prefix pigeonhole (Bayardo WWW'07; Xiao WWW'08)

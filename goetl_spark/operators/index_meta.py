@@ -82,7 +82,15 @@ def file_read_bytes(spark: SparkSession, path: str) -> bytes | None:
     jvm, jpath, fs = _hadoop_path_fs(spark, path)
     if not fs.exists(jpath):
         return None
-    stream = fs.open(jpath)
+    try:
+        stream = fs.open(jpath)
+    except Exception as e:  # exists()/open() TOCTOU: a concurrent
+        # rebuild's meta_invalidate can delete between the two calls —
+        # a genuinely-absent file must return None per the contract,
+        # not surface as an opaque Java error
+        if "FileNotFoundException" in str(e):
+            return None
+        raise
     baos = jvm.java.io.ByteArrayOutputStream()
     # copyBytes(close=True) closes both ends even on error
     jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)

@@ -258,3 +258,40 @@ def test_ann_search_batch_size_guard(spark, tmp_path):
     # at the documented cap the search is unchanged
     assert ann_index_search(df, path, k=3,
                             max_batch_rows=30).count() > 0
+
+
+def test_lsh_rebuild_safe_under_dynamic_partition_overwrite(spark,
+                                                            tmp_path):
+    """The root-layout writers cannot rely on overwrite truncation:
+    under spark.sql.sources.partitionOverwriteMode=dynamic only the
+    written band partitions are replaced — the per-write static
+    option pins full truncation (stale bands from a smaller rebuild
+    corpus must not survive), and meta_invalidate resets the stream
+    marker + manifest regardless of the session default."""
+    from goetl_spark.streaming.indexes import (
+        _marker_read, make_index_appender)
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"the quick brown fox jumps over dog {i}")
+             for i in range(8)], "doc_id long, text string")
+        path = str(tmp_path / "ldyn")
+        lsh_index_write(docs, path)
+        make_index_appender(path, "lsh")(
+            docs.withColumn("doc_id", docs.doc_id + 50), batch_id=9)
+        assert _marker_read(spark, path) == 9
+        n_full = spark.read.parquet(path).count()
+        # rebuild on a SMALLER corpus: stale bands + marker must go
+        lsh_index_write(docs.filter("doc_id < 2"), path)
+        assert _marker_read(spark, path) is None
+        assert meta_read(spark, path) is not None  # committed last
+        n_small = spark.read.parquet(path).count()
+        assert n_small < n_full
+        ids = {r["doc_id"] for r in
+               spark.read.parquet(path).select("doc_id").collect()}
+        assert ids == {0, 1}  # no stale rows survived the rebuild
+    finally:
+        spark.conf.set(key, old)

@@ -105,9 +105,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
     accepted = no_exact.join(drop_ids, "doc_id", "left_anti")
     n_near_dropped = no_exact.count() - accepted.count()
 
-    # 3. append accepted docs to the corpus AND the index
+    # 3. append accepted docs to the corpus AND the index — as a
+    #    STREAM (r16): in production the accepted docs arrive
+    #    continuously, so the index append runs through
+    #    stream_index_append (foreachBatch -> lsh_index_write(append)
+    #    behind the batch-id idempotence marker) instead of a one-shot
+    #    batch call; by the frozen-order append law the resulting
+    #    index is identical either way
+    from goetl_spark.streaming.indexes import stream_index_append
+    from goetl_spark.streaming.sources import replay_stream
+
     accepted.write.mode("append").parquet(corpus_path)
-    lsh_index_write(accepted, idx_path, mode="append")
+    accepted_stream = replay_stream(
+        accepted, num_chunks=2, dir=f"{workdir}/replay")
+    sq = stream_index_append(
+        accepted_stream, idx_path, f"{workdir}/ckpt", "lsh")
+    try:
+        sq.awaitTermination()
+    finally:
+        sq.stop()
     n_final = spark.read.parquet(corpus_path).count()
 
     result = {"corpus_day1": n_corpus, "batch": n_batch,

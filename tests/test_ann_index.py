@@ -156,3 +156,51 @@ def test_recall_report_monitor(spark, tmp_path):
         ann_index_recall_report(probe, path, k=5, nprobe=3)
     with _pt.raises(ValueError, match="no readable manifest"):
         ann_index_recall_report(probe, str(tmp_path / "nope"), nprobe=1)
+
+
+def test_recall_report_against_numpy_reference(spark, tmp_path):
+    """Adjudication-style probe: recompute recall-at-nprobe entirely
+    outside Spark (numpy cosine + the same argmin-probe assignment
+    read from the index manifest) and demand the report's number to
+    1e-12 — guards the hit-join/grouping arithmetic, not just its
+    shape."""
+    import numpy as np
+
+    from goetl_spark.operators.index_meta import meta_read
+    from goetl_spark.operators.similarity import ann_index_recall_report
+
+    rows = _clustered()
+    path = str(tmp_path / "aref")
+    ann_index_write(_vecs(spark, rows), path, k_cells=3, iterations=2)
+    probe_rows = rows[::2]
+    got = ann_index_recall_report(_vecs(spark, probe_rows), path,
+                                  k=4, nprobe=1).collect()[0]
+
+    cents = np.array(meta_read(spark, path)["centroids"])
+    corpus = {i: np.array(v, dtype=np.float64) for i, v in rows}
+
+    def topk(qid, qv, cells):
+        scored = []
+        for nid, nv in corpus.items():
+            if nid == qid:
+                continue
+            cell = int(np.argmin(((cents - nv) ** 2).sum(axis=1)))
+            if cells is not None and cell not in cells:
+                continue
+            cos = float(nv @ qv / (np.linalg.norm(nv)
+                                   * np.linalg.norm(qv)))
+            scored.append((-cos, nid))
+        return [nid for _, nid in sorted(scored)[:4]]
+
+    recalls = []
+    for qid, qv in probe_rows:
+        qv = np.array(qv, dtype=np.float64)
+        probe_cell = int(np.argmin(((cents - qv) ** 2).sum(axis=1)))
+        exact = topk(qid, qv, None)
+        approx = set(topk(qid, qv, {probe_cell}))
+        if exact:
+            recalls.append(len([n for n in exact if n in approx])
+                           / len(exact))
+    want = sum(recalls) / len(recalls)
+    assert got["n_queries"] == len(probe_rows)
+    assert abs(got["recall"] - want) < 1e-12

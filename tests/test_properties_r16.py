@@ -124,3 +124,47 @@ def test_streamed_appends_equal_oneshot_any_chunking(
     for bid, ch in enumerate(chunks):
         apply_(ch, batch_id=bid)
     assert pull() == want
+
+
+_strings = st.lists(st.text(alphabet="abcd", min_size=0, max_size=6),
+                    min_size=1, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(_strings, _strings, st.integers(min_value=0, max_value=2),
+       st.integers(min_value=1, max_value=3))
+def test_streamed_edit_appends_equal_oneshot(spark, tmp_path_factory,
+                                             corpus, day2, d, n_chunks):
+    """The jaccard chunking-invariance law for the PassJoin index:
+    streamed micro-batch appends of random short strings equal the
+    one-shot edit_distance_join over built+streamed corpus, at the
+    index's own d AND at a tighter query d."""
+    from goetl_spark.operators.dedup import (
+        edit_distance_index_candidates, edit_distance_index_write,
+        edit_distance_join)
+    from goetl_spark.streaming.indexes import make_index_appender
+
+    def docs(rows, base):
+        return spark.createDataFrame(
+            [(base + i, t) for i, t in enumerate(rows)],
+            "doc_id long, text string")
+
+    build, stream = docs(corpus, 0), docs(day2, 1000)
+    batch = docs(corpus[: max(1, len(corpus) // 2)], 2000)
+    path = str(tmp_path_factory.mktemp("sie")) + "/idx"
+    edit_distance_index_write(build, path, max_dist=d)
+    apply_ = make_index_appender(path, "edit", max_dist=d)
+    for bid in range(n_chunks):
+        apply_(stream.filter(f"doc_id % {n_chunks} = {bid}"),
+               batch_id=bid)
+    full = (build.unionByName(stream)
+            .selectExpr("doc_id AS r_id", "text"))
+    for dq in {0, d}:
+        got = {(r["query_id"], r["match_id"], r["edit_dist"])
+               for r in edit_distance_index_candidates(
+                   batch, path, max_dist=dq).collect()}
+        want = {(r["doc_id"], r["r_id"], r["edit_dist"])
+                for r in edit_distance_join(
+                    batch, full, "doc_id", "text", "r_id", "text",
+                    max_dist=dq).collect()}
+        assert got == want

@@ -6052,11 +6052,15 @@ ENTRY_QUERY = q01_pricing_summary
 # were seated at the round-15 rotation; the 5 round-15 staged entries
 # (q255-q259) were seated at the round-16 rotation. r16 staging stays
 # capped small (r17 already owes 32 expiring seats; mandatory+staged
-# must stay ≤ 50) — the queue holds exactly 1: q260_grouped_c2st
+# must stay ≤ 50) — the queue holds exactly 3: q260_grouped_c2st
 # (classifier_two_sample_test_by, the per-segment multivariate drift
-# leg — r15 verdict ask #3), with a per-source SQL oracle replaying
-# the grouped cross-fitted score chain and Mann-Whitney cumsum.
-# r17 ≈ 32 expiring + 1 staged = 33 of 50 seats.
+# leg — r15 verdict ask #3, with a per-source SQL oracle replaying
+# the grouped cross-fitted score chain and Mann-Whitney cumsum),
+# q261_stream_index_append (streaming appends into the standing
+# Jaccard index vs the naive all-pairs oracle — r15 slack item (a)),
+# and q262_two_monitor_c2st (BOTH snapshots streamed through
+# independent monitors and composed — the streaming C2ST leg q258
+# leaves un-seated). r17 ≈ 32 expiring + 3 staged = 35 of 50 seats.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13610,3 +13614,119 @@ def q261_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (jaccard_index_candidates(
                 d.filter(F.col("doc_id") % 20 == 9), path, "doc_id", "w")
             .orderBy("query_id", "match_id"))
+
+
+@register_staged(
+    "q262_two_monitor_c2st",
+    """
+    WITH t AS (
+        SELECT event_type,
+               CASE WHEN value IS NULL THEN -1
+                    WHEN value < CAST('50.0' AS DOUBLE) THEN 0
+                    WHEN value < CAST('150.0' AS DOUBLE) THEN 1
+                    WHEN value < CAST('300.0' AS DOUBLE) THEN 2
+                    ELSE 3 END AS vbin,
+               CAST((event_id // 2) % 2 AS INT) AS f,
+               CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS y
+        FROM events
+    ),
+    ct AS (
+        SELECT event_type, vbin, f, SUM(y) AS s, COUNT(*) AS n
+        FROM t GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT f, SUM(s) AS s, SUM(n) AS n FROM ct GROUP BY 1),
+    scored AS (
+        SELECT t.y,
+               (COALESCE(c2.s, 0)
+                + 10.0 * (CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE)))
+               / (COALESCE(c2.n, 0) + 10.0) AS score
+        FROM t
+        LEFT JOIN ct c2
+          ON t.event_type IS NOT DISTINCT FROM c2.event_type
+         AND t.vbin = c2.vbin
+         AND c2.f = 1 - t.f
+        JOIN tot o ON o.f = 1 - t.f
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    c AS (
+        SELECT n, n_pos,
+               COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT SUM(n_pos * (2 * cum_before + n + 1)) AS num2,
+               SUM(n_pos) AS np, SUM(n - n_pos) AS nn, SUM(n) AS nt
+        FROM c
+    )
+    SELECT CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+           CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn AS auc,
+           2.0 * abs(CAST(num2 - np * (np + 1) AS DOUBLE)
+                     / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+               AS separability,
+           (CAST(num2 - np * (np + 1) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+           / sqrt(CAST(nn + np + 1 AS DOUBLE)
+                  / (12.0 * CAST(nn AS DOUBLE) * CAST(np AS DOUBLE)))
+               AS z
+    FROM s
+    """,
+)
+def q262_two_monitor_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-monitor streaming C2ST topology (streaming/quality.py::
+    stream_c2st_monitor × 2 + quality.py::c2st_from_counts, staged
+    r16 — the r15 verdict named this the un-seated leg of the
+    streaming C2ST: q258 streams only the CURRENT side against a
+    batch-fitted reference; the full continuous-monitoring topology
+    streams BOTH snapshots through independent monitors with
+    DIFFERENT chunkings and composes the two standing count tables
+    at read time). The event_id%4 split of events on (event_type ×
+    fixed-bin value): the %4==0 reference replays as 2 time-ordered
+    micro-batches into one standing table, the %4!=0 current side as
+    3 into another, and c2st_from_counts composes them into the
+    auc/separability/Mann-Whitney-z readout. The twin contract is
+    the oracle: each standing table equals cell_fold_counts of its
+    own side no matter how history was chopped, so the composed
+    readout is bit-exact to the direct batch C2ST the SQL replays.
+    At 100 TB: per trigger each monitor pays one batch-sized map +
+    cells-sized merge; compose cost is two cells-bounded reads —
+    drift between ANY two monitored snapshots is a join of their
+    standing tables, never a rescan of either history."""
+    from goetl_spark.quality import c2st_from_counts
+    from goetl_spark.streaming.quality import stream_c2st_monitor
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.when(F.col("value").isNull(), F.lit(-1))
+         .when(F.col("value") < 50.0, F.lit(0))
+         .when(F.col("value") < 150.0, F.lit(1))
+         .when(F.col("value") < 300.0, F.lit(2))
+         .otherwise(F.lit(3)).alias("vbin"),
+        (F.floor(F.col("event_id") / 2) % 2).cast("int").alias("fold"))
+    cats = ["event_type", "vbin"]
+    outs = []
+    for side, chunks, df in (
+            ("ref", 2, e.filter(F.col("event_id") % 4 == 0)),
+            ("cur", 3, e.filter(F.col("event_id") % 4 != 0))):
+        stream, _ = replay_stream_ordered(
+            df, "ts", num_chunks=chunks,
+            dir=_scratch(f"goetl_q262_replay_{side}"))
+        out = _scratch(f"goetl_q262_counts_{side}")
+        import shutil as _sh
+        _sh.rmtree(out, ignore_errors=True)
+        q = stream_c2st_monitor(stream, out, cats, "fold",
+                                _scratch(f"goetl_q262_ckpt_{side}"))
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        outs.append(out)
+    return c2st_from_counts(spark.read.parquet(outs[0]),
+                            spark.read.parquet(outs[1]), cats)

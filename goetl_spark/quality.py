@@ -1829,13 +1829,34 @@ def classifier_two_sample_test_by(
     ct = (tagged.groupBy(*groups, *cats, "__f")
           .agg(F.sum("__y").alias("__s"), F.count(F.lit(1)).alias("__n"))
           .localCheckpoint(eager=True))  # bounded; scanned four times
+    _c2st_by_check_folds(ct, "classifier_two_sample_test_by", fold_col)
+    return _c2st_by_from_ct(ct, groups, cats, m)
+
+
+def _c2st_by_check_folds(ct: DataFrame, who: str, fold_col: str) -> None:
     bad = sorted((r["__f"] for r in ct.select("__f").distinct().collect()
                   if r["__f"] not in (0, 1)), key=str)
     if bad:
         raise ValueError(
-            f"classifier_two_sample_test_by: {fold_col!r} must be 0 or "
+            f"{who}: {fold_col!r} must be 0 or "
             f"1, got {bad[:5]} — compute the fold upstream "
             f"(e.g. (id DIV 2) % 2)")
+
+
+def _c2st_by_from_ct(ct: DataFrame, groups: list, cats: list,
+                     m: float) -> DataFrame:
+    """The grouped-C2ST compare machinery over a bounded
+    (groups × cells × fold) count table ``ct`` with columns
+    (*groups, *cats, __f, __s, __n) — shared bit-identically by
+    :func:`classifier_two_sample_test_by` (which builds ``ct`` from
+    the fact frames) and :func:`c2st_from_counts_by` (which builds it
+    from two :func:`cell_fold_counts` tables — the streaming-twin
+    compose half, grouped). Everything here is bounded: per-(group,
+    fold) totals, flipped self-joins, the roc_auc_by cumsum over the
+    (groups, score) collapse."""
+    from goetl_spark.operators.classifier import _group_offset_join
+    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+
     # per-(group, fold) totals -> the OPPOSITE fold's base rate, per
     # group (one IEEE division of exact longs; NULL when the opposite
     # fold is empty in that group — the degeneracy marker)
@@ -1897,3 +1918,49 @@ def classifier_two_sample_test_by(
         nn.cast("long").alias("n_a"),
         np_.cast("long").alias("n_b"),
         auc.alias("auc"), sep.alias("separability"), z.alias("z"))
+
+
+def c2st_from_counts_by(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    group_cols: Sequence[str],
+    cat_cols: Sequence[str],
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Grouped C2ST from two pre-aggregated :func:`cell_fold_counts`
+    tables keyed by ``(group_cols..., cat_cols..., __f)`` — the
+    compare half of :func:`classifier_two_sample_test_by`, completing
+    the C2ST matrix (scalar/grouped × batch/streamed): run two
+    ``stream_c2st_monitor`` instances with ``cat_cols = [*group_cols,
+    *cat_cols]`` and compose their standing tables here at any point
+    for the per-segment drift readout — WHICH segment drifted,
+    between any two monitored snapshots, without rescanning either
+    history. Bit-exact to the batch grouped test by the same
+    counts-sufficiency argument as :func:`c2st_from_counts` (rows in
+    the same (group, cell, fold) share one score). Degeneracy follows
+    the grouped convention (a segment missing a snapshot/fold or
+    single-class after scoring emits NULL auc/separability/z); an
+    invalid fold domain still raises loudly. Everything is bounded
+    by (groups × cells × 2)."""
+    groups, cats = list(group_cols), list(cat_cols)
+    if not groups:
+        raise ValueError(
+            "group_cols must be non-empty — use c2st_from_counts for "
+            "the whole-frame readout")
+    if not cats:
+        raise ValueError("cat_cols must be non-empty")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    m = float(smoothing)
+    ct = (counts_a.select(*groups, *cats, "__f",
+                          F.col("n").alias("__n"),
+                          F.lit(0).alias("__s"))
+          .unionByName(
+              counts_b.select(*groups, *cats, "__f",
+                              F.col("n").alias("__n"),
+                              F.col("n").alias("__s")))
+          .groupBy(*groups, *cats, "__f")
+          .agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+          .localCheckpoint(eager=True))  # bounded; scanned four times
+    _c2st_by_check_folds(ct, "c2st_from_counts_by", "__f")
+    return _c2st_by_from_ct(ct, groups, cats, m)

@@ -266,3 +266,51 @@ def test_grouped_against_pure_python_reference(spark):
         want = _ref_c2st([r[1:] for r in rows_a if r[0] == g],
                          [r[1:] for r in rows_b if r[0] == g])
         assert got[g]["auc"] == pytest.approx(want, abs=1e-12), g
+
+
+def test_grouped_counts_compose_equals_direct(spark):
+    """c2st_from_counts_by(cell_fold_counts(a), cell_fold_counts(b))
+    == classifier_two_sample_test_by(a, b) bit-for-bit — the grouped
+    counts-sufficiency law (rows in the same (group, cell, fold)
+    share one score), on a fixture with healthy AND degenerate
+    segments (one group entirely missing from side b, one missing a
+    fold)."""
+    from goetl_spark.quality import (
+        c2st_from_counts_by, cell_fold_counts,
+        classifier_two_sample_test_by)
+
+    rows_a = ([("g0", f"c{i % 3}", i % 2) for i in range(40)]
+              + [("g1", f"c{i % 2}", i % 2) for i in range(30)]
+              + [("gb_dropped", "c0", 0), ("gb_dropped", "c1", 1)]
+              + [("g_onefold", "c0", 0), ("g_onefold", "c1", 0)])
+    rows_b = ([("g0", f"c{(i * 7) % 3}", i % 2) for i in range(35)]
+              + [("g1", f"c{i % 2}", (i + 1) % 2) for i in range(25)]
+              + [("g_onefold", "c0", 0)])
+    a = spark.createDataFrame(rows_a, "g string, u string, fold int")
+    b = spark.createDataFrame(rows_b, "g string, u string, fold int")
+    direct = {r["g"]: tuple(r) for r in classifier_two_sample_test_by(
+        a, b, ["g"], ["u"], "fold").collect()}
+    composed = {r["g"]: tuple(r) for r in c2st_from_counts_by(
+        cell_fold_counts(a, ["g", "u"], "fold"),
+        cell_fold_counts(b, ["g", "u"], "fold"),
+        ["g"], ["u"]).collect()}
+    assert composed == direct
+    # non-vacuous: the degenerate segments are present and NULL
+    assert direct["gb_dropped"][3] is None
+    assert direct["g_onefold"][3] is None
+    assert direct["g0"][3] is not None
+
+
+def test_grouped_counts_compose_validation(spark):
+    from goetl_spark.quality import c2st_from_counts_by, cell_fold_counts
+
+    a = spark.createDataFrame([("g", "c0", 0), ("g", "c1", 1)],
+                              "g string, u string, fold int")
+    ca = cell_fold_counts(a, ["g", "u"], "fold")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="group_cols"):
+        c2st_from_counts_by(ca, ca, [], ["u"])
+    bad = spark.createDataFrame([("g", "c0", 2, 5)],
+                                "g string, u string, __f int, n long")
+    with _pt.raises(ValueError, match="must be 0 or"):
+        c2st_from_counts_by(ca, bad, ["g"], ["u"])

@@ -114,3 +114,40 @@ def test_two_monitor_topology_composes(spark):
         cur.select("src", "seg", "fold"),
         ["src", "seg"], "fold").collect()
     assert [tuple(r) for r in via_streams] == [tuple(r) for r in direct]
+
+
+def test_grouped_compose_from_two_monitors(spark):
+    """The grouped leg of the two-monitor topology: run both monitors
+    with cat_cols = [group] + cats (src as the segment), compose the
+    standing tables with c2st_from_counts_by, and the per-segment
+    readout equals the batch classifier_two_sample_test_by
+    bit-for-bit — WHICH segment drifted, from standing tables alone."""
+    from goetl_spark.quality import (
+        c2st_from_counts_by, classifier_two_sample_test_by)
+
+    e = _events(spark)
+    cur = e.filter("event_id % 3 != 0")
+    ref = e.filter("event_id % 3 = 0")
+    outs = {}
+    for name, chunks, df in (("ref", 2, ref), ("cur", 3, cur)):
+        d = _scratch(f"goetl_t_c2stg_replay_{name}")
+        os.makedirs(d)
+        stream, _ = replay_stream_ordered(df, "ts", num_chunks=chunks,
+                                          dir=d)
+        out = _scratch(f"goetl_t_c2stg_out_{name}")
+        q = stream_c2st_monitor(stream, out, ["src", "seg"], "fold",
+                                _scratch(f"goetl_t_c2stg_ck_{name}"))
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        outs[name] = out
+    composed = {r["src"]: tuple(r) for r in c2st_from_counts_by(
+        spark.read.parquet(outs["ref"]),
+        spark.read.parquet(outs["cur"]),
+        ["src"], ["seg"]).collect()}
+    direct = {r["src"]: tuple(r) for r in classifier_two_sample_test_by(
+        ref.select("src", "seg", "fold"),
+        cur.select("src", "seg", "fold"),
+        ["src"], ["seg"], "fold").collect()}
+    assert composed == direct and len(direct) == 3

@@ -223,56 +223,56 @@ def retired_oracle_sql() -> dict[str, str]:
 # recoverable because r16 staging stays capped (~2 rows):
 # r17 ≈ 32 hard + ~2 staged = ~34 ≤ 50.
 _WINDOW: list[str] = [
-    "q01_pricing_summary",
-    "q05_join_left_nulls",
-    "q06_join_multiway_broadcast",
-    "q11_transform_shaping",
-    "q12_dates",
-    "q17_cdc",
-    "q18_scd2",
-    "q19_scd3",
-    "q20_profile",
-    "q30_text_quality",
-    "q33_dag_runner",
-    "q39_custom_udaf",
-    "q44_quality_gate",
-    "q49_set_ops",
-    "q52_hash_split",
-    "q124_supplier_part_distribution",
-    "q125_disjunctive_revenue",
-    "q126_weighted_sample",
-    "q127_group_winsorize",
-    "q128_cluster_inertia",
-    "q174_bpe_packing",
-    "q175_lsh_index_roundtrip",
-    "q176_simhash_index_roundtrip",
-    "q177_leakage_safe_split",
-    "q178_token_budget_mix",
-    "q179_sq_ann",
-    "q180_holt_trend",
-    "q181_term_blocklist",
-    "q182_url_quality",
-    "q183_holt_stream",
-    "q184_unigram_tokenize",
-    "q185_hll_index",
-    "q186_cusum_drift",
-    "q187_interval_union",
-    "q188_attribution",
-    "q189_triangles",
-    "q190_cusum_stream",
-    "q191_pmi_collocations",
-    "q192_profile_drift",
-    "q193_readability",
-    "q194_rrf_fusion",
-    "q195_fingerprint_diff",
-    "q196_kcore",
-    "q197_textrank",
-    "q198_linear_trend",
-    "q255_multivariate_drift",
-    "q256_jaccard_index",
-    "q257_edit_index",
-    "q258_stream_c2st",
-    "q259_ann_index",
+    "q16_sessionize",
+    "q26_knn_bruteforce",
+    "q32_pipeline_runner",
+    "q35_asof_join",
+    "q36_range_join",
+    "q48_stateful_stream",
+    "q54_redact_pii",
+    "q55_shipping_priority",
+    "q56_local_supplier_volume",
+    "q57_streaming_dedup",
+    "q58_stream_stream_join",
+    "q59_ann_lsh",
+    "q60_fanin_heterogeneous",
+    "q62_pivot",
+    "q64_fuzzy_pairs",
+    "q65_json_extract",
+    "q66_forecast_revenue",
+    "q67_io_stats",
+    "q68_salted_join",
+    "q69_bucketed_join",
+    "q79_csv_roundtrip",
+    "q80_jsonl_roundtrip",
+    "q87_tdigest_by_group",
+    "q129_robust_scale",
+    "q130_mode_by_group",
+    "q131_mad",
+    "q132_quantile_normalize",
+    "q133_sorted_neighborhood",
+    "q134_sentence_stats",
+    "q135_pagerank",
+    "q136_wordpiece",
+    "q137_hard_negatives",
+    "q138_sliding_distinct",
+    "q139_funnel_stream",
+    "q140_zscore_stream",
+    "q141_duplicate_spans",
+    "q199_repetition_flags",
+    "q200_dsir_select",
+    "q201_chat_turns",
+    "q202_block_pack",
+    "q203_vocab_coverage",
+    "q204_min_cost_supplier",
+    "q205_product_profit",
+    "q206_important_parts",
+    "q207_excess_suppliers",
+    "q208_kmeans",
+    "q209_hypertable_rollup",
+    "q260_grouped_c2st",
+    "q261_stream_index_append",
+    "q262_two_monitor_c2st",
 ]
 
 
@@ -13426,7 +13426,7 @@ def q259_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-@register_staged(
+@register(
     "q260_grouped_c2st",
     """
     WITH t AS (
@@ -13537,7 +13537,7 @@ def q260_grouped_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
-@register_staged(
+@register(
     "q261_stream_index_append",
     """
     WITH d AS (
@@ -13616,7 +13616,7 @@ def q261_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "match_id"))
 
 
-@register_staged(
+@register(
     "q262_two_monitor_c2st",
     """
     WITH t AS (

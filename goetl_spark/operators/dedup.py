@@ -1195,7 +1195,7 @@ def lsh_index_write(
     df: DataFrame, path: str,
     text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 32, band_size: int = 4,
-    mode: str = "overwrite",
+    mode: str = "overwrite", batch_stamp: str | None = None,
 ) -> None:
     """Persist the banded-LSH index of a corpus: (id, band, band_hash)
     parquet partitioned by band — the standing near-dup index the daily
@@ -1205,7 +1205,19 @@ def lsh_index_write(
     batches never recompute it. ``mode='append'`` adds a day's accepted
     documents to the index — after the manifest check (band hashes
     written under a different config are incomparable; a missing
-    manifest RAISES rather than skipping the check)."""
+    manifest RAISES rather than skipping the check). On a layout-2
+    index (any build since r17) appends land in a per-batch
+    ``_b={batch_stamp}`` subdirectory: pass a deterministic
+    ``batch_stamp`` to make the append IDEMPOTENT — retrying the same
+    stamp after a failure replaces that batch's rows instead of
+    duplicating them (with no stamp a random one is used, and a
+    caller-retried failed append duplicates whichever bands already
+    landed — dropDuplicates the candidates or rebuild, the legacy
+    semantics)."""
+    from .index_meta import (
+        LAYOUT, file_delete_recursive, leg_write, meta_config,
+        meta_invalidate, meta_write, resolve_stamp)
+
     spark = df.sparkSession
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -1217,28 +1229,25 @@ def lsh_index_write(
                 f"lsh_index_write(append): no readable manifest at "
                 f"{path!r} — cannot confirm the index config; rebuild "
                 f"with mode='overwrite'")
-        if existing != meta:
+        if meta_config(existing) != meta:
             raise ValueError(
                 f"lsh_index_write(append): config {meta} != index config "
-                f"{existing} — band hashes are incomparable across configs")
-    from .index_meta import meta_invalidate, meta_write
-
-    if mode == "overwrite":
-        # invalidate-first / commit-last, same as the subdir layouts:
-        # the truncating overwrite is NOT a substitute — under
-        # spark.sql.sources.partitionOverwriteMode=dynamic the root
-        # files (manifest, stream marker) would survive the data
-        # rewrite, leaving a readable old config over new bands and a
-        # stale marker that swallows a new stream's batch ids. The
-        # per-write static option below also pins full truncation
-        # regardless of the session default (stale band partitions
-        # from a smaller rebuild corpus must not survive either).
+                f"{meta_config(existing)} — band hashes are incomparable "
+                f"across configs")
+        stamp = resolve_stamp(existing, batch_stamp, "lsh_index_write")
+    else:
+        # invalidate-first / commit-last (index_meta.py protocol),
+        # then explicit truncation: layout-2 base data lives under
+        # _b=base, which no longer sweeps stale band partitions (or
+        # stale batch subdirectories) from a previous index the way
+        # the old root static overwrite did.
         meta_invalidate(spark, path)
+        file_delete_recursive(spark, path)
+        stamp = "base"
     bands = lsh_band_rows(df, text_col, id_col, n, num_hashes, band_size)
-    (bands.write.mode(mode).option("partitionOverwriteMode", "static")
-     .partitionBy("band").parquet(path))
+    leg_write(bands, path, mode, stamp, parts=("band",))
     if mode == "overwrite":
-        meta_write(spark, path, meta)
+        meta_write(spark, path, {**meta, "layout": LAYOUT})
 
 
 def lsh_index_candidates(
@@ -1260,6 +1269,8 @@ def lsh_index_candidates(
     re-deriving any corpus signatures. Feed the output through
     ``ngram_jaccard_pairs``-style verification or straight to
     :func:`dedup_clusters`."""
+    from .index_meta import meta_config
+
     spark = new_docs.sparkSession
     existing = _lsh_meta_read(spark, path)
     ours = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
@@ -1268,10 +1279,11 @@ def lsh_index_candidates(
             f"lsh_index_candidates: no readable manifest at {path!r} — "
             f"cannot confirm the index config matches {ours}; rebuild "
             f"the index (a skipped config check is a silent recall hole)")
-    if existing != ours:
+    if meta_config(existing) != ours:
         raise ValueError(
             f"lsh_index_candidates: config {ours} != index config "
-            f"{existing} — band hashes are incomparable across configs")
+            f"{meta_config(existing)} — band hashes are incomparable "
+            f"across configs")
     new_bands = lsh_band_rows(new_docs, text_col, id_col, n,
                               num_hashes, band_size) \
         .localCheckpoint(eager=True)
@@ -1304,7 +1316,7 @@ def simhash_index_write(
     df: DataFrame, path: str,
     text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 8, bits: int = 60,
-    mode: str = "overwrite",
+    mode: str = "overwrite", batch_stamp: str | None = None,
 ) -> None:
     """Persist the pigeonhole-band simhash index of a corpus —
     the LOSSLESS standing near-dup index (unlike the probabilistic
@@ -1313,7 +1325,14 @@ def simhash_index_write(
     of the family: one 60-bit hash per document, ``max_hamming + 1``
     band rows each. Same manifest discipline as the LSH index —
     mismatched (max_hamming, bits) raise at query time, and a missing
-    manifest raises rather than skipping the check."""
+    manifest raises rather than skipping the check. Appends take the
+    same per-batch ``batch_stamp`` idempotence contract as
+    :func:`lsh_index_write` (retry the same stamp after a failure —
+    it replaces, never duplicates)."""
+    from .index_meta import (
+        LAYOUT, file_delete_recursive, leg_write, meta_config,
+        meta_invalidate, meta_write, resolve_stamp)
+
     spark = df.sparkSession
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -1325,21 +1344,24 @@ def simhash_index_write(
                 f"simhash_index_write(append): no readable manifest at "
                 f"{path!r} — cannot confirm the index config; rebuild "
                 f"with mode='overwrite'")
-        if existing != meta:
+        if meta_config(existing) != meta:
             raise ValueError(
                 f"simhash_index_write(append): config {meta} != index "
-                f"config {existing} — band keys are incomparable")
-    from .index_meta import meta_invalidate, meta_write
-
-    if mode == "overwrite":
-        # invalidate-first / commit-last (see lsh_index_write: dynamic
-        # partition-overwrite would leave root files + stale bands)
+                f"config {meta_config(existing)} — band keys are "
+                f"incomparable")
+        stamp = resolve_stamp(existing, batch_stamp,
+                              "simhash_index_write")
+    else:
+        # invalidate-first / commit-last + explicit truncation (see
+        # lsh_index_write: the layout-2 base write no longer sweeps
+        # stale bands or batch subdirectories)
         meta_invalidate(spark, path)
+        file_delete_recursive(spark, path)
+        stamp = "base"
     rows = simhash_band_rows(df, text_col, id_col, max_hamming, bits)
-    (rows.write.mode(mode).option("partitionOverwriteMode", "static")
-     .partitionBy("band").parquet(path))
+    leg_write(rows, path, mode, stamp, parts=("band",))
     if mode == "overwrite":
-        meta_write(spark, path, meta)
+        meta_write(spark, path, {**meta, "layout": LAYOUT})
 
 
 def simhash_index_candidates(
@@ -1354,6 +1376,8 @@ def simhash_index_candidates(
     bands are lossless and the stored simhash rides along for the
     final ``bit_count`` check (no second pass over corpus text).
     ``include_new_pairs`` adds within-batch pairs the same way."""
+    from .index_meta import meta_config
+
     spark = new_docs.sparkSession
     ours = {"max_hamming": max_hamming, "bits": bits}
     existing = _lsh_meta_read(spark, path)
@@ -1363,10 +1387,10 @@ def simhash_index_candidates(
             f"{path!r} — cannot confirm the index config matches "
             f"{ours}; rebuild the index (a skipped config check is a "
             f"silent recall hole)")
-    if existing != ours:
+    if meta_config(existing) != ours:
         raise ValueError(
             f"simhash_index_candidates: config {ours} != index config "
-            f"{existing} — band keys are incomparable")
+            f"{meta_config(existing)} — band keys are incomparable")
     nb = simhash_band_rows(new_docs, text_col, id_col, max_hamming,
                            bits).localCheckpoint(eager=True)
     idx = spark.read.parquet(path)
@@ -1780,6 +1804,7 @@ def jaccard_index_write(
     df: DataFrame, path: str,
     id_col: str = "doc_id", tokens_col: str = "tokens",
     threshold: float = 0.8, mode: str = "overwrite",
+    batch_stamp: str | None = None,
 ) -> None:
     """Persist the prefix-filter index of a token-set corpus — the
     standing-index variant of :func:`jaccard_join`, the exact-Jaccard
@@ -1814,8 +1839,21 @@ def jaccard_index_write(
     contract. Scale shape: one token-count aggregate (build only),
     one sort-within-record map pass, three columnar writes; the
     queries (:func:`jaccard_index_candidates`) then skip the corpus
-    sort forever."""
-    from .index_meta import meta_invalidate, meta_read, meta_write
+    sort forever.
+
+    Append idempotence: on a layout-2 index (any build since r17)
+    each append lands in a per-batch ``_b={batch_stamp}``
+    subdirectory of ``records/`` and ``prefix/`` — pass a
+    deterministic ``batch_stamp`` and a RETRY of a failed append
+    replaces that batch's rows in BOTH legs instead of duplicating
+    whichever leg had already landed. With no stamp a random one
+    keeps the layout consistent but a caller-retried failure
+    duplicates candidate pairs (true pairs re-emitted, none lost) —
+    ``dropDuplicates()`` the candidates or rebuild, and prefer a
+    stamp."""
+    from .index_meta import (
+        LAYOUT, file_delete_recursive, leg_write, meta_config,
+        meta_invalidate, meta_read, meta_write, resolve_stamp)
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1831,32 +1869,40 @@ def jaccard_index_write(
                 f"{path!r} — cannot confirm the index threshold; an "
                 f"append under a mismatched tau would mix incomparable "
                 f"prefixes silently. Rebuild with mode='overwrite'")
-        if existing != meta:
+        if meta_config(existing) != meta:
             raise ValueError(
                 f"jaccard_index_write(append): config {meta} != "
-                f"index config {existing} — prefixes are "
+                f"index config {meta_config(existing)} — prefixes are "
                 f"incomparable across thresholds")
+        stamp = resolve_stamp(existing, batch_stamp,
+                              "jaccard_index_write")
     base = (df.select(F.col(id_col).alias("__id"),
                       F.array_distinct(F.col(tokens_col)).alias("__t"))
             .filter(F.col("__t").isNotNull() & (F.size("__t") > 0)))
     if mode == "overwrite":
         # invalidate-first / commit-last (index_meta.py protocol): a
         # rebuild crash must never leave a readable manifest over data
-        # legs it does not describe — in either direction
+        # legs it does not describe — in either direction. The
+        # appendable legs are explicitly truncated (their layout-2
+        # base data lives under _b=base, which no longer sweeps a
+        # previous index's batch subdirectories).
         meta_invalidate(spark, path)
+        file_delete_recursive(spark, f"{path}/records")
+        file_delete_recursive(spark, f"{path}/prefix")
+        stamp = "base"
         toks = (base.select(F.explode("__t").alias("tok"))
                 .filter(F.col("tok").isNotNull())
                 .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
         toks.write.mode("overwrite").parquet(f"{path}/tokens")
     toks = spark.read.parquet(f"{path}/tokens")
     recs = _jaccard_sorted(base, "__id", "__t", toks)
-    recs.write.mode(mode).parquet(f"{path}/records")
+    leg_write(recs, f"{path}/records", mode, stamp)
     pref = (recs.select("__id", "__n",
                         F.explode(_jaccard_prefix("__t", float(threshold)))
                          .alias("tok")))
-    pref.write.mode(mode).parquet(f"{path}/prefix")
+    leg_write(pref, f"{path}/prefix", mode, stamp)
     if mode == "overwrite":
-        meta_write(spark, path, meta)
+        meta_write(spark, path, {**meta, "layout": LAYOUT})
 
 
 def jaccard_index_candidates(
@@ -1976,6 +2022,7 @@ def edit_distance_index_write(
     df: DataFrame, path: str,
     id_col: str = "doc_id", str_col: str = "text",
     max_dist: int = 2, mode: str = "overwrite",
+    batch_stamp: str | None = None,
 ) -> None:
     """Persist the PassJoin segment index of a string corpus — the
     standing-index variant of :func:`edit_distance_join` (the
@@ -2002,8 +2049,20 @@ def edit_distance_index_write(
     contract); ids must be unique per side; ``mode='append'`` adds a
     day's accepted strings after the config check. Scale shape: one
     bounded (d+1)-per-row map expansion + three columnar writes;
-    queries never re-segment the corpus."""
-    from .index_meta import meta_invalidate, meta_read, meta_write
+    queries never re-segment the corpus.
+
+    Append idempotence: on a layout-2 index (any build since r17)
+    each append lands in a per-batch ``_b={batch_stamp}``
+    subdirectory of all three legs — pass a deterministic
+    ``batch_stamp`` and a RETRY of a failed append replaces that
+    batch's rows everywhere instead of duplicating whichever legs
+    already landed. With no stamp a random one is used and a
+    caller-retried failure duplicates candidate pairs (true pairs
+    re-emitted, none lost) — ``dropDuplicates()`` or rebuild, and
+    prefer a stamp."""
+    from .index_meta import (
+        LAYOUT, file_delete_recursive, leg_write, meta_config,
+        meta_invalidate, meta_read, meta_write, resolve_stamp)
 
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -2025,18 +2084,25 @@ def edit_distance_index_write(
                 f"segmentation width; an append under a mismatched "
                 f"max_dist would mix incomparable segmentations "
                 f"silently. Rebuild with mode='overwrite'")
-        if existing != meta:
+        if meta_config(existing) != meta:
             raise ValueError(
                 f"edit_distance_index_write(append): config {meta} "
-                f"!= index config {existing} — segmentations are "
-                f"incomparable across max_dist")
+                f"!= index config {meta_config(existing)} — "
+                f"segmentations are incomparable across max_dist")
+        stamp = resolve_stamp(existing, batch_stamp,
+                              "edit_distance_index_write")
     else:
-        # invalidate-first / commit-last (index_meta.py protocol)
+        # invalidate-first / commit-last (index_meta.py protocol) +
+        # explicit truncation of the legs (layout-2 base data lives
+        # under _b=base; see jaccard_index_write)
         meta_invalidate(spark, path)
+        for leg in ("strings", "segments", "short"):
+            file_delete_recursive(spark, f"{path}/{leg}")
+        stamp = "base"
     rc = (df.select(F.col(id_col).alias("__rid"),
                     F.col(str_col).alias("__rs"))
           .filter(F.col("__rs").isNotNull()))
-    rc.write.mode(mode).parquet(f"{path}/strings")
+    leg_write(rc, f"{path}/strings", mode, stamp)
     # the edit_distance_join right-side expansion verbatim (segment i
     # of a length-L string starts at i·(L div k) + min(i, L mod k))
     r_segs = f"""
@@ -2048,15 +2114,15 @@ def edit_distance_index_write(
                          ((length(__rs) div {k})
                           + IF(i < length(__rs) % {k}, 1, 0))) AS seg))
     """
-    (rc.filter(F.length("__rs") >= k)
-     .select("__rid", F.explode(F.expr(r_segs)).alias("p"))
-     .select("__rid", "p.seg_i", "p.seg_l", "p.seg")
-     .write.mode(mode).parquet(f"{path}/segments"))
-    (rc.filter(F.length("__rs") < k)
-     .select("__rid", F.length("__rs").alias("__L"))
-     .write.mode(mode).parquet(f"{path}/short"))
+    leg_write(rc.filter(F.length("__rs") >= k)
+              .select("__rid", F.explode(F.expr(r_segs)).alias("p"))
+              .select("__rid", "p.seg_i", "p.seg_l", "p.seg"),
+              f"{path}/segments", mode, stamp)
+    leg_write(rc.filter(F.length("__rs") < k)
+              .select("__rid", F.length("__rs").alias("__L")),
+              f"{path}/short", mode, stamp)
     if mode == "overwrite":
-        meta_write(spark, path, meta)
+        meta_write(spark, path, {**meta, "layout": LAYOUT})
 
 
 def edit_distance_index_candidates(

@@ -1752,7 +1752,7 @@ def ann_index_write(
     df: DataFrame, path: str,
     id_col: str = "vec_id", vec_col: str = "embedding",
     k_cells: int = 16, iterations: int = 2,
-    mode: str = "overwrite",
+    mode: str = "overwrite", batch_stamp: str | None = None,
 ) -> None:
     """Persist the IVF index of an embedding corpus — the standing-
     index leg of the ANN family (the lsh_index_write discipline
@@ -1777,8 +1777,19 @@ def ann_index_write(
     contract). Scale shape: one fit (iterations × one argmin map pass
     + one k·dim collapse), one assign map pass, one partitioned
     columnar write; queries (:func:`ann_index_search`) then never
-    touch unprobed cells."""
-    from .index_meta import meta_invalidate, meta_read, meta_write
+    touch unprobed cells.
+
+    Append idempotence: on a layout-2 index (any build since r17)
+    each append lands in a per-batch ``_b={batch_stamp}``
+    subdirectory of ``corpus/`` (the cell partitioning nests inside
+    it, so searches stay partition-pruned) — pass a deterministic
+    ``batch_stamp`` and a RETRY of a failed append replaces that
+    batch's rows instead of duplicating them. With no stamp a random
+    one is used and a caller-retried failure duplicates neighbors in
+    searches — ``dropDuplicates()`` or rebuild, and prefer a stamp."""
+    from .index_meta import (
+        LAYOUT, file_delete_recursive, leg_write, meta_invalidate,
+        meta_read, meta_write, resolve_stamp)
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -1788,12 +1799,18 @@ def ann_index_write(
                            iterations=int(iterations))
         clist = [cents[j] for j in sorted(cents)]
         meta = {"k_cells": int(k_cells), "iterations": int(iterations),
-                "dim": len(clist[0]), "centroids": clist}
+                "dim": len(clist[0]), "centroids": clist,
+                "layout": LAYOUT}
         # invalidate-first / commit-last (index_meta.py protocol): a
         # rebuild crash must never leave new centroids pinned over an
         # old corpus's cell assignments (or vice versa) — searches
-        # would partition-prune against the WRONG cells silently
+        # would partition-prune against the WRONG cells silently. The
+        # corpus leg is explicitly truncated (layout-2 base data lives
+        # under _b=base, which no longer sweeps stale cells or batch
+        # subdirectories).
         meta_invalidate(spark, path)
+        file_delete_recursive(spark, f"{path}/corpus")
+        stamp = "base"
     else:
         meta = meta_read(spark, path, legacy="_ann_meta.json")
         if meta is None:
@@ -1803,12 +1820,14 @@ def ann_index_write(
         clist = meta["centroids"]
         _ann_check_vectors(df, vec_col, id_col, meta["dim"],
                            "ann_index_write(append)")
+        stamp = resolve_stamp(meta, batch_stamp, "ann_index_write")
     assign1 = _ivf_assign_pandas(clist, 1)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    (df.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"),
-               norm(F.col(vec_col)).alias("c_norm"),
-               assign1(F.col(vec_col)).getItem(0).alias("cell"))
-     .write.mode(mode).partitionBy("cell").parquet(f"{path}/corpus"))
+    leg_write(
+        df.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"),
+                  norm(F.col(vec_col)).alias("c_norm"),
+                  assign1(F.col(vec_col)).getItem(0).alias("cell")),
+        f"{path}/corpus", mode, stamp, parts=("cell",))
     if mode == "overwrite":
         meta_write(spark, path, meta)
 

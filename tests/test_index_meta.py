@@ -37,7 +37,12 @@ from goetl_spark.operators.dedup import (
     simhash_index_candidates,
     simhash_index_write,
 )
-from goetl_spark.operators.index_meta import _legacy_read, meta_read, meta_write
+from goetl_spark.operators.index_meta import (
+    _legacy_read,
+    meta_config,
+    meta_read,
+    meta_write,
+)
 from goetl_spark.operators.similarity import ann_index_search, ann_index_write
 
 
@@ -154,7 +159,7 @@ def test_rebuild_crash_leaves_no_mismatched_manifest(spark, tmp_path,
     path = str(tmp_path / "jrebuild")
     corpus = _docs(spark, [(1, ["a", "b", "c"]), (2, ["a", "b", "d"])])
     jaccard_index_write(corpus, path, threshold=0.8)
-    assert meta_read(spark, path) == {"threshold": 0.8}
+    assert meta_config(meta_read(spark, path)) == {"threshold": 0.8}
 
     # crash the rebuild mid-data: fail inside the per-record sort leg
     def boom(*a, **k):
@@ -172,7 +177,7 @@ def test_rebuild_crash_leaves_no_mismatched_manifest(spark, tmp_path,
         jaccard_index_candidates(_docs(spark, [(9, ["a", "b"])]), path)
     # a completed rebuild recommits and recovers
     jaccard_index_write(corpus, path, threshold=0.5)
-    assert meta_read(spark, path) == {"threshold": 0.5}
+    assert meta_config(meta_read(spark, path)) == {"threshold": 0.5}
 
 
 def test_overwrite_rebuild_resets_stream_marker(spark, tmp_path):

@@ -6050,17 +6050,14 @@ ENTRY_QUERY = q01_pricing_summary
 # never ran); the 11 round-13 staged entries (q217-q227) were seated
 # at the round-14 rotation; the 27 round-14 staged entries (q228-q254)
 # were seated at the round-15 rotation; the 5 round-15 staged entries
-# (q255-q259) were seated at the round-16 rotation. r16 staging stays
-# capped small (r17 already owes 32 expiring seats; mandatory+staged
-# must stay ≤ 50) — the queue holds exactly 3: q260_grouped_c2st
-# (classifier_two_sample_test_by, the per-segment multivariate drift
-# leg — r15 verdict ask #3, with a per-source SQL oracle replaying
-# the grouped cross-fitted score chain and Mann-Whitney cumsum),
-# q261_stream_index_append (streaming appends into the standing
-# Jaccard index vs the naive all-pairs oracle — r15 slack item (a)),
-# and q262_two_monitor_c2st (BOTH snapshots streamed through
-# independent monitors and composed — the streaming C2ST leg q258
-# leaves un-seated). r17 ≈ 32 expiring + 3 staged = 35 of 50 seats.
+# (q255-q259) were seated at the round-16 rotation; the 3 round-16
+# staged entries (q260-q262) were seated at the round-17 rotation.
+# r17 staging holds exactly 1: q263_two_monitor_grouped_c2st
+# (stream_c2st_monitor x 2 keyed [group]+cats composed through
+# c2st_from_counts_by — the r16 verdict ask #4, the grouped twin of
+# q262's topology, with the q260-style per-lang SQL oracle and the
+# degenerate dropped-group convention riding the streamed path).
+# Seats r18 alongside the expiring cohort.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13730,3 +13727,140 @@ def q262_two_monitor_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs.append(out)
     return c2st_from_counts(spark.read.parquet(outs[0]),
                             spark.read.parquet(outs[1]), cats)
+
+
+@register_staged(
+    "q263_two_monitor_grouped_c2st",
+    """
+    WITH t AS (
+        SELECT lang, source,
+               CASE WHEN n_chars IS NULL THEN -1
+                    WHEN n_chars < 500 THEN 0
+                    WHEN n_chars < 2000 THEN 1 ELSE 2 END AS len_bin,
+               CAST((doc_id // 2) % 2 AS INT) AS f,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS y
+        FROM documents
+        WHERE doc_id % 2 = 0 OR lang <> 'zh'
+    ),
+    ct AS (
+        SELECT lang, source, len_bin, f, SUM(y) AS s, COUNT(*) AS n
+        FROM t GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT lang, f, SUM(s) AS s, SUM(n) AS n
+            FROM ct GROUP BY 1, 2),
+    scored AS (
+        SELECT t.lang, t.y,
+               CASE WHEN o.n IS NOT NULL THEN
+                   (COALESCE(c2.s, 0)
+                    + 10.0 * (CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE)))
+                   / (COALESCE(c2.n, 0) + 10.0) END AS score
+        FROM t
+        LEFT JOIN ct c2
+          ON t.lang IS NOT DISTINCT FROM c2.lang
+         AND t.source IS NOT DISTINCT FROM c2.source
+         AND t.len_bin IS NOT DISTINCT FROM c2.len_bin
+         AND c2.f = 1 - t.f
+        LEFT JOIN tot o
+          ON o.lang IS NOT DISTINCT FROM t.lang AND o.f = 1 - t.f
+    ),
+    g AS (
+        SELECT lang, score, COUNT(*) AS n,
+               SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM scored GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT lang, score, n, n_pos,
+               COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM g
+    ),
+    s AS (
+        SELECT lang,
+               SUM(n_pos * (2 * cum_before + n + 1)) AS num2,
+               SUM(n_pos) AS np, SUM(n - n_pos) AS nn,
+               SUM(CASE WHEN score IS NULL THEN n ELSE 0 END) AS nullsc
+        FROM c GROUP BY 1
+    )
+    SELECT lang,
+           CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+           CASE WHEN nullsc = 0 AND np > 0 AND nn > 0 THEN
+               CAST(num2 - np * (np + 1) AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * np) / nn END AS auc,
+           CASE WHEN nullsc = 0 AND np > 0 AND nn > 0 THEN
+               2.0 * abs(CAST(num2 - np * (np + 1) AS DOUBLE)
+                         / (CAST(2 AS DOUBLE) * np) / nn - 0.5) END
+               AS separability,
+           CASE WHEN nullsc = 0 AND np > 0 AND nn > 0 THEN
+               (CAST(num2 - np * (np + 1) AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * np) / nn - 0.5)
+               / sqrt(CAST(nn + np + 1 AS DOUBLE)
+                      / (12.0 * CAST(nn AS DOUBLE)
+                         * CAST(np AS DOUBLE))) END AS z
+    FROM s
+    ORDER BY lang
+    """,
+)
+def q263_two_monitor_grouped_c2st(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Grouped two-monitor streaming C2ST (streaming/quality.py::
+    stream_c2st_monitor x 2 + quality.py::c2st_from_counts_by, r16
+    tests-first, staged r17 per the r16 verdict ask #4 — the grouped
+    twin of q262's topology and the last cell of the C2ST matrix:
+    scalar/grouped x batch/streamed x direct/composed). BOTH
+    snapshots of documents stream through independent monitors with
+    DIFFERENT chunkings, each keyed [group]+cats = (lang, source,
+    len_bin) — exactly the compose contract c2st_from_counts_by's
+    docstring names — and the two standing tables compose into the
+    per-LANGUAGE drift readout: WHICH language segment's joint
+    (source x length) mix shifted, between any two monitored
+    snapshots, without rescanning either history. Fixture: the
+    same-population doc_id%2 halves, ordered-replayed as 2 vs 3
+    micro-batches, with the current side dropping lang='zh' entirely
+    so the degenerate-group convention (n_a, 0, NULL, NULL, NULL)
+    rides the streamed path in the driver row itself — the q260
+    degeneracy exercised through monitors instead of the direct
+    test. The twin contract is the oracle: each standing table
+    equals cell_fold_counts of its side no matter how history was
+    chopped, so the composed readout is bit-exact to the direct
+    grouped batch C2ST the SQL replays (per-lang opposite-fold
+    rates, the (s + m*g)/(n + m) score chain, a PARTITION BY lang
+    Mann-Whitney cumsum, the same nullsc/np/nn definedness guards).
+    At 100 TB: per trigger each monitor pays one batch-sized map +
+    (groups x cells x 2)-bounded merge; compose cost is two bounded
+    reads and the range-partitioned grouped cumsum — never a
+    per-group window over fact rows, never a rescan of history."""
+    from goetl_spark.quality import c2st_from_counts_by
+    from goetl_spark.streaming.quality import stream_c2st_monitor
+    from goetl_spark.streaming.sources import replay_stream_ordered
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.when(F.col("n_chars").isNull(), F.lit(-1))
+         .when(F.col("n_chars") < 500, F.lit(0))
+         .when(F.col("n_chars") < 2000, F.lit(1))
+         .otherwise(F.lit(2)).alias("len_bin"),
+        (F.floor(F.col("doc_id") / 2) % 2).cast("int").alias("fold"))
+    keyed = ["lang", "source", "len_bin"]  # [group] + cats
+    outs = []
+    for side, chunks, df in (
+            ("ref", 2, d.filter(F.col("doc_id") % 2 == 0)),
+            ("cur", 3, d.filter((F.col("doc_id") % 2 != 0)
+                                & (F.col("lang") != "zh")))):
+        stream, _ = replay_stream_ordered(
+            df, "doc_id", num_chunks=chunks,
+            dir=_scratch(f"goetl_q263_replay_{side}"))
+        out = _scratch(f"goetl_q263_counts_{side}")
+        import shutil as _sh
+        _sh.rmtree(out, ignore_errors=True)
+        q = stream_c2st_monitor(stream, out, keyed, "fold",
+                                _scratch(f"goetl_q263_ckpt_{side}"))
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        outs.append(out)
+    return (c2st_from_counts_by(spark.read.parquet(outs[0]),
+                                spark.read.parquet(outs[1]),
+                                ["lang"], ["source", "len_bin"])
+            .orderBy("lang"))

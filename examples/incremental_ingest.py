@@ -126,11 +126,61 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
         sq.stop()
     n_final = spark.read.parquet(corpus_path).count()
 
+    # 4. the ANN leg of the same day-2 story (r17: the FULL
+    #    monitor -> refit -> rebuild loop, the r16 verdict slack
+    #    item (b)): day 1 fits the IVF index once; accepted
+    #    embeddings stream-append under the FROZEN centroids
+    #    (map-only assigns, exactly-once via the layout-2 stamped
+    #    subdirs + checkpoint-scoped marker); the recall monitor on a
+    #    small FIXED probe batch decides when drifted cell balance
+    #    warrants a re-fit; the re-fit is the crash-safe
+    #    invalidate-first/commit-last overwrite — and it rebuilds
+    #    from the corpus OF RECORD, never by reading the index's own
+    #    corpus leg (the overwrite truncates that leg before the
+    #    write job would scan it)
+    from goetl_spark.operators.index_meta import meta_read
+    from goetl_spark.operators.similarity import (
+        ann_index_recall_report, ann_index_search, ann_index_write)
+    from goetl_spark.streaming.indexes import stream_index_append
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann_path = f"{workdir}/ann_index"
+    day1_vecs = emb.filter(F.col("vec_id") % 2 == 0)
+    day2_vecs = emb.filter(F.col("vec_id") % 2 != 0)
+    ann_index_write(day1_vecs, ann_path, k_cells=4, iterations=1)
+    vec_stream = replay_stream(day2_vecs, num_chunks=2,
+                               dir=f"{workdir}/vec_replay")
+    sq2 = stream_index_append(vec_stream, ann_path,
+                              f"{workdir}/vec_ckpt", "ann")
+    try:
+        sq2.awaitTermination()
+    finally:
+        sq2.stop()
+    # fixed deterministic probe batch — a health check, not a workload
+    probe = emb.filter(F.col("vec_id") % 37 == 0)
+    report = ann_index_recall_report(
+        probe, ann_path, k=5, nprobe=1, min_recall=0.999).collect()[0]
+    refit = bool(report["needs_refit"])
+    if refit:
+        # rebuild over day1+day2 from the source tables: the manifest
+        # invalidates first, every leg truncates and lands, the new
+        # centroids commit LAST — any crash inside leaves a loudly
+        # manifest-less index, never a readable config over data it
+        # does not match (and the stream markers reset with it, so
+        # tomorrow's appender starts clean)
+        ann_index_write(day1_vecs.unionByName(day2_vecs), ann_path,
+                        k_cells=4, iterations=1)
+    assert meta_read(spark, ann_path) is not None  # committed
+    n_hits = ann_index_search(probe, ann_path, k=5, nprobe=2).count()
+
     result = {"corpus_day1": n_corpus, "batch": n_batch,
               "bloom_definitely_new": n_definitely_new,
               "exact_dropped": n_exact_dropped,
               "near_dropped": n_near_dropped,
-              "corpus_after": n_final}
+              "corpus_after": n_final,
+              "ann_recall_nprobe1": round(float(report["recall"]), 3),
+              "ann_refit_triggered": refit,
+              "ann_post_search_hits": n_hits}
     print(f"incremental_ingest: {result}")
     shutil.rmtree(workdir, ignore_errors=True)
     if owns_spark:

@@ -96,6 +96,12 @@ def test_incremental_ingest_example(spark, tmp_path):
     assert r["near_dropped"] >= 4           # near-dups caught+verified
     assert r["corpus_after"] == (r["corpus_day1"] + r["batch"]
                                  - r["exact_dropped"] - r["near_dropped"])
+    # r17 monitor->refit->rebuild loop: the recall reading is a valid
+    # fraction, the rebuild decision matches the 0.999 floor, and the
+    # index answers searches afterwards either way (manifest committed)
+    assert 0.0 <= r["ann_recall_nprobe1"] <= 1.0
+    assert r["ann_refit_triggered"] == (r["ann_recall_nprobe1"] < 0.999)
+    assert r["ann_post_search_hits"] > 0
 
 
 def test_timeseries_monitoring_example(spark, tmp_path):

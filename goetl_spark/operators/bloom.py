@@ -354,18 +354,30 @@ def bloom_index_write(
     provably-compatible parameters — the manifest discipline of dedup's
     LSH/SimHash indexes (a mismatched hashing config would produce
     arbitrary false NEGATIVES, silently breaking the superset
-    guarantee, so reads validate and raise). One small local file; no
-    Spark job."""
+    guarantee, so reads validate and raise). Two small files through
+    the scheme-agnostic Hadoop-FS channel (r17 — the pre-r17 local
+    ``open()`` failed outright on object-store paths); no Spark job.
+    Falls back to local file IO when no SparkSession is active."""
     import json
     import os
     import struct
 
-    base = path.removeprefix("file://")
-    os.makedirs(base, exist_ok=True)
+    from pyspark.sql import SparkSession
+
     meta = {"num_bits": len(packed) * 64, "num_hashes": num_hashes,
             "key_cols": list(key_cols), "h2_salt": _H2_SALT}
+    blob = struct.pack(f"<{len(packed)}q", *packed)
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from .index_meta import file_write_bytes, meta_write
+
+        file_write_bytes(spark, f"{path}/bloom.bin", blob)
+        meta_write(spark, path, meta)
+        return
+    base = path.removeprefix("file://")
+    os.makedirs(base, exist_ok=True)
     with open(os.path.join(base, "bloom.bin"), "wb") as f:
-        f.write(struct.pack(f"<{len(packed)}q", *packed))
+        f.write(blob)
     with open(os.path.join(base, "_bloom_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -377,14 +389,49 @@ def bloom_index_read(
     """Load ``(packed_words, key_cols, num_hashes)`` written by
     :func:`bloom_index_write`. If ``key_cols`` is given it must match
     the manifest, and the hashing constant must match this build —
-    probing with a different scheme yields false negatives, so raise."""
+    probing with a different scheme yields false negatives, so raise.
+    Reads through the Hadoop-FS channel when a session is active
+    (r17), with the pre-r17 driver-local ``_bloom_meta.json`` as the
+    legacy fallback; a missing manifest raises either way."""
     import json
     import os
     import struct
 
-    base = path.removeprefix("file://")
-    with open(os.path.join(base, "_bloom_meta.json")) as f:
-        meta = json.load(f)
+    from pyspark.sql import SparkSession
+
+    meta = None
+    raw = None
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from .index_meta import file_read_bytes, meta_read
+
+        meta = meta_read(spark, path, legacy="_bloom_meta.json")
+        try:
+            raw = file_read_bytes(spark, f"{path}/bloom.bin")
+        except Exception as e:
+            # the Hadoop channel checksums file:// reads — bytes
+            # corrupted behind its back surface as ChecksumException,
+            # which IS this guard's corruption signal
+            if "Checksum" in str(e):
+                raise ValueError(
+                    f"bloom index at {path} is corrupt: the stored "
+                    f"words fail their filesystem checksum") from e
+            raise
+    else:
+        base = path.removeprefix("file://")
+        mp = os.path.join(base, "_bloom_meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                meta = json.load(f)
+        bp = os.path.join(base, "bloom.bin")
+        if os.path.exists(bp):
+            with open(bp, "rb") as f:
+                raw = f.read()
+    if meta is None or raw is None:
+        raise FileNotFoundError(
+            f"bloom index at {path!r} is missing its "
+            f"{'manifest' if meta is None else 'bloom.bin words'} — "
+            f"rebuild with bloom_index_write")
     if meta.get("h2_salt") != _H2_SALT:
         raise ValueError(f"bloom index at {path} was built with an "
                          "incompatible hashing scheme")
@@ -393,8 +440,6 @@ def bloom_index_read(
             f"bloom_index_read: requested key_cols {list(key_cols)} != "
             f"index key_cols {meta['key_cols']} — probes would be "
             "meaningless")
-    with open(os.path.join(base, "bloom.bin"), "rb") as f:
-        raw = f.read()
     if len(raw) * 8 != meta["num_bits"]:
         raise ValueError(f"bloom index at {path} is corrupt: "
                          f"{len(raw) * 8} bits on disk, manifest says "

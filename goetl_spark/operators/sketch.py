@@ -299,33 +299,16 @@ def approx_quantiles(
 # Standing HLL sketch index — incremental distinct counts at 100 TB
 # ---------------------------------------------------------------------------
 
-def _hll_meta_read(path: str) -> dict | None:
-    """Manifest reader, same best-effort local-filesystem contract as
-    the LSH/bloom index families (dedup.py::_lsh_meta_read)."""
-    import json
-    import os
+def _hll_meta_read(spark, path: str) -> dict | None:
+    """Manifest reader on the scheme-agnostic Hadoop-FS channel
+    (operators/index_meta.py, r17 — this family missed the r16
+    migration: its driver-local manifest silently skipped the config
+    guard on remote schemes, the same hole class the r15 verdict
+    closed for the five join/search indexes). The pre-r17
+    ``_hll_meta.json`` still reads as a local-path fallback."""
+    from .index_meta import meta_read
 
-    if "://" in path and not path.startswith("file://"):
-        return None
-    p = os.path.join(path.removeprefix("file://"), "_hll_meta.json")
-    if not os.path.exists(p):
-        return None
-    try:
-        return json.load(open(p))
-    except (OSError, json.JSONDecodeError):
-        return None
-
-
-def _hll_meta_write(path: str, meta: dict) -> None:
-    import json
-    import os
-
-    if "://" in path and not path.startswith("file://"):
-        return
-    p = path.removeprefix("file://")
-    os.makedirs(p, exist_ok=True)
-    with open(os.path.join(p, "_hll_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    return meta_read(spark, path, legacy="_hll_meta.json")
 
 
 def hll_sketch_build(
@@ -358,27 +341,55 @@ def hll_index_write(
     group_cols: Sequence[str] | None = None,
     lg_k: int = 12,
     mode: str = "overwrite",
+    batch_stamp: str | None = None,
 ) -> None:
     """Persist (or append a batch to) a standing HLL distinct-count
     index: one sketch row per group per batch. Appends never merge
     on write — union happens at estimate time (:func:`hll_index_
-    estimate`), so the daily cost is sketching the BATCH only, and a
-    re-run of the same append is the only non-idempotent hazard
-    (sketches double-count nothing, so even that only duplicates
-    rows, not distincts). Same config-manifest discipline as the
-    LSH/simhash/bloom standing indexes: sketches at different lg_k
-    are still unionable by Datasketches, but a mismatched key_col or
-    group layout is a different index — appends refuse."""
+    estimate`), so the daily cost is sketching the BATCH only. Full
+    standing-index discipline since r17: the manifest travels the
+    scheme-agnostic Hadoop-FS channel (a mismatched key_col or group
+    layout is a different index — appends refuse, and a MISSING
+    manifest refuses too instead of skipping the check), overwrite
+    builds are invalidate-first/commit-last, and appends land in a
+    per-batch ``_b={batch_stamp}`` subdirectory — pass a
+    deterministic stamp and a retried failed append replaces its own
+    sketch rows instead of duplicating them (a duplicated sketch row
+    never changes the DISTINCT estimate — unions are idempotent —
+    but it inflates ``n_batches`` and the estimate-time row count;
+    the stamp closes even that)."""
+    from .index_meta import (
+        LAYOUT, file_delete_recursive, leg_write, meta_config,
+        meta_invalidate, meta_write, resolve_stamp)
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
     meta = {"key_col": key_col, "group_cols": list(group_cols or []),
             "lg_k": lg_k}
-    existing = _hll_meta_read(path)
-    if mode == "append" and existing is not None and existing != meta:
-        raise ValueError(
-            f"hll_index_write(append): config {meta} != index config "
-            f"{existing} — refusing to mix index layouts")
-    hll_sketch_build(df, key_col, group_cols, lg_k) \
-        .write.mode(mode).parquet(path)
-    _hll_meta_write(path, meta)
+    if mode == "append":
+        existing = _hll_meta_read(spark, path)
+        if existing is None:
+            raise ValueError(
+                f"hll_index_write(append): no readable manifest at "
+                f"{path!r} — cannot confirm the index key/group "
+                f"layout; rebuild with mode='overwrite'")
+        if meta_config(existing) != meta:
+            raise ValueError(
+                f"hll_index_write(append): config {meta} != index "
+                f"config {meta_config(existing)} — refusing to mix "
+                f"index layouts")
+        stamp = resolve_stamp(existing, batch_stamp, "hll_index_write")
+    else:
+        # invalidate-first / commit-last + explicit truncation (the
+        # layout-2 base write no longer sweeps stale batch subdirs)
+        meta_invalidate(spark, path)
+        file_delete_recursive(spark, path)
+        stamp = "base"
+    leg_write(hll_sketch_build(df, key_col, group_cols, lg_k),
+              path, mode, stamp)
+    if mode == "overwrite":
+        meta_write(spark, path, {**meta, "layout": LAYOUT})
 
 
 def hll_index_estimate(
@@ -391,10 +402,18 @@ def hll_index_estimate(
     Reads only sketch rows (~2^lg_k bytes x groups x batches), never
     the underlying data — the whole-history distinct count of a
     100 TB-a-day key stream costs a few MB of I/O. Returns
-    (group..., n_batches, approx_distinct)."""
-    meta = _hll_meta_read(path)
+    (group..., n_batches, approx_distinct). A coarser ``group_cols``
+    than the index's is valid (sketch unions merge exactly); a
+    missing manifest raises — the family's reader discipline."""
+    meta = _hll_meta_read(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"hll_index_estimate: no readable manifest at {path!r} — "
+            f"cannot confirm the index layout; rebuild with "
+            f"hll_index_write (a skipped config check is the silent-"
+            f"mix hazard the manifest exists to prevent)")
     groups = list(group_cols if group_cols is not None
-                  else (meta or {}).get("group_cols", []))
+                  else meta.get("group_cols", []))
     idx = spark.read.parquet(path)
     agg = [F.count(F.lit(1)).alias("n_batches"),
            F.hll_sketch_estimate(

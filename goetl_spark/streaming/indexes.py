@@ -127,7 +127,7 @@ def reset_index_marker(spark, index_path: str,
 
 
 def _index_writer(kind: str) -> Callable[..., None]:
-    from goetl_spark.operators import dedup, similarity
+    from goetl_spark.operators import dedup, similarity, sketch
 
     writers = {
         "lsh": dedup.lsh_index_write,
@@ -135,6 +135,7 @@ def _index_writer(kind: str) -> Callable[..., None]:
         "jaccard": dedup.jaccard_index_write,
         "edit": dedup.edit_distance_index_write,
         "ann": similarity.ann_index_write,
+        "hll": sketch.hll_index_write,
     }
     if kind not in writers:
         raise ValueError(

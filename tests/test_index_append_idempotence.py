@@ -279,3 +279,54 @@ def test_manifest_config_view_hides_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="incomparable"):
         jaccard_index_write(_docs(spark, DAY2), path, mode="append",
                             threshold=0.6)
+
+
+def test_hll_index_full_discipline(spark, tmp_path):
+    """r17: the HLL family missed the r16 manifest migration (driver-
+    local JSON silently skipped the config guard on remote schemes)
+    and its docstring named the re-run of a same append as its one
+    non-idempotent hazard — both closed: Hadoop-FS manifest with
+    raise-on-missing on BOTH the append and estimate paths, and
+    stamped layout-2 appends (a retried stamp replaces its own sketch
+    rows, so n_batches stays exact)."""
+    import os
+
+    from goetl_spark.operators.sketch import (
+        hll_index_estimate, hll_index_write)
+
+    day1 = spark.createDataFrame([(i, f"g{i % 2}") for i in range(50)],
+                                 "user long, grp string")
+    day2 = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(25, 75)],
+        "user long, grp string")
+    path = str(tmp_path / "hll")
+    hll_index_write(day1, path, "user", ["grp"])
+    # stamped retry x3 == one append: exact distincts AND n_batches
+    for _ in range(3):
+        hll_index_write(day2, path, "user", ["grp"], mode="append",
+                        batch_stamp="day2")
+    est = {r["grp"]: r for r in
+           hll_index_estimate(spark, path).collect()}
+    # lg_k=12 is exact at this cardinality; users 0..74 split by parity
+    assert {g: int(r["approx_distinct"]) for g, r in est.items()} == \
+        {"g0": 38, "g1": 37}
+    assert {g: r["n_batches"] for g, r in est.items()} == \
+        {"g0": 2, "g1": 2}
+
+    # streaming kind: replayed batch_id skipped, newer accepted
+    apply_ = make_index_appender(path, "hll", checkpoint_id="ck",
+                                 key_col="user", group_cols=["grp"])
+    day3 = spark.createDataFrame([(100, "g0")], "user long, grp string")
+    apply_(day3, batch_id=0)
+    apply_(day3, batch_id=0)  # replay: marker skips
+    est2 = {r["grp"]: r["n_batches"] for r in
+            hll_index_estimate(spark, path).collect()}
+    assert est2 == {"g0": 3, "g1": 2}
+
+    # raise-on-missing, both paths (the r15 discipline this family
+    # lacked)
+    os.remove(f"{path}/_meta.json")
+    with pytest.raises(ValueError, match="no readable manifest"):
+        hll_index_write(day2, path, "user", ["grp"], mode="append")
+    with pytest.raises(ValueError, match="no readable manifest"):
+        hll_index_estimate(spark, path)

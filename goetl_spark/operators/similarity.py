@@ -1994,3 +1994,149 @@ def ann_index_recall_report(
         [(n_q, int(k), int(nprobe), int(n_cells), recall, needs)],
         "n_queries long, k int, nprobe int, n_cells int, "
         "recall double, needs_refit boolean")
+
+
+def semantic_index_write(
+    df: DataFrame, path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k_cells: int = 16, iterations: int = 2,
+    mode: str = "overwrite", batch_stamp: str | None = None,
+) -> None:
+    """Persist the standing SemDeDup index — the day-2 leg of
+    :func:`semantic_dedup` (r17, the r16 verdict's named depth
+    candidate: the one LLM-ops dedup family without a standing
+    variant). The index IS an IVF index (:func:`ann_index_write`
+    builds and appends it: frozen deterministic centroids, corpus
+    partitioned by cell, layout-2 stamped appends, the full manifest
+    discipline) plus the semantic ``threshold`` pinned alongside —
+    so tomorrow's accepted batch asks "which of my documents are
+    paraphrase-duplicates of anything accepted so far?" without the
+    corpus re-clustering or re-shuffling that one-shot
+    :func:`semantic_dedup` pays per call. Streaming appends ride the
+    ``'ann'`` kind of ``stream_index_append`` unchanged (the
+    threshold is query-side metadata; appends never touch it).
+
+    Unlike the Jaccard index's tau there is NO direction hazard in
+    the threshold: candidates verify every pair with the exact
+    cosine, so any query threshold is exact WITHIN THE PROBED SCOPE
+    (the recall boundary is cell blocking, exactly SemDeDup's
+    per-cluster scope — widen ``nprobe`` at query time to trade cost
+    for cross-boundary recall, up to exhaustive at n_cells). A crash
+    between the IVF commit and the threshold pin leaves a valid ANN
+    index that :func:`semantic_index_candidates` refuses loudly as
+    not-a-semantic-index."""
+    from .index_meta import meta_read, meta_write
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    ann_index_write(df, path, id_col=id_col, vec_col=vec_col,
+                    k_cells=k_cells, iterations=iterations, mode=mode,
+                    batch_stamp=batch_stamp)
+    if mode == "overwrite":
+        spark = df.sparkSession
+        meta = meta_read(spark, path)
+        meta["sem_threshold"] = float(threshold)
+        meta_write(spark, path, meta)
+
+
+def semantic_index_candidates(
+    new_docs: DataFrame, path: str,
+    threshold: float | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    include_new_pairs: bool = True,
+    max_batch_rows: int = 100_000,
+) -> DataFrame:
+    """Semantic near-dup matches of a NEW batch against the persisted
+    :func:`semantic_index_write` index (plus, by default,
+    within-batch pairs): (query_id, match_id, cos_sim) with cos_sim
+    >= threshold (defaulting to the index's pinned one), every pair
+    verified by the exact cosine — the :func:`semantic_dedup`
+    pair-finding stage with the corpus side pre-assigned from
+    parquet. Feed the output through ``dedup_clusters`` + min-id
+    keep, exactly as semantic_dedup composes it.
+
+    Scope semantics: cross pairs search the batch's ``nprobe``
+    nearest cells (multi-probe — MORE cross-boundary recall than
+    SemDeDup's single-cluster scope; exhaustive at nprobe=n_cells);
+    within-batch pairs block on the PRIMARY cell (the semantic_dedup
+    bucket contract). Scale shape per batch: one Arrow assign pass
+    over the batch, one PARTITION-PRUNED corpus read (probed cells
+    only), one cell equi-join + Arrow dot kernel — the corpus never
+    re-shuffles. The batch side is broadcast by contract and raises
+    past ``max_batch_rows`` (the ann_index_search guard, same
+    zero-extra-jobs accounting)."""
+    from .index_meta import meta_read
+
+    spark = new_docs.sparkSession
+    meta = meta_read(spark, path, legacy="_ann_meta.json")
+    if meta is None:
+        raise ValueError(
+            f"semantic_index_candidates: no readable manifest at "
+            f"{path!r} — build with semantic_index_write first")
+    if "sem_threshold" not in meta:
+        raise ValueError(
+            f"semantic_index_candidates: index at {path!r} has no "
+            f"pinned semantic threshold (an ann_index_write index, or "
+            f"a semantic build that crashed before the threshold pin) "
+            f"— rebuild with semantic_index_write")
+    tau = float(meta["sem_threshold"] if threshold is None else threshold)
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {tau}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    clist = meta["centroids"]
+    _ann_check_vectors(new_docs, vec_col, id_col, meta["dim"],
+                       "semantic_index_candidates")
+    nprobe = min(int(nprobe), len(clist))
+    assignp = _ivf_assign_pandas(clist, nprobe)
+    q = (new_docs.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            assignp(F.col(vec_col)).alias("__cells"))
+         .withColumn("__prime", F.col("__cells").getItem(0))
+         .withColumn("_probe_cell", F.explode("__cells"))
+         .drop("__cells")
+         .localCheckpoint(eager=True))  # assign once; scanned thrice
+    stats = q.agg(F.collect_set("_probe_cell").alias("__cells"),
+                  F.count(F.lit(1)).alias("__n")).collect()[0]
+    if stats["__n"] > int(max_batch_rows) * nprobe:
+        raise ValueError(
+            f"semantic_index_candidates: query batch has "
+            f"{stats['__n'] // nprobe} rows > max_batch_rows="
+            f"{max_batch_rows} — the batch side is broadcast by "
+            f"contract; split the batch or raise max_batch_rows "
+            f"deliberately")
+    probed = sorted(stats["__cells"])
+    dot_pd = _dot_pandas()
+    c = (spark.read.parquet(f"{path}/corpus")
+         .where(F.col("cell").isin(probed)))
+    cross = (
+        c.join(F.broadcast(q), F.col("cell") == F.col("_probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("match_id"),
+            (dot_pd(F.col("q_vec"), F.col("embedding"))
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(tau))
+        .distinct())
+    if not include_new_pairs:
+        return cross
+    qp = q.filter(F.col("_probe_cell") == F.col("__prime"))
+    a = qp.select(F.col("query_id").alias("__aid"),
+                  F.col("q_vec").alias("__av"),
+                  F.col("q_norm").alias("__an"), "__prime")
+    b = qp.select(F.col("query_id").alias("__bid"),
+                  F.col("q_vec").alias("__bv"),
+                  F.col("q_norm").alias("__bn"), "__prime")
+    within = (
+        a.join(b, "__prime")
+        .filter(F.col("__aid") < F.col("__bid"))
+        .select(F.col("__aid").alias("query_id"),
+                F.col("__bid").alias("match_id"),
+                (dot_pd(F.col("__av"), F.col("__bv"))
+                 / (F.col("__an") * F.col("__bn"))).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(tau)))
+    return cross.unionByName(within)

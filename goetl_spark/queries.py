@@ -6052,12 +6052,16 @@ ENTRY_QUERY = q01_pricing_summary
 # were seated at the round-15 rotation; the 5 round-15 staged entries
 # (q255-q259) were seated at the round-16 rotation; the 3 round-16
 # staged entries (q260-q262) were seated at the round-17 rotation.
-# r17 staging holds exactly 1: q263_two_monitor_grouped_c2st
+# r17 staging holds exactly 2: q263_two_monitor_grouped_c2st
 # (stream_c2st_monitor x 2 keyed [group]+cats composed through
 # c2st_from_counts_by — the r16 verdict ask #4, the grouped twin of
 # q262's topology, with the q260-style per-lang SQL oracle and the
-# degenerate dropped-group convention riding the streamed path).
-# Seats r18 alongside the expiring cohort.
+# degenerate dropped-group convention riding the streamed path) and
+# q264_semantic_index (the standing SemDeDup leg — r16 verdict depth
+# candidate (a): semantic_index_write/candidates lifecycle at FULL
+# probe vs the naive cosine-threshold cross-join oracle, the q259
+# exactness pattern applied to threshold search). Both seat r18
+# alongside the expiring cohort.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13864,3 +13868,66 @@ def q263_two_monitor_grouped_c2st(spark: SparkSession,
                                 spark.read.parquet(outs[1]),
                                 ["lang"], ["source", "len_bin"])
             .orderBy("lang"))
+
+
+@register_staged(
+    "q264_semantic_index",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    c AS (
+        SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    )
+    SELECT query_id, match_id, {{cos}} AS cos_sim
+    FROM q JOIN c ON match_id <> query_id
+    WHERE {{cos}} >= 0.25
+    ORDER BY query_id, match_id
+    """.format(cos=_DUCK_COS.format(a='qv', b='cv')),
+)
+def q264_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing SemDeDup index lifecycle (operators/similarity.py::
+    semantic_index_write / semantic_index_candidates, r17 — the r16
+    verdict's depth candidate (a), the one LLM-ops dedup family that
+    lacked a day-2 leg): the index is the IVF index plus a pinned
+    semantic threshold, so tomorrow's accepted batch asks "which of
+    my documents are paraphrase-duplicates of anything accepted so
+    far?" with one Arrow assign pass and a partition-pruned corpus
+    read — no per-call re-clustering, no corpus shuffle (the
+    semantic_dedup pair stage with the corpus side persisted).
+    Lifecycle under oracle: build deterministic cells on the
+    vec_id%2==0 embeddings at tau=0.25 (the synthetic embeddings are
+    near-orthogonal random vectors — the top ~1%% of cosines, the
+    q92 fixture convention), APPEND the odd half under the frozen
+    centroids (layout-2 stamped subdirs — the r17 idempotence
+    protocol), then pull the vec_id%20==0 batch at FULL probe
+    (nprobe = n_cells), where cell search is exhaustive — so the
+    oracle is the naive cosine-threshold CROSS JOIN ground truth and
+    one missed or phantom pair anywhere in the fit/append/assign/
+    prune/score chain is a hash mismatch. Partial-probe scope and
+    the within-batch primary-cell blocking are pinned in
+    tests/test_semantic_index.py (data-dependent recall — the
+    pytest-contract side of the q259 split). At 100 TB: candidates
+    read only probed cells' files; threshold changes are query-side
+    only (exact verify — no stored structure depends on tau, unlike
+    the Jaccard prefix index)."""
+    import shutil as _sh
+
+    from goetl_spark.operators.similarity import (
+        semantic_index_candidates,
+        semantic_index_write,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = _scratch("goetl_q264_semidx")
+    _sh.rmtree(path, ignore_errors=True)
+    semantic_index_write(e.filter(F.col("vec_id") % 2 == 0), path,
+                         threshold=0.25, k_cells=4, iterations=1)
+    semantic_index_write(e.filter(F.col("vec_id") % 2 != 0), path,
+                         mode="append")
+    return (semantic_index_candidates(
+                e.filter(F.col("vec_id") % 20 == 0), path, nprobe=4,
+                include_new_pairs=False)
+            .orderBy("query_id", "match_id"))

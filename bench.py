@@ -369,6 +369,16 @@ def main():
         # builder-side pre-bench of staged registrations (the driver's
         # per-round artifact stays registered-only by default)
         todo.update(catalog.staged_queries())
+    # run the CURRENT WINDOW last: the final JSON line exceeds the
+    # driver's 2000-char output tail (233 queries × ~9 chars), so the
+    # line's HEAD gets truncated — putting the window (this round's
+    # correctness seats, including any first-seat rows that need band
+    # adjudication) at the tail end guarantees those per-query
+    # readings survive in the artifact; the cut falls on long-recorded
+    # registry rows instead
+    window = [n for n in getattr(catalog, "_WINDOW", []) if n in todo]
+    todo = {**{n: f for n, f in todo.items() if n not in set(window)},
+            **{n: todo[n] for n in window}}
     for i, (name, fn) in enumerate(todo.items()):
         if i % 30 == 0:
             calibrate()

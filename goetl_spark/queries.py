@@ -13899,7 +13899,7 @@ def q264_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup pair stage with the corpus side persisted).
     Lifecycle under oracle: build deterministic cells on the
     vec_id%2==0 embeddings at tau=0.25 (the synthetic embeddings are
-    near-orthogonal random vectors — the top ~1%% of cosines, the
+    near-orthogonal random vectors — the top ~1% of cosines, the
     q92 fixture convention), APPEND the odd half under the frozen
     centroids (layout-2 stamped subdirs — the r17 idempotence
     protocol), then pull the vec_id%20==0 batch at FULL probe

@@ -6052,7 +6052,7 @@ ENTRY_QUERY = q01_pricing_summary
 # were seated at the round-15 rotation; the 5 round-15 staged entries
 # (q255-q259) were seated at the round-16 rotation; the 3 round-16
 # staged entries (q260-q262) were seated at the round-17 rotation.
-# r17 staging holds exactly 2: q263_two_monitor_grouped_c2st
+# r17 staging holds exactly 3: q263_two_monitor_grouped_c2st
 # (stream_c2st_monitor x 2 keyed [group]+cats composed through
 # c2st_from_counts_by — the r16 verdict ask #4, the grouped twin of
 # q262's topology, with the q260-style per-lang SQL oracle and the
@@ -6060,8 +6060,10 @@ ENTRY_QUERY = q01_pricing_summary
 # q264_semantic_index (the standing SemDeDup leg — r16 verdict depth
 # candidate (a): semantic_index_write/candidates lifecycle at FULL
 # probe vs the naive cosine-threshold cross-join oracle, the q259
-# exactness pattern applied to threshold search). Both seat r18
-# alongside the expiring cohort.
+# exactness pattern applied to threshold search) and q265_hll_stream
+# (the 'hll' kind of stream_index_append — q185's streamed twin with
+# the q47 bound-check oracle over chunk-invariant columns). All three
+# seat r18 alongside the expiring cohort.
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -13931,3 +13933,69 @@ def q264_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.filter(F.col("vec_id") % 20 == 0), path, nprobe=4,
                 include_new_pairs=False)
             .orderBy("query_id", "match_id"))
+
+
+@register_staged(
+    "q265_hll_stream",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q265_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming appends into the standing HLL index
+    (streaming/indexes.py::stream_index_append kind='hll' +
+    sketch.py::hll_index_write/hll_index_estimate, r17 — the
+    streamed twin of q185, registering the HLL family's day-2 leg
+    through the driver now that it carries the full manifest
+    discipline): day 1 (even event_id) builds the per-event_type
+    distinct-user sketch index; the odd half arrives as 2
+    micro-batches through foreachBatch → hll_index_write(append)
+    behind the checkpoint-scoped idempotence marker, each batch
+    landing in its own layout-2 ``_b=cp<hash>.b<id>`` subdirectory
+    (the r17 exactly-once protocol); the whole-history estimate then
+    unions the persisted sketch rows without re-reading any day's
+    events. Emitted columns are CHUNK-INVARIANT by construction
+    (sketch unions are associative-commutative — the q261 twin
+    discipline; per-group batch-row counts are chunking-dependent
+    and stay pytest-pinned): the q185/q47 bound-check pattern makes
+    it driver-checkable — exact distinct from one full scan pins
+    within_bound = |union-estimate − exact|/exact ≤ 5% (lg_k=12 →
+    rsd ≈ 1.6%), so a dropped micro-batch, a double-applied replay
+    that somehow mutated a sketch, or a mis-merged union flips the
+    boolean. At 100 TB/day: each trigger pays sketching its OWN
+    batch; history stays a few KB of sketch rows per group."""
+    from goetl_spark.operators.sketch import (
+        hll_index_estimate, hll_index_write)
+    from goetl_spark.streaming.indexes import stream_index_append
+    from goetl_spark.streaming.sources import replay_stream
+
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id",
+                                           "user_id")
+    path = _scratch("goetl_q265_hll")
+    hll_index_write(e.filter(F.col("event_id") % 2 == 0), path,
+                    "user_id", ["event_type"])
+    stream = replay_stream(e.filter(F.col("event_id") % 2 == 1),
+                           num_chunks=2,
+                           dir=_scratch("goetl_q265_replay"))
+    q = stream_index_append(stream, path, _scratch("goetl_q265_ckpt"),
+                            "hll", key_col="user_id",
+                            group_cols=["event_type"])
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    est = hll_index_estimate(spark, path)
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (est.join(exact, "event_type")
+            .select(
+                "event_type",
+                F.col("exact_users").cast("long").alias("exact_users"),
+                (F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                 / F.col("exact_users") <= 0.05).alias("within_bound"))
+            .orderBy("event_type"))

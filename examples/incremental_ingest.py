@@ -178,7 +178,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
               "exact_dropped": n_exact_dropped,
               "near_dropped": n_near_dropped,
               "corpus_after": n_final,
-              "ann_recall_nprobe1": round(float(report["recall"]), 3),
+              "ann_recall_nprobe1": float(report["recall"]),
               "ann_refit_triggered": refit,
               "ann_post_search_hits": n_hits}
     print(f"incremental_ingest: {result}")

@@ -369,13 +369,31 @@ def bloom_index_write(
     blob = struct.pack(f"<{len(packed)}q", *packed)
     spark = SparkSession.getActiveSession()
     if spark is not None:
-        from .index_meta import file_write_bytes, meta_write
+        from .index_meta import file_delete, file_write_bytes, meta_write
 
+        # invalidate-first / commit-last (the index_meta.py protocol
+        # this docstring claims): a rebuild crash between the words
+        # and the manifest must never leave a READABLE old manifest
+        # over new words — with identical num_bits the old config
+        # would pass every read check and probe the new filter under
+        # the old keys, silent false negatives. Stale legacy local
+        # manifests are removed for the same reason (the sessionless
+        # fallback reader would trust them).
+        file_delete(spark, f"{path}/_meta.json")
+        if not ("://" in path and not path.startswith("file://")):
+            legacy = os.path.join(path.removeprefix("file://"),
+                                  "_bloom_meta.json")
+            if os.path.exists(legacy):
+                os.remove(legacy)
         file_write_bytes(spark, f"{path}/bloom.bin", blob)
         meta_write(spark, path, meta)
         return
     base = path.removeprefix("file://")
     os.makedirs(base, exist_ok=True)
+    for stale in ("_bloom_meta.json", "_meta.json"):
+        p = os.path.join(base, stale)
+        if os.path.exists(p):
+            os.remove(p)
     with open(os.path.join(base, "bloom.bin"), "wb") as f:
         f.write(blob)
     with open(os.path.join(base, "_bloom_meta.json"), "w") as f:
@@ -419,10 +437,15 @@ def bloom_index_read(
             raise
     else:
         base = path.removeprefix("file://")
-        mp = os.path.join(base, "_bloom_meta.json")
-        if os.path.exists(mp):
-            with open(mp) as f:
-                meta = json.load(f)
+        # an index written WITH a session pins its config in
+        # _meta.json; the pre-r17 name is the fallback — try both so
+        # sessionless consumers read session-written indexes too
+        for name in ("_meta.json", "_bloom_meta.json"):
+            mp = os.path.join(base, name)
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    meta = json.load(f)
+                break
         bp = os.path.join(base, "bloom.bin")
         if os.path.exists(bp):
             with open(bp, "rb") as f:

@@ -1998,7 +1998,7 @@ def ann_index_recall_report(
 
 def semantic_index_write(
     df: DataFrame, path: str,
-    threshold: float = 0.95,
+    threshold: float | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     k_cells: int = 16, iterations: int = 2,
     mode: str = "overwrite", batch_stamp: str | None = None,
@@ -2025,18 +2025,36 @@ def semantic_index_write(
     for cross-boundary recall, up to exhaustive at n_cells). A crash
     between the IVF commit and the threshold pin leaves a valid ANN
     index that :func:`semantic_index_candidates` refuses loudly as
-    not-a-semantic-index."""
+    not-a-semantic-index.
+
+    ``threshold`` defaults to 0.95 on a build; on ``mode='append'``
+    leave it unset (appends never change the pin) — an EXPLICIT
+    append threshold is compared against the pinned one and a
+    mismatch raises (the families' append-config gate; silently
+    discarding a contradicted threshold would let a user believe
+    they tightened the dedup)."""
     from .index_meta import meta_read, meta_write
 
-    if not 0.0 < threshold <= 1.0:
+    if threshold is not None and not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if mode == "append" and threshold is not None:
+        existing = meta_read(df.sparkSession, path,
+                             legacy="_ann_meta.json")
+        pinned = (existing or {}).get("sem_threshold")
+        if pinned is None or float(threshold) != float(pinned):
+            raise ValueError(
+                f"semantic_index_write(append): threshold "
+                f"{threshold} != pinned index threshold {pinned} — "
+                f"appends never change the pin; rebuild with "
+                f"mode='overwrite' to change it, or omit threshold")
     ann_index_write(df, path, id_col=id_col, vec_col=vec_col,
                     k_cells=k_cells, iterations=iterations, mode=mode,
                     batch_stamp=batch_stamp)
     if mode == "overwrite":
         spark = df.sparkSession
         meta = meta_read(spark, path)
-        meta["sem_threshold"] = float(threshold)
+        meta["sem_threshold"] = float(
+            0.95 if threshold is None else threshold)
         meta_write(spark, path, meta)
 
 

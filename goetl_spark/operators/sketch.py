@@ -415,7 +415,16 @@ def hll_index_estimate(
     groups = list(group_cols if group_cols is not None
                   else meta.get("group_cols", []))
     idx = spark.read.parquet(path)
-    agg = [F.count(F.lit(1)).alias("n_batches"),
+    # n_batches must count BATCHES, not sketch rows: under a coarser
+    # group_cols than the index's (valid — unions merge exactly) a
+    # row count would read batches x merged-groups and a
+    # dropped-batch check against it would lie. The layout-2 _b
+    # partition value identifies the batch exactly; a legacy
+    # layout-1 index has no batch identifier, so it keeps the old
+    # row-count reading (exact at the index's own grouping).
+    n_batches = (F.countDistinct("_b") if "_b" in idx.columns
+                 else F.count(F.lit(1)))
+    agg = [n_batches.alias("n_batches"),
            F.hll_sketch_estimate(
                F.hll_union_agg(F.col("sketch"), F.lit(True)))
             .alias("approx_distinct")]

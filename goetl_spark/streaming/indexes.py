@@ -24,7 +24,11 @@ r16 ADVICE medium):
    previous stream's — no ``reset_index_marker`` needed, no silently
    swallowed first batches. (A legacy appender built without a
    checkpoint identity still uses the shared unscoped marker and the
-   documented reset rule.)
+   documented reset rule. A LAYOUT-1 index carrying a pre-upgrade
+   unscoped marker but no scoped one raises on the first trigger —
+   "continuing pre-upgrade stream" and "new stream" are
+   indistinguishable there and neither guess is safe; the error names
+   the one-time ``reset_index_marker`` migration step.)
 2. **Stamped idempotent appends.** On a layout-2 index (any build
    since r17) each micro-batch's rows land in a per-batch
    ``_b=cp<hash>.b<batch_id>`` subdirectory of every leg, and the
@@ -174,6 +178,29 @@ def make_index_appender(
             # a missing manifest falls through to the writer's own
             # loud missing-manifest error; a layout-1 index takes the
             # legacy unstamped append (documented replay window)
+            elif (last is None
+                  and _marker_read(spark, index_path) is not None):
+                # layout-1 index, no scoped marker yet, but a PRE-r17
+                # unscoped marker exists: indistinguishable cases — a
+                # pre-upgrade stream continuing on this checkpoint
+                # (skipping per the old marker would be correct;
+                # ignoring it re-appends a possibly-applied batch =
+                # duplicates) vs a NEW stream (skipping per the old
+                # marker silently swallows its first batches = data
+                # loss). On layout 2 a replay is harmless so neither
+                # matters; on layout 1 neither guess is safe — stop
+                # loudly and make the operator decide once.
+                raise ValueError(
+                    f"stream_index_append: index at {index_path!r} "
+                    f"has a pre-upgrade unscoped stream marker but no "
+                    f"marker for this checkpoint. Run "
+                    f"reset_index_marker(spark, {index_path!r}) to "
+                    f"clear it and continue — if this stream ran "
+                    f"before the upgrade, its last delivered batch "
+                    f"may be re-applied once (this layout-1 index "
+                    f"duplicates on replay; dropDuplicates the "
+                    f"candidates, or rebuild with mode='overwrite' "
+                    f"first to upgrade to the idempotent layout)")
         writer(batch_df, index_path, mode="append", **kwargs)
         _marker_write(spark, index_path, batch_id, checkpoint_id)
 

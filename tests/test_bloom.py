@@ -294,3 +294,61 @@ def test_stream_bloom_cut_exact_and_idempotent(spark, tmp_path):
     after = {(r["k"], r["v"])
              for r in spark.read.parquet(out1 + "/batch=0").collect()}
     assert after == before
+
+
+def test_bloom_rebuild_no_stale_manifest_and_sessionless_read(
+        spark, tmp_path, monkeypatch):
+    """r17 self-review pair: (a) a rebuild with a session active must
+    not leave a stale pre-r17 local manifest behind (the sessionless
+    fallback reader would trust it — with matching num_bits it passes
+    every check and probes the new words under the old keys); (b) a
+    session-written index must be readable by the documented
+    sessionless branch; (c) the rebuild is invalidate-first /
+    commit-last: a crash between the words and the manifest leaves a
+    LOUDLY manifest-less index, never a readable old config over new
+    words."""
+    import json as _json
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from goetl_spark.operators.bloom import (
+        bloom_build_keys, bloom_index_read, bloom_index_write,
+        bloom_params)
+
+    path = str(tmp_path / "bidx")
+    bits, hashes = bloom_params(100, fpp=0.01)
+    packed_a = bloom_build_keys(
+        spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string"),
+        ["k"], bits, hashes)
+    # plant a pre-r17 legacy manifest describing DIFFERENT keys with
+    # the same geometry, then rebuild with the session active
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_bloom_meta.json", "w") as f:
+        _json.dump({"num_bits": bits, "num_hashes": hashes,
+                    "key_cols": ["old_col"], "h2_salt": 0}, f)
+    bloom_index_write(packed_a, path, ["k"], hashes)
+    assert not os.path.exists(f"{path}/_bloom_meta.json")  # (a)
+
+    # (b) sessionless read of the session-written index
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        staticmethod(lambda: None))
+    loaded, cols, k = bloom_index_read(path, ["k"])
+    monkeypatch.undo()
+    assert loaded == packed_a and cols == ["k"] and k == hashes
+
+    # (c) crash the rebuild between words and manifest
+    import goetl_spark.operators.index_meta as im
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(im, "meta_write", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        bloom_index_write(packed_a, path, ["k"], hashes)
+    monkeypatch.undo()
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        bloom_index_read(path, ["k"])
+    # a completed rebuild recovers
+    bloom_index_write(packed_a, path, ["k"], hashes)
+    assert bloom_index_read(path, ["k"])[0] == packed_a

@@ -330,3 +330,67 @@ def test_hll_index_full_discipline(spark, tmp_path):
         hll_index_write(day2, path, "user", ["grp"], mode="append")
     with pytest.raises(ValueError, match="no readable manifest"):
         hll_index_estimate(spark, path)
+
+
+def test_layout1_legacy_marker_migration_raises(spark, tmp_path):
+    """Upgrade hazard (r17 self-review): a LAYOUT-1 index carrying a
+    pre-upgrade UNSCOPED marker but no scoped one — 'continuing
+    pre-upgrade stream' (old marker correct, ignoring it duplicates)
+    and 'new stream' (old marker stale, honoring it loses batches)
+    are indistinguishable, so the checkpoint-scoped appender raises
+    with the one-time reset migration step instead of guessing. On a
+    layout-2 index a replay is harmless and no raise fires."""
+    import shutil
+
+    path = str(tmp_path / "legacy_marker")
+    jaccard_index_write(_docs(spark, CORPUS), path, threshold=0.5)
+    # layout-1-ify: flatten legs, strip the layout field
+    for leg in ("records", "prefix"):
+        flat = (spark.read.parquet(f"{path}/{leg}").drop("_b")
+                .toPandas())
+        shutil.rmtree(f"{path}/{leg}")
+        spark.createDataFrame(flat).write.parquet(f"{path}/{leg}")
+    meta_write(spark, path, {"threshold": 0.5})
+    # the pre-upgrade unscoped marker
+    file_write_bytes(spark, f"{path}/{_MARKER}", b"7")
+
+    apply_ = make_index_appender(path, "jaccard", checkpoint_id="ck",
+                                 threshold=0.5)
+    with pytest.raises(ValueError, match="pre-upgrade unscoped"):
+        apply_(_docs(spark, DAY2), batch_id=0)
+    # the migration step the error names, then the stream proceeds
+    reset_index_marker(spark, path)
+    apply_(_docs(spark, DAY2), batch_id=0)
+    assert _marker_read(spark, path, "ck") == 0
+
+    # layout 2: same stale unscoped marker, NO raise (replay-safe)
+    p2 = str(tmp_path / "l2_marker")
+    jaccard_index_write(_docs(spark, CORPUS), p2, threshold=0.5)
+    file_write_bytes(spark, f"{p2}/{_MARKER}", b"7")
+    make_index_appender(p2, "jaccard", checkpoint_id="ck",
+                        threshold=0.5)(_docs(spark, DAY2), batch_id=0)
+    assert _marker_read(spark, p2, "ck") == 0
+
+
+def test_hll_n_batches_counts_batches_under_coarser_grouping(
+        spark, tmp_path):
+    """n_batches must count BATCHES even when estimated at a coarser
+    grouping than the index's (r17 self-review: a sketch-row count
+    reads batches x merged-groups and a dropped-batch check lies)."""
+    from goetl_spark.operators.sketch import (
+        hll_index_estimate, hll_index_write)
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(40)], "user long, grp string")
+    path = str(tmp_path / "hllcoarse")
+    hll_index_write(df, path, "user", ["grp"])
+    hll_index_write(df, path, "user", ["grp"], mode="append",
+                    batch_stamp="day2")
+    # global (coarser) readout: 2 batches, not 2 x 4 groups
+    row = hll_index_estimate(spark, path, group_cols=[]).collect()[0]
+    assert row["n_batches"] == 2
+    assert int(row["approx_distinct"]) == 40
+    # per-group readout agrees
+    per = {r["grp"]: r["n_batches"] for r in
+           hll_index_estimate(spark, path).collect()}
+    assert per == {f"g{i}": 2 for i in range(4)}

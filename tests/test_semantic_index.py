@@ -147,3 +147,26 @@ def test_compose_with_dedup_clusters_keep_rule(spark, tmp_path):
     # 23 ([0.05,0.03,1]) is a paraphrase-dup of corpus 4 ([0,0,1]) —
     # cosine ≈ 0.998 — so the min-id rule hands it to cluster 4
     assert keep[23] == 4
+
+
+def test_append_threshold_gate(spark, tmp_path):
+    """r17 self-review: an EXPLICIT append threshold that contradicts
+    the pinned one must raise (silently discarding it would let a
+    user believe they tightened the dedup); a matching explicit value
+    and an omitted one both pass."""
+    path = str(tmp_path / "semgate")
+    semantic_index_write(_vecs(spark, CORPUS), path, threshold=0.25,
+                         k_cells=2, iterations=1)
+    with pytest.raises(ValueError, match="pinned index threshold"):
+        semantic_index_write(_vecs(spark, DAY2), path, threshold=0.9,
+                             mode="append")
+    semantic_index_write(_vecs(spark, DAY2), path, threshold=0.25,
+                         mode="append")  # matching explicit: fine
+    semantic_index_write(
+        _vecs(spark, [(13, [0.5, 0.5, 0.0])]), path, mode="append")
+    got = {(r["query_id"], r["match_id"])
+           for r in semantic_index_candidates(
+               _vecs(spark, BATCH), path, nprobe=2,
+               include_new_pairs=False).collect()}
+    assert got == _brute_pairs(
+        BATCH, CORPUS + DAY2 + [(13, [0.5, 0.5, 0.0])], 0.25)

@@ -109,6 +109,45 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
                                       nprobe=2,
                                       min_recall=0.8).collect()[0]
 
+    # 4c) the day-2 SEMANTIC keep decision (r17): the graded
+    # retriever's standing twin for dedup. The semantic index pins
+    # the dedup tau beside the IVF cells; a new batch pulls its
+    # paraphrase-duplicates of the accepted corpus (and within
+    # itself) with one assign pass + a partition-pruned read, then
+    # the acceptance rule: a batch doc matching ANY corpus doc drops
+    # (the corpus of record wins), the within-batch survivors keep
+    # one representative per component (min id — semantic_dedup's
+    # deterministic choice). tau=0.25 because the synthetic
+    # embeddings are near-orthogonal random vectors (the q264
+    # fixture convention); the corpus side is the even vec_ids, so
+    # parity distinguishes corpus matches from batch matches below.
+    from goetl_spark.operators.dedup import dedup_clusters
+    from goetl_spark.operators.similarity import (
+        semantic_index_candidates, semantic_index_write)
+
+    sem_path = _scratch("example_mc_sem_idx")
+    accepted = emb.filter(F.col("vec_id") % 2 == 0)
+    semantic_index_write(accepted, sem_path, threshold=0.25,
+                         k_cells=4, iterations=1)
+    batch = emb.filter(F.col("vec_id") % 2 != 0)
+    cand = semantic_index_candidates(batch, sem_path, nprobe=2)
+    drop_cross = (cand.filter(F.col("match_id") % 2 == 0)
+                  .select(F.col("query_id").alias("vec_id")).distinct())
+    survivors = batch.join(drop_cross, "vec_id", "left_anti")
+    within = (cand.filter(F.col("match_id") % 2 != 0)
+              .join(survivors.select(F.col("vec_id")
+                                     .alias("query_id")), "query_id")
+              .join(survivors.select(F.col("vec_id")
+                                     .alias("match_id")), "match_id"))
+    drop_within = (dedup_clusters(within, "query_id", "match_id")
+                   .filter(F.col("cluster_id") < F.col("doc_id"))
+                   .select(F.col("doc_id").alias("vec_id")))
+    sem_kept = survivors.join(drop_within, "vec_id", "left_anti")
+    n_batch = int(batch.count())
+    n_drop_cross = int(drop_cross.count())
+    n_drop_within = int(drop_within.count())
+    n_sem_kept = int(sem_kept.count())
+
     # 5) GRADE the scorer itself on the labeled frame: ranking quality
     # (exact tie-aware AUC) and confidence quality (reliability bins +
     # total ECE) — the eval-suite legs a threshold can't see.
@@ -145,6 +184,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "map_at_10": float(summary["map_at_k"]),
         "ivf_recall_at_nprobe2": round(float(monitor["recall"]), 6),
         "ivf_needs_refit": bool(monitor["needs_refit"]),
+        "sem_batch": n_batch,
+        "sem_dropped_vs_corpus": n_drop_cross,
+        "sem_dropped_within": n_drop_within,
+        "sem_kept": n_sem_kept,
         "train_auc": float(auc),
         "train_ece": float(ece),
         "gains": gains,

@@ -162,6 +162,15 @@ def test_model_curation_example(spark):
     assert k_lo < k_hi
     assert rec_lo <= rec_hi <= 1.0
     assert lift_lo > 1.0
+    # r17 day-2 semantic keep loop: the acceptance rule partitions
+    # the batch exactly (kept = batch − corpus-dups − within-dups),
+    # and the near-orthogonal synthetic embeddings still yield some
+    # matches at tau=0.25 (the q264 fixture convention) while never
+    # emptying the batch
+    assert r["sem_kept"] == (r["sem_batch"] - r["sem_dropped_vs_corpus"]
+                             - r["sem_dropped_within"])
+    assert 0 < r["sem_kept"] <= r["sem_batch"]
+    assert r["sem_dropped_vs_corpus"] + r["sem_dropped_within"] > 0
 
 
 def test_record_linkage_example(spark):

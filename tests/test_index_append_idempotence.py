@@ -394,3 +394,90 @@ def test_hll_n_batches_counts_batches_under_coarser_grouping(
     per = {r["grp"]: r["n_batches"] for r in
            hll_index_estimate(spark, path).collect()}
     assert per == {f"g{i}": 2 for i in range(4)}
+
+
+@pytest.mark.parametrize("kind", ["lsh", "simhash", "edit", "ann", "hll"])
+def test_crash_before_marker_all_families(spark, tmp_path, monkeypatch,
+                                          kind):
+    """The jaccard injected-crash law generalized: for EVERY
+    streamable family, a crash after the data legs but before the
+    marker write, followed by the stream's re-delivery, leaves the
+    index equal to a crash-free twin — row-for-row in every leg (the
+    replayed stamped batch overwrote itself)."""
+    import goetl_spark.streaming.indexes as si
+    from goetl_spark.operators.dedup import (
+        edit_distance_index_write, lsh_index_write, simhash_index_write)
+    from goetl_spark.operators.similarity import ann_index_write
+    from goetl_spark.operators.sketch import hll_index_write
+
+    texts = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i % 3}")
+         for i in range(8)], "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    users = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(20)], "user long, grp string")
+
+    setups = {
+        "lsh": (lsh_index_write, texts.filter("doc_id < 4"),
+                texts.filter("doc_id >= 4"), {}, [""]),
+        "simhash": (simhash_index_write, texts.filter("doc_id < 4"),
+                    texts.filter("doc_id >= 4"), {"max_hamming": 4}, [""]),
+        "edit": (edit_distance_index_write,
+                 spark.createDataFrame([(1, "kitten"), (2, "x")],
+                                       "doc_id long, text string"),
+                 spark.createDataFrame([(11, "mitten"), (12, "y")],
+                                       "doc_id long, text string"),
+                 {"max_dist": 2}, ["strings", "segments", "short"]),
+        "ann": (ann_index_write, vecs.filter("vec_id < 6"),
+                vecs.filter("vec_id >= 6"),
+                {}, ["corpus"]),
+        "hll": (hll_index_write, users.filter("user < 10"),
+                users.filter("user >= 10"), {}, [""]),
+    }
+    writer, base, day2, kw, legs = setups[kind]
+    crashed, clean = str(tmp_path / "c"), str(tmp_path / "ok")
+    build_kw = dict(kw)
+    if kind == "ann":
+        build_kw.update(k_cells=2, iterations=1)
+    if kind == "hll":
+        build_kw = dict(kw)
+        for p in (crashed, clean):
+            writer(base, p, "user", ["grp"], **build_kw)
+    else:
+        for p in (crashed, clean):
+            writer(base, p, **build_kw)
+
+    akw = dict(kw)
+    if kind == "hll":
+        akw = {"key_col": "user", "group_cols": ["grp"], **kw}
+    apply_clean = make_index_appender(clean, kind, checkpoint_id="ck",
+                                      **akw)
+    apply_crash = make_index_appender(crashed, kind, checkpoint_id="ck",
+                                      **akw)
+    apply_clean(day2, batch_id=0)
+
+    real_write = si._marker_write
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before marker write")
+
+    monkeypatch.setattr(si, "_marker_write", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        apply_crash(day2, batch_id=0)
+    monkeypatch.setattr(si, "_marker_write", real_write)
+    apply_crash(day2, batch_id=0)  # the stream's re-delivery
+    assert _marker_read(spark, crashed, "ck") == 0
+
+    for leg in legs:
+        suffix = f"/{leg}" if leg else ""
+        got = spark.read.parquet(f"{crashed}{suffix}")
+        want = spark.read.parquet(f"{clean}{suffix}")
+        assert got.count() == want.count(), (kind, leg)
+        # content too, not just counts (drop the batch-stamp col —
+        # clean and crashed used the same deterministic cp-stamp, so
+        # it matches anyway, but keep the comparison about the data)
+        g = sorted(map(str, got.drop("_b").collect()))
+        w = sorted(map(str, want.drop("_b").collect()))
+        assert g == w, (kind, leg)

@@ -1897,6 +1897,18 @@ def jaccard_index_write(
     toks = spark.read.parquet(f"{path}/tokens")
     recs = _jaccard_sorted(base, "__id", "__t", toks)
     leg_write(recs, f"{path}/records", mode, stamp)
+    if stamp is not None:
+        # r17 optimization (guide §1.2 "don't compute things twice"):
+        # the prefix leg is a projection of the records leg — derive it
+        # from the batch subdirectory records/ just landed in instead
+        # of re-running the whole rarity sort (explode + rarity join +
+        # per-record array_sort) a second time. One columnar read of
+        # this batch's own rows replaces a full second pass over the
+        # batch text; identical rows by construction.
+        # explicit schema: an all-empty batch writes zero part files
+        # and a bare read of the subdir could not infer one
+        recs = (spark.read.schema(recs.schema)
+                .parquet(f"{path}/records/_b={stamp}"))
     pref = (recs.select("__id", "__n",
                         F.explode(_jaccard_prefix("__t", float(threshold)))
                          .alias("tok")))
@@ -2103,6 +2115,15 @@ def edit_distance_index_write(
                     F.col(str_col).alias("__rs"))
           .filter(F.col("__rs").isNotNull()))
     leg_write(rc, f"{path}/strings", mode, stamp)
+    if stamp is not None:
+        # r17 optimization (guide §1.2): the segments and short legs
+        # are in-row projections of the strings leg — derive them from
+        # the batch subdirectory just written instead of scanning the
+        # input twice more (at corpus scale ``df`` may itself be an
+        # expensive upstream plan). Explicit schema: an all-NULL batch
+        # writes zero part files and a bare read could not infer one.
+        rc = (spark.read.schema(rc.schema)
+              .parquet(f"{path}/strings/_b={stamp}"))
     # the edit_distance_join right-side expansion verbatim (segment i
     # of a length-L string starts at i·(L div k) + min(i, L mod k))
     r_segs = f"""

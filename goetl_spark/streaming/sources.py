@@ -86,25 +86,36 @@ def replay_stream_ordered(
     ).collect()[0]["b"] if fracs else []
     ts_d = F.col(ts_col).cast("double")
     stage = tempfile.mkdtemp(prefix="goetl_replay_stage_")
+    # ONE partitioned write instead of num_chunks filtered scans (r17
+    # optimization, guide §2.4): chunk i = 1 + #bounds at or below ts —
+    # identical membership to the old per-chunk range filters, which
+    # also dropped NULL-ts rows (every range predicate is null there).
+    # repartition(num_chunks, chunk) puts each chunk value in exactly
+    # one task, so partitionBy yields ONE file per non-empty chunk —
+    # the same file-per-chunk layout, num_chunks+1 jobs -> 2.
+    chunk = F.lit(1)
+    for b in bounds:
+        chunk = chunk + F.when(ts_d >= b, 1).otherwise(0)
+    staged = batch_df.withColumn("__chunk", chunk)
+    if bounds:
+        # the old range predicates were all NULL on a NULL ts, so
+        # multi-chunk replays dropped those rows; keep that contract
+        staged = staged.filter(ts_d.isNotNull())
+    (staged.repartition(max(num_chunks, 1), "__chunk")
+     .write.partitionBy("__chunk").mode("overwrite").parquet(stage))
     for i in range(1, num_chunks + 1):
-        cond = F.lit(True)
-        if i > 1:
-            cond = cond & (ts_d >= bounds[i - 2])
-        if i <= len(bounds):
-            cond = cond & (ts_d < bounds[i - 1])
-        part_dir = os.path.join(stage, f"c{i}")
-        (batch_df.filter(cond)
-         .coalesce(1).write.mode("overwrite").parquet(part_dir))
+        part_dir = os.path.join(stage, f"__chunk={i}")
         src = next(
             (os.path.join(part_dir, f) for f in os.listdir(part_dir)
              if f.startswith("part-") and f.endswith(".parquet")),
             None,
-        )
+        ) if os.path.isdir(part_dir) else None
         if src is None:  # empty time slice (tiny inputs)
             continue
         dst = os.path.join(path, f"chunk{i:03d}.parquet")
         shutil.copy(src, dst)
         os.utime(dst, (i * 1000, i * 1000))  # strictly increasing mtimes
+    shutil.rmtree(stage, ignore_errors=True)
     reader = spark.readStream.format("parquet").schema(batch_df.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -49,15 +49,16 @@ def stream_psi_monitor(
     read+rewrite per trigger is the correct plan, not a scale hazard —
     no partition assembly needed.
 
-    Per trigger: one batch-sized map + bins-sized shuffle, one
-    bins-sized merge, one tiny table swap. NULL values land in the −1
+    Per trigger: ONE job — batch-sized map + bins-sized shuffle,
+    bins-sized merge, tiny table swap (r17: the old ``head(1)``
+    empty-batch pre-probe was its own job per trigger; an empty
+    batch's merge is a no-op rewrite, so the probe bought nothing —
+    guide §1.2). NULL values land in the −1
     bin (a null-rate shift IS drift, the batch operator's contract)."""
     edges = _psi_edges(breaks)
     case = _bin_case_sql(value_col, edges)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
         spark = batch_df.sparkSession
         backup = counts_path.rstrip("/") + ".__psi_old__"
         _restore_if_interrupted(counts_path, backup)
@@ -123,16 +124,16 @@ def stream_benford_monitor(
     group columns must be class-valued — the classes bound is the
     contract.
 
-    Per trigger: one batch-sized map + classes-sized shuffle, one
-    classes-sized merge, one tiny table swap."""
+    Per trigger: ONE job — batch-sized map + classes-sized shuffle,
+    classes-sized merge, tiny table swap (r17: the ``head(1)``
+    empty-batch pre-probe was a whole extra job per trigger for a
+    case whose merge is a no-op — removed, guide §1.2)."""
     from goetl_spark.quality import _benford_digit
 
     groups = list(group_cols)
     digit = _benford_digit(value_col, int(value_scale))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
         spark = batch_df.sparkSession
         backup = counts_path.rstrip("/") + ".__benford_old__"
         _restore_if_interrupted(counts_path, backup)
@@ -202,15 +203,15 @@ def stream_c2st_monitor(
     happens at COMPARE time (c2st_from_counts raises on a non-0/1 or
     one-sided fold — a count table has no row to blame mid-stream).
 
-    Per trigger: one batch-sized map + cells-sized shuffle, one
-    cells-sized merge, one tiny table swap."""
+    Per trigger: ONE job — batch-sized map + cells-sized shuffle,
+    cells-sized merge, tiny table swap (r17: the ``head(1)``
+    empty-batch pre-probe was a whole extra job per trigger for a
+    case whose merge is a no-op — removed, guide §1.2)."""
     cats = list(cat_cols)
     if not cats:
         raise ValueError("cat_cols must be non-empty")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
         spark = batch_df.sparkSession
         backup = counts_path.rstrip("/") + ".__c2st_old__"
         _restore_if_interrupted(counts_path, backup)

@@ -44,7 +44,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from goetl_spark.operators.text import md5_int
+from goetl_spark.operators.text import md5_int, spread_small_input
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 
@@ -107,7 +107,9 @@ def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             yield pd.DataFrame({id_col: ids, "shingle": shingles})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    # spread a one-row-group input so the Python shingle kernel uses
+    # every core, not one (guide §2.5; no-op at corpus scale)
+    return spread_small_input(df.select(id_col, text_col)).mapInPandas(
         gen, f"{id_col} {id_type}, shingle string"
     )
 
@@ -532,7 +534,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bit_j(doc) = 1 iff sum over distinct tokens of (token has bit j ? +1 : -1) > 0.
     Near-duplicates differ in few bits (compare with hamming/bit_count(xor)).
     """
-    toks = df.select(
+    # spread a one-row-group input: the per-token explode + md5 + the
+    # 60 bit-sum aggregates are the heavy map side (guide §2.5; no-op
+    # at corpus scale)
+    toks = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
     ).select(F.col(id_col), md5_int(F.col("tok"), 15).alias("h"))
@@ -714,7 +719,9 @@ def winnow_fingerprints(
             yield pd.DataFrame({id_col: ids, "fingerprint": prints})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    # spread a one-row-group input so the Python rolling-hash kernel
+    # uses every core, not one (guide §2.5; no-op at corpus scale)
+    return spread_small_input(df.select(id_col, text_col)).mapInPandas(
         gen, f"{id_col} {id_type}, fingerprint long"
     )
 
@@ -920,7 +927,9 @@ def winnow_anchor_positions(
             yield pd.DataFrame({id_col: ids, "pos": poss, "gram": grams})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    # spread a one-row-group input so the Python anchor kernel uses
+    # every core, not one (guide §2.5; no-op at corpus scale)
+    return spread_small_input(df.select(id_col, text_col)).mapInPandas(
         gen, f"{id_col} {id_type}, pos long, gram string"
     )
 
@@ -1782,7 +1791,8 @@ def _jaccard_sorted(df: DataFrame, id_c: str, arr_c: str,
     inflate the set size ``__n`` and land in prefixes as an equi-join
     key that can never match — a silent recall hole vs the one-shot
     join's answer."""
-    e = (df.select(id_c, F.explode(arr_c).alias("tok"))
+    e = (spread_small_input(df.select(id_c, arr_c))
+         .select(id_c, F.explode(arr_c).alias("tok"))
          .filter(F.col("tok").isNotNull())
          .join(toks, "tok", "left")
          .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
@@ -2111,9 +2121,10 @@ def edit_distance_index_write(
         for leg in ("strings", "segments", "short"):
             file_delete_recursive(spark, f"{path}/{leg}")
         stamp = "base"
-    rc = (df.select(F.col(id_col).alias("__rid"),
-                    F.col(str_col).alias("__rs"))
-          .filter(F.col("__rs").isNotNull()))
+    rc = spread_small_input(
+        df.select(F.col(id_col).alias("__rid"),
+                  F.col(str_col).alias("__rs"))
+        .filter(F.col("__rs").isNotNull()))
     leg_write(rc, f"{path}/strings", mode, stamp)
     if stamp is not None:
         # r17 optimization (guide §1.2): the segments and short legs
@@ -2200,9 +2211,10 @@ def edit_distance_index_candidates(
                 f"segmentation cannot pigeonhole {d} edits; rebuild the "
                 f"index at the looser threshold")
     k = idx_d + 1  # the INDEX segmentation; query tolerances are ±d
-    lc = (new_docs.select(F.col(id_col).alias("__lid"),
-                          F.col(str_col).alias("__ls"))
-          .filter(F.col("__ls").isNotNull())
+    lc = (spread_small_input(
+              new_docs.select(F.col(id_col).alias("__lid"),
+                              F.col(str_col).alias("__ls"))
+              .filter(F.col("__ls").isNotNull()))
           .localCheckpoint(eager=True))
     seg_len = f"((L div {k}) + IF(i < L % {k}, 1, 0))"
     seg_start = f"(i * (L div {k}) + least(i, L % {k}))"

@@ -46,6 +46,15 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+
+def _spread(df):
+    """Input spread before the Python kernels — see
+    goetl_spark.operators.text.spread_small_input (guide §2.5: a
+    one-row-group table scans as ONE partition and the per-row Python
+    work would run on a single core; no-op at corpus scale)."""
+    from goetl_spark.operators.text import spread_small_input
+    return spread_small_input(df)
+
 def attach_media_column(df: DataFrame, payload_col: str,
                         mime: "str | F.Column",
                         id_col: str | None = None) -> DataFrame:
@@ -141,7 +150,7 @@ def extract_features(df: DataFrame, media_col: str = "media",
                 out["decoder"].append(dec)
             yield pd.DataFrame(out)
 
-    return df.select(media_col).mapInPandas(run, schema=_FEATURE_SCHEMA)
+    return _spread(df.select(media_col)).mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
 def _decode_media(payload: bytes | None, mime: str, dim: int):
@@ -303,7 +312,7 @@ def sample_frames(df: DataFrame, media_col: str = "media",
                     rows["frame_ms"].append(off)
             yield pd.DataFrame(rows)
 
-    return df.select(media_col).mapInPandas(run, schema="media_id long, frame_ms long")
+    return _spread(df.select(media_col)).mapInPandas(run, schema="media_id long, frame_ms long")
 
 
 _RESIZE_SCHEMA = (
@@ -382,7 +391,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
                 rows["decoder"].append(dec)
             yield pd.DataFrame(rows)
 
-    return df.select(media_col).mapInPandas(run, schema=_RESIZE_SCHEMA)
+    return _spread(df.select(media_col)).mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
 def _parse_wav_pcm(payload: bytes):
@@ -483,7 +492,7 @@ def audio_frame_energy(
 
     schema = ("media_id long, frame_idx int, start_ms long, "
               "rms double, n_samples int, status string")
-    return df.mapInPandas(run, schema=schema)
+    return _spread(df).mapInPandas(run, schema=schema)
 
 
 _DHASH_SCHEMA = ("media_id long, dhash long, decode_ok boolean, "
@@ -576,7 +585,7 @@ def dhash(df: DataFrame, media_col: str = "media",
                 out["decoder"].append("netpbm")
             yield pd.DataFrame(out)
 
-    return df.select(media_col).mapInPandas(run, schema=_DHASH_SCHEMA)
+    return _spread(df.select(media_col)).mapInPandas(run, schema=_DHASH_SCHEMA)
 
 
 def _banded_hamming_pairs(hashed: DataFrame, hash_col: str,
@@ -746,7 +755,7 @@ def phash(df: DataFrame, media_col: str = "media",
                 out["decoder"].append("netpbm")
             yield pd.DataFrame(out)
 
-    return df.select(media_col).mapInPandas(run, schema=_PHASH_SCHEMA)
+    return _spread(df.select(media_col)).mapInPandas(run, schema=_PHASH_SCHEMA)
 
 
 def image_neardup_pairs_phash(df: DataFrame, media_col: str = "media",
@@ -835,7 +844,7 @@ def audio_dhash(df: DataFrame, media_col: str = "media",
                 out["decoder"].append("wav")
             yield pd.DataFrame(out)
 
-    return df.select(media_col).mapInPandas(run, schema=_AUDIO_DHASH_SCHEMA)
+    return _spread(df.select(media_col)).mapInPandas(run, schema=_AUDIO_DHASH_SCHEMA)
 
 
 def audio_neardup_pairs(df: DataFrame, media_col: str = "media",

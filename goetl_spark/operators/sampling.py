@@ -26,7 +26,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from goetl_spark.operators.text import md5_int, token_count
+from goetl_spark.operators.text import (md5_int, spread_small_input,
+                                         token_count)
 
 
 def _hash_bucket(key: Column, buckets: int = 100) -> Column:
@@ -708,14 +709,19 @@ def dsir_log_weights(
         raise ValueError(f"add_k must be > 0, got {add_k}")
 
     ids = list(id_cols)
+    # spread one-row-group inputs: the ngram explode + per-ngram md5 is
+    # the dominant map cost of the whole operator and would otherwise
+    # run on a single core (guide §2.5; no-op at corpus scale)
     doc_bucket = (
-        df.select(*ids, F.explode(_dsir_ngrams(text_col)).alias("g"))
+        spread_small_input(df.select(*ids, text_col))
+        .select(*ids, F.explode(_dsir_ngrams(text_col)).alias("g"))
         .select(*ids, (md5_int(F.col("g")) % buckets).alias("b"))
         .groupBy(*ids, "b").agg(F.count(F.lit(1)).alias("__cnt"))
         .localCheckpoint(eager=True))
 
     ct_t = {r["b"]: r["c"] for r in (
-        target_df.select(F.explode(_dsir_ngrams(text_col)).alias("g"))
+        spread_small_input(target_df.select(text_col))
+        .select(F.explode(_dsir_ngrams(text_col)).alias("g"))
         .select((md5_int(F.col("g")) % buckets).alias("b"))
         .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
         .collect())}

@@ -26,6 +26,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Corpus-side input spread before Arrow/per-row-heavy kernels —
+    :func:`goetl_spark.operators.text.spread_small_input` (guide §2.5:
+    a one-row-group parquet table scans as ONE partition, so the dot/
+    assign/encode kernels would run on a single core; no-op at corpus
+    scale where inputs already carry >= parallelism partitions)."""
+    from goetl_spark.operators.text import spread_small_input
+    return spread_small_input(df)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i*b_i with double accumulation in element order (deterministic)."""
     return F.aggregate(
@@ -95,10 +105,10 @@ def knn_bruteforce(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     ))
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ))
     dot_pd = _dot_pandas()
     scored = (
         c.crossJoin(q)
@@ -142,12 +152,12 @@ def knn_ivf(
         F.col(bucket_col).alias("q_bucket"),
         norm(F.col(vec_col)).alias("q_norm"),
     ))
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(bucket_col).alias("c_bucket"),
         norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ))
     dot_pd = _dot_pandas()
     scored = (
         c.join(q, F.col("c_bucket") == F.col("q_bucket"))
@@ -251,7 +261,7 @@ def knn_ivf_trained(
     """
     assign1 = _ivf_assign_pandas(centroids, 1)
     assignp = _ivf_assign_pandas(centroids, nprobe)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
@@ -397,7 +407,7 @@ def embedding_neardup_pairs(
             norm(F.col(vec_col)).alias("nrm")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
-    base = df.select(*cols)
+    base = _spread(df).select(*cols)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
@@ -444,7 +454,7 @@ def cosine_topk_pandas(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    return corpus.mapInPandas(
+    return _spread(corpus).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos_sim double"
     )
 
@@ -584,8 +594,8 @@ def pq_encode(
     # annotations` would hand pandas_udf unresolvable strings)
     encode_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
     encode = pandas_udf(encode_pd, "array<int>")
-    return corpus.select(F.col(id_col), encode(F.col(vec_col))
-                         .alias(code_col))
+    return _spread(corpus).select(F.col(id_col), encode(F.col(vec_col))
+                                  .alias(code_col))
 
 
 def knn_pq_adc(
@@ -643,7 +653,7 @@ def knn_pq_adc(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = corpus_codes.mapInPandas(
+    scored = _spread(corpus_codes).mapInPandas(
         score, schema="query_id long, neighbor_id long, approx_dist double")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc()))
@@ -790,7 +800,7 @@ def encode_ivfpq(
 
     enc.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
     enc_udf = pandas_udf(enc, "struct<cell: int, codes: array<int>>")
-    return corpus.select(
+    return _spread(corpus).select(
         F.col(id_col), enc_udf(F.col(vec_col)).alias("__e")
     ).select(id_col, F.col("__e.cell").alias("cell"),
              F.col("__e.codes").alias("pq_codes"))
@@ -919,8 +929,9 @@ def cluster_inertia(
     x = F.col("x").cast("double")
     xd = x.cast("decimal(19,6)")
     per_dim = (
-        df.select(F.col(label_col).alias("label"),
-                  F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        _spread(df.select(label_col, vec_col))
+        .select(F.col(label_col).alias("label"),
+                F.posexplode(F.col(vec_col)).alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(xd).cast("double").alias("sx"),
@@ -1115,7 +1126,7 @@ def sq_encode(
         guarded = F.when(mx == mn, F.lit(0)).otherwise(raw)
         return F.greatest(F.lit(0), F.least(F.lit(levels), guarded)).cast("int")
 
-    return corpus.select(
+    return _spread(corpus).select(
         F.col(id_col),
         F.transform(F.col(vec_col), _code).alias(code_col))
 
@@ -1157,7 +1168,7 @@ def knn_sq(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = corpus_codes.mapInPandas(
+    scored = _spread(corpus_codes).mapInPandas(
         score, schema="query_id long, neighbor_id long, score long")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
@@ -1212,7 +1223,7 @@ def knn_sq_adc(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = corpus_codes.mapInPandas(
+    scored = _spread(corpus_codes).mapInPandas(
         score, schema="query_id long, neighbor_id long, score double")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
@@ -1458,7 +1469,7 @@ def power_iteration_pca(
     import math
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    base = _spread(df.select(F.col(id_col).alias("__id"), vec.alias("__v")))
     head = base.select(F.size("__v").alias("n")).limit(1).collect()
     if not head:
         raise ValueError("cannot fit PCA on an empty frame")
@@ -1699,7 +1710,8 @@ def silhouette_simplified(
     centroid) collapse (the shuffle carries rows × k), a per-row
     reduce, a labels-bounded mean. No window, no collect."""
     lab = F.col(label_col)
-    pts = (df.filter(F.col(vec_col).isNotNull())
+    pts = (_spread(df.select(id_col, label_col, vec_col)
+                   .filter(F.col(vec_col).isNotNull()))
            .select(F.col(id_col).alias("__rid"), lab.alias("__l"),
                    F.posexplode(F.col(vec_col)).alias("__dim", "__x")))
     xd = F.col("__x").cast("double")
@@ -1824,9 +1836,10 @@ def ann_index_write(
     assign1 = _ivf_assign_pandas(clist, 1)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     leg_write(
-        df.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"),
-                  norm(F.col(vec_col)).alias("c_norm"),
-                  assign1(F.col(vec_col)).getItem(0).alias("cell")),
+        _spread(df).select(
+            F.col(id_col).alias("vec_id"), vec.alias("embedding"),
+            norm(F.col(vec_col)).alias("c_norm"),
+            assign1(F.col(vec_col)).getItem(0).alias("cell")),
         f"{path}/corpus", mode, stamp, parts=("cell",))
     if mode == "overwrite":
         meta_write(spark, path, meta)
@@ -1903,8 +1916,8 @@ def ann_index_search(
             f"executors; split the batch, raise max_batch_rows "
             f"deliberately, or use ann_join for fact-vs-fact top-k")
     probed = sorted(stats["__cells"])
-    c = (spark.read.parquet(f"{path}/corpus")
-         .where(F.col("cell").isin(probed)))
+    c = _spread(spark.read.parquet(f"{path}/corpus")
+                .where(F.col("cell").isin(probed)))
     dot_pd = _dot_pandas()
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("_probe_cell"))
@@ -2129,8 +2142,8 @@ def semantic_index_candidates(
             f"deliberately")
     probed = sorted(stats["__cells"])
     dot_pd = _dot_pandas()
-    c = (spark.read.parquet(f"{path}/corpus")
-         .where(F.col("cell").isin(probed)))
+    c = _spread(spark.read.parquet(f"{path}/corpus")
+                .where(F.col("cell").isin(probed)))
     cross = (
         c.join(F.broadcast(q), F.col("cell") == F.col("_probe_cell"))
         .filter(F.col("vec_id") != F.col("query_id"))

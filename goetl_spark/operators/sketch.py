@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _spread(df):
+    """Input spread before the Python kernels — see
+    goetl_spark.operators.text.spread_small_input (guide §2.5: a
+    one-row-group table scans as ONE partition and the per-row Python
+    work would run on a single core; no-op at corpus scale)."""
+    from goetl_spark.operators.text import spread_small_input
+    return spread_small_input(df)
+
 def _k1(q: float, compression: int) -> float:
     """The k1 scale function k(q) = (δ/2π)·asin(2q−1): steep at the tails,
     flat in the middle, so tail centroids stay tiny (tight p99s) and the
@@ -89,7 +98,7 @@ def tdigest_sketch(df: DataFrame, col: str, compression: int = 100) -> DataFrame
             m, w = _compress(v, np.ones_like(v), compression)
             yield pd.DataFrame({"mean": m, "weight": w})
 
-    return df.select(col).mapInPandas(sketch, schema="mean double, weight double")
+    return _spread(df.select(col)).mapInPandas(sketch, schema="mean double, weight double")
 
 
 def merge_tdigest(centroids, compression: int = 100):
@@ -195,7 +204,7 @@ def tdigest_quantiles_by_group(
             out[c] = pdf[c].iloc[0]
         return out[gcols + ["prob", "quantile"]]
 
-    partials = df.select(*gcols, value_col).mapInPandas(
+    partials = _spread(df.select(*gcols, value_col)).mapInPandas(
         partial, schema=centroid_schema)
     out_schema = ", ".join(
         f"`{c}` {t}" for c, t in df.select(*gcols).dtypes

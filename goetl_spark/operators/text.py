@@ -31,6 +31,25 @@ STOPWORDS = {
 _PUNCT_CLASS = r"[.!?,;:]"
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before a
+    per-row-heavy map stage (guide §2.5 "input skew — one huge
+    unsplittable file ... repartition immediately after the read"): a
+    small parquet table is often ONE row group = ONE scan partition,
+    so an expensive map pass (shingling, per-ngram hashing, per-token
+    simhash, vector kernels) runs on a single core while the rest of
+    the cluster idles. Round-robin repartition to the default
+    parallelism when the input has fewer partitions; a corpus-scale
+    input already has >= parallelism partitions and this is a NO-OP —
+    the shuffle only ever moves a sub-parallelism-partition (i.e.
+    small) input. The kmeans_fit spread, promoted to a shared helper
+    (r17 optimization round)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (the baseline tokenizer)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -3018,7 +3018,7 @@ def q57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = (stream.withWatermark("ts", "1 hour")
              .dropDuplicatesWithinWatermark(["event_id"]))
     name = "goetl_q57_result"
-    with state_partitions(spark, 4):
+    with state_partitions(spark):
         q = (dedup.writeStream.format("memory").queryName(name)
              .outputMode("append").start())
         try:
@@ -3170,7 +3170,7 @@ def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dir=_scratch("goetl_q48_replay"))
     updates = running_stats_stream(stream, "event_type", "value")
     name = "goetl_q48_result"
-    with state_partitions(spark, 4):
+    with state_partitions(spark):
         q = (updates.writeStream.format("memory").queryName(name)
              .outputMode("update").start())
         try:
@@ -5878,7 +5878,7 @@ def q139_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["view", "click", "purchase"],
                         within_seconds=7 * 86400)
     name = "goetl_q139_result"
-    with state_partitions(spark, 4):
+    with state_partitions(spark):
         q = (upd.writeStream.format("memory").queryName(name)
              .outputMode("update").start())
         try:

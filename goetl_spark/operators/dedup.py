@@ -1305,10 +1305,9 @@ def lsh_index_candidates(
               & (F.col(f"q.{id_col}") != F.col(f"m.{id_col}")))
         .select(F.col(f"q.{id_col}").alias("query_id"),
                 F.col(f"m.{id_col}").alias("match_id"))
-        .distinct()
     )
     if not include_new_pairs:
-        return cross
+        return cross.distinct()
     a, b = new_bands.alias("a"), new_bands.alias("b")
     within = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -1316,8 +1315,12 @@ def lsh_index_candidates(
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("query_id"),
                 F.col(f"b.{id_col}").alias("match_id"))
-        .distinct()
     )
+    # ONE distinct over the union instead of one per branch plus a
+    # third over the union (r17, guide §2.4): same pair SET — a pair
+    # colliding on several bands, or appearing in both branches when
+    # an id sits on both sides, collapses identically — for two fewer
+    # exchanges over the (large) candidate stream.
     return cross.unionByName(within).distinct()
 
 
@@ -1411,8 +1414,7 @@ def simhash_index_candidates(
                         F.bit_count(F.col("q.simhash")
                                     .bitwiseXOR(F.col("m.simhash")))
                         .alias("hamming"))
-                .filter(F.col("hamming") <= max_hamming)
-                .distinct())
+                .filter(F.col("hamming") <= max_hamming))
 
     cross = matches(
         nb.alias("q"), idx.alias("m"),
@@ -1420,12 +1422,14 @@ def simhash_index_candidates(
         & (F.col("q.key") == F.col("m.key"))
         & (F.col(f"q.{id_col}") != F.col(f"m.{id_col}")))
     if not include_new_pairs:
-        return cross
+        return cross.distinct()
     within = matches(
         nb.alias("q"), nb.alias("m"),
         (F.col("q.band") == F.col("m.band"))
         & (F.col("q.key") == F.col("m.key"))
         & (F.col(f"q.{id_col}") < F.col(f"m.{id_col}")))
+    # ONE distinct over the union (see lsh_index_candidates): identical
+    # pair set, two fewer exchanges over the candidate stream
     return cross.unionByName(within).distinct()
 
 

@@ -26,16 +26,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Corpus-side input spread before Arrow/per-row-heavy kernels —
-    :func:`goetl_spark.operators.text.spread_small_input` (guide §2.5:
-    a one-row-group parquet table scans as ONE partition, so the dot/
-    assign/encode kernels would run on a single core; no-op at corpus
-    scale where inputs already carry >= parallelism partitions)."""
-    from goetl_spark.operators.text import spread_small_input
-    return spread_small_input(df)
-
-
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i*b_i with double accumulation in element order (deterministic)."""
     return F.aggregate(
@@ -105,10 +95,10 @@ def knn_bruteforce(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     ))
-    c = _spread(corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
-    ))
+    )
     dot_pd = _dot_pandas()
     scored = (
         c.crossJoin(q)
@@ -152,12 +142,12 @@ def knn_ivf(
         F.col(bucket_col).alias("q_bucket"),
         norm(F.col(vec_col)).alias("q_norm"),
     ))
-    c = _spread(corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(bucket_col).alias("c_bucket"),
         norm(F.col(vec_col)).alias("c_norm"),
-    ))
+    )
     dot_pd = _dot_pandas()
     scored = (
         c.join(q, F.col("c_bucket") == F.col("q_bucket"))
@@ -261,7 +251,7 @@ def knn_ivf_trained(
     """
     assign1 = _ivf_assign_pandas(centroids, 1)
     assignp = _ivf_assign_pandas(centroids, nprobe)
-    c = _spread(corpus).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
@@ -407,7 +397,7 @@ def embedding_neardup_pairs(
             norm(F.col(vec_col)).alias("nrm")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
-    base = _spread(df).select(*cols)
+    base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
@@ -454,7 +444,7 @@ def cosine_topk_pandas(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    return _spread(corpus).mapInPandas(
+    return corpus.mapInPandas(
         score, schema="query_id long, neighbor_id long, cos_sim double"
     )
 
@@ -594,7 +584,7 @@ def pq_encode(
     # annotations` would hand pandas_udf unresolvable strings)
     encode_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
     encode = pandas_udf(encode_pd, "array<int>")
-    return _spread(corpus).select(F.col(id_col), encode(F.col(vec_col))
+    return corpus.select(F.col(id_col), encode(F.col(vec_col))
                                   .alias(code_col))
 
 
@@ -653,7 +643,7 @@ def knn_pq_adc(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = _spread(corpus_codes).mapInPandas(
+    scored = corpus_codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, approx_dist double")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc()))
@@ -800,7 +790,7 @@ def encode_ivfpq(
 
     enc.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
     enc_udf = pandas_udf(enc, "struct<cell: int, codes: array<int>>")
-    return _spread(corpus).select(
+    return corpus.select(
         F.col(id_col), enc_udf(F.col(vec_col)).alias("__e")
     ).select(id_col, F.col("__e.cell").alias("cell"),
              F.col("__e.codes").alias("pq_codes"))
@@ -845,35 +835,43 @@ def knn_ivfpq(
     probes = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]  # (nq, np)
 
     spark = corpus.sparkSession
-    probe_rows = [(int(q_ids[i]), int(c))
-                  for i in range(len(q_ids)) for c in probes[i]]
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    cand = corpus_enc.join(F.broadcast(probe_df), "cell")
-
     qvec_by_id = {int(i): Q[n] for n, i in enumerate(q_ids)}
+    # Every (query, cell) residual LUT is precomputed ONCE driver-side
+    # (nq·nprobe·m·k doubles — tiny) and rides into the kernel as one
+    # array indexed by a __lut column carried on the probe rows. The
+    # kernel is then pure vectorized lookups with NO per-group pandas
+    # work, so its cost no longer scales with how many partitions the
+    # encoded corpus happens to arrive in (the per-group LUT rebuild
+    # used to run once per (query, cell, partition)).
+    probe_rows = [(int(q_ids[i]), int(c), i * nprobe + pi)
+                  for i in range(len(q_ids))
+                  for pi, c in enumerate(probes[i])]
+    lut_all = np.zeros((len(probe_rows), m, B[0].shape[0]))
+    for qid, cell, idx in probe_rows:
+        r = qvec_by_id[qid] - C[cell]                     # query residual
+        lut_all[idx] = np.stack([
+            (((r[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2)
+             .sum(axis=1))
+            for j in range(m)
+        ])                                                # (m, k)
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, __lut int")
+    cand = corpus_enc.join(F.broadcast(probe_df), "cell")
 
     def adc(batches):
         for pdf in batches:
-            outs = []
-            for (qid, cell), g in pdf.groupby(["query_id", "cell"],
-                                              sort=False):
-                r = qvec_by_id[int(qid)] - C[int(cell)]   # query residual
-                lut = np.stack([
-                    (((r[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2)
-                     .sum(axis=1))
-                    for j in range(m)
-                ])                                        # (m, k)
-                codes = np.stack(g["pq_codes"].to_numpy()).astype(np.int64)
-                dist = np.zeros(len(g))
-                for j in range(m):
-                    dist += lut[j][codes[:, j]]
-                outs.append(pd.DataFrame({
-                    "query_id": int(qid),
-                    "neighbor_id": g[id_col].to_numpy(),
-                    "approx_dist": dist,
-                }))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            pidx = pdf["__lut"].to_numpy()
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            dist = np.zeros(len(pdf))
+            for j in range(m):                    # same j accumulation
+                dist += lut_all[pidx, j, codes[:, j]]  # order as before
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "approx_dist": dist,
+            })
 
     scored = cand.mapInPandas(
         adc, schema="query_id long, neighbor_id long, approx_dist double"
@@ -929,7 +927,7 @@ def cluster_inertia(
     x = F.col("x").cast("double")
     xd = x.cast("decimal(19,6)")
     per_dim = (
-        _spread(df.select(label_col, vec_col))
+        df.select(label_col, vec_col)
         .select(F.col(label_col).alias("label"),
                 F.posexplode(F.col(vec_col)).alias("dim", "x"))
         .groupBy("label", "dim")
@@ -1126,7 +1124,7 @@ def sq_encode(
         guarded = F.when(mx == mn, F.lit(0)).otherwise(raw)
         return F.greatest(F.lit(0), F.least(F.lit(levels), guarded)).cast("int")
 
-    return _spread(corpus).select(
+    return corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), _code).alias(code_col))
 
@@ -1168,7 +1166,7 @@ def knn_sq(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = _spread(corpus_codes).mapInPandas(
+    scored = corpus_codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, score long")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
@@ -1223,7 +1221,7 @@ def knn_sq_adc(
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = _spread(corpus_codes).mapInPandas(
+    scored = corpus_codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, score double")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
@@ -1469,7 +1467,7 @@ def power_iteration_pca(
     import math
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = _spread(df.select(F.col(id_col).alias("__id"), vec.alias("__v")))
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
     head = base.select(F.size("__v").alias("n")).limit(1).collect()
     if not head:
         raise ValueError("cannot fit PCA on an empty frame")
@@ -1710,8 +1708,8 @@ def silhouette_simplified(
     centroid) collapse (the shuffle carries rows × k), a per-row
     reduce, a labels-bounded mean. No window, no collect."""
     lab = F.col(label_col)
-    pts = (_spread(df.select(id_col, label_col, vec_col)
-                   .filter(F.col(vec_col).isNotNull()))
+    pts = (df.select(id_col, label_col, vec_col)
+           .filter(F.col(vec_col).isNotNull())
            .select(F.col(id_col).alias("__rid"), lab.alias("__l"),
                    F.posexplode(F.col(vec_col)).alias("__dim", "__x")))
     xd = F.col("__x").cast("double")
@@ -1836,7 +1834,7 @@ def ann_index_write(
     assign1 = _ivf_assign_pandas(clist, 1)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     leg_write(
-        _spread(df).select(
+        df.select(
             F.col(id_col).alias("vec_id"), vec.alias("embedding"),
             norm(F.col(vec_col)).alias("c_norm"),
             assign1(F.col(vec_col)).getItem(0).alias("cell")),
@@ -1916,8 +1914,8 @@ def ann_index_search(
             f"executors; split the batch, raise max_batch_rows "
             f"deliberately, or use ann_join for fact-vs-fact top-k")
     probed = sorted(stats["__cells"])
-    c = _spread(spark.read.parquet(f"{path}/corpus")
-                .where(F.col("cell").isin(probed)))
+    c = (spark.read.parquet(f"{path}/corpus")
+         .where(F.col("cell").isin(probed)))
     dot_pd = _dot_pandas()
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("_probe_cell"))
@@ -2142,8 +2140,8 @@ def semantic_index_candidates(
             f"deliberately")
     probed = sorted(stats["__cells"])
     dot_pd = _dot_pandas()
-    c = _spread(spark.read.parquet(f"{path}/corpus")
-                .where(F.col("cell").isin(probed)))
+    c = (spark.read.parquet(f"{path}/corpus")
+         .where(F.col("cell").isin(probed)))
     cross = (
         c.join(F.broadcast(q), F.col("cell") == F.col("_probe_cell"))
         .filter(F.col("vec_id") != F.col("query_id"))

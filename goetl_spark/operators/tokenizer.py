@@ -31,14 +31,6 @@ from pyspark.sql import DataFrame, functions as F
 
 
 
-def _spread(df):
-    """Input spread before the Python kernels — see
-    goetl_spark.operators.text.spread_small_input (guide §2.5: a
-    one-row-group table scans as ONE partition and the per-row Python
-    work would run on a single core; no-op at corpus scale)."""
-    from goetl_spark.operators.text import spread_small_input
-    return spread_small_input(df)
-
 def wordpiece_pieces(word: str, vocab: set[str],
                      unk: str = "[UNK]", cont: str = "##") -> list[str]:
     """Greedy longest-match split of one word; whole word -> [UNK] when
@@ -107,7 +99,7 @@ def wordpiece_tokenize(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (f"{id_col} {id_type}, {out_tokens} array<string>, "
               f"{out_count} int")
-    return _spread(df.select(id_col, text_col)).mapInPandas(_run, schema=schema)
+    return df.select(id_col, text_col).mapInPandas(_run, schema=schema)
 
 
 def vocab_from_corpus(
@@ -270,7 +262,7 @@ def apply_bpe_merges(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (f"{id_col} {id_type}, {out_tokens} array<string>, "
               "n_tokens int")
-    return _spread(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def token_count_bpe(
@@ -315,7 +307,7 @@ def token_count_bpe(
             yield res
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return _spread(df.select(id_col, text_col)).mapInPandas(
+    return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} {id_type}, {out_col} int")
 
 
@@ -435,7 +427,7 @@ def unigram_tokenize(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (f"{id_col} {id_type}, {out_tokens} array<string>, "
               f"{out_count} int")
-    return _spread(df.select(id_col, text_col)).mapInPandas(_run, schema=schema)
+    return df.select(id_col, text_col).mapInPandas(_run, schema=schema)
 
 
 def learn_unigram_vocab(

@@ -172,16 +172,24 @@ def exact_quantiles(
                     by_pid.setdefault(pid, []).append(rank - before)
                     break
 
-        got: dict[int, float] = {}
+        # ALL target partitions in ONE job (was one job per partition —
+        # a 101-point grid over 32 range partitions paid ~32 job
+        # launches): filter to the target partitions, rank each within
+        # its own window partition (same per-task sort as before), and
+        # keep exactly the needed (partition, local-rank) rows. Values
+        # are identical — row_number ties only occur between equal v.
+        cond = None
         for pid, local_ranks in sorted(by_pid.items()):
-            w = Window.partitionBy("__pid").orderBy("v")
-            found = (parts.filter(F.col("__pid") == pid)
-                     .withColumn("__lr", F.row_number().over(w))
-                     .filter(F.col("__lr").isin(local_ranks))
-                     .collect())
-            before = offsets[pid][0]
-            for r in found:
-                got[before + r["__lr"]] = r["v"]
+            c = (F.col("__pid") == pid) & F.col("__lr").isin(local_ranks)
+            cond = c if cond is None else (cond | c)
+        w = Window.partitionBy("__pid").orderBy("v")
+        found = (parts.filter(F.col("__pid").isin(list(by_pid)))
+                 .withColumn("__lr", F.row_number().over(w))
+                 .filter(cond)
+                 .collect())
+        got: dict[int, float] = {}
+        for r in found:
+            got[offsets[r["__pid"]][0] + r["__lr"]] = r["v"]
 
         out = []
         for p in probs:

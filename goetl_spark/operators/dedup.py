@@ -533,28 +533,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     bit_j(doc) = 1 iff sum over distinct tokens of (token has bit j ? +1 : -1) > 0.
     Near-duplicates differ in few bits (compare with hamming/bit_count(xor)).
-    """
-    # spread a one-row-group input: the per-token explode + md5 + the
-    # 60 bit-sum aggregates are the heavy map side (guide §2.5; no-op
-    # at corpus scale)
-    toks = spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
-    ).select(F.col(id_col), md5_int(F.col("tok"), 15).alias("h"))
 
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sim = bit if sim is None else (sim + bit)
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    Map-only (r17 optimization round): the token hashes are computed
+    per row with a ``transform`` HOF (no explode) and the 60 bit sums
+    fold per document inside one Arrow kernel — the old shape
+    (explode → shuffle → groupBy with 60 conditional-sum aggregate
+    buffers) spent its time in the 60-buffer hash aggregate (measured
+    3.4 s → 0.5 s on a 1.6k-doc slice at sf0.1, bit-identical
+    output). ``sum(±1) ≡ 2·popcount_j − n`` in exact integer
+    arithmetic, so the packed hash is unchanged. NULL/empty texts
+    drop, as the explode used to drop them.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # spread a one-row-group input: per-doc token hashing + the bit
+    # folds are the heavy map side (guide §2.5; no-op at corpus scale).
+    # NULL-text docs drop exactly as the explode used to drop them;
+    # filtering on text (not on __hs) keeps the predicate cheap and
+    # pushable — a filter on __hs re-evaluates the per-token md5
+    # transform below the exchange (guide §4.4's duplication, in
+    # expression form). split() of a non-null string is never
+    # NULL/empty, so the conditions are equivalent.
+    base = (spread_small_input(
+                df.select(id_col, text_col)
+                  .filter(F.col(text_col).isNotNull()))
+            .select(F.col(id_col),
+                    F.transform(
+                        F.array_distinct(F.split(F.col(text_col), r"\s+")),
+                        lambda t: md5_int(t, 15)).alias("__hs")))
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter((len(h) for h in pdf["__hs"]),
+                               dtype=np.int64, count=len(pdf))
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"]])
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sim = np.zeros(len(lens), dtype=np.int64)
+            for j in range(bits):
+                s = np.add.reduceat((flat >> j) & 1, starts)
+                sim |= ((2 * s - lens > 0).astype(np.int64) << j)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sim})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(
+        kern, schema=f"{id_col} {id_type}, simhash long")
 
 
 def simhash_band_rows(

@@ -49,6 +49,28 @@ from goetl_spark.operators.text import md5_int, spread_small_input
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 
 
+def _once(col: Column, cast: str | None = None) -> Column:
+    """Value-neutral nondeterministic wrapper: ``col + floor(rand()*0)``.
+
+    Catalyst pushes a filter on a derived column below the projection
+    that computes it, leaving the expensive expression evaluated TWICE
+    — once inside the pushed-down filter/join condition and once in the
+    surviving projection (guide §4.4 shows the same duplication for
+    Python UDFs). Adding an exact zero built from ``rand()`` marks the
+    whole expression non-deterministic, which Catalyst may not
+    duplicate or reorder, so it is evaluated exactly once; the added
+    term is floor of a value in [0, 0] = 0, so results are bit-equal.
+    Use only on EXPENSIVE verify expressions (levenshtein /
+    array_intersect) immediately filtered after being projected — a
+    nondeterministic column also blocks legitimate pushdown of OTHER
+    filters past it.
+    """
+    zero = F.floor(F.rand(42) * F.lit(0))
+    if cast is not None:
+        zero = zero.cast(cast)
+    return col + zero
+
+
 def _word_shingles(col: Column, n: int) -> Column:
     """Distinct n-gram word shingles of a text column."""
     toks = F.split(col, r"\s+")
@@ -834,13 +856,18 @@ def fuzzy_pairs(
     if length_col:
         cond = cond & (F.col("a.band") == F.col("b.band")) \
             & (F.abs(F.col("a.len") - F.col("b.len")) <= length_tolerance)
+    # Banded levenshtein (Spark 4 3-arg form: -1 when distance exceeds
+    # the bound, exact below — O(max_dist·n) with early exit instead of
+    # O(n·m)) + _once so the distance is computed exactly once instead
+    # of in the pushed-down join condition AND the projection.
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+            _once(F.levenshtein(F.col("a.pfx"), F.col("b.pfx"),
+                                max_dist), "int").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
@@ -1693,10 +1720,14 @@ def edit_distance_join(
     cand = cand.unionByName(
         l_short.join(r_short, "__L").select("__lid", "__rid").distinct())
 
-    dist = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    # Banded + single-evaluation verify (see _once): the 3-arg
+    # levenshtein early-exits at d (-1 above the bound, exact below),
+    # and the wrapper stops Catalyst from ALSO evaluating it inside the
+    # pushed-down join condition.
+    dist = _once(F.levenshtein(F.col("__ls"), F.col("__rs"), d), "int")
     return (cand.join(lc, "__lid").join(rc, "__rid")
             .withColumn("edit_dist", dist)
-            .filter(F.col("edit_dist") <= d)
+            .filter(F.col("edit_dist") >= 0)
             .select(F.col("__lid").alias(left_id),
                     F.col("__rid").alias(right_id),
                     F.col("edit_dist").cast("int").alias("edit_dist")))
@@ -1805,7 +1836,7 @@ def jaccard_join(
                             F.col("__n").alias("__lln")), "__lid")
             .join(rs.select("__rid", "__rt",
                             F.col("__n").alias("__rrn")), "__rid")
-            .withColumn("jaccard", o / union_n)
+            .withColumn("jaccard", _once(o / union_n))
             .filter(F.col("jaccard") >= tau)
             .select(F.col("__lid").alias(left_id),
                     F.col("__rid").alias(right_id), "jaccard"))
@@ -2038,7 +2069,7 @@ def jaccard_index_candidates(
                           F.col("__n").alias("__qqn")), "__qid")
           .join(recs, "__mid")
           .withColumn("jaccard",
-                      o / (F.col("__qqn") + F.col("__mmn") - o))
+                      _once(o / (F.col("__qqn") + F.col("__mmn") - o)))
           .filter(F.col("jaccard") >= F.lit(tau))
           .select(F.col("__qid").alias("query_id"),
                   F.col("__mid").alias("match_id"), "jaccard"))
@@ -2064,7 +2095,7 @@ def jaccard_index_candidates(
                               F.col("__qt").alias("__bt"),
                               F.col("__n").alias("__wbn")), "__bid")
               .withColumn("jaccard",
-                          ow / (F.col("__wan") + F.col("__wbn") - ow))
+                          _once(ow / (F.col("__wan") + F.col("__wbn") - ow)))
               .filter(F.col("jaccard") >= F.lit(tau))
               .select(F.col("__aid").alias("query_id"),
                       F.col("__bid").alias("match_id"), "jaccard"))
@@ -2275,10 +2306,12 @@ def edit_distance_index_candidates(
     cand = cand.unionByName(
         l_short.join(r_short, "__L").select("__lid", "__rid").distinct())
     rc = spark.read.parquet(f"{path}/strings")
-    dist = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    # Banded + single-evaluation verify — same rationale as
+    # edit_distance_join (see _once).
+    dist = _once(F.levenshtein(F.col("__ls"), F.col("__rs"), d), "int")
     return (cand.join(lc, "__lid").join(rc, "__rid")
             .withColumn("edit_dist", dist)
-            .filter(F.col("edit_dist") <= d)
+            .filter(F.col("edit_dist") >= 0)
             .select(F.col("__lid").alias("query_id"),
                     F.col("__rid").alias("match_id"),
                     F.col("edit_dist").cast("int").alias("edit_dist")))

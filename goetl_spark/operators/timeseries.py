@@ -523,34 +523,47 @@ def hypertable_rollup(
     ts, val = F.col(ts_col), F.col(value_col).cast("double")
     keys = list(keys)
 
-    def level(src: DataFrame, grain: str, src_ts: str,
-              first: bool) -> DataFrame:
-        bucket = F.date_trunc(grain, F.col(src_ts)).alias("bucket")
-        if first:
-            # per-row cast is DECIMAL(32,6), not (18,6): under non-ANSI
-            # Spark an overflowing cast yields NULL, so (18,6) would
-            # silently DROP |value| >= 1e12 from the sum while n still
-            # counts them. (32,6) holds |value| < 1e26 — beyond double's
-            # 2^53-exact integer range — and Spark's sum widens it to
-            # the same DECIMAL(38,6) partial.
-            aggs = [F.count(F.lit(1)).alias("n"),
-                    F.sum(val.cast("decimal(32,6)"))
-                    .cast("decimal(38,6)").alias("sum_dec"),
-                    F.min(val).alias("vmin"), F.max(val).alias("vmax")]
-        else:
-            aggs = [F.sum("n").alias("n"),
-                    F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
-                    F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")]
-        return (src.groupBy(*keys, bucket).agg(*aggs)
-                .withColumn("grain", F.lit(grain)))
-
-    base = df.filter(ts.isNotNull() & val.isNotNull())
-    levels = [level(base, grains[0], ts_col, first=True)]
-    for g in grains[1:]:
-        levels.append(level(levels[-1], g, "bucket", first=False))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
+    # All grains in ONE grouping-sets aggregate (one Expand + one
+    # exchange) instead of the old chained groupBy-per-grain (one
+    # exchange per grain, each materialized as its own AQE job — on a
+    # micro-batch trigger, jobs per trigger IS the runtime). Bit-equal
+    # to the chained re-aggregation: counts and DECIMAL sums are exact
+    # and associative, min/max regroup freely, and the _NESTS check
+    # above guarantees date_trunc(coarser, ts) equals the old
+    # date_trunc(coarser, date_trunc(finer, ts)) derivation. Map-side
+    # partial aggregation collapses the Expand's per-grain copies
+    # before the exchange, so shuffled bytes stay rollup-sized.
+    base = (df.filter(ts.isNotNull() & val.isNotNull())
+            .select(*[F.col(k) for k in keys], val.alias("__val"),
+                    *[F.date_trunc(g, ts).alias(f"__b{i}")
+                      for i, g in enumerate(grains)]))
+    bcols = [f"__b{i}" for i in range(len(grains))]
+    gd = base.groupingSets(
+        [[*keys, b] for b in bcols],
+        *[F.col(k) for k in keys], *[F.col(b) for b in bcols])
+    # grouping-set id: grouping columns are (keys..., __b0, __b1, ...)
+    # left-to-right MSB-first; set i leaves every bucket col but __bi
+    # ungrouped
+    nb = len(bcols)
+    gid_of = [sum(2 ** (nb - 1 - j) for j in range(nb) if j != i)
+              for i in range(nb)]
+    grain_c = F.lit(None).cast("string")
+    bucket_c = F.lit(None).cast("timestamp")
+    for i, g in enumerate(grains):
+        m = F.grouping_id() == gid_of[i]
+        grain_c = F.when(m, F.lit(g)).otherwise(grain_c)
+        bucket_c = F.when(m, F.col(f"__b{i}")).otherwise(bucket_c)
+    # per-row cast is DECIMAL(32,6), not (18,6): under non-ANSI Spark
+    # an overflowing cast yields NULL, so (18,6) would silently DROP
+    # |value| >= 1e12 from the sum while n still counts them. (32,6)
+    # holds |value| < 1e26 — beyond double's 2^53-exact integer range —
+    # and Spark's sum widens it to the same DECIMAL(38,6) partial.
+    out = gd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__val").cast("decimal(32,6)"))
+        .cast("decimal(38,6)").alias("sum_dec"),
+        F.min("__val").alias("vmin"), F.max("__val").alias("vmax"),
+        grain_c.alias("grain"), bucket_c.alias("bucket"))
     return out.select("grain", "bucket", *keys, "n", "sum_dec",
                       "vmin", "vmax")
 

@@ -265,6 +265,30 @@ def pack_sequences(
             .drop("__cum"))
 
 
+def _plan_free_partitions(df: DataFrame, per_part: int = 128 << 20) -> int:
+    """Range-partition count WITHOUT executing the input plan.
+
+    The old ``df.rdd.getNumPartitions()`` probe is poisonous under AQE:
+    ``.rdd`` materializes every upstream query stage — a full throwaway
+    execution of the input plan whose shuffles are NOT reused by the
+    real run — and then reports the AQE-coalesced partition count
+    (often 1), serializing the cumsum window. The optimizer's
+    size-in-bytes estimate costs zero jobs and scales the count with
+    the data (~128 MB per range partition, capped at the machine's
+    parallelism): tiny collapsed tables keep the old 1-partition
+    layout, corpus-scale inputs get full parallelism. Values are
+    partitioning-independent (the callers' order columns are a total
+    order), so only the layout changes.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # estimation failure → parallel, never throwaway
+        return par
+    return max(1, min(par, size // per_part + 1))
+
+
 def _with_exclusive_cumsum(
     df: DataFrame,
     token_col: str,
@@ -284,7 +308,7 @@ def _with_exclusive_cumsum(
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_cols]
-    n = num_partitions or df.rdd.getNumPartitions() or 1
+    n = num_partitions or _plan_free_partitions(df)
     # persisted: the totals pass and the returned plan must observe the
     # SAME range boundaries (range sampling re-run on a different input
     # order could split ties differently); the first action materializes,
@@ -414,7 +438,7 @@ def weighted_systematic_sample(
     ).otherwise(F.lit(True))
     df = df.filter(guard)
     order = [F.col(c) for c in order_cols]
-    n = num_partitions or df.rdd.getNumPartitions() or 1
+    n = num_partitions or _plan_free_partitions(df)
     parts = (df.repartitionByRange(n, *order)
              .withColumn("__pid", F.spark_partition_id())
              .persist())

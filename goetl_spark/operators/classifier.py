@@ -571,7 +571,7 @@ def pr_auc(
     way — clean data pays one fact scan): NULL/NaN scores, NULL
     labels, and single-class sets are rejected loudly."""
     p, y = F.col(score_col), F.col(label_col)
-    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+    from goetl_spark.operators.sampling import _with_exclusive_cumsums
 
     g = (df.groupBy(p.alias("__score"))
          .agg(F.count(F.lit(1)).alias("n"),
@@ -582,8 +582,8 @@ def pr_auc(
          # ranges ascending); scores are distinct post-groupBy so the
          # order is total
          .withColumn("__negscore", -F.col("__score")))
-    c = _with_exclusive_cumsum(g, "n", ["__negscore"], "n_before")
-    c = _with_exclusive_cumsum(c, "n_pos", ["__negscore"], "tp_before")
+    c = _with_exclusive_cumsums(
+        g, [("n", "n_before"), ("n_pos", "tp_before")], ["__negscore"])
     sk = F.col("__score")
     bad_key = sk.isNull() | F.isnan(sk.cast("double"))
     # totals (and the folded bad-row counts) ride a 1-row crossJoin —
@@ -737,7 +737,7 @@ def pr_auc_by(
         raise ValueError("group_cols must be non-empty — use pr_auc "
                          "for the whole-frame average precision")
     p, y = F.col(score_col), F.col(label_col)
-    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+    from goetl_spark.operators.sampling import _with_exclusive_cumsums
 
     g = (df.groupBy(*groups, p.alias("__score"))
          .agg(F.count(F.lit(1)).alias("n"),
@@ -745,9 +745,8 @@ def pr_auc_by(
                .alias("n_pos"),
               F.sum(F.when(y.isNull(), 1).otherwise(0)).alias("__nolabel"))
          .withColumn("__negscore", -F.col("__score")))
-    c = _with_exclusive_cumsum(g, "n", [*groups, "__negscore"], "__nbt")
-    c = _with_exclusive_cumsum(c, "n_pos", [*groups, "__negscore"],
-                               "__tpt")
+    c = _with_exclusive_cumsums(
+        g, [("n", "__nbt"), ("n_pos", "__tpt")], [*groups, "__negscore"])
     offs = c.groupBy(*groups).agg(
         F.min("__nbt").alias("__goffn"),
         F.min("__tpt").alias("__gofftp"),

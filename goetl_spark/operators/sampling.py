@@ -305,6 +305,28 @@ def _with_exclusive_cumsum(
     join adds back. Partitioning-independent because ranges respect the
     total order. See :func:`pack_sequences` for the materialize
     contract."""
+    return _with_exclusive_cumsums(df, [(token_col, out_col)], order_cols,
+                                   num_partitions, materialize)
+
+
+def _with_exclusive_cumsums(
+    df: DataFrame,
+    tokens: Sequence[tuple[str, str]],
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`_with_exclusive_cumsum` for SEVERAL token columns over the
+    SAME total order in ONE pass: one range repartition, one persist,
+    one per-partition totals collect (all sums ride the same 1-row-per-
+    partition aggregate), one window projection (same window spec, so
+    Spark evaluates every running sum in a single Window operator).
+    Callers that need k cumsums over one order (PR-AUC's n/tp, the KS
+    a/b ECDFs, W1's a/b/rank) previously chained k sequential calls —
+    k range samplings, k persists, k collects, k checkpoint
+    materializations of the SAME layout. Each sum is computed exactly
+    as the single-column version computes it (per-partition window sum
+    + exact long driver offsets), so values are bit-identical."""
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_cols]
@@ -319,24 +341,31 @@ def _with_exclusive_cumsum(
     try:
         w = (Window.partitionBy("__pid").orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, -1))
-        local_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
 
-        totals = {r["__pid"]: r["t"] for r in parts.groupBy("__pid")
-                  .agg(F.sum(token_col).alias("t")).collect()}
-        running, offsets = 0, {}
+        trow = parts.groupBy("__pid").agg(
+            *[F.sum(tok).alias(f"t{i}")
+              for i, (tok, _) in enumerate(tokens)]).collect()
+        totals = {r["__pid"]: r for r in trow}
+        running = [0] * len(tokens)
+        offsets: dict[int, list[int]] = {}
         for pid in sorted(totals):
-            offsets[pid] = running
-            running += totals[pid] or 0
+            offsets[pid] = list(running)
+            for i in range(len(tokens)):
+                running[i] += totals[pid][f"t{i}"] or 0
         spark = df.sparkSession
+        off_schema = "__pid int, " + ", ".join(
+            f"__offset_{i} long" for i in range(len(tokens)))
         off_df = spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()],
-            "__pid int, __offset long")
-        out = (
-            parts.join(F.broadcast(off_df), "__pid")
-            .withColumn(out_col,
-                        (local_before + F.col("__offset")).cast("long"))
-            .drop("__pid", "__offset")
-        )
+            [(int(p), *[int(o) for o in offs])
+             for p, offs in offsets.items()], off_schema)
+        out = parts.join(F.broadcast(off_df), "__pid")
+        for i, (tok, out_col) in enumerate(tokens):
+            local_before = F.coalesce(F.sum(F.col(tok)).over(w), F.lit(0))
+            out = out.withColumn(
+                out_col,
+                (local_before + F.col(f"__offset_{i}")).cast("long"))
+        out = out.drop("__pid",
+                       *[f"__offset_{i}" for i in range(len(tokens))])
         if materialize:
             out = out.localCheckpoint(eager=True)
         return out

@@ -608,7 +608,7 @@ def ks_distance(
     fact data crosses the network exactly twice regardless of group
     count."""
     from goetl_spark.operators.classifier import _group_offset_join
-    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+    from goetl_spark.operators.sampling import _with_exclusive_cumsums
 
     groups = list(group_cols)
     v = F.col(col)
@@ -621,8 +621,8 @@ def ks_distance(
               .filter(F.col("__v").isNotNull()))
     g = (tagged.groupBy(*groups, "__v")
          .agg(F.sum("__ina").alias("na_v"), F.sum("__inb").alias("nb_v")))
-    c = _with_exclusive_cumsum(g, "na_v", [*groups, "__v"], "__ca")
-    c = _with_exclusive_cumsum(c, "nb_v", [*groups, "__v"], "__cb")
+    c = _with_exclusive_cumsums(
+        g, [("na_v", "__ca"), ("nb_v", "__cb")], [*groups, "__v"])
 
     bad_key = F.isnan(F.col("__v").cast("double"))
     if groups:
@@ -710,13 +710,14 @@ def wasserstein_distance(
     on EITHER side yields NULL w1 (undefined, not 0 — n_a/n_b in the
     row say why).
 
-    Scale shape: one union + (group, value) collapse shuffle, THREE
-    cumsum range exchanges over the collapsed table, one
+    Scale shape: one union + (group, value) collapse shuffle, ONE
+    range exchange carrying all three cumsums over the collapsed
+    table, one
     rank-equi-join of that bounded table to itself, a groups-bounded
     totals broadcast — fact rows cross the network exactly twice
     regardless of group count."""
     from goetl_spark.operators.classifier import _group_offset_join
-    from goetl_spark.operators.sampling import _with_exclusive_cumsum
+    from goetl_spark.operators.sampling import _with_exclusive_cumsums
 
     groups = list(group_cols)
     v = F.col(col)
@@ -730,9 +731,9 @@ def wasserstein_distance(
     g = (tagged.groupBy(*groups, "__v")
          .agg(F.sum("__ina").alias("na_v"), F.sum("__inb").alias("nb_v"))
          .withColumn("__one", F.lit(1)))
-    c = _with_exclusive_cumsum(g, "na_v", [*groups, "__v"], "__ca")
-    c = _with_exclusive_cumsum(c, "nb_v", [*groups, "__v"], "__cb")
-    c = _with_exclusive_cumsum(c, "__one", [*groups, "__v"], "__cr")
+    c = _with_exclusive_cumsums(
+        g, [("na_v", "__ca"), ("nb_v", "__cb"), ("__one", "__cr")],
+        [*groups, "__v"])
 
     bad_key = F.isnan(F.col("__v").cast("double"))
     off_aggs = [

@@ -500,16 +500,28 @@ def dedup_clusters(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
+
+    from goetl_spark.operators.join import bcast_if_small
+
+    # node count rides the labels materialization (zero extra jobs) and
+    # drives the adaptive broadcast below: checkpointed label tables hide
+    # their stats from Catalyst, so every propagation round otherwise
+    # plans sort-merge and re-shuffles the edge set even for a few
+    # thousand labels (guide §2.4/§3.1). Above the threshold the rounds
+    # keep their shuffle joins — billion-node graphs unaffected.
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_nodes = int(obs0.get["n"] or 0)
     for _ in range(max_iter):
-        from pyspark.sql import Observation
-
         nbr = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(bcast_if_small(labels, n_nodes),
+                       edges.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
         # the changed-count rides the checkpoint materialization via the
@@ -518,7 +530,8 @@ def dedup_clusters(
         # observed, then dropped
         obs = Observation()
         new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
+            labels.join(bcast_if_small(nbr, n_nodes),
+                        labels.id == nbr.src, "left")
             .select(
                 labels.id,
                 F.col("label").alias("__old"),

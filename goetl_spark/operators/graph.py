@@ -50,9 +50,17 @@ def pagerank(
     out_deg = (e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
                .localCheckpoint(eager=True))
 
+    # n is already counted: under the adaptive threshold every per-round
+    # node-keyed table (out_deg, the rank+degree side of the contribution
+    # join, the contribution totals) broadcasts, so the EDGE set is never
+    # shuffled — each iteration is one map-side join + one partial-
+    # aggregated contribution shuffle. Checkpointed tables otherwise hide
+    # their stats and every round planned as sort-merge (guide §2.4/§3.1).
+    from goetl_spark.operators.join import bcast_if_small
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg,
+        with_deg = ranks.join(bcast_if_small(out_deg, n),
                               ranks["node"] == out_deg["s"], "left")
         # dangling mass (total rank of nodes with no out-edges) stays a
         # 1-row DataFrame broadcast-cross-joined into the update, so the
@@ -70,8 +78,9 @@ def pagerank(
                         .cast("double"),
                         F.lit(0.0)).alias("__dm")))
         contribs = (
-            e.join(with_deg.where(F.col("deg").isNotNull())
-                   .select("node", "rank", "deg"),
+            e.join(bcast_if_small(
+                       with_deg.where(F.col("deg").isNotNull())
+                       .select("node", "rank", "deg"), n),
                    e["s"] == F.col("node"))
             .groupBy("t")
             .agg(F.sum((F.col("rank") / F.col("deg"))
@@ -79,7 +88,8 @@ def pagerank(
                  .cast("double").alias("c"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["t"], "left")
+            nodes.join(bcast_if_small(contribs, n),
+                       nodes["node"] == contribs["t"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -211,17 +221,35 @@ def kcore(
     e = (e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
          .distinct()
          .localCheckpoint(eager=True))
+    from pyspark.sql import Observation
+
+    from goetl_spark.operators.join import bcast_if_small
+
     n_rounds = rounds if rounds is not None else max_rounds
     converged = rounds is not None
     for _ in range(n_rounds):
-        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("s")
-        if rounds is None:
-            if deg.where(F.col("deg") < k).isEmpty():
-                converged = True
-                break
-        e = (e.join(keep, "s", "leftsemi")
-             .join(keep.withColumnRenamed("s", "t"), "t", "leftsemi")
+        # ONE degree aggregation per round: the sub-k count (the old
+        # separate isEmpty job re-aggregated the whole edge set) rides
+        # the keep-set materialization as an Observation, and the
+        # observed keep count drives the adaptive broadcast of the two
+        # semi-joins — under the threshold the shrinking edge set is
+        # never shuffled by the peel.
+        obs = Observation()
+        keep = (e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+                .observe(obs,
+                         F.sum((F.col("deg") < k).cast("long"))
+                          .alias("nbad"),
+                         F.count(F.lit(1)).alias("nv"))
+                .where(F.col("deg") >= k).select("s")
+                .localCheckpoint(eager=True))
+        nbad = int(obs.get["nbad"] or 0)
+        if rounds is None and nbad == 0:
+            converged = True
+            break
+        nkeep = int(obs.get["nv"] or 0) - nbad
+        e = (e.join(bcast_if_small(keep, nkeep), "s", "leftsemi")
+             .join(bcast_if_small(
+                 keep.withColumnRenamed("s", "t"), nkeep), "t", "leftsemi")
              .select("s", "t")
              .localCheckpoint(eager=True))
     if not converged and rounds is None:

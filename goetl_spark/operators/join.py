@@ -163,3 +163,33 @@ def join_cardinality(left: DataFrame, right: DataFrame,
     return lc.join(rc, on=ks).select(
         *ks, "n_left", "n_right",
         (F.col("n_left") * F.col("n_right")).alias("pairs"))
+
+
+def bcast_if_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast hint for the small side of an ITERATIVE loop's joins —
+    pagerank / kcore / dedup_clusters style algorithms whose per-round
+    tables (labels, degrees, contributions) are ``localCheckpoint``ed,
+    which hides size statistics from Catalyst (a LogicalRDD reports the
+    default huge estimate), so every round's join planned as sort-merge
+    and re-shuffled the big edge set even when the keyed side was a few
+    thousand rows. The caller passes a row count it already knows (the
+    algorithms count or observe their node tables anyway); under the
+    threshold the hint makes each round's joins map-side — zero edge
+    shuffles — and above it the planner keeps the shuffle strategies,
+    so billion-node graphs are unaffected (guide §3.1: estimates are
+    often badly wrong after opaque operations — hint when you KNOW).
+
+    Threshold: ``goetl.iterative.broadcastRows`` session conf (rows, not
+    bytes — iterative-state rows here are a few dozen bytes each, so the
+    2M default is ~100 MB built, well inside guide §3.1's comfort band);
+    parameterised for cluster-specific tuning, scale-adaptive by
+    construction because the DATA decides which side of the threshold it
+    falls on."""
+    if n_rows is None:
+        return df
+    try:
+        cap = int(df.sparkSession.conf.get(
+            "goetl.iterative.broadcastRows", "2000000"))
+    except Exception:
+        cap = 2_000_000
+    return F.broadcast(df) if n_rows <= cap else df

@@ -129,9 +129,11 @@ def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             yield pd.DataFrame({id_col: ids, "shingle": shingles})
 
     id_type = dict(df.dtypes)[id_col]
-    # spread a one-row-group input so the Python shingle kernel uses
-    # every core, not one (guide §2.5; no-op at corpus scale)
-    return spread_small_input(df.select(id_col, text_col)).mapInPandas(
+    # NO input spread here: measured a loss (q171 6.3 -> 2.9 s median
+    # without it) — the exploded shingle output dwarfs the input, so
+    # the downstream self-join layout matters more than kernel-side
+    # parallelism (guide §1.1 measure-first)
+    return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} {id_type}, shingle string"
     )
 
@@ -582,17 +584,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     import numpy as np
     import pandas as pd
 
-    # spread a one-row-group input: per-doc token hashing + the bit
-    # folds are the heavy map side (guide §2.5; no-op at corpus scale).
+    # NO input spread: since the bit folds became one vectorized Arrow
+    # kernel the round-robin exchange of raw text cost more than the
+    # parallelism bought (q176 measured 5.8-9.5 -> 2.5-3.5 s without).
     # NULL-text docs drop exactly as the explode used to drop them;
     # filtering on text (not on __hs) keeps the predicate cheap and
     # pushable — a filter on __hs re-evaluates the per-token md5
     # transform below the exchange (guide §4.4's duplication, in
     # expression form). split() of a non-null string is never
     # NULL/empty, so the conditions are equivalent.
-    base = (spread_small_input(
-                df.select(id_col, text_col)
-                  .filter(F.col(text_col).isNotNull()))
+    base = (df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
             .select(F.col(id_col),
                     F.transform(
                         F.array_distinct(F.split(F.col(text_col), r"\s+")),
@@ -1866,7 +1868,7 @@ def _jaccard_sorted(df: DataFrame, id_c: str, arr_c: str,
     inflate the set size ``__n`` and land in prefixes as an equi-join
     key that can never match — a silent recall hole vs the one-shot
     join's answer."""
-    e = (spread_small_input(df.select(id_c, arr_c))
+    e = (df.select(id_c, arr_c)
          .select(id_c, F.explode(arr_c).alias("tok"))
          .filter(F.col("tok").isNotNull())
          .join(toks, "tok", "left")
@@ -2196,10 +2198,9 @@ def edit_distance_index_write(
         for leg in ("strings", "segments", "short"):
             file_delete_recursive(spark, f"{path}/{leg}")
         stamp = "base"
-    rc = spread_small_input(
-        df.select(F.col(id_col).alias("__rid"),
-                  F.col(str_col).alias("__rs"))
-        .filter(F.col("__rs").isNotNull()))
+    rc = (df.select(F.col(id_col).alias("__rid"),
+                    F.col(str_col).alias("__rs"))
+          .filter(F.col("__rs").isNotNull()))
     leg_write(rc, f"{path}/strings", mode, stamp)
     if stamp is not None:
         # r17 optimization (guide §1.2): the segments and short legs
@@ -2286,10 +2287,9 @@ def edit_distance_index_candidates(
                 f"segmentation cannot pigeonhole {d} edits; rebuild the "
                 f"index at the looser threshold")
     k = idx_d + 1  # the INDEX segmentation; query tolerances are ±d
-    lc = (spread_small_input(
-              new_docs.select(F.col(id_col).alias("__lid"),
-                              F.col(str_col).alias("__ls"))
-              .filter(F.col("__ls").isNotNull()))
+    lc = (new_docs.select(F.col(id_col).alias("__lid"),
+                          F.col(str_col).alias("__ls"))
+          .filter(F.col("__ls").isNotNull())
           .localCheckpoint(eager=True))
     seg_len = f"((L div {k}) + IF(i < L % {k}, 1, 0))"
     seg_start = f"(i * (L div {k}) + least(i, L % {k}))"

@@ -48,12 +48,12 @@ MEDIA_SCHEMA = T.StructType([
 
 
 def _spread(df):
-    """Input spread before the Python kernels — see
-    goetl_spark.operators.text.spread_small_input (guide §2.5: a
-    one-row-group table scans as ONE partition and the per-row Python
-    work would run on a single core; no-op at corpus scale)."""
-    from goetl_spark.operators.text import spread_small_input
-    return spread_small_input(df)
+    """Identity since the r17 optimization round: the round-robin spread
+    this wrapped was MEASURED a loss here (the exchange of the input
+    rows cost more than the extra map parallelism bought — q87 t-digest
+    2.5 -> 1.9 s, q166 audio 2.0 -> 0.9 s without it; guide §1.1
+    measure-first). Kept as a seam so the decision is re-testable."""
+    return df
 
 def attach_media_column(df: DataFrame, payload_col: str,
                         mime: "str | F.Column",

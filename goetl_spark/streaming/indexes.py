@@ -163,8 +163,9 @@ def make_index_appender(
     writer = _index_writer(kind)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
+        # no empty-batch pre-probe (r17, the change-4 discipline): one
+        # Spark job per trigger bought only the skip of a rare empty
+        # append, whose cost is an empty stamped leg write.
         spark = batch_df.sparkSession
         last = _marker_read(spark, index_path, checkpoint_id)
         if last is not None and batch_id <= last:

@@ -142,8 +142,12 @@ def stream_rollup(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
+        # no empty-batch pre-probe (r17, the change-4 discipline): the
+        # probe cost a full Spark job EVERY trigger to guard a path
+        # that file-source replays never take, and an empty batch's
+        # merge is bounded anyway (zero touched partitions -> pure
+        # hard-link cycle, no data bytes). stream_scd2 keeps its probe
+        # because its empty path would rewrite the whole dimension.
         spark = batch_df.sparkSession
         backup = rollup_path.rstrip("/") + ".__rollup_old__"
         _restore_if_interrupted(rollup_path, backup)

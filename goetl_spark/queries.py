@@ -3018,7 +3018,10 @@ def q57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = (stream.withWatermark("ts", "1 hour")
              .dropDuplicatesWithinWatermark(["event_id"]))
     name = "goetl_q57_result"
-    with state_partitions(spark):
+    # dropDuplicates state is pure JVM (no per-key Python to
+    # parallelize): per-store fixed cost dominates, so the few-key
+    # pin-4 rule applies (measured 6.5-8.4 s at 16 vs 4.2-4.7 at 4)
+    with state_partitions(spark, 4):
         q = (dedup.writeStream.format("memory").queryName(name)
              .outputMode("append").start())
         try:
@@ -3170,7 +3173,9 @@ def q48_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dir=_scratch("goetl_q48_replay"))
     updates = running_stats_stream(stream, "event_type", "value")
     name = "goetl_q48_result"
-    with state_partitions(spark):
+    # ~5 keys: per-store fixed cost dominates, the few-key pin-4 rule
+    # (change-6 analysis; measured 12.5-13.6 s at 16 vs ~2 s at 4)
+    with state_partitions(spark, 4):
         q = (updates.writeStream.format("memory").queryName(name)
              .outputMode("update").start())
         try:

@@ -354,6 +354,7 @@ def main():
     errors: dict[str, str] = {}
     cal: list[float] = []
     steal: list[float] = []
+    seg_starts: list[str] = []
     _stat_prev: list[tuple[int, int] | None] = [None]
 
     def _steal_segment() -> None:
@@ -410,9 +411,13 @@ def main():
     todo = {**{n: f for n, f in todo.items() if n not in set(window)},
             **{n: todo[n] for n in window}}
     for i, (name, fn) in enumerate(todo.items()):
+        short = name.split("_", 1)[0]
         if i % 30 == 0:
             calibrate()
-        short = name.split("_", 1)[0]
+            # segment -> query mapping (r18, verdict ask #9): the first
+            # query key of each calibration segment, so a contaminated
+            # steal/cal window names its queries in the artifact itself
+            seg_starts.append(short)
         full_names[short] = name
         t0 = time.perf_counter()
         try:
@@ -444,7 +449,14 @@ def main():
             out["errors"] = {key(k): v[:80] for k, v in errors.items()}
         # machine-state sentinels LAST so the driver's bounded output
         # tail always keeps them (see calibrate()/_steal_segment()):
-        # per-segment hypervisor steal%, then the q01 re-timings
+        # segment->query spans, per-segment hypervisor steal%, then the
+        # q01 re-timings. seg[j] is the first query of the window that
+        # steal[j]/cal[j+1] bracket, so a contaminated segment names
+        # its queries inside the artifact (r18, verdict ask #9). Always
+        # emitted: it rides the END of the line, which any output-tail
+        # truncation keeps (truncation eats the HEAD).
+        if seg_starts:
+            out["seg"] = [key(k) for k in seg_starts]
         if steal:
             out["steal"] = steal
         out["cal"] = cal

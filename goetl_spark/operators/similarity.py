@@ -1362,9 +1362,11 @@ def kmeans_fit(
     # slots, and the argmin HOF evaluates interpreted — spread the rows
     # so the per-element work uses every core. At corpus scale the
     # input already has >= parallelism partitions and this is a no-op.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    # (plan-stats probe, zero jobs — not .rdd, which executes the
+    # upstream plan under AQE; r18, same fix as spread_small_input)
+    from goetl_spark.operators.text import spread_small_input
+
+    base = spread_small_input(base)
     qbase = base.withColumn("__vq", _qvec(F.col("__v")))
     for _ in range(iterations):
         assigned = qbase.withColumn(
@@ -1641,11 +1643,11 @@ def ann_join(
                          _qvec(vec).alias("__rq"))
     # same small-input spread as kmeans_fit: probe/assign HOFs evaluate
     # interpreted, and a one-file corpus otherwise runs them on one core
-    par = left.sparkSession.sparkContext.defaultParallelism
-    if lbase.rdd.getNumPartitions() < par:
-        lbase = lbase.repartition(par)
-    if rbase.rdd.getNumPartitions() < par:
-        rbase = rbase.repartition(par)
+    # (plan-stats probe — zero jobs on any lineage; r18)
+    from goetl_spark.operators.text import spread_small_input
+
+    lbase = spread_small_input(lbase)
+    rbase = spread_small_input(rbase)
     cents = kmeans_fit(
         left.select(id_col, vec_col).unionByName(
             right.select(id_col, vec_col)),

@@ -39,13 +39,27 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     so an expensive map pass (shingling, per-ngram hashing, per-token
     simhash, vector kernels) runs on a single core while the rest of
     the cluster idles. Round-robin repartition to the default
-    parallelism when the input has fewer partitions; a corpus-scale
-    input already has >= parallelism partitions and this is a NO-OP —
-    the shuffle only ever moves a sub-parallelism-partition (i.e.
-    small) input. The kmeans_fit spread, promoted to a shared helper
-    (r17 optimization round)."""
+    parallelism when the input carries fewer scan partitions than the
+    machine; a corpus-scale input already has >= parallelism partitions
+    and this is a NO-OP — the shuffle only ever moves a
+    sub-parallelism-partition (i.e. small) input. The kmeans_fit
+    spread, promoted to a shared helper (r17 optimization round).
+
+    The under-partitioned test uses the optimizer's size estimate, NOT
+    ``df.rdd.getNumPartitions()``: under AQE ``.rdd`` materializes
+    every upstream query stage — a full throwaway execution whose
+    shuffles the real run does not reuse (the same pitfall
+    sampling.py::_plan_free_partitions documents; r18 fix). Scan
+    partitions ~= bytes / maxPartitionBytes (128 MB), so "fewer
+    partitions than cores" is "estimated size under cores x 128 MB";
+    estimation failure spreads nothing (never a throwaway execution)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        size = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return df
+    if size < par * (128 << 20):
         return df.repartition(par)
     return df
 

@@ -32,7 +32,7 @@ def main() -> None:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("goetl-spark-explain", master=f"local[{cpus}]")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r17"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r18"
     out_dir.mkdir(parents=True, exist_ok=True)
     allq = dict(catalog.queries())
     allq.update(catalog.staged_queries())

@@ -974,3 +974,28 @@ def test_jaccard_join_lossless_vs_brute_force(spark):
                    jaccard_join(Ln, Rn, "lid", "w", "rid", "w",
                                 0.5).collect())
     assert got_n == [(1, 2, 1.0), (1, 3, 0.5)]
+
+
+def test_spread_small_input_no_throwaway_execution(spark, tmp_path):
+    """The under-partitioned probe must cost ZERO jobs even on a shuffled
+    lineage (r18: .rdd.getNumPartitions() materialized every upstream AQE
+    stage), and still spread a small scan-fed input across the machine."""
+    # shuffled lineage: groupBy forces an exchange; probing it with .rdd
+    # would execute the aggregation once and throw it away
+    base = spark.range(0, 1000, 1, 4).selectExpr("id % 7 AS k", "id AS v")
+    agg = base.groupBy("k").sum("v")
+    before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    spread = X.spread_small_input(agg)
+    jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []) - before
+    assert jobs == 0, f"spread probe ran {jobs} throwaway jobs"
+    # values unchanged whichever way the decision went
+    assert sorted(r["k"] for r in spread.collect()) == sorted(range(7))
+
+    # a small parquet scan (one row group -> one partition) does spread
+    p = str(tmp_path / "small")
+    spark.range(0, 100, 1, 1).write.mode("overwrite").parquet(p)
+    small = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    out = X.spread_small_input(small)
+    assert out.rdd.getNumPartitions() == par
+    assert out.count() == 100

@@ -315,6 +315,7 @@ def _with_exclusive_cumsums(
     order_cols: Sequence[str],
     num_partitions: int | None = None,
     materialize: bool = True,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """:func:`_with_exclusive_cumsum` for SEVERAL token columns over the
     SAME total order in ONE pass: one range repartition, one persist,
@@ -326,39 +327,60 @@ def _with_exclusive_cumsums(
     k range samplings, k persists, k collects, k checkpoint
     materializations of the SAME layout. Each sum is computed exactly
     as the single-column version computes it (per-partition window sum
-    + exact long driver offsets), so values are bit-identical."""
+    + exact long driver offsets), so values are bit-identical.
+
+    ``partition_cols`` (r18) restarts every running sum per group —
+    INDEPENDENT cumsums for several groups in the SAME single pass
+    (:func:`mix_token_budget`'s per-source budgets previously paid one
+    full range-partition pass PER SOURCE). Groups lead the range keys
+    so each group stays contiguous, the window/totals/offsets are all
+    keyed by (partition, group), and per-group values equal a
+    per-group single call exactly (same window sums, same exact long
+    offsets — the order columns stay a total order within each group).
+    Group values must be non-NULL (they ride an equi-join)."""
     from pyspark.sql import Window
 
+    pcols = list(partition_cols)
     order = [F.col(c) for c in order_cols]
     n = num_partitions or _plan_free_partitions(df)
     # persisted: the totals pass and the returned plan must observe the
     # SAME range boundaries (range sampling re-run on a different input
     # order could split ties differently); the first action materializes,
     # the final plan reuses.
-    parts = (df.repartitionByRange(n, *order)
+    parts = (df.repartitionByRange(n, *[F.col(c) for c in pcols], *order)
              .withColumn("__pid", F.spark_partition_id())
              .persist())
     try:
-        w = (Window.partitionBy("__pid").orderBy(*order)
+        w = (Window.partitionBy("__pid", *pcols).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, -1))
 
-        trow = parts.groupBy("__pid").agg(
+        trow = parts.groupBy("__pid", *pcols).agg(
             *[F.sum(tok).alias(f"t{i}")
               for i, (tok, _) in enumerate(tokens)]).collect()
-        totals = {r["__pid"]: r for r in trow}
-        running = [0] * len(tokens)
-        offsets: dict[int, list[int]] = {}
-        for pid in sorted(totals):
-            offsets[pid] = list(running)
+        totals = {(r["__pid"], *[r[c] for c in pcols]): r for r in trow}
+        # per-group running sums accumulated in ascending partition order
+        # (groups are contiguous across partitions; order within one pid
+        # is irrelevant — each (pid, group) cell is disjoint)
+        running: dict[tuple, list[int]] = {}
+        offsets: dict[tuple, list[int]] = {}
+        for key in sorted(totals, key=lambda k: k[0]):
+            run = running.setdefault(key[1:], [0] * len(tokens))
+            offsets[key] = list(run)
             for i in range(len(tokens)):
-                running[i] += totals[pid][f"t{i}"] or 0
+                run[i] += totals[key][f"t{i}"] or 0
         spark = df.sparkSession
-        off_schema = "__pid int, " + ", ".join(
-            f"__offset_{i} long" for i in range(len(tokens)))
+        from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                       StructType)
+
+        fields = [StructField("__pid", IntegerType())]
+        for c in pcols:
+            fields.append(StructField(c, parts.schema[c].dataType))
+        fields += [StructField(f"__offset_{i}", LongType())
+                   for i in range(len(tokens))]
         off_df = spark.createDataFrame(
-            [(int(p), *[int(o) for o in offs])
-             for p, offs in offsets.items()], off_schema)
-        out = parts.join(F.broadcast(off_df), "__pid")
+            [(int(k[0]), *k[1:], *[int(o) for o in offs])
+             for k, offs in offsets.items()], StructType(fields))
+        out = parts.join(F.broadcast(off_df), ["__pid"] + pcols)
         for i, (tok, out_col) in enumerate(tokens):
             local_before = F.coalesce(F.sum(F.col(tok)).over(w), F.lit(0))
             out = out.withColumn(
@@ -679,8 +701,14 @@ def mix_token_budget(
     row-fraction weights only control document counts.
 
     Shares must be positive and sum to 1. Union is by-name/NULL-fill
-    (:func:`~goetl_spark.operators.union.fan_in`), shuffle-free; each
-    source pays one cumsum pass over its own rows only."""
+    (:func:`~goetl_spark.operators.union.fan_in`), shuffle-free; ALL
+    sources share ONE cumsum pass over the union (r18: the per-source
+    running sums restart per source inside a single range partition —
+    previously each source paid its own range sampling, totals collect
+    and checkpoint materialization; k passes → 1). Per-row keep
+    decisions are bit-identical to the per-source path: each source's
+    exclusive running sum is the same exact long regardless of range
+    boundaries (the order columns are a total order within a source)."""
     from goetl_spark.operators.union import fan_in
 
     shares = [w for _, w in sources]
@@ -688,15 +716,27 @@ def mix_token_budget(
         raise ValueError(f"shares must be positive, got {shares}")
     if abs(sum(shares) - 1.0) > 1e-9:
         raise ValueError(f"shares must sum to 1, got {sum(shares)}")
-    parts = []
-    for i, (df, share) in enumerate(sources):
-        part = sample_to_token_budget(
-            df, token_col, int(round(share * total_budget)),
-            id_col=id_col, salt=salt)
-        if source_col:
-            part = part.withColumn(source_col, F.lit(i))
-        parts.append(part)
-    return fan_in(parts)
+    budgets = [int(round(share * total_budget)) for _, share in sources]
+    for b in budgets:
+        if b <= 0:
+            raise ValueError(f"budget must be > 0, got {b}")
+    hcol, scol, ccol = "__tb_hash", "__mix_src", "__tb_cum"
+    u = fan_in([df.withColumn(scol, F.lit(i))
+                for i, (df, _) in enumerate(sources)])
+    with_h = u.withColumn(
+        hcol, md5_int(F.concat_ws(":", F.lit(salt), F.col(id_col))))
+    summed = _with_exclusive_cumsums(
+        with_h, [(token_col, ccol)], (hcol, id_col),
+        partition_cols=(scol,))
+    # pack 0 of a budget-sized packing = exclusive running sum under
+    # the source's own budget (floor(cum/budget) == 0 ⇔ cum < budget)
+    budget_of = F.element_at(
+        F.array(*[F.lit(b).cast("long") for b in budgets]),
+        F.col(scol) + 1)
+    out = summed.filter(F.col(ccol) < budget_of).drop(hcol, ccol)
+    if source_col:
+        out = out.withColumn(source_col, F.col(scol))
+    return out.drop(scol)
 
 
 def _dsir_ngrams(text_col: str) -> Column:

@@ -159,16 +159,26 @@ def stream_rollup(
 
         part = F.date_format(F.col("bucket"), "yyyy-MM-dd")
         # rollup-sized (batch buckets x keys) — pin it so the touched-
-        # partition probe and the merge don't re-aggregate the batch
+        # partition probe and the merge don't re-aggregate the batch.
+        # The touched-partition set rides the SAME materialization as an
+        # Observation (r18, the dedup_clusters change-16 pattern): the
+        # old separate distinct().collect() was one extra Spark job on
+        # EVERY trigger of a path where jobs-per-trigger is the runtime.
+        # collect_set is bounded by grains x the batch's days (the same
+        # bound the collect had); grain/part are never NULL.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         delta = (hypertable_rollup(batch_df, ts_col, keys, value_col, grains)
                  .withColumn(_PART_COL, part)
+                 .observe(obs, F.collect_set(
+                     F.struct("grain", F.col(_PART_COL))).alias("touched"))
                  .localCheckpoint(eager=True))
         exists = os.path.exists(rollup_path)
         if exists:
             # touched partitions: bounded by grains x the batch's days
-            touched = sorted(
-                (r["grain"], r[_PART_COL]) for r in
-                delta.select("grain", _PART_COL).distinct().collect())
+            touched = sorted((r["grain"], r[_PART_COL])
+                             for r in (obs.get["touched"] or []))
             pred = None
             for g, p in touched:
                 c = (F.col("grain") == g) & (F.col(_PART_COL) == p)

@@ -1261,6 +1261,19 @@ def _centroid_q_sql(centroid: list[float]) -> str:
         + ")")
 
 
+# Exactness/overflow contract shared by every quantized-distance form
+# below (SQL folds and Arrow kernels alike): all arithmetic is LONG on
+# the 1e-5 grid (fold of (xq−cq)², associative and exact, so any
+# evaluation order equals the oracle's per-(vec,centroid) SUM), safe
+# while dim·(2·|x|·1e5)² < 2⁶³, i.e. |values| ≲ 1.8e3 at dim 64 —
+# normalized-embedding territory; pre-scale larger data. Centroids
+# quantize through the SAME engine-side expression rows use (never
+# Python rounding) — constant-folded literals in the SQL forms,
+# _quantize_centroids for the kernels. (The in-row SQL fold was itself
+# ~100x cheaper than the BigDecimal folds before it: 120 s → ~4 s on
+# q213's 250k-pair scoring at sf0.1.)
+
+
 def _sqdist_q_pre_sql(vq_name: str, centroid: list[float]) -> str:
     """SQL text for the squared distance between an ALREADY-QUANTIZED
     long-array COLUMN (by name) and a centroid literal — callers
@@ -1271,24 +1284,6 @@ def _sqdist_q_pre_sql(vq_name: str, centroid: list[float]) -> str:
             "(a, t) -> a + t)")
 
 
-def _sqdist_qint(vec: Column, centroid: list[float]) -> Column:
-    """Squared euclidean distance between a double-array column and a
-    centroid literal on the 1e-5 grid — pure LONG arithmetic (fold of
-    (xq−cq)², associative and exact), so the in-row fold equals the
-    oracle's per-(vec,centroid) SUM regardless of order, with no
-    decimal ops in the hot path (the BigDecimal folds this replaces
-    cost ~100x: 120 s → ~4 s on q213's 250k-pair scoring at sf0.1).
-    Safe while dim·(2·|x|·1e5)² < 2⁶³, i.e. |values| ≲ 1.8e3 at
-    dim 64 — normalized-embedding territory; pre-scale larger data.
-    Centroids quantize through the SAME engine-side expression
-    (constant-folded), never Python rounding."""
-    return F.aggregate(
-        F.zip_with(_qvec(vec),
-                   F.expr(_centroid_q_sql([float(c) for c in centroid])),
-                   lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"), lambda a, t: a + t)
-
-
 def _argmin_cluster(vq_name: str, cents: dict[int, list[float]]) -> Column:
     """Nearest-centroid id under (distance, id) ordering: an array of
     (dist, id) structs reduced by array_min — lexicographic struct
@@ -1296,11 +1291,122 @@ def _argmin_cluster(vq_name: str, cents: dict[int, list[float]]) -> Column:
     ``vq_name`` names a PRE-QUANTIZED long-array column (materialize
     ``_qvec`` as a real column first, so it evaluates once per row, not
     once per centroid). Built as ONE SQL string — see _centroid_q_sql
-    for why not Column objects."""
+    for why not Column objects. This is the measured-faster form for
+    SMALL centroid sets (r18 A/B: the Arrow kernel's boundary+quantize
+    overhead loses ~0.5 s at k ≤ 16 on sf0.1); _KERNEL_CELLS picks the
+    kernel once k·dim interpreted ops per row dominate."""
     structs = ",".join(
         f"named_struct('d', {_sqdist_q_pre_sql(vq_name, c)}, 'j', {j})"
         for j, c in sorted(cents.items()))
     return F.expr(f"array_min(array({structs}))['j']")
+
+
+def _cluster_probes(vq_name: str, cents: dict[int, list[float]],
+                    nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids under (distance, id) order —
+    array_sort over (dist, id) structs sliced to nprobe, the multi-cell
+    generalization of :func:`_argmin_cluster`. All in-row; ``vq_name``
+    names a pre-quantized column (same reasons as _argmin_cluster).
+    Returns array<struct<d,j>> — consumers take ``['j']``."""
+    structs = ",".join(
+        f"named_struct('d', {_sqdist_q_pre_sql(vq_name, c)}, 'j', {j})"
+        for j, c in sorted(cents.items()))
+    return F.expr(f"slice(array_sort(array({structs})), 1, {nprobe})")
+
+
+def _kernel_cells(spark) -> int:
+    """Centroid count at which assignment switches from the in-row SQL
+    argmin to the Arrow kernel (``goetl.similarity.kernelCells``).
+    Measured both ways at sf0.1 (r18): at k ≤ 16 the SQL form wins
+    (kernel loses its Arrow-boundary + quantize-job overhead, q208
+    1.67 → 2.17 s median); at corpus-scale cell counts (ann_join sizes
+    n_cells ≈ √N — thousands at 100 TB) the O(k·dim) INTERPRETED
+    per-row fold and the k·dim-literal plan dominate and the one numpy
+    int64 matmul per batch wins (crossover measured below; see
+    OPTIMIZATION_r18.md). Data picks the side — nothing is tuned to
+    the local core count."""
+    try:
+        return int(spark.conf.get("goetl.similarity.kernelCells", "64"))
+    except Exception:
+        return 64
+
+
+def _quantize_centroids(
+    spark, cents: dict[int, list[float]]
+) -> dict[int, list[int]]:
+    """Quantize every centroid onto the 1e-5 grid ENGINE-SIDE — one
+    tiny constant-folded job over ``range(1)`` evaluating the exact
+    :func:`_centroid_q_sql` expressions, exact longs back. This is the
+    parity anchor for the Arrow kernels below: rows quantize through
+    the engine's ``round(x·1e5)`` (``_qvec``), so centroids must too —
+    replicating Java's decimal-string HALF_UP rounding in Python is
+    the kind of last-ulp trap the q212/q213 history documents. The one
+    job replaces a per-plan re-fold of k·dim literal expressions."""
+    ids = sorted(cents)
+    row = spark.range(1).selectExpr(
+        *[f"{_centroid_q_sql(cents[j])} AS c{i}"
+          for i, j in enumerate(ids)]).collect()[0]
+    return {j: [int(x) for x in row[f"c{i}"]] for i, j in enumerate(ids)}
+
+
+def _argmin_cluster_arrow(cents_q: dict[int, list[int]]) -> "F.udf":
+    """Nearest-centroid id under (distance, id) ordering, as an Arrow
+    kernel over a PRE-QUANTIZED long-array column — bit-identical to
+    the retired in-row SQL argmin (array_min over (d, j) structs),
+    ~k·dim interpreted HOF ops per row replaced by one numpy int64
+    matmul per batch (guide §4.2; the r17 IVF-PQ-LUT discipline).
+
+    Exactness: distances are exact int64 on the shared 1e-5 grid — the
+    expanded form Σx² + Σc² − 2Σxc equals the (x−c)² fold in integer
+    arithmetic, every intermediate inside the documented
+    dim·(2|x|·1e5)² < 2⁶³ bound — and numpy's argmin takes the FIRST
+    minimum over columns ordered by ascending centroid id, which IS
+    the (distance, id) struct-min tie-break. Centroids quantize
+    engine-side (:func:`_quantize_centroids`), rows via ``_qvec`` as
+    before, so every operand is the identical long."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = sorted(cents_q)
+    C = np.array([cents_q[j] for j in ids], dtype=np.int64)   # (k, dim)
+    ids_arr = np.array(ids, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def argmin_pd(v):
+        X = np.stack(v.values).astype(np.int64, copy=False)   # (rows, dim)
+        d = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2 * (X @ C.T)
+        return pd.Series(ids_arr[d.argmin(axis=1)].astype(np.int32))
+
+    argmin_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(argmin_pd, "int")
+
+
+def _cluster_probes_arrow(cents_q: dict[int, list[int]],
+                          nprobe: int) -> "F.udf":
+    """The ``nprobe`` nearest centroid ids under (distance, id) order —
+    the multi-cell generalization of :func:`_argmin_cluster_arrow`,
+    returning array<int> (the retired SQL version returned sorted
+    (d, j) structs; its only consumer used ``['j']``). Stable argsort
+    over columns in ascending-id order = the struct sort's lowest-id
+    tie-break; same exact-int64 distances."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = sorted(cents_q)
+    C = np.array([cents_q[j] for j in ids], dtype=np.int64)
+    ids_arr = np.array(ids, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def probes_pd(v):
+        X = np.stack(v.values).astype(np.int64, copy=False)
+        d = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2 * (X @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(ids_arr[idx].astype(np.int32)))
+
+    probes_pd.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(probes_pd, "array<int>")
 
 
 def kmeans_fit(
@@ -1323,7 +1429,7 @@ def kmeans_fit(
     lowest centroid id, and centroid means accumulate round(x,9)
     DECIMAL(38,9) sums (scale-9 keeps the scaled magnitude below 2^53,
     the cluster_inertia lesson). Distances are exact-decimal folds
-    (:func:`_sqdist_qint`, the 1e-5 integer grid), so the whole fit
+    (exact int64 on the 1e-5 grid — the kernel contract above), so the whole fit
     replays bit-exact in oracle SQL as unrolled iteration CTEs (the TextRank discipline).
     Clusters that empty out drop (no re-seeding), also mirrored.
 
@@ -1368,9 +1474,16 @@ def kmeans_fit(
 
     base = spread_small_input(base)
     qbase = base.withColumn("__vq", _qvec(F.col("__v")))
+    spark = df.sparkSession
     for _ in range(iterations):
-        assigned = qbase.withColumn(
-            "__c", _argmin_cluster("__vq", cents))
+        if len(cents) >= _kernel_cells(spark):
+            assigned = qbase.withColumn(
+                "__c",
+                _argmin_cluster_arrow(_quantize_centroids(spark, cents))(
+                    F.col("__vq")))
+        else:
+            assigned = qbase.withColumn(
+                "__c", _argmin_cluster("__vq", cents))
         rows = (
             assigned.select("__c", F.posexplode("__v").alias("__dim", "__x"))
             .groupBy("__c", "__dim")
@@ -1390,11 +1503,17 @@ def kmeans_assign(
     out_col: str = "cluster",
 ) -> DataFrame:
     """Assign every row to its nearest centroid (lowest-id tie-break) —
-    the pure map-side companion of :func:`kmeans_fit`: centroids ride
-    along as literals, zero shuffle, zero UDFs."""
+    the map-side companion of :func:`kmeans_fit`: zero shuffle, and the
+    assignment form follows the _kernel_cells rule (in-row SQL argmin
+    for small centroid sets, the bit-identical Arrow kernel once k·dim
+    per-row interpreted ops dominate; r18)."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if len(centroids) >= _kernel_cells(df.sparkSession):
+        kern = _argmin_cluster_arrow(
+            _quantize_centroids(df.sparkSession, centroids))
+        return df.withColumn(out_col, kern(_qvec(vec)))
     return (df.withColumn("__vq", _qvec(vec))
             .withColumn(out_col, _argmin_cluster("__vq", centroids))
             .drop("__vq"))
@@ -1546,22 +1665,18 @@ def _sqdist_pair_q_pre(aq: Column, bq: Column) -> Column:
     1e10 back to value units. Exact, order-independent, tie-free, and
     ~100x cheaper than the BigDecimal fold it replaces (q213 sf0.1
     scoring: 120 s → ~4 s); quantize each corpus ONCE before the join
-    — every row scores against ~many counterparts."""
+    — every row scores against ~many counterparts.
+
+    Deliberately NOT an Arrow kernel (r18, measured): this evaluates
+    per JOINED PAIR, so a Python kernel ships both arrays of every
+    pair across the JVM→Python boundary — ~250 MB at sf0.1's 250k
+    pairs, measured 1.2 s → 41 s on the q213 scoring job (guide §4.1's
+    boundary cost, the §8.4 payload-shuffle lesson). The per-ROW
+    argmin/probe kernels above are the opposite case: their input is
+    one corpus-sized column, not a join blowup."""
     terms = F.zip_with(aq, bq, lambda x, y: (x - y) * (x - y))
     s = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
     return s.cast("double") / F.lit(1e10)
-
-
-def _cluster_probes(vq_name: str, cents: dict[int, list[float]],
-                    nprobe: int) -> Column:
-    """The ``nprobe`` nearest centroid ids under (distance, id) order —
-    array_sort over (dist, id) structs sliced to nprobe, the multi-cell
-    generalization of :func:`_argmin_cluster`. All in-row; ``vq_name``
-    names a pre-quantized column (same reasons as _argmin_cluster)."""
-    structs = ",".join(
-        f"named_struct('d', {_sqdist_q_pre_sql(vq_name, c)}, 'j', {j})"
-        for j, c in sorted(cents.items()))
-    return F.expr(f"slice(array_sort(array({structs})), 1, {nprobe})")
 
 
 #: in-row centroid scoring is O(n_cells) per row inside ONE generated
@@ -1653,11 +1768,20 @@ def ann_join(
             right.select(id_col, vec_col)),
         vec_col=vec_col, id_col=id_col, k=n_cells, iterations=iterations)
 
-    probes = (lbase.withColumn(
-        "__p", F.explode(_cluster_probes("__lq", cents, nprobe)))
-        .select("query_id", "__lq", F.col("__p")["j"].alias("__cell")))
-    assigned = rbase.withColumn(
-        "__cell", _argmin_cluster("__rq", cents))
+    if len(cents) >= _kernel_cells(left.sparkSession):
+        cents_q = _quantize_centroids(left.sparkSession, cents)
+        probes = (lbase.withColumn(
+            "__cell", F.explode(_cluster_probes_arrow(cents_q, nprobe)(
+                F.col("__lq"))))
+            .select("query_id", "__lq", "__cell"))
+        assigned = rbase.withColumn(
+            "__cell", _argmin_cluster_arrow(cents_q)(F.col("__rq")))
+    else:
+        probes = (lbase.withColumn(
+            "__p", F.explode(_cluster_probes("__lq", cents, nprobe)))
+            .select("query_id", "__lq", F.col("__p")["j"].alias("__cell")))
+        assigned = rbase.withColumn(
+            "__cell", _argmin_cluster("__rq", cents))
 
     pairs = probes.join(assigned, "__cell")
     scored = pairs.withColumn(

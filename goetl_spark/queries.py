@@ -9994,7 +9994,7 @@ def q208_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     update rounds, final nearest-centroid assignment per vector. Every
     assignment pass runs on the executors (only the k×dim centroid
     table touches the driver); distances are exact integer folds on the
-    1e-5 quantization grid (_sqdist_qint) and centroid means
+    1e-5 quantization grid (the similarity.py kernel contract) and centroid means
     DECIMAL(38,9) sums, so the oracle's unrolled
     iteration CTEs reproduce the assignment bit-exact — no recall
     floor, no tolerance. The clustering primitive behind domain

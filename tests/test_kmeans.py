@@ -65,3 +65,47 @@ def test_guards(spark, points):
         kmeans_fit(empty, k=2)
     with pytest.raises(ValueError):
         kmeans_assign(points, {})
+
+
+def test_kernel_and_sql_assignment_forms_agree_bit_exact(spark, sf_dir):
+    """The Arrow argmin/probe kernels (chosen above goetl.similarity.
+    kernelCells centroids) must reproduce the in-row SQL argmin
+    BIT-EXACTLY — same exact-int64 grid distances, same lowest-id
+    tie-break — on real embeddings, for the fit, the assignment, and
+    the probe sets (r18)."""
+    from pyspark.sql import functions as F
+
+    from goetl_spark.operators.similarity import (
+        _cluster_probes, _cluster_probes_arrow, _quantize_centroids,
+        _qvec)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = spark.conf.get("goetl.similarity.kernelCells", "64")
+    try:
+        spark.conf.set("goetl.similarity.kernelCells", str(10**9))
+        cents_sql = kmeans_fit(e, k=7, iterations=2)
+        spark.conf.set("goetl.similarity.kernelCells", "1")
+        cents_kern = kmeans_fit(e, k=7, iterations=2)
+        assert cents_sql == cents_kern  # exact float equality
+
+        spark.conf.set("goetl.similarity.kernelCells", str(10**9))
+        a_sql = kmeans_assign(e, cents_sql).select("vec_id", "cluster")
+        spark.conf.set("goetl.similarity.kernelCells", "1")
+        a_kern = kmeans_assign(e, cents_sql).select("vec_id", "cluster")
+        sql_rows = sorted(map(tuple, a_sql.collect()))
+        kern_rows = sorted(map(tuple, a_kern.collect()))
+        assert sql_rows == kern_rows
+
+        # probe sets: same cells in the same (distance, id) order
+        vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = e.select("vec_id", _qvec(vec).alias("__vq"))
+        p_sql = {r["vec_id"]: [s["j"] for s in r["p"]] for r in base.select(
+            "vec_id", _cluster_probes("__vq", cents_sql, 3).alias("p")
+        ).collect()}
+        kern = _cluster_probes_arrow(
+            _quantize_centroids(spark, cents_sql), 3)
+        p_kern = {r["vec_id"]: list(r["p"]) for r in base.select(
+            "vec_id", kern(F.col("__vq")).alias("p")).collect()}
+        assert p_sql == p_kern
+    finally:
+        spark.conf.set("goetl.similarity.kernelCells", old)

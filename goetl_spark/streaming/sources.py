@@ -95,6 +95,27 @@ def replay_stream_ordered(
     ).collect()[0]["b"] if fracs else []
     ts_d = F.col(ts_col).cast("double")
     stage = tempfile.mkdtemp(prefix="goetl_replay_stage_")
+    if num_chunks <= 1:
+        # single-chunk replay (the stream-stream-join shape): no chunk
+        # column, no shuffle — coalesce is a narrow read-all-in-one-task
+        # write, where repartition(1, chunk) paid a full exchange of the
+        # batch for nothing (r18; NULL-ts rows keep flowing, matching
+        # the no-bounds contract below)
+        shutil.rmtree(stage, ignore_errors=True)
+        dst = os.path.join(path, "chunk001.parquet")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next((os.path.join(stage, f) for f in os.listdir(stage)
+                    if f.startswith("part-") and f.endswith(".parquet")),
+                   None)
+        if src is not None:
+            shutil.copy(src, dst)
+            os.utime(dst, (1000, 1000))
+        shutil.rmtree(stage, ignore_errors=True)
+        reader = spark.readStream.format("parquet").schema(batch_df.schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        return reader.load(path), path
     # ONE partitioned write instead of num_chunks filtered scans (r17
     # optimization, guide §2.4): chunk i = 1 + #bounds at or below ts —
     # identical membership to the old per-chunk range filters, which

@@ -20,15 +20,21 @@ from goetl_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 
-# Tests measured >=10 s each in the full-suite duration profile
-# (r18; 80 tests = ~56% of suite wall time). They still run in
+# Tests measured >=5 s each in the full-suite duration profile
+# (r18; 149 tests = ~66% of suite wall time). They still run in
 # the builder's GOETL_RUN_SLOW=1 full verification every round;
-# the default invocation keeps the other ~1150 tests so the
+# the default invocation keeps the other ~1090 tests so the
 # driver's bounded pytest window can complete (r17 VERIFY
-# truncated at ~69% with zero failures shown).
+# truncated at ~69% with zero failures shown; the default run
+# measured 24 min vs the full suite's ~49-67).
 _SLOW_TESTS = {
+    "tests/test_agreement_concentration.py::test_kappa_textbook_2x2",
     "tests/test_agreement_concentration.py::test_top_share_matches_reference_across_k",
+    "tests/test_ann_index.py::test_append_frozen_centroids_lossless_at_full_probe",
+    "tests/test_ann_index.py::test_empty_query_batch",
     "tests/test_ann_index.py::test_full_probe_equals_bruteforce",
+    "tests/test_ann_index.py::test_partial_probe_recall_on_separable_data",
+    "tests/test_ann_index.py::test_partition_pruning_receipt",
     "tests/test_ann_index.py::test_recall_report_against_numpy_reference",
     "tests/test_ann_index.py::test_recall_report_monitor",
     "tests/test_ann_join.py::test_auto_n_cells_sqrt_rule",
@@ -36,36 +42,79 @@ _SLOW_TESTS = {
     "tests/test_ann_join.py::test_rank_and_dist_are_consistent",
     "tests/test_ann_join.py::test_recall_floor_vs_brute_force",
     "tests/test_ann_join.py::test_skewed_cell_is_split_by_aqe",
+    "tests/test_asof_skew_udaf.py::test_tdigest_accuracy_on_skewed_data",
     "tests/test_assoc_suite.py::test_kw_degenerates_and_guards",
+    "tests/test_assoc_suite.py::test_spearman_grouped_constant_null_and_null_group",
+    "tests/test_assoc_suite.py::test_spearman_matches_reference_with_ties",
+    "tests/test_assoc_suite.py::test_spearman_monotone_nonlinear_is_one",
     "tests/test_assoc_suite.py::test_spearman_null_pair_excluded_nan_raises",
+    "tests/test_assoc_suite.py::test_spearman_outlier_robust_vs_pearson_shape",
     "tests/test_bloom.py::test_bloom_adversarial_string_keys",
     "tests/test_bloom.py::test_bloom_anti_join_null_keys_kept_and_materialize",
+    "tests/test_bloom.py::test_bloom_index_roundtrip_and_guards",
     "tests/test_bloom.py::test_bloom_joins_fuzz_vs_plain",
+    "tests/test_bloom.py::test_bloom_probe_in_structured_streaming",
     "tests/test_bloom.py::test_stream_bloom_cut_exact_and_idempotent",
     "tests/test_c2st.py::test_against_pure_python_reference",
     "tests/test_c2st.py::test_cross_fit_kills_label_leakage",
     "tests/test_c2st.py::test_grouped_matches_wholeframe_and_is_independent",
+    "tests/test_c2st.py::test_joint_only_drift_detected_psi_blind",
     "tests/test_c2st.py::test_validation_raises",
+    "tests/test_classifier.py::test_calibration_bins_by_matches_whole_frame_and_guards",
+    "tests/test_classifier.py::test_classifier_separates_prose_from_noise",
+    "tests/test_classifier.py::test_expression_scorer_matches_ml_transform",
     "tests/test_classifier.py::test_grouped_auc_matches_whole_frame_per_slice",
+    "tests/test_classifier.py::test_grouped_auc_single_class_group_is_null_and_guards",
+    "tests/test_classifier.py::test_pr_auc_hand_computed_and_sklearn_parity",
+    "tests/test_classifier.py::test_roc_auc_hand_computed_with_ties",
+    "tests/test_edit_index.py::test_append_grows_losslessly",
+    "tests/test_edit_index.py::test_index_matches_oneshot",
+    "tests/test_edit_index.py::test_query_below_build_threshold[0]",
     "tests/test_edit_index.py::test_query_below_build_threshold[1]",
     "tests/test_examples.py::test_corpus_quality_example",
     "tests/test_examples.py::test_incremental_ingest_example",
     "tests/test_examples.py::test_llm_data_prep_example",
     "tests/test_examples.py::test_model_curation_example",
+    "tests/test_examples.py::test_record_linkage_example",
     "tests/test_examples.py::test_timeseries_monitoring_example",
+    "tests/test_graph_qnorm.py::test_pagerank_sink_accumulates_and_mass_conserved",
+    "tests/test_heavy_hitters_stream.py::test_deterministic_across_replays",
     "tests/test_index_append_idempotence.py::test_crash_before_marker_all_families[ann]",
+    "tests/test_index_append_idempotence.py::test_crash_before_marker_all_families[edit]",
+    "tests/test_index_append_idempotence.py::test_crash_before_marker_all_families[hll]",
     "tests/test_index_append_idempotence.py::test_crash_before_marker_all_families[lsh]",
+    "tests/test_index_append_idempotence.py::test_crash_before_marker_all_families[simhash]",
     "tests/test_index_append_idempotence.py::test_crash_between_leg_and_marker_replays_exactly_once",
     "tests/test_index_append_idempotence.py::test_crash_between_legs_replays_exactly_once",
     "tests/test_index_append_idempotence.py::test_explicit_stamp_retry_is_idempotent_batch_api",
     "tests/test_index_append_idempotence.py::test_layout1_index_compat_and_stamp_refusal",
+    "tests/test_index_append_idempotence.py::test_layout1_legacy_marker_migration_raises",
+    "tests/test_index_append_idempotence.py::test_two_streams_two_checkpoints_no_reset_no_loss",
+    "tests/test_index_meta.py::test_jaccard_index_null_elements_match_jaccard_join",
     "tests/test_interval_joins.py::test_lookup_fuzz_vs_naive",
     "tests/test_interval_joins.py::test_overlap_fuzz_vs_naive",
+    "tests/test_jaccard_index.py::test_append_grows_index_losslessly",
+    "tests/test_jaccard_index.py::test_exclude_within_batch_and_set_contract",
+    "tests/test_jaccard_index.py::test_higher_query_threshold_is_a_subset",
     "tests/test_jaccard_index.py::test_index_matches_oneshot_join",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q140_zscore_stream]",
     "tests/test_plan_quality.py::test_hash_safe_output_types[q145_perplexity_buckets]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q155_registrable_domain]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q156_incident_window_join]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q157_window_overlap_join]",
     "tests/test_plan_quality.py::test_hash_safe_output_types[q158_stream_bloom_cut]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q159_image_phash]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q256_jaccard_index]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q263_two_monitor_grouped_c2st]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q264_semantic_index]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q48_stateful_stream]",
     "tests/test_plan_quality.py::test_hash_safe_output_types[q57_streaming_dedup]",
     "tests/test_plan_quality.py::test_hash_safe_output_types[q58_stream_stream_join]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q59_ann_lsh]",
+    "tests/test_plan_quality.py::test_hash_safe_output_types[q73_ann_ivf_centroids]",
+    "tests/test_plan_quality.py::test_no_scale_antipatterns[q263_two_monitor_grouped_c2st]",
+    "tests/test_properties.py::test_cdc_counts_match_set_algebra",
+    "tests/test_properties.py::test_epoch_shuffle_md5_matches_hashlib",
     "tests/test_properties.py::test_gopher_flags_match_python_reference",
     "tests/test_properties.py::test_learn_bpe_matches_reference",
     "tests/test_properties.py::test_merge_partitioned_equals_full_merge",
@@ -74,20 +123,28 @@ _SLOW_TESTS = {
     "tests/test_properties_r12.py::test_acf_within_pearson_bounds",
     "tests/test_properties_r12.py::test_rollup_merge_equals_direct",
     "tests/test_properties_r12.py::test_seasonal_decompose_shift_invariance",
+    "tests/test_properties_r12.py::test_suppression_output_is_k_anonymous",
+    "tests/test_properties_r12.py::test_target_encode_shrinks_toward_global_mean",
     "tests/test_properties_r13.py::test_classification_metric_count_identities",
     "tests/test_properties_r13.py::test_loo_leakage_and_consistency_laws",
     "tests/test_properties_r13.py::test_psi_counts_split_additive_and_terms_signed",
+    "tests/test_properties_r13.py::test_retrieval_metrics_match_python_reference",
     "tests/test_properties_r14.py::test_edit_distance_join_complete_and_symmetric",
     "tests/test_properties_r14.py::test_grouped_auc_monotone_invariance_and_slice_equality",
     "tests/test_properties_r14.py::test_jaccard_join_complete_and_symmetric",
     "tests/test_properties_r14.py::test_ks_identity_bounds_and_monotone_invariance",
+    "tests/test_properties_r14.py::test_ndcg_bounded_by_one",
+    "tests/test_properties_r14.py::test_r14_family_off_type_and_unicode_edges",
     "tests/test_properties_r14b.py::test_anova_eta_bounds_and_relabel_invariance",
     "tests/test_properties_r14b.py::test_gini_bounds_and_replication_invariance",
     "tests/test_properties_r14b.py::test_regression_metric_inequalities",
     "tests/test_properties_r14b.py::test_spearman_invariance_bounds_antisymmetry",
     "tests/test_properties_r14b.py::test_w1_metric_laws",
+    "tests/test_properties_r14c.py::test_benford_conservation",
+    "tests/test_properties_r14c.py::test_gains_monotone_and_bounded",
     "tests/test_properties_r14c.py::test_kappa_mcc_bounds_and_shared_sign",
     "tests/test_properties_r14c.py::test_top_share_monotone_in_k_and_floor",
+    "tests/test_properties_r14c.py::test_trimmed_mean_bounded_by_extremes_and_outlier_invariance",
     "tests/test_properties_r15.py::test_c2st_swap_antisymmetry_and_bounds",
     "tests/test_properties_r15.py::test_edit_index_equals_oneshot_incl_below_build",
     "tests/test_properties_r15.py::test_jaccard_index_equals_oneshot",
@@ -95,18 +152,31 @@ _SLOW_TESTS = {
     "tests/test_properties_r16.py::test_streamed_appends_equal_oneshot_any_chunking",
     "tests/test_properties_r16.py::test_streamed_edit_appends_equal_oneshot",
     "tests/test_quality_semdedup.py::test_ks_distance_exact_vs_brute_force",
+    "tests/test_quality_semdedup.py::test_lsh_index_incremental_matches_full_recompute",
+    "tests/test_quality_semdedup.py::test_lsh_recall_report",
     "tests/test_quality_semdedup.py::test_semantic_dedup_lsh_blocking_matches_allpairs_here",
     "tests/test_stream_benford.py::test_replay_marker_and_crash_recovery",
+    "tests/test_stream_c2st.py::test_accumulated_equals_direct_and_c2st_composes",
+    "tests/test_stream_c2st.py::test_grouped_compose_from_two_monitors",
     "tests/test_stream_c2st.py::test_two_monitor_topology_composes",
     "tests/test_stream_index_append.py::test_appender_edit_and_ann_kinds",
     "tests/test_stream_index_append.py::test_marker_skips_replayed_batch_and_accepts_next",
+    "tests/test_stream_index_append.py::test_reset_marker_for_new_stream",
     "tests/test_stream_index_append.py::test_streamed_jaccard_appends_equal_batch_appends",
+    "tests/test_stream_psi.py::test_accumulated_counts_equal_direct_and_psi_composes",
     "tests/test_stream_rollup.py::test_crash_between_renames_recovers_history",
+    "tests/test_stream_rollup.py::test_incremental_equals_direct_and_bootstrap",
     "tests/test_stream_rollup.py::test_incremental_rewrite_touches_only_batch_partitions",
     "tests/test_stream_rollup.py::test_null_rows_excluded",
     "tests/test_stream_rollup.py::test_replayed_batches_skip_via_marker",
     "tests/test_streaming_funnel.py::test_cusum_stream_matches_batch_bit_exact",
     "tests/test_streaming_funnel.py::test_holt_stream_matches_batch_bit_exact",
+    "tests/test_streaming_funnel.py::test_running_zscore_stream_welford_and_anomaly",
+    "tests/test_streaming_funnel.py::test_streaming_funnel_matches_batch_semantics",
+    "tests/test_streaming_multimodal.py::test_stream_parquet_sink_exactly_once",
+    "tests/test_text_dedup_similarity.py::test_edit_distance_join_lossless_vs_brute_force",
+    "tests/test_text_dedup_similarity.py::test_jaccard_join_lossless_vs_brute_force",
+    "tests/test_text_dedup_similarity.py::test_simhash_banded_equals_all_pairs",
 }
 
 
